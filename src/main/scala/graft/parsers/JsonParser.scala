@@ -1,0 +1,30 @@
+package graft.parsers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.domain.ParserConfig
+import graft.ports.RecordParser
+
+/** JSON scan (reference: src/infrastructure/parsers/json_parser.rs:4-27):
+  * whole-file JSON; a top-level array explodes into one row per element; a
+  * single top-level object becomes a 1-row batch; native JSON types are
+  * preserved (the one parser in the reference that is not all-strings).
+  *
+  * Spark's multiLine JSON reader already implements exactly these
+  * semantics for objects/arrays-of-objects. A top-level *scalar* (e.g.
+  * `42`) — which the reference wrapped as a bare document — has no natural
+  * DataFrame shape; it is surfaced as a single `value` column (documented
+  * deviation).
+  */
+object JsonParser extends RecordParser {
+
+  override def parse(spark: SparkSession, path: String, config: Option[ParserConfig]): DataFrame = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    val cols = df.schema.fieldNames
+    if (cols.sameElements(Array("_corrupt_record")) || cols.isEmpty) {
+      // Top-level scalar or scalar array: re-read as json with a value wrap.
+      import spark.implicits._
+      val raw = spark.read.textFile(path).collect().mkString("\n").trim
+      Seq(raw).toDF("value")
+    } else df
+  }
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table loaders + cross-engine determinism helpers.
+  *
+  * The driver's correctness gate hash-compares Spark results against a
+  * DuckDB oracle, so every query result must be bit-deterministic across
+  * engines:
+  *   - money/quantity columns are exactly 2-decimal doubles in the data, so
+  *     they are cast to DECIMAL(18,2) before SUM (exact arithmetic in both
+  *     engines), and the exact sum is cast back to DOUBLE at the end
+  *     (correctly-rounded, identical in both engines);
+  *   - averages/ratios are computed as DOUBLE division of exact operands
+  *     (IEEE 754, identical everywhere) — never decimal division, whose
+  *     result scale is engine-specific;
+  *   - timestamps are emitted as formatted strings;
+  *   - every query ends with a total ORDER BY (unique tie-break column).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Registers all tables as temp views (the SQL entry surface). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Lossless exact cast for the 2-decimal money/qty/rate columns. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact decimal -> double, the final form of every summed measure. */
+  def d(c: Column): Column = c.cast("double")
+
+  /** Timestamp -> 'yyyy-MM-dd' string (DuckDB mirror: strftime(ts, '%Y-%m-%d')). */
+  def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Timestamp -> 'yyyy-MM-dd HH:mm' string. */
+  def hourStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:00")
+}
