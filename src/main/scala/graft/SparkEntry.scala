@@ -17,10 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      MultimodalQueries.defs ++ IngestQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ WindowQueries.oracles ++ EventQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles ++ IngestQueries.oracles
 }

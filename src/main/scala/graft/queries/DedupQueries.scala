@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash, and SimHash. Everything is engine-portable-deterministic: the
+  * "random" hash families are derived from md5 (identical digests in both
+  * engines), so even the MinHash signatures hash-match the DuckDB oracle.
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy on the fingerprint (one shuffle on fp;
+  *    at 100 TB this is the classic dedup-by-content-hash pass);
+  *  - n-gram Jaccard runs on shingle-inverted-index joins: explode
+  *    shingles -> join on shingle -> count shared. The candidate
+  *    generation is the scalable part; the full-corpus quadratic variant
+  *    is deliberately NOT implemented (dd02 uses a deterministic sample —
+  *    MinHash banding in dd03/dd04 is the full-corpus path);
+  *  - MinHash: k=16 permutation-free minimum hashes per doc; banded 4×4
+  *    for LSH candidates — band join replaces the all-pairs product.
+  */
+object DedupQueries {
+
+  /** Character 8-gram shingles of a text column (distinct per doc). */
+  private val shinglesExpr =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8)))"
+
+  /** Unsigned 32-bit integer from the first 8 hex chars of md5 —
+    * the engine-portable "hash" primitive. */
+  private def h32(e: String) = s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
+
+  /** MinHash_j(doc) = min over shingles of (a_j*x + b_j) mod p, with the
+    * universal-hash family a_j=2j+1, b_j=j*j+7, p=2^31-1 over x=h32. */
+  private def minhashCol(j: Int): String =
+    s"array_min(transform($shinglesExpr, s -> ((${2 * j + 1}L * ${h32("s")} + ${j * j + 7}L) % 2147483647L)))"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dd01: exact dedup via content hash. Keeper = min doc_id.
+    "dd01_exact_dedup" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_doc_id")
+    }),
+
+    // ---- dd02: n-gram Jaccard similarity on a deterministic subsample
+    // (doc_id % 50 == 0) via shingle-inverted-index join — the exact
+    // verifier used downstream of LSH candidates.
+    "dd02_ngram_jaccard" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+      val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      val inv = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.08)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- dd03: MinHash signatures (k=16), fully oracle-checkable since
+    // the hash family is md5-derived. One scan, no shuffle, no UDF.
+    "dd03_minhash_signatures" -> ((spark: SparkSession, dir: String) => {
+      val sig = (0 until 16).map(j => expr(minhashCol(j)).as(s"mh$j"))
+      t(spark, dir, "documents")
+        .select(col("doc_id") +: sig: _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- dd04: LSH banding over the MinHash signatures: 4 bands × 4 rows;
+    // docs sharing any band signature become candidate pairs. The band
+    // join is the scale path: shuffle keyed on (band, signature) replaces
+    // the all-pairs product.
+    "dd04_lsh_candidates" -> ((spark: SparkSession, dir: String) => {
+      val sig = (0 until 16).map(j => expr(minhashCol(j)).as(s"mh$j"))
+      val withSig = t(spark, dir, "documents").select(col("doc_id") +: sig: _*)
+      val bands = (0 until 4).map { b =>
+        withSig.select(col("doc_id"), lit(b).as("band"),
+          concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("band_sig"))
+      }.reduce(_ union _)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- dd05: 32-bit SimHash from md5-derived word hashes (frequency-
+    // weighted bit votes). Scan-local; near-dup = small Hamming distance.
+    "dd05_simhash" -> ((spark: SparkSession, dir: String) => {
+      val wordHashes = s"transform(split(text, ' '), w -> ${h32("w")})"
+      val bitCols = (0 until 32).map { j =>
+        // vote_j = sum over words of (bit_j(h) ? 1 : -1); bit set iff vote > 0
+        s"(case when aggregate($wordHashes, 0L, (acc, h) -> acc + (2 * (shiftright(h, $j) % 2) - 1)) > 0 then ${1L << j}L else 0L end)"
+      }
+      t(spark, dir, "documents")
+        .select(col("doc_id"), expr(bitCols.mkString("(", " + ", ")")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  // DuckDB mirrors. h32: ('0x' || substr(md5(s),1,8))::BIGINT == Spark's
+  // conv(...,16,10) (both unsigned 32-bit, fits BIGINT exactly).
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> substr(text, i, 8)))"
+  private def h32Sql(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform($shinglesSql, s -> ((${2 * j + 1} * ${h32Sql("s")} + ${j * j + 7}) % 2147483647)))"
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact_dedup" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY keeper_doc_id""".stripMargin,
+
+    "dd02_ngram_jaccard" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, $shinglesSql AS shingles FROM documents WHERE doc_id % 50 = 0),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM docs),
+        |inv AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.08
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd03_minhash_signatures" ->
+      ("SELECT doc_id, " +
+        (0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ") +
+        " FROM documents ORDER BY doc_id"),
+
+    "dd04_lsh_candidates" ->
+      s"""WITH sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM documents),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band_sig FROM sig")
+            .mkString("\n  UNION ALL\n  ")}
+        |)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd05_simhash" ->
+      ("SELECT doc_id, (" +
+        (0 until 32).map(j =>
+          s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> (2 * ((${h32Sql("w")} >> $j) % 2) - 1))) > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ") +
+        ") AS simhash FROM documents ORDER BY doc_id"),
+  )
+}

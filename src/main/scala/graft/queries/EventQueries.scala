@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Event-stream analytics over the `events` table — the batch shapes of
+  * the streaming surface (graft.streaming runs the same aggregations
+  * incrementally with watermarks): tumbling-window rollups, gap-based
+  * sessionization, semi-structured JSON extraction, conditional pivots.
+  *
+  * Time determinism: timestamps are compared/diffed as integer epoch
+  * microseconds (unix_micros / epoch_us), never as engine-local intervals;
+  * outputs render time as formatted strings.
+  */
+object EventQueries {
+
+  private def ts = col("ts").cast("timestamp")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- e01: tumbling 1-hour rollup (streaming's groupBy(window(...))
+    // batch twin). Partial aggregation, single shuffle on (hour, type).
+    "e01_hourly_rollup" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "events")
+        .groupBy(date_format(ts, "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          d(sum(dec(col("value")))).as("sum_value"),
+          (d(sum(dec(col("value")))) / count(lit(1))).as("avg_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- e02: gap-based sessionization (30-min inactivity). The classic
+    // lag -> boundary-flag -> running-sum pattern: two windows over the
+    // same (user_id, time) partitioning -> ONE shuffle, two sorted passes.
+    "e02_sessionize" -> ((spark: SparkSession, dir: String) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = t(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (unix_micros(ts) - lag(unix_micros(ts), 1).over(byUser)).as("gap_us"))
+      val withSession = withGap
+        .withColumn("new_session", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSession
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- e03: semi-structured extraction from the JSON props column.
+    "e03_json_extract" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- e04: conditional pivot — per-user funnel counts in one pass
+    // (a static-schema pivot; DataFrame.pivot() covers the dynamic case).
+    "e04_user_funnel" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+          d(sum(when(col("event_type") === "purchase", dec(col("value"))).otherwise(lit(0).cast("decimal(18,2)")))).as("purchase_value"))
+        .orderBy("user_id")
+    }),
+
+    // ---- e05: top-5 events by value per type (window top-k: per-partition
+    // heap beats a global sort at scale).
+    "e05_top_events_per_type" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
+      t(spark, dir, "events")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("event_type"), col("rk"), col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_hourly_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "e02_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e03_json_extract" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e04_user_funnel" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e05_top_events_per_type" ->
+      """SELECT event_type, rk, event_id, user_id, value FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+  )
+}

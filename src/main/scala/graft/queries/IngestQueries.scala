@@ -1,0 +1,257 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.domain._
+import graft.pipeline.IngestionPipeline
+import graft.rules.RuleMatcher
+import graft.sinks.{ParquetLogRepository, ParquetSink}
+import graft.sources.LocalFileSource
+
+/** End-to-end ingestion queries: each one writes the reference's own test
+  * fixture (FIXTURES.md / reference dev-test.sh), runs the full pipeline
+  * (rule match -> parse -> enrich -> sink -> audit log), reads the sink
+  * back, and is hash-checked against a literal VALUES oracle. This is the
+  * operator inventory S3-S8/T1-T5/P1-P2/K1/K4 under the same gate as the
+  * relational queries.
+  *
+  * Determinism: fixtures are byte-identical every run; log ids use the
+  * md5(file_name) generator (prod default is UUID); sink dirs are fresh
+  * temp dirs so append-mode can't accumulate across runs.
+  */
+object IngestQueries {
+
+  /** Runs one file through a fresh pipeline; returns the sink table read
+    * back. Deterministic log ids; fixture bytes supplied by `write`. */
+  private def runPipeline(
+      spark: SparkSession,
+      key: String,
+      rules: Seq[IngestionConfigRule])(write: Path => Unit): DataFrame = {
+    val base = Files.createTempDirectory("graft_ing")
+    val bucket = "data-ingestion-bucket"
+    val filePath = base.resolve(bucket).resolve(key)
+    Files.createDirectories(filePath.getParent)
+    write(filePath)
+    val sinkDir = base.resolve("sink")
+    val sink = new ParquetSink(sinkDir.toString)
+    val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = md5Hex)
+    val matcher = new RuleMatcher(rules)
+    val pipeline = new IngestionPipeline(new LocalFileSource(base.toString), matcher, sink, logs)
+    val result = pipeline.processFile(spark, FileToProcess(bucket, key))
+    spark.read.parquet(sink.tablePath(result.targetTable))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def writeString(p: Path, s: String): Unit = Files.writeString(p, s)
+
+  // ---- fixtures (reference dev-test.sh:45-117, FIXTURES.md §1) ----
+  private val csvFixture = "name,age,city\nJohn,30,NYC\nJane,25,LA\nBob,35,Chicago\n"
+  private val csvNoHeaders = "John,30,john@x.com,NYC\nJane,25,jane@x.com,LA\nBob,35,bob@x.com,Chicago\n"
+  private val csvOverflow = "John,25,john@test.com,extra\nJane,31,jane@test.com,more\n"
+  private val jsonFixture = """[{"name":"Alice","value":100},{"name":"Bob","value":200}]"""
+  private val txtFixture = "Log entry 1: Application started\nLog entry 2: Processing data\nLog entry 3: Task completed\n"
+  private val xmlFixture =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<data>
+      |  <record id="1"><name>John Doe</name><age>30</age><email>john.doe@example.com</email></record>
+      |  <record id="2"><name>Jane Roe</name><age>25</age><email>jane.roe@example.com</email></record>
+      |</data>""".stripMargin
+
+  /** Minimal XLSX: zip container with one worksheet of inline strings. */
+  private def writeXlsx(p: Path, rows: Seq[Seq[String]]): Unit = {
+    val zout = new ZipOutputStream(Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    def ref(r: Int, c: Int): String = { // 0-based -> "A1"
+      var n = c + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString + (r + 1)
+    }
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        rows.zipWithIndex.map { case (cells, r) =>
+          s"""<row r="${r + 1}">""" + cells.zipWithIndex.map { case (v, c) =>
+            s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>$v</t></is></c>"""
+          }.mkString + "</row>"
+        }.mkString + "</sheetData></worksheet>"
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"/>""")
+    entry("xl/worksheets/sheet1.xml", sheetXml)
+    zout.close()
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4+T1+T3+T4+K1: CSV with headers from first row, all-string schema.
+    "ing01_csv_headers" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "data/test.csv", RuleMatcher.seedRules)(writeString(_, csvFixture))
+        .orderBy("name")
+    }),
+
+    // S4 variant: config-supplied headers; first row is data.
+    "ing02_csv_custom_headers" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "data/test_no_headers.csv", RuleMatcher.seedRules)(
+        writeString(_, csvNoHeaders)).orderBy("name")
+    }),
+
+    // S4 edge: rows wider than config headers -> column_{i} overflow names.
+    "ing03_csv_overflow" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.csv$", "overflow_data",
+        Some(ParserConfig(headers = Some(Seq("name", "age"))))))
+      runPipeline(spark, "data/test_overflow.csv", rules)(writeString(_, csvOverflow))
+        .orderBy("name")
+    }),
+
+    // S5+T2: JSON top-level array -> rows, native types preserved.
+    "ing04_json" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "data/test.json", RuleMatcher.seedRules)(writeString(_, jsonFixture))
+        .orderBy("name")
+    }),
+
+    // S6+T5: TXT -> 1-based line_number + content.
+    "ing05_txt" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "logs/test.txt", RuleMatcher.seedRules)(writeString(_, txtFixture))
+        .orderBy("line_number")
+    }),
+
+    // S7: XML <record> rows; attributes merged; all strings.
+    "ing06_xml" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "data/test.xml", RuleMatcher.seedRules)(writeString(_, xmlFixture))
+        .orderBy("id")
+    }),
+
+    // S8: XLSX first sheet; row 1 headers; overflow cells DROPPED.
+    "ing07_excel" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "reports/test.xlsx", RuleMatcher.seedRules)(
+        writeXlsx(_, Seq(
+          Seq("name", "age", "department"),
+          Seq("Alice", "28", "HR"),
+          Seq("Charlie", "32", "Finance", "OVERFLOW-DROPPED"))))
+        .orderBy("name")
+    }),
+
+    // P1+P2 as a data-plane query: regex rule match, longest-pattern-wins,
+    // via regexp_like join + length-ranked window (broadcast rules).
+    "ing08_route_longest_wins" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val rules = RuleMatcher.seedRules.map(r => (r.pattern, r.targetTable))
+        .toDF("pattern", "target_table")
+      val keys = Seq("data/test.csv", "data/test_no_headers.csv", "reports/q1.xlsx",
+        "archive/backup.xlsx", "logs/test.txt", "data/readme.unknown", "data/test.json")
+        .toDF("key")
+      val matched = keys.join(broadcast(rules), expr("key rlike pattern"), "left_outer")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+        .orderBy(length(col("pattern")).desc, col("pattern").asc)
+      matched.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("key"), coalesce(col("target_table"), lit("NO_MATCH")).as("target_table"))
+        .orderBy("key")
+    }),
+
+    // K4: audit log lifecycle — success and failure paths both recorded.
+    "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft_log")
+      val bucket = "data-ingestion-bucket"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/test.csv"), csvFixture)
+      Files.writeString(base.resolve(bucket).resolve("data/bad.pdf"), "%PDF-1.4 not supported")
+      val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = md5Hex)
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(
+          RuleMatcher.seedRules :+ IngestionConfigRule(".*\\.pdf$", "pdf_data")),
+        new ParquetSink(base.resolve("sink").toString), logs)
+      pipeline.processFile(spark, FileToProcess(bucket, "data/test.csv"))
+      try pipeline.processFile(spark, FileToProcess(bucket, "data/bad.pdf"))
+      catch { case _: IngestionError.ParseError => () }
+      logs.all.map(l => (l.logId, l.fileName, l.status, l.endTime.isDefined))
+        .toDF("log_id", "file_name", "status", "has_end_time")
+        .orderBy("file_name")
+    }),
+  )
+
+  // VALUES-based oracles: expected outputs are literals (the fixtures are
+  // byte-fixed); log_id/file_name enrichment is md5-derived, computed by
+  // DuckDB's own md5() so the oracle stays self-contained.
+  private val fn = "'data-ingestion-bucket/' || "
+
+  val oracles: Map[String, String] = Map(
+    "ing01_csv_headers" ->
+      s"""SELECT name, age, city, ${fn}'data/test.csv' AS file_name,
+        |  md5(${fn}'data/test.csv') AS log_id
+        |FROM (VALUES ('Bob','35','Chicago'), ('Jane','25','LA'), ('John','30','NYC')) t(name, age, city)
+        |ORDER BY name""".stripMargin,
+
+    "ing02_csv_custom_headers" ->
+      s"""SELECT name, age, email, city, ${fn}'data/test_no_headers.csv' AS file_name,
+        |  md5(${fn}'data/test_no_headers.csv') AS log_id
+        |FROM (VALUES ('Bob','35','bob@x.com','Chicago'), ('Jane','25','jane@x.com','LA'),
+        |             ('John','30','john@x.com','NYC')) t(name, age, email, city)
+        |ORDER BY name""".stripMargin,
+
+    "ing03_csv_overflow" ->
+      s"""SELECT name, age, column_2, column_3, ${fn}'data/test_overflow.csv' AS file_name,
+        |  md5(${fn}'data/test_overflow.csv') AS log_id
+        |FROM (VALUES ('Jane','31','jane@test.com','more'), ('John','25','john@test.com','extra'))
+        |  t(name, age, column_2, column_3)
+        |ORDER BY name""".stripMargin,
+
+    "ing04_json" ->
+      s"""SELECT name, value, ${fn}'data/test.json' AS file_name,
+        |  md5(${fn}'data/test.json') AS log_id
+        |FROM (VALUES ('Alice', 100), ('Bob', 200)) t(name, value)
+        |ORDER BY name""".stripMargin,
+
+    "ing05_txt" ->
+      s"""SELECT line_number, content, ${fn}'logs/test.txt' AS file_name,
+        |  md5(${fn}'logs/test.txt') AS log_id
+        |FROM (VALUES (1, 'Log entry 1: Application started'), (2, 'Log entry 2: Processing data'),
+        |             (3, 'Log entry 3: Task completed')) t(line_number, content)
+        |ORDER BY line_number""".stripMargin,
+
+    "ing06_xml" ->
+      s"""SELECT id, name, age, email, ${fn}'data/test.xml' AS file_name,
+        |  md5(${fn}'data/test.xml') AS log_id
+        |FROM (VALUES ('1','John Doe','30','john.doe@example.com'),
+        |             ('2','Jane Roe','25','jane.roe@example.com')) t(id, name, age, email)
+        |ORDER BY id""".stripMargin,
+
+    "ing07_excel" ->
+      s"""SELECT name, age, department, ${fn}'reports/test.xlsx' AS file_name,
+        |  md5(${fn}'reports/test.xlsx') AS log_id
+        |FROM (VALUES ('Alice','28','HR'), ('Charlie','32','Finance')) t(name, age, department)
+        |ORDER BY name""".stripMargin,
+
+    "ing08_route_longest_wins" ->
+      """WITH rules(pattern, target_table) AS (VALUES
+        |  ('.*\.csv$', 'csv_data'), ('.*\.json$', 'json_data'),
+        |  ('reports/.*\.xlsx?$', 'excel_reports'), ('logs/.*\.txt$', 'text_logs'),
+        |  ('.*\.xml$', 'xml_data'), ('.*\.xlsx?$', 'excel_data'),
+        |  ('.*test_no_headers\.csv$', 'csv_no_headers_data')),
+        |keys(key) AS (VALUES ('data/test.csv'), ('data/test_no_headers.csv'), ('reports/q1.xlsx'),
+        |  ('archive/backup.xlsx'), ('logs/test.txt'), ('data/readme.unknown'), ('data/test.json')),
+        |matched AS (
+        |  SELECT key, pattern, target_table,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY length(pattern) DESC, pattern) AS rk
+        |  FROM keys LEFT OUTER JOIN rules ON regexp_matches(key, pattern))
+        |SELECT key, COALESCE(target_table, 'NO_MATCH') AS target_table
+        |FROM matched WHERE rk = 1 ORDER BY key""".stripMargin,
+
+    "ing09_audit_log" ->
+      """SELECT md5(file_name) AS log_id, file_name, status, has_end_time
+        |FROM (VALUES ('data-ingestion-bucket/data/bad.pdf', 'Failed', true),
+        |             ('data-ingestion-bucket/data/test.csv', 'Success', true))
+        |  t(file_name, status, has_end_time)
+        |ORDER BY file_name""".stripMargin,
+  )
+}

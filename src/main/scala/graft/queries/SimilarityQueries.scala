@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * sim01 is the exact brute-force baseline: a broadcast nested-loop of a
+  * small query set against all candidates — the right plan when |Q| is
+  * small (the candidate side streams, nothing shuffles, top-k via
+  * per-partition window). sim02 is the scale path: IVF-style bucketing
+  * (deterministic centroids), where each query probes only its nearest
+  * buckets — at 100 TB the candidate scan drops by ~n_lists/n_probes.
+  *
+  * Cross-engine determinism: dot products are left-fold double sums over
+  * the array in index order in BOTH engines (Spark `aggregate` /
+  * DuckDB `list_sum∘list_transform`); ranking uses cosine ROUNDED to 6
+  * decimals with doc-id tie-breaks, so rank boundaries cannot flip on
+  * last-ulp differences.
+  */
+object SimilarityQueries {
+
+  /** dot(a,b) as an exact-order left fold in doubles. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String =
+    s"sqrt(aggregate($a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+  private def cosExpr(a: String, b: String): String =
+    s"round(${dotExpr(a, b)} / (${normExpr(a)} * ${normExpr(b)}), 6)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sim01: brute-force cosine top-10 for 8 query vectors.
+    "sim01_cosine_topk" -> ((spark: SparkSession, dir: String) => {
+      val emb = t(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("label"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), col("label"),
+          expr(cosExpr("q_emb", "c_emb")).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // ---- sim02: IVF-bucketed ANN. Centroids = vectors 0..15 (fixed,
+    // deterministic); every vector is assigned to its nearest centroid
+    // (the "inverted list"); each query probes its 2 nearest lists only.
+    "sim02_ivf_ann" -> ((spark: SparkSession, dir: String) => {
+      val emb = t(spark, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // assignment: nearest centroid per vector (broadcast 16 centroids)
+      val assignW = Window.partitionBy(col("vec_id")).orderBy(col("a_cos").desc, col("cent_id").asc)
+      val assigned = emb.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
+          expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
+        .withColumn("ark", row_number().over(assignW))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id").as("list_id"))
+      // queries probe their 2 nearest centroids
+      val probeW = Window.partitionBy(col("q_id")).orderBy(col("p_cos").desc, col("cent_id").asc)
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .join(broadcast(cent), lit(true))
+        .select(col("q_id"), col("q_emb"), col("cent_id"),
+          expr(cosExpr("q_emb", "cent_emb")).as("p_cos"))
+        .withColumn("prk", row_number().over(probeW))
+        .filter(col("prk") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cent_id").as("list_id"))
+      // search only the probed lists
+      val scored = probes.join(assigned, Seq("list_id"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("label"),
+          expr(cosExpr("q_emb", "embedding")).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // ---- sim03: pairwise label-centroid similarity — mean vector per
+    // label (exact elementwise mean via posexplode + group), then cosine
+    // between label centroids. Demonstrates vector aggregation.
+    "sim03_label_centroids" -> ((spark: SparkSession, dir: String) => {
+      val byDim = t(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast("double")) / count(lit(1))).as("mean_v"), count(lit(1)).as("n"))
+      byDim
+        .groupBy(col("label"))
+        .agg(
+          max(col("n")).as("n_vectors"),
+          round(sqrt(sum(col("mean_v") * col("mean_v"))), 6).as("centroid_norm"))
+        .orderBy("label")
+    }),
+  )
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "sim01_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS c_id, c.label, ${cosSql("q_emb", "c.embedding")} AS cosine
+        |  FROM embeddings c JOIN q ON q.q_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
+    "sim02_ivf_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, label, cent_id AS list_id FROM (
+        |    SELECT e.vec_id, e.embedding, e.label, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+        |    FROM embeddings e CROSS JOIN cent)
+        |  WHERE ark = 1),
+        |probes AS (
+        |  SELECT q_id, q_emb, cent_id AS list_id FROM (
+        |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS prk
+        |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 8)
+        |  WHERE prk <= 2),
+        |scored AS (
+        |  SELECT q_id, a.vec_id AS c_id, a.label, ${cosSql("q_emb", "a.embedding")} AS cosine
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id AND p.q_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
+    "sim03_label_centroids" ->
+      """WITH by_dim AS (
+        |  SELECT label, dim, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS mean_v, COUNT(*) AS n
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) - 1 AS dim
+        |        FROM embeddings)
+        |  GROUP BY label, dim)
+        |SELECT label, MAX(n) AS n_vectors,
+        |  round(sqrt(SUM(mean_v * mean_v)), 6) AS centroid_norm
+        |FROM by_dim GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -24,7 +24,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+    * (its timestamp type is microseconds). Read nanos as raw longs and
+    * floor-divide to micros — exactly DuckDB's ns->us truncation, so both
+    * engines see identical microsecond timestamps. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Registers all tables as temp views (the SQL entry surface). */
   def registerViews(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  * All pure column expressions (whole-stage codegen, no UDFs): at 100 TB
+  * these run scan-local with zero shuffle except the final aggregates.
+  *
+  * Cross-engine parity notes: word splitting is a literal single-space
+  * split in both engines; token counting uses one simple regex (same
+  * semantics in Java regex and RE2); ratios are IEEE double divisions of
+  * exact integer counts.
+  */
+object TextQueries {
+
+  private val words = split(col("text"), " ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- t01: per-document shape stats (scan-local projection).
+    "t01_doc_stats" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).as("n_chars_actual"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_uniq_words"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- t02: BPE-ish token counting via regex classes.
+    "t02_token_count" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens"),
+          size(words).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- t03: quality scoring — stopword ratio, lexical diversity,
+    // mean word length; the standard cheap pre-training filters.
+    "t03_quality_score" -> ((spark: SparkSession, dir: String) => {
+      val nWords = size(words).cast("double")
+      val nStop = size(expr(
+        "filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))")).cast("double")
+      val nUniq = size(array_distinct(words)).cast("double")
+      val charsNoSpace = (length(col("text")) - (size(words) - lit(1))).cast("double")
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          (nStop / nWords).as("stop_ratio"),
+          (nUniq / nWords).as("unique_ratio"),
+          (charsNoSpace / nWords).as("avg_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- t04: n-gram-heuristic language ID (stopword-hit argmax with a
+    // fixed tie-break order), compared against the labeled lang column.
+    "t04_lang_id" -> ((spark: SparkSession, dir: String) => {
+      def hits(ws: String*) = size(expr(
+        s"filter(split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(", ")}))"))
+      val sEn = hits("the", "and", "of", "is", "a")
+      val sEs = hits("el", "la", "de", "y", "que")
+      val sFr = hits("le", "la", "de", "et", "un")
+      val sDe = hits("der", "die", "und", "ein", "das")
+      val pred = when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
+        .when(sEs >= sFr && sEs >= sDe, "es")
+        .when(sFr >= sDe, "fr")
+        .otherwise("de")
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"), pred.as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- t05: rolling-hash document fingerprint (md5 — identical
+    // digests in every engine; the basis of exact dedup).
+    "t05_fingerprint" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("fp"),
+          md5(substring(col("text"), 1, 64)).as("prefix_fp"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_doc_stats" ->
+      """SELECT doc_id, lang, source,
+        |  length(text) AS n_chars_actual,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+        |  len(string_split(text, ' ')) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t03_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t04_lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  CASE
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |    WHEN s_fr >= s_de THEN 'fr'
+        |    ELSE 'de' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of', 'is', 'a'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'de', 'y', 'que'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'de', 'et', 'un'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die', 'und', 'ein', 'das'))) AS s_de
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t05_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp, md5(substr(text, 1, 64)) AS prefix_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
