@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries}
+
+/** Semantics checks for the beyond-reference operators: the mapPartitions
+  * decoder path must agree with the column-expression query path; LSH
+  * candidates must contain every truly-similar pair (recall vs the exact
+  * quadratic check); IVF ANN must achieve high recall vs brute force. */
+class OpsSpec extends SparkSpec {
+
+  test("multimodal: mapPartitions decoder path == column-expression path (mm01)") {
+    val viaQuery = MultimodalQueries.defs("mm01_media_metadata")(spark, sf0001)
+      .select(col("media_id"), col("byte_len"), col("content_hash"), col("width"),
+        col("height"), col("frame_count"))
+      .collect().map(_.toSeq).toSet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val viaDecoder = Multimodal.decodeMeta(docs, "doc_id", "payload")
+      .toDF().select(col("mediaId"), col("byteLen"), col("contentHash"), col("width"),
+        col("height"), col("frameCount"))
+      .collect().map(_.toSeq).toSet
+    assert(viaDecoder == viaQuery)
+  }
+
+  test("multimodal: frame sampling emits every step-th frame") {
+    import spark.implicits._
+    val meta = Seq((1L, "h1", 7), (2L, "h2", 12)).toDF("mediaId", "contentHash", "frameCount")
+    val frames = Multimodal.sampleFrames(meta, step = 5).collect()
+    val byId = frames.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(3)).sorted.toSeq).toMap
+    assert(byId(1L) == Seq(0, 5))
+    assert(byId(2L) == Seq(0, 5, 10))
+  }
+
+  test("dedup: LSH candidates achieve full recall over high-Jaccard pairs") {
+    // Exact 8-gram Jaccard on all pairs of a small doc set vs the banded
+    // MinHash candidates: every pair with J >= 0.5 must be a candidate
+    // (4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4 = 0.95 at J=0.8,
+    // 0.24 at J=0.5 per band family — on synthetic near-dups J is ~1.0).
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(40)
+      .select(col("doc_id"), col("text"))
+    // plant exact + near duplicates
+    val dups = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id") + 10000, concat(col("text"), lit(" tail")).as("text"))
+      .union(docs.filter(col("doc_id") < 2).select(col("doc_id") + 20000, col("text")))
+    val corpus = docs.union(dups)
+    corpus.createOrReplaceTempView("spec_corpus")
+
+    val shingles = "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8)))"
+    val exact = spark.sql(
+      s"""WITH d AS (SELECT doc_id, $shingles AS sh FROM spec_corpus)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  size(array_intersect(a.sh, b.sh)) / CAST(size(array_union(a.sh, b.sh)) AS DOUBLE) AS j
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id""".stripMargin)
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_spec")
+    corpus.write.parquet(tmp.resolve("documents.parquet").toString)
+    Seq.empty[Long].toDF("x") // keep implicits used
+    val candidates = DedupQueries.defs("dd04_lsh_candidates")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(candidates),
+      s"missed pairs: ${exact -- candidates}")
+  }
+
+  test("similarity: IVF ANN recall@10 >= 0.7 vs brute force") {
+    val brute = SimilarityQueries.defs("sim01_cosine_topk")(spark, sf0001)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityQueries.defs("sim02_ivf_ann")(spark, sf0001)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
+
+  test("dedup: simhash of identical texts identical; near texts close in Hamming") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("simhash_spec")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different content about spark shuffle partitions and joins"))
+      .toDF("doc_id", "text").write.parquet(tmp.resolve("documents.parquet").toString)
+    val sh = DedupQueries.defs("dd05_simhash")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(hamming(sh(1L), sh(3L)) <= 8)
+    assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
+  }
+}

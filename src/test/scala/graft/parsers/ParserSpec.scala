@@ -1,0 +1,118 @@
+package graft.parsers
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.domain.ParserConfig
+import graft.domain.IngestionError.ParseError
+
+/** Parser semantics pinned to the reference's behaviors (SURVEY §2.1,
+  * fixtures from the reference's own unit tests — csv_parser_tests.rs —
+  * and dev-test.sh). */
+class ParserSpec extends SparkSpec {
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("parser_spec")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  // --- CSV (reference csv_parser.rs) ---
+
+  test("csv: headers from first row, all fields string") {
+    val df = CsvParser.parse(spark, tmpFile("t.csv", "name,age,city\nJohn,30,NYC\nJane,25,LA\n"), None)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "age", "city"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 2)
+    assert(df.filter("name = 'John' AND age = '30'").count() == 1)
+  }
+
+  test("csv: config-supplied headers make first row data (csv_parser_tests.rs:6-27)") {
+    val cfg = Some(ParserConfig(headers = Some(Seq("name", "age", "email", "city"))))
+    val df = CsvParser.parse(spark, tmpFile("t.csv", "John,30,j@x.com,NYC\nJane,25,a@x.com,LA\n"), cfg)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "age", "email", "city"))
+    assert(df.count() == 2)
+  }
+
+  test("csv: overflow fields get column_{i} names (csv_parser_tests.rs:29-38)") {
+    val cfg = Some(ParserConfig(headers = Some(Seq("name", "age"))))
+    val df = CsvParser.parse(spark, tmpFile("t.csv", "John,25,john@test.com,extra\n"), cfg)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "age", "column_2", "column_3"))
+    assert(df.head().getString(3) == "extra")
+  }
+
+  test("csv: ragged rows error (strict mode, csv_parser.rs:22)") {
+    val df = CsvParser.parse(spark, tmpFile("t.csv", "a,b,c\n1,2,3\n4,5\n"), None)
+    assertThrows[org.apache.spark.SparkException](df.collect())
+  }
+
+  test("csv: custom delimiter honored (dead config in reference, live here)") {
+    val cfg = Some(ParserConfig(delimiter = Some(";")))
+    val df = CsvParser.parse(spark, tmpFile("t.csv", "a;b\n1;2\n"), cfg)
+    assert(df.schema.fieldNames.toSeq == Seq("a", "b"))
+  }
+
+  // --- JSON (reference json_parser.rs) ---
+
+  test("json: top-level array explodes to rows with native types") {
+    val df = JsonParser.parse(spark, tmpFile("t.json", """[{"n":"A","v":1},{"n":"B","v":2}]"""), None)
+    assert(df.count() == 2)
+    assert(df.schema("v").dataType.typeName == "long")
+  }
+
+  test("json: single object becomes one row") {
+    val df = JsonParser.parse(spark, tmpFile("t.json", """{"n":"A","v":{"x":[1,2]}}"""), None)
+    assert(df.count() == 1)
+  }
+
+  // --- TXT (reference txt_parser.rs) ---
+
+  test("txt: 1-based line numbers in file order") {
+    val df = TxtParser.parse(spark, tmpFile("t.txt", "first\nsecond\nthird\n"), None)
+    val rows = df.orderBy("line_number").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_.getString(1)).toSeq == Seq("first", "second", "third"))
+  }
+
+  // --- XML (reference xml_parser.rs) ---
+
+  test("xml: record rows, attributes merged, all strings") {
+    val xml = """<data><record id="1"><name>A</name><age>30</age></record>
+                |<record id="2"><name>B</name><age>25</age></record></data>""".stripMargin
+    val df = XmlParser.parse(spark, tmpFile("t.xml", xml), None)
+    assert(df.count() == 2)
+    assert(df.schema.fieldNames.toSet == Set("id", "name", "age"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.filter("id = '1' AND age = '30'").count() == 1)
+  }
+
+  test("xml: zero records errors (xml_parser.rs:66-69)") {
+    assertThrows[Exception](
+      XmlParser.parse(spark, tmpFile("t.xml", "<data><other/></data>"), None).collect())
+  }
+
+  // --- Excel (reference excel_parser.rs) ---
+
+  test("excel: non-zip input is a ParseError (calamine parity)") {
+    assertThrows[ParseError](
+      ExcelParser.parse(spark, tmpFile("t.xlsx", "name,age\nnot,a-zip\n"), None))
+  }
+
+  test("excel: column ref decoding") {
+    assert(ExcelParser.columnIndex("A1") == 0)
+    assert(ExcelParser.columnIndex("B3") == 1)
+    assert(ExcelParser.columnIndex("AA10") == 26)
+  }
+
+  // --- dispatch (reference parser_adapter.rs / ingestion_service.rs) ---
+
+  test("dispatch: extension extraction lowercases last segment") {
+    assert(ParserDispatch.extractFileType("a/b/FILE.CSV") == "csv")
+    assert(ParserDispatch.extractFileType("x.tar.json") == "json")
+    assert(ParserDispatch.extractFileType("noext") == "")
+  }
+
+  test("dispatch: pdf unsupported (parser_adapter.rs:54-57)") {
+    assertThrows[ParseError](ParserDispatch.parserFor("pdf"))
+  }
+}

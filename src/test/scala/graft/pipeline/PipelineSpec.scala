@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.domain._
+import graft.rules.RuleMatcher
+import graft.sinks.{ParquetLogRepository, ParquetSink}
+import graft.sources.LocalFileSource
+
+/** End-to-end pipeline behavior (reference ingestion_service.rs:36-127),
+  * including the deliberate deviation: early failures ARE logged. */
+class PipelineSpec extends SparkSpec {
+
+  private def freshPipeline() = {
+    val base = Files.createTempDirectory("pipe_spec")
+    val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = fn => s"log-$fn")
+    val sink = new ParquetSink(base.resolve("sink").toString)
+    val pipeline = new IngestionPipeline(
+      new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules), sink, logs)
+    (base, pipeline, logs, sink)
+  }
+
+  test("happy path: parse, enrich, sink, log success") {
+    val (base, pipeline, logs, sink) = freshPipeline()
+    val bucket = "b"
+    Files.createDirectories(base.resolve(bucket).resolve("data"))
+    Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\nB,2\n")
+    val result = pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv"))
+    assert(result.targetTable == "csv_data")
+    assert(result.rowsWritten == 2)
+    val stored = spark.read.parquet(sink.tablePath("csv_data"))
+    assert(stored.columns.toSet == Set("name", "age", "file_name", "log_id"))
+    assert(stored.filter("file_name = 'b/data/t.csv'").count() == 2)
+    assert(stored.filter(s"log_id = '${result.logId}'").count() == 2)
+    val log = logs.all.head
+    assert(log.status == IngestionStatus.Success && log.endTime.isDefined)
+  }
+
+  test("no matching rule -> NoMatchingRule, logged as Failed (deviation: reference skipped the log)") {
+    val (base, pipeline, logs, _) = freshPipeline()
+    Files.createDirectories(base.resolve("b"))
+    Files.writeString(base.resolve("b").resolve("x.zzz"), "data")
+    assertThrows[IngestionError.NoMatchingRule](
+      pipeline.processFile(spark, FileToProcess("b", "x.zzz")))
+    val log = logs.all.head
+    assert(log.status == IngestionStatus.Failed)
+    assert(log.message.exists(_.contains("no matching")))
+  }
+
+  test("missing object -> SourceError, logged as Failed") {
+    val (_, pipeline, logs, _) = freshPipeline()
+    assertThrows[IngestionError.SourceError](
+      pipeline.processFile(spark, FileToProcess("b", "data/ghost.csv")))
+    assert(logs.all.head.status == IngestionStatus.Failed)
+  }
+
+  test("schema accumulation: files with different headers coexist in one table") {
+    val (base, pipeline, _, sink) = freshPipeline()
+    Files.createDirectories(base.resolve("b").resolve("data"))
+    Files.writeString(base.resolve("b").resolve("data/a.csv"), "name,age\nA,1\n")
+    Files.writeString(base.resolve("b").resolve("data/b.csv"), "name,city\nB,NYC\n")
+    pipeline.processFile(spark, FileToProcess("b", "data/a.csv"))
+    pipeline.processFile(spark, FileToProcess("b", "data/b.csv"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(sink.tablePath("csv_data"))
+    assert(merged.columns.toSet == Set("name", "age", "city", "file_name", "log_id"))
+    assert(merged.count() == 2)
+  }
+
+  test("audit log update of unknown id errors (log_repo.rs:74-84)") {
+    val (_, _, logs, _) = freshPipeline()
+    assertThrows[IngestionError.DatabaseError](
+      logs.updateLog("nope", new java.sql.Timestamp(0), IngestionStatus.Success, None))
+  }
+}
