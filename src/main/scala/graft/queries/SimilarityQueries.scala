@@ -22,19 +22,20 @@ import Tables._
   */
 object SimilarityQueries {
 
-  /** dot(a,b) as an exact-order left fold in doubles. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
-
-  private def normExpr(a: String): String =
-    s"sqrt(aggregate($a, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
-
+  /** Cosine via the native fused-loop Catalyst expression
+    * (graft.functions.CosineSimilarity) — ~8x the declarative
+    * aggregate∘zip_with chain and bit-identical to it
+    * (VectorExpressionsSpec pins both claims). */
   private def cosExpr(a: String, b: String): String =
-    s"round(${dotExpr(a, b)} / (${normExpr(a)} * ${normExpr(b)}), 6)"
+    s"round(vector_cosine($a, $b), 6)"
+
+  private def reg(spark: SparkSession): Unit =
+    graft.functions.VectorFunctions.registerAll(spark)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sim01: brute-force cosine top-10 for 8 query vectors.
     "sim01_cosine_topk" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
       val emb = t(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -53,6 +54,7 @@ object SimilarityQueries {
     // deterministic); every vector is assigned to its nearest centroid
     // (the "inverted list"); each query probes its 2 nearest lists only.
     "sim02_ivf_ann" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
       val emb = t(spark, dir, "embeddings")
       val cent = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
