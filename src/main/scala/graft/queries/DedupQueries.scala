@@ -30,10 +30,24 @@ object DedupQueries {
     * the engine-portable "hash" primitive. */
   private def h32(e: String) = s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
 
-  /** MinHash_j(doc) = min over shingles of (a_j*x + b_j) mod p, with the
-    * universal-hash family a_j=2j+1, b_j=j*j+7, p=2^31-1 over x=h32. */
-  private def minhashCol(j: Int): String =
-    s"array_min(transform($shinglesExpr, s -> ((${2 * j + 1}L * ${h32("s")} + ${j * j + 7}L) % 2147483647L)))"
+  /** Shingle hashes x=h32(shingle), computed ONCE per doc — the md5 pass
+    * dominates minhash cost, so the 16 hash functions must share it. */
+  private val shingleHashesExpr =
+    s"transform($shinglesExpr, s -> ${h32("s")})"
+
+  /** MinHash_j over precomputed shingle hashes `xs`: min of
+    * (a_j*x + b_j) mod p with the universal family a_j=2j+1, b_j=j*j+7,
+    * p=2^31-1. Integer-only — 16 of these cost less than one md5 pass. */
+  private def minhashOver(xs: String, j: Int): String =
+    s"array_min(transform($xs, x -> ((${2 * j + 1}L * x + ${j * j + 7}L) % 2147483647L)))"
+
+  private def minhashCol(j: Int): String = minhashOver(shingleHashesExpr, j)
+
+  /** doc_id + mh0..mh15, with the shared single md5 pass. */
+  private def signatures(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), expr(shingleHashesExpr).as("xs"))
+      .select(col("doc_id") +: (0 until 16).map(j => expr(minhashOver("xs", j)).as(s"mh$j")): _*)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dd01: exact dedup via content hash. Keeper = min doc_id.
@@ -69,10 +83,7 @@ object DedupQueries {
     // ---- dd03: MinHash signatures (k=16), fully oracle-checkable since
     // the hash family is md5-derived. One scan, no shuffle, no UDF.
     "dd03_minhash_signatures" -> ((spark: SparkSession, dir: String) => {
-      val sig = (0 until 16).map(j => expr(minhashCol(j)).as(s"mh$j"))
-      t(spark, dir, "documents")
-        .select(col("doc_id") +: sig: _*)
-        .orderBy("doc_id")
+      signatures(spark, dir).orderBy("doc_id")
     }),
 
     // ---- dd04: LSH banding over the MinHash signatures: 4 bands × 4 rows;
@@ -80,18 +91,23 @@ object DedupQueries {
     // join is the scale path: shuffle keyed on (band, signature) replaces
     // the all-pairs product.
     "dd04_lsh_candidates" -> ((spark: SparkSession, dir: String) => {
-      val sig = (0 until 16).map(j => expr(minhashCol(j)).as(s"mh$j"))
-      val withSig = t(spark, dir, "documents").select(col("doc_id") +: sig: _*)
-      val bands = (0 until 4).map { b =>
-        withSig.select(col("doc_id"), lit(b).as("band"),
-          concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("band_sig"))
-      }.reduce(_ union _)
-      bands.as("x").join(bands.as("y"),
+      // bands via ONE posexplode pass (a 4-way union would re-run the
+      // signature scan 4x), and the band relation is cached because the
+      // self-join reads it from both sides — at cluster scale this is
+      // "persist the signature table before the band join", the standard
+      // LSH shape.
+      val bands = signatures(spark, dir)
+        .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+          concat_ws("_", (b * 4 until b * 4 + 4).map(r => col(s"mh$r")): _*)): _*))
+          .as(Seq("band", "band_sig")))
+        .cache()
+      val out = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
+      out
     }),
 
     // ---- dd05: 32-bit SimHash from md5-derived word hashes (frequency-
