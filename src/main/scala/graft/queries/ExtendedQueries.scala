@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Second relational wave: global-aggregate subqueries, anti joins,
+  * decorrelated scalar subqueries, UNION ALL, CUBE, RANGE window frames,
+  * pivot, scalar-function library parity, and an HLL-sketch variant.
+  */
+object ExtendedQueries {
+
+  private val revDec =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q11: suppliers above a global revenue share — the "compare to a
+    // scalar aggregate of the whole table" shape, done with an empty-frame
+    // window (one extra exchange, no driver round-trip).
+    "q11_important_suppliers" -> ((spark: SparkSession, dir: String) => {
+      val perSupp = t(spark, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revDec).as("rev_dec"))
+      perSupp
+        .withColumn("total_dec", sum(col("rev_dec")).over(Window.partitionBy()))
+        .filter(d(col("rev_dec")) > d(col("total_dec")) * 0.012)
+        .select(col("l_suppkey"), d(col("rev_dec")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_suppkey").asc)
+    }),
+
+    // ---- q16: NOT EXISTS -> left-anti join (one shuffle on suppkey).
+    "q16_idle_suppliers" -> ((spark: SparkSession, dir: String) => {
+      val active = t(spark, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-03-01").cast("timestamp"))
+        .select(col("l_suppkey"))
+      t(spark, dir, "supplier")
+        .join(active, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- q17: decorrelated scalar subquery — lineitems under half their
+    // part's mean quantity. The correlated form re-aggregates per probe
+    // row; decorrelation turns it into one aggregate + one key join.
+    "q17_small_quantity" -> ((spark: SparkSession, dir: String) => {
+      val li = t(spark, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg((d(sum(col("l_extendedprice").cast("decimal(12,2)"))) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- set04: UNION ALL (bag semantics — no dedup shuffle).
+    "set04_union_all" -> ((spark: SparkSession, dir: String) => {
+      val c = t(spark, dir, "customer")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+        .union(c.filter(col("c_acctbal") > 9000).select(col("c_custkey")))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("appearances"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- roll02: CUBE over two dims, grouping markers folded to 'ALL'.
+    "roll02_flag_status_cube" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          grouping(col("l_returnflag")).as("gf"), grouping(col("l_linestatus")).as("gs"))
+        .select(
+          when(col("gf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("gs") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // ---- w06: RANGE-framed moving window — 7-day moving revenue average
+    // over integer day offsets (RANGE, not ROWS: gaps in the calendar
+    // contribute nothing instead of dragging older days into the frame).
+    "w06_moving_avg_revenue" -> ((spark: SparkSession, dir: String) => {
+      val daily = t(spark, dir, "orders")
+        .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("day_num"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily.select(col("day_num"),
+          d(col("rev_dec")).as("day_revenue"),
+          (d(sum(col("rev_dec")).over(w)) / count(lit(1)).over(w)).as("avg_7d"))
+        .orderBy("day_num")
+    }),
+
+    // ---- p01: pivot operator with pinned values (dynamic-value pivot
+    // exists on the same API; pinned keeps the schema deterministic).
+    "p01_cohort_pivot" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("view", "click", "purchase", "error"))
+        .agg(count(lit(1)))
+        .select(col("cohort"),
+          coalesce(col("view"), lit(0)).as("views"),
+          coalesce(col("click"), lit(0)).as("clicks"),
+          coalesce(col("purchase"), lit(0)).as("purchases"),
+          coalesce(col("error"), lit(0)).as("errors"))
+        .orderBy("cohort")
+    }),
+
+    // ---- fn01: scalar-function library parity in one projection
+    // (string/date/math/conditional — SURVEY §2.5's "absent in reference,
+    // free in Spark" claim, pinned cross-engine).
+    "fn01_scalar_functions" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          concat(upper(col("o_orderstatus")), lit("-"), lpad(col("o_orderkey"), 8, "0")).as("tag"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch"),
+          round(col("o_totalprice") / 1000.0, 2).as("kprice"),
+          abs(col("o_totalprice") - 250000.0).as("dist_mid"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+          when(col("o_totalprice") > 250000, "high").when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- appx01: HLL sketch distinct (approx_count_distinct). No DuckDB
+    // oracle — sketch estimates are engine-specific — so this entry takes
+    // the weaker rows-only check; dist01 pins the exact counterpart.
+    "appx01_approx_distinct" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_important_suppliers" ->
+      s"""SELECT l_suppkey, CAST(rev_dec AS DOUBLE) AS revenue FROM (
+        |  SELECT l_suppkey, SUM($revSql) AS rev_dec,
+        |    SUM(SUM($revSql)) OVER () AS total_dec
+        |  FROM lineitem GROUP BY l_suppkey)
+        |WHERE CAST(rev_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.012
+        |ORDER BY revenue DESC, l_suppkey""".stripMargin,
+
+    "q16_idle_suppliers" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS ap_partkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l_partkey = ap_partkey
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "set04_union_all" ->
+      """SELECT c_custkey, COUNT(*) AS appearances FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "roll02_flag_status_cube" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "w06_moving_avg_revenue" ->
+      """SELECT day_num, CAST(rev_dec AS DOUBLE) AS day_revenue,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+        |FROM (
+        |  SELECT datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_num,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY day_num)
+        |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day_num""".stripMargin,
+
+    "p01_cohort_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "fn01_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderstatus) || '-' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS tag,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, dayofmonth(o_orderdate) AS dom,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch,
+        |  round(o_totalprice / 1000.0, 2) AS kprice,
+        |  abs(o_totalprice - 250000.0) AS dist_mid,
+        |  greatest(o_totalprice, 100000.0) AS floor_price,
+        |  CASE WHEN o_totalprice > 250000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS bucket
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+  )
+}
