@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan shape assertions — the 100 TB design contracts. A plan
+  * regression (a broadcast degrading to cartesian, a filter failing to
+  * push into the scan, a top-k becoming a global sort) changes no results
+  * at test scale but is a cluster-scale incident; these tests make plan
+  * shape part of the correctness gate. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q05: star joins broadcast the dimensions; no cartesian product") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.count(_ == '\n') > 0 && "BroadcastExchange".r.findAllIn(p).size >= 3,
+      "region/nation/supplier must broadcast")
+  }
+
+  test("q06: every predicate reaches the parquet scan; columns pruned") {
+    val p = plan("q06_revenue_delta")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound pushed")
+    assert(p.contains("LessThanOrEqual(l_discount,0.07)"), "discount range pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity bound pushed")
+    val readSchema = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(readSchema.split(",").length == 4, s"expected 4 pruned columns: $readSchema")
+  }
+
+  test("q02: global top-k runs as TakeOrdered, not a full sort") {
+    val p = plan("q02_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("+- Sort\n"), "no global sort for a limit-15 query")
+  }
+
+  test("q04: EXISTS runs as a semi join (no row multiplication)") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q16: NOT EXISTS runs as an anti join") {
+    val p = plan("q16_idle_suppliers")
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("sim01: query side broadcasts; per-group top-k uses WindowGroupLimit") {
+    val p = plan("sim01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), "small query set must broadcast")
+    assert(p.contains("WindowGroupLimit"), "rank<=k must prune before the window shuffle")
+    assert(p.contains("vector_cosine"), "native kernel in the plan")
+  }
+
+  test("dd02/dd04: candidate generation is an equi-join, never all-pairs") {
+    assert(!plan("dd02_ngram_jaccard").contains("CartesianProduct"))
+    assert(!plan("dd04_lsh_candidates").contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before exchange)") {
+    val p = plan("q01_pricing_summary")
+    val aggCount = "HashAggregate".r.findAllIn(p).size
+    assert(aggCount >= 2, s"expected partial+final HashAggregate, got $aggCount")
+  }
+
+  test("driver smoke contract: entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
