@@ -122,7 +122,11 @@ object ExtendedQueries {
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch"),
-          round(col("o_totalprice") / 1000.0, 2).as("kprice"),
+          // exact-decimal scaling then decimal rounding: round() on a raw
+          // DOUBLE diverges across engines at exact .xx5 boundaries
+          // (Spark rounds the shortest decimal repr, DuckDB the binary
+          // value — e.g. 77195.00/1000 -> 77.2 vs 77.19)
+          d(round(dec(col("o_totalprice")) * lit(0.001).cast("decimal(4,3)"), 2)).as("kprice"),
           abs(col("o_totalprice") - 250000.0).as("dist_mid"),
           greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
           when(col("o_totalprice") > 250000, "high").when(col("o_totalprice") > 100000, "mid")
@@ -207,7 +211,7 @@ object ExtendedQueries {
         |  substr(o_orderpriority, 1, 1) AS prio_code,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, dayofmonth(o_orderdate) AS dom,
         |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch,
-        |  round(o_totalprice / 1000.0, 2) AS kprice,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.001 AS DECIMAL(4,3)), 2) AS DOUBLE) AS kprice,
         |  abs(o_totalprice - 250000.0) AS dist_mid,
         |  greatest(o_totalprice, 100000.0) AS floor_price,
         |  CASE WHEN o_totalprice > 250000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid'
