@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication library over document DataFrames — the programmatic API
+  * behind the dd* queries. Every primitive is a pure column expression or
+  * a key join; nothing collects to the driver; every "random" hash is
+  * md5-derived, so results are deterministic across runs, partitionings,
+  * and engines.
+  *
+  * Scale shapes:
+  *  - exact: one shuffle on the content hash;
+  *  - MinHash LSH: signature scan (one md5 pass) -> band explode ->
+  *    equi-join on (band, signature) -> exact-Jaccard verify of the
+  *    candidates only. Never an all-pairs product.
+  *  - SimHash: scan-local 32-bit sketch; near-dup = small Hamming radius.
+  */
+object Dedup {
+
+  /** Distinct character n-gram shingles of `text`. */
+  def shinglesExpr(textCol: String, n: Int = 8): String =
+    s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substr($textCol, i, $n)))"
+
+  /** Unsigned 32-bit hash from md5 — the portable hash primitive. */
+  def h32(e: String): String = s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
+
+  /** One shared md5 pass over the shingles. */
+  def shingleHashesExpr(textCol: String, n: Int = 8): String =
+    s"transform(${shinglesExpr(textCol, n)}, s -> ${h32("s")})"
+
+  /** MinHash_j over precomputed hashes: universal family a_j=2j+1,
+    * b_j=j*j+7, p=2^31-1. */
+  def minhashOver(xs: String, j: Int): String =
+    s"array_min(transform($xs, x -> ((${2 * j + 1}L * x + ${j * j + 7}L) % 2147483647L)))"
+
+  /** Exact-dup clusters: one row per distinct content, keeper = min id. */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Corpus with exact duplicates removed (keeps the min-id copy). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactClusters(df, idCol, textCol).select(col("keeper_doc_id").as(idCol))
+    df.join(keepers, idCol)
+  }
+
+  /** doc id + mh0..mh{k-1} MinHash signature columns. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 16): DataFrame =
+    df.select(col(idCol), expr(shingleHashesExpr(textCol)).as("__xs"))
+      .select(col(idCol) +: (0 until k).map(j => expr(minhashOver("__xs", j)).as(s"mh$j")): _*)
+
+  /** LSH candidate pairs from banded signatures (bands x rowsPerBand = k).
+    * The band relation is cached: both sides of the self-join read it. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
+    val bandRel = sigs.select(col(idCol), posexplode(array((0 until bands).map(b =>
+        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"mh$r")): _*)): _*))
+        .as(Seq("band", "band_sig")))
+      .cache()
+    bandRel.as("x").join(bandRel.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given (doc_a, doc_b) pairs — the verify
+    * stage downstream of LSH candidate generation. */
+  def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol), expr(shinglesExpr(textCol)).as("sh"))
+    val a = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dup pairs at `threshold`: LSH candidates + exact verify. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    jaccardVerify(df, idCol, textCol, lshCandidates(df, idCol, textCol), threshold)
+
+  /** 32-bit SimHash from frequency-weighted word-hash bit votes. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wordHashes = s"transform(split($textCol, ' '), w -> ${h32("w")})"
+    val bits = (0 until 32).map { j =>
+      s"(case when aggregate($wordHashes, 0L, (acc, h) -> acc + (2 * (shiftright(h, $j) % 2) - 1)) > 0 then ${1L << j}L else 0L end)"
+    }
+    df.select(col(idCol), expr(bits.mkString("(", " + ", ")")).as("simhash"))
+  }
+
+  /** Hamming-radius pairs over simhashes via 4-segment pigeonhole
+    * blocking (a pair within distance 3 shares at least one exact
+    * 8-bit segment): equi-join on (segment idx, segment value). */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    val seg = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(s =>
+        expr(s"shiftright(simhash, ${s * 8}) % 256")): _*)).as(Seq("seg", "seg_val")))
+    val pairs = seg.as("x").join(seg.as("y"),
+        col("x.seg") === col("y.seg") && col("x.seg_val") === col("y.seg_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    pairs.select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library — language ID, quality signals, token
+  * counting, fingerprints. Pure codegen'd column expressions: at scale
+  * these are scan-local with zero shuffle.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(text, " ")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  def uniqueWordCount(text: Column): Column = size(array_distinct(words(text)))
+
+  /** BPE-ish token estimate: letter runs + digit runs + single symbols. */
+  def tokenCount(textCol: String): Column =
+    size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  def stopwordCount(textCol: String, stopwords: Seq[String]): Column =
+    size(expr(s"filter(split($textCol, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(", ")}))"))
+
+  /** Classic cheap pre-training quality signals. */
+  def qualitySignals(textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")): Seq[Column] = {
+    val text = col(textCol)
+    val nWords = wordCount(text).cast("double")
+    Seq(
+      (stopwordCount(textCol, stopwords).cast("double") / nWords).as("stop_ratio"),
+      (uniqueWordCount(text).cast("double") / nWords).as("unique_ratio"),
+      ((length(text) - (wordCount(text) - lit(1))).cast("double") / nWords).as("avg_word_len"))
+  }
+
+  /** Per-language stopword lists for the n-gram-heuristic language ID. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "und", "ein", "das"))
+
+  /** Stopword-hit argmax with a fixed tie-break order (list order). */
+  def langId(textCol: String): Column = {
+    val scores = langStopwords.map { case (lang, ws) => lang -> stopwordCount(textCol, ws) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, s), i), rest) =>
+      val laterScores = scores.drop(i + 1).map(_._2)
+      when(laterScores.foldLeft(lit(true))((acc, o) => acc && s >= o), lang).otherwise(rest)
+    }
+  }
+
+  /** Content fingerprints (md5: engine-portable, the exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+  def prefixFingerprint(text: Column, n: Int = 64): Column = md5(substring(text, 1, n))
+}

@@ -22,39 +22,13 @@ import Tables._
   */
 object DedupQueries {
 
-  /** Character 8-gram shingles of a text column (distinct per doc). */
-  private val shinglesExpr =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8)))"
-
-  /** Unsigned 32-bit integer from the first 8 hex chars of md5 —
-    * the engine-portable "hash" primitive. */
-  private def h32(e: String) = s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
-
-  /** Shingle hashes x=h32(shingle), computed ONCE per doc — the md5 pass
-    * dominates minhash cost, so the 16 hash functions must share it. */
-  private val shingleHashesExpr =
-    s"transform($shinglesExpr, s -> ${h32("s")})"
-
-  /** MinHash_j over precomputed shingle hashes `xs`: min of
-    * (a_j*x + b_j) mod p with the universal family a_j=2j+1, b_j=j*j+7,
-    * p=2^31-1. Integer-only — 16 of these cost less than one md5 pass. */
-  private def minhashOver(xs: String, j: Int): String =
-    s"array_min(transform($xs, x -> ((${2 * j + 1}L * x + ${j * j + 7}L) % 2147483647L)))"
-
-  private def minhashCol(j: Int): String = minhashOver(shingleHashesExpr, j)
-
-  /** doc_id + mh0..mh15, with the shared single md5 pass. */
-  private def signatures(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), expr(shingleHashesExpr).as("xs"))
-      .select(col("doc_id") +: (0 until 16).map(j => expr(minhashOver("xs", j)).as(s"mh$j")): _*)
+  import graft.ops.Dedup
+  private val shinglesExpr = Dedup.shinglesExpr("text")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dd01: exact dedup via content hash. Keeper = min doc_id.
     "dd01_exact_dedup" -> ((spark: SparkSession, dir: String) => {
-      t(spark, dir, "documents")
-        .groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      Dedup.exactClusters(t(spark, dir, "documents"), "doc_id", "text")
         .orderBy("keeper_doc_id")
     }),
 
@@ -83,7 +57,7 @@ object DedupQueries {
     // ---- dd03: MinHash signatures (k=16), fully oracle-checkable since
     // the hash family is md5-derived. One scan, no shuffle, no UDF.
     "dd03_minhash_signatures" -> ((spark: SparkSession, dir: String) => {
-      signatures(spark, dir).orderBy("doc_id")
+      Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }),
 
     // ---- dd04: LSH banding over the MinHash signatures: 4 bands × 4 rows;
@@ -91,36 +65,22 @@ object DedupQueries {
     // join is the scale path: shuffle keyed on (band, signature) replaces
     // the all-pairs product.
     "dd04_lsh_candidates" -> ((spark: SparkSession, dir: String) => {
-      // bands via ONE posexplode pass (a 4-way union would re-run the
-      // signature scan 4x), and the band relation is cached because the
-      // self-join reads it from both sides — at cluster scale this is
-      // "persist the signature table before the band join", the standard
-      // LSH shape.
-      val bands = signatures(spark, dir)
-        .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
-          concat_ws("_", (b * 4 until b * 4 + 4).map(r => col(s"mh$r")): _*)): _*))
-          .as(Seq("band", "band_sig")))
-        .cache()
-      val out = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      Dedup.lshCandidates(t(spark, dir, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
-      out
     }),
 
     // ---- dd05: 32-bit SimHash from md5-derived word hashes (frequency-
     // weighted bit votes). Scan-local; near-dup = small Hamming distance.
     "dd05_simhash" -> ((spark: SparkSession, dir: String) => {
-      val wordHashes = s"transform(split(text, ' '), w -> ${h32("w")})"
-      val bitCols = (0 until 32).map { j =>
-        // vote_j = sum over words of (bit_j(h) ? 1 : -1); bit set iff vote > 0
-        s"(case when aggregate($wordHashes, 0L, (acc, h) -> acc + (2 * (shiftright(h, $j) % 2) - 1)) > 0 then ${1L << j}L else 0L end)"
-      }
-      t(spark, dir, "documents")
-        .select(col("doc_id"), expr(bitCols.mkString("(", " + ", ")")).as("simhash"))
-        .orderBy("doc_id")
+      Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- dd06: bounded-Hamming near-dup pairs over SimHash sketches via
+    // 4x8-bit pigeonhole blocking (distance<=3 pairs must share a
+    // segment) — equi-join candidates, then exact popcount verify.
+    "dd06_simhash_near_pairs" -> ((spark: SparkSession, dir: String) => {
+      Dedup.simhashNearPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
     }),
   )
 
@@ -131,6 +91,10 @@ object DedupQueries {
   private def h32Sql(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
   private def minhashSql(j: Int): String =
     s"list_min(list_transform($shinglesSql, s -> ((${2 * j + 1} * ${h32Sql("s")} + ${j * j + 7}) % 2147483647)))"
+  private val simhashSql: String = "(" +
+    (0 until 32).map(j =>
+      s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> (2 * ((${h32Sql("w")} >> $j) % 2) - 1))) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ") + ")"
 
   val oracles: Map[String, String] = Map(
     "dd01_exact_dedup" ->
@@ -174,10 +138,20 @@ object DedupQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd05_simhash" ->
-      ("SELECT doc_id, (" +
-        (0 until 32).map(j =>
-          s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> (2 * ((${h32Sql("w")} >> $j) % 2) - 1))) > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ") +
-        ") AS simhash FROM documents ORDER BY doc_id"),
+      s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",
+
+    "dd06_simhash_near_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, $simhashSql AS simhash FROM documents),
+        |seg AS (
+        |  SELECT doc_id, simhash, s AS seg, (simhash >> (s * 8)) % 256 AS seg_val
+        |  FROM sh, unnest([0, 1, 2, 3]) AS u(s)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.simhash AS sh_a, y.simhash AS sh_b
+        |  FROM seg x JOIN seg y
+        |    ON x.seg = y.seg AND x.seg_val = y.seg_val AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

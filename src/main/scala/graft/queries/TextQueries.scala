@@ -16,6 +16,7 @@ import Tables._
   */
 object TextQueries {
 
+  import graft.ops.TextAnalysis
   private val words = split(col("text"), " ")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -33,42 +34,25 @@ object TextQueries {
     "t02_token_count" -> ((spark: SparkSession, dir: String) => {
       t(spark, dir, "documents")
         .select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens"),
-          size(words).as("n_words"))
+          TextAnalysis.tokenCount("text").as("n_tokens"),
+          TextAnalysis.wordCount(col("text")).as("n_words"))
         .orderBy("doc_id")
     }),
 
     // ---- t03: quality scoring — stopword ratio, lexical diversity,
     // mean word length; the standard cheap pre-training filters.
     "t03_quality_score" -> ((spark: SparkSession, dir: String) => {
-      val nWords = size(words).cast("double")
-      val nStop = size(expr(
-        "filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))")).cast("double")
-      val nUniq = size(array_distinct(words)).cast("double")
-      val charsNoSpace = (length(col("text")) - (size(words) - lit(1))).cast("double")
       t(spark, dir, "documents")
-        .select(col("doc_id"),
-          (nStop / nWords).as("stop_ratio"),
-          (nUniq / nWords).as("unique_ratio"),
-          (charsNoSpace / nWords).as("avg_word_len"))
+        .select(col("doc_id") +: TextAnalysis.qualitySignals("text"): _*)
         .orderBy("doc_id")
     }),
 
     // ---- t04: n-gram-heuristic language ID (stopword-hit argmax with a
     // fixed tie-break order), compared against the labeled lang column.
     "t04_lang_id" -> ((spark: SparkSession, dir: String) => {
-      def hits(ws: String*) = size(expr(
-        s"filter(split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(", ")}))"))
-      val sEn = hits("the", "and", "of", "is", "a")
-      val sEs = hits("el", "la", "de", "y", "que")
-      val sFr = hits("le", "la", "de", "et", "un")
-      val sDe = hits("der", "die", "und", "ein", "das")
-      val pred = when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
-        .when(sEs >= sFr && sEs >= sDe, "es")
-        .when(sFr >= sDe, "fr")
-        .otherwise("de")
       t(spark, dir, "documents")
-        .select(col("doc_id"), col("lang").as("labeled_lang"), pred.as("predicted_lang"))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.langId("text").as("predicted_lang"))
         .orderBy("doc_id")
     }),
 
@@ -77,8 +61,8 @@ object TextQueries {
     "t05_fingerprint" -> ((spark: SparkSession, dir: String) => {
       t(spark, dir, "documents")
         .select(col("doc_id"),
-          md5(lower(trim(col("text")))).as("fp"),
-          md5(substring(col("text"), 1, 64)).as("prefix_fp"))
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.prefixFingerprint(col("text")).as("prefix_fp"))
         .orderBy("doc_id")
     }),
   )

@@ -76,6 +76,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@10 = $recall")
   }
 
+  test("dedup: library pipeline — exact drop + LSH near-dup pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(30)
+    val withDups = docs
+      .union(docs.filter(col("doc_id") < 4).select(col("doc_id") + 5000, col("text")))
+    // exact dedup keeps the min-id copy of each duplicated text
+    val cleaned = Dedup.dropExactDuplicates(withDups, "doc_id", "text")
+    assert(cleaned.count() == 30)
+    assert(cleaned.filter(col("doc_id") >= 5000).count() == 0)
+    // near-dup pairs at high threshold find exactly the planted copies
+    val pairs = Dedup.nearDuplicatePairs(withDups, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 4L).map(i => (i, i + 5000)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
+  }
+
+  test("dedup: simhash near pairs find planted near-duplicates") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    val withDups = docs
+      .union(docs.filter(col("doc_id") === 1)
+        .select(col("doc_id") + 7000, concat(col("text"), lit(" x")).as("text")))
+    val pairs = Dedup.simhashNearPairs(withDups, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 7001L)))
+  }
+
   test("dedup: simhash of identical texts identical; near texts close in Hamming") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("simhash_spec")
