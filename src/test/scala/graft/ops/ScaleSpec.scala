@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Scale-technique contracts: salted joins preserve results, bucketed
+  * tables join without a shuffle, and the SQL view surface works. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join == plain join on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val big = spark.range(100000)
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k2", "v")
+    val plain = big.join(small, col("k") === col("k2"))
+    val salted = Skew.saltedJoin(big, small, "k", "k2", saltSource = col("payload"), k = 8)
+    assert(salted.count() == plain.count())
+    val plainAgg = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedAgg = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedAgg == plainAgg)
+  }
+
+  test("skew profile surfaces the hot key") {
+    val big = spark.range(10000)
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"))
+    val top = Skew.keySkewProfile(big, "k", 1).collect().head
+    assert(top.getLong(0) == 1L && top.getDouble(2) > 0.8)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(!wh.contains("/root/repo"), s"warehouse must not pollute the repo: $wh")
+    Tables.t(spark, sf0001, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.t(spark, sf0001, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(li_bucketed) */ count(*) AS n
+        |FROM li_bucketed JOIN ord_bucketed ON l_orderkey = o_orderkey""".stripMargin)
+    val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.collect().head.getLong(0) ==
+      Tables.t(spark, sf0001, "lineitem").count())
+  }
+
+  test("SQL surface: registered views answer spark.sql directly") {
+    Tables.registerViews(spark, sf0001)
+    val df = spark.sql(
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'P' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(df.count() > 0)
+  }
+}
