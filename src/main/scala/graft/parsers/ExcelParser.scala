@@ -55,7 +55,7 @@ object ExcelParser extends RecordParser {
   /** Reads one worksheet of an XLSX as rows of stringified cells.
     * Understands sharedStrings (t="s"), inline strings (t="inlineStr"),
     * and numeric/plain cells; trailing missing cells are absent (ragged). */
-  private[parsers] def readSheet(path: String, sheetIndex: Int): List[List[String]] = {
+  private[graft] def readSheet(path: String, sheetIndex: Int): List[List[String]] = {
     var shared: Vector[String] = Vector.empty
     val sheets = mutable.SortedMap[String, Array[Byte]]()
     val zin = new ZipInputStream(new BufferedInputStream(new FileInputStream(path)))

@@ -34,6 +34,16 @@ class ScaleSpec extends SparkSpec {
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(!wh.contains("/root/repo"), s"warehouse must not pollute the repo: $wh")
+    // a fresh in-memory catalog doesn't know about last run's managed-table
+    // locations -> LOCATION_ALREADY_EXISTS; clear both catalog and disk
+    Seq("li_bucketed", "ord_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(wh.stripPrefix("file:"), tbl)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Tables.t(spark, sf0001, "lineitem")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
