@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph ops for dedup post-processing: near-dup
+  * PAIRS become duplicate CLUSTERS via connected components.
+  *
+  * Algorithm: iterative min-label propagation (each node takes the
+  * minimum label among itself and its neighbors until fixpoint) — the
+  * DataFrame-only core of the large-star/small-star method. Converges in
+  * O(graph diameter) iterations; dedup similarity graphs are
+  * short-diameter by construction (clusters of near-identical docs), so
+  * the loop is shallow. Each iteration is one equi-join + one aggregate;
+  * intermediate labels are cached and convergence is checked by count —
+  * on a cluster you'd localCheckpoint every few iterations to truncate
+  * lineage.
+  *
+  * Deterministic: the fixpoint (min reachable id per component) is unique
+  * regardless of execution order.
+  */
+object Graph {
+
+  /** pairs(srcCol, dstCol) -> (id, component) for every endpoint id,
+    * where component = min id reachable through the pair graph. */
+  def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster summary: one row per component with its size and members'
+    * min/max ids — the dedup "keep one per cluster" driver. */
+  def componentSummary(cc: DataFrame): DataFrame =
+    cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_id"))
+}

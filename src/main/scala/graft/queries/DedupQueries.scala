@@ -75,6 +75,15 @@ object DedupQueries {
       Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- dd07: duplicate CLUSTERS — connected components over the LSH
+    // candidate graph (iterative min-label propagation; fixpoint is the
+    // unique min-id-per-component labeling, so fully oracle-able).
+    "dd07_dup_clusters" -> ((spark: SparkSession, dir: String) => {
+      val pairs = Dedup.lshCandidates(t(spark, dir, "documents"), "doc_id", "text")
+      graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("id")
+    }),
+
     // ---- dd06: bounded-Hamming near-dup pairs over SimHash sketches via
     // 4x8-bit pigeonhole blocking (distance<=3 pairs must share a
     // segment) — equi-join candidates, then exact popcount verify.
@@ -139,6 +148,28 @@ object DedupQueries {
 
     "dd05_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",
+
+    "dd07_dup_clusters" ->
+      s"""WITH RECURSIVE sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM documents),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, concat_ws('_', ${(b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(", ")}) AS band_sig FROM sig")
+             .mkString("\n  UNION ALL\n  ")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
+        |SELECT id, MIN(label) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "dd06_simhash_near_pairs" ->
       s"""WITH sh AS (SELECT doc_id, $simhashSql AS simhash FROM documents),

@@ -72,6 +72,21 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // ---- e06: week-over-week retention — distinct weekly actives
+    // self-joined on (user, week+1); integer counts, IEEE ratio.
+    "e06_weekly_retention" -> ((spark: SparkSession, dir: String) => {
+      val weekly = t(spark, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(to_date(ts), lit("2024-01-01").cast("date")) / 7).as("wk"))
+        .distinct()
+      val nxt = weekly.select(col("user_id").as("u2"), (col("wk") - 1).as("wk2"))
+      weekly.join(nxt, col("user_id") === col("u2") && col("wk") === col("wk2"), "left_outer")
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_active"), count(col("u2")).as("n_retained"))
+        .withColumn("retention", col("n_retained").cast("double") / col("n_active").cast("double"))
+        .orderBy("wk")
+    }),
+
     // ---- e05: top-5 events by value per type (window top-k: per-partition
     // heap beats a global sort at scale).
     "e05_top_events_per_type" -> ((spark: SparkSession, dir: String) => {
@@ -120,6 +135,17 @@ object EventQueries {
         |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e06_weekly_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+        |  FROM events)
+        |SELECT w.wk, COUNT(*) AS n_active, COUNT(n.user_id) AS n_retained,
+        |  CAST(COUNT(n.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
+        |FROM weekly w LEFT OUTER JOIN weekly n
+        |  ON w.user_id = n.user_id AND n.wk = w.wk + 1
+        |GROUP BY w.wk ORDER BY w.wk""".stripMargin,
 
     "e05_top_events_per_type" ->
       """SELECT event_type, rk, event_id, user_id, value FROM (

@@ -134,6 +134,20 @@ object ExtendedQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- q22: rich customers with no orders — scalar-aggregate subquery
+    // (broadcast one-row cross join) + anti join.
+    "q22_idle_rich_customers" -> ((spark: SparkSession, dir: String) => {
+      val cust = t(spark, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((d(sum(dec(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(spark, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- appx01: HLL sketch distinct (approx_count_distinct). No DuckDB
     // oracle — sketch estimates are engine-specific — so this entry takes
     // the weaker rows-only check; dist01 pins the exact counterpart.
@@ -204,6 +218,15 @@ object ExtendedQueries {
         |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
         |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
         |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q22_idle_rich_customers" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer WHERE c_acctbal > 0)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "fn01_scalar_functions" ->
       """SELECT o_orderkey,

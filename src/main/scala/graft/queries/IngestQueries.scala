@@ -158,6 +158,16 @@ object IngestQueries {
         .orderBy("key")
     }),
 
+    // S8 via DataSource V2: many-file XLSX directory read (one partition
+    // per file, by-name projection across differing headers).
+    "ing10_excel_dsv2" -> ((spark: SparkSession, _: String) => {
+      val dir = Files.createTempDirectory("graft_dsv2")
+      writeXlsx(dir.resolve("a.xlsx"), Seq(Seq("name", "age"), Seq("Alice", "28")))
+      writeXlsx(dir.resolve("b.xlsx"), Seq(Seq("age", "name"), Seq("31", "Bob")))
+      spark.read.format("xlsx").load(dir.toString)
+        .orderBy("name")
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -246,6 +256,10 @@ object IngestQueries {
         |  FROM keys LEFT OUTER JOIN rules ON regexp_matches(key, pattern))
         |SELECT key, COALESCE(target_table, 'NO_MATCH') AS target_table
         |FROM matched WHERE rk = 1 ORDER BY key""".stripMargin,
+
+    "ing10_excel_dsv2" ->
+      """SELECT name, age FROM (VALUES ('Alice', '28'), ('Bob', '31')) t(name, age)
+        |ORDER BY name""".stripMargin,
 
     "ing09_audit_log" ->
       """SELECT md5(file_name) AS log_id, file_name, status, has_end_time

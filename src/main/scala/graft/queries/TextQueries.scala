@@ -65,9 +65,38 @@ object TextQueries {
           TextAnalysis.prefixFingerprint(col("text")).as("prefix_fp"))
         .orderBy("doc_id")
     }),
-  )
+  ) ++ t06Defs
+
+  // lazy: referenced from `defs`, which is declared earlier in this object
+  private lazy val t06Defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- t06: top-5 bigrams per language (n-gram profiling: explode ->
+    // count -> per-group top-k via WindowGroupLimit).
+    "t06_top_bigrams" -> ((spark: SparkSession, dir: String) => {
+      val bigrams = t(spark, dir, "documents")
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 1), i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+          .as("bigram"))
+      val counts = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("bigram"), col("n"))
+        .orderBy("lang", "rk")
+    }))
 
   val oracles: Map[String, String] = Map(
+    "t06_top_bigrams" ->
+      """WITH bigrams AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram)
+        |SELECT lang, rk, bigram, n FROM (
+        |  SELECT lang, bigram, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        |  FROM counts)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "t01_doc_stats" ->
       """SELECT doc_id, lang, source,
         |  length(text) AS n_chars_actual,

@@ -104,6 +104,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 7001L)))
   }
 
+  test("graph: connected components labels chains and keeps singletons apart") {
+    import spark.implicits._
+    // two chains (0-1-2-3, 10-11) and an isolated pair (20,21)
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(cc(_) == 0L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    val summary = Graph.componentSummary(
+      Graph.connectedComponents(pairs, "doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summary == Map(0L -> 4L, 10L -> 2L, 20L -> 2L))
+  }
+
   test("dedup: simhash of identical texts identical; near texts close in Hamming") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("simhash_spec")
