@@ -25,13 +25,20 @@ object Graph {
     * where component = min id reachable through the pair graph. */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (eager) after every step: an iterative DataFrame
+    // algorithm that merely cache()s keeps the WHOLE upstream logical plan
+    // (here: the MinHash/LSH expression tree) nested one level deeper per
+    // iteration, and Catalyst re-analyzes that growing tree each time —
+    // at sf0.1 the loop stopped finishing at all. Checkpointing replaces
+    // the plan with the materialized partitions, making each iteration
+    // O(edges), independent of upstream plan size.
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -42,16 +49,14 @@ object Graph {
         .union(viaNeighbor)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -148,6 +148,44 @@ object ExtendedQueries {
         .orderBy("c_custkey")
     }),
 
+    // ---- n06: second-moment statistics computed from EXACT decimal sums
+    // (sum x, sum x^2, sum xy are exact; the variance/correlation algebra
+    // then runs in IEEE doubles identically in both engines — built-in
+    // stddev/corr would accumulate doubles in engine-specific order).
+    "n06_exact_stats" -> ((spark: SparkSession, dir: String) => {
+      val q = dec(col("l_quantity"))
+      val p = col("l_extendedprice").cast("decimal(12,2)")
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(q)).as("sq"), d(sum(q * q)).as("sqq"),
+          d(sum(p)).as("sp"), d(sum(p * p)).as("spp"),
+          d(sum(q * p)).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sqq") - col("sq") * col("sq") / col("n")) / col("n")).as("var_qty"),
+          sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / col("n")).as("stddev_qty"),
+          ((col("sqp") - col("sq") * col("sp") / col("n")) /
+            (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+              sqrt(col("spp") - col("sp") * col("sp") / col("n")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- fn02: array-function parity (construction, slicing, search,
+    // sort, join) — scan-local, codegen'd.
+    "fn02_array_functions" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("sequence(1, l_linenumber)").as("seq"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(col("seq")).as("n"),
+          array_join(reverse(col("seq")), ",").as("rev_str"),
+          array_contains(col("seq"), 3).as("has3"),
+          element_at(col("seq"), least(lit(3), size(col("seq")))).as("third_or_last"),
+          array_join(slice(col("seq"), 1, 2), ",").as("first_two"),
+          array_join(sort_array(col("seq"), asc = false), ",").as("desc_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- appx01: HLL sketch distinct (approx_count_distinct). No DuckDB
     // oracle — sketch estimates are engine-specific — so this entry takes
     // the weaker rows-only check; dist01 pins the exact counterpart.
@@ -227,6 +265,35 @@ object ExtendedQueries {
         |  FROM customer WHERE c_acctbal > 0)
         |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "n06_exact_stats" ->
+      """SELECT l_returnflag, n,
+        |  ((sqq - sq * sq / n) / n) AS var_qty,
+        |  sqrt((sqq - sq * sq / n) / n) AS stddev_qty,
+        |  ((sqp - sq * sp / n) /
+        |    (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "fn02_array_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  len(seq) AS n,
+        |  array_to_string(list_reverse(seq), ',') AS rev_str,
+        |  list_contains(seq, 3) AS has3,
+        |  seq[least(3, len(seq))] AS third_or_last,
+        |  array_to_string(seq[1:2], ',') AS first_two,
+        |  array_to_string(list_sort(seq, 'DESC'), ',') AS desc_str
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, range(1, l_linenumber + 1) AS seq
+        |  FROM lineitem WHERE l_orderkey % 500 = 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "fn01_scalar_functions" ->
       """SELECT o_orderkey,
