@@ -84,6 +84,31 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // ---- dd08: embedding-cosine near-dup — IVF-bucketed (nearest of 16
+    // fixed centroids), pairs scored ONLY within a bucket: the candidate
+    // set shrinks ~16x vs all-pairs while high-cosine pairs stay
+    // co-bucketed. Native fused cosine kernel; round-6 determinism.
+    "dd08_embedding_neardup" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      val emb = t(spark, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assignW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("a_cos").desc, col("cent_id").asc)
+      val assigned = emb.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          expr("round(vector_cosine(embedding, cent_emb), 6)").as("a_cos"))
+        .withColumn("ark", row_number().over(assignW))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("list_id"))
+      assigned.as("x").join(assigned.as("y"),
+          col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          expr("round(vector_cosine(x.embedding, y.embedding), 6)").as("cosine"))
+        .filter(col("cosine") >= 0.30)
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // ---- dd06: bounded-Hamming near-dup pairs over SimHash sketches via
     // 4x8-bit pigeonhole blocking (distance<=3 pairs must share a
     // segment) — equi-join candidates, then exact popcount verify.
@@ -170,6 +195,27 @@ object DedupQueries {
         |  UNION
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
         |SELECT id, MIN(label) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd08_embedding_neardup" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+          s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+          s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+        |    SELECT e.vec_id, e.embedding, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cos("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+        |    FROM embeddings e CROSS JOIN cent)
+        |  WHERE ark = 1)
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |  ${cos("x.embedding", "y.embedding")} AS cosine
+        |FROM assigned x JOIN assigned y
+        |  ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |WHERE ${cos("x.embedding", "y.embedding")} >= 0.30
+        |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "dd06_simhash_near_pairs" ->
       s"""WITH sh AS (SELECT doc_id, $simhashSql AS simhash FROM documents),
