@@ -51,14 +51,16 @@ object Dedup {
       .select(col(idCol) +: (0 until k).map(j => expr(minhashOver("__xs", j)).as(s"mh$j")): _*)
 
   /** LSH candidate pairs from banded signatures (bands x rowsPerBand = k).
-    * The band relation is cached: both sides of the self-join read it. */
+    * The band relation is eagerly localCheckpoint'd: both sides of the
+    * self-join read the materialized partitions (a plain cache() would pin
+    * storage for the session with no release point for callers). */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
     val bandRel = sigs.select(col(idCol), posexplode(array((0 until bands).map(b =>
         concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"mh$r")): _*)): _*))
         .as(Seq("band", "band_sig")))
-      .cache()
+      .localCheckpoint(true)
     bandRel.as("x").join(bandRel.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -95,11 +97,15 @@ object Dedup {
   }
 
   /** Hamming-radius pairs over simhashes via 4-segment pigeonhole
-    * blocking (a pair within distance 3 shares at least one exact
-    * 8-bit segment): equi-join on (segment idx, segment value). */
+    * blocking: a pair within distance <= 3 must agree exactly on at least
+    * one of the 4 8-bit segments, so the (segment idx, segment value)
+    * equi-join has FULL recall only for maxHamming <= 3 — larger radii
+    * would silently miss pairs, hence the hard requirement. */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+    require(maxHamming <= 3,
+      s"4-segment pigeonhole blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sh = simhash(df, idCol, textCol).localCheckpoint(true)
     val seg = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(s =>
         expr(s"shiftright(simhash, ${s * 8}) % 256")): _*)).as(Seq("seg", "seg_val")))

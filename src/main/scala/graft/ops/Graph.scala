@@ -24,7 +24,7 @@ object Graph {
   /** pairs(srcCol, dstCol) -> (id, component) for every endpoint id,
     * where component = min id reachable through the pair graph. */
   def connectedComponents(
-      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {
     // localCheckpoint (eager) after every step: an iterative DataFrame
     // algorithm that merely cache()s keeps the WHOLE upstream logical plan
     // (here: the MinHash/LSH expression tree) nested one level deeper per
@@ -57,12 +57,19 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(graph diameter exceeds maxIter) — raise maxIter; returning " +
+          "partial labels would silently split real components")
     labels
   }
 
-  /** Cluster summary: one row per component with its size and members'
-    * min/max ids — the dedup "keep one per cluster" driver. */
+  /** Cluster summary: one row per component with its size and member id
+    * range. The keeper for "keep one per cluster" is min_id, which by
+    * construction equals the component label. */
   def componentSummary(cc: DataFrame): DataFrame =
     cc.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
 }

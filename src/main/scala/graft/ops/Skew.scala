@@ -35,11 +35,14 @@ object Skew {
   }
 
   /** Top-k hot keys of a column with their row share — the diagnostic
-    * that decides whether salting is warranted. */
+    * that decides whether salting is warranted. One scan: the total comes
+    * from an empty-frame window over the (tiny) grouped relation rather
+    * than a second pass over the input. */
   def keySkewProfile(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
-    val total = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n") / total)
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
       .orderBy(col("n").desc)
       .limit(topK)
   }

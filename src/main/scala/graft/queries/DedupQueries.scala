@@ -113,7 +113,7 @@ object DedupQueries {
     // 4x8-bit pigeonhole blocking (distance<=3 pairs must share a
     // segment) — equi-join candidates, then exact popcount verify.
     "dd06_simhash_near_pairs" -> ((spark: SparkSession, dir: String) => {
-      Dedup.simhashNearPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashNearPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
   )
@@ -228,7 +228,7 @@ object DedupQueries {
         |  FROM seg x JOIN seg y
         |    ON x.seg = y.seg AND x.seg_val = y.seg_val AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
-        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -44,17 +44,24 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new ExcelTable(schema, properties.get("path"),
-      Option(properties.get("sheetIndex")).map(_.toInt).getOrElse(0))
+      properties: JMap[String, String]): Table = {
+    // properties arrive case-preserved; options are case-insensitive by
+    // DSv2 convention (inferSchema already reads them that way)
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ExcelTable(schema, opts.get("path"),
+      Option(opts.get("sheetIndex")).map(_.toInt).getOrElse(0))
+  }
 }
 
 object ExcelDataSource {
   def listFiles(path: String): Seq[Path] = {
     val p = Paths.get(if (path.startsWith("file:")) path.stripPrefix("file:") else path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.filter(_.toString.toLowerCase.endsWith(".xlsx")).toSeq.sortBy(_.toString)
-    else Seq(p)
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
+        .filter(_.toString.toLowerCase.endsWith(".xlsx")).toSeq.sortBy(_.toString)
+      finally stream.close()
+    } else Seq(p)
   }
 }
 

@@ -51,7 +51,10 @@ object StatefulSessionize {
                   closed += ClosedSession(userId, s.startUs, s.lastUs, s.n)
                   open = Some(OpenSession(t, t, 1))
                 case Some(s) =>
-                  open = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+                  // a late (but above-watermark) event may precede the open
+                  // session's start — extend the session backwards too
+                  open = Some(s.copy(startUs = math.min(s.startUs, t),
+                    lastUs = math.max(s.lastUs, t), n = s.n + 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

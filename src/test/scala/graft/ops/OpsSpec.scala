@@ -99,9 +99,11 @@ class OpsSpec extends SparkSpec {
     val withDups = docs
       .union(docs.filter(col("doc_id") === 1)
         .select(col("doc_id") + 7000, concat(col("text"), lit(" x")).as("text")))
-    val pairs = Dedup.simhashNearPairs(withDups, "doc_id", "text", maxHamming = 4)
+    val pairs = Dedup.simhashNearPairs(withDups, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 7001L)))
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashNearPairs(withDups, "doc_id", "text", maxHamming = 6))
   }
 
   test("graph: connected components labels chains and keeps singletons apart") {
