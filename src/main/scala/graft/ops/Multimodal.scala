@@ -80,4 +80,38 @@ object Multimodal {
     meta.select(col("mediaId"), col("contentHash"), col("frameCount"),
         explode(sequence(lit(0), col("frameCount") - 1, lit(step))).as("frame_idx"))
       .withColumn("frame_fp", md5(concat(col("contentHash"), lit(":"), col("frame_idx"))))
+
+  /** Feature extraction stub: payload -> dense embedding. The real model
+    * inference (vision/audio encoder) is STUBBED with a deterministic
+    * md5-seeded pseudo-embedding; the Spark plumbing — partition-local
+    * batched extraction, Array[Float] column shape, downstream ANN
+    * compatibility (graft.queries.SimilarityQueries / ops.Dedup dd08
+    * consume exactly this column type) — is real. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // one per partition
+        it.map { case (id, bytes) =>
+          // counter-mode expansion: block b = md5(payload ++ b) -> 16 floats
+          val vec = new Array[Float](dim)
+          var b = 0
+          while (b * 16 < dim) {
+            md.reset(); md.update(bytes); md.update(b.toByte)
+            val digest = md.digest()
+            var j = 0
+            while (j < 16 && b * 16 + j < dim) {
+              vec(b * 16 + j) = ((digest(j) & 0xff) - 128) / 128.0f
+              j += 1
+            }
+            b += 1
+          }
+          (id, vec)
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
 }

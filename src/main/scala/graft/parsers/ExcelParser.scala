@@ -115,7 +115,7 @@ object ExcelParser extends RecordParser {
   }
 
   /** "B3" -> 1; missing ref -> -1 (then cells append in order). */
-  private[parsers] def columnIndex(ref: String): Int = {
+  private[graft] def columnIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter)
     if (letters.isEmpty) -1
     else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1

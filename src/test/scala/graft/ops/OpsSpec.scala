@@ -67,6 +67,25 @@ class OpsSpec extends SparkSpec {
       s"missed pairs: ${exact -- candidates}")
   }
 
+  test("multimodal: feature-extraction stub feeds the ANN path end-to-end") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .limit(100)
+    val emb = Multimodal.extractFeatures(docs, "doc_id", "payload", dim = 32)
+    assert(emb.schema("embedding").dataType.simpleString == "array<float>")
+    val first = emb.orderBy("doc_id").head()
+    assert(first.getSeq[Float](1).length == 32)
+    // deterministic across runs/partitionings
+    val again = Multimodal.extractFeatures(docs.repartition(7), "doc_id", "payload", dim = 32)
+      .orderBy("doc_id").head()
+    assert(first.getSeq[Float](1) == again.getSeq[Float](1))
+    // pseudo-embeddings flow into the cosine kernel
+    graft.functions.VectorFunctions.registerAll(spark)
+    val selfSim = emb.select(expr("round(vector_cosine(embedding, embedding), 6)").as("c"))
+      .filter(col("c") =!= 1.0).count()
+    assert(selfSim == 0)
+  }
+
   test("similarity: IVF ANN recall@10 >= 0.7 vs brute force") {
     val brute = SimilarityQueries.defs("sim01_cosine_topk")(spark, sf0001)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
