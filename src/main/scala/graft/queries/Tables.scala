@@ -49,7 +49,4 @@ object Tables {
 
   /** Timestamp -> 'yyyy-MM-dd' string (DuckDB mirror: strftime(ts, '%Y-%m-%d')). */
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
-
-  /** Timestamp -> 'yyyy-MM-dd HH:mm' string. */
-  def hourStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:00")
 }

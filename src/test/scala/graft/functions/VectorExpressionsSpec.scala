@@ -36,6 +36,11 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(z.select(expr("vector_cosine(a, b)")).head().getDouble(0) == 0.0)
   }
 
+  test("GraftExtensions registers both functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on a malformed FunctionDescription
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.registerAll(spark)
     val df = spark.sql("SELECT vector_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
