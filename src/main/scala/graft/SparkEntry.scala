@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ IngestQueries.defs ++ ExtendedQueries.defs
+      MultimodalQueries.defs ++ IngestQueries.defs ++ ExtendedQueries.defs ++
+      TemporalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ WindowQueries.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ IngestQueries.oracles ++ ExtendedQueries.oracles
+      MultimodalQueries.oracles ++ IngestQueries.oracles ++ ExtendedQueries.oracles ++
+      TemporalQueries.oracles
 }

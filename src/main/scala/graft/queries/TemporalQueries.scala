@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Temporal join shapes Spark has no dedicated operator for, composed
+  * from built-ins (the custom-operator ladder's step (a): composition
+  * before custom plans):
+  *
+  *  - AS-OF join: "for each purchase, the latest view at-or-before it" =
+  *    interleave both streams per key, one ordered window pass carrying
+  *    the last-seen view forward. One shuffle on user_id, no
+  *    row-multiplying join at all — this is the shape that scales where a
+  *    naive theta-join explodes.
+  *
+  *  - RANGE join: "events within ±5 minutes" via time-bucketing: probe
+  *    rows explode into the 3 candidate buckets, the join is a pure
+  *    equi-join on (user, bucket), and the exact band predicate filters
+  *    after. Candidate set is O(rows-per-bucket), not O(n*m).
+  */
+object TemporalQueries {
+
+  private def ts = col("ts").cast("timestamp")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof01_last_view_before_purchase" -> ((spark: SparkSession, dir: String) => {
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(ts).as("t_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_view_us",
+          max(when(col("event_type") === "view", col("t_us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("t_us").as("purchase_us"),
+          coalesce(col("last_view_us"), lit(-1L)).as("last_view_us"),
+          // `div`: exact integer division — `/` would be a DOUBLE divide,
+          // and double->long casts truncate in Spark but round in DuckDB
+          coalesce(expr("(t_us - last_view_us) div 1000000L"), lit(-1L))
+            .as("view_to_purchase_s"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    "rj01_events_near_purchase" -> ((spark: SparkSession, dir: String) => {
+      val bucketUs = 300L * 1000000L // 5-minute buckets = the band width
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(ts).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("t_us").as("p_us"),
+          explode(array(lit(-1), lit(0), lit(1))).as("db"))
+        .withColumn("bucket", expr(s"p_us div ${bucketUs}L") + col("db"))
+      val candidates = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("bucket", expr(s"t_us div ${bucketUs}L"))
+      purchases.join(candidates,
+          col("p_user") === col("user_id") && purchases("bucket") === candidates("bucket"))
+        .filter(abs(col("t_us") - col("p_us")) <= bucketUs)
+        .groupBy(col("p_user").as("user_id"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_nearby"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_nearby_views"))
+        .orderBy("user_id", "purchase_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof01_last_view_before_purchase" ->
+      """SELECT user_id, event_id AS purchase_id, t_us AS purchase_us,
+        |  COALESCE(last_view_us, -1) AS last_view_us,
+        |  COALESCE((t_us - last_view_us) // 1000000, -1) AS view_to_purchase_s
+        |FROM (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+        |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    // the oracle states the SEMANTIC (plain band join); the Spark plan
+    // realizes it with bucketing — same rows, scalable plan
+    "rj01_events_near_purchase" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_nearby,
+        |  SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS n_nearby_views
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id AND e.event_type <> 'purchase'
+        |  AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300 * 1000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id, p.event_id
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+  )
+}
