@@ -72,6 +72,31 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // ---- e07: ordered funnel conversion — first view, first click AFTER
+    // that view, first purchase AFTER that click; three key-joined
+    // aggregates (decorrelated, no window over full history needed).
+    "e07_funnel_conversion" -> ((spark: SparkSession, dir: String) => {
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(ts).as("t_us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("view_us"))
+      val firstClick = ev.filter(col("event_type") === "click").as("e")
+        .join(firstView.as("v"), col("e.user_id") === col("v.user_id"))
+        .filter(col("t_us") >= col("view_us"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("t_us")).as("click_us"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase").as("e")
+        .join(firstClick.as("c"), col("e.user_id") === col("c.user_id"))
+        .filter(col("t_us") >= col("click_us"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("t_us")).as("purchase_us"))
+      val total = ev.select(col("user_id")).distinct().count()
+      firstView.agg(count(lit(1)).as("n_viewed")).crossJoin(
+          firstClick.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(firstPurchase.agg(count(lit(1)).as("n_purchased_after_click")))
+        .withColumn("n_users", lit(total))
+        .select(col("n_users"), col("n_viewed"), col("n_clicked_after_view"),
+          col("n_purchased_after_click"))
+    }),
+
     // ---- e06: week-over-week retention — distinct weekly actives
     // self-joined on (user, week+1); integer counts, IEEE ratio.
     "e06_weekly_retention" -> ((spark: SparkSession, dir: String) => {
@@ -135,6 +160,26 @@ object EventQueries {
         |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e07_funnel_conversion" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, MIN(epoch_us(ts)) AS click_us
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(ts) >= view_us
+        |  GROUP BY e.user_id),
+        |fp AS (
+        |  SELECT e.user_id, MIN(epoch_us(ts)) AS purchase_us
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(ts) >= click_us
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT COUNT(*) FROM fv) AS n_viewed,
+        |  (SELECT COUNT(*) FROM fc) AS n_clicked_after_view,
+        |  (SELECT COUNT(*) FROM fp) AS n_purchased_after_click""".stripMargin,
 
     "e06_weekly_retention" ->
       """WITH weekly AS (

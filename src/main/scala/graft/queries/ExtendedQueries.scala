@@ -148,6 +148,22 @@ object ExtendedQueries {
         .orderBy("c_custkey")
     }),
 
+    // ---- g03: explicit GROUPING SETS through the registered-view SQL
+    // surface (rollup/cube cover the nested shapes; this is the
+    // arbitrary-sets form).
+    "g03_grouping_sets" -> ((spark: SparkSession, dir: String) => {
+      Tables.registerViews(spark, dir)
+      spark.sql(
+        """SELECT
+          |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+          |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+
     // ---- n06: second-moment statistics computed from EXACT decimal sums
     // (sum x, sum x^2, sum xy are exact; the variance/correlation algebra
     // then runs in IEEE doubles identically in both engines — built-in
@@ -265,6 +281,16 @@ object ExtendedQueries {
         |  FROM customer WHERE c_acctbal > 0)
         |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "g03_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     "n06_exact_stats" ->
       """SELECT l_returnflag, n,
