@@ -27,16 +27,33 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
             spark_cols = sorted(spark_rel.columns)
-            spark_rows = con.sql(
-                f"SELECT {', '.join(chr(34)+c+chr(34) for c in spark_cols)} FROM spark_rel").fetchall()
+            spark_proj = con.sql(
+                f"SELECT {', '.join(chr(34)+c+chr(34) for c in spark_cols)} FROM spark_rel")
+            spark_types = [str(t) for t in spark_proj.types]
+            spark_rows = spark_proj.fetchall()
             duck_rel = con.sql(sql)
             duck_cols = sorted(duck_rel.columns)
-            duck_rows = con.sql(
-                f"SELECT {', '.join(chr(34)+c+chr(34) for c in duck_cols)} FROM duck_rel").fetchall()
+            duck_proj = con.sql(
+                f"SELECT {', '.join(chr(34)+c+chr(34) for c in duck_cols)} FROM duck_rel")
+            duck_types = [str(t) for t in duck_proj.types]
+            duck_rows = duck_proj.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if spark_cols != duck_cols:
             print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}"); n_fail += 1; continue
+        # The driver's hash is TYPE-sensitive at the 64-bit boundary
+        # (round-1 ground truth: INTEGER-vs-BIGINT pairs all hash-matched,
+        # but every oracle with a bare SUM(<integer>) — HUGEINT, int128 —
+        # hash-failed even with identical values). Normalize int widths
+        # up to 64-bit into one family; anything wider/other must match.
+        def family(t):
+            return "int64" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                    "UTINYINT", "USMALLINT", "UINTEGER") else t
+        if [family(t) for t in spark_types] != [family(t) for t in duck_types]:
+            diffs = [f"{c}: spark={a} duck={b}" for c, a, b
+                     in zip(spark_cols, spark_types, duck_types)
+                     if family(a) != family(b)]
+            print(f"FAIL {name}: column TYPES differ — {'; '.join(diffs)}"); n_fail += 1; continue
         a = [tuple(canon(v) for v in r) for r in spark_rows]
         b = [tuple(canon(v) for v in r) for r in duck_rows]
         if a == b:

@@ -17,11 +17,24 @@ import graft.ports.RecordParser
   */
 object JsonParser extends RecordParser {
 
+  /** The scalar fallback buffers the file on the driver (a top-level
+    * scalar IS one value, so that's inherent) — but a mis-routed large
+    * file must error, not OOM the driver. 16 MB is far above any real
+    * top-level-scalar document. */
+  val MaxScalarBytes: Long = 16L * 1024 * 1024
+
   override def parse(spark: SparkSession, path: String, config: Option[ParserConfig]): DataFrame = {
     val df = spark.read.option("multiLine", "true").json(path)
     val cols = df.schema.fieldNames
     if (cols.sameElements(Array("_corrupt_record")) || cols.isEmpty) {
       // Top-level scalar or scalar array: re-read as json with a value wrap.
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val size = fs.getContentSummary(hPath).getLength
+      if (size > MaxScalarBytes)
+        throw new IllegalArgumentException(
+          s"json scalar fallback refuses $path: $size bytes > $MaxScalarBytes " +
+            "(not a top-level-scalar document; would buffer on the driver)")
       import spark.implicits._
       val raw = spark.read.textFile(path).collect().mkString("\n").trim
       Seq(raw).toDF("value")

@@ -88,11 +88,15 @@ object EventQueries {
         .join(firstClick.as("c"), col("e.user_id") === col("c.user_id"))
         .filter(col("t_us") >= col("click_us"))
         .groupBy(col("e.user_id").as("user_id")).agg(min(col("t_us")).as("purchase_us"))
-      val total = ev.select(col("user_id")).distinct().count()
-      firstView.agg(count(lit(1)).as("n_viewed")).crossJoin(
-          firstClick.agg(count(lit(1)).as("n_clicked_after_view")))
+      // n_users is a fourth 1-row aggregate cross-joined like the other
+      // counters — constructing this DataFrame launches no job, and the
+      // count participates in the (single) executed plan.
+      val totalUsers = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      totalUsers
+        .crossJoin(firstView.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(firstClick.agg(count(lit(1)).as("n_clicked_after_view")))
         .crossJoin(firstPurchase.agg(count(lit(1)).as("n_purchased_after_click")))
-        .withColumn("n_users", lit(total))
         .select(col("n_users"), col("n_viewed"), col("n_clicked_after_view"),
           col("n_purchased_after_click"))
     }),
@@ -142,22 +146,22 @@ object EventQueries {
         |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
-        |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e03_json_extract" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e04_user_funnel" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -202,16 +202,18 @@ object ExtendedQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // ---- appx01: HLL sketch distinct (approx_count_distinct). No DuckDB
-    // oracle — sketch estimates are engine-specific — so this entry takes
-    // the weaker rows-only check; dist01 pins the exact counterpart.
-    "appx01_approx_distinct" -> ((spark: SparkSession, dir: String) => {
-      t(spark, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        count(lit(1)).as("n_rows"))
-    }),
   )
+
+  /** HLL sketch distinct (approx_count_distinct). Sketch estimates are
+    * engine-specific, so this can never hash-match a DuckDB oracle; it
+    * lives OUTSIDE the driver-checked `defs` and is pinned instead by an
+    * OpsSpec bounded-error test against dist01's exact counts.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      count(lit(1)).as("n_rows"))
 
   val oracles: Map[String, String] = Map(
     "q11_important_suppliers" ->
@@ -267,10 +269,10 @@ object ExtendedQueries {
 
     "p01_cohort_pivot" ->
       """SELECT user_id % 10 AS cohort,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "q22_idle_rich_customers" ->

@@ -81,7 +81,7 @@ object TemporalQueries {
     // realizes it with bucketing — same rows, scalable plan
     "rj01_events_near_purchase" ->
       """SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_nearby,
-        |  SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS n_nearby_views
+        |  CAST(SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_nearby_views
         |FROM events p JOIN events e
         |  ON p.user_id = e.user_id AND e.event_type <> 'purchase'
         |  AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300 * 1000000

@@ -18,9 +18,15 @@ import graft.pipeline.IngestionPipeline
   * Semantics upgrade over the reference, on purpose: the reference
   * deleted the SQS message even when processing FAILED (delete outside
   * the Ok/Err match, ecs_service.rs:152-165 — accidental at-most-once).
-  * Structured Streaming checkpointing gives at-least-once: a batch that
-  * throws is retried, and per-file failures are isolated + audit-logged
-  * rather than poisoning the batch.
+  * Here a batch that throws BEFORE the per-file loop is retried from the
+  * checkpoint (standard Structured Streaming at-least-once), and a file
+  * that fails INSIDE the loop is isolated — audit-logged via onResult and
+  * its envelope re-written to `deadLetterDir` for redrive (point the DLQ
+  * at a directory a second EventLoop watches, or back at eventDir for
+  * in-place retry of transient failures). Without a deadLetterDir the
+  * per-file failure path is deliver-once: the envelope is consumed, the
+  * failure is only reported — the reference's behavior, minus the silent
+  * message delete.
   *
   * Scale: the control plane (event envelopes) is tiny by construction —
   * thousands of notifications, not data rows — so collecting a batch of
@@ -53,7 +59,8 @@ final class EventLoop(pipeline: IngestionPipeline) {
       eventDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      onResult: Either[(FileToProcess, Throwable), IngestionPipeline#Result] => Unit = _ => ())
+      onResult: Either[(FileToProcess, Throwable), IngestionPipeline#Result] => Unit = _ => (),
+      deadLetterDir: Option[String] = None)
       : StreamingQuery = {
     val envelopes = spark.readStream
       .schema(envelopeSchema)
@@ -62,16 +69,34 @@ final class EventLoop(pipeline: IngestionPipeline) {
     parseEnvelopes(envelopes).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // control-plane collect: envelopes only (see class doc)
         val files = batch.collect().map(r => FileToProcess(r.getString(0), r.getString(1)))
-        files.foreach { f =>
-          try onResult(Right(pipeline.processFile(spark, f)))
-          catch { case scala.util.control.NonFatal(e) => onResult(Left((f, e))) }
+        val failed = files.flatMap { f =>
+          try { onResult(Right(pipeline.processFile(spark, f))); None }
+          catch { case scala.util.control.NonFatal(e) => onResult(Left((f, e))); Some(f) }
         }
+        if (failed.nonEmpty) deadLetterDir.foreach(writeDeadLetters(spark, _, batchId, failed))
         ()
       }
       .start()
+  }
+
+  /** Re-writes failed files' envelopes (original S3-event JSON shape, so
+    * the DLQ is directly re-consumable by another EventLoop) into
+    * `dlqDir`. Control-plane-sized: a handful of one-line JSON strings
+    * per batch, written from the driver. */
+  private def writeDeadLetters(
+      spark: SparkSession, dlqDir: String, batchId: Long, failed: Seq[FileToProcess]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = failed.map(f =>
+      s"""{"Records":[{"s3":{"bucket":{"name":"${esc(f.bucket)}"},"object":{"key":"${esc(f.key)}"}}}]}""")
+    val dir = new org.apache.hadoop.fs.Path(dlqDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"dead-letter-batch-$batchId.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 }
 

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries}
+import graft.queries.{DedupQueries, ExtendedQueries, MultimodalQueries, RelationalQueries, SimilarityQueries}
 
 /** Semantics checks for the beyond-reference operators: the mapPartitions
   * decoder path must agree with the column-expression query path; LSH
@@ -139,6 +139,18 @@ class OpsSpec extends SparkSpec {
       Graph.connectedComponents(pairs, "doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(summary == Map(0L -> 4L, 10L -> 2L, 20L -> 2L))
+  }
+
+  test("aggregation: HLL approx distinct within bounded error of exact counts") {
+    // approx_count_distinct at rsd=0.02: assert within 10% (5 sigma) of
+    // dist01's exact counts. Sketches can't hash-match a DuckDB oracle,
+    // so this spec IS the correctness gate for the HLL operator.
+    val exact = RelationalQueries.defs("dist01_distinct_counts")(spark, sf0001).head()
+    val approx = ExtendedQueries.approxDistinct(spark, sf0001).head()
+    def relErr(a: Long, e: Long) = math.abs(a - e).toDouble / e
+    assert(relErr(approx.getLong(0), exact.getLong(0)) <= 0.10, "approx_parts off")
+    assert(relErr(approx.getLong(1), exact.getLong(2)) <= 0.10, "approx_orders off")
+    assert(approx.getLong(2) > 0)
   }
 
   test("dedup: simhash of identical texts identical; near texts close in Hamming") {

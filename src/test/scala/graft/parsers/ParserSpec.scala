@@ -65,6 +65,15 @@ class ParserSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("json: scalar fallback refuses a large mis-typed file instead of buffering it") {
+    // a >16MB non-JSON blob routes to the scalar fallback, which must
+    // error rather than collect the whole file onto the driver
+    val blob = ("not json at all " * ((1 << 20) + 1)) // just over 16 MB
+    val path = tmpFile("big.json", blob)
+    val ex = intercept[IllegalArgumentException](JsonParser.parse(spark, path, None))
+    assert(ex.getMessage.contains("scalar fallback refuses"))
+  }
+
   // --- TXT (reference txt_parser.rs) ---
 
   test("txt: 1-based line numbers in file order") {

@@ -58,6 +58,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink.tablePath("csv_data")).count() == 3)
   }
 
+  test("event loop: failed files' envelopes land in the DLQ, re-consumable") {
+    val base = Files.createTempDirectory("stream_dlq")
+    val bucket = "data-ingestion-bucket"
+    Files.createDirectories(base.resolve(bucket).resolve("data"))
+    Files.writeString(base.resolve(bucket).resolve("data/ok.csv"), "name,age\nA,1\n")
+    Files.writeString(base.resolve(bucket).resolve("data/bad.pdf"), "%PDF")
+
+    val eventDir = Files.createDirectories(base.resolve("events"))
+    def envelope(key: String) =
+      s"""{"Records":[{"s3":{"bucket":{"name":"$bucket"},"object":{"key":"$key"}}}]}"""
+    Files.writeString(eventDir.resolve("e1.json"),
+      envelope("data/ok.csv") + "\n" + envelope("data/bad.pdf"))
+
+    val logs = new ParquetLogRepository(base.resolve("logs").toString)
+    val sink = new ParquetSink(base.resolve("sink").toString)
+    val pipeline = new IngestionPipeline(
+      new LocalFileSource(base.toString),
+      new RuleMatcher(RuleMatcher.seedRules :+ IngestionConfigRule(".*\\.pdf$", "pdf_data")),
+      sink, logs)
+    val dlqDir = base.resolve("dlq").toString
+
+    val q = new EventLoop(pipeline).start(
+      spark, eventDir.toString, base.resolve("ckpt").toString,
+      trigger = Trigger.AvailableNow(), deadLetterDir = Some(dlqDir))
+    q.awaitTermination(120000)
+
+    // only the failing envelope is dead-lettered, in the original S3 shape
+    val dead = spark.read.schema(new EventLoop(pipeline).envelopeSchema).json(dlqDir)
+    val parsed = new EventLoop(pipeline).parseEnvelopes(dead).collect()
+    assert(parsed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq((bucket, "data/bad.pdf")))
+  }
+
   test("streaming hourly rollup == batch e01 on the same data") {
     val batch = graft.queries.Tables.events(spark, sf0001)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
