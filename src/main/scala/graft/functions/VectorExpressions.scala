@@ -21,10 +21,15 @@ import org.apache.spark.sql.types._
   * Determinism contract (the oracle depends on it): accumulation is a
   * strict left fold in element order, element values are widened to double
   * before multiply — bit-identical to the declarative form it replaces.
+  * That parity extends to malformed inputs: a length mismatch or a null
+  * element yields NULL (zip_with pads the shorter array with nulls, the
+  * null product poisons the aggregate), never a silently truncated score.
   */
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // Always nullable: even non-null inputs produce NULL on dimension
+  // mismatch or a null element.
+  override def nullable: Boolean = true
 
   protected def elementType(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
@@ -52,6 +57,26 @@ abstract class BinaryVectorExpression extends BinaryExpression {
     case FloatType => s"(double) $arr.getFloat($i)"
     case _ => s"$arr.getDouble($i)"
   }
+
+  /** Whether a side's ARRAY type admits null elements — when false the
+    * codegen loop skips the per-element isNullAt branch entirely, keeping
+    * the hot path (non-null embeddings) as tight as before. */
+  protected def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  /** Codegen null-check condition for position `i`, or "false" when the
+    * array types guarantee no null elements. */
+  protected def genNullAt(a: String, b: String, i: String): String = {
+    val checks = Seq(
+      if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+      if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+    if (checks.isEmpty) "false" else checks.mkString(" || ")
+  }
+
+  protected def anyNullAt(x: ArrayData, y: ArrayData, i: Int): Boolean =
+    (elemNullable(left) && x.isNullAt(i)) || (elemNullable(right) && y.isNullAt(i))
 }
 
 /** dot(a, b) = sum_i a(i)*b(i), strict left fold in doubles. */
@@ -61,10 +86,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (et1, et2) = (elementType(left), elementType(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += get(x, et1, i) * get(y, et2, i); i += 1 }
+    while (i < n) {
+      if (anyNullAt(x, y, i)) return null
+      acc += get(x, et1, i) * get(y, et2, i); i += 1
+    }
     acc
   }
 
@@ -73,13 +102,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (${genGet(a, elementType(left), i)}) * (${genGet(b, elementType(right), i)});
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if (${genNullAt(a, b, i)}) { $bad = true; }
+         |    else { $acc += (${genGet(a, elementType(left), i)}) * (${genGet(b, elementType(right), i)}); }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -94,10 +130,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (et1, et2) = (elementType(left), elementType(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (anyNullAt(x, y, i)) return null
       val xv = get(x, et1, i); val yv = get(y, et2, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -111,17 +149,29 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      val denom = ctx.freshName("denom")
+      val denom = ctx.freshName("denom"); val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${genGet(a, elementType(left), i)};
-         |  double $yv = ${genGet(b, elementType(right), i)};
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if (${genNullAt(a, b, i)}) { $bad = true; }
+         |    else {
+         |      double $xv = ${genGet(a, elementType(left), i)};
+         |      double $yv = ${genGet(b, elementType(right), i)};
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  }
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

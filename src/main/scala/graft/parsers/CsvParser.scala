@@ -55,10 +55,34 @@ object CsvParser extends RecordParser {
   }
 
   /** Field count of the first line — determines overflow column_{i} names.
-    * Reads one line only (limit(1) prunes the scan). */
+    * Reads one line only (limit(1) prunes the scan). Quote-aware: a quoted
+    * field containing the delimiter (`"a,b",c`) counts as ONE field, so the
+    * probed width matches what the CSV scan will actually parse. */
   private def probeWidth(spark: SparkSession, path: String, delimiter: String): Int = {
     val first = spark.read.textFile(path).limit(1).collect()
     if (first.isEmpty) 0
-    else first.head.split(java.util.regex.Pattern.quote(delimiter), -1).length
+    else countFields(first.head, delimiter)
+  }
+
+  /** RFC-4180 field count: delimiters inside double-quoted fields don't
+    * split; `""` inside a quoted field is an escaped quote, not a close. */
+  private[parsers] def countFields(line: String, delimiter: String): Int = {
+    var count = 1
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') i += 1 // escaped ""
+          else inQuotes = false
+        }
+      } else {
+        if (c == '"') inQuotes = true
+        else if (line.startsWith(delimiter, i)) { count += 1; i += delimiter.length - 1 }
+      }
+      i += 1
+    }
+    count
   }
 }

@@ -90,9 +90,15 @@ object ExcelParser extends RecordParser {
   private def parseSheetXml(bytes: Array[Byte], shared: Vector[String]): List[List[String]] = {
     val xml = XML.load(new java.io.ByteArrayInputStream(bytes))
     (xml \ "sheetData" \ "row").map { row =>
+      // The r= attribute is optional in OOXML: a cell without one sits
+      // immediately after the previously placed cell (calamine reads such
+      // cells positionally — reference excel_parser.rs:9).
+      var lastIdx = -1
       val cells = (row \ "c").map { c =>
         val ref = (c \ "@r").text // e.g. "B3"
-        val colIdx = columnIndex(ref)
+        val explicit = columnIndex(ref)
+        val colIdx = if (explicit >= 0) explicit else lastIdx + 1
+        lastIdx = colIdx
         val t = (c \ "@t").text
         val text = t match {
           case "s" =>
@@ -108,13 +114,14 @@ object ExcelParser extends RecordParser {
       else {
         val width = cells.map(_._1).max + 1
         val arr = Array.fill[String](width)("")
-        cells.foreach { case (i, v) => if (i >= 0) arr(i) = v }
+        cells.foreach { case (i, v) => arr(i) = v }
         arr.toList
       }
     }.toList
   }
 
-  /** "B3" -> 1; missing ref -> -1 (then cells append in order). */
+  /** "B3" -> 1; missing ref -> -1 (caller then places the cell right
+    * after the previously placed one). */
   private[graft] def columnIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter)
     if (letters.isEmpty) -1

@@ -101,6 +101,9 @@ object DedupQueries {
         .withColumn("ark", row_number().over(assignW))
         .filter(col("ark") === 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("list_id"))
+        // localCheckpoint: both sides of the self-join below read `assigned`;
+        // without it the 16-centroid broadcast+window assignment runs twice.
+        .localCheckpoint(true)
       assigned.as("x").join(assigned.as("y"),
           col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

@@ -104,10 +104,14 @@ object EventQueries {
     // ---- e06: week-over-week retention — distinct weekly actives
     // self-joined on (user, week+1); integer counts, IEEE ratio.
     "e06_weekly_retention" -> ((spark: SparkSession, dir: String) => {
+      // localCheckpoint: `weekly` feeds both sides of the self-join below;
+      // without it the distinct-over-events plan executes twice (same
+      // expression-reuse trap as Dedup.lshCandidates).
       val weekly = t(spark, dir, "events")
         .select(col("user_id"),
           floor(datediff(to_date(ts), lit("2024-01-01").cast("date")) / 7).as("wk"))
         .distinct()
+        .localCheckpoint(true)
       val nxt = weekly.select(col("user_id").as("u2"), (col("wk") - 1).as("wk2"))
       weekly.join(nxt, col("user_id") === col("u2") && col("wk") === col("wk2"), "left_outer")
         .groupBy(col("wk"))

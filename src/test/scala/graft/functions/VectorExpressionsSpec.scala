@@ -47,6 +47,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("dimension mismatch and null elements yield NULL, not a truncated score (r2 VERDICT bug 3)") {
+    VectorFunctions.registerAll(spark)
+    // Mismatched lengths: the declarative zip_with chain nulls out; so must we.
+    val mismatch = spark.sql(
+      """SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS d,
+        |       vector_cosine(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS c""".stripMargin)
+    val mrow = mismatch.head()
+    assert(mrow.isNullAt(0) && mrow.isNullAt(1))
+    // Null-holed embedding: poisoned fold -> NULL.
+    val holed = spark.sql(
+      """SELECT vector_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d,
+        |       vector_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c""".stripMargin)
+    val hrow = holed.head()
+    assert(hrow.isNullAt(0) && hrow.isNullAt(1))
+    // Parity with the declarative chain on those same malformed inputs:
+    // aggregate over a null-holed product is NULL in Spark too.
+    val declNull = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D), (x, y) -> x * y),
+        |                 0.0D, (acc, v) -> acc + v)""".stripMargin)
+    assert(declNull.head().isNullAt(0))
+  }
+
   test("native kernel is faster than the declarative chain on a scoring loop") {
     VectorFunctions.registerAll(spark)
     val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))

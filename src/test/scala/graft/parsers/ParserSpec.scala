@@ -41,6 +41,25 @@ class ParserSpec extends SparkSpec {
     assert(df.head().getString(3) == "extra")
   }
 
+  test("csv: quoted delimiter doesn't inflate probed width (r2 VERDICT bug 1)") {
+    // "a,b" is ONE field; with config headers the probe must report 3
+    // columns, not 4 — a 4-wide schema would make FAILFAST reject the file.
+    val cfg = Some(ParserConfig(headers = Some(Seq("name", "desc", "city"))))
+    val df = CsvParser.parse(spark, tmpFile("t.csv", "John,\"a,b\",NYC\nJane,\"c,d\",LA\n"), cfg)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "desc", "city"))
+    assert(df.count() == 2)
+    assert(df.filter("desc = 'a,b'").count() == 1)
+  }
+
+  test("csv: countFields is RFC-4180 quote-aware") {
+    assert(CsvParser.countFields("a,b,c", ",") == 3)
+    assert(CsvParser.countFields("\"a,b\",c", ",") == 2)
+    assert(CsvParser.countFields("\"a\"\"x,y\"\"b\",c", ",") == 2) // escaped "" inside quotes
+    assert(CsvParser.countFields("", ",") == 1)
+    assert(CsvParser.countFields("a;;b", ";") == 3)
+    assert(CsvParser.countFields("\"a;b\";c", ";") == 2)
+  }
+
   test("csv: ragged rows error (strict mode, csv_parser.rs:22)") {
     val df = CsvParser.parse(spark, tmpFile("t.csv", "a,b,c\n1,2,3\n4,5\n"), None)
     assertThrows[org.apache.spark.SparkException](df.collect())
@@ -111,6 +130,34 @@ class ParserSpec extends SparkSpec {
     assert(ExcelParser.columnIndex("A1") == 0)
     assert(ExcelParser.columnIndex("B3") == 1)
     assert(ExcelParser.columnIndex("AA10") == 26)
+  }
+
+  test("excel: ref-less cells place positionally (r2 VERDICT bug 2)") {
+    // The r= attribute is optional in OOXML; calamine reads such cells
+    // positionally. Row 2 mixes explicit and missing refs:
+    //   <c r="A2">x</c><c>y</c><c>z</c>  ->  x, y(B), z(C)
+    val dir = Files.createTempDirectory("parser_spec")
+    val p = dir.resolve("refless.xlsx")
+    val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    def c(ref: Option[String], v: String) =
+      s"""<c${ref.map(r => s""" r="$r"""").getOrElse("")} t="inlineStr"><is><t>$v</t></is></c>"""
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        s"""<row r="1">${c(Some("A1"), "h1")}${c(Some("B1"), "h2")}${c(Some("C1"), "h3")}</row>""" +
+        s"""<row r="2">${c(Some("A2"), "x")}${c(None, "y")}${c(None, "z")}</row>""" +
+        s"""<row r="3">${c(None, "p")}${c(Some("C3"), "q")}</row>""" + // no-ref first cell -> A; then explicit C
+        "</sheetData></worksheet>"
+    entry("xl/workbook.xml", """<?xml version="1.0"?><workbook/>""")
+    entry("xl/worksheets/sheet1.xml", sheet)
+    zout.close()
+    val df = ExcelParser.parse(spark, p.toString, None)
+    assert(df.schema.fieldNames.toSeq == Seq("h1", "h2", "h3"))
+    val rows = df.collect().map(r => (0 until 3).map(i => Option(r.getString(i)).getOrElse("")).toList).sortBy(_.head)
+    assert(rows.toList == List(List("p", "", "q"), List("x", "y", "z")))
   }
 
   // --- dispatch (reference parser_adapter.rs / ingestion_service.rs) ---
