@@ -28,9 +28,15 @@ object JsonParser extends RecordParser {
     val cols = df.schema.fieldNames
     if (cols.sameElements(Array("_corrupt_record")) || cols.isEmpty) {
       // Top-level scalar or scalar array: re-read as json with a value wrap.
+      // globStatus (not getContentSummary) so glob paths — which the
+      // textFile read below accepts — size correctly instead of throwing.
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val size = fs.getContentSummary(hPath).getLength
+      val matched = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+      val size =
+        if (matched.isEmpty) fs.getContentSummary(hPath).getLength // preserve FileNotFound semantics
+        else matched.map(st =>
+          if (st.isDirectory) fs.getContentSummary(st.getPath).getLength else st.getLen).sum
       if (size > MaxScalarBytes)
         throw new IllegalArgumentException(
           s"json scalar fallback refuses $path: $size bytes > $MaxScalarBytes " +

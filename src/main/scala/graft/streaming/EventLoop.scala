@@ -35,6 +35,24 @@ import graft.pipeline.IngestionPipeline
   */
 final class EventLoop(pipeline: IngestionPipeline) {
 
+  /** Distinguishes this loop's dead-letter files from a peer's when
+    * several EventLoops share one dlqDir. */
+  private val loopTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** JSON string escape: backslash, quote, and ALL control chars (an S3
+    * key may legally contain newlines; an unescaped one would corrupt the
+    * dead-letter line and lose the envelope without a trace). */
+  private[streaming] def esc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** S3 event-notification envelope schema (ecs_service.rs:186-196). */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("Records", ArrayType(StructType(Seq(
@@ -88,13 +106,15 @@ final class EventLoop(pipeline: IngestionPipeline) {
     * per batch, written from the driver. */
   private def writeDeadLetters(
       spark: SparkSession, dlqDir: String, batchId: Long, failed: Seq[FileToProcess]): Unit = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val lines = failed.map(f =>
       s"""{"Records":[{"s3":{"bucket":{"name":"${esc(f.bucket)}"},"object":{"key":"${esc(f.key)}"}}}]}""")
     val dir = new org.apache.hadoop.fs.Path(dlqDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"dead-letter-batch-$batchId.json"), true)
+    // loopTag in the name: two EventLoops sharing one dlqDir (the chained
+    // redrive topology) have overlapping batchIds and must not clobber
+    // each other's dead letters.
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"dead-letter-$loopTag-batch-$batchId.json"), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }

@@ -66,6 +66,18 @@ class PipelineSpec extends SparkSpec {
     assert(merged.count() == 2)
   }
 
+  test("sink: missed listener event falls back to footer counts, not a thrown failure") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sink_spec")
+    // metricWaitSeconds = 0: the await virtually always expires before the
+    // async listener bus delivers, forcing the committed-footer fallback.
+    val sink = new ParquetSink(base.resolve("sink").toString, metricWaitSeconds = 0)
+    assert(sink.write(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"), "t") == 3)
+    // Append a second write: fallback must count only the NEW files.
+    assert(sink.write(Seq(("d", 4)).toDF("k", "v"), "t") == 1)
+    assert(spark.read.parquet(sink.tablePath("t")).count() == 4)
+  }
+
   test("audit log update of unknown id errors (log_repo.rs:74-84)") {
     val (_, _, logs, _) = freshPipeline()
     assertThrows[IngestionError.DatabaseError](

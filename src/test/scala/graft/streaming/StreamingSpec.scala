@@ -91,6 +91,22 @@ class StreamingSpec extends SparkSpec {
       Seq((bucket, "data/bad.pdf")))
   }
 
+  test("dead-letter JSON escaping survives control chars and quotes in keys") {
+    val pipeline = new IngestionPipeline(
+      new LocalFileSource("/nonexistent"), new RuleMatcher(RuleMatcher.seedRules),
+      new ParquetSink("/tmp/unused"), new ParquetLogRepository("/tmp/unused_logs"))
+    val loop = new EventLoop(pipeline)
+    assert(loop.esc("a\"b\\c") == "a\\\"b\\\\c")
+    assert(loop.esc("line1\nline2\ttab\rcr") == "line1\\u000aline2\\u0009tab\\u000dcr")
+    // Round-trip: an envelope built from a hostile key parses back intact.
+    val hostile = "dir/evil\n\"key\"\twith\rstuff.csv"
+    val line = s"""{"Records":[{"s3":{"bucket":{"name":"b"},"object":{"key":"${loop.esc(hostile)}"}}}]}"""
+    import spark.implicits._
+    val parsed = loop.parseEnvelopes(
+      spark.read.schema(loop.envelopeSchema).json(Seq(line).toDS)).collect()
+    assert(parsed.length == 1 && parsed.head.getString(1) == hostile)
+  }
+
   test("streaming hourly rollup == batch e01 on the same data") {
     val batch = graft.queries.Tables.events(spark, sf0001)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
