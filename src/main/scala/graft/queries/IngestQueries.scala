@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.domain._
 import graft.pipeline.IngestionPipeline
 import graft.rules.RuleMatcher
-import graft.sinks.{ParquetLogRepository, ParquetSink}
+import graft.sinks.{CouchDbSink, ParquetLogRepository, ParquetSink, StubCouchServer}
 import graft.sources.LocalFileSource
 
 /** End-to-end ingestion queries: each one writes the reference's own test
@@ -168,6 +168,34 @@ object IngestQueries {
         .orderBy("name")
     }),
 
+    // K1-K3 over the real wire protocol: the same CSV pipeline, but the
+    // sink POSTs `_bulk_docs` batches to a CouchDB-protocol server (an
+    // in-process stub — no egress in this environment) and the result is
+    // the server's stored docs read back. Exercises the reference's
+    // actual deployment path (couchdb/data_repo.rs:23-59) end-to-end.
+    "ing11_couchdb_wire" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft_couch")
+      val bucket = "data-ingestion-bucket"
+      val filePath = base.resolve(bucket).resolve("data").resolve("test.csv")
+      Files.createDirectories(filePath.getParent)
+      Files.writeString(filePath, csvFixture)
+      val server = new StubCouchServer
+      try {
+        val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = md5Hex)
+        val pipeline = new IngestionPipeline(
+          new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+          new CouchDbSink(server.baseUrl), logs)
+        val result = pipeline.processFile(spark, FileToProcess(bucket, "data/test.csv"))
+        require(result.rowsWritten == 3, s"wire sink reported ${result.rowsWritten} rows, expected 3")
+        // server.docs materializes on the driver, so the server can stop
+        // before the returned DataFrame is collected.
+        spark.read.json(server.docs(result.targetTable).toDS())
+          .select("name", "age", "city", "file_name", "log_id")
+          .orderBy("name")
+      } finally server.stop()
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -259,6 +287,12 @@ object IngestQueries {
 
     "ing10_excel_dsv2" ->
       """SELECT name, age FROM (VALUES ('Alice', '28'), ('Bob', '31')) t(name, age)
+        |ORDER BY name""".stripMargin,
+
+    "ing11_couchdb_wire" ->
+      s"""SELECT name, age, city, ${fn}'data/test.csv' AS file_name,
+        |  md5(${fn}'data/test.csv') AS log_id
+        |FROM (VALUES ('Bob','35','Chicago'), ('Jane','25','LA'), ('John','30','NYC')) t(name, age, city)
         |ORDER BY name""".stripMargin,
 
     "ing09_audit_log" ->

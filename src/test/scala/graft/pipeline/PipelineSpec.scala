@@ -78,6 +78,65 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(sink.tablePath("t")).count() == 4)
   }
 
+  test("couchdb wire sink: ingests through _bulk_docs with the same audit lifecycle") {
+    import graft.sinks.{CouchDbSink, StubCouchServer}
+    val server = new StubCouchServer
+    try {
+      val base = Files.createTempDirectory("couch_spec")
+      val bucket = "b"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\nB,2\n")
+      val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = fn => s"log-$fn")
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+        new CouchDbSink(server.baseUrl), logs)
+      val result = pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv"))
+      assert(result.rowsWritten == 2)
+      // docs landed in the db named after the target table, enriched
+      val docs = server.docs(result.targetTable)
+      assert(docs.size == 2)
+      assert(docs.forall(_.contains("\"log_id\"")))
+      assert(docs.forall(_.contains("\"file_name\"")))
+      // audit log closed as Success
+      val log = logs.all.find(_.logId == result.logId).get
+      assert(log.status == IngestionStatus.Success && log.endTime.isDefined)
+    } finally server.stop()
+  }
+
+  test("couchdb wire sink: HTTP failure propagates as DatabaseError, logged as Failed") {
+    import graft.sinks.{CouchDbSink, StubCouchServer}
+    val server = new StubCouchServer
+    try {
+      val base = Files.createTempDirectory("couch_fail")
+      val bucket = "b"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\n")
+      val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = fn => s"log-$fn")
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+        new CouchDbSink(server.baseUrl), logs)
+      server.failNextRequest()
+      val err = intercept[org.apache.spark.SparkException](
+        pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv")))
+      assert(err.getMessage.contains("HTTP 500") ||
+        Option(err.getCause).exists(_.getMessage.contains("HTTP 500")))
+      val log = logs.all.head
+      assert(log.status == IngestionStatus.Failed)
+    } finally server.stop()
+  }
+
+  test("couchdb wire sink: batches cap request size; all docs still arrive") {
+    import spark.implicits._
+    import graft.sinks.{CouchDbSink, StubCouchServer}
+    val server = new StubCouchServer
+    try {
+      val sink = new CouchDbSink(server.baseUrl, batchSize = 7)
+      val n = sink.write((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"), "batched")
+      assert(n == 100)
+      assert(server.docs("batched").size == 100)
+    } finally server.stop()
+  }
+
   test("audit log update of unknown id errors (log_repo.rs:74-84)") {
     val (_, _, logs, _) = freshPipeline()
     assertThrows[IngestionError.DatabaseError](
