@@ -35,6 +35,26 @@ trait DataSink {
   def write(df: DataFrame, targetTable: String): Long
 }
 
+/** One message received from a notification queue. `receiptHandle` is
+  * the token a later delete must present (SQS semantics: deleting
+  * acknowledges; an un-deleted message reappears after its visibility
+  * timeout). */
+final case class QueueMessage(body: String, receiptHandle: String)
+
+/** SQS-shaped notification queue: long-poll receive + delete-by-receipt.
+  * The reference polled SQS directly inside its service loop
+  * (reference: src/ecs_service.rs:120-127 receive, :152-165 delete);
+  * here the queue is a port so the poll loop is testable against an
+  * in-memory stub and swappable for a real SQS client. */
+trait QueueSource {
+  /** Up to `maxMessages` (SQS caps at 10), blocking up to `waitSeconds`
+    * when the queue is empty (long poll). */
+  def receive(maxMessages: Int, waitSeconds: Int): Seq[QueueMessage]
+
+  /** Acknowledges (removes) a delivered message. */
+  def delete(receiptHandle: String): Unit
+}
+
 /** Audit log. reference port: ports.rs:26-30. */
 trait LogRepository {
   def insertLog(log: IngestionLog): String

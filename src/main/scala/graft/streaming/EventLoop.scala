@@ -54,20 +54,10 @@ final class EventLoop(pipeline: IngestionPipeline) {
   }
 
   /** S3 event-notification envelope schema (ecs_service.rs:186-196). */
-  val envelopeSchema: StructType = StructType(Seq(
-    StructField("Records", ArrayType(StructType(Seq(
-      StructField("s3", StructType(Seq(
-        StructField("bucket", StructType(Seq(StructField("name", StringType)))),
-        StructField("object", StructType(Seq(StructField("key", StringType)))))))))))))
+  val envelopeSchema: StructType = EventLoop.envelopeSchema
 
   /** Parses envelope JSON lines into FileToProcess rows. */
-  def parseEnvelopes(envelopes: DataFrame): DataFrame =
-    envelopes
-      .select(explode(col("Records")).as("r"))
-      .select(
-        col("r.s3.bucket.name").as("bucket"),
-        col("r.s3.object.key").as("key"))
-      .filter(col("bucket").isNotNull && col("key").isNotNull)
+  def parseEnvelopes(envelopes: DataFrame): DataFrame = EventLoop.parseEnvelopes(envelopes)
 
   /** Starts the loop: watch `eventDir` for envelope JSON files, process
     * every referenced object. `Trigger.AvailableNow` drains-and-stops
@@ -117,6 +107,46 @@ final class EventLoop(pipeline: IngestionPipeline) {
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"dead-letter-$loopTag-batch-$batchId.json"), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+}
+
+object EventLoop {
+
+  /** S3 event-notification envelope schema (ecs_service.rs:186-196). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("Records", ArrayType(StructType(Seq(
+      StructField("s3", StructType(Seq(
+        StructField("bucket", StructType(Seq(StructField("name", StringType)))),
+        StructField("object", StructType(Seq(StructField("key", StringType)))))))))))))
+
+  /** Parses envelope JSON lines into FileToProcess rows. */
+  def parseEnvelopes(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(explode(col("Records")).as("r"))
+      .select(
+        col("r.s3.bucket.name").as("bucket"),
+        col("r.s3.object.key").as("key"))
+      .filter(col("bucket").isNotNull && col("key").isNotNull)
+
+  /** Parses a batch of raw envelope bodies (one per queue message) into
+    * per-message file lists, preserving which message each file came from
+    * (the poller acks per message). One Spark job for the whole batch;
+    * malformed bodies or records yield no files. */
+  def parseBodies(spark: SparkSession, bodies: Seq[String]): Map[Int, Seq[FileToProcess]] = {
+    import spark.implicits._
+    if (bodies.isEmpty) Map.empty
+    else {
+      val rows = bodies.zipWithIndex.toDF("body", "idx")
+        .select(col("idx"), from_json(col("body"), envelopeSchema).as("env"))
+        .select(col("idx"), explode(col("env.Records")).as("r"))
+        .select(col("idx"),
+          col("r.s3.bucket.name").as("bucket"),
+          col("r.s3.object.key").as("key"))
+        .filter(col("bucket").isNotNull && col("key").isNotNull)
+        .collect()
+      rows.groupBy(_.getInt(0)).view
+        .mapValues(_.toSeq.map(r => FileToProcess(r.getString(1), r.getString(2)))).toMap
+    }
   }
 }
 

@@ -91,6 +91,57 @@ class StreamingSpec extends SparkSpec {
       Seq((bucket, "data/bad.pdf")))
   }
 
+  test("queue poller: successes acked, failures NOT deleted and redelivered (at-least-once)") {
+    val base = Files.createTempDirectory("queue_poll")
+    val bucket = "data-ingestion-bucket"
+    Files.createDirectories(base.resolve(bucket).resolve("data"))
+    Files.writeString(base.resolve(bucket).resolve("data/ok.csv"), "name,age\nA,1\nB,2\n")
+    Files.writeString(base.resolve(bucket).resolve("data/bad.pdf"), "%PDF")
+
+    def envelope(key: String) =
+      s"""{"Records":[{"s3":{"bucket":{"name":"$bucket"},"object":{"key":"$key"}}}]}"""
+    val queue = new InMemoryQueue
+    queue.send(envelope("data/ok.csv"))
+    queue.send(envelope("data/bad.pdf"))
+
+    val sink = new ParquetSink(base.resolve("sink").toString)
+    val pipeline = new IngestionPipeline(
+      new LocalFileSource(base.toString),
+      new RuleMatcher(RuleMatcher.seedRules :+ IngestionConfigRule(".*\\.pdf$", "pdf_data")),
+      sink, new ParquetLogRepository(base.resolve("logs").toString))
+    val results = scala.collection.mutable.ListBuffer
+      .empty[Either[(FileToProcess, Throwable), IngestionPipeline#Result]]
+    val poller = new QueuePoller(queue, pipeline, waitSeconds = 0, onResult = results += _)
+
+    // Poll 1: both messages received; ok.csv acked, bad.pdf NOT deleted.
+    assert(poller.pollOnce(spark) == 2)
+    assert(queue.size == 1)
+    assert(spark.read.parquet(sink.tablePath("csv_data")).count() == 2)
+    assert(results.count(_.isRight) == 1 && results.count(_.isLeft) == 1)
+
+    // Before the visibility timeout expires the failed message is
+    // invisible; after it expires the SAME message is redelivered.
+    assert(poller.pollOnce(spark) == 0)
+    queue.redeliver()
+    assert(poller.pollOnce(spark) == 1)
+    assert(queue.size == 1) // still failing -> still queued
+    assert(results.count(_.isLeft) == 2)
+  }
+
+  test("queue poller: unparseable body is acked (retry can't fix it); run drains") {
+    val queue = new InMemoryQueue
+    queue.send("""not json at all""")
+    queue.send("""{"Records":[]}""")
+    val base = Files.createTempDirectory("queue_junk")
+    val pipeline = new IngestionPipeline(
+      new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+      new ParquetSink(base.resolve("sink").toString),
+      new ParquetLogRepository(base.resolve("logs").toString))
+    new QueuePoller(queue, pipeline, waitSeconds = 0)
+      .run(spark, maxPolls = 10, stopWhenEmpty = true)
+    assert(queue.size == 0)
+  }
+
   test("dead-letter JSON escaping survives control chars and quotes in keys") {
     val pipeline = new IngestionPipeline(
       new LocalFileSource("/nonexistent"), new RuleMatcher(RuleMatcher.seedRules),
