@@ -186,6 +186,29 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ---- n07: EXACT percentiles (nearest-rank count-and-pick) — engines'
+    // percentile()/quantile() interpolation rules differ, so the query
+    // states the definition itself: the value at sorted position
+    // ceil(p*n), found by row_number against a windowed count. One
+    // shuffle (the window partition); at 100 TB this is the same cost
+    // shape as any per-group sort — and unlike interpolating sketches it
+    // is bit-reproducible across engines and partitionings.
+    "n07_exact_percentiles" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      t(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("n")).as("n"),
+          d(max(when(expr("rn = (n + 1) div 2"), dec(col("l_quantity"))))).as("median_qty"),
+          d(max(when(expr("rn = (9 * n + 9) div 10"), dec(col("l_quantity"))))).as("p90_qty"),
+          d(max(when(expr("rn = (99 * n + 99) div 100"), dec(col("l_quantity"))))).as("p99_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- fn02: array-function parity (construction, slicing, search,
     // sort, join) — scan-local, codegen'd.
     "fn02_array_functions" -> ((spark: SparkSession, dir: String) => {
@@ -308,6 +331,19 @@ object ExtendedQueries {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
         |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "n07_exact_percentiles" ->
+      """SELECT l_returnflag, MAX(n) AS n,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS median_qty,
+        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS p90_qty,
+        |  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS p99_qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "fn02_array_functions" ->

@@ -62,6 +62,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan("dd04_lsh_candidates").contains("CartesianProduct"))
   }
 
+  test("q21: EXISTS/NOT-EXISTS double correlation runs as semi + anti equi-joins") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), "EXISTS must lower to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must lower to an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlations must stay key-equi joins")
+  }
+
+  test("q08: part/supplier/nation/region broadcast; no cartesian") {
+    val p = plan("q08_market_share")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q15/q20: aggregate-first then broadcast the dim onto the small side") {
+    val p15 = plan("q15_top_supplier")
+    assert(p15.contains("BroadcastHashJoin"), "supplier dim joins the tiny aggregate by broadcast")
+    val p20 = plan("q20_dominant_suppliers")
+    assert(p20.contains("LeftSemi"), "dominant-supplier membership is a semi join")
+    assert(!p20.contains("CartesianProduct"))
+  }
+
   test("q01: aggregation is two-phase (map-side partial before exchange)") {
     val p = plan("q01_pricing_summary")
     val aggCount = "HashAggregate".r.findAllIn(p).size
