@@ -65,6 +65,79 @@ object Graph {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (the MapReduce CC method of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round every node hooks its
+    * larger neighbors (large-star), then its smaller neighbors
+    * (small-star), onto the minimum of its neighborhood. The edge set
+    * collapses toward min-rooted stars in O(log n) rounds REGARDLESS of
+    * graph diameter — use this instead of [[connectedComponents]] when
+    * the graph can be long-chained (general graph analytics); min-label
+    * propagation stays the cheaper choice for the shallow similarity
+    * clusters dedup produces (1 shuffle per round vs 2, and diameter ≈ 2
+    * there).
+    *
+    * Same contract as [[connectedComponents]]: (id, component) for every
+    * endpoint id, component = min reachable id; deterministic fixpoint.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
+    // Every endpoint id must get a label (contract parity with
+    // connectedComponents) — self-pairs drop out of the edge set but
+    // their ids still label themselves.
+    val allIds = pairs.select(col(srcCol).as("id"))
+      .union(pairs.select(col(dstCol).as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // same lineage-truncation rationale as above
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: for each u over the SYMMETRIC neighborhood, hook every
+      // strictly larger neighbor v to m(u) = min(N(u) ∪ {u}).
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("u"), col("b").as("v"))
+      val mU = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = sym.join(mU, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")) // a > b by construction
+        .distinct()
+      // SMALL-STAR: edges now point high -> low; for each u hook all its
+      // smaller neighbors (and u itself) to the minimum one.
+      val mSmall = afterLarge.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val afterSmall = afterLarge
+        .join(mSmall, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .union(mSmall.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      // Fixpoint: the directed edge set stopped changing.
+      val changed = afterSmall.union(edges).except(afterSmall.intersect(edges)).count()
+      edges = afterSmall
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "O(log n) bound exceeded; raise maxIter")
+    // Fixpoint edges are min-rooted stars: every node points at its
+    // component min. Roots appear only on the b side; ids with no
+    // surviving edge (self-pairs) label themselves.
+    val starLabels = edges.select(col("a").as("id"), col("b").as("component"))
+      .union(edges.select(col("b").as("id"), col("b").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    allIds.join(starLabels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Cluster summary: one row per component with its size and member id
     * range. The keeper for "keep one per cluster" is min_id, which by
     * construction equals the component label. */

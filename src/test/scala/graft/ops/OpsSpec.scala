@@ -141,6 +141,31 @@ class OpsSpec extends SparkSpec {
     assert(summary == Map(0L -> 4L, 10L -> 2L, 20L -> 2L))
   }
 
+  test("graph: large-star/small-star CC converges in O(log n) rounds on a deep path") {
+    import spark.implicits._
+    // A 257-node path (diameter 256): min-label propagation needs ~256
+    // rounds; star CC must finish in O(log n) — maxIter = 12 proves it
+    // (2^12 >> 257, while 12 << 256 rules out diameter-bound behavior).
+    val path = (0L until 256L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Graph.connectedComponentsStar(path, "a", "b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 257)
+    assert(cc.values.forall(_ == 0L), "single component rooted at the min id")
+  }
+
+  test("graph: star CC matches propagation CC on random graphs (+ self-pairs)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42) // fixed seed: deterministic spec
+    val edges = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong)) :+ (200L, 200L)
+    val pairs = edges.toDF("a", "b")
+    val star = Graph.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Graph.connectedComponents(pairs, "a", "b", maxIter = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star(200L) == 200L, "self-pair id labels itself")
+  }
+
   test("aggregation: HLL approx distinct within bounded error of exact counts") {
     // approx_count_distinct at rsd=0.02: assert within 10% (5 sigma) of
     // dist01's exact counts. Sketches can't hash-match a DuckDB oracle,
