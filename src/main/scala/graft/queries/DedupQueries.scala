@@ -84,6 +84,24 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // ---- dd09: dedup RETENTION policy — every document gets a
+    // keep/drop decision: CC-cluster members keep only the min-id
+    // canonical doc; docs outside any near-dup pair keep themselves.
+    // This is the operator a pipeline actually runs after dd04/dd07 —
+    // the cluster labels join back to the corpus (left_outer on the
+    // tiny label relation) and `keep` falls out as id == component.
+    "dd09_canonical_keep" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
+      val cc = graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      docs.select(col("doc_id"))
+        .join(cc, docs("doc_id") === cc("id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("keep", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dd08: embedding-cosine near-dup — IVF-bucketed (nearest of 16
     // fixed centroids), pairs scored ONLY within a bucket: the candidate
     // set shrinks ~16x vs all-pairs while high-cosine pairs stay
@@ -198,6 +216,32 @@ object DedupQueries {
         |  UNION
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
         |SELECT id, MIN(label) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dd09_canonical_keep" ->
+      s"""WITH RECURSIVE sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM documents),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, concat_ws('_', ${(b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(", ")}) AS band_sig FROM sig")
+             .mkString("\n  UNION ALL\n  ")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION SELECT doc_b, doc_a FROM cand),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+        |cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component,
+        |  d.doc_id = COALESCE(cc.component, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+        |ORDER BY doc_id""".stripMargin,
 
     "dd08_embedding_neardup" -> {
       val cos = (a: String, b: String) =>

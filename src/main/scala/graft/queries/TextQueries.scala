@@ -83,6 +83,53 @@ object TextQueries {
         .filter(col("rk") <= 5)
         .select(col("lang"), col("rk"), col("bigram"), col("n"))
         .orderBy("lang", "rk")
+    }),
+
+    // ---- t07: TF-IDF-style salient terms — top-2 terms per doc by
+    // tf * N / df. The idf is kept as an exact-integer ratio divided in
+    // IEEE doubles (ln() differs across libm implementations by ulps; a
+    // monotone transform changes no ranking, so the engine skips it).
+    // df comes from a window COUNT over the tf relation — no self-join,
+    // no recompute; two shuffles total ((doc,term) then term).
+    "t07_tfidf_top_terms" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(words).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val termW = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+      tf.withColumn("df", count(lit(1)).over(termW))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") <= 2)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // ---- samp01: deterministic balanced downsampling — every language
+    // stratum is cut to the size of the smallest one, picking rows by
+    // md5-hash order (pseudorandom but engine-identical and reproducible
+    // run-to-run; at 100 TB reproducible sampling is the difference
+    // between a debuggable training set and an unexplainable one). One
+    // window shuffle per stratum, no collect.
+    "samp01_balanced_sample" -> ((spark: SparkSession, dir: String) => {
+      val langW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      val pickW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))), col("doc_id"))
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("n", count(lit(1)).over(langW))
+        .withColumn("min_n",
+          min(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("rk", row_number().over(pickW))
+        .filter(col("rk") <= col("min_n"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +144,33 @@ object TextQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
         |  FROM counts)
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "t07_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |wd AS (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM wd CROSS JOIN n)
+        |SELECT doc_id, rk, term, tf, df, score FROM (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM sc)
+        |WHERE rk <= 2 ORDER BY doc_id, rk""".stripMargin,
+
+    "samp01_balanced_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang, rk, MIN(n) OVER () AS min_n FROM d)
+        |SELECT doc_id, lang FROM m WHERE rk <= min_n ORDER BY doc_id""".stripMargin,
+
     "t01_doc_stats" ->
       """SELECT doc_id, lang, source,
         |  length(text) AS n_chars_actual,
