@@ -167,4 +167,19 @@ object StreamingAggregations {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** dd01's streaming twin: exact content dedup as documents ARRIVE —
+    * fingerprint (md5, same family the batch dedup uses) + state-store
+    * dedup bounded by the event-time watermark
+    * (dropDuplicatesWithinWatermark): a duplicate arriving within the
+    * window is dropped, state older than the watermark is evicted, so
+    * state is O(docs per window), never O(corpus). The batch pass (dd01)
+    * remains the backstop for duplicates farther apart than the window —
+    * the standard streaming/batch dedup split at ingest scale. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

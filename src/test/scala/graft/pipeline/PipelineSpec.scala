@@ -137,6 +137,18 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("sink factory mirrors the reference's DATABASE_TYPE selection") {
+    import graft.sinks.{CouchDbSink, SinkFactory}
+    val dir = Files.createTempDirectory("factory").toString
+    assert(SinkFactory.fromEnv(Map("DATABASE_TYPE" -> "couchdb"), dir).isInstanceOf[CouchDbSink])
+    // mongodb, documentdb, unset, and unknown all fall through like the
+    // reference's match arm (stand-in here, Mongo there)
+    Seq(Map("DATABASE_TYPE" -> "mongodb"), Map("DATABASE_TYPE" -> "documentdb"),
+      Map.empty[String, String], Map("DATABASE_TYPE" -> "weird")).foreach { env =>
+      assert(SinkFactory.fromEnv(env, dir).isInstanceOf[ParquetSink])
+    }
+  }
+
   test("audit log update of unknown id errors (log_repo.rs:74-84)") {
     val (_, _, logs, _) = freshPipeline()
     assertThrows[IngestionError.DatabaseError](

@@ -187,4 +187,30 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
     assert(streamed.size >= batch.size - 3)
   }
+
+  test("streaming exact dedup: duplicates within the watermark are dropped") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("stream_dedup")
+    // two distinct texts, each sent 3 times across close timestamps
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "alpha beta"),
+      (2L, "2024-01-01 10:00:10", "gamma delta"),
+      (3L, "2024-01-01 10:00:20", "alpha beta"),
+      (4L, "2024-01-01 10:00:30", "gamma delta"),
+      (5L, "2024-01-01 10:00:40", "alpha beta"))
+      .toDF("doc_id", "ts_s", "text")
+      .select(col("doc_id"), col("ts_s").cast("timestamp").as("ts"), col("text"))
+    rows.write.parquet(base.resolve("in").toString)
+    val stream = spark.readStream.schema(rows.schema).parquet(base.resolve("in").toString)
+    val q = StreamingAggregations.streamingExactDedup(stream, "ts", "text").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .format("memory").queryName("dedup_spec")
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_spec").select("doc_id", "text").collect()
+    assert(out.length == 2, s"expected 2 unique docs, got ${out.length}")
+    assert(out.map(_.getString(1)).toSet == Set("alpha beta", "gamma delta"))
+  }
 }
