@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Training-data curation operators — the pipeline stages a pre-training
+  * corpus passes through after dedup (graft.ops.Dedup) and quality stats
+  * (graft.ops.TextAnalysis): PII redaction, deterministic dataset splits,
+  * weighted source mixing, repetition filters, benchmark-contamination
+  * screening, sequence packing, and embedding quantization.
+  *
+  * Reference scope note: the reference ETL (ingestion_service.rs:45-127)
+  * stops at parse->enrich->store; everything here is the beyond-reference
+  * surface the builder prompt asks for, designed Spark-first.
+  *
+  * Scale notes (100 TB):
+  *  - pii01/split01/samp02/pack01/quant01 are scan-local projections or a
+  *    single keyed window — no joins, no driver state; they run at scan
+  *    throughput on any number of executors.
+  *  - qf01 aggregates (doc, bigram) then doc — two map-side-combinable
+  *    shuffles keyed by doc_id, never by a global key.
+  *  - cont01 joins the corpus n-gram stream against a DISTINCT benchmark
+  *    gram set, broadcast (benchmarks are ~1e4 docs even at corpus scale
+  *    of 1e10) — the canonical decontamination inverted-index shape; the
+  *    corpus side never shuffles.
+  *
+  * Determinism: hash buckets are md5-derived (identical across engines,
+  * runs, and partitionings — reproducible splits/samples are what make a
+  * 100 TB training set auditable); ratios are IEEE double divisions of
+  * exact integers; squared errors use explicit multiplication (pow() is
+  * libm-dependent); DuckDB window SUMs are CAST to BIGINT (HUGEINT trap).
+  */
+object CurationQueries {
+
+  private val words = split(col("text"), " ")
+
+  // Java-regex and RE2-compatible PII patterns: plain character classes,
+  // no lookaround, no backreferences (the RE2 subset both engines share).
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  private val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  private val AnyPiiRe = s"$EmailRe|$PhoneRe|$IpRe"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- pii01: PII detect + redact. The corpus is synthetic word salad
+    // with no digits, so the query first stamps a deterministic contact
+    // string per doc (a fixture, like mm01's fake payloads) and then runs
+    // the real operator: regexp_count per PII class + one-pass redaction.
+    // Pure codegen'd projection, zero shuffle.
+    "pii01_redact" -> ((spark: SparkSession, dir: String) => {
+      val contact = when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.org")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(lit(""))
+      t(spark, dir, "documents")
+        .withColumn("record", concat(col("text"), contact))
+        .select(col("doc_id"),
+          regexp_count(col("record"), lit(EmailRe)).as("n_email"),
+          regexp_count(col("record"), lit(PhoneRe)).as("n_phone"),
+          regexp_count(col("record"), lit(IpRe)).as("n_ip"),
+          regexp_replace(col("record"), AnyPiiRe, "[PII]").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- split01: deterministic train/val/test split — md5 bucket in
+    // [0,100): <80 train, <90 val, else test. Content-independent and
+    // stable under repartitioning/re-runs, so the same doc lands in the
+    // same split on every engine at every scale.
+    "split01_hash_split" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- split02: split sizes by (split, lang) — the sanity report every
+    // split job emits. Map-side-combinable groupBy, one shuffle.
+    "split02_split_sizes" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+
+    // ---- samp02: weighted source mixing — each source keeps a configured
+    // fraction of docs (domain-mixture weights, the knob every pre-training
+    // recipe tunes), selected by md5 bucket so the sample is reproducible.
+    // Integer threshold compare (no float rate math), scan-local.
+    "samp02_weighted_mix" -> ((spark: SparkSession, dir: String) => {
+      val srcNum = substring(col("source"), 4, 6).cast("int")
+      val thr = when(srcNum % 4 === 0, lit(10000)) // keep all
+        .when(srcNum % 4 === 1, lit(5000)) //  1/2
+        .when(srcNum % 4 === 2, lit(2500)) //  1/4
+        .otherwise(lit(1000)) //                1/10
+      t(spark, dir, "documents")
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 10000"))
+        .filter(col("bucket") < thr)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- qf01: Gopher-style repetition filters — top-bigram fraction and
+    // duplicate-word fraction per doc, with the flag a curation pass would
+    // drop on. Two doc_id-keyed aggregations joined doc-to-doc.
+    "qf01_repetition_filter" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      val wordStats = docs.select(col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_uniq"))
+      val bigrams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+        .as("bigram"))
+      val bigramStats = bigrams
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_n"), sum(col("n")).as("total_bigrams"))
+      wordStats.join(bigramStats, "doc_id")
+        .withColumn("top_bigram_frac",
+          col("top_n").cast("double") / col("total_bigrams").cast("double"))
+        .withColumn("dup_word_frac",
+          (col("n_words") - col("n_uniq")).cast("double") / col("n_words").cast("double"))
+        .withColumn("flagged",
+          col("top_bigram_frac") >= 0.07 || col("dup_word_frac") >= 0.65)
+        .select(col("doc_id"), col("n_words"), col("top_n"),
+          col("top_bigram_frac"), col("dup_word_frac"), col("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- cont01: benchmark-contamination screen — 4-gram overlap between
+    // the corpus and a held-out benchmark set (here: doc_id % 97 == 0).
+    // The benchmark gram set is DISTINCT'd and broadcast; the corpus side
+    // streams through the join without shuffling — at 100 TB the corpus
+    // never moves, only the (small) benchmark grams do.
+    "cont01_contamination" -> ((spark: SparkSession, dir: String) => {
+      val grams = t(spark, dir, "documents")
+        .filter(size(words) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 3), i -> array_join(slice(split(text, ' '), i, 4), ' '))"))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_hit_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- pack01: sequence packing — concatenate each language's token
+    // stream in doc_id order and chop into fixed 512-token windows; each
+    // doc reports the bin it starts in and its offset within the bin
+    // (exactly how pre-training examples are packed into context windows).
+    // One window shuffle keyed by lang; integer division end to end.
+    "pack01_sequence_packing" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(words).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 512"))
+        .withColumn("bin_offset", expr("(cum - n_tokens) % 512"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"), col("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quant01: int8 symmetric embedding quantization — per-vector
+    // scale = max|x|/127, q_i = floor(x_i * 127 / max|x|), plus the
+    // reconstruction MSE the quantizer reports. Scan-local array math in
+    // doubles; squared error via explicit multiply (pow() differs by ulps
+    // across libm builds), in-order aggregate fold (matches list_sum).
+    "quant01_int8_embeddings" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "embeddings")
+        .withColumn("max_abs", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .withColumn("scale", col("max_abs") / lit(127.0))
+        .withColumn("mse", expr(
+          """aggregate(embedding, cast(0.0 as double),
+            |  (acc, x) -> acc + (cast(x as double) - floor(cast(x as double) * 127.0 / max_abs) * (max_abs / 127.0))
+            |                  * (cast(x as double) - floor(cast(x as double) * 127.0 / max_abs) * (max_abs / 127.0)))
+            |/ cast(size(embedding) as double)""".stripMargin))
+        .select(col("vec_id"), col("label"), col("max_abs"), col("scale"), col("mse"))
+        .orderBy("vec_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "pii01_redact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org'
+         |         WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         |         WHEN doc_id % 4 = 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |         ELSE '' END AS record
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(record, '$EmailRe')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(record, '$PhoneRe')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(record, '$IpRe')) AS INT) AS n_ip,
+         |  regexp_replace(record, '$AnyPiiRe', '[PII]', 'g') AS redacted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "split01_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "split02_split_sizes" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, lang, COUNT(*) AS n_docs FROM s GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+
+    "samp02_weighted_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, lang,
+        |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 AS bucket,
+        |    CASE CAST(substr(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500 ELSE 1000 END AS thr
+        |  FROM documents)
+        |SELECT doc_id, source, lang FROM b WHERE bucket < thr ORDER BY doc_id""".stripMargin,
+
+    "qf01_repetition_filter" ->
+      """WITH ws AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, MAX(n) AS top_n, CAST(SUM(n) AS BIGINT) AS total_bigrams FROM
+        |    (SELECT doc_id, bigram, COUNT(*) AS n FROM g GROUP BY doc_id, bigram)
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT ws.doc_id AS doc_id, n_words, top_n,
+        |    CAST(top_n AS DOUBLE) / CAST(total_bigrams AS DOUBLE) AS top_bigram_frac,
+        |    CAST(n_words - n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac
+        |  FROM ws JOIN bg ON ws.doc_id = bg.doc_id)
+        |SELECT doc_id, n_words, top_n, top_bigram_frac, dup_word_frac,
+        |  (top_bigram_frac >= 0.07 OR dup_word_frac >= 0.65) AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "cont01_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gram
+        |  FROM documents)
+        |SELECT c.doc_id AS doc_id, COUNT(DISTINCT c.gram) AS n_hit_grams
+        |FROM g c JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b ON c.gram = b.gram
+        |WHERE c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pack01_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM tok)
+        |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS bin,
+        |  (cum - n_tokens) % 512 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "quant01_int8_embeddings" ->
+      """WITH m AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings)
+        |SELECT vec_id, label, max_abs, max_abs / 127.0 AS scale,
+        |  list_sum(list_transform(embedding,
+        |    x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / max_abs) * (max_abs / 127.0))
+        |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / max_abs) * (max_abs / 127.0))))
+        |  / CAST(len(embedding) AS DOUBLE) AS mse
+        |FROM m ORDER BY vec_id""".stripMargin,
+  )
+}
