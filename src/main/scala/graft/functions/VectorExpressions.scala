@@ -192,6 +192,21 @@ object VectorFunctions {
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vector_cosine",
       exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("simhash_bits",
+      exprs => SimhashBits(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("shingles",
+      exprs => Shingles(exprs.head, litInt(exprs, 1)), "built-in")
+    registry.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs.head, litInt(exprs, 1)), "built-in")
+    registry.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinhashSig(exprs.head, litInt(exprs, 1)), "built-in")
+  }
+
+  /** The shingle/minhash kernels take their width as a literal int. */
+  private def litInt(exprs: Seq[Expression], i: Int): Int = exprs(i) match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"argument ${i + 1} must be a literal int, got $other")
   }
 
   def vectorDot(spark: SparkSession, a: Column, b: Column): Column = {

@@ -23,7 +23,6 @@ import Tables._
 object DedupQueries {
 
   import graft.ops.Dedup
-  private val shinglesExpr = Dedup.shinglesExpr("text")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dd01: exact dedup via content hash. Keeper = min doc_id.
@@ -36,8 +35,9 @@ object DedupQueries {
     // (doc_id % 50 == 0) via shingle-inverted-index join — the exact
     // verifier used downstream of LSH candidates.
     "dd02_ngram_jaccard" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
       val docs = t(spark, dir, "documents").filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+        .select(col("doc_id"), call_function("shingles", col("text"), lit(8)).as("shingles"))
       val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
       val inv = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       val pairs = inv.as("a").join(inv.as("b"),
