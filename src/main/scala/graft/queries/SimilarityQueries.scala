@@ -88,6 +88,43 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // ---- sim04: quantized-prefilter ANN — stage 1 scores every candidate
+    // with the int8 asymmetric dot product (integer arithmetic on
+    // floor-quantized codes: EXACT in both engines, no float-order
+    // concerns) and keeps the top-30 per query; stage 2 reranks only the
+    // survivors with the exact double cosine. At 100 TB stage 1 is the
+    // memory-bandwidth win: the scan reads 4x fewer bytes per vector and
+    // the exact kernel touches 30 rows per query instead of the corpus.
+    "sim04_quantized_rerank" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      def quantized(idAs: String, embAs: String, qAs: String, sAs: String) = emb
+        .withColumn("mx", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .select(col("vec_id").as(idAs), col("embedding").as(embAs), col("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 127.0 / mx) as double))").as(qAs),
+          (col("mx") / lit(127.0)).as(sAs))
+      val q = quantized("q_id", "q_emb", "qa", "sa").filter(col("q_id") < 8)
+        .drop("label")
+      val c = quantized("c_id", "c_emb", "qc", "sc")
+      val approx = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), col("label"), col("q_emb"), col("c_emb"),
+          // no round(): the int8 dot is an exact integer in a double and
+          // the scale product is the same two IEEE multiplies in both
+          // engines, so the raw value is already bit-identical
+          expr("vector_dot(qa, qc) * (sa * sc)").as("approx"))
+      val preW = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("c_id").asc)
+      val survivors = approx.withColumn("prk", row_number().over(preW))
+        .filter(col("prk") <= 30)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+      survivors
+        .select(col("q_id"), col("c_id"), col("label"), col("approx"),
+          expr(cosExpr("q_emb", "c_emb")).as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("approx"), col("cosine"))
+        .orderBy("q_id", "rk")
+    }),
+
     // ---- sim03: pairwise label-centroid similarity — mean vector per
     // label (exact elementwise mean via posexplode + group), then cosine
     // between label centroids. Demonstrates vector aggregation.
@@ -148,6 +185,36 @@ object SimilarityQueries {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM scored)
         |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+
+    "sim04_quantized_rerank" ->
+      s"""WITH m AS (
+        |  SELECT vec_id, embedding, label,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding, label,
+        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / mx)) AS qa,
+        |    mx / 127.0 AS s
+        |  FROM m),
+        |ap AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+        |    q.embedding AS q_emb, c.embedding AS c_emb,
+        |    list_sum(list_transform(list_zip(q.qa, c.qa), p -> p[1] * p[2])) * (q.s * c.s) AS approx
+        |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8),
+        |sv AS (
+        |  SELECT q_id, c_id, label, q_emb, c_emb, approx,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx DESC, c_id) AS prk
+        |  FROM ap),
+        |rr AS (
+        |  SELECT q_id, c_id, label, approx, ${cosSql("q_emb", "c_emb")} AS cosine
+        |  FROM sv WHERE prk <= 30),
+        |rk AS (
+        |  SELECT q_id, c_id, label, approx, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM rr)
+        |SELECT q_id, rk, c_id, label, approx, cosine FROM rk WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
 
     "sim03_label_centroids" ->
       """WITH by_dim AS (
