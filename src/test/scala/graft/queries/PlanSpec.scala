@@ -90,6 +90,31 @@ class PlanSpec extends SparkSpec {
     assert(aggCount >= 2, s"expected partial+final HashAggregate, got $aggCount")
   }
 
+  test("dd03/dd05: sketch scans run on the native kernels, not interpreted HOF chains") {
+    val p3 = plan("dd03_minhash_signatures")
+    assert(p3.contains("shingle_hashes") && p3.contains("minhash_sig"),
+      "signature scan must use the fused kernels")
+    assert(!p3.contains("array_min(transform"), "no per-hash re-walks")
+    val p5 = plan("dd05_simhash")
+    assert(p5.contains("simhash_bits"), "simhash scan must use the fused bit-vote kernel")
+    assert(!p5.contains("aggregate(transform"), "no per-bit re-walks")
+  }
+
+  test("dd06: Hamming bound is evaluated inside the pigeonhole join") {
+    val p = plan("dd06_simhash_near_pairs")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).orElse(
+      p.linesIterator.find(_.contains("HashJoin")))
+    assert(joinLine.exists(_.contains("bit_count")),
+      s"hamming filter must run in the join, got: $joinLine")
+  }
+
+  test("sim04: both ranking stages prune via WindowGroupLimit") {
+    val p = plan("sim04_quantized_rerank")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "top-30 prefilter and top-10 rerank must both group-limit before their windows")
+    assert(p.contains("vector_dot") && p.contains("vector_cosine"))
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
