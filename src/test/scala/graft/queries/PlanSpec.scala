@@ -102,10 +102,15 @@ class PlanSpec extends SparkSpec {
 
   test("dd06: Hamming bound is evaluated inside the pigeonhole join") {
     val p = plan("dd06_simhash_near_pairs")
-    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).orElse(
-      p.linesIterator.find(_.contains("HashJoin")))
-    assert(joinLine.exists(_.contains("bit_count")),
-      s"hamming filter must run in the join, got: $joinLine")
+    // In formatted mode the tree line carries no condition; the join's
+    // detail block does ("Join condition: ... bit_count ...").
+    val condLine = p.linesIterator.find(_.startsWith("Join condition:"))
+    assert(condLine.exists(_.contains("bit_count")),
+      s"hamming filter must run in the join condition, got: $condLine")
+    // And no post-join Filter re-applies the bound.
+    val filterConds = p.linesIterator.filter(_.startsWith("Condition :"))
+    assert(!filterConds.exists(_.contains("bit_count")),
+      "hamming bound must not run as a post-join Filter")
   }
 
   test("sim04: both ranking stages prune via WindowGroupLimit") {
