@@ -53,13 +53,35 @@ object Bench {
       name -> best
     }.toMap
     val loadAfter = load1()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rc = runCounts.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.2f"
+    def qmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$rc,"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file; stdout gets ONE short JSON
+    // line. The driver keeps only the LAST 2000 chars of stdout (minus
+    // sbt's ~90-char "[success]" trailer), so the printed line must stay
+    // well under that or it is truncated head-first and never parses —
+    // rounds 1-3 all recorded "parsed": null for exactly this reason.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":${qmap(results.toSeq.sortBy(_._1))},""" +
+      s""""runs":${runCounts.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+      s""""load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    // Slowest queries only, biggest first, until the line nears the cap.
+    val budget = 1600
+    val slowest = results.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir","queries":"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 2
+    slowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (len + e.length + 1 < budget) { entries += e; len += e.length + 1 }
+    }
+    println(head + entries.mkString("{", ",", "}") + "}")
     spark.stop()
   }
 }

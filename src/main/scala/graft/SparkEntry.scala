@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ IngestQueries.defs ++ ExtendedQueries.defs ++
-      TemporalQueries.defs ++ TpchDeepQueries.defs ++ CurationQueries.defs
+      TemporalQueries.defs ++ TpchDeepQueries.defs ++ CurationQueries.defs ++
+      ClusteringQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ WindowQueries.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ IngestQueries.oracles ++ ExtendedQueries.oracles ++
-      TemporalQueries.oracles ++ TpchDeepQueries.oracles ++ CurationQueries.oracles
+      TemporalQueries.oracles ++ TpchDeepQueries.oracles ++ CurationQueries.oracles ++
+      ClusteringQueries.oracles
 }

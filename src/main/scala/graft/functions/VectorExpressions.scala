@@ -200,6 +200,17 @@ object VectorFunctions {
       exprs => ShingleHashes(exprs.head, litInt(exprs, 1)), "built-in")
     registry.createOrReplaceTempFunction("minhash_sig",
       exprs => MinhashSig(exprs.head, litInt(exprs, 1)), "built-in")
+    // Spark ships Bloom-filter expressions for its own runtime join
+    // pruning but does not expose them in SQL; register them so corpus
+    // screens (cont02) can build/probe a filter without UDFs or driver
+    // state: bloom_agg(hash, n_items) -> binary, bloom_contains(bloom,
+    // hash) -> boolean (bloom side must be a constant/scalar subquery).
+    registry.createOrReplaceTempFunction("bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head, exprs(1)), "built-in")
   }
 
   /** The shingle/minhash kernels take their width as a literal int. */

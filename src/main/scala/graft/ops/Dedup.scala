@@ -57,22 +57,87 @@ object Dedup {
       .select(col(idCol) +: (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** (id, band, band_sig) relation: each doc's MinHash signature split
+    * into `bands` row-groups, each concatenated into one join key. This
+    * is the unit of LSH blocking — docs sharing any (band, band_sig) are
+    * near-dup candidates. Exposed so cross-corpus flows (a new batch vs
+    * an existing corpus, dd12) can band each side independently and
+    * equi-join, instead of self-joining one combined relation. */
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
+    sigs.select(col(idCol), posexplode(array((0 until bands).map(b =>
+        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"mh$r")): _*)): _*))
+      .as(Seq("band", "band_sig")))
+  }
+
   /** LSH candidate pairs from banded signatures (bands x rowsPerBand = k).
     * The band relation is eagerly localCheckpoint'd: both sides of the
     * self-join read the materialized partitions (a plain cache() would pin
     * storage for the session with no release point for callers). */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
-    val bandRel = sigs.select(col(idCol), posexplode(array((0 until bands).map(b =>
-        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"mh$r")): _*)): _*))
-        .as(Seq("band", "band_sig")))
+    val bandRel = bandSignatures(df, idCol, textCol, bands, rowsPerBand)
       .localCheckpoint(true)
     bandRel.as("x").join(bandRel.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
       .distinct()
+  }
+
+  /** Position-level k-token span hashes — one row per token position,
+    * hashing the k-token window starting there. This is the substring-
+    * granularity dedup primitive (duplicated LONG SPANS between otherwise
+    * distinct documents drive memorization; whole-doc similarity misses
+    * them — cf. "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, the suffix-array ExactSubstr method this
+    * approximates with fixed-k windows). */
+  def spanHashes(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+    df.filter(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(split($textCol, ' ')) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(split($textCol, ' '), i, $k))))")).as("span_hash"))
+
+  /** Per-doc duplicated-span stats: n_spans, how many of them also occur
+    * in ANOTHER doc, and the covered fraction. Single scan, two shuffles
+    * (window keyed by span_hash, then groupBy doc) — a span is cross-doc
+    * duplicated iff min(id) != max(id) over its hash partition, so no
+    * join against a shared-span relation and no re-scan of the corpus. */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("span_hash")
+    spanHashes(df, idCol, textCol, k)
+      .withColumn("__dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("__dup"), lit(1))).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** Flags each batch doc against an existing corpus — the incremental-
+    * ingestion shape: at 100 TB you never re-dedup the whole corpus when
+    * a new crawl lands; you test the batch against the corpus's content
+    * fingerprints and LSH band keys (both precomputable artifacts — the
+    * corpus side here reduces to DISTINCT fp / DISTINCT (band, band_sig)
+    * relations, which a production pipeline would persist and reuse).
+    * Output: one row per batch doc with exact_dup / near_dup / keep. */
+  def incrementalDedupFlags(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusFp = corpus.select(md5(col(textCol)).as("fp")).distinct()
+    val corpusBands = bandSignatures(corpus, idCol, textCol)
+      .select(col("band"), col("band_sig")).distinct()
+    val nearIds = bandSignatures(batch, idCol, textCol)
+      .join(corpusBands, Seq("band", "band_sig"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__near", lit(1))
+    batch.select(col(idCol), md5(col(textCol)).as("fp"))
+      .join(corpusFp.withColumn("__exact", lit(1)), Seq("fp"), "left_outer")
+      .join(nearIds, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        col("__exact").isNotNull.as("exact_dup"),
+        col("__near").isNotNull.as("near_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
   }
 
   /** Exact n-gram Jaccard for given (doc_a, doc_b) pairs — the verify

@@ -162,6 +162,34 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- cont02: the same contamination screen with a BLOOM PREFILTER —
+    // the 100 TB shape: a bloom filter over the benchmark gram hashes
+    // (built by Spark's own BloomFilterAggregate, registered as bloom_agg
+    // since Spark keeps it SQL-internal) screens the corpus gram stream
+    // BEFORE any join, so at scale ~99% of corpus grams die in the scan's
+    // codegen stage; only bloom survivors reach the exact semi-join that
+    // removes false positives. Result is therefore EXACTLY cont01's
+    // semantics — the oracle is the plain exact SQL.
+    "cont02_bloom_contamination" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      t(spark, dir, "documents").createOrReplaceTempView("graft_cont02_docs")
+      spark.sql(
+        """WITH g AS (
+          |  SELECT doc_id, gram,
+          |         cast(conv(substr(md5(gram), 1, 8), 16, 10) as bigint) AS h
+          |  FROM (SELECT doc_id,
+          |          explode(transform(sequence(1, size(split(text, ' ')) - 3),
+          |            i -> array_join(slice(split(text, ' '), i, 4), ' '))) AS gram
+          |        FROM graft_cont02_docs WHERE size(split(text, ' ')) >= 4)),
+          |bench AS (SELECT DISTINCT gram, h FROM g WHERE doc_id % 97 = 0)
+          |SELECT c.doc_id, count(DISTINCT c.gram) AS n_hit_grams
+          |FROM g c
+          |WHERE c.doc_id % 97 <> 0
+          |  AND bloom_contains((SELECT bloom_agg(h, CAST(16384 AS BIGINT)) FROM bench), c.h)
+          |  AND c.gram IN (SELECT gram FROM bench)
+          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- pack01: sequence packing — concatenate each language's token
     // stream in doc_id order and chop into fixed 512-token windows; each
     // doc reports the bin it starts in and its offset within the bin
@@ -265,6 +293,19 @@ object CurationQueries {
         |FROM j ORDER BY doc_id""".stripMargin,
 
     "cont01_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gram
+        |  FROM documents)
+        |SELECT c.doc_id AS doc_id, COUNT(DISTINCT c.gram) AS n_hit_grams
+        |FROM g c JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b ON c.gram = b.gram
+        |WHERE c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact semantics — the bloom stage is a superset prefilter whose
+    // false positives are removed by the exact semi-join, so the oracle
+    // is the same exact SQL as cont01.
+    "cont02_bloom_contamination" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
         |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gram

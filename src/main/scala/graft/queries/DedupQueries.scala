@@ -137,6 +137,32 @@ object DedupQueries {
       Dedup.simhashNearPairs(t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // ---- dd10: substring-level duplicate-SPAN coverage — per doc, the
+    // fraction of its 8-token windows that also occur verbatim in some
+    // OTHER doc (the fixed-k approximation of suffix-array ExactSubstr
+    // dedup; whole-doc measures like dd02-dd06 miss a copied paragraph
+    // inside an otherwise unique page). Single corpus scan; cross-doc
+    // sharing detected with min!=max over the span-hash window, so no
+    // shared-span join and no second scan.
+    "dd10_span_coverage" -> ((spark: SparkSession, dir: String) => {
+      Dedup.duplicateSpanStats(t(spark, dir, "documents"), "doc_id", "text", k = 8)
+        .filter(col("n_dup_spans") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- dd12: INCREMENTAL dedup — a new batch (doc_id % 10 = 7) tested
+    // against the existing corpus (the rest): exact content-hash hit,
+    // LSH-band near-dup candidacy, and the keep decision. The corpus side
+    // collapses to DISTINCT fp / band-key relations (persistable
+    // artifacts at 100 TB — new crawls never re-scan old data).
+    "dd12_incremental_dedup" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      Dedup.incrementalDedupFlags(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   // DuckDB mirrors. h32: ('0x' || substr(md5(s),1,8))::BIGINT == Spark's
@@ -277,5 +303,46 @@ object DedupQueries {
         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd10_span_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |spans AS (
+        |  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |m AS (
+        |  SELECT doc_id,
+        |    (MIN(doc_id) OVER (PARTITION BY h)) <> (MAX(doc_id) OVER (PARTITION BY h)) AS dup
+        |  FROM spans),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    COUNT(CASE WHEN dup THEN 1 END) AS n_dup_spans
+        |  FROM m GROUP BY doc_id)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_ratio
+        |FROM per WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin,
+
+    "dd12_incremental_dedup" ->
+      s"""WITH sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM documents),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, concat_ws('_', ${(b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(", ")}) AS band_sig FROM sig")
+             .mkString("\n  UNION ALL\n  ")}
+        |),
+        |cb AS (SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % 10 <> 7),
+        |near AS (
+        |  SELECT DISTINCT b.doc_id FROM bands b
+        |  JOIN cb ON b.band = cb.band AND b.band_sig = cb.band_sig
+        |  WHERE b.doc_id % 10 = 7),
+        |cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT d.doc_id,
+        |  md5(d.text) IN (SELECT fp FROM cfp) AS exact_dup,
+        |  d.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+        |  NOT (md5(d.text) IN (SELECT fp FROM cfp)
+        |       OR d.doc_id IN (SELECT doc_id FROM near)) AS keep
+        |FROM documents d WHERE d.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -112,6 +112,42 @@ class OpsSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
   }
 
+  test("dedup: duplicate-span stats count cross-doc spans only") {
+    import spark.implicits._
+    val shared = "a b c d e f g h" // one 8-token span, planted in docs 1 and 2
+    val docs = Seq(
+      (1L, s"$shared p q r s t u v w"), // 16 tokens -> 9 spans, 1 shared
+      (2L, s"z y $shared"), //              10 tokens -> 3 spans, 1 shared
+      (3L, "m n o p q r s t"), //           unique single span
+      (4L, "one two three"), //             under k tokens -> no spans
+      (5L, "a a a a a a a a a a") //        self-repeats are NOT cross-doc dups
+    ).toDF("doc_id", "text")
+    val stats = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stats(1L) == ((9L, 1L, 1.0 / 9.0)))
+    assert(stats(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(stats(3L)._2 == 0L)
+    assert(stats(5L) == ((3L, 0L, 0.0)))
+    assert(!stats.contains(4L))
+  }
+
+  test("dedup: incremental flags classify exact, near, and novel batch docs") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    val batch = corpus.filter(col("doc_id") === 2).select((col("doc_id") + 9000).as("doc_id"), col("text"))
+      .union(corpus.filter(col("doc_id") === 3)
+        .select((col("doc_id") + 9000).as("doc_id"), concat(col("text"), lit(" x")).as("text")))
+      .union(Seq((9999L, "entirely novel text sharing no shingles with the corpus at all"))
+        .toDF("doc_id", "text"))
+    val flags = Dedup.incrementalDedupFlags(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(flags(9002L)._1, "verbatim copy must flag exact_dup")
+    assert(!flags(9002L)._3 && !flags(9003L)._3, "dup docs must not keep")
+    assert(!flags(9003L)._1 && flags(9003L)._2, "tiny edit: not exact, but an LSH near-dup")
+    assert(flags(9999L) == ((false, false, true)), "novel doc keeps")
+  }
+
   test("dedup: simhash near pairs find planted near-duplicates") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(20)
