@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Change-data-capture queries over graft.ops.Merge — the "current state"
+  * and "full history" views a lakehouse derives from an append-only change
+  * stream. The reference appends whole documents to its stores and leaves
+  * state reconstruction to them (mongodb/data_repo.rs:20-70); here the
+  * merge is an engine operator.
+  *
+  * The change stream is derived deterministically from the test tables so
+  * both engines see the identical input: every order is version 1; orders
+  * with o_orderkey % 7 = 0 get a version-2 repricing (+10%, an IEEE double
+  * multiply — identical bits in both engines). */
+object ChangeQueries {
+
+  private def changeStream(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val base = o.select(col("o_orderkey"), lit(1).as("version"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val repriced = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(2).as("version"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        col("o_orderstatus"))
+    base.unionAll(repriced)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scd01: latest-wins CDC compaction — the MERGE INTO primitive.
+    // One hash shuffle on the merge key; at 100 TB the shuffled volume is
+    // the change stream, not the base table.
+    "scd01_latest_state" -> ((spark: SparkSession, dir: String) => {
+      graft.ops.Merge.latestWins(changeStream(spark, dir),
+          Seq("o_orderkey"), "version", "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- scd02: SCD-2 interval view of the purchase event stream — each
+    // user's purchases become [valid_from, valid_to) value intervals with
+    // an is_current flag on the open one. Same single key shuffle; lead()
+    // runs inside the per-user sorted partition.
+    "scd02_purchase_history" -> ((spark: SparkSession, dir: String) => {
+      val purchases = t(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.Merge.scd2Intervals(purchases, Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"), col("value"))
+        .orderBy("user_id", "event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scd01_latest_state" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, 1 AS version, o_totalprice, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2 AS version,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, version, o_totalprice, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, o_orderkey DESC) AS rn
+        |  FROM changes)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "scd02_purchase_history" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current,
+        |  value
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+  )
+}

@@ -36,6 +36,25 @@ object ClusteringQueries {
           avg(col("label")).as("avg_label"))
         .orderBy("cluster")
     }),
+
+    // ---- km03: cluster-balanced sampling — at most 30 vectors per final
+    // k-means cluster, picked in deterministic pseudo-random order
+    // (md5(vec_id) — the same seeded-hash idiom as split01/samp01, so the
+    // pick is engine- and partitioning-independent). This is how a
+    // curation run equalizes topic coverage: over-represented clusters
+    // are downsampled to the cap, rare ones keep everything. One window
+    // per cluster — fully parallel, no global sort.
+    "km03_balanced_cluster_sample" -> ((spark: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      graft.ops.Clustering.kmeansAssignments(
+          t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= 30)
+        .select(col("vec_id"), col("cluster"), col("pick"))
+        .orderBy("vec_id")
+    }),
   )
 
   private def distSql(qRel: String, cRel: String): String =
@@ -87,5 +106,15 @@ object ClusteringQueries {
          |  COUNT(DISTINCT e.label) AS n_labels, AVG(e.label) AS avg_label
          |FROM a2 JOIN embeddings e USING (vec_id)
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "km03_balanced_cluster_sample" ->
+      s"""$kmeansSql,
+         |picked AS (
+         |  SELECT vec_id, cid AS cluster,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+         |  FROM a2)
+         |SELECT vec_id, cluster, pick FROM picked
+         |WHERE pick <= 30 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -190,6 +190,25 @@ object CurationQueries {
           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)
     }),
 
+    // ---- shard01: deterministic corpus shuffle, sharded — the shape a
+    // training run actually serves data in: docs land in one of 8 shards
+    // by content-independent seeded hash (md5 of id, so a re-run, a
+    // different partitioning, or a different engine produces the SAME
+    // shard files), and each shard is internally shuffled by the full
+    // digest. The global sort a naive "ORDER BY random()" implies never
+    // happens — the window is per-shard, fully parallel, and at 100 TB
+    // each shard writes independently.
+    "shard01_shuffle_shards" -> ((spark: SparkSession, dir: String) => {
+      val h = md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+      val shard = pmod(expr(graft.ops.Dedup.h32("concat('shuf42:', cast(doc_id as string))")), lit(8))
+      val w = Window.partitionBy(col("shard")).orderBy(col("shuf_key"), col("doc_id"))
+      t(spark, dir, "documents")
+        .select(col("doc_id"), shard.as("shard"), h.as("shuf_key"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pack01: sequence packing — concatenate each language's token
     // stream in doc_id order and chop into fixed 512-token windows; each
     // doc reports the bin it starts in and its offset within the bin
@@ -314,6 +333,18 @@ object CurationQueries {
         |FROM g c JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b ON c.gram = b.gram
         |WHERE c.doc_id % 97 <> 0
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "shard01_shuffle_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS shard,
+        |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuf_key
+        |  FROM documents)
+        |SELECT doc_id, shard, pos FROM (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY shuf_key, doc_id) AS pos
+        |  FROM s)
+        |ORDER BY doc_id""".stripMargin,
 
     "pack01_sequence_packing" ->
       """WITH tok AS (

@@ -32,9 +32,9 @@ object SimilarityQueries {
   private def reg(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.registerAll(spark)
 
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- sim01: brute-force cosine top-10 for 8 query vectors.
-    "sim01_cosine_topk" -> ((spark: SparkSession, dir: String) => {
+  // ---- sim01: brute-force cosine top-10 for 8 query vectors. (A named
+  // builder so sim05 can reuse it as the recall ground truth.)
+  private def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
       reg(spark)
       val emb = t(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -48,12 +48,12 @@ object SimilarityQueries {
         .filter(col("rk") <= 10)
         .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
         .orderBy("q_id", "rk")
-    }),
+  }
 
-    // ---- sim02: IVF-bucketed ANN. Centroids = vectors 0..15 (fixed,
-    // deterministic); every vector is assigned to its nearest centroid
-    // (the "inverted list"); each query probes its 2 nearest lists only.
-    "sim02_ivf_ann" -> ((spark: SparkSession, dir: String) => {
+  // ---- sim02: IVF-bucketed ANN. Centroids = vectors 0..15 (fixed,
+  // deterministic); every vector is assigned to its nearest centroid
+  // (the "inverted list"); each query probes its 2 nearest lists only.
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
       reg(spark)
       val emb = t(spark, dir, "embeddings")
       val cent = emb.filter(col("vec_id") < 16)
@@ -86,6 +86,32 @@ object SimilarityQueries {
         .filter(col("rk") <= 10)
         .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
         .orderBy("q_id", "rk")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
+      bruteForceTopK(spark, dir)),
+
+    "sim02_ivf_ann" -> ((spark: SparkSession, dir: String) =>
+      ivfTopK(spark, dir)),
+
+    // ---- sim05: ANN recall, measured IN the engine — per query, the
+    // fraction of the exact brute-force top-10 that the IVF index
+    // (2-of-16 probes) recovered. This is the quality gauge a production
+    // index needs continuously: at 100 TB you can't eyeball recall, you
+    // compute it on a sampled query set exactly like this (both sides are
+    // keyed joins; the exact side runs on the SAMPLE of queries, not the
+    // corpus).
+    "sim05_ivf_recall" -> ((spark: SparkSession, dir: String) => {
+      val exact = bruteForceTopK(spark, dir).select(col("q_id"), col("c_id"))
+      val approx = ivfTopK(spark, dir).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(1))
+      exact.join(approx, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .orderBy("q_id")
     }),
 
     // ---- sim04: quantized-prefilter ANN — stage 1 scores every candidate
@@ -149,8 +175,7 @@ object SimilarityQueries {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
-  val oracles: Map[String, String] = Map(
-    "sim01_cosine_topk" ->
+  private val sim01Sql: String =
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         |scored AS (
         |  SELECT q_id, c.vec_id AS c_id, c.label, ${cosSql("q_emb", "c.embedding")} AS cosine
@@ -159,9 +184,9 @@ object SimilarityQueries {
         |  SELECT q_id, c_id, label, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM scored)
-        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
-    "sim02_ivf_ann" ->
+  private val sim02Sql: String =
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
         |assigned AS (
         |  SELECT vec_id, embedding, label, cent_id AS list_id FROM (
@@ -184,7 +209,22 @@ object SimilarityQueries {
         |  SELECT q_id, c_id, label, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM scored)
-        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim01_cosine_topk" -> sim01Sql,
+
+    "sim02_ivf_ann" -> sim02Sql,
+
+    // Both rankings nested verbatim as derived tables: the recall join is
+    // over exactly the published sim01/sim02 results.
+    "sim05_ivf_recall" ->
+      s"""SELECT e.q_id AS q_id, COUNT(*) AS k,
+        |  COUNT(a.c_id) AS n_hits,
+        |  CAST(COUNT(a.c_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM ($sim01Sql) e
+        |LEFT JOIN ($sim02Sql) a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        |GROUP BY e.q_id ORDER BY q_id""".stripMargin,
 
     "sim04_quantized_rerank" ->
       s"""WITH m AS (
