@@ -6,17 +6,22 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise robustness: this VM takes co-tenant CPU bursts (identical sweeps
   * have measured 60-300 s with zero code change), and bursts only ever
-  * INFLATE a timing — so each query reruns (up to 3 runs total) until its
-  * best time drops under a trust threshold, and the MIN is reported. A
-  * genuinely fast query proves itself in one run; only queries whose
-  * first run looks slow — really slow, or merely unlucky — pay reruns.
+  * INFLATE a timing — so each query's MIN over several runs is reported.
+  * Crucially the reruns are NOT back-to-back: a burst can last minutes,
+  * so three consecutive runs of the same query can all land inside it
+  * (round 4 recorded a 1-second query at 77 s min-of-3 that way).
+  * Instead the sweep runs in PASSES — pass 1 times every query once, and
+  * each later pass re-runs only the queries whose best time is still
+  * above a trust threshold. Reruns of one query are therefore separated
+  * by every other untrusted query's rerun, which decorrelates them from
+  * any one burst window. A genuinely fast query proves itself in one run.
   * The line also records /proc/loadavg before and after the sweep so a
   * noisy-neighbor window is visible in the artifact itself.
   */
 object Bench {
 
   private val TrustSec = 0.7 // a run at/below this can't hide a regression
-  private val MaxRuns = 3
+  private val MaxPasses = 4
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
@@ -35,23 +40,27 @@ object Bench {
     // Hadoop-FS + codegen warmup so the first measured query doesn't
     // absorb one-time JVM initialization.
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = scala.collection.mutable.Map.empty[String, Double]
     val runCounts = scala.collection.mutable.Map.empty[String, Int]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+    named.foreach { case (name, fn) => best(name) = once(fn); runCounts(name) = 1 }
+    var pass = 1
+    while (pass < MaxPasses && named.exists { case (n, _) => best(n) > TrustSec }) {
+      named.foreach { case (name, fn) =>
+        if (best(name) > TrustSec) {
+          val t = once(fn)
+          if (t >= 0 && t < best(name)) best(name) = t
+          runCounts(name) += 1
+        }
       }
-      var best = once()
-      var runs = 1
-      while (best > TrustSec && runs < MaxRuns) {
-        val t = once()
-        if (t >= 0 && t < best) best = t
-        runs += 1
-      }
-      runCounts(name) = runs
-      name -> best
-    }.toMap
+      pass += 1
+    }
+    val results = best.toMap
     val loadAfter = load1()
     def fmt(v: Double): String = f"$v%.2f"
     def qmap(m: Seq[(String, Double)]): String =
