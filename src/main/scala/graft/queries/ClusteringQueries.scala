@@ -65,7 +65,7 @@ object ClusteringQueries {
 
   // Two unrolled Lloyd rounds; generate_subscripts+unnest zip to per-dim
   // rows; SUM over BIGINT cast back from HUGEINT.
-  private val kmeansSql: String =
+  private[queries] val kmeansSql: String =
     s"""WITH q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q

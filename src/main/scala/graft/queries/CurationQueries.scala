@@ -143,6 +143,37 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- qf02: Gopher-style document-level quality rules (Rae et al.
+    // 2021, arXiv:2112.11446 §A1.1): word-count bounds, mean-word-length
+    // band, alphabetic-word fraction, and a stopword-presence check, each
+    // as its own flag plus the conjunctive pass decision a curation run
+    // filters on. Pure codegen'd scan-local projection — zero shuffle at
+    // any corpus size. Ratios are IEEE double divisions of exact ints.
+    "qf02_gopher_rules" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          expr("aggregate(transform(split(text, ' '), x -> cast(length(x) as bigint)), 0L, (a, x) -> a + x)")
+            .as("sum_wlen"),
+          expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
+          (array_contains(words, "the").cast("int") + array_contains(words, "a").cast("int") +
+            array_contains(words, "and").cast("int") + array_contains(words, "of").cast("int") +
+            array_contains(words, "to").cast("int") + array_contains(words, "in").cast("int"))
+            .as("n_stop"))
+        .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_words").cast("double"))
+        .withColumn("frac_alpha", col("n_alpha").cast("double") / col("n_words").cast("double"))
+        .withColumn("r_words", col("n_words").between(25, 5000))
+        .withColumn("r_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+        .withColumn("r_alpha", col("frac_alpha") >= 0.9)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("pass",
+          col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop"))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("frac_alpha"),
+          col("n_stop"), col("r_words"), col("r_wlen"), col("r_alpha"), col("r_stop"),
+          col("pass"))
+        .orderBy("doc_id")
+    }),
+
     // ---- cont01: benchmark-contamination screen — 4-gram overlap between
     // the corpus and a held-out benchmark set (here: doc_id % 97 == 0).
     // The benchmark gram set is DISTINCT'd and broadcast; the corpus side
@@ -245,6 +276,34 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "qf02_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))) AS sum_wlen,
+        |    len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+        |    (CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'in') AS INT)) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
+        |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha,
+        |    n_stop,
+        |    n_words BETWEEN 25 AND 5000 AS r_words
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_wlen, frac_alpha, n_stop, r_words,
+        |  (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS r_wlen,
+        |  frac_alpha >= 0.9 AS r_alpha,
+        |  n_stop >= 2 AS r_stop,
+        |  (r_words AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+        |    AND frac_alpha >= 0.9 AND n_stop >= 2) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "pii01_redact" ->
       s"""WITH r AS (
          |  SELECT doc_id, text ||

@@ -151,6 +151,37 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dd11: SemDeDup — semantic dedup via k-means bucketing then
+    // within-cluster cosine (Abbas et al. 2023, arXiv:2303.09540): cluster
+    // the embedding space (deterministic Lloyd, k=8), then inside each
+    // cluster greedily keep the lowest-id vector of every near-dup group
+    // (drop any vector with an earlier same-cluster neighbor at rounded
+    // cosine >= tau). Differs from dd08's fixed-centroid IVF: buckets are
+    // LEARNED, and the output is the per-vector keep/drop decision a
+    // curation run applies, not the pair list. Scale: the self-join is
+    // within-cluster only (the k-means shuffle is k*d-sized, see
+    // graft.ops.Clustering), and the drop test is a left_semi join — no
+    // pair materialization past the filter.
+    "dd11_semdedup" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      val emb = t(spark, dir, "embeddings")
+      // localCheckpoint: the 2-round k-means assignment feeds both sides
+      // of the self-join below (same expression-reuse trap as dd08).
+      val assigned = graft.ops.Clustering
+        .kmeansAssignments(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .localCheckpoint(true)
+      val dropped = assigned.as("x").join(assigned.as("y"),
+          col("x.cluster") === col("y.cluster") && col("y.vec_id") < col("x.vec_id") &&
+            expr("round(vector_cosine(x.embedding, y.embedding), 6)") >= 0.35,
+          "left_semi")
+        .select(col("vec_id"), lit(true).as("is_dup"))
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // ---- dd12: INCREMENTAL dedup — a new batch (doc_id % 10 = 7) tested
     // against the existing corpus (the rest): exact content-hash hit,
     // LSH-band near-dup candidacy, and the keep decision. The corpus side
@@ -177,7 +208,26 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> (2 * ((${h32Sql("w")} >> $j) % 2) - 1))) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ") + ")"
 
+  /** Rounded strict-order cosine in DuckDB — mirrors vector_cosine + round(,6). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+
   val oracles: Map[String, String] = Map(
+    "dd11_semdedup" ->
+      s"""${ClusteringQueries.kmeansSql},
+        |av AS (
+        |  SELECT a2.vec_id, a2.cid AS cluster, e.embedding
+        |  FROM a2 JOIN embeddings e USING (vec_id)),
+        |drops AS (
+        |  SELECT DISTINCT x.vec_id FROM av x JOIN av y
+        |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.35)
+        |SELECT av.vec_id, av.cluster, d.vec_id IS NULL AS keep
+        |FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
+
     "dd01_exact_dedup" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY keeper_doc_id""".stripMargin,

@@ -111,6 +111,45 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // ---- t08: PMI collocations — corpus-level bigram association
+    // strength as the LIFT ratio p(ab) / (p(a)*p(b)) (PMI without the
+    // log: ln() is libm-dependent and log is monotone, so the ranking is
+    // identical — same trick as t07's idf). All counts are exact
+    // integers; the lift is one double expression with a fixed
+    // parenthesization both engines evaluate identically. Scale: two
+    // map-side-combinable aggs (word, then word-pair — vocab-sized, tiny
+    // vs corpus) plus two 1-row count relations broadcast into the
+    // projection; the corpus is scanned twice but never shuffled.
+    "t08_pmi_collocations" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      // localCheckpoint both count relations: uni feeds two joins plus the
+      // t_uni total and big feeds the output plus t_big — without it each
+      // consumer re-runs the corpus explode+agg. Both are vocab-sized.
+      val uni = docs.select(explode(words).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val pairs = docs.select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> struct(element_at(split(text, ' '), i) as w1,
+          |              element_at(split(text, ' '), i + 1) as w2))""".stripMargin))
+        .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        .localCheckpoint(true)
+      big
+        .join(uni.select(col("word").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("word").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(uni.agg(sum(col("c")).as("t_uni"))))
+        .crossJoin(broadcast(big.agg(sum(col("n_pair")).as("t_big"))))
+        .filter(col("n_pair") >= 5)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          ((col("n_pair").cast("double") * col("t_uni").cast("double")) * col("t_uni").cast("double") /
+            ((col("c_a").cast("double") * col("c_b").cast("double")) * col("t_big").cast("double")))
+            .as("lift"))
+        .orderBy("w1", "w2")
+    }),
+
     // ---- samp01: deterministic balanced downsampling — every language
     // stratum is cut to the size of the smallest one, picking rows by
     // md5-hash order (pseudorandom but engine-identical and reproducible
@@ -133,6 +172,28 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "t08_pmi_collocations" ->
+      """WITH uni AS (
+        |  SELECT word, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |tu AS (SELECT CAST(SUM(c) AS BIGINT) AS t_uni FROM uni),
+        |toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+        |big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+        |tb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t_big FROM big)
+        |SELECT big.w1, big.w2, big.n_pair,
+        |  ((CAST(n_pair AS DOUBLE) * CAST(t_uni AS DOUBLE)) * CAST(t_uni AS DOUBLE) /
+        |   ((CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) * CAST(t_big AS DOUBLE))) AS lift
+        |FROM big
+        |JOIN (SELECT word AS w1, c AS c_a FROM uni) a USING (w1)
+        |JOIN (SELECT word AS w2, c AS c_b FROM uni) b USING (w2)
+        |CROSS JOIN tu CROSS JOIN tb
+        |WHERE n_pair >= 5
+        |ORDER BY w1, w2""".stripMargin,
+
     "t06_top_bigrams" ->
       """WITH bigrams AS (
         |  SELECT lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
