@@ -20,7 +20,7 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ IngestQueries.defs ++ ExtendedQueries.defs ++
       TemporalQueries.defs ++ TpchDeepQueries.defs ++ CurationQueries.defs ++
-      ClusteringQueries.defs ++ ChangeQueries.defs
+      ClusteringQueries.defs ++ ChangeQueries.defs ++ ProfilingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +29,5 @@ object SparkEntry {
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ IngestQueries.oracles ++ ExtendedQueries.oracles ++
       TemporalQueries.oracles ++ TpchDeepQueries.oracles ++ CurationQueries.oracles ++
-      ClusteringQueries.oracles ++ ChangeQueries.oracles
+      ClusteringQueries.oracles ++ ChangeQueries.oracles ++ ProfilingQueries.oracles
 }

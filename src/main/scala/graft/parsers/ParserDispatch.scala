@@ -24,6 +24,8 @@ object ParserDispatch {
     case "txt" | "log"  => TxtParser
     case "xml"          => XmlParser
     case "xlsx" | "xls" => ExcelParser
+    case "orc"          => OrcParser // beyond-reference columnar source
+    case "parquet"      => ParquetPassthroughParser // beyond-reference
     case other          => throw ParseError(s"unsupported file type: $other")
   }
 }

@@ -174,6 +174,49 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- qf03: bigram-LM surprisal filter — the corpus estimates its
+    // own bigram transition model P(w2|w1) = c(w1 w2)/c(w1 ·), and each
+    // doc reports how many of its transitions are rare under that model
+    // (p < 0.02), its minimum transition probability, and the rare
+    // fraction a perplexity-style filter would threshold on. Log-free by
+    // design: ln()/exp() differ across libm builds by ulps, while count,
+    // min, and a single IEEE division hash-compare exactly — and
+    // rare-fraction ranks docs the same way perplexity does (both are
+    // monotone in "how unusual are this doc's transitions").
+    // Scale shape (100 TB): the two count tables are vocab-sized (V and
+    // V^2 entries, built by map-side-combinable aggregations of the gram
+    // stream), so they BROADCAST back onto the corpus stream — the
+    // per-doc pass never shuffles the corpus itself.
+    "qf03_bigram_surprisal" -> ((spark: SparkSession, dir: String) => {
+      // localCheckpoint: the gram stream feeds the two count tables AND
+      // the probability join — without it the split+explode subtree
+      // executes three times (the dd08/dd11 expression-reuse trap).
+      val grams = t(spark, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> struct(element_at(split(text, ' '), i) AS w1,
+            |              element_at(split(text, ' '), i + 1) AS w2))""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .localCheckpoint(true)
+      val c12 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val c1 = grams.groupBy("w1").agg(count(lit(1)).as("n1"))
+      grams
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("p", col("n12").cast("double") / col("n1").cast("double"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          min(col("p")).as("min_p"),
+          sum(when(col("p") < 0.02, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_frac",
+          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+        .withColumn("flagged", col("rare_frac") >= 0.05)
+        .select(col("doc_id"), col("n_bigrams"), col("min_p"),
+          col("n_rare"), col("rare_frac"), col("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // ---- cont01: benchmark-contamination screen — 4-gram overlap between
     // the corpus and a held-out benchmark set (here: doc_id % 97 == 0).
     // The benchmark gram set is DISTINCT'd and broadcast; the corpus side
@@ -369,6 +412,24 @@ object CurationQueries {
         |SELECT doc_id, n_words, top_n, top_bigram_frac, dup_word_frac,
         |  (top_bigram_frac >= 0.07 OR dup_word_frac >= 0.65) AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "qf03_bigram_surprisal" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split(text, ' ')[i] AS w1, string_split(text, ' ')[i + 1] AS w2
+        |  FROM documents, unnest(range(1, len(string_split(text, ' ')))) AS t(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+        |  FROM g JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, min(p) AS min_p,
+        |    CAST(sum(CASE WHEN p < 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM p GROUP BY 1)
+        |SELECT doc_id, n_bigrams, min_p, n_rare,
+        |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
+        |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= 0.05 AS flagged
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "cont01_contamination" ->
       """WITH g AS (

@@ -187,6 +187,51 @@ object DedupQueries {
     // LSH-band near-dup candidacy, and the keep decision. The corpus side
     // collapses to DISTINCT fp / band-key relations (persistable
     // artifacts at 100 TB — new crawls never re-scan old data).
+    // ---- er01: fuzzy entity resolution — match "dirty" entity names
+    // (one deterministically dropped character, a fixture like pii01's
+    // stamped contacts) back to the clean registry by trigram Jaccard.
+    // Candidate generation is a trigram INVERTED-INDEX join (explode
+    // distinct trigrams, equi-join on trigram) — never an all-pairs
+    // product, so at 100 TB the cost is (names x trigrams) keyed joins.
+    // The corpus-scale refinement (not needed at this cardinality) is
+    // dropping stop-trigrams above a document-frequency cap before the
+    // join, exactly like dd04 drops to banding instead of dd02's
+    // quadratic verify. Top-1 per dirty name by (jaccard, clean_id) —
+    // a total order, so the pick is deterministic in both engines.
+    "er01_fuzzy_entity_match" -> ((spark: SparkSession, dir: String) => {
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
+      val dirty = base.select(col("doc_id").as("dirty_id"), expr(
+        """concat(substr(name, 1, cast(doc_id % length(name) as int)),
+          |       substr(name, cast(doc_id % length(name) as int) + 2))""".stripMargin).as("dname"))
+      // Set sizes ride along through the explode (size of the distinct
+      // trigram array), so the pair aggregation needs NO extra size
+      // joins; top-1 is a partial-aggregable max(struct), not a window
+      // sort over the (dense) candidate-pair stream.
+      def tris(df: DataFrame, idCol: String, nameCol: String, szCol: String) = df
+        .withColumn("tris", expr(
+          s"array_distinct(transform(sequence(1, length($nameCol) - 2), i -> substring($nameCol, i, 3)))"))
+        .select(col(idCol), size(col("tris")).as(szCol), explode(col("tris")).as("tri"))
+      val ct = tris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name", "n_c")
+      val dt = tris(dirty, "dirty_id", "dname", "n_d")
+      val jac = col("n_shared").cast("double") /
+        (col("n_d") + col("n_c") - col("n_shared")).cast("double")
+      dt.join(ct, "tri")
+        .groupBy("dirty_id", "clean_id", "n_d", "n_c")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= 0.5)
+        // max(struct): highest jaccard, ties to the LOWEST clean_id (the
+        // negated id orders the tie; the trailing fields ride along).
+        .groupBy("dirty_id")
+        .agg(max(struct(col("jaccard"), (-col("clean_id")).as("neg_id"),
+          col("clean_id"))).as("m"))
+        .select(col("dirty_id"), col("m.clean_id").as("clean_id"),
+          col("m.jaccard").as("jaccard"),
+          (col("dirty_id") === col("m.clean_id")).as("is_self"))
+        .orderBy("dirty_id")
+    }),
+
     "dd12_incremental_dedup" -> ((spark: SparkSession, dir: String) => {
       val docs = t(spark, dir, "documents")
       Dedup.incrementalDedupFlags(
@@ -372,6 +417,37 @@ object DedupQueries {
         |SELECT doc_id, n_spans, n_dup_spans,
         |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_ratio
         |FROM per WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin,
+
+    "er01_fuzzy_entity_match" ->
+      """WITH base AS (
+        |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS name FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(name, 1, CAST(doc_id % length(name) AS INT))
+        |      || substr(name, CAST(doc_id % length(name) AS INT) + 2) AS dname
+        |  FROM base),
+        |ct AS (
+        |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
+        |    range(1, length(name) - 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
+        |  FROM base),
+        |dt AS (
+        |  SELECT dirty_id, unnest(list_distinct(list_transform(
+        |    range(1, length(dname) - 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
+        |  FROM dirty),
+        |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
+        |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),
+        |shared AS (
+        |  SELECT dirty_id, clean_id, count(*) AS n_shared
+        |  FROM dt JOIN ct USING (tri) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dirty_id, clean_id,
+        |    CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) AS jaccard,
+        |    row_number() OVER (PARTITION BY dirty_id
+        |      ORDER BY CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) DESC, clean_id) AS rk
+        |  FROM shared JOIN dsz USING (dirty_id) JOIN csz USING (clean_id))
+        |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
+        |FROM scored WHERE rk = 1 AND jaccard >= 0.5
+        |ORDER BY dirty_id""".stripMargin,
 
     "dd12_incremental_dedup" ->
       s"""WITH sig AS (

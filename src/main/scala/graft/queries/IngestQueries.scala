@@ -91,6 +91,17 @@ object IngestQueries {
     zout.close()
   }
 
+  /** Writes `df` as a single file of `fmt` at `p` (Spark writes a
+    * directory; the one part file is moved to the fixture path). */
+  private def writeSparkFormat(spark: SparkSession, fmt: String, p: Path,
+      build: SparkSession => DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("graft_fmt")
+    build(spark).coalesce(1).write.format(fmt).mode("overwrite").save(tmp.resolve("out").toString)
+    val part = Files.list(tmp.resolve("out")).filter(f =>
+      f.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.move(part, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4+T1+T3+T4+K1: CSV with headers from first row, all-string schema.
     "ing01_csv_headers" -> ((spark: SparkSession, _: String) => {
@@ -196,6 +207,31 @@ object IngestQueries {
       } finally server.stop()
     }),
 
+    // Beyond-reference columnar sources: ORC and parquet files route
+    // through the same rule-match -> parse -> enrich -> sink -> audit
+    // pipeline as the reference's five text formats. Native types are
+    // preserved; the scan is splittable (stripes / row groups), so the
+    // same pipeline ingests a 100 TB lake drop without the reference's
+    // whole-file-in-RAM cap (s3_adapter.rs:39-49).
+    "ing12_orc" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val rules = Seq(IngestionConfigRule(".*\\.orc$", "orc_data"))
+      runPipeline(spark, "data/test.orc", rules)(
+        writeSparkFormat(spark, "orc", _, s =>
+          { import s.implicits._
+            Seq(("Alice", 100L), ("Bob", 200L)).toDF("name", "value") }))
+        .orderBy("name")
+    }),
+
+    "ing13_parquet" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.parquet$", "parquet_data"))
+      runPipeline(spark, "data/test.parquet", rules)(
+        writeSparkFormat(spark, "parquet", _, s =>
+          { import s.implicits._
+            Seq(("Carol", 7L, true), ("Dave", 9L, false)).toDF("name", "score", "active") }))
+        .orderBy("name")
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -293,6 +329,18 @@ object IngestQueries {
       s"""SELECT name, age, city, ${fn}'data/test.csv' AS file_name,
         |  md5(${fn}'data/test.csv') AS log_id
         |FROM (VALUES ('Bob','35','Chicago'), ('Jane','25','LA'), ('John','30','NYC')) t(name, age, city)
+        |ORDER BY name""".stripMargin,
+
+    "ing12_orc" ->
+      s"""SELECT name, CAST(value AS BIGINT) AS value, ${fn}'data/test.orc' AS file_name,
+        |  md5(${fn}'data/test.orc') AS log_id
+        |FROM (VALUES ('Alice', 100), ('Bob', 200)) t(name, value)
+        |ORDER BY name""".stripMargin,
+
+    "ing13_parquet" ->
+      s"""SELECT name, CAST(score AS BIGINT) AS score, active, ${fn}'data/test.parquet' AS file_name,
+        |  md5(${fn}'data/test.parquet') AS log_id
+        |FROM (VALUES ('Carol', 7, true), ('Dave', 9, false)) t(name, score, active)
         |ORDER BY name""".stripMargin,
 
     "ing09_audit_log" ->

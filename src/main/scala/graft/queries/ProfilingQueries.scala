@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Data-profiling operators — the "ANALYZE"-style pass every pipeline
+  * runs before trusting a new drop: per-column null/distinct/min/max
+  * stats and value histograms. The reference has no profiling surface at
+  * all (its parsers validate shape, never content); this is part of the
+  * beyond-reference curation toolkit.
+  *
+  * Scale notes (100 TB):
+  *  - prof01 computes every column's stats in ONE aggregation pass over
+  *    the scan. The exact multi-column COUNT(DISTINCT) planwise becomes
+  *    an Expand (one duplicated stream per distinct column) — correct
+  *    and oracle-exact here; the corpus-scale variant swaps in
+  *    approx_count_distinct (HLL) per column, which collapses back to a
+  *    single non-expanded pass. Everything else (nulls, min, max) is
+  *    map-side partial aggregation with a 1-row result.
+  *  - prof02 is a fixed-width histogram: bin = floor(x / width) is
+  *    computed in the scan (no pre-pass for min/max), then ONE map-side
+  *    combinable groupBy over ~dozens of bins. share is a window over
+  *    the bin rows (tiny), never over the data.
+  *
+  * Determinism: min/max are stringified via exact casts (BIGINT -> text
+  * and DECIMAL(18,2) -> text are format-stable in both engines; raw
+  * DOUBLE -> text is not, so money stringifies through DECIMAL);
+  * timestamps via dateStr; floor(x / 25000.0) is a single IEEE division.
+  */
+object ProfilingQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- prof01: one-pass per-column profile of `orders`.
+    "prof01_column_profile" -> ((spark: SparkSession, dir: String) => {
+      val o = t(spark, dir, "orders")
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        // o_orderkey
+        (count(lit(1)) - count(col("o_orderkey"))).as("nn_orderkey"),
+        countDistinct(col("o_orderkey")).as("nd_orderkey"),
+        min(col("o_orderkey")).cast("string").as("lo_orderkey"),
+        max(col("o_orderkey")).cast("string").as("hi_orderkey"),
+        // o_custkey
+        (count(lit(1)) - count(col("o_custkey"))).as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        min(col("o_custkey")).cast("string").as("lo_custkey"),
+        max(col("o_custkey")).cast("string").as("hi_custkey"),
+        // o_orderstatus
+        (count(lit(1)) - count(col("o_orderstatus"))).as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        min(col("o_orderstatus")).as("lo_status"), max(col("o_orderstatus")).as("hi_status"),
+        // o_totalprice (money: stringify through exact DECIMAL)
+        (count(lit(1)) - count(col("o_totalprice"))).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"),
+        min(dec(col("o_totalprice"))).cast("string").as("lo_price"),
+        max(dec(col("o_totalprice"))).cast("string").as("hi_price"),
+        // o_orderdate
+        (count(lit(1)) - count(col("o_orderdate"))).as("nn_date"),
+        countDistinct(col("o_orderdate")).as("nd_date"),
+        dateStr(min(col("o_orderdate"))).as("lo_date"),
+        dateStr(max(col("o_orderdate"))).as("hi_date"),
+        // o_orderpriority
+        (count(lit(1)) - count(col("o_orderpriority"))).as("nn_prio"),
+        countDistinct(col("o_orderpriority")).as("nd_prio"),
+        min(col("o_orderpriority")).as("lo_prio"), max(col("o_orderpriority")).as("hi_prio"))
+      agg.selectExpr("n_rows",
+        """stack(6,
+          |  'o_custkey',       nn_custkey,  nd_custkey,  lo_custkey,  hi_custkey,
+          |  'o_orderdate',     nn_date,     nd_date,     lo_date,     hi_date,
+          |  'o_orderkey',      nn_orderkey, nd_orderkey, lo_orderkey, hi_orderkey,
+          |  'o_orderpriority', nn_prio,     nd_prio,     lo_prio,     hi_prio,
+          |  'o_orderstatus',   nn_status,   nd_status,   lo_status,   hi_status,
+          |  'o_totalprice',    nn_price,    nd_price,    lo_price,    hi_price)
+          |AS (column_name, n_nulls, n_distinct, min_value, max_value)""".stripMargin)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+        .orderBy("column_name")
+    }),
+
+    // ---- prof02: fixed-width value histogram of order totals, with
+    // each bin's exact bounds and corpus share.
+    "prof02_price_histogram" -> ((spark: SparkSession, dir: String) => {
+      val w = Window.partitionBy()
+      t(spark, dir, "orders")
+        .withColumn("bin", floor(col("o_totalprice") / lit(25000.0)).cast("bigint"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .withColumn("share",
+          col("n_orders").cast("double") / sum(col("n_orders")).over(w).cast("double"))
+        .select(col("bin"), col("n_orders"), col("min_price"), col("max_price"), col("share"))
+        .orderBy("bin")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "prof01_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls, count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+        |    strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d') FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority) FROM orders)
+        |ORDER BY column_name""".stripMargin,
+
+    "prof02_price_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, o_totalprice
+        |  FROM orders),
+        |h AS (
+        |  SELECT bin, count(*) AS n_orders, min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n_orders, min_price, max_price,
+        |  CAST(n_orders AS DOUBLE) / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS share
+        |FROM h ORDER BY bin""".stripMargin,
+  )
+}

@@ -171,4 +171,30 @@ class ParserSpec extends SparkSpec {
   test("dispatch: pdf unsupported (parser_adapter.rs:54-57)") {
     assertThrows[ParseError](ParserDispatch.parserFor("pdf"))
   }
+
+  // --- columnar sources (beyond-reference: ORC + parquet passthrough) ---
+
+  test("orc: native-typed roundtrip through the dispatch parser") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("parser_orc")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .write.mode("overwrite").orc(dir.resolve("t.orc").toString)
+    assert(ParserDispatch.parserFor("orc") == OrcParser)
+    val df = OrcParser.parse(spark, dir.resolve("t.orc").toString, None)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(df.schema("v").dataType.typeName == "long") // types preserved
+    assert(df.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("parquet passthrough: native-typed roundtrip through the dispatch parser") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("parser_pq")
+    Seq(("a", true), ("b", false)).toDF("k", "flag")
+      .write.mode("overwrite").parquet(dir.resolve("t.parquet").toString)
+    assert(ParserDispatch.parserFor("parquet") == ParquetPassthroughParser)
+    val df = ParquetPassthroughParser.parse(spark, dir.resolve("t.parquet").toString, None)
+    assert(df.schema("flag").dataType.typeName == "boolean")
+    assert(df.count() == 2)
+  }
 }

@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vector_dot") && p.contains("vector_cosine"))
   }
 
+  test("qf03: vocab-sized count tables broadcast onto the gram stream; no cartesian") {
+    val p = plan("qf03_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      "bigram/unigram count tables must broadcast — the corpus stream never shuffles for the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("er01: fuzzy-match candidates come from a trigram equi-join, never all-pairs") {
+    val p = plan("er01_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -188,6 +188,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 3)
   }
 
+  test("watermark drops late data: an event older than the watermark never lands") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("stream_late")
+    val in = Files.createDirectories(base.resolve("in"))
+    def writeBatch(name: String, rows: Seq[(String, String, Double)], mtime: Long): Unit = {
+      val df = rows.toDF("ts_s", "event_type", "value")
+        .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val tmp = Files.createTempDirectory("stream_late_tmp")
+      df.coalesce(1).write.parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out"))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dest = in.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // Spark filters late INPUT with the watermark as of the PREVIOUS
+    // batch (watermarkForLateEvents) and evicts state with the current
+    // one — so the late row must arrive two batches after the event time
+    // that made it late. Batch 1 raises max event time to 13:00; batch 2
+    // locks the late-events watermark at 11:00; batch 3's 09:30 row is
+    // then genuinely late and must be dropped, not stored-and-emitted.
+    writeBatch("b1.parquet", Seq(
+      ("2024-01-01 10:00:00", "view", 1.0),
+      ("2024-01-01 13:00:00", "view", 1.0)), mtime = 1000000L)
+    writeBatch("b2.parquet", Seq(
+      ("2024-01-01 14:00:00", "view", 1.0)), mtime = 2000000L)
+    writeBatch("b3.parquet", Seq(
+      ("2024-01-01 09:30:00", "late", 1.0),
+      ("2024-01-01 15:00:00", "view", 1.0)), mtime = 3000000L)
+
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(in.toString)
+    val q = StreamingAggregations.hourlyRollup(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .format("memory").queryName("late_spec")
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("late_spec")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the 10:00 window closed (watermark reached 12:00) and emitted;
+    // the late 09:30 event produced NO window; open windows stay unemitted.
+    assert(out.contains(("2024-01-01 10:00", "view", 1L)))
+    assert(!out.exists(_._2 == "late"), s"late event leaked into $out")
+  }
+
   test("streaming exact dedup: duplicates within the watermark are dropped") {
     import spark.implicits._
     val base = Files.createTempDirectory("stream_dedup")
