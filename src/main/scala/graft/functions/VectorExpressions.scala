@@ -205,6 +205,8 @@ object VectorFunctions {
     // screens (cont02) can build/probe a filter without UDFs or driver
     // state: bloom_agg(hash, n_items) -> binary, bloom_contains(bloom,
     // hash) -> boolean (bloom side must be a constant/scalar subquery).
+    registry.createOrReplaceTempFunction("heavy_hitters",
+      exprs => HeavyHittersAgg(exprs.head, litInt(exprs, 1)), "built-in")
     registry.createOrReplaceTempFunction("bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs.head, exprs(1)), "built-in")

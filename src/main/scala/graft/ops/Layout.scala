@@ -67,4 +67,46 @@ object Layout {
     fs.delete(bak, true)
     p
   }
+
+  /** SQL for a 2-dim Morton (Z-order) key over two already-quantized
+    * non-negative ints (`bits` bits each): bit j of each input lands at
+    * position 2j / 2j+1, so keys close in z-order are close in BOTH
+    * dims. Plain shift/mask arithmetic — codegen-friendly in Spark and
+    * runnable verbatim by DuckDB (shared operator subset). */
+  def zkeySql(aCol: String, bCol: String, bits: Int = 16): String =
+    (0 until bits).map { j =>
+      s"(((($aCol) >> $j) & 1) << ${2 * j}) + (((($bCol) >> $j) & 1) << ${2 * j + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Rewrites `df` into `dir` Z-ordered on two numeric dimensions:
+    * quantize each dim to `bits` bits by min-max scaling, interleave to
+    * the Morton key, range-partition + sort by it, write `nFiles`
+    * parquet files.
+    *
+    * Scale design: the quantization bounds come from ONE tiny agg (4
+    * numbers to the driver); the rewrite is a single range-shuffle on
+    * the z-key (the same price as any global sort). Each output file
+    * then covers a compact z-range — a small min/max box in BOTH
+    * dimensions — so a reader with a 2-dim box predicate skips most
+    * files on parquet footer stats alone. That's the point: compaction
+    * fixes file COUNT, z-ordering fixes file PRUNABILITY. */
+  def zorderWrite(df: org.apache.spark.sql.DataFrame, dir: String,
+      dimA: String, dimB: String, nFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
+      min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).head()
+    val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    val top = (1L << bits) - 1
+    def q(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) "0L"
+      else s"cast(least(floor((cast(`$c` as double) - $lo) * $top / ($hi - $lo)), $top) as bigint)"
+    val zed = df.withColumn("__za", expr(q(dimA, loA, hiA)))
+      .withColumn("__zb", expr(q(dimB, loB, hiB)))
+      .withColumn("__zkey", expr(zkeySql("__za", "__zb", bits)))
+    zed.repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__za", "__zb", "__zkey")
+      .write.mode("overwrite").parquet(dir)
+  }
 }

@@ -43,6 +43,31 @@ object TemporalQueries {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // Forward as-of with tolerance — conversion attribution: for each
+    // view, the NEXT same-user purchase, counted as a conversion only
+    // within a 1-hour window. Same single-shuffle interleaved-window
+    // shape as asof01, looking forward instead of back.
+    "asof02_next_purchase_attribution" -> ((spark: SparkSession, dir: String) => {
+      val tolUs = 3600L * 1000000L
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(ts).as("t_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("t_us"))).over(w))
+        .filter(col("event_type") === "view")
+        .withColumn("converted",
+          col("next_purchase_us").isNotNull &&
+            col("next_purchase_us") - col("t_us") <= tolUs)
+        .select(col("user_id"), col("event_id").as("view_id"), col("t_us").as("view_us"),
+          when(col("converted"), col("next_purchase_us")).otherwise(lit(-1L))
+            .as("purchase_us"),
+          when(col("converted"), expr("(next_purchase_us - t_us) div 1000000L"))
+            .otherwise(lit(-1L)).as("view_to_purchase_s"),
+          col("converted"))
+        .orderBy("user_id", "view_id")
+    }),
+
     "rj01_events_near_purchase" -> ((spark: SparkSession, dir: String) => {
       val bucketUs = 300L * 1000000L // 5-minute buckets = the band width
       val ev = t(spark, dir, "events")
@@ -76,6 +101,24 @@ object TemporalQueries {
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "asof02_next_purchase_attribution" ->
+      """SELECT user_id, event_id AS view_id, t_us AS view_us,
+        |  CASE WHEN converted THEN next_purchase_us ELSE -1 END AS purchase_us,
+        |  CASE WHEN converted THEN (next_purchase_us - t_us) // 1000000 ELSE -1 END
+        |    AS view_to_purchase_s,
+        |  converted
+        |FROM (
+        |  SELECT *, next_purchase_us IS NOT NULL
+        |      AND next_purchase_us - t_us <= 3600 * CAST(1000000 AS BIGINT) AS converted
+        |  FROM (
+        |    SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+        |      MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+        |    FROM events))
+        |WHERE event_type = 'view'
+        |ORDER BY user_id, view_id""".stripMargin,
 
     // the oracle states the SEMANTIC (plain band join); the Spark plan
     // realizes it with bucketing — same rows, scalable plan

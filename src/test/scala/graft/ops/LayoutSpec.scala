@@ -39,4 +39,48 @@ class LayoutSpec extends SparkSpec {
     val p = Layout.plan(spark, "/tmp/layout-does-not-exist-xyz")
     assert(p.nFiles == 0 && p.totalBytes == 0 && p.targetFiles == 1 && !p.needed)
   }
+
+  test("z-order write makes per-file min/max boxes prunable in BOTH dimensions") {
+    val orders = graft.queries.Tables.t(spark, sf0001, "orders")
+    val base = Files.createTempDirectory("layout_z")
+    val zDir = base.resolve("zorder").toString
+    val hDir = base.resolve("hashed").toString
+    Layout.zorderWrite(orders, zDir, "o_custkey", "o_totalprice", nFiles = 8)
+    orders.repartition(8).write.parquet(hDir) // the layout a naive write leaves
+
+    // per-file [min,max] boxes straight from the files (what footer
+    // stats give a reader); count files a 2-dim box predicate touches
+    def boxes(dir: String): Seq[(Long, Long, Double, Double)] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).toSeq.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("o_custkey"), max("o_custkey"), min("o_totalprice"), max("o_totalprice")).head()
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      }
+    val stats = orders.agg(
+      min("o_custkey"), max("o_custkey"), min("o_totalprice"), max("o_totalprice")).head()
+    val (loK, hiK) = (stats.getLong(0), stats.getLong(1))
+    val (loP, hiP) = (stats.getDouble(2), stats.getDouble(3))
+    // query box: bottom quarter of custkey x bottom quarter of price
+    val (qk, qp) = (loK + (hiK - loK) / 4, loP + (hiP - loP) / 4)
+    def touched(bs: Seq[(Long, Long, Double, Double)]): Int =
+      bs.count { case (k0, _, p0, _) => k0 <= qk && p0 <= qp }
+    val zTouched = touched(boxes(zDir))
+    val hTouched = touched(boxes(hDir))
+    assert(spark.read.parquet(zDir).count() == orders.count())
+    assert(hTouched >= 7, s"hash layout should be unprunable, touched $hTouched/8")
+    assert(zTouched <= 4, s"z-order layout should skip most files, touched $zTouched/8")
+  }
+
+  test("zkeySql interleaves bits identically to a reference Morton encode") {
+    import spark.implicits._
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(j => (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))).sum
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L))
+      .toDF("a", "b")
+      .withColumn("z", expr(Layout.zkeySql("a", "b")))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == morton(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
 }

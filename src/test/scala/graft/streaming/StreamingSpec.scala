@@ -238,6 +238,84 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._2 == "late"), s"late event leaked into $out")
   }
 
+  test("native session_window: streaming == batch on the same data (e02's native twin)") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"))
+    def sessionize(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+        col("user_id"), col("n_events"))
+    val batch = sessionize(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+
+    val base = Files.createTempDirectory("stream_session")
+    events.write.parquet(base.resolve("in").toString)
+    val stream = spark.readStream.schema(events.schema).parquet(base.resolve("in").toString)
+    val q = sessionize(stream.withWatermark("ts", "2 hours")).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .format("memory").queryName("session_spec")
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("session_spec")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(streamed.nonEmpty)
+    // append mode emits only watermark-closed sessions; each must match
+    // the batch session exactly, and nearly all sessions must have closed
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"session $k") }
+    assert(streamed.size >= batch.size - 5,
+      s"only ${streamed.size}/${batch.size} sessions closed")
+  }
+
+  test("stream-stream interval join == batch join on the same data (rj01's streaming twin)") {
+    import spark.implicits._
+    val events = graft.queries.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+    // batch ground truth: views within 30 min BEFORE a same-user purchase
+    val bp = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"), col("user_id"))
+    val bv = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"), col("user_id"))
+    val batch = bp.join(bv, Seq("user_id")).filter(
+        col("v_ts") >= col("p_ts") - expr("interval 30 minutes") && col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("v_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val base = Files.createTempDirectory("stream_join")
+    events.write.parquet(base.resolve("in").toString)
+    def side(tpe: String, idAs: String, tsAs: String) = spark.readStream
+      .schema(events.schema).parquet(base.resolve("in").toString)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(idAs), col("ts").as(tsAs), col("user_id"))
+      .withWatermark(tsAs, "1 hour")
+    // both sides watermarked + a bounded time range: Spark can expire
+    // join state, so state is O(window), not O(stream) — the only shape
+    // that survives an unbounded 100 TB/day event stream.
+    val q = side("purchase", "p_id", "p_ts").withColumnRenamed("user_id", "p_user")
+      .join(side("view", "v_id", "v_ts").withColumnRenamed("user_id", "v_user"),
+        expr("p_user = v_user AND v_ts >= p_ts - interval 30 minutes AND v_ts <= p_ts"))
+      .select(col("p_id"), col("v_id"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .format("memory").queryName("join_spec")
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("join_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-stream join diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming exact dedup: duplicates within the watermark are dropped") {
     import spark.implicits._
     val base = Files.createTempDirectory("stream_dedup")
