@@ -52,6 +52,24 @@ object ChangeQueries {
           col("is_current"), col("value"))
         .orderBy("user_id", "event_id")
     }),
+    // ---- scd03: point-in-time reconstruction ("state AS OF T") — the
+    // time-travel read a lakehouse serves from the same change stream:
+    // filter changes at-or-before T, then latest-wins per key. The
+    // filter pushes into the scan (partition/row-group pruning on ts at
+    // scale), so reconstruction cost tracks |changes <= T|, and the one
+    // shuffle is the same latestWins key shuffle as scd01.
+    "scd03_state_as_of" -> ((spark: SparkSession, dir: String) => {
+      val asOf = "2024-01-15 00:00:00"
+      val purchases = t(spark, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("ts") <= to_timestamp(lit(asOf)))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.Merge.latestWins(purchases, Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("state_ts"),
+          col("value"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,5 +98,17 @@ object ChangeQueries {
         |FROM p
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "scd03_state_as_of" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS state_ts, value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM p)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }

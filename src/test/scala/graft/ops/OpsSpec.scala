@@ -214,6 +214,31 @@ class OpsSpec extends SparkSpec {
     assert(approx.getLong(2) > 0)
   }
 
+  test("aggregation: approx_percentile within bounded rank error of exact percentiles") {
+    // approx_percentile's accuracy knob bounds RANK error (not value
+    // error): with accuracy a, the returned value's rank is within
+    // n/a of the target rank. Like HLL, the sketch can't hash-match a
+    // DuckDB oracle, so this bound IS its gate; n07 stays the exact path.
+    import org.apache.spark.sql.functions._
+    val li = graft.queries.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_quantity").cast("double").as("q"))
+    val n = li.count()
+    val acc = 1000
+    val approx = li.agg(
+      expr(s"approx_percentile(q, array(0.25, 0.5, 0.75), $acc)")).head().getSeq[Double](0)
+    val sorted = li.orderBy("q").collect().map(_.getDouble(0))
+    Seq(0.25, 0.5, 0.75).zip(approx).foreach { case (p, v) =>
+      val target = (p * n).toLong
+      // values are discrete with ties: the returned value occupies the
+      // whole rank interval [count(<v), count(<=v)] — the guarantee is
+      // that the TARGET rank falls within n/acc of that interval
+      val lo = sorted.count(_ < v).toLong
+      val hi = sorted.count(_ <= v).toLong
+      assert(target >= lo - n / acc - 1 && target <= hi + n / acc + 1,
+        s"p$p: value $v spans ranks [$lo,$hi], target $target, n=$n")
+    }
+  }
+
   test("dedup: simhash of identical texts identical; near texts close in Hamming") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("simhash_spec")
