@@ -91,6 +91,25 @@ object TextQueries {
     // monotone transform changes no ranking, so the engine skips it).
     // df comes from a window COUNT over the tf relation — no self-join,
     // no recompute; two shuffles total ((doc,term) then term).
+    // ---- t09: inverted-index export — the posting-list table a search
+    // layer consumes: per term, document frequency, total term
+    // frequency, and the sorted posting list. Two map-side-combinable
+    // aggregations keyed by (term, doc) then term; sort_array makes the
+    // collected postings deterministic regardless of partitioning. At
+    // 100 TB the posting arrays for stop-terms get long — the real
+    // export shards postings by (term, doc_id range); the aggregation
+    // shape (never a driver collect) is what carries.
+    "t09_inverted_index" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), explode(words).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .orderBy("term")
+    }),
+
     "t07_tfidf_top_terms" -> ((spark: SparkSession, dir: String) => {
       val docs = t(spark, dir, "documents")
       val tf = docs
@@ -172,6 +191,15 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "t09_inverted_index" ->
+      """WITH td AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM td GROUP BY term ORDER BY term""".stripMargin,
+
     "t08_pmi_collocations" ->
       """WITH uni AS (
         |  SELECT word, COUNT(*) AS c FROM (

@@ -133,6 +133,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("asof02: forward as-of is one window pass — no join operator at all") {
+    val p = plan("asof02_next_purchase_attribution")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a row-multiplying join")
+  }
+
+  test("scd03: the AS-OF timestamp filter pushes into the parquet scan") {
+    val p = plan("scd03_state_as_of")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(event_type,purchase)"),
+      s"event_type filter must reach the scan:\n$pushed")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
