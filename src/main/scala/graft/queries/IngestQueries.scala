@@ -232,6 +232,50 @@ object IngestQueries {
         .orderBy("name")
     }),
 
+    // Bad-record capture: the reference hard-fails a whole file on one
+    // ragged row (strict csv reader, csv_parser.rs:22 — ing03/ParserSpec
+    // pin that). The lake-scale alternative is PERMISSIVE ingest: good
+    // rows flow, malformed rows land in a corrupt-record column and are
+    // routed to a quarantine output instead of poisoning the batch.
+    // Scan-local (the capture happens inside the CSV reader's codegen) —
+    // no second pass over the file.
+    "ing14_bad_records" -> ((spark: SparkSession, _: String) => {
+      val dir = Files.createTempDirectory("graft_bad")
+      val p = dir.resolve("mixed.csv")
+      Files.writeString(p,
+        "name,age,city\nJohn,30,NYC\nBADLINE-ONLY-ONE-FIELD\nJane,25,LA\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("age", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("city", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+      spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(p.toString)
+        .select(col("name"), col("age"), col("city"),
+          col("_bad").isNotNull.as("quarantined"), col("_bad").as("raw"))
+        .orderBy(col("quarantined"), col("name"))
+    }),
+
+    // Schema evolution: two drops of the same table where the newer one
+    // grew a column; mergeSchema unifies them (old rows read the new
+    // column as null) — the read-side half of lakehouse schema
+    // evolution. Footer-only schema merge, no data rewrite.
+    "ing15_schema_evolution" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_evo")
+      Seq(("Alice", 100L)).toDF("name", "value")
+        .write.parquet(dir.resolve("drop=1").toString)
+      Seq(("Bob", 200L, "eu-west")).toDF("name", "value", "region")
+        .write.parquet(dir.resolve("drop=2").toString)
+      spark.read.option("mergeSchema", "true")
+        .parquet(dir.resolve("drop=1").toString, dir.resolve("drop=2").toString)
+        .select(col("name"), col("value"), col("region"))
+        .orderBy("name")
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -341,6 +385,21 @@ object IngestQueries {
       s"""SELECT name, CAST(score AS BIGINT) AS score, active, ${fn}'data/test.parquet' AS file_name,
         |  md5(${fn}'data/test.parquet') AS log_id
         |FROM (VALUES ('Carol', 7, true), ('Dave', 9, false)) t(name, score, active)
+        |ORDER BY name""".stripMargin,
+
+    "ing14_bad_records" ->
+      """SELECT name, age, city, quarantined, raw
+        |FROM (VALUES
+        |  ('Jane', '25', 'LA', false, CAST(NULL AS VARCHAR)),
+        |  ('John', '30', 'NYC', false, CAST(NULL AS VARCHAR)),
+        |  ('BADLINE-ONLY-ONE-FIELD', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), true, 'BADLINE-ONLY-ONE-FIELD'))
+        |  t(name, age, city, quarantined, raw)
+        |ORDER BY quarantined, name""".stripMargin,
+
+    "ing15_schema_evolution" ->
+      """SELECT name, CAST(value AS BIGINT) AS value, region
+        |FROM (VALUES ('Alice', 100, CAST(NULL AS VARCHAR)), ('Bob', 200, 'eu-west'))
+        |  t(name, value, region)
         |ORDER BY name""".stripMargin,
 
     "ing09_audit_log" ->
