@@ -61,6 +61,41 @@ class ScaleSpec extends SparkSpec {
       Tables.t(spark, sf0001, "lineitem").count())
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force SMJ (no broadcast) and make the skew detector fire on
+      // test-sized data — the mechanism under test is the runtime
+      // re-plan itself, which is what saves the 100 TB hot-key join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 95% of the fact rows share one key; dim side is uniform
+      val fact = spark.range(200000)
+        .select(when(col("id") % 20 < 19, 7L).otherwise(col("id") % 1000).as("k"),
+          concat(lit("payload-"), col("id")).as("pay"))
+      val dim = spark.range(1000).select(col("id").as("k2"), concat(lit("d"), col("id")).as("v"))
+      val joined = fact.join(dim, col("k") === col("k2"))
+      // execute THIS dataframe's own QueryExecution — count()/foreach()
+      // plan separate queries (agg / rdd-deserialize) and would leave
+      // this AdaptiveSparkPlan un-finalized
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition skew=true:\n${finalPlan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL surface: registered views answer spark.sql directly") {
     Tables.registerViews(spark, sf0001)
     val df = spark.sql(
