@@ -31,6 +31,34 @@ object EventQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // ---- e08: volume-anomaly detection — flag hours whose event count
+    // deviates more than 2 sigma from that type's hourly mean. All
+    // moments are computed from EXACT integer sums (count, sum, sum of
+    // squares in BIGINT), so mean/variance are single IEEE divisions and
+    // sigma is one correctly-rounded sqrt — no order-dependent double
+    // accumulation, hash-identical in both engines. Two shuffles total
+    // (hourly rollup, then per-type moments broadcast back).
+    "e08_hourly_anomalies" -> ((spark: SparkSession, dir: String) => {
+      val hourly = t(spark, dir, "events")
+        .groupBy(date_format(ts, "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val moments = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        .withColumn("mean", col("s1").cast("double") / col("n_hours").cast("double"))
+        .withColumn("variance",
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double")
+            / col("n_hours").cast("double")) / col("n_hours").cast("double"))
+        .withColumn("sigma", sqrt(col("variance")))
+        .select(col("event_type"), col("mean"), col("sigma"))
+      hourly.join(broadcast(moments), "event_type")
+        .withColumn("z_num", col("n").cast("double") - col("mean"))
+        .filter(abs(col("z_num")) > lit(2.0) * col("sigma"))
+        .select(col("hour"), col("event_type"), col("n"), col("mean"), col("sigma"))
+        .orderBy("hour", "event_type")
+    }),
+
     // ---- e02: gap-based sessionization (30-min inactivity). The classic
     // lag -> boundary-flag -> running-sum pattern: two windows over the
     // same (user_id, time) partitioning -> ONE shuffle, two sorted passes.
@@ -139,6 +167,25 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "e08_hourly_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY hour, event_type),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |    CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY event_type),
+        |mm AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n_hours AS DOUBLE)) / CAST(n_hours AS DOUBLE)) AS sigma
+        |  FROM m)
+        |SELECT hour, event_type, n, mean, sigma
+        |FROM hourly JOIN mm USING (event_type)
+        |WHERE abs(CAST(n AS DOUBLE) - mean) > 2.0 * sigma
+        |ORDER BY hour, event_type""".stripMargin,
 
     "e02_sessionize" ->
       """WITH g AS (

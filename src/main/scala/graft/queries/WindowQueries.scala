@@ -81,6 +81,22 @@ object WindowQueries {
           (d(col("rev_dec")) / d(sum(col("rev_dec")).over(w))).as("nation_share"))
         .orderBy(col("n_name"), col("s_suppkey"))
     }),
+
+    // ---- w07: distribution window functions — percent_rank, cume_dist,
+    // ntile quartiles of supplier balances per nation. All rank-derived
+    // (exact integer ranks over a total (s_acctbal, s_suppkey) order,
+    // single IEEE divisions), so deterministic cross-engine. One shuffle
+    // on the partition key, like every window here.
+    "w07_distribution_windows" -> ((spark: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(spark, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
   )
 
   private val revSql =
@@ -130,5 +146,14 @@ object WindowQueries {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  GROUP BY n_name, s_suppkey)
         |ORDER BY n_name, s_suppkey""".stripMargin,
+
+    "w07_distribution_windows" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  ntile(4) OVER w AS quartile
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
   )
 }
