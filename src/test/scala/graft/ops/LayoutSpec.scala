@@ -71,6 +71,33 @@ class LayoutSpec extends SparkSpec {
     assert(zTouched <= 4, s"z-order layout should skip most files, touched $zTouched/8")
   }
 
+  test("hive-partitioned write prunes partitions at plan time") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dir = Files.createTempDirectory("layout_part").resolve("events_by_day").toString
+    val ev = graft.queries.Tables.events(spark, sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.partitionBy("day").parquet(dir)
+    val nDays = ev.select("day").distinct().count()
+    assert(nDays > 10, s"fixture needs many partitions, got $nDays")
+
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("2024-01-05"), s"day predicate must prune partitions: $pf")
+    // the scan must EXECUTE against one partition directory, not all of
+    // them (inputFiles reflects the pre-pruning relation, so read the
+    // executed scan's numFiles metric instead)
+    val expected = ev.filter(col("day") === "2024-01-05").count()
+    assert(q.collect().length.toLong == expected)
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    val numFiles = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    assert(numFiles < totalFiles / 5,
+      s"scan read $numFiles files of $totalFiles — partitions not pruned")
+  }
+
   test("zkeySql interleaves bits identically to a reference Morton encode") {
     import spark.implicits._
     def morton(a: Long, b: Long): Long =
