@@ -70,6 +70,24 @@ object ChangeQueries {
           col("value"))
         .orderBy("user_id")
     }),
+    // ---- scd04: latest-wins WITH delete tombstones — the full CDC
+    // op-log semantics (I/U/D): the latest version per key decides, and
+    // if it is a delete the key vanishes from current state (a later
+    // re-insert would resurrect it, which filter-after-latest preserves).
+    // Same single key shuffle as scd01; the tombstone filter is a
+    // post-window predicate, no extra pass.
+    "scd04_tombstone_state" -> ((spark: SparkSession, dir: String) => {
+      val o = t(spark, dir, "orders")
+      val stream = changeStream(spark, dir).withColumn("op", lit("U"))
+        .unionAll(o.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), lit(3).as("version"),
+            col("o_totalprice"), col("o_orderstatus"))
+          .withColumn("op", lit("D")))
+      graft.ops.Merge.latestWins(stream, Seq("o_orderkey"), "version", "o_orderkey")
+        .filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("version"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -110,5 +128,22 @@ object ChangeQueries {
         |    ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM p)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "scd04_tombstone_state" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, 1 AS version, o_totalprice, o_orderstatus, 'U' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2 AS version,
+        |         o_totalprice * CAST(1.1 AS DOUBLE), o_orderstatus, 'U'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3 AS version, o_totalprice, o_orderstatus, 'D'
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey, version, o_totalprice, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, o_orderkey DESC) AS rn
+        |  FROM changes)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

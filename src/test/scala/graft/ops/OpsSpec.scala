@@ -214,6 +214,28 @@ class OpsSpec extends SparkSpec {
     assert(approx.getLong(2) > 0)
   }
 
+  test("aggregation: HLL sketches persist and merge losslessly (per-day union == global)") {
+    // The 100 TB distinct-count pattern: build one DataSketches HLL per
+    // partition (day), persist, and answer any date-range query by
+    // MERGING sketches instead of rescanning. HLL state depends only on
+    // the item SET (insertion-order independent), so the union of
+    // per-day sketches must estimate EXACTLY what one global sketch
+    // does — that equality is the mergeability contract.
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val perDay = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    assert(perDay.count() > 10, "fixture should span many days")
+    val merged = perDay.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head().getLong(0)
+    val global = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est")).head().getLong(0)
+    assert(merged == global, s"merged $merged != global $global")
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   test("aggregation: approx_percentile within bounded rank error of exact percentiles") {
     // approx_percentile's accuracy knob bounds RANK error (not value
     // error): with accuracy a, the returned value's rank is within
