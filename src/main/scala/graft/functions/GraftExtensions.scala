@@ -36,13 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"heavy_hitters(col, k) takes 2 arguments, got ${exprs.length}")
         HeavyHittersAgg(exprs.head, exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
             org.apache.spark.sql.types.IntegerType) => v
           case other => throw new IllegalArgumentException(
             s"heavy_hitters k must be an integer literal, got $other")
-        })))
+        })
+      }))
     extensions.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

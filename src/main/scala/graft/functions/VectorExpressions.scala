@@ -216,9 +216,11 @@ object VectorFunctions {
   }
 
   /** The shingle/minhash kernels take their width as a literal int. */
-  private def litInt(exprs: Seq[Expression], i: Int): Int = exprs(i) match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
+  private def litInt(exprs: Seq[Expression], i: Int): Int = exprs.lift(i) match {
+    case Some(Literal(v: Int, IntegerType)) => v
+    case None => throw new IllegalArgumentException(
+      s"expected at least ${i + 1} arguments, got ${exprs.length}")
+    case Some(other) => throw new IllegalArgumentException(
       s"argument ${i + 1} must be a literal int, got $other")
   }
 

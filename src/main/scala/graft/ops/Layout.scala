@@ -73,10 +73,15 @@ object Layout {
     * position 2j / 2j+1, so keys close in z-order are close in BOTH
     * dims. Plain shift/mask arithmetic — codegen-friendly in Spark and
     * runnable verbatim by DuckDB (shared operator subset). */
-  def zkeySql(aCol: String, bCol: String, bits: Int = 16): String =
+  def zkeySql(aCol: String, bCol: String, bits: Int = 16): String = {
+    // cast to bigint FIRST: bit 15 of an int32 input would shift into
+    // position 31 — the int sign bit — wrapping half the keyspace
+    // negative in Spark (and erroring in DuckDB)
+    val (a, b) = (s"cast($aCol as bigint)", s"cast($bCol as bigint)")
     (0 until bits).map { j =>
-      s"(((($aCol) >> $j) & 1) << ${2 * j}) + (((($bCol) >> $j) & 1) << ${2 * j + 1})"
+      s"((($a >> $j) & 1) << ${2 * j}) + ((($b >> $j) & 1) << ${2 * j + 1})"
     }.mkString("(", " + ", ")")
+  }
 
   /** Rewrites `df` into `dir` Z-ordered on two numeric dimensions:
     * quantize each dim to `bits` bits by min-max scaling, interleave to
@@ -96,6 +101,10 @@ object Layout {
     val b = df.agg(
       min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
       min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).head()
+    if (b.isNullAt(0)) { // empty input: write the empty dataset, no NPE
+      df.write.mode("overwrite").parquet(dir)
+      return
+    }
     val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     val top = (1L << bits) - 1
     def q(c: String, lo: Double, hi: Double) =

@@ -52,4 +52,24 @@ object TextAnalysis {
   /** Content fingerprints (md5: engine-portable, the exact-dedup key). */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
   def prefixFingerprint(text: Column, n: Int = 64): Column = md5(substring(text, 1, n))
+
+  /** Adjacent word-bigram STRINGS ("w1 w2") of `textCol`, empty for a
+    * single-word document. Built as zip_with over two slices rather
+    * than `transform(sequence(1, size - 1), ...)`: the sequence form
+    * DESCENDS to [1, 0] when size = 1 and `element_at(arr, 0)` then
+    * throws in Spark, while the DuckDB mirror `range(1, len)` is simply
+    * empty — the slice form is empty there too, matching the oracle.
+    * Shared by t06/t08/qf01/qf03 so the guard and tokenization can't
+    * diverge between them. */
+  def bigramStringsExpr(textCol: String): String =
+    s"""zip_with(slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
+       |         slice(split($textCol, ' '), 2, size(split($textCol, ' ')) - 1),
+       |         (a, b) -> concat(a, ' ', b))""".stripMargin
+
+  /** Adjacent word-bigram PAIRS (struct w1, w2) — same construction as
+    * [[bigramStringsExpr]]. */
+  def bigramPairsExpr(textCol: String): String =
+    s"""zip_with(slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
+       |         slice(split($textCol, ' '), 2, size(split($textCol, ' ')) - 1),
+       |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin
 }

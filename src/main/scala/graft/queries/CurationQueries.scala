@@ -125,8 +125,7 @@ object CurationQueries {
         size(words).as("n_words"),
         size(array_distinct(words)).as("n_uniq"))
       val bigrams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
-        .as("bigram"))
+        graft.ops.TextAnalysis.bigramStringsExpr("text"))).as("bigram"))
       val bigramStats = bigrams
         .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))
@@ -193,9 +192,7 @@ object CurationQueries {
       // executes three times (the dd08/dd11 expression-reuse trap).
       val grams = t(spark, dir, "documents")
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 1),
-            |  i -> struct(element_at(split(text, ' '), i) AS w1,
-            |              element_at(split(text, ' '), i + 1) AS w2))""".stripMargin)).as("g"))
+          graft.ops.TextAnalysis.bigramPairsExpr("text"))).as("g"))
         .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
         .localCheckpoint(true)
       val c12 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))

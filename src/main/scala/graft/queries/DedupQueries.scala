@@ -210,9 +210,11 @@ object DedupQueries {
       // sizes-ride-along + max(struct) variant: the struct max planned as
       // SortAggregate and the wider grouping key cost ~40% more than this
       // window — measured, not guessed (round 5).
+      // Dedup.shinglesExpr carries the short-input guard (a name under 4
+      // chars yields one whole-name shingle instead of a descending
+      // sequence emitting position-0 windows the oracle never sees).
       def tris(df: DataFrame, idCol: String, nameCol: String) = df.select(
-        col(idCol), explode(expr(
-          s"array_distinct(transform(sequence(1, length($nameCol) - 2), i -> substring($nameCol, i, 3)))")).as("tri"))
+        col(idCol), explode(expr(Dedup.shinglesExpr(nameCol, 3))).as("tri"))
       val ct = tris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
       val dt = tris(dirty, "dirty_id", "dname")
       val csz = ct.groupBy("clean_id").agg(count(lit(1)).as("n_c"))
@@ -429,11 +431,11 @@ object DedupQueries {
         |  FROM base),
         |ct AS (
         |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
-        |    range(1, length(name) - 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
+        |    range(1, greatest(length(name) - 2, 1) + 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
         |  FROM base),
         |dt AS (
         |  SELECT dirty_id, unnest(list_distinct(list_transform(
-        |    range(1, length(dname) - 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
+        |    range(1, greatest(length(dname) - 2, 1) + 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
         |  FROM dirty),
         |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
         |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),

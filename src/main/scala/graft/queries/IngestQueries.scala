@@ -97,8 +97,10 @@ object IngestQueries {
       build: SparkSession => DataFrame): Unit = {
     val tmp = Files.createTempDirectory("graft_fmt")
     build(spark).coalesce(1).write.format(fmt).mode("overwrite").save(tmp.resolve("out").toString)
-    val part = Files.list(tmp.resolve("out")).filter(f =>
+    val listing = Files.list(tmp.resolve("out"))
+    val part = try listing.filter(f =>
       f.getFileName.toString.startsWith("part-")).findFirst().get()
+    finally listing.close()
     Files.move(part, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 

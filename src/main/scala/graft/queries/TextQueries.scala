@@ -73,9 +73,8 @@ object TextQueries {
     // count -> per-group top-k via WindowGroupLimit).
     "t06_top_bigrams" -> ((spark: SparkSession, dir: String) => {
       val bigrams = t(spark, dir, "documents")
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 1), i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
-          .as("bigram"))
+        .select(col("lang"),
+          explode(expr(TextAnalysis.bigramStringsExpr("text"))).as("bigram"))
       val counts = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
@@ -149,10 +148,7 @@ object TextQueries {
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       val pairs = docs.select(explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          |  i -> struct(element_at(split(text, ' '), i) as w1,
-          |              element_at(split(text, ' '), i + 1) as w2))""".stripMargin))
-        .as("p"))
+        TextAnalysis.bigramPairsExpr("text"))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
         .localCheckpoint(true)

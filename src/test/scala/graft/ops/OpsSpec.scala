@@ -214,13 +214,14 @@ class OpsSpec extends SparkSpec {
     assert(approx.getLong(2) > 0)
   }
 
-  test("aggregation: HLL sketches persist and merge losslessly (per-day union == global)") {
+  test("aggregation: HLL sketches persist and merge within sketch error of global") {
     // The 100 TB distinct-count pattern: build one DataSketches HLL per
     // partition (day), persist, and answer any date-range query by
-    // MERGING sketches instead of rescanning. HLL state depends only on
-    // the item SET (insertion-order independent), so the union of
-    // per-day sketches must estimate EXACTLY what one global sketch
-    // does — that equality is the mergeability contract.
+    // MERGING sketches instead of rescanning. HLL state is
+    // insertion-order independent, but a unioned sketch and a
+    // directly-updated one may use different estimators once dense
+    // (composite vs HIP), so the contract is agreement within sketch
+    // error — not bit equality — plus both close to the exact count.
     import org.apache.spark.sql.functions._
     val ev = graft.queries.Tables.events(spark, sf0001)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
@@ -230,10 +231,11 @@ class OpsSpec extends SparkSpec {
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head().getLong(0)
     val global = ev.agg(
       hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est")).head().getLong(0)
-    assert(merged == global, s"merged $merged != global $global")
     val exact = ev.select("user_id").distinct().count()
-    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
-      s"estimate $merged vs exact $exact")
+    def close(a: Long, b: Long) = math.abs(a - b).toDouble / math.max(b, 1L) <= 0.05
+    assert(close(merged, global), s"merged $merged vs global $global")
+    assert(close(merged, exact) && close(global, exact),
+      s"estimates $merged/$global vs exact $exact")
   }
 
   test("aggregation: approx_percentile within bounded rank error of exact percentiles") {

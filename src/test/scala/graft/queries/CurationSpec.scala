@@ -13,6 +13,29 @@ class CurationSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
 
+  test("bigram queries survive single-word and empty documents (review regression)") {
+    import spark.implicits._
+    // sequence(1, size-1) DESCENDS for size=1 and element_at(_, 0)
+    // throws; the shared zip_with builder must yield zero bigrams
+    // instead, matching the oracle's empty range(1, 1).
+    val tmp = java.nio.file.Files.createTempDirectory("one_word")
+    Seq(
+      (1L, "solo", "en", "src0", 4L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "two words here", "en", "src1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val qf03 = SparkEntry.queries("qf03_bigram_surprisal")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qf03 == Map(3L -> 2L), s"only the multi-word doc has bigrams: $qf03")
+    val t06 = SparkEntry.queries("t06_top_bigrams")(spark, tmp.toString).collect()
+    assert(t06.length == 2 && t06.forall(_.getLong(3) == 1L), // (lang, rk, bigram, n)
+      s"expected the 2 bigrams of doc 3 once each: ${t06.mkString(";")}")
+    val qf01 = SparkEntry.queries("qf01_repetition_filter")(spark, tmp.toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(qf01 == Set(3L), "docs with no bigrams drop out of the bigram-stats join")
+  }
+
   test("pii01: every injected contact is counted and fully redacted") {
     val rows = q("pii01_redact").collect()
     assert(rows.nonEmpty)

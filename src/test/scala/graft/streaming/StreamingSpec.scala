@@ -197,8 +197,10 @@ class StreamingSpec extends SparkSpec {
         .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
       val tmp = Files.createTempDirectory("stream_late_tmp")
       df.coalesce(1).write.parquet(tmp.resolve("out").toString)
-      val part = Files.list(tmp.resolve("out"))
+      val listing = Files.list(tmp.resolve("out"))
+      val part = try listing
         .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
       val dest = in.resolve(name)
       Files.move(part, dest)
       Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(mtime))
