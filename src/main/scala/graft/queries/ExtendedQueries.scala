@@ -209,6 +209,36 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ---- n08: winsorization — clip a measure at its exact per-group
+    // [p01, p99] (nearest-rank, same bit-reproducible machinery as n07)
+    // and report the clip counts and winsorized sum a feature-cleaning
+    // pass emits. Two passes over the fact column: the threshold pass is
+    // n07's window shape; the clip pass re-joins the (tiny, broadcast)
+    // per-group thresholds — at 100 TB the second pass is scan-local.
+    "n08_winsorize" -> ((spark: SparkSession, dir: String) => {
+      val li = t(spark, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      val th = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          d(max(when(expr("rn = (n + 99) div 100"), dec(col("l_extendedprice"))))).as("p01"),
+          d(max(when(expr("rn = (99 * n + 99) div 100"), dec(col("l_extendedprice"))))).as("p99"))
+      li.join(broadcast(th), "l_returnflag")
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("p01")), col("p99")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+          sum(when(col("l_extendedprice") < col("p01"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("l_extendedprice") > col("p99"), 1L).otherwise(0L)).as("n_clip_hi"),
+          d(sum(dec(col("clipped")))).as("winsorized_sum"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- fn02: array-function parity (construction, slicing, search,
     // sort, join) — scan-local, codegen'd.
     "fn02_array_functions" -> ((spark: SparkSession, dir: String) => {
@@ -345,6 +375,25 @@ object ExtendedQueries {
         |  FROM lineitem)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "n08_winsorize" ->
+      """WITH th AS (
+        |  SELECT l_returnflag,
+        |    CAST(MAX(CASE WHEN rn = (n + 99) // 100 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p01,
+        |    CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p99
+        |  FROM (
+        |    SELECT l_returnflag, l_extendedprice,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n, MAX(p01) AS p01, MAX(p99) AS p99,
+        |  CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(SUM(CAST(least(greatest(l_extendedprice, p01), p99) AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+        |FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
 
     "fn02_array_functions" ->
       """SELECT l_orderkey, l_linenumber,

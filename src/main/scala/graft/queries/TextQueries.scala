@@ -90,6 +90,30 @@ object TextQueries {
     // monotone transform changes no ranking, so the engine skips it).
     // df comes from a window COUNT over the tf relation — no self-join,
     // no recompute; two shuffles total ((doc,term) then term).
+    // ---- t10: text normalization — the canonicalization pass run
+    // before hashing/dedup (lowercase, strip non-alphanumerics, collapse
+    // whitespace, trim). The corpus is already clean, so the query first
+    // stamps deterministic noise (mixed case, punctuation, runs of
+    // spaces — a fixture, like pii01's contacts) and then runs the real
+    // operator. Pure codegen'd projection, zero shuffle; the regexes are
+    // in the Java/RE2 shared subset.
+    "t10_normalize" -> ((spark: SparkSession, dir: String) => {
+      val noisy = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("  EXTRA   Spaces!! ")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("Hello, World.  "), col("text")))
+        .otherwise(col("text"))
+      val normalized = trim(regexp_replace(
+        regexp_replace(lower(noisy), "[^a-z0-9 ]", ""), " +", " "))
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(noisy).as("n_chars_raw"),
+          length(normalized).as("n_chars_norm"),
+          (normalized =!= col("text")).as("changed"),
+          substring(normalized, 1, 40).as("norm_prefix"))
+        .orderBy("doc_id")
+    }),
+
     // ---- t09: inverted-index export — the posting-list table a search
     // layer consumes: per term, document frequency, total term
     // frequency, and the sorted posting list. Two map-side-combinable
@@ -187,6 +211,21 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "t10_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || '  EXTRA   Spaces!! '
+        |         WHEN doc_id % 3 = 1 THEN 'Hello, World.  ' || text
+        |         ELSE text END AS noisy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text, noisy,
+        |    trim(regexp_replace(regexp_replace(lower(noisy), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM r)
+        |SELECT doc_id, length(noisy) AS n_chars_raw, length(norm) AS n_chars_norm,
+        |  norm <> text AS changed, substr(norm, 1, 40) AS norm_prefix
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "t09_inverted_index" ->
       """WITH td AS (
         |  SELECT term, doc_id, count(*) AS tf FROM (
