@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   *     (IEEE 754, identical everywhere) — never decimal division, whose
   *     result scale is engine-specific;
   *   - timestamps are emitted as formatted strings;
-  *   - every query ends with a total ORDER BY (unique tie-break column).
+  *   - every query ends with a total ORDER BY (unique tie-break column);
+  *   - a decimal whose value needs > 53 mantissa bits (sums of SQUARES
+  *     reach 1e16 fast) must cross to double via a correctly-rounded
+  *     path in BOTH engines: Spark's decimal cast (BigDecimal
+  *     .doubleValue) is correctly rounded, DuckDB's direct cast is not
+  *     always — route the DuckDB side through CAST(... AS VARCHAR) AS
+  *     DOUBLE (see n06's oracle).
   */
 object Tables {
   val names: Seq[String] = Seq(
