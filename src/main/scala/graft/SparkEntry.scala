@@ -20,7 +20,8 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ IngestQueries.defs ++ ExtendedQueries.defs ++
       TemporalQueries.defs ++ TpchDeepQueries.defs ++ CurationQueries.defs ++
-      ClusteringQueries.defs ++ ChangeQueries.defs ++ ProfilingQueries.defs
+      ClusteringQueries.defs ++ ChangeQueries.defs ++ ProfilingQueries.defs ++
+      QualityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ IngestQueries.oracles ++ ExtendedQueries.oracles ++
       TemporalQueries.oracles ++ TpchDeepQueries.oracles ++ CurationQueries.oracles ++
-      ClusteringQueries.oracles ++ ChangeQueries.oracles ++ ProfilingQueries.oracles
+      ClusteringQueries.oracles ++ ChangeQueries.oracles ++ ProfilingQueries.oracles ++
+      QualityQueries.oracles
 }
