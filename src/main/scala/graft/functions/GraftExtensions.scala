@@ -17,22 +17,34 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * VectorFunctions.registerAll covers the already-running-session case.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def arity(name: String, n: Int)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name takes $n argument(s), got ${exprs.length}")
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("vector_dot", 2)(exprs)
+        DotProduct(exprs.head, exprs(1))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vector_cosine"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("vector_cosine", 2)(exprs)
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimhashBits(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("simhash_bits", 1)(exprs)
+        SimhashBits(exprs.head)
+      }))
     extensions.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
@@ -51,16 +63,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("bloom_agg", 2)(exprs)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs.head, exprs(1))))
+          exprs.head, exprs(1))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_contains"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("bloom_contains", 2)(exprs)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs.head, exprs(1))))
+          exprs.head, exprs(1))
+      }))
   }
 }

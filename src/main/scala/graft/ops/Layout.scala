@@ -101,7 +101,9 @@ object Layout {
     val b = df.agg(
       min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
       min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).head()
-    if (b.isNullAt(0)) { // empty input: write the empty dataset, no NPE
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input OR an all-NULL dimension: no usable bounds — write
+      // the data unchanged rather than NPE on a null min/max
       df.write.mode("overwrite").parquet(dir)
       return
     }

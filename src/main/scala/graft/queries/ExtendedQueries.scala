@@ -396,7 +396,7 @@ object ExtendedQueries {
         |SELECT l.l_returnflag, COUNT(*) AS n, MAX(p01) AS p01, MAX(p99) AS p99,
         |  CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
         |  CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-        |  CAST(SUM(CAST(least(greatest(l_extendedprice, p01), p99) AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+        |  CAST(CAST(SUM(CAST(least(greatest(l_extendedprice, p01), p99) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS winsorized_sum
         |FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag
         |GROUP BY l.l_returnflag
         |ORDER BY l.l_returnflag""".stripMargin,
