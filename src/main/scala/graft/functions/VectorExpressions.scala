@@ -206,7 +206,11 @@ object VectorFunctions {
     // state: bloom_agg(hash, n_items) -> binary, bloom_contains(bloom,
     // hash) -> boolean (bloom side must be a constant/scalar subquery).
     registry.createOrReplaceTempFunction("heavy_hitters",
-      exprs => HeavyHittersAgg(exprs.head, litInt(exprs, 1)), "built-in")
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"heavy_hitters expects exactly 2 arguments (column, k), got ${exprs.length}")
+        HeavyHittersAgg(exprs.head, litInt(exprs, 1))
+      }, "built-in")
     registry.createOrReplaceTempFunction("bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs.head, exprs(1)), "built-in")

@@ -47,9 +47,13 @@ object EventQueries {
           sum(col("n")).as("s1"),
           sum(col("n") * col("n")).as("s2"))
         .withColumn("mean", col("s1").cast("double") / col("n_hours").cast("double"))
-        .withColumn("variance",
+        // FP rounding can push the variance operand a hair below zero when a
+        // type's hourly counts are near-constant and large; Spark's sqrt would
+        // silently yield NaN while DuckDB errors. Clamp at 0 on BOTH sides.
+        .withColumn("variance", greatest(
           (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double")
-            / col("n_hours").cast("double")) / col("n_hours").cast("double"))
+            / col("n_hours").cast("double")) / col("n_hours").cast("double"),
+          lit(0.0)))
         .withColumn("sigma", sqrt(col("variance")))
         .select(col("event_type"), col("mean"), col("sigma"))
       hourly.join(broadcast(moments), "event_type")
@@ -179,8 +183,8 @@ object EventQueries {
         |mm AS (
         |  SELECT event_type,
         |    CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean,
-        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-        |      / CAST(n_hours AS DOUBLE)) / CAST(n_hours AS DOUBLE)) AS sigma
+        |    sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n_hours AS DOUBLE)) / CAST(n_hours AS DOUBLE), 0.0)) AS sigma
         |  FROM m)
         |SELECT hour, event_type, n, mean, sigma
         |FROM hourly JOIN mm USING (event_type)

@@ -118,7 +118,10 @@ object TextQueries {
     // layer consumes: per term, document frequency, total term
     // frequency, and the sorted posting list. Two map-side-combinable
     // aggregations keyed by (term, doc) then term; sort_array makes the
-    // collected postings deterministic regardless of partitioning. At
+    // collected postings deterministic regardless of partitioning. The
+    // posting list is exported as a comma-joined string (sorted
+    // NUMERICALLY before stringifying, so both engines agree) because
+    // the gate's comparison layer needs hashable scalar columns. At
     // 100 TB the posting arrays for stop-terms get long — the real
     // export shards postings by (term, doc_id range); the aggregation
     // shape (never a driver collect) is what carries.
@@ -129,7 +132,9 @@ object TextQueries {
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
           sum(col("tf")).as("total_tf"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          array_join(
+            transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+            ",").as("postings"))
         .orderBy("term")
     }),
 
@@ -232,7 +237,7 @@ object TextQueries {
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |  GROUP BY term, doc_id)
         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-        |  list(doc_id ORDER BY doc_id) AS postings
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM td GROUP BY term ORDER BY term""".stripMargin,
 
     "t08_pmi_collocations" ->
