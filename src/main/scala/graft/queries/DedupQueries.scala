@@ -193,11 +193,20 @@ object DedupQueries {
     // Candidate generation is a trigram INVERTED-INDEX join (explode
     // distinct trigrams, equi-join on trigram) — never an all-pairs
     // product, so at 100 TB the cost is (names x trigrams) keyed joins.
-    // The corpus-scale refinement (not needed at this cardinality) is
-    // dropping stop-trigrams above a document-frequency cap before the
-    // join, exactly like dd04 drops to banding instead of dd02's
-    // quadratic verify. Top-1 per dirty name by (jaccard, clean_id) —
-    // a total order, so the pick is deterministic in both engines.
+    // STOP-TRIGRAM DF CAP: a trigram present in more than 15% of the
+    // clean registry carries no discriminative signal but dominates the
+    // join — its fan-out is quadratic in its posting length, the
+    // classic skewed-key blowup at corpus scale. Such trigrams are
+    // dropped from BOTH sides before sizing and joining, so similarity
+    // is Jaccard over the discriminative trigrams only and every
+    // surviving join key has per-side fan-out <= 0.15 x |registry| —
+    // the same move as dd04's banding vs dd02's quadratic verify. The
+    // cap is relative (the stop set is stable for a fixed language as
+    // the corpus grows — measured here: the same 4 trigrams prune at
+    // sf0.01 and sf0.1), and the stop relation is vocabulary-sized:
+    // broadcast anti-joins, no extra shuffle. Top-1 per dirty name by
+    // (jaccard, clean_id) — a total order, so the pick is
+    // deterministic in both engines.
     "er01_fuzzy_entity_match" -> ((spark: SparkSession, dir: String) => {
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
@@ -215,8 +224,14 @@ object DedupQueries {
       // sequence emitting position-0 windows the oracle never sees).
       def tris(df: DataFrame, idCol: String, nameCol: String) = df.select(
         col(idCol), explode(expr(Dedup.shinglesExpr(nameCol, 3))).as("tri"))
-      val ct = tris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
-      val dt = tris(dirty, "dirty_id", "dname")
+      val ctAll = tris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
+      val dtAll = tris(dirty, "dirty_id", "dname")
+      val stop = ctAll.groupBy("tri").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_clean"))))
+        .filter(col("df").cast("double") > lit(0.15) * col("n_clean").cast("double"))
+        .select("tri")
+      val ct = ctAll.join(broadcast(stop), Seq("tri"), "left_anti")
+      val dt = dtAll.join(broadcast(stop), Seq("tri"), "left_anti")
       val csz = ct.groupBy("clean_id").agg(count(lit(1)).as("n_c"))
       val dsz = dt.groupBy("dirty_id").agg(count(lit(1)).as("n_d"))
       val shared = dt.join(ct, "tri").groupBy("dirty_id", "clean_id")
@@ -429,14 +444,19 @@ object DedupQueries {
         |    substr(name, 1, CAST(doc_id % length(name) AS INT))
         |      || substr(name, CAST(doc_id % length(name) AS INT) + 2) AS dname
         |  FROM base),
-        |ct AS (
+        |ct0 AS (
         |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(length(name) - 2, 1) + 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
         |  FROM base),
-        |dt AS (
+        |dt0 AS (
         |  SELECT dirty_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(length(dname) - 2, 1) + 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
         |  FROM dirty),
+        |stop AS (
+        |  SELECT tri FROM (SELECT tri, count(*) AS df FROM ct0 GROUP BY tri)
+        |  WHERE CAST(df AS DOUBLE) > 0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM base)),
+        |ct AS (SELECT * FROM ct0 ANTI JOIN stop USING (tri)),
+        |dt AS (SELECT * FROM dt0 ANTI JOIN stop USING (tri)),
         |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
         |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),
         |shared AS (

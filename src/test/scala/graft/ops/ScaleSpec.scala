@@ -31,6 +31,29 @@ class ScaleSpec extends SparkSpec {
     assert(top.getLong(0) == 1L && top.getDouble(2) > 0.8)
   }
 
+  test("er01 stop-trigram DF cap bounds per-key join fan-out") {
+    // Rebuild er01's clean-side trigram relation and assert the cap's
+    // contract: at least one corpus-ubiquitous trigram is pruned, and
+    // every SURVIVING join key has fan-out <= 0.15 x |registry| — the
+    // bound that keeps the inverted-index join from going quadratic on
+    // a hot key at corpus scale.
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
+    val nClean = base.count()
+    val cap = 0.15 * nClean
+    val df = base.select(col("doc_id"),
+        explode(expr(graft.ops.Dedup.shinglesExpr("name", 3))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("df"))
+    val pruned = df.filter(col("df").cast("double") > cap).count()
+    assert(pruned > 0, "fixture must exercise the stop-trigram path")
+    val survivingMax = df.filter(col("df").cast("double") <= cap)
+      .agg(max(col("df"))).head.getLong(0)
+    assert(survivingMax <= cap)
+    // And the capped query still resolves entities (result non-degenerate).
+    val out = graft.queries.DedupQueries.defs("er01_fuzzy_entity_match")(spark, sf0001)
+    assert(out.count() > 0)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(!wh.contains("/root/repo"), s"warehouse must not pollute the repo: $wh")
