@@ -226,10 +226,15 @@ object DedupQueries {
         col(idCol), explode(expr(Dedup.shinglesExpr(nameCol, 3))).as("tri"))
       val ctAll = tris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
       val dtAll = tris(dirty, "dirty_id", "dname")
+      // localCheckpoint: the stop relation feeds BOTH anti-joins — without
+      // it each consumer re-runs the registry scan + DF aggregation (and
+      // its 1-row scalar attach re-plans under every consumer). It is
+      // vocabulary-sized, so materializing is control-plane cheap.
       val stop = ctAll.groupBy("tri").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(base.agg(count(lit(1)).as("n_clean"))))
         .filter(col("df").cast("double") > lit(0.15) * col("n_clean").cast("double"))
         .select("tri")
+        .localCheckpoint(true)
       val ct = ctAll.join(broadcast(stop), Seq("tri"), "left_anti")
       val dt = dtAll.join(broadcast(stop), Seq("tri"), "left_anti")
       val csz = ct.groupBy("clean_id").agg(count(lit(1)).as("n_c"))

@@ -278,6 +278,40 @@ object IngestQueries {
         .orderBy("name")
     }),
 
+    // K1-K3 over the reference's DEFAULT deployed wire: the same CSV
+    // pipeline, but the sink speaks the MongoDB OP_MSG/BSON protocol to
+    // an in-process wire server (no egress in this environment) and the
+    // result is the server's stored docs read back. Exercises the
+    // reference's default path end-to-end (mongodb/data_repo.rs:20-70;
+    // documentdb/data_repo.rs:18-44 is wire-identical), selected through
+    // SinkFactory exactly as DATABASE_TYPE=mongodb + MONGODB_URI would.
+    "ing16_mongodb_wire" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft_mongo")
+      val bucket = "data-ingestion-bucket"
+      val filePath = base.resolve(bucket).resolve("data").resolve("test.csv")
+      Files.createDirectories(filePath.getParent)
+      Files.writeString(filePath, csvFixture)
+      val server = new graft.sinks.StubMongoServer
+      try {
+        val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = md5Hex)
+        val sink = graft.sinks.SinkFactory.fromEnv(Map(
+          "DATABASE_TYPE" -> "mongodb",
+          "MONGODB_URI" -> s"mongodb://${server.host}:${server.port}",
+          "MONGODB_DATABASE" -> "ingestion_db"), base.resolve("unused").toString)
+        val pipeline = new IngestionPipeline(
+          new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+          sink, logs)
+        val result = pipeline.processFile(spark, FileToProcess(bucket, "data/test.csv"))
+        require(result.rowsWritten == 3, s"wire sink reported ${result.rowsWritten} rows, expected 3")
+        // server.docs materializes on the driver, so the server can stop
+        // before the returned DataFrame is collected.
+        spark.read.json(server.docs("ingestion_db", result.targetTable).toDS())
+          .select("name", "age", "city", "file_name", "log_id")
+          .orderBy("name")
+      } finally server.stop()
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -372,6 +406,12 @@ object IngestQueries {
         |ORDER BY name""".stripMargin,
 
     "ing11_couchdb_wire" ->
+      s"""SELECT name, age, city, ${fn}'data/test.csv' AS file_name,
+        |  md5(${fn}'data/test.csv') AS log_id
+        |FROM (VALUES ('Bob','35','Chicago'), ('Jane','25','LA'), ('John','30','NYC')) t(name, age, city)
+        |ORDER BY name""".stripMargin,
+
+    "ing16_mongodb_wire" ->
       s"""SELECT name, age, city, ${fn}'data/test.csv' AS file_name,
         |  md5(${fn}'data/test.csv') AS log_id
         |FROM (VALUES ('Bob','35','Chicago'), ('Jane','25','LA'), ('John','30','NYC')) t(name, age, city)

@@ -1,0 +1,178 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+import graft.domain.IngestionError.DatabaseError
+import graft.ports.DataSink
+
+/** MongoDB/DocumentDB wire sink: bulk-inserts each partition's rows
+  * over the BSON wire protocol (OP_MSG, opcode 2013) — the reference's
+  * default deployed path (reference:
+  * src/infrastructure/mongodb/data_repo.rs:20-70 `insert_many`;
+  * documentdb/data_repo.rs:18-44 is byte-identical on the wire, both
+  * speak the MongoDB protocol). The target TABLE names the collection,
+  * exactly as the reference passes `target_table` to
+  * `database.collection(...)`; `log_id` rides along as a column the
+  * pipeline's enrich step already added (the reference injected it
+  * per-doc, data_repo.rs:33-35).
+  *
+  * Wire shape per batch: one OP_MSG with a kind-0 section carrying the
+  * `{insert, $db, ordered}` command document and a kind-1 section
+  * streaming the documents under the `"documents"` identifier — the
+  * document-sequence form drivers use for bulk writes, which avoids
+  * embedding N docs inside one command document. The reply's kind-0
+  * body carries `{n, ok, writeErrors?}`; `ok != 1` raises, per-doc
+  * `writeErrors` subtract from the written count (the same
+  * partial-failure accounting the CouchDB sink applies to `_bulk_docs`
+  * entries).
+  *
+  * Spark-first shape, like CouchDbSink: rows serialize via the
+  * codegen'd `toJSON`, each PARTITION opens ONE connection from the
+  * executor it lives on and streams its batches over it — no driver
+  * funnel, and at 1000 executors the server sees 1000 connections, not
+  * one per batch. `batchSize` bounds message bodies so a 10M-row
+  * partition becomes many capped OP_MSGs (MongoDB caps messages at
+  * 48 MB), not one giant one.
+  */
+final class MongoDbSink(host: String, port: Int, database: String,
+                        batchSize: Int = 1000) extends DataSink {
+
+  override def write(df: DataFrame, targetTable: String): Long = {
+    val (h, p, db, batch) = (host, port, database, batchSize)
+    df.toJSON.rdd
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.single(0L)
+        else {
+          val sock = new Socket()
+          sock.connect(new InetSocketAddress(h, p), 10000)
+          sock.setSoTimeout(120000)
+          try {
+            val out = new DataOutputStream(sock.getOutputStream)
+            val in = new DataInputStream(sock.getInputStream)
+            var total = 0L
+            rows.grouped(batch).foreach { docs =>
+              total += MongoWire.insertMany(out, in, db, targetTable, docs)
+            }
+            Iterator.single(total)
+          } finally sock.close()
+        }
+      }
+      .fold(0L)(_ + _)
+  }
+}
+
+/** OP_MSG framing shared by the sink (client side) and StubMongoServer
+  * (server side). Public protocol layout: 16-byte message header
+  * (messageLength, requestID, responseTo, opCode — all int32 LE), then
+  * for OP_MSG a uint32 flagBits and one or more sections: kind 0 is a
+  * single BSON document, kind 1 is (int32 size, cstring identifier,
+  * BSON documents back-to-back). */
+object MongoWire {
+
+  val OpMsg = 2013
+  private val mapper = new ObjectMapper()
+  private val requestIds = new AtomicInteger(0)
+
+  /** Sends one `insert` command with the docs as a kind-1 `documents`
+    * sequence; returns the number of docs the server acknowledged
+    * (reply `n` minus per-doc `writeErrors`). */
+  def insertMany(out: DataOutputStream, in: DataInputStream,
+                 db: String, collection: String, docsJson: Seq[String]): Long = {
+    val cmd = mapper.createObjectNode()
+    cmd.put("insert", collection)
+    cmd.put("$db", db)
+    cmd.put("ordered", true)
+    val cmdBytes = Bson.encodeDocument(cmd)
+    val docBytes = docsJson.map(j => Bson.encodeDocument(mapper.readTree(j)))
+    val ident = "documents".getBytes(UTF_8)
+    val seqSize = 4 + ident.length + 1 + docBytes.map(_.length).sum
+    val bodyLen = 4 + (1 + cmdBytes.length) + (1 + seqSize)
+
+    val buf = ByteBuffer.allocate(16 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(16 + bodyLen).putInt(requestIds.incrementAndGet()).putInt(0).putInt(OpMsg)
+    buf.putInt(0) // flagBits
+    buf.put(0.toByte).put(cmdBytes) // kind 0: command
+    buf.put(1.toByte).putInt(seqSize).put(ident).put(0.toByte) // kind 1 header
+    docBytes.foreach(buf.put)
+    out.write(buf.array()); out.flush()
+
+    val reply = readMessage(in)._2
+    val body = firstDocument(reply)
+    val ok = Option(body.get("ok")).exists(_.asDouble() == 1.0)
+    if (!ok) {
+      val msg = Option(body.get("errmsg")).map(_.asText()).getOrElse(body.toString)
+      throw DatabaseError(s"insert into $db.$collection failed: $msg")
+    }
+    val n = Option(body.get("n")).map(_.asLong()).getOrElse(0L)
+    val nErr = Option(body.get("writeErrors")).map(_.size().toLong).getOrElse(0L)
+    n - nErr
+  }
+
+  /** Reads one wire message; returns (requestID, full message bytes). */
+  def readMessage(in: DataInputStream): (Int, Array[Byte]) = {
+    val lenBytes = new Array[Byte](4)
+    in.readFully(lenBytes)
+    val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(len >= 16 && len < 64 * 1024 * 1024, s"implausible wire message length $len")
+    val msg = new Array[Byte](len)
+    System.arraycopy(lenBytes, 0, msg, 0, 4)
+    in.readFully(msg, 4, len - 4)
+    val reqId = ByteBuffer.wrap(msg, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    (reqId, msg)
+  }
+
+  /** The kind-0 section's BSON document from a full OP_MSG message. */
+  def firstDocument(msg: Array[Byte]): JsonNode = {
+    val buf = ByteBuffer.wrap(msg).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(16) // past header
+    val opCode = ByteBuffer.wrap(msg, 12, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(opCode == OpMsg, s"expected OP_MSG ($OpMsg), got $opCode")
+    buf.getInt // flagBits (checksum bit never set by this codebase)
+    val kind = buf.get()
+    require(kind == 0, s"expected kind-0 section first, got $kind")
+    Bson.decodeDocument(buf)
+  }
+
+  /** Parses an OP_MSG insert: returns ($db, collection, docs). Accepts
+    * the kind-1 `documents` sequence (what the sink sends) and the
+    * inline `documents` array form some drivers use. */
+  def parseInsert(msg: Array[Byte]): (String, String, Seq[JsonNode]) = {
+    val buf = ByteBuffer.wrap(msg).order(ByteOrder.LITTLE_ENDIAN)
+    val len = buf.getInt; buf.getInt; buf.getInt
+    val opCode = buf.getInt
+    require(opCode == OpMsg, s"expected OP_MSG ($OpMsg), got $opCode")
+    buf.getInt // flagBits
+    var cmd: JsonNode = null
+    val docs = Seq.newBuilder[JsonNode]
+    while (buf.position() < len) {
+      buf.get() match {
+        case 0 =>
+          val d = Bson.decodeDocument(buf)
+          if (cmd == null) cmd = d else docs += d
+        case 1 =>
+          val end = buf.position() + buf.getInt
+          while (buf.get() != 0) {} // skip identifier cstring
+          while (buf.position() < end) docs += Bson.decodeDocument(buf)
+        case other => throw new IllegalArgumentException(s"unknown section kind $other")
+      }
+    }
+    require(cmd != null && cmd.has("insert"), s"not an insert command: $cmd")
+    Option(cmd.get("documents")).foreach(_.forEach(d => docs += d))
+    (Option(cmd.get("$db")).map(_.asText()).getOrElse(""), cmd.get("insert").asText(), docs.result())
+  }
+
+  /** Builds an OP_MSG reply carrying one kind-0 body document. */
+  def reply(responseTo: Int, body: JsonNode): Array[Byte] = {
+    val bodyBytes = Bson.encodeDocument(body)
+    val len = 16 + 4 + 1 + bodyBytes.length
+    val buf = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(len).putInt(requestIds.incrementAndGet()).putInt(responseTo).putInt(OpMsg)
+    buf.putInt(0).put(0.toByte).put(bodyBytes)
+    buf.array()
+  }
+}

@@ -4,29 +4,54 @@ import graft.ports.DataSink
 
 /** Backend selection, mirroring the reference's DATABASE_TYPE switch
   * (reference: src/ecs_service.rs:57-107 — "documentdb" selects the
-  * DocumentDB repositories, anything else falls through to MongoDB;
-  * the CouchDB repository exists in its infrastructure but was never
-  * wired into the selector).
+  * DocumentDB repositories with DOCUMENTDB_URI/DOCUMENTDB_DATABASE,
+  * anything else falls through to MongoDB with
+  * MONGODB_URI/MONGODB_DATABASE; the CouchDB repository exists in its
+  * infrastructure but was never wired into the selector).
   *
-  * Here the wire-protocol backend is CouchDB (`_bulk_docs` is plain
-  * HTTP+JSON, implementable and testable offline); MongoDB and
-  * DocumentDB speak the BSON wire protocol, which has no offline stub in
-  * this environment, so both select the parquet stand-in that preserves
-  * the bulk-insert contract (documented stand-in, same append+count
-  * semantics). The selector accepts an env map rather than reading
-  * sys.env directly so tests and drivers inject configuration.
+  * All three wire backends are real here: CouchDB speaks `_bulk_docs`
+  * over HTTP, MongoDB and DocumentDB speak OP_MSG/BSON over TCP (the
+  * two are wire-identical — the reference's repositories differ only
+  * in which env vars name the endpoint). When the branch's URI env var
+  * is absent the selector falls back to the parquet stand-in rather
+  * than dialing a default localhost endpoint: this environment has no
+  * live database, and the stand-in preserves the bulk-insert
+  * append+count contract for offline runs. The selector accepts an env
+  * map rather than reading sys.env directly so tests and drivers
+  * inject configuration.
   */
 object SinkFactory {
 
   /** env keys, matching the reference's template.yaml names. */
   val DatabaseType = "DATABASE_TYPE"
   val CouchDbUrl = "COUCHDB_URL"
+  val MongoDbUri = "MONGODB_URI"
+  val MongoDbDatabase = "MONGODB_DATABASE"
+  val DocumentDbUri = "DOCUMENTDB_URI"
+  val DocumentDbDatabase = "DOCUMENTDB_DATABASE"
 
   def fromEnv(env: Map[String, String], parquetBaseDir: String): DataSink =
     env.getOrElse(DatabaseType, "mongodb") match { // default: ecs_service.rs:57
       case "couchdb" =>
         new CouchDbSink(env.getOrElse(CouchDbUrl, "http://localhost:5984"))
-      case _ => // "mongodb" | "documentdb" | unknown -> stand-in (see scaladoc)
-        new ParquetSink(parquetBaseDir)
+      case "documentdb" =>
+        mongoSink(env, DocumentDbUri, DocumentDbDatabase, parquetBaseDir)
+      case _ => // "mongodb" | unknown fall through, ecs_service.rs:84
+        mongoSink(env, MongoDbUri, MongoDbDatabase, parquetBaseDir)
+    }
+
+  /** `mongodb://host:port` -> wire sink; no URI -> parquet stand-in. */
+  private def mongoSink(env: Map[String, String], uriKey: String,
+                        dbKey: String, parquetBaseDir: String): DataSink =
+    env.get(uriKey) match {
+      case Some(uri) =>
+        val hostPort = uri.stripPrefix("mongodb://").takeWhile(c => c != '/' && c != '?')
+        val (host, port) = hostPort.split(':') match {
+          case Array(h, p) => (h, p.toInt)
+          case Array(h) => (h, 27017)
+          case _ => throw new IllegalArgumentException(s"unparseable $uriKey: $uri")
+        }
+        new MongoDbSink(host, port, env.getOrElse(dbKey, "ingestion_db"))
+      case None => new ParquetSink(parquetBaseDir)
     }
 }

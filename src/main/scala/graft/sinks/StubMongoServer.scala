@@ -1,0 +1,87 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** In-process MongoDB wire-protocol test double. The environment has no
+  * network egress and no mongod, so the OP_MSG sink is exercised against
+  * this stub: it accepts insert commands over real TCP sockets, decodes
+  * the BSON document sequence, stores the docs, and answers the
+  * protocol's `{n, ok}` acknowledgement — the same surface the
+  * reference's repository spoke to through its driver (reference:
+  * src/infrastructure/mongodb/data_repo.rs:20-70). Lives in main (not
+  * test) because the ing16 driver query runs the wire sink end-to-end
+  * through graft.Verify, like StubCouchServer does for ing11.
+  *
+  * One thread per connection: executor partitions connect concurrently
+  * and each streams its batches over its own socket, so the stub must
+  * serve them in parallel to be an honest stand-in.
+  */
+final class StubMongoServer {
+
+  private val mapper = new ObjectMapper()
+  private val store = new ConcurrentHashMap[String, java.util.List[String]]()
+  private val failNext = new AtomicBoolean(false)
+  @volatile private var running = true
+
+  private val server = new ServerSocket(0, 64, java.net.InetAddress.getLoopbackAddress)
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "stub-mongo-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // server closed
+      }
+    }
+  }, "stub-mongo-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def host: String = "127.0.0.1"
+  def port: Int = server.getLocalPort
+
+  /** Docs stored for a `db.collection`, as JSON strings, arrival order. */
+  def docs(db: String, collection: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(store.get(s"$db.$collection")).map(_.asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Makes the next insert answer `{ok: 0, errmsg: "injected"}` without
+    * storing (transient-failure injection for retry/DLQ tests). */
+  def failNextRequest(): Unit = failNext.set(true)
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (true) {
+        val (reqId, msg) = MongoWire.readMessage(in)
+        val body = mapper.createObjectNode()
+        if (failNext.getAndSet(false)) {
+          body.put("ok", 0.0)
+          body.put("errmsg", "injected")
+          body.put("code", 8) // UnknownError
+        } else {
+          val (db, coll, ds) = MongoWire.parseInsert(msg)
+          val list = store.computeIfAbsent(s"$db.$coll",
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+          ds.foreach(d => list.add(mapper.writeValueAsString(d)))
+          body.put("n", ds.size)
+          body.put("ok", 1.0)
+        }
+        out.write(MongoWire.reply(reqId, body)); out.flush()
+      }
+    } catch {
+      case _: EOFException | _: SocketException => // client closed
+    } finally sock.close()
+  }
+}

@@ -137,12 +137,79 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("mongo wire sink: ingests through OP_MSG with the same audit lifecycle") {
+    import graft.sinks.{MongoDbSink, StubMongoServer}
+    val server = new StubMongoServer
+    try {
+      val base = Files.createTempDirectory("mongo_spec")
+      val bucket = "b"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\nB,2\n")
+      val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = fn => s"log-$fn")
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+        new MongoDbSink(server.host, server.port, "ingestion_db"), logs)
+      val result = pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv"))
+      assert(result.rowsWritten == 2)
+      // docs landed in db.collection named after the target table, enriched
+      val docs = server.docs("ingestion_db", result.targetTable)
+      assert(docs.size == 2)
+      assert(docs.forall(_.contains("\"log_id\"")))
+      assert(docs.forall(_.contains("\"file_name\"")))
+      val log = logs.all.find(_.logId == result.logId).get
+      assert(log.status == IngestionStatus.Success && log.endTime.isDefined)
+    } finally server.stop()
+  }
+
+  test("mongo wire sink: ok=0 reply propagates as DatabaseError, logged as Failed") {
+    import graft.sinks.{MongoDbSink, StubMongoServer}
+    val server = new StubMongoServer
+    try {
+      val base = Files.createTempDirectory("mongo_fail")
+      val bucket = "b"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\n")
+      val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = fn => s"log-$fn")
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+        new MongoDbSink(server.host, server.port, "ingestion_db"), logs)
+      server.failNextRequest()
+      val err = intercept[org.apache.spark.SparkException](
+        pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv")))
+      assert(err.getMessage.contains("injected") ||
+        Option(err.getCause).exists(_.getMessage.contains("injected")))
+      val log = logs.all.head
+      assert(log.status == IngestionStatus.Failed)
+    } finally server.stop()
+  }
+
+  test("mongo wire sink: batches cap message size; all docs still arrive") {
+    import spark.implicits._
+    import graft.sinks.{MongoDbSink, StubMongoServer}
+    val server = new StubMongoServer
+    try {
+      val sink = new MongoDbSink(server.host, server.port, "ingestion_db", batchSize = 7)
+      val n = sink.write((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"), "batched")
+      assert(n == 100)
+      assert(server.docs("ingestion_db", "batched").size == 100)
+    } finally server.stop()
+  }
+
   test("sink factory mirrors the reference's DATABASE_TYPE selection") {
-    import graft.sinks.{CouchDbSink, SinkFactory}
+    import graft.sinks.{CouchDbSink, MongoDbSink, SinkFactory}
     val dir = Files.createTempDirectory("factory").toString
     assert(SinkFactory.fromEnv(Map("DATABASE_TYPE" -> "couchdb"), dir).isInstanceOf[CouchDbSink])
-    // mongodb, documentdb, unset, and unknown all fall through like the
-    // reference's match arm (stand-in here, Mongo there)
+    // with an endpoint configured, mongodb/documentdb (and the unknown
+    // fall-through, like the reference's match arm) select the wire sink
+    assert(SinkFactory.fromEnv(
+      Map("DATABASE_TYPE" -> "mongodb", "MONGODB_URI" -> "mongodb://h:27017"), dir)
+      .isInstanceOf[MongoDbSink])
+    assert(SinkFactory.fromEnv(
+      Map("DATABASE_TYPE" -> "documentdb", "DOCUMENTDB_URI" -> "mongodb://h:27017"), dir)
+      .isInstanceOf[MongoDbSink])
+    assert(SinkFactory.fromEnv(
+      Map("MONGODB_URI" -> "mongodb://h"), dir).isInstanceOf[MongoDbSink])
+    // without a URI the offline parquet stand-in preserves the contract
     Seq(Map("DATABASE_TYPE" -> "mongodb"), Map("DATABASE_TYPE" -> "documentdb"),
       Map.empty[String, String], Map("DATABASE_TYPE" -> "weird")).foreach { env =>
       assert(SinkFactory.fromEnv(env, dir).isInstanceOf[ParquetSink])

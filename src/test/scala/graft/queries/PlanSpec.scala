@@ -130,7 +130,11 @@ class PlanSpec extends SparkSpec {
   test("er01: fuzzy-match candidates come from a trigram equi-join, never all-pairs") {
     val p = plan("er01_fuzzy_entity_match")
     assert(!p.contains("CartesianProduct"))
+    // The stop-trigram cap's scalar attach is computed once behind a
+    // localCheckpoint, so the final plan must stay nested-loop-free.
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "trigram candidate join must be an equi-join")
   }
 
   test("asof02: forward as-of is one window pass — no join operator at all") {
