@@ -255,6 +255,28 @@ object DedupQueries {
         .orderBy("dirty_id")
     }),
 
+    // ---- dd13: large-star/small-star CC on a LONG-DIAMETER graph —
+    // the scale path dd07's min-label propagation can't take. The
+    // fixture chains consecutive doc_ids into 50-node paths (edge
+    // i -> i+1 except at block boundaries): diameter 49, so min-label
+    // needs ~49 rounds while the star method (Kiveris et al., SoCC'14)
+    // must finish within maxIter = 10 — the query THROWS past that, so
+    // a green row IS the O(log n) convergence proof, and the closed-form
+    // component (floor(id/50)*50 = the block min) makes it
+    // hash-oracle-able. OpsSpec additionally pins a 257-node path and
+    // random-graph equivalence with propagation CC.
+    "dd13_star_cc_chain" -> ((spark: SparkSession, dir: String) => {
+      val ids = t(spark, dir, "documents").select(col("doc_id"))
+      val edges = ids
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("b") % 50 =!= 0)
+        .join(ids.select(col("doc_id").as("b")), "b")
+        .select("a", "b")
+      graft.ops.Graph.connectedComponentsStar(edges, "a", "b", maxIter = 10)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     "dd12_incremental_dedup" -> ((spark: SparkSession, dir: String) => {
       val docs = t(spark, dir, "documents")
       Dedup.incrementalDedupFlags(
@@ -476,6 +498,10 @@ object DedupQueries {
         |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
         |FROM scored WHERE rk = 1 AND jaccard >= 0.5
         |ORDER BY dirty_id""".stripMargin,
+
+    "dd13_star_cc_chain" ->
+      """SELECT doc_id, (doc_id // 50) * 50 AS component
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dd12_incremental_dedup" ->
       s"""WITH sig AS (

@@ -87,6 +87,9 @@ object ExtendedQueries {
       val daily = t(spark, dir, "orders")
         .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("day_num"))
         .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      // Unpartitioned window ON PURPOSE (expected "No Partition Defined"
+      // WARN): input is the day-grain aggregate (~2.4k rows regardless
+      // of corpus size), not the fact table — bounded by construction.
       val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
       daily.select(col("day_num"),
           d(col("rev_dec")).as("day_revenue"),

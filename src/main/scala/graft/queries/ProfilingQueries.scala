@@ -79,6 +79,47 @@ object ProfilingQueries {
         .orderBy("column_name")
     }),
 
+    // ---- prof03: the corpus-scale profile prof01's scaladoc promises,
+    // as an executable query: distinct counts via approx_count_distinct
+    // (HLL++, fixed memory per column) instead of exact
+    // COUNT(DISTINCT). Planwise this collapses prof01's Expand (one
+    // duplicated stream of the scan PER distinct column) back to a
+    // single non-expanded aggregation pass — at 100 TB that's a 6x scan
+    // reduction. No DuckDB oracle on purpose (its HLL differs from
+    // Spark's, so values can't hash-match; the driver records the
+    // weaker rows-only check) — the estimate-vs-exact error bound is
+    // spec-pinned instead (OpsSpec), and PlanSpec asserts the
+    // no-Expand plan shape.
+    "prof03_approx_profile" -> ((spark: SparkSession, dir: String) => {
+      val o = t(spark, dir, "orders")
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_orderkey"))).as("nn_orderkey"),
+        approx_count_distinct(col("o_orderkey")).as("nd_orderkey"),
+        (count(lit(1)) - count(col("o_custkey"))).as("nn_custkey"),
+        approx_count_distinct(col("o_custkey")).as("nd_custkey"),
+        (count(lit(1)) - count(col("o_orderstatus"))).as("nn_status"),
+        approx_count_distinct(col("o_orderstatus")).as("nd_status"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("nn_price"),
+        approx_count_distinct(col("o_totalprice")).as("nd_price"),
+        (count(lit(1)) - count(col("o_orderdate"))).as("nn_date"),
+        approx_count_distinct(col("o_orderdate")).as("nd_date"),
+        (count(lit(1)) - count(col("o_orderpriority"))).as("nn_prio"),
+        approx_count_distinct(col("o_orderpriority")).as("nd_prio"))
+      agg.selectExpr("n_rows",
+        """stack(6,
+          |  'o_custkey',       nn_custkey,  nd_custkey,
+          |  'o_orderdate',     nn_date,     nd_date,
+          |  'o_orderkey',      nn_orderkey, nd_orderkey,
+          |  'o_orderpriority', nn_prio,     nd_prio,
+          |  'o_orderstatus',   nn_status,   nd_status,
+          |  'o_totalprice',    nn_price,    nd_price)
+          |AS (column_name, n_nulls, n_distinct_approx)""".stripMargin)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct_approx"))
+        .orderBy("column_name")
+    }),
+
     // ---- prof02: fixed-width value histogram of order totals, with
     // each bin's exact bounds and corpus share.
     "prof02_price_histogram" -> ((spark: SparkSession, dir: String) => {

@@ -24,8 +24,12 @@ import Tables._
 object QualityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ONE deferred plan: the in-table constraint aggregate (1 row) and
+    // the referential-integrity anti-join count (1 row) meet in a
+    // 1x1-row join, and stack() unpivots the scalars into report rows —
+    // no driver-side .head()/.count() mid-query, so the report composes
+    // like every other entry (cacheable, explainable, one submit).
     "dq01_constraint_report" -> ((spark: SparkSession, dir: String) => {
-      import spark.implicits._
       val o = t(spark, dir, "orders")
       val c = t(spark, dir, "customer")
       val agg = o.agg(
@@ -33,16 +37,19 @@ object QualityQueries {
         (count(lit(1)) - count(col("o_custkey"))).as("null_custkey"),
         sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
           .as("bad_status"),
-        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price")).head()
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price"))
       val orphans = o.join(broadcast(c.select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "left_anti").count()
-      Seq(
-        ("custkey_complete", agg.getLong(1)),
-        ("custkey_references_customer", orphans),
-        ("orderkey_unique", agg.getLong(0)),
-        ("status_in_domain", agg.getLong(2)),
-        ("totalprice_positive", agg.getLong(3)))
-        .toDF("check_name", "n_violations")
+        col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      agg.crossJoin(broadcast(orphans))
+        .selectExpr(
+          """stack(5,
+            |  'custkey_complete',            null_custkey,
+            |  'custkey_references_customer', orphans,
+            |  'orderkey_unique',             dup_orderkey,
+            |  'status_in_domain',            bad_status,
+            |  'totalprice_positive',         bad_price)
+            |AS (check_name, n_violations)""".stripMargin)
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy("check_name")
     }))

@@ -41,6 +41,10 @@ object WindowQueries {
       val daily = t(spark, dir, "orders")
         .groupBy(dateStr(col("o_orderdate")).as("day"))
         .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      // Unpartitioned window ON PURPOSE (the "No Partition Defined"
+      // WARN in logs is expected): it runs over the DAY-GRAIN aggregate
+      // (cardinality = #calendar days, ~2.4k rows at any corpus size),
+      // never the fact table — bounded by construction.
       val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily
         .select(col("day"), d(col("rev_dec")).as("day_revenue"),

@@ -214,6 +214,26 @@ class OpsSpec extends SparkSpec {
     assert(approx.getLong(2) > 0)
   }
 
+  test("profiling: prof03 approx distincts stay within 10% of prof01 exact counts") {
+    // prof03 is the corpus-scale profile (HLL per column, no Expand);
+    // its values can't hash-match a DuckDB oracle, so this spec IS its
+    // value gate: per column, the estimate must sit within 10% (5 sigma
+    // at rsd=0.05 default... conservatively wide) of prof01's exact
+    // n_distinct, and the exact columns (n_rows, n_nulls) must agree.
+    import graft.queries.ProfilingQueries
+    val exact = ProfilingQueries.defs("prof01_column_profile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = ProfilingQueries.defs("prof03_approx_profile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (colName, (nRows, nNulls, nd)) =>
+      val (eRows, eNulls, eNd) = exact(colName)
+      assert(nRows == eRows && nNulls == eNulls, s"$colName exact stats differ")
+      assert(math.abs(nd - eNd).toDouble <= math.max(1.0, 0.10 * eNd),
+        s"$colName approx distinct $nd too far from exact $eNd")
+    }
+  }
+
   test("aggregation: HLL sketches persist and merge within sketch error of global") {
     // The 100 TB distinct-count pattern: build one DataSketches HLL per
     // partition (day), persist, and answer any date-range query by

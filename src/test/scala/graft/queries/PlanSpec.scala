@@ -137,6 +137,15 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), "trigram candidate join must be an equi-join")
   }
 
+  test("prof03: approx profile is one pass (no Expand); prof01's exact variant expands") {
+    // Exact multi-column COUNT(DISTINCT) plans as Expand — one duplicated
+    // stream of the scan per distinct column. The HLL variant must
+    // collapse back to a single non-expanded aggregation pass: that plan
+    // shape IS the 100 TB claim prof01's scaladoc makes.
+    assert(!plan("prof03_approx_profile").contains("Expand"))
+    assert(plan("prof01_column_profile").contains("Expand"))
+  }
+
   test("asof02: forward as-of is one window pass — no join operator at all") {
     val p = plan("asof02_next_purchase_attribution")
     assert(p.contains("Window"))
