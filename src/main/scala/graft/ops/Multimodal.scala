@@ -40,6 +40,10 @@ object Multimodal {
     def decode(item: MediaItem): MediaMeta
   }
 
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
   /** Deterministic stand-in for the codec stack (see class doc). The
     * "decoded" dimensions are pure functions of the payload so results
     * are stable across engines, runs, and partitionings. */
@@ -54,9 +58,151 @@ object Multimodal {
         height = (n * 7) % 480,
         frameCount = n % 30 + 1)
     }
-    private def md5Hex(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map(b => f"$b%02x").mkString
+  }
+
+  /** A decoded raster: row-major, top-down, 3 bytes per pixel (RGB). */
+  final case class PixelImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** A decoder that yields real pixels, not just metadata. Formats with
+    * fully public byte layouts (PPM, BMP) get real implementations;
+    * codec-dependent formats (JPEG/PNG/video) stay behind the stub. */
+  trait PixelDecoder extends Decoder {
+    def decodePixels(item: MediaItem): PixelImage
+    override def decode(item: MediaItem): MediaMeta = {
+      val img = decodePixels(item)
+      MediaMeta(item.mediaId, item.payload.length, md5Hex(item.payload),
+        img.width, img.height, frameCount = 1)
+    }
+  }
+
+  /** REAL binary-PPM (P6) decoder — the whole format is three ASCII
+    * header tokens (magic, dimensions, maxval; '#' comments allowed)
+    * followed by width*height RGB triplets, so a dependency-free JVM
+    * decode is exact. maxval must be <= 255 (1 byte/sample). */
+  object PpmDecoder extends PixelDecoder {
+    override def decodePixels(item: MediaItem): PixelImage = {
+      val bytes = item.payload
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        s"media ${item.mediaId}: not a P6 PPM")
+      var pos = 2
+      def nextToken(): String = {
+        // skip whitespace and '#'-to-EOL comments between tokens
+        var done = false
+        while (!done) {
+          while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+          if (pos < bytes.length && bytes(pos) == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          } else done = true
+        }
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        new String(bytes, start, pos - start, "US-ASCII")
+      }
+      val width = nextToken().toInt
+      val height = nextToken().toInt
+      val maxval = nextToken().toInt
+      require(maxval > 0 && maxval <= 255, s"media ${item.mediaId}: unsupported maxval $maxval")
+      pos += 1 // exactly ONE whitespace byte separates header from raster
+      val n = width * height * 3
+      require(bytes.length - pos >= n,
+        s"media ${item.mediaId}: raster truncated (${bytes.length - pos} of $n bytes)")
+      PixelImage(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+    }
+  }
+
+  /** REAL uncompressed 24-bit BMP decoder (BITMAPINFOHEADER, the public
+    * Windows DIB layout): pixel rows are BGR, padded to 4-byte
+    * multiples, and stored bottom-up unless height is negative —
+    * normalized here to top-down RGB so downstream stats are
+    * orientation-independent. */
+  object BmpDecoder extends PixelDecoder {
+    override def decodePixels(item: MediaItem): PixelImage = {
+      val b = java.nio.ByteBuffer.wrap(item.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(item.payload.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+        s"media ${item.mediaId}: not a BMP")
+      val pixelOffset = b.getInt(10)
+      val width = b.getInt(18)
+      val rawHeight = b.getInt(22)
+      val bpp = b.getShort(28)
+      val compression = b.getInt(30)
+      require(bpp == 24 && compression == 0,
+        s"media ${item.mediaId}: only uncompressed 24-bit BMP supported (bpp=$bpp, compression=$compression)")
+      val height = math.abs(rawHeight)
+      val topDown = rawHeight < 0
+      val rowSize = ((width * 3) + 3) & ~3 // rows pad to 4-byte multiples
+      require(item.payload.length >= pixelOffset + rowSize * height,
+        s"media ${item.mediaId}: raster truncated")
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = pixelOffset + (if (topDown) y else height - 1 - y) * rowSize
+        var x = 0
+        while (x < width) {
+          val s = srcRow + x * 3
+          val d = (y * width + x) * 3
+          out(d) = item.payload(s + 2)     // R (BMP stores BGR)
+          out(d + 1) = item.payload(s + 1) // G
+          out(d + 2) = item.payload(s)     // B
+          x += 1
+        }
+        y += 1
+      }
+      PixelImage(width, height, out)
+    }
+  }
+
+  /** Content-sniffing dispatch: real decoders for the formats whose
+    * layout is public ("P6" -> PPM, "BM" -> BMP), the deterministic
+    * stub for everything codec-dependent — so one `decodeMeta` call
+    * serves a mixed-format corpus column. */
+  object SniffDecoder extends Decoder {
+    override def decode(item: MediaItem): MediaMeta = {
+      val p = item.payload
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') PpmDecoder.decode(item)
+      else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') BmpDecoder.decode(item)
+      else FakeDecoder.decode(item)
+    }
+  }
+
+  /** Per-image REAL pixel statistics (integer-luma mean/min/max over
+    * decoded RGB). Same scale shape as decodeMeta: partition-local
+    * decode inside mapPartitions, only small stat rows leave the
+    * executor. Luma uses the integer Rec.601 weights so the mean is
+    * one exact integer sum + a single IEEE division — deterministic
+    * under any partitioning. */
+  final case class PixelStats(
+      mediaId: Long, width: Int, height: Int,
+      meanLuma: Double, minLuma: Int, maxLuma: Int)
+
+  def pixelStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      decoder: PixelDecoder): Dataset[PixelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = decoder.decodePixels(MediaItem(id, bytes))
+        var i = 0
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        while (i < img.rgb.length) {
+          val r = img.rgb(i) & 0xff
+          val g = img.rgb(i + 1) & 0xff
+          val bl = img.rgb(i + 2) & 0xff
+          val luma = (299 * r + 587 * g + 114 * bl) / 1000
+          sum += luma
+          if (luma < mn) mn = luma
+          if (luma > mx) mx = luma
+          i += 3
+        }
+        val nPix = img.width.toLong * img.height
+        PixelStats(id, img.width, img.height, sum.toDouble / nPix, mn, mx)
+      })
   }
 
   /** Batch decode: binary payload column -> typed metadata Dataset.

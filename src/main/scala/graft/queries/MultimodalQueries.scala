@@ -43,9 +43,46 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_count"), col("frame_idx"), col("frame_fp"))
         .orderBy("media_id", "frame_idx")
     }),
+    // ---- mm03: REAL pixel decode in the gate — each doc gets a
+    // deterministic 4x2 binary-PPM payload (gray pixel j carries value
+    // (doc_id*7 + j*13) % 256), graft.ops.Multimodal.PpmDecoder decodes
+    // ACTUAL bytes-to-raster (header parse, raster slice), and the
+    // integer Rec.601 luma of a gray pixel collapses to its value — so
+    // the oracle states the expected stats in closed form without
+    // needing a PPM parser. Proves the pixel path end-to-end, not just
+    // the metadata plumbing; JPEG/PNG stay behind the documented stub.
+    "mm03_ppm_pixel_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val header = "P6\n4 2\n255\n"
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = header.getBytes("US-ASCII")
+          it.map { id =>
+            val px = Array.tabulate(24)(i => ((id * 7 + (i / 3) * 13) % 256).toByte)
+            (id, head ++ px)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PpmDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "mm03_ppm_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 8)) AS u(j))
+        |SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+        |  CAST(SUM(v) AS DOUBLE) / 8 AS mean_luma,
+        |  CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
     "mm01_media_metadata" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS byte_len,

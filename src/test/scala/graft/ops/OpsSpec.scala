@@ -24,6 +24,68 @@ class OpsSpec extends SparkSpec {
     assert(viaDecoder == viaQuery)
   }
 
+  test("multimodal: PPM decoder recovers a fixture image byte-exactly") {
+    // 2x2 P6 with a header comment: red, green / blue, white.
+    val pixels = Array[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,
+      0, 0, 255.toByte,  255.toByte, 255.toByte, 255.toByte)
+    val ppm = "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII") ++ pixels
+    val img = Multimodal.PpmDecoder.decodePixels(Multimodal.MediaItem(1L, ppm))
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == pixels.toSeq)
+    val meta = Multimodal.PpmDecoder.decode(Multimodal.MediaItem(1L, ppm))
+    assert(meta.width == 2 && meta.height == 2 && meta.frameCount == 1)
+  }
+
+  test("multimodal: BMP decoder flips bottom-up BGR rows and strips padding") {
+    // 3x2 24-bit BMP: rows pad 9 -> 12 bytes; storage is bottom-up BGR.
+    // Logical top row: red green blue; bottom row: white black gray.
+    def bgrRow(px: Seq[(Int, Int, Int)]): Array[Byte] =
+      (px.flatMap { case (r, g, b) => Seq(b.toByte, g.toByte, r.toByte) } ++
+        Seq.fill(3)(0.toByte)).toArray // 3 pad bytes
+    val storedBottomFirst =
+      bgrRow(Seq((255, 255, 255), (0, 0, 0), (128, 128, 128))) ++
+      bgrRow(Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)))
+    val header = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.put('B'.toByte).put('M'.toByte).putInt(54 + 24).putInt(0).putInt(54)
+    header.putInt(40).putInt(3).putInt(2) // info size, width, height (bottom-up)
+      .putShort(1).putShort(24).putInt(0).putInt(24)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val bmp = header.array() ++ storedBottomFirst
+    val img = Multimodal.BmpDecoder.decodePixels(Multimodal.MediaItem(2L, bmp))
+    assert(img.width == 3 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      255.toByte, 0, 0,  0, 255.toByte, 0,  0, 0, 255.toByte,
+      255.toByte, 255.toByte, 255.toByte,  0, 0, 0,
+      128.toByte, 128.toByte, 128.toByte))
+  }
+
+  test("multimodal: sniffing dispatch routes real formats to real decoders") {
+    val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    val real = Multimodal.SniffDecoder.decode(Multimodal.MediaItem(1L, ppm))
+    assert(real.width == 1 && real.height == 1 && real.frameCount == 1)
+    val opaque = "not an image".getBytes("US-ASCII")
+    val stub = Multimodal.SniffDecoder.decode(Multimodal.MediaItem(2L, opaque))
+    assert(stub.width == opaque.length % 640, "codec-less payloads keep stub semantics")
+  }
+
+  test("multimodal: pixelStats computes real luma stats, partition-invariant") {
+    import spark.implicits._
+    def gray(v: Int) = // 2x1 uniform gray PPM -> luma == v exactly
+      "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array.fill(6)(v.toByte)
+    val docs = Seq((1L, gray(0)), (2L, gray(100)), (3L, gray(255)))
+      .toDF("media_id", "payload")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.pixelStats(df, "media_id", "payload", Multimodal.PpmDecoder)
+        .collect().map(s => s.mediaId -> ((s.meanLuma, s.minLuma, s.maxLuma))).toMap
+    val stats = run(docs)
+    assert(stats(1L) == ((0.0, 0, 0)))
+    assert(stats(2L) == ((100.0, 100, 100)))
+    assert(stats(3L) == ((255.0, 255, 255)))
+    assert(run(docs.repartition(7)) == stats)
+  }
+
   test("multimodal: frame sampling emits every step-th frame") {
     import spark.implicits._
     val meta = Seq((1L, "h1", 7), (2L, "h2", 12)).toDF("mediaId", "contentHash", "frameCount")
