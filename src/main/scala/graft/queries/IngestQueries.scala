@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.domain._
 import graft.pipeline.IngestionPipeline
 import graft.rules.RuleMatcher
-import graft.sinks.{CouchDbSink, ParquetLogRepository, ParquetSink, StubCouchServer}
+import graft.sinks.{CouchDbSink, MongoWire, ParquetLogRepository, ParquetSink, StubCouchServer}
 import graft.sources.LocalFileSource
 
 /** End-to-end ingestion queries: each one writes the reference's own test
@@ -312,6 +312,47 @@ object IngestQueries {
       } finally server.stop()
     }),
 
+    // The FULL reference deployment shape over the wire: routing rules
+    // live in the `ingestion_config` collection and are fetched by a
+    // wire `find` (config_repo.rs:16-33) — including the parser_config
+    // headers that drive the no-headers CSV parse — and the parsed rows
+    // bulk-insert back over the same wire. Config seeding mirrors
+    // migration.js: an OP_MSG insert of the rule documents.
+    "ing17_mongodb_config" -> ((spark: SparkSession, _: String) => {
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft_mcfg")
+      val bucket = "data-ingestion-bucket"
+      val filePath = base.resolve(bucket).resolve("data").resolve("test_no_headers.csv")
+      Files.createDirectories(filePath.getParent)
+      Files.writeString(filePath, csvNoHeaders)
+      val server = new graft.sinks.StubMongoServer
+      try {
+        // migration.js-style seeding, over the wire
+        val sock = new java.net.Socket(server.host, server.port)
+        try MongoWire.insertMany(
+          new java.io.DataOutputStream(sock.getOutputStream),
+          new java.io.DataInputStream(sock.getInputStream),
+          "ingestion_db", "ingestion_config", Seq(
+            """{"pattern": ".*\\.csv$", "target_table": "csv_data"}""",
+            """{"pattern": ".*test_no_headers\\.csv$", "target_table": "csv_no_headers_data",
+              | "parser_config": {"headers": ["name", "age", "email", "city"]}}""".stripMargin))
+        finally sock.close()
+        val config = new graft.rules.MongoConfigRepository(
+          server.host, server.port, "ingestion_db")
+        val logs = new ParquetLogRepository(base.resolve("logs").toString, idGen = md5Hex)
+        val pipeline = new IngestionPipeline(
+          new LocalFileSource(base.toString), config,
+          new graft.sinks.MongoDbSink(server.host, server.port, "ingestion_db"), logs)
+        val result = pipeline.processFile(spark, FileToProcess(bucket, "data/test_no_headers.csv"))
+        require(result.targetTable == "csv_no_headers_data",
+          s"longest-wins over wire-loaded rules picked ${result.targetTable}")
+        require(result.rowsWritten == 3, s"wire sink reported ${result.rowsWritten} rows")
+        spark.read.json(server.docs("ingestion_db", result.targetTable).toDS())
+          .select("name", "age", "email", "city", "file_name", "log_id")
+          .orderBy("name")
+      } finally server.stop()
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -347,6 +388,13 @@ object IngestQueries {
         |ORDER BY name""".stripMargin,
 
     "ing02_csv_custom_headers" ->
+      s"""SELECT name, age, email, city, ${fn}'data/test_no_headers.csv' AS file_name,
+        |  md5(${fn}'data/test_no_headers.csv') AS log_id
+        |FROM (VALUES ('Bob','35','bob@x.com','Chicago'), ('Jane','25','jane@x.com','LA'),
+        |             ('John','30','john@x.com','NYC')) t(name, age, email, city)
+        |ORDER BY name""".stripMargin,
+
+    "ing17_mongodb_config" ->
       s"""SELECT name, age, email, city, ${fn}'data/test_no_headers.csv' AS file_name,
         |  md5(${fn}'data/test_no_headers.csv') AS log_id
         |FROM (VALUES ('Bob','35','bob@x.com','Chicago'), ('Jane','25','jane@x.com','LA'),

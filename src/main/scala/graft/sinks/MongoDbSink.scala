@@ -138,10 +138,38 @@ object MongoWire {
     Bson.decodeDocument(buf)
   }
 
-  /** Parses an OP_MSG insert: returns ($db, collection, docs). Accepts
-    * the kind-1 `documents` sequence (what the sink sends) and the
-    * inline `documents` array form some drivers use. */
-  def parseInsert(msg: Array[Byte]): (String, String, Seq[JsonNode]) = {
+  /** Sends a `find` (empty filter — the reference's config lookup scans
+    * the whole collection, config_repo.rs:30) and returns the reply
+    * cursor's firstBatch. The stub always answers the full collection in
+    * one batch (cursor id 0), matching small control-plane collections;
+    * a paging getMore loop is not needed for that shape. */
+  def find(out: DataOutputStream, in: DataInputStream,
+           db: String, collection: String): Seq[JsonNode] = {
+    val cmd = mapper.createObjectNode()
+    cmd.put("find", collection)
+    cmd.put("$db", db)
+    cmd.set[JsonNode]("filter", mapper.createObjectNode())
+    val cmdBytes = Bson.encodeDocument(cmd)
+    val bodyLen = 4 + 1 + cmdBytes.length
+    val buf = ByteBuffer.allocate(16 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(16 + bodyLen).putInt(requestIds.incrementAndGet()).putInt(0).putInt(OpMsg)
+    buf.putInt(0).put(0.toByte).put(cmdBytes)
+    out.write(buf.array()); out.flush()
+    val body = firstDocument(readMessage(in)._2)
+    val ok = Option(body.get("ok")).exists(_.asDouble() == 1.0)
+    if (!ok) {
+      val msg = Option(body.get("errmsg")).map(_.asText()).getOrElse(body.toString)
+      throw DatabaseError(s"find on $db.$collection failed: $msg")
+    }
+    val batch = body.path("cursor").path("firstBatch")
+    val docs = Seq.newBuilder[JsonNode]
+    batch.forEach(d => docs += d)
+    docs.result()
+  }
+
+  /** Parses any OP_MSG command message: (command doc, sequence docs) —
+    * kind-1 section docs plus any inline `documents` array. */
+  def parseCommand(msg: Array[Byte]): (JsonNode, Seq[JsonNode]) = {
     val buf = ByteBuffer.wrap(msg).order(ByteOrder.LITTLE_ENDIAN)
     val len = buf.getInt; buf.getInt; buf.getInt
     val opCode = buf.getInt
@@ -161,7 +189,16 @@ object MongoWire {
         case other => throw new IllegalArgumentException(s"unknown section kind $other")
       }
     }
-    require(cmd != null && cmd.has("insert"), s"not an insert command: $cmd")
+    require(cmd != null, "OP_MSG with no kind-0 command section")
+    (cmd, docs.result())
+  }
+
+  /** Parses an OP_MSG insert: returns ($db, collection, docs). */
+  def parseInsert(msg: Array[Byte]): (String, String, Seq[JsonNode]) = {
+    val (cmd, seqDocs) = parseCommand(msg)
+    require(cmd.has("insert"), s"not an insert command: $cmd")
+    val docs = Seq.newBuilder[JsonNode]
+    docs ++= seqDocs
     Option(cmd.get("documents")).foreach(_.forEach(d => docs += d))
     (Option(cmd.get("$db")).map(_.asText()).getOrElse(""), cmd.get("insert").asText(), docs.result())
   }

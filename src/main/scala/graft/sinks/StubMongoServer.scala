@@ -71,12 +71,37 @@ final class StubMongoServer {
           body.put("errmsg", "injected")
           body.put("code", 8) // UnknownError
         } else {
-          val (db, coll, ds) = MongoWire.parseInsert(msg)
-          val list = store.computeIfAbsent(s"$db.$coll",
-            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
-          ds.foreach(d => list.add(mapper.writeValueAsString(d)))
-          body.put("n", ds.size)
-          body.put("ok", 1.0)
+          val (cmd, seqDocs) = MongoWire.parseCommand(msg)
+          val db = Option(cmd.get("$db")).map(_.asText()).getOrElse("")
+          if (cmd.has("insert")) {
+            val coll = cmd.get("insert").asText()
+            val ds = seqDocs ++ {
+              val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+              Option(cmd.get("documents")).foreach(_.forEach(d => b += d))
+              b.result()
+            }
+            val list = store.computeIfAbsent(s"$db.$coll",
+              _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+            ds.foreach(d => list.add(mapper.writeValueAsString(d)))
+            body.put("n", ds.size)
+            body.put("ok", 1.0)
+          } else if (cmd.has("find")) {
+            // Whole collection in one batch, cursor id 0 (no paging) —
+            // the reference's config lookup finds with an empty filter.
+            val coll = cmd.get("find").asText()
+            val batch = mapper.createArrayNode()
+            docs(db, coll).foreach(j => batch.add(mapper.readTree(j)))
+            val cursor = mapper.createObjectNode()
+            cursor.set[com.fasterxml.jackson.databind.JsonNode]("firstBatch", batch)
+            cursor.put("id", 0L)
+            cursor.put("ns", s"$db.$coll")
+            body.set[com.fasterxml.jackson.databind.JsonNode]("cursor", cursor)
+            body.put("ok", 1.0)
+          } else {
+            body.put("ok", 0.0)
+            body.put("errmsg", s"unsupported command: ${cmd.fieldNames().next()}")
+            body.put("code", 59) // CommandNotFound
+          }
         }
         out.write(MongoWire.reply(reqId, body)); out.flush()
       }
