@@ -21,6 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Order-independent relation signature for fixpoint detection:
+    * (row count, sum of xxhash64(cols), sum of xxhash64(cols reversed)).
+    * One single-pass aggregation over a (checkpointed) relation replaces
+    * the per-round set-op / join jobs a literal set-equality check
+    * costs — the classic iterate-until-stable pattern at scale. Sums are
+    * accumulated in decimal(38,0) so ANSI overflow can't trip, and the
+    * two independent 64-bit sums make a silent false-fixpoint need a
+    * simultaneous collision in both (~2^-128 for non-adversarial data).
+    * Relations compared are DISTINCT by construction, so multiset vs set
+    * ambiguity does not arise. */
+  private def signature(df: DataFrame, cols: Seq[String]): (Long, BigDecimal, BigDecimal) = {
+    val h1 = xxhash64(cols.map(col): _*).cast("decimal(38,0)")
+    val h2 = xxhash64(cols.reverse.map(col): _*).cast("decimal(38,0)")
+    val r = df.agg(count(lit(1)), sum(h1), sum(h2)).head()
+    def dec(i: Int): BigDecimal =
+      if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
+    (r.getLong(0), dec(1), dec(2))
+  }
+
   /** pairs(srcCol, dstCol) -> (id, component) for every endpoint id,
     * where component = min id reachable through the pair graph. */
   def connectedComponents(
@@ -39,6 +58,7 @@ object Graph {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    var labelsSig = signature(labels, Seq("id", "component"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -50,11 +70,12 @@ object Graph {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      // Fixpoint via relation signature (see signature()) — one agg job
+      // over the checkpointed labels instead of a join+filter+count.
+      val nextSig = signature(next, Seq("id", "component"))
       labels = next
-      converged = changed == 0
+      converged = nextSig == labelsSig
+      labelsSig = nextSig
       iter += 1
     }
     if (!converged)
@@ -95,6 +116,7 @@ object Graph {
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint(true) // same lineage-truncation rationale as above
+    var edgesSig = signature(edges, Seq("a", "b"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -118,10 +140,13 @@ object Graph {
         .union(mSmall.select(col("u").as("a"), col("m").as("b")))
         .distinct()
         .localCheckpoint(true)
-      // Fixpoint: the directed edge set stopped changing.
-      val changed = afterSmall.union(edges).except(afterSmall.intersect(edges)).count()
+      // Fixpoint: the directed edge set stopped changing — detected by
+      // relation signature (one agg job) instead of the
+      // union/except/intersect triple-set-op it replaces.
+      val afterSig = signature(afterSmall, Seq("a", "b"))
       edges = afterSmall
-      converged = changed == 0
+      converged = afterSig == edgesSig
+      edgesSig = afterSig
       iter += 1
     }
     if (!converged)
