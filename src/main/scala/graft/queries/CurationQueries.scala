@@ -116,6 +116,49 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- samp03: DSIR-style importance resampling (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // pick the raw-pool documents whose hashed-bigram feature profile
+    // looks most like a target domain (here lang='en'). Faithful to the
+    // method's shape — hashed n-gram features, target/raw bucket
+    // distributions with add-1 smoothing, per-doc importance weight,
+    // top-k selection — but the bucket score is the integer-scaled ratio
+    // ((n_t+1)*1e6) div (n_r+1) rather than a log-ratio: summed exactly
+    // in int64, it is order-independent and engine-identical, where
+    // float log sums are neither (libm + fold order). Scale shape: ONE
+    // corpus pass for bigram->bucket occurrences, two vocabulary-sized
+    // (64-bucket) count relations broadcast back, weight = one map-side
+    // aggregation, and top-k is TakeOrdered (per-partition heaps), not
+    // a global sort/window.
+    "samp03_dsir_importance" -> ((spark: SparkSession, dir: String) => {
+      val pairs = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(expr(
+          graft.ops.TextAnalysis.bigramPairsExpr("text"))).as("p"))
+        .select(col("doc_id"), col("lang"),
+          (expr(graft.ops.Dedup.h32("concat(p.w1, ' ', p.w2)")) % 64).as("bucket"))
+      val tCounts = pairs.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("n_t"))
+      val rCounts = pairs.filter(col("lang") =!= "en")
+        .groupBy("bucket").agg(count(lit(1)).as("n_r"))
+      // full 0..63 bucket domain so smoothing defines a score everywhere
+      val scores = spark.range(64).select(col("id").as("bucket"))
+        .join(tCounts, Seq("bucket"), "left_outer")
+        .join(rCounts, Seq("bucket"), "left_outer")
+        .select(col("bucket"), expr(
+          "((coalesce(n_t, 0L) + 1L) * 1000000L) div (coalesce(n_r, 0L) + 1L)").as("s"))
+      val weights = pairs.filter(col("lang") =!= "en")
+        .join(broadcast(scores), "bucket")
+        .groupBy("doc_id")
+        .agg(sum(col("s")).as("weight"), count(lit(1)).as("n_bigrams"))
+      val top = weights
+        .orderBy(col("weight").desc, col("doc_id").asc)
+        .limit(100) // TakeOrdered — the distributed top-k
+      top.withColumn("rk", row_number().over( // rank over the 100-row result only
+          Window.orderBy(col("weight").desc, col("doc_id").asc)))
+        .select(col("rk"), col("doc_id"), col("weight"), col("n_bigrams"))
+        .orderBy("rk")
+    }),
+
     // ---- qf01: Gopher-style repetition filters — top-bigram fraction and
     // duplicate-word fraction per doc, with the flag a curation pass would
     // drop on. Two doc_id-keyed aggregations joined doc-to-doc.
@@ -316,6 +359,29 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "samp03_dsir_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))::BIGINT) % 64 AS bucket
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+        |tc AS (SELECT bucket, count(*) AS n_t FROM pairs WHERE lang = 'en' GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS n_r FROM pairs WHERE lang <> 'en' GROUP BY bucket),
+        |sc AS (
+        |  SELECT b.bucket,
+        |    ((coalesce(n_t, 0) + 1) * CAST(1000000 AS BIGINT)) // (coalesce(n_r, 0) + 1) AS s
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+        |w AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS weight, count(*) AS n_bigrams
+        |  FROM pairs JOIN sc USING (bucket) WHERE lang <> 'en' GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, weight, n_bigrams,
+        |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rk
+        |  FROM w)
+        |SELECT rk, doc_id, weight, n_bigrams FROM top WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
     "qf02_gopher_rules" ->
       """WITH m AS (
         |  SELECT doc_id,

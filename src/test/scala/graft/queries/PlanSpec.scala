@@ -137,6 +137,12 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), "trigram candidate join must be an equi-join")
   }
 
+  test("samp03: DSIR top-k plans as TakeOrdered, scores broadcast") {
+    val p = plan("samp03_dsir_importance")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a per-partition heap, not a global sort")
+    assert(p.contains("BroadcastHashJoin"), "64-bucket score relation must broadcast")
+  }
+
   test("prof03: approx profile is one pass (no Expand); prof01's exact variant expands") {
     // Exact multi-column COUNT(DISTINCT) plans as Expand — one duplicated
     // stream of the scan per distinct column. The HLL variant must
