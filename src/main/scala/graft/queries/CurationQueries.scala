@@ -276,6 +276,35 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- cont03: contamination SCORING — the GPT-3/PaLM appendix
+    // method: per-document overlap FRACTION (distinct contaminated
+    // n-grams / distinct n-grams) over the WHOLE corpus including
+    // clean docs, with the drop flag at a threshold. cont01 surfaces
+    // only hit counts for dirty docs; this is the decision artifact a
+    // curation pass actually consumes. Same scale shape: benchmark
+    // grams broadcast, corpus streams; the fraction is one IEEE
+    // division per doc, and the >= 0.2 flag compares that exact
+    // quotient — deterministic in both engines.
+    "cont03_overlap_fraction" -> ((spark: SparkSession, dir: String) => {
+      val grams = t(spark, dir, "documents")
+        .filter(size(words) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 3), i -> array_join(slice(split(text, ' '), i, 4), ' '))"))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+      val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+      val totals = corpus.groupBy("doc_id").agg(countDistinct(col("gram")).as("n_grams"))
+      val hits = corpus.join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hit"))
+      totals.join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("overlap_frac"))
+        .withColumn("contaminated", col("overlap_frac") >= 0.2)
+        .orderBy("doc_id")
+    }),
+
     // ---- cont02: the same contamination screen with a BLOOM PREFILTER —
     // the 100 TB shape: a bloom filter over the benchmark gram hashes
     // (built by Spark's own BloomFilterAggregate, registered as bloom_agg
@@ -493,6 +522,23 @@ object CurationQueries {
         |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
         |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= 0.05 AS flagged
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "cont03_overlap_fraction" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gram
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_grams FROM corpus GROUP BY doc_id),
+        |hit AS (
+        |  SELECT c.doc_id AS doc_id, COUNT(DISTINCT c.gram) AS n_hit
+        |  FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
+        |SELECT t.doc_id AS doc_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+        |  CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
+        |  CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.2 AS contaminated
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "cont01_contamination" ->
       """WITH g AS (
