@@ -167,6 +167,38 @@ object MongoWire {
     docs.result()
   }
 
+  /** Sends an `update` command targeting one document by `_id` with a
+    * `$set` patch — the reference's log-completion write
+    * (log_repo.rs:49-88 update_one on `{_id}` with
+    * `{$set: {end_time, status, message}}`). Returns the matched count
+    * (`n`); the caller decides whether 0 is an error, as the reference
+    * does. */
+  def updateById(out: DataOutputStream, in: DataInputStream,
+                 db: String, collection: String, id: String, setJson: String): Long = {
+    val cmd = mapper.createObjectNode()
+    cmd.put("update", collection)
+    cmd.put("$db", db)
+    cmd.put("ordered", true)
+    val q = mapper.createObjectNode(); q.put("_id", id)
+    val u = mapper.createObjectNode(); u.set[JsonNode]("$set", mapper.readTree(setJson))
+    val one = mapper.createObjectNode()
+    one.set[JsonNode]("q", q); one.set[JsonNode]("u", u)
+    cmd.set[JsonNode]("updates", mapper.createArrayNode().add(one))
+    val cmdBytes = Bson.encodeDocument(cmd)
+    val bodyLen = 4 + 1 + cmdBytes.length
+    val buf = ByteBuffer.allocate(16 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(16 + bodyLen).putInt(requestIds.incrementAndGet()).putInt(0).putInt(OpMsg)
+    buf.putInt(0).put(0.toByte).put(cmdBytes)
+    out.write(buf.array()); out.flush()
+    val body = firstDocument(readMessage(in)._2)
+    val ok = Option(body.get("ok")).exists(_.asDouble() == 1.0)
+    if (!ok) {
+      val msg = Option(body.get("errmsg")).map(_.asText()).getOrElse(body.toString)
+      throw DatabaseError(s"update on $db.$collection failed: $msg")
+    }
+    Option(body.get("n")).map(_.asLong()).getOrElse(0L)
+  }
+
   /** Parses any OP_MSG command message: (command doc, sequence docs) —
     * kind-1 section docs plus any inline `documents` array. */
   def parseCommand(msg: Array[Byte]): (JsonNode, Seq[JsonNode]) = {

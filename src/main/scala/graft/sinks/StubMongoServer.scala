@@ -85,6 +85,33 @@ final class StubMongoServer {
             ds.foreach(d => list.add(mapper.writeValueAsString(d)))
             body.put("n", ds.size)
             body.put("ok", 1.0)
+          } else if (cmd.has("update")) {
+            // update_one-by-_id with $set, the reference's log-completion
+            // write; unknown _id -> n=0 matched (client raises, like the
+            // reference's matched_count==0 arm, log_repo.rs:80-84).
+            val coll = cmd.get("update").asText()
+            val list = store.get(s"$db.$coll")
+            var matched = 0
+            Option(cmd.get("updates")).foreach(_.forEach { one =>
+              val wantId = one.path("q").path("_id").asText()
+              val patch = one.path("u").path("$set")
+              if (list != null) list.synchronized {
+                var i = 0
+                while (i < list.size()) {
+                  val doc = mapper.readTree(list.get(i)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  if (doc.path("_id").asText() == wantId) {
+                    patch.properties().forEach(e =>
+                      doc.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue))
+                    list.set(i, mapper.writeValueAsString(doc))
+                    matched += 1
+                  }
+                  i += 1
+                }
+              }
+            })
+            body.put("n", matched)
+            body.put("nModified", matched)
+            body.put("ok", 1.0)
           } else if (cmd.has("find")) {
             // Whole collection in one batch, cursor id 0 (no paging) —
             // the reference's config lookup finds with an empty filter.

@@ -195,6 +195,39 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("full mongo deployment: config find + data insert + audit log, one wire server") {
+    import graft.sinks.{MongoDbSink, MongoLogRepository, MongoWire, StubMongoServer}
+    import graft.rules.MongoConfigRepository
+    val server = new StubMongoServer
+    try {
+      val base = Files.createTempDirectory("mongo_full")
+      val bucket = "b"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\nB,2\n")
+      // seed routing rules the way migration.js does
+      val sock = new java.net.Socket(server.host, server.port)
+      try MongoWire.insertMany(
+        new java.io.DataOutputStream(sock.getOutputStream),
+        new java.io.DataInputStream(sock.getInputStream),
+        "ingestion_db", "ingestion_config",
+        Seq("""{"pattern": ".*\\.csv$", "target_table": "csv_data"}"""))
+      finally sock.close()
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString),
+        new MongoConfigRepository(server.host, server.port, "ingestion_db"),
+        new MongoDbSink(server.host, server.port, "ingestion_db"),
+        new MongoLogRepository(server.host, server.port, "ingestion_db",
+          idGen = fn => s"log-$fn"))
+      val result = pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv"))
+      assert(result.targetTable == "csv_data" && result.rowsWritten == 2)
+      assert(server.docs("ingestion_db", "csv_data").size == 2)
+      val stored = server.docs("ingestion_db", "ingestion_logs")
+      assert(stored.size == 1)
+      assert(stored.head.contains("\"status\":\"Success\""))
+      assert(!stored.head.contains("\"end_time\":null"))
+    } finally server.stop()
+  }
+
   test("sink factory mirrors the reference's DATABASE_TYPE selection") {
     import graft.sinks.{CouchDbSink, MongoDbSink, SinkFactory}
     val dir = Files.createTempDirectory("factory").toString
