@@ -126,16 +126,19 @@ object CurationQueries {
     // ((n_t+1)*1e6) div (n_r+1) rather than a log-ratio: summed exactly
     // in int64, it is order-independent and engine-identical, where
     // float log sums are neither (libm + fold order). Scale shape: ONE
-    // corpus pass for bigram->bucket occurrences, two vocabulary-sized
-    // (64-bucket) count relations broadcast back, weight = one map-side
-    // aggregation, and top-k is TakeOrdered (per-partition heaps), not
-    // a global sort/window.
+    // corpus pass computes the bigram->bucket occurrences, which are
+    // localCheckpointed so the THREE consumers (target counts, raw
+    // counts, weights) reuse the materialization instead of re-running
+    // the scan+explode each; the two 64-bucket count relations
+    // broadcast back, weight = one map-side aggregation, and top-k is
+    // TakeOrdered (per-partition heaps), not a global sort/window.
     "samp03_dsir_importance" -> ((spark: SparkSession, dir: String) => {
       val pairs = t(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(expr(
           graft.ops.TextAnalysis.bigramPairsExpr("text"))).as("p"))
         .select(col("doc_id"), col("lang"),
           (expr(graft.ops.Dedup.h32("concat(p.w1, ' ', p.w2)")) % 64).as("bucket"))
+        .localCheckpoint(true)
       val tCounts = pairs.filter(col("lang") === "en")
         .groupBy("bucket").agg(count(lit(1)).as("n_t"))
       val rCounts = pairs.filter(col("lang") =!= "en")

@@ -267,11 +267,17 @@ object DedupQueries {
     // random-graph equivalence with propagation CC.
     "dd13_star_cc_chain" -> ((spark: SparkSession, dir: String) => {
       val ids = t(spark, dir, "documents").select(col("doc_id"))
+      // Self-pairs enroll EVERY doc as a graph node (star CC labels
+      // endpoint ids; a doc whose chain edges both fall at a block
+      // boundary — possible when the corpus size isn't a multiple of
+      // 50 — would otherwise vanish from the output while the
+      // closed-form oracle still emits it).
       val edges = ids
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
         .filter(col("b") % 50 =!= 0)
         .join(ids.select(col("doc_id").as("b")), "b")
         .select("a", "b")
+        .union(ids.select(col("doc_id").as("a"), col("doc_id").as("b")))
       graft.ops.Graph.connectedComponentsStar(edges, "a", "b", maxIter = 10)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")

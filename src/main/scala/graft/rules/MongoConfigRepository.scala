@@ -1,7 +1,5 @@
 package graft.rules
 
-import java.io.{DataInputStream, DataOutputStream}
-import java.net.{InetSocketAddress, Socket}
 import com.fasterxml.jackson.databind.JsonNode
 import graft.domain.{IngestionConfigRule, ParserConfig}
 import graft.ports.ConfigRepository
@@ -35,18 +33,10 @@ final class MongoConfigRepository(host: String, port: Int, database: String)
 object MongoConfigRepository {
 
   /** One wire round-trip: find on `{database}.ingestion_config`. */
-  def loadRules(host: String, port: Int, database: String): Seq[IngestionConfigRule] = {
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(host, port), 10000)
-    sock.setSoTimeout(30000)
-    try {
-      val docs = MongoWire.find(
-        new DataOutputStream(sock.getOutputStream),
-        new DataInputStream(sock.getInputStream),
-        database, "ingestion_config")
-      docs.map(ruleFromBson)
-    } finally sock.close()
-  }
+  def loadRules(host: String, port: Int, database: String): Seq[IngestionConfigRule] =
+    MongoWire.withConnection(host, port) { (out, in) =>
+      MongoWire.find(out, in, database, "ingestion_config").map(ruleFromBson)
+    }
 
   /** BSON document -> rule, with the reference's snake_case fields. */
   private[rules] def ruleFromBson(doc: JsonNode): IngestionConfigRule = {

@@ -58,6 +58,11 @@ object Bson {
         tag(0x10); writeInt32(out, v.intValue())
       case _ if v.isIntegralNumber && v.canConvertToLong =>
         tag(0x12); writeInt64(out, v.longValue())
+      case _ if v.isIntegralNumber => // BigInteger beyond int64: refuse rather
+        // than silently rounding through double (the write would corrupt
+        // exact decimal(38,0) aggregates this codebase produces)
+        throw new IllegalArgumentException(
+          s"integral value for '$name' exceeds int64: ${v.asText()}")
       case _ if v.isNumber =>
         tag(0x01); writeInt64(out, java.lang.Double.doubleToLongBits(v.doubleValue()))
       case _ if v.isBoolean =>
@@ -119,9 +124,22 @@ object Bson {
       val arr = nodes.arrayNode()
       obj.properties().forEach(e => arr.add(e.getValue): Unit)
       arr
+    // 0x05/0x09/0x11 never originate from this codec's writes, but real
+    // replica-set / DocumentDB servers attach $clusterTime (0x11
+    // timestamp), operationTime and dates (0x09) and binData (0x05) to
+    // every command reply — decode them leniently so the client survives
+    // a real server, not just the stub.
+    case 0x05 =>
+      val len = buf.getInt()
+      buf.get() // subtype
+      val bytes = new Array[Byte](len)
+      buf.get(bytes)
+      nodes.textNode(java.util.Base64.getEncoder.encodeToString(bytes))
     case 0x08 => nodes.booleanNode(buf.get() != 0)
+    case 0x09 => nodes.numberNode(buf.getLong()) // UTC datetime, epoch millis
     case 0x0A => nodes.nullNode()
     case 0x10 => nodes.numberNode(buf.getInt())
+    case 0x11 => nodes.numberNode(buf.getLong()) // internal BSON timestamp
     case 0x12 => nodes.numberNode(buf.getLong())
     case other => throw new IllegalArgumentException(f"unsupported BSON element type 0x$other%02x")
   }

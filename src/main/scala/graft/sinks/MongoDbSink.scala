@@ -35,31 +35,35 @@ import graft.ports.DataSink
   * codegen'd `toJSON`, each PARTITION opens ONE connection from the
   * executor it lives on and streams its batches over it — no driver
   * funnel, and at 1000 executors the server sees 1000 connections, not
-  * one per batch. `batchSize` bounds message bodies so a 10M-row
-  * partition becomes many capped OP_MSGs (MongoDB caps messages at
-  * 48 MB), not one giant one.
+  * one per batch. Batches close on COUNT or BYTE budget, whichever
+  * trips first (JSON length as the BSON-size proxy), so both a 10M-row
+  * partition of tiny rows and a 100-row partition of 1 MB documents
+  * stay under MongoDB's 48 MB message cap.
   */
 final class MongoDbSink(host: String, port: Int, database: String,
-                        batchSize: Int = 1000) extends DataSink {
+                        batchSize: Int = 1000,
+                        batchBytes: Long = 16L * 1024 * 1024) extends DataSink {
 
   override def write(df: DataFrame, targetTable: String): Long = {
-    val (h, p, db, batch) = (host, port, database, batchSize)
+    val (h, p, db, maxDocs, maxBytes) = (host, port, database, batchSize, batchBytes)
     df.toJSON.rdd
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.single(0L)
-        else {
-          val sock = new Socket()
-          sock.connect(new InetSocketAddress(h, p), 10000)
-          sock.setSoTimeout(120000)
-          try {
-            val out = new DataOutputStream(sock.getOutputStream)
-            val in = new DataInputStream(sock.getInputStream)
-            var total = 0L
-            rows.grouped(batch).foreach { docs =>
-              total += MongoWire.insertMany(out, in, db, targetTable, docs)
-            }
-            Iterator.single(total)
-          } finally sock.close()
+        else MongoWire.withConnection(h, p, soTimeoutMs = 120000) { (out, in) =>
+          var total = 0L
+          val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+          var bytes = 0L
+          def flush(): Unit = if (batch.nonEmpty) {
+            total += MongoWire.insertMany(out, in, db, targetTable, batch.toSeq)
+            batch.clear(); bytes = 0L
+          }
+          rows.foreach { doc =>
+            if (batch.nonEmpty && (batch.size >= maxDocs || bytes + doc.length > maxBytes))
+              flush()
+            batch += doc; bytes += doc.length
+          }
+          flush()
+          Iterator.single(total)
         }
       }
       .fold(0L)(_ + _)
@@ -77,6 +81,20 @@ object MongoWire {
   val OpMsg = 2013
   private val mapper = new ObjectMapper()
   private val requestIds = new AtomicInteger(0)
+
+  /** One TCP connection wrapped in data streams, closed on exit — the
+    * shared connect/timeout/cleanup shape for every wire client (sink
+    * partitions, config find, log writes). */
+  def withConnection[A](host: String, port: Int, connectTimeoutMs: Int = 10000,
+                        soTimeoutMs: Int = 30000)
+                       (f: (DataOutputStream, DataInputStream) => A): A = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    sock.setSoTimeout(soTimeoutMs)
+    try f(new DataOutputStream(sock.getOutputStream),
+      new DataInputStream(sock.getInputStream))
+    finally sock.close()
+  }
 
   /** Sends one `insert` command with the docs as a kind-1 `documents`
     * sequence; returns the number of docs the server acknowledged

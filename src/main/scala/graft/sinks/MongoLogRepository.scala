@@ -1,7 +1,6 @@
 package graft.sinks
 
 import java.io.{DataInputStream, DataOutputStream}
-import java.net.{InetSocketAddress, Socket}
 import java.sql.Timestamp
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.domain.{IngestionError, IngestionLog}
@@ -29,14 +28,8 @@ final class MongoLogRepository(
 
   private val mapper = new ObjectMapper()
 
-  private def withWire[A](f: (DataOutputStream, DataInputStream) => A): A = {
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(host, port), 10000)
-    sock.setSoTimeout(30000)
-    try f(new DataOutputStream(sock.getOutputStream),
-      new DataInputStream(sock.getInputStream))
-    finally sock.close()
-  }
+  private def withWire[A](f: (DataOutputStream, DataInputStream) => A): A =
+    MongoWire.withConnection(host, port)(f)
 
   override def insertLog(log: IngestionLog): String = {
     val id = if (log.logId.nonEmpty) log.logId else idGen(log.fileName)
@@ -53,10 +46,14 @@ final class MongoLogRepository(
       case Some(m) => doc.put("message", m)
       case None => doc.putNull("message")
     }
-    withWire { (out, in) =>
+    val accepted = withWire { (out, in) =>
       MongoWire.insertMany(out, in, database, "ingestion_logs",
         Seq(mapper.writeValueAsString(doc)))
     }
+    if (accepted != 1) // e.g. duplicate _id writeError: an audit record
+      // that silently vanished would corrupt the trail — surface it
+      throw IngestionError.DatabaseError(
+        s"audit log insert for $id not acknowledged (accepted=$accepted)")
     id
   }
 

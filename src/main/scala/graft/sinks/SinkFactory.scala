@@ -45,10 +45,17 @@ object SinkFactory {
                         dbKey: String, parquetBaseDir: String): DataSink =
     env.get(uriKey) match {
       case Some(uri) =>
+        // Only plain mongodb:// is supported — mongodb+srv:// needs DNS
+        // SRV resolution this client does not do; reject it here rather
+        // than letting "mongodb+srv" leak through as a literal hostname
+        // that fails later inside executor tasks.
+        if (!uri.startsWith("mongodb://"))
+          throw new IllegalArgumentException(
+            s"$uriKey must be a mongodb:// URI (mongodb+srv is unsupported): $uri")
         val hostPort = uri.stripPrefix("mongodb://").takeWhile(c => c != '/' && c != '?')
         val (host, port) = hostPort.split(':') match {
-          case Array(h, p) => (h, p.toInt)
-          case Array(h) => (h, 27017)
+          case Array(h, p) if h.nonEmpty => (h, p.toInt)
+          case Array(h) if h.nonEmpty => (h, 27017)
           case _ => throw new IllegalArgumentException(s"unparseable $uriKey: $uri")
         }
         new MongoDbSink(host, port, env.getOrElse(dbKey, "ingestion_db"))

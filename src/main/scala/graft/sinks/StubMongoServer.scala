@@ -71,15 +71,11 @@ final class StubMongoServer {
           body.put("errmsg", "injected")
           body.put("code", 8) // UnknownError
         } else {
-          val (cmd, seqDocs) = MongoWire.parseCommand(msg)
+          val (cmd, _) = MongoWire.parseCommand(msg)
           val db = Option(cmd.get("$db")).map(_.asText()).getOrElse("")
           if (cmd.has("insert")) {
-            val coll = cmd.get("insert").asText()
-            val ds = seqDocs ++ {
-              val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
-              Option(cmd.get("documents")).foreach(_.forEach(d => b += d))
-              b.result()
-            }
+            // parseInsert owns the kind-1 + inline `documents` merge rule
+            val (_, coll, ds) = MongoWire.parseInsert(msg)
             val list = store.computeIfAbsent(s"$db.$coll",
               _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
             ds.foreach(d => list.add(mapper.writeValueAsString(d)))

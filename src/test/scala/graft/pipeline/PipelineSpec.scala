@@ -183,7 +183,7 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  test("mongo wire sink: batches cap message size; all docs still arrive") {
+  test("mongo wire sink: count and byte budgets both cap batches; all docs arrive") {
     import spark.implicits._
     import graft.sinks.{MongoDbSink, StubMongoServer}
     val server = new StubMongoServer
@@ -192,6 +192,13 @@ class PipelineSpec extends SparkSpec {
       val n = sink.write((1 to 100).map(i => (s"k$i", i)).toDF("k", "v"), "batched")
       assert(n == 100)
       assert(server.docs("ingestion_db", "batched").size == 100)
+      // byte budget: ~60-byte docs against a 100-byte budget -> batches
+      // of 1, never a doc dropped or a multi-doc over-budget message
+      val tiny = new MongoDbSink(server.host, server.port, "ingestion_db",
+        batchSize = 1000, batchBytes = 100)
+      val m = tiny.write((1 to 20).map(i => (s"key$i", "x" * 40)).toDF("k", "pad"), "bytecap")
+      assert(m == 20)
+      assert(server.docs("ingestion_db", "bytecap").size == 20)
     } finally server.stop()
   }
 
