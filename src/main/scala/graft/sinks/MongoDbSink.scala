@@ -42,11 +42,28 @@ import graft.ports.DataSink
   */
 final class MongoDbSink(host: String, port: Int, database: String,
                         batchSize: Int = 1000,
-                        batchBytes: Long = 16L * 1024 * 1024) extends DataSink {
+                        batchBytes: Long = 16L * 1024 * 1024,
+                        deterministicIdColumns: Seq[String] = Nil) extends DataSink {
 
+  /** With `deterministicIdColumns` set, every row gets
+    * `_id = md5(to_json(struct(cols)))` and duplicate-key rejections
+    * (code 11000 on the unique _id index) count as already-durable
+    * rather than failures — so an at-least-once redelivery (SQS's
+    * delivery contract, which the reference simply double-inserts
+    * under) re-writes a file IDEMPOTENTLY: same rows, same ids, no
+    * duplicates, full rowsWritten reported. The chosen columns must
+    * uniquely identify a row (e.g. file_name + line_number); collisions
+    * would deduplicate legitimate repeats. */
   override def write(df: DataFrame, targetTable: String): Long = {
     val (h, p, db, maxDocs, maxBytes) = (host, port, database, batchSize, batchBytes)
-    df.toJSON.rdd
+    val keyed =
+      if (deterministicIdColumns.isEmpty) df
+      else df.withColumn("_id", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(
+            deterministicIdColumns.map(df.col): _*))))
+    val tolerant = deterministicIdColumns.nonEmpty
+    keyed.toJSON.rdd
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.single(0L)
         else MongoWire.withConnection(h, p, soTimeoutMs = 120000) { (out, in) =>
@@ -54,7 +71,8 @@ final class MongoDbSink(host: String, port: Int, database: String,
           val batch = scala.collection.mutable.ArrayBuffer.empty[String]
           var bytes = 0L
           def flush(): Unit = if (batch.nonEmpty) {
-            total += MongoWire.insertMany(out, in, db, targetTable, batch.toSeq)
+            total += MongoWire.insertMany(out, in, db, targetTable, batch.toSeq,
+              tolerateDuplicates = tolerant)
             batch.clear(); bytes = 0L
           }
           rows.foreach { doc =>
@@ -98,13 +116,17 @@ object MongoWire {
 
   /** Sends one `insert` command with the docs as a kind-1 `documents`
     * sequence; returns the number of docs the server acknowledged
-    * (reply `n` minus per-doc `writeErrors`). */
+    * (reply `n` minus per-doc `writeErrors`). With `tolerateDuplicates`
+    * the batch goes `ordered: false` (the server attempts every doc)
+    * and duplicate-key rejections (code 11000) count as written — the
+    * idempotent-redelivery mode. */
   def insertMany(out: DataOutputStream, in: DataInputStream,
-                 db: String, collection: String, docsJson: Seq[String]): Long = {
+                 db: String, collection: String, docsJson: Seq[String],
+                 tolerateDuplicates: Boolean = false): Long = {
     val cmd = mapper.createObjectNode()
     cmd.put("insert", collection)
     cmd.put("$db", db)
-    cmd.put("ordered", true)
+    cmd.put("ordered", !tolerateDuplicates)
     val cmdBytes = Bson.encodeDocument(cmd)
     val docBytes = docsJson.map(j => Bson.encodeDocument(mapper.readTree(j)))
     val ident = "documents".getBytes(UTF_8)
@@ -126,9 +148,16 @@ object MongoWire {
       val msg = Option(body.get("errmsg")).map(_.asText()).getOrElse(body.toString)
       throw DatabaseError(s"insert into $db.$collection failed: $msg")
     }
+    // Reply `n` counts INSERTED docs only — writeErrors are already
+    // excluded from it (MongoDB insert reply contract), so the accepted
+    // count is n as-is; in idempotent mode duplicate-key rejections
+    // (code 11000) are already-durable rows and count as written.
     val n = Option(body.get("n")).map(_.asLong()).getOrElse(0L)
-    val nErr = Option(body.get("writeErrors")).map(_.size().toLong).getOrElse(0L)
-    n - nErr
+    var nDup = 0L
+    Option(body.get("writeErrors")).foreach(_.forEach { e =>
+      if (e.path("code").asInt() == 11000) nDup += 1
+    })
+    n + (if (tolerateDuplicates) nDup else 0L)
   }
 
   /** Reads one wire message; returns (requestID, full message bytes). */

@@ -74,12 +74,38 @@ final class StubMongoServer {
           val (cmd, _) = MongoWire.parseCommand(msg)
           val db = Option(cmd.get("$db")).map(_.asText()).getOrElse("")
           if (cmd.has("insert")) {
-            // parseInsert owns the kind-1 + inline `documents` merge rule
+            // parseInsert owns the kind-1 + inline `documents` merge rule.
+            // Like a real server, the unique _id index rejects duplicate
+            // ids with writeError code 11000; reply `n` counts only the
+            // docs actually inserted.
             val (_, coll, ds) = MongoWire.parseInsert(msg)
             val list = store.computeIfAbsent(s"$db.$coll",
               _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
-            ds.foreach(d => list.add(mapper.writeValueAsString(d)))
-            body.put("n", ds.size)
+            var inserted = 0
+            val errors = mapper.createArrayNode()
+            list.synchronized {
+              val seen = new scala.collection.mutable.HashSet[String]
+              list.forEach { j =>
+                val id = mapper.readTree(j).path("_id")
+                if (!id.isMissingNode && !id.isNull) seen += id.asText(): Unit
+              }
+              ds.zipWithIndex.foreach { case (d, i) =>
+                val id = d.path("_id")
+                if (!id.isMissingNode && !id.isNull && seen.contains(id.asText())) {
+                  val e = mapper.createObjectNode()
+                  e.put("index", i); e.put("code", 11000)
+                  e.put("errmsg", s"E11000 duplicate key: _id ${id.asText()}")
+                  errors.add(e): Unit
+                } else {
+                  if (!id.isMissingNode && !id.isNull) seen += id.asText(): Unit
+                  list.add(mapper.writeValueAsString(d))
+                  inserted += 1
+                }
+              }
+            }
+            body.put("n", inserted)
+            if (errors.size() > 0)
+              body.set[com.fasterxml.jackson.databind.JsonNode]("writeErrors", errors)
             body.put("ok", 1.0)
           } else if (cmd.has("update")) {
             // update_one-by-_id with $set, the reference's log-completion

@@ -202,6 +202,32 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("mongo wire sink: redelivered file writes idempotently with deterministic ids") {
+    import graft.sinks.{MongoDbSink, StubMongoServer}
+    val server = new StubMongoServer
+    try {
+      val base = Files.createTempDirectory("mongo_redeliver")
+      val bucket = "b"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\nB,2\n")
+      var call = 0
+      val logs = new ParquetLogRepository(base.resolve("logs").toString,
+        idGen = fn => { call += 1; s"log-$fn-$call" })
+      // file_name + name uniquely identify a row in this fixture
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+        new MongoDbSink(server.host, server.port, "ingestion_db",
+          deterministicIdColumns = Seq("file_name", "name")), logs)
+      val first = pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv"))
+      assert(first.rowsWritten == 2)
+      // SQS at-least-once: the same file event arrives again
+      val again = pipeline.processFile(spark, FileToProcess(bucket, "data/t.csv"))
+      assert(again.rowsWritten == 2, "redelivery reports the file as fully written")
+      val docs = server.docs("ingestion_db", first.targetTable)
+      assert(docs.size == 2, s"no duplicates stored, got ${docs.size}")
+    } finally server.stop()
+  }
+
   test("full mongo deployment: config find + data insert + audit log, one wire server") {
     import graft.sinks.{MongoDbSink, MongoLogRepository, MongoWire, StubMongoServer}
     import graft.rules.MongoConfigRepository

@@ -71,16 +71,40 @@ class MongoWireSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("boom"))
   }
 
-  test("per-doc writeErrors subtract from the written count") {
-    val replyIn = new ByteArrayOutputStream()
-    val ack = mapper.readTree(
-      """{"n":3,"ok":1.0,"writeErrors":[{"index":1,"code":11000,"errmsg":"dup"}]}""")
-    replyIn.write(MongoWire.reply(responseTo = 1, ack))
-    val n = MongoWire.insertMany(
-      new DataOutputStream(new ByteArrayOutputStream()),
-      new DataInputStream(new ByteArrayInputStream(replyIn.toByteArray)),
-      "db", "c", Seq("""{"x":1}""", """{"x":2}""", """{"x":3}"""))
-    assert(n == 2)
+  test("reply n excludes errored docs; tolerant mode re-counts duplicates") {
+    // MongoDB's insert reply contract: n counts inserted docs only, so a
+    // 3-doc batch with one duplicate-key rejection acks n=2.
+    def run(tolerate: Boolean): Long = {
+      val replyIn = new ByteArrayOutputStream()
+      val ack = mapper.readTree(
+        """{"n":2,"ok":1.0,"writeErrors":[{"index":1,"code":11000,"errmsg":"dup"}]}""")
+      replyIn.write(MongoWire.reply(responseTo = 1, ack))
+      MongoWire.insertMany(
+        new DataOutputStream(new ByteArrayOutputStream()),
+        new DataInputStream(new ByteArrayInputStream(replyIn.toByteArray)),
+        "db", "c", Seq("""{"x":1}""", """{"x":2}""", """{"x":3}"""),
+        tolerateDuplicates = tolerate)
+    }
+    assert(run(tolerate = false) == 2) // dup is not newly written
+    assert(run(tolerate = true) == 3)  // dup is already durable -> counts
+  }
+
+  test("stub rejects duplicate _id like a real unique index") {
+    val server = new StubMongoServer
+    try {
+      val sock = new java.net.Socket(server.host, server.port)
+      try {
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        assert(MongoWire.insertMany(out, in, "db", "c", Seq("""{"_id":"a","v":1}""")) == 1)
+        // plain mode: the redelivered doc is not newly written
+        assert(MongoWire.insertMany(out, in, "db", "c", Seq("""{"_id":"a","v":1}""")) == 0)
+        // idempotent mode: already-durable counts as written
+        assert(MongoWire.insertMany(out, in, "db", "c", Seq("""{"_id":"a","v":1}"""),
+          tolerateDuplicates = true) == 1)
+        assert(server.docs("db", "c").size == 1, "no duplicate stored")
+      } finally sock.close()
+    } finally server.stop()
   }
 
   test("find returns the stored collection through a cursor firstBatch") {
