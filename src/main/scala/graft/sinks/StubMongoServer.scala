@@ -3,7 +3,6 @@ package graft.sinks
 import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicBoolean
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** In-process MongoDB wire-protocol test double. The environment has no
@@ -24,7 +23,8 @@ final class StubMongoServer {
 
   private val mapper = new ObjectMapper()
   private val store = new ConcurrentHashMap[String, java.util.List[String]]()
-  private val failNext = new AtomicBoolean(false)
+  private val reqCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var failAtRequest = -1
   @volatile private var running = true
 
   private val server = new ServerSocket(0, 64, java.net.InetAddress.getLoopbackAddress)
@@ -53,9 +53,14 @@ final class StubMongoServer {
     Option(store.get(s"$db.$collection")).map(_.asScala.toSeq).getOrElse(Seq.empty)
   }
 
-  /** Makes the next insert answer `{ok: 0, errmsg: "injected"}` without
-    * storing (transient-failure injection for retry/DLQ tests). */
-  def failNextRequest(): Unit = failNext.set(true)
+  /** Makes the next request answer `{ok: 0, errmsg: "injected"}` without
+    * executing (transient-failure injection for retry/DLQ tests). */
+  def failNextRequest(): Unit = failRequest(1)
+
+  /** Fails the n-th upcoming request (1 = next) — lets a test inject a
+    * failure MID-write, e.g. batch 2 of a partition, to exercise the
+    * partial-write redelivery path. */
+  def failRequest(n: Int): Unit = failAtRequest = reqCount.get() + n
 
   def stop(): Unit = { running = false; server.close() }
 
@@ -66,7 +71,7 @@ final class StubMongoServer {
       while (true) {
         val (reqId, msg) = MongoWire.readMessage(in)
         val body = mapper.createObjectNode()
-        if (failNext.getAndSet(false)) {
+        if (reqCount.incrementAndGet() == failAtRequest) {
           body.put("ok", 0.0)
           body.put("errmsg", "injected")
           body.put("code", 8) // UnknownError

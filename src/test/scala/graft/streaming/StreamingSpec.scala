@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     assert(results.count(_.isLeft) == 2)
   }
 
+  test("effectively-once: redelivery + idempotent wire sink stores no duplicates") {
+    // The composition that upgrades the reference's semantics end to
+    // end: the poller acks only on success (at-least-once) and the wire
+    // sink writes deterministic _ids (idempotent), so a PARTIAL write —
+    // batch 1 lands, batch 2 dies mid-file — redelivers and converges
+    // to exactly-one-copy of every row.
+    import graft.sinks.{MongoDbSink, StubMongoServer}
+    val server = new StubMongoServer
+    try {
+      val base = Files.createTempDirectory("eff_once")
+      val bucket = "data-ingestion-bucket"
+      Files.createDirectories(base.resolve(bucket).resolve("data"))
+      Files.writeString(base.resolve(bucket).resolve("data/t.csv"), "name,age\nA,1\nB,2\n")
+      val queue = new InMemoryQueue
+      queue.send(s"""{"Records":[{"s3":{"bucket":{"name":"$bucket"},"object":{"key":"data/t.csv"}}}]}""")
+      val pipeline = new IngestionPipeline(
+        new LocalFileSource(base.toString), new RuleMatcher(RuleMatcher.seedRules),
+        new MongoDbSink(server.host, server.port, "ingestion_db",
+          batchSize = 1, deterministicIdColumns = Seq("file_name", "name")),
+        new ParquetLogRepository(base.resolve("logs").toString))
+      val poller = new QueuePoller(queue, pipeline, waitSeconds = 0)
+      // batchSize=1 -> one insert request per row; kill the second
+      server.failRequest(2)
+      assert(poller.pollOnce(spark) == 1)
+      assert(queue.size == 1, "partial failure must NOT ack the message")
+      val afterCrash = server.docs("ingestion_db", "csv_data").size
+      assert(afterCrash <= 1, s"at most the first batch landed, got $afterCrash")
+      // visibility timeout expires -> same event redelivered
+      queue.redeliver()
+      assert(poller.pollOnce(spark) == 1)
+      assert(queue.size == 0, "successful redelivery acks")
+      val docs = server.docs("ingestion_db", "csv_data")
+      assert(docs.size == 2, s"exactly one copy of each row, got ${docs.size}")
+    } finally server.stop()
+  }
+
   test("queue poller: unparseable body is acked (retry can't fix it); run drains") {
     val queue = new InMemoryQueue
     queue.send("""not json at all""")
