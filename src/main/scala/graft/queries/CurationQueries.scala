@@ -388,6 +388,49 @@ object CurationQueries {
             |/ cast(size(embedding) as double)""".stripMargin))
         .select(col("vec_id"), col("label"), col("max_abs"), col("scale"), col("mse"))
         .orderBy("vec_id")
+    }),
+
+    // ---- c01: the composed curation pipeline — Gopher quality gate ->
+    // exact-dedup keep -> deterministic split -> per-(split, lang) corpus
+    // report, as ONE deferred plan (the "what ships to the trainer" query
+    // a curation run ends with). Each stage reuses the exact expression
+    // its standalone query is gated on (qf02 / dd01-dd09 / split01).
+    // Scale shape (100 TB): the quality gate is a codegen'd scan-local
+    // filter, so the dedup shuffle only carries survivors — and only 4
+    // narrow columns (fp, doc_id, lang, n_words); the text itself never
+    // shuffles. Two shuffles total: row_number by content fingerprint,
+    // then a map-side-combinable groupBy on (split, lang).
+    "c01_corpus_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val scored = t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(words).as("n_words"),
+          expr("aggregate(transform(split(text, ' '), x -> cast(length(x) as bigint)), 0L, (a, x) -> a + x)")
+            .as("sum_wlen"),
+          expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
+          (array_contains(words, "the").cast("int") + array_contains(words, "a").cast("int") +
+            array_contains(words, "and").cast("int") + array_contains(words, "of").cast("int") +
+            array_contains(words, "to").cast("int") + array_contains(words, "in").cast("int"))
+            .as("n_stop"))
+        .filter(col("n_words").between(25, 5000) &&
+          col("sum_wlen").cast("double") / col("n_words").cast("double") >= 3.0 &&
+          col("sum_wlen").cast("double") / col("n_words").cast("double") <= 10.0 &&
+          col("n_alpha").cast("double") / col("n_words").cast("double") >= 0.9 &&
+          col("n_stop") >= 2)
+        .select(col("doc_id"), col("lang"), col("n_words"), md5(col("text")).as("fp"))
+      val kept = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+      kept
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
+        .orderBy("split", "lang")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -601,5 +644,38 @@ object CurationQueries {
         |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / max_abs) * (max_abs / 127.0))))
         |  / CAST(len(embedding) AS DOUBLE) AS mse
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "c01_corpus_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))) AS sum_wlen,
+        |    len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+        |    (CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+        |     + CAST(list_contains(string_split(text, ' '), 'in') AS INT)) AS n_stop
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_words, md5(text) AS fp FROM m
+        |  WHERE n_words BETWEEN 25 AND 5000
+        |    AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |    AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.9
+        |    AND n_stop >= 2),
+        |k AS (
+        |  SELECT doc_id, lang, n_words FROM (
+        |    SELECT p.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM p)
+        |  WHERE rk = 1),
+        |s AS (
+        |  SELECT lang, n_words,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, lang, n_words,
+        |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        |        FROM k))
+        |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_words_total
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
   )
 }

@@ -165,6 +165,23 @@ class PlanSpec extends SparkSpec {
       s"event_type filter must reach the scan:\n$pushed")
   }
 
+  test("c01: composed pipeline is one plan; quality gate precedes the dedup " +
+      "shuffle and the text column never shuffles") {
+    val p = plan("c01_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "pipeline stages must fuse, not join")
+    // Exactly the two contracted shuffles: row_number by fingerprint, then
+    // the (split, lang) aggregation (plus the final orderBy's range
+    // exchange, which TakeOrdered/collect absorbs at scale).
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <= 3 exchanges (fp window, report agg, output sort):\n$p")
+    // The wide text column is consumed scan-side by the quality gate; only
+    // its md5 fingerprint may cross a shuffle boundary.
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")),
+      s"text must not be a shuffle key:\n${exchangeLines.mkString("\n")}")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
