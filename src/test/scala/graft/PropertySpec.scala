@@ -52,6 +52,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bson codec: arbitrary nested documents round-trip exactly") {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+    import graft.sinks.Bson
+    val nodes = JsonNodeFactory.instance
+
+    // generators mirror what the sink actually emits: Jackson trees of
+    // strings (incl. multi-byte UTF-8), int32/int64 (class chosen by range,
+    // matching the codec's smallest-type rule), finite doubles, booleans,
+    // nulls, and nesting. Keys are NUL-free non-empty strings.
+    val keyG: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(10)),
+      Gen.const("champ_é中"), Gen.const("a.b$c"), Gen.const(" "))
+    val intG: Gen[JsonNode] = Gen.choose(Int.MinValue, Int.MaxValue).map(nodes.numberNode)
+    val longG: Gen[JsonNode] = Gen.oneOf(
+      Gen.choose(Int.MaxValue.toLong + 1, Long.MaxValue),
+      Gen.choose(Long.MinValue, Int.MinValue.toLong - 1)).map(nodes.numberNode)
+    val dblG: Gen[JsonNode] = Gen.choose(-1e12, 1e12).map(nodes.numberNode)
+    val strG: Gen[JsonNode] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(30)), Gen.const("café 中文 😀"),
+      Gen.const("")).map(nodes.textNode)
+    val scalarG: Gen[JsonNode] = Gen.oneOf(intG, longG, dblG, strG,
+      Gen.oneOf(true, false).map(nodes.booleanNode),
+      Gen.const(nodes.nullNode(): JsonNode))
+    def valueG(depth: Int): Gen[JsonNode] =
+      if (depth == 0) scalarG
+      else Gen.frequency(6 -> scalarG, 2 -> docG(depth - 1),
+        2 -> Gen.listOfN(3, valueG(depth - 1)).map { vs =>
+          val a = nodes.arrayNode(); vs.foreach(a.add); (a: JsonNode)
+        })
+    def docG(depth: Int): Gen[JsonNode] = for {
+      n <- Gen.choose(0, 5)
+      ks <- Gen.listOfN(n, keyG)
+      vs <- Gen.listOfN(n, valueG(depth))
+    } yield {
+      val o = nodes.objectNode()
+      ks.zip(vs).foreach { case (k, v) => o.set[JsonNode](k, v) }
+      o
+    }
+
+    samples(docG(3), 300).foreach { doc =>
+      val bytes = Bson.encodeDocument(doc)
+      // framing: declared length is the whole byte string, NUL-terminated
+      val declared = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+      assert(declared == bytes.length && bytes.last == 0, doc.toString)
+      val back: ObjectNode = Bson.decodeDocument(
+        java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      assert(back == doc, s"round-trip mismatch:\n  in:  $doc\n  out: $back")
+    }
+  }
+
+  test("bson codec: int64 overflow and NUL-bearing keys are refused, not corrupted") {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.JsonNodeFactory
+    import graft.sinks.Bson
+    val nodes = JsonNodeFactory.instance
+    val big = nodes.objectNode()
+    big.set[JsonNode]("v", nodes.numberNode(new java.math.BigInteger("9223372036854775808")))
+    intercept[IllegalArgumentException](Bson.encodeDocument(big))
+    val nul = nodes.objectNode()
+    nul.set[JsonNode]("a\u0000b", nodes.textNode("x"))
+    intercept[IllegalArgumentException](Bson.encodeDocument(nul))
+  }
+
   test("excel column refs: index is monotone in column letters") {
     val refGen = for {
       n <- Gen.choose(1, 3)
