@@ -170,4 +170,60 @@ object Graph {
     cc.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected pair graph (Suri & Vassilvitskii, "Counting Triangles and
+    * the Curse of the Last Reducer", WWW'11).
+    *
+    * Scale design: edges are oriented low -> high by (degree, id) BEFORE
+    * the wedge join, so every wedge is enumerated at its lowest-degree
+    * vertex — per-vertex join fan-out is bounded by O(sqrt(m)) on any
+    * graph instead of by the max degree. Without the orientation, one
+    * celebrity node with degree d contributes d^2 wedge rows (the "last
+    * reducer" that never finishes at 100 TB); with it, each triangle is
+    * produced exactly once by two equi-joins, no DISTINCT pass and no
+    * post-hoc division by 3/6. The edge relation is localCheckpointed:
+    * it feeds the degree agg, both wedge sides, and the closing join,
+    * and would otherwise replay its upstream subtree four times.
+    *
+    * Output (one row): n_nodes, n_edges, n_wedges, n_triangles, and
+    * global_clustering = 3 * triangles / wedges (one IEEE division of
+    * exact int64 operands — engine-deterministic). */
+  def triangleStats(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val edges = pairs
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.select(col("a").as("id")).union(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // total (degree, id) order: rank every edge endpoint, orient src -> dst
+    val ranked = edges
+      .join(deg.select(col("id").as("a"), struct(col("deg"), col("id")).as("ka")), "a")
+      .join(deg.select(col("id").as("b"), struct(col("deg"), col("id")).as("kb")), "b")
+    val oriented = ranked.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+      .localCheckpoint(true)
+    // wedges at the lowest vertex; the closing edge is oriented too, so
+    // each triangle {a<b<c} matches exactly once: (a->b, a->c) closed by b->c
+    val x = oriented.select(col("src"), col("dst").as("d1"), col("kdst").as("k1"))
+    val y = oriented.select(col("src"), col("dst").as("d2"), col("kdst").as("k2"))
+    val wedges = x.join(y, Seq("src")).filter(col("k1") < col("k2"))
+    val closing = oriented.select(col("src").as("d1"), col("dst").as("d2"))
+    val triangles = wedges.join(closing, Seq("d1", "d2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      // integer division: the sum is always even, and int64 `div` stays
+      // exact where a double roundtrip would lose bits past 2^53
+      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
+    val edgeTotal = edges.agg(count(lit(1)).as("n_edges"))
+    wedgeTotal.crossJoin(edgeTotal).crossJoin(triangles) // three 1-row relations
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"))
+          .as("global_clustering"))
+  }
 }

@@ -258,6 +258,21 @@ object ExtendedQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- tri01: exact triangle count + global clustering coefficient
+    // over the co-supplier graph (two suppliers are adjacent when both
+    // ship the same part in a near-full-quantity lineitem). Exercises
+    // graft.ops.Graph.triangleStats — the degree-ordered wedge join that
+    // bounds per-vertex fan-out at O(sqrt(m)) regardless of hot nodes
+    // (Suri & Vassilvitskii WWW'11); complements dd07/dd13's connected
+    // components as the second whole-graph analytic.
+    "tri01_cosupplier_triangles" -> ((spark: SparkSession, dir: String) => {
+      val ps = t(spark, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val pairs = ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+        .select(col("x.s").as("s1"), col("y.s").as("s2"))
+      graft.ops.Graph.triangleStats(pairs, "s1", "s2")
+    }),
   )
 
   /** HLL sketch distinct (approx_count_distinct). Sketch estimates are
@@ -429,5 +444,27 @@ object ExtendedQueries {
         |  CASE WHEN o_totalprice > 250000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid'
         |       ELSE 'low' END AS bucket
         |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // Triangle count is orientation-invariant, so the oracle uses the
+    // simple id-order join; n_wedges comes from degrees (also
+    // orientation-free). SUM over BIGINT is HUGEINT in DuckDB -> CAST.
+    "tri01_cosupplier_triangles" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_quantity >= 49),
+        |e AS (
+        |  SELECT DISTINCT x.s AS a, y.s AS b FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |d AS (
+        |  SELECT id, COUNT(*) AS deg
+        |  FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b JOIN e z ON z.a = x.b AND z.b = y.b)
+        |SELECT (SELECT COUNT(*) FROM d) AS n_nodes,
+        |  (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) FROM d) AS n_wedges,
+        |  n_triangles,
+        |  CAST(n_triangles AS DOUBLE) * 3.0
+        |    / CAST((SELECT SUM(deg * (deg - 1)) // 2 FROM d) AS DOUBLE) AS global_clustering
+        |FROM tri""".stripMargin,
   )
 }

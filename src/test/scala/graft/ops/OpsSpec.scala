@@ -251,6 +251,26 @@ class OpsSpec extends SparkSpec {
     assert(cc.values.forall(_ == 0L), "single component rooted at the min id")
   }
 
+  test("graph: triangle stats match closed forms on K4, a path, and a star") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+      val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    // K4: C(4,3)=4 triangles, every wedge closed -> clustering exactly 1.0;
+    // edges fed unordered + duplicated to prove canonicalization
+    val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L), (2L, 1L))
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // path 0-1-2-3: 2 wedges, no triangles
+    assert(stats(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == ((4L, 3L, 2L, 0L, 0.0)))
+    // star (hub 0, 5 leaves): the celebrity-node case the degree
+    // orientation exists for — C(5,2)=10 wedges, 0 triangles
+    assert(stats((1L to 5L).map(i => (0L, i))) == ((6L, 5L, 10L, 0L, 0.0)))
+    // triangle + pendant: 3 triangles' worth of wedges at the triangle
+    // (plus 2 via the degree-3 node) -> 3*1 + 2 extra = 5 wedges, 1 triangle
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) == ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
   test("graph: star CC matches propagation CC on random graphs (+ self-pairs)") {
     import spark.implicits._
     val rng = new scala.util.Random(42) // fixed seed: deterministic spec
