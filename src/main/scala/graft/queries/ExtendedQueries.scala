@@ -273,6 +273,54 @@ object ExtendedQueries {
         .select(col("x.s").as("s1"), col("y.s").as("s2"))
       graft.ops.Graph.triangleStats(pairs, "s1", "s2")
     }),
+
+    // ---- pr01: PageRank centrality over the nation trade graph (edge
+    // customer-nation -> supplier-nation, weighted by lineitem count).
+    // Quantized-integer PageRank: transition probabilities are fixed at
+    // 1e-6 resolution and rank mass at 1e-9, so every iteration is pure
+    // int64 multiply/div/sum — bit-identical across engines, partitions,
+    // and retries, where double-precision PageRank drifts by summation
+    // order. Three damped (0.85) iterations, unrolled.
+    // Scale shape (100 TB): the one heavy stage is the edge aggregation
+    // (a map-side-combinable groupBy over the fact join); the graph
+    // itself is nation-cardinality, so each iteration's join + agg runs
+    // on broadcast-sized relations no matter how large the fact table.
+    "pr01_nation_trade_rank" -> ((spark: SparkSession, dir: String) => {
+      val S = 1000000000L // rank quantum: 1e-9
+      val P = 1000000L //    probability quantum: 1e-6
+      val edges = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(spark, dir, "nation").select(col("n_nationkey").as("cnk"), col("n_name").as("src")),
+          col("c_nationkey") === col("cnk"))
+        .join(t(spark, dir, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("dst")),
+          col("s_nationkey") === col("snk"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      // quantized out-probabilities; localCheckpoint: this tiny relation
+      // feeds every iteration and must not replay the fact join per round
+      val prob = edges
+        .withColumn("wtot", sum(col("w")).over(Window.partitionBy(col("src"))))
+        .select(col("src"), col("dst"), expr(s"(w * $P) div wtot").as("p"))
+        .localCheckpoint(true)
+      val nodes = prob.select(col("src").as("node"))
+        .union(prob.select(col("dst").as("node"))).distinct()
+      var r = nodes.select(col("node"), lit(S).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = prob.join(r, prob("src") === r("node"))
+          .groupBy(col("dst")).agg(sum(expr(s"(r * p) div $P")).as("c"))
+        r = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(15L * S / 100) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+      }
+      r.withColumn("total", sum(col("r")).over(Window.partitionBy()))
+        .select(col("node").as("nation"), col("r").as("rank_scaled"),
+          (col("r").cast("double") / col("total").cast("double")).as("rank_share"))
+        .orderBy(col("rank_scaled").desc, col("nation"))
+    }),
   )
 
   /** HLL sketch distinct (approx_count_distinct). Sketch estimates are
@@ -466,5 +514,40 @@ object ExtendedQueries {
         |  CAST(n_triangles AS DOUBLE) * 3.0
         |    / CAST((SELECT SUM(deg * (deg - 1)) // 2 FROM d) AS DOUBLE) AS global_clustering
         |FROM tri""".stripMargin,
+
+    // Quantized-integer PageRank, 3 damped iterations unrolled as CTEs.
+    // Every arithmetic step is int64 multiply / integral-divide / sum —
+    // identical in both engines; window SUMs cast off DuckDB's HUGEINT.
+    "pr01_nation_trade_rank" ->
+      """WITH e AS (
+        |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  GROUP BY cn.n_name, sn.n_name),
+        |pe AS (
+        |  SELECT src, dst,
+        |    (w * 1000000) // CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS p
+        |  FROM e),
+        |n AS (SELECT src AS node FROM pe UNION SELECT dst AS node FROM pe),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT dst, CAST(SUM((r0.r * pe.p) // 1000000) AS BIGINT) AS c
+        |       FROM pe JOIN r0 ON pe.src = r0.node GROUP BY dst),
+        |r1 AS (SELECT n.node, 150000000 + (85 * COALESCE(c1.c, 0)) // 100 AS r
+        |       FROM n LEFT JOIN c1 ON n.node = c1.dst),
+        |c2 AS (SELECT dst, CAST(SUM((r1.r * pe.p) // 1000000) AS BIGINT) AS c
+        |       FROM pe JOIN r1 ON pe.src = r1.node GROUP BY dst),
+        |r2 AS (SELECT n.node, 150000000 + (85 * COALESCE(c2.c, 0)) // 100 AS r
+        |       FROM n LEFT JOIN c2 ON n.node = c2.dst),
+        |c3 AS (SELECT dst, CAST(SUM((r2.r * pe.p) // 1000000) AS BIGINT) AS c
+        |       FROM pe JOIN r2 ON pe.src = r2.node GROUP BY dst),
+        |r3 AS (SELECT n.node, 150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS r
+        |       FROM n LEFT JOIN c3 ON n.node = c3.dst)
+        |SELECT node AS nation, r AS rank_scaled,
+        |  CAST(r AS DOUBLE) / CAST(CAST(SUM(r) OVER () AS BIGINT) AS DOUBLE) AS rank_share
+        |FROM r3 ORDER BY rank_scaled DESC, nation""".stripMargin,
   )
 }
