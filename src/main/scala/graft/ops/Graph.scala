@@ -196,8 +196,11 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    // localCheckpoint: deg feeds both rank joins AND the wedge total — the
+    // 2|E|-row union+groupBy must not re-execute three times
     val deg = edges.select(col("a").as("id")).union(edges.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // total (degree, id) order: rank every edge endpoint, orient src -> dst
     val ranked = edges
       .join(deg.select(col("id").as("a"), struct(col("deg"), col("id")).as("ka")), "a")
@@ -217,9 +220,13 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val wedgeTotal = deg.agg(
       count(lit(1)).as("n_nodes"),
-      // integer division: the sum is always even, and int64 `div` stays
-      // exact where a double roundtrip would lose bits past 2^53
-      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
+      // per-node deg*(deg-1) accumulates in decimal(38,0) — a celebrity
+      // node of degree >= ~3e9 would wrap plain int64 exactly in the
+      // hot-node regime this function exists for (DuckDB's SUM is HUGEINT
+      // there; see signature() above for the same convention). `div 2` is
+      // exact: the sum is always even.
+      expr("cast(sum(cast(deg as decimal(38,0)) * (deg - 1)) div 2 as bigint)")
+        .as("n_wedges"))
     val edgeTotal = edges.agg(count(lit(1)).as("n_edges"))
     wedgeTotal.crossJoin(edgeTotal).crossJoin(triangles) // three 1-row relations
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

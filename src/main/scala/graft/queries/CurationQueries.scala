@@ -43,6 +43,51 @@ object CurationQueries {
   private val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
   private val AnyPiiRe = s"$EmailRe|$PhoneRe|$IpRe"
 
+  // Shared between the standalone stage queries and the composed c01
+  // pipeline — ONE definition each, so a threshold/salt tune can't leave
+  // the pipeline silently running a stale copy of a stage.
+  // Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+  private val GopherMinWords = 25
+  private val GopherMaxWords = 5000
+  private val GopherMinWlen = 3.0
+  private val GopherMaxWlen = 10.0
+  private val GopherMinAlpha = 0.9
+  private val GopherMinStop = 2
+  // Gopher per-doc feature columns (append after selecting doc keys):
+  private val gopherCols: Seq[org.apache.spark.sql.Column] = Seq(
+    size(words).as("n_words"),
+    expr("aggregate(transform(split(text, ' '), x -> cast(length(x) as bigint)), 0L, (a, x) -> a + x)")
+      .as("sum_wlen"),
+    expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
+    (array_contains(words, "the").cast("int") + array_contains(words, "a").cast("int") +
+      array_contains(words, "and").cast("int") + array_contains(words, "of").cast("int") +
+      array_contains(words, "to").cast("int") + array_contains(words, "in").cast("int"))
+      .as("n_stop"))
+  // The conjunctive pass decision over those columns:
+  private val gopherPass: org.apache.spark.sql.Column =
+    col("n_words").between(GopherMinWords, GopherMaxWords) &&
+      col("sum_wlen").cast("double") / col("n_words").cast("double") >= GopherMinWlen &&
+      col("sum_wlen").cast("double") / col("n_words").cast("double") <= GopherMaxWlen &&
+      col("n_alpha").cast("double") / col("n_words").cast("double") >= GopherMinAlpha &&
+      col("n_stop") >= GopherMinStop
+  // DuckDB mirror of gopherCols (the m-CTE select list):
+  private val gopherColsSql =
+    """len(string_split(text, ' ')) AS n_words,
+      |    list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))) AS sum_wlen,
+      |    len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+      |    (CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+      |     + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
+      |     + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+      |     + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+      |     + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+      |     + CAST(list_contains(string_split(text, ' '), 'in') AS INT)) AS n_stop""".stripMargin
+  // md5 split bucket in [0,100): <80 train, <90 val, else test — the one
+  // salt both engines and every split consumer must agree on.
+  private val splitBucketExpr =
+    "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"
+  private val splitBucketSql =
+    "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- pii01: PII detect + redact. The corpus is synthetic word salad
     // with no digits, so the query first stamps a deterministic contact
@@ -73,8 +118,7 @@ object CurationQueries {
     // same split on every engine at every scale.
     "split01_hash_split" -> ((spark: SparkSession, dir: String) => {
       t(spark, dir, "documents")
-        .withColumn("bucket", expr(
-          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"))
+        .withColumn("bucket", expr(splitBucketExpr))
         .withColumn("split",
           when(col("bucket") < 80, lit("train"))
             .when(col("bucket") < 90, lit("val"))
@@ -87,8 +131,7 @@ object CurationQueries {
     // split job emits. Map-side-combinable groupBy, one shuffle.
     "split02_split_sizes" -> ((spark: SparkSession, dir: String) => {
       t(spark, dir, "documents")
-        .withColumn("bucket", expr(
-          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"))
+        .withColumn("bucket", expr(splitBucketExpr))
         .withColumn("split",
           when(col("bucket") < 80, lit("train"))
             .when(col("bucket") < 90, lit("val"))
@@ -196,21 +239,13 @@ object CurationQueries {
     // any corpus size. Ratios are IEEE double divisions of exact ints.
     "qf02_gopher_rules" -> ((spark: SparkSession, dir: String) => {
       t(spark, dir, "documents")
-        .select(col("doc_id"),
-          size(words).as("n_words"),
-          expr("aggregate(transform(split(text, ' '), x -> cast(length(x) as bigint)), 0L, (a, x) -> a + x)")
-            .as("sum_wlen"),
-          expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
-          (array_contains(words, "the").cast("int") + array_contains(words, "a").cast("int") +
-            array_contains(words, "and").cast("int") + array_contains(words, "of").cast("int") +
-            array_contains(words, "to").cast("int") + array_contains(words, "in").cast("int"))
-            .as("n_stop"))
+        .select(col("doc_id") +: gopherCols: _*)
         .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_words").cast("double"))
         .withColumn("frac_alpha", col("n_alpha").cast("double") / col("n_words").cast("double"))
-        .withColumn("r_words", col("n_words").between(25, 5000))
-        .withColumn("r_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
-        .withColumn("r_alpha", col("frac_alpha") >= 0.9)
-        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("r_words", col("n_words").between(GopherMinWords, GopherMaxWords))
+        .withColumn("r_wlen", col("mean_wlen") >= GopherMinWlen && col("mean_wlen") <= GopherMaxWlen)
+        .withColumn("r_alpha", col("frac_alpha") >= GopherMinAlpha)
+        .withColumn("r_stop", col("n_stop") >= GopherMinStop)
         .withColumn("pass",
           col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop"))
         .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("frac_alpha"),
@@ -402,28 +437,15 @@ object CurationQueries {
     // then a map-side-combinable groupBy on (split, lang).
     "c01_corpus_pipeline" -> ((spark: SparkSession, dir: String) => {
       val scored = t(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          size(words).as("n_words"),
-          expr("aggregate(transform(split(text, ' '), x -> cast(length(x) as bigint)), 0L, (a, x) -> a + x)")
-            .as("sum_wlen"),
-          expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
-          (array_contains(words, "the").cast("int") + array_contains(words, "a").cast("int") +
-            array_contains(words, "and").cast("int") + array_contains(words, "of").cast("int") +
-            array_contains(words, "to").cast("int") + array_contains(words, "in").cast("int"))
-            .as("n_stop"))
-        .filter(col("n_words").between(25, 5000) &&
-          col("sum_wlen").cast("double") / col("n_words").cast("double") >= 3.0 &&
-          col("sum_wlen").cast("double") / col("n_words").cast("double") <= 10.0 &&
-          col("n_alpha").cast("double") / col("n_words").cast("double") >= 0.9 &&
-          col("n_stop") >= 2)
+        .select(Seq(col("doc_id"), col("lang"), col("text")) ++ gopherCols: _*)
+        .filter(gopherPass)
         .select(col("doc_id"), col("lang"), col("n_words"), md5(col("text")).as("fp"))
       val kept = scored
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
         .filter(col("rk") === 1)
       kept
-        .withColumn("bucket", expr(
-          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 4), 16, 10) as bigint) % 100"))
+        .withColumn("bucket", expr(splitBucketExpr))
         .withColumn("split",
           when(col("bucket") < 80, lit("train"))
             .when(col("bucket") < 90, lit("val"))
@@ -458,31 +480,23 @@ object CurationQueries {
         |SELECT rk, doc_id, weight, n_bigrams FROM top WHERE rk <= 100 ORDER BY rk""".stripMargin,
 
     "qf02_gopher_rules" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))) AS sum_wlen,
-        |    len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
-        |    (CAST(list_contains(string_split(text, ' '), 'the') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'in') AS INT)) AS n_stop
+        |    $gopherColsSql
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, n_words,
         |    CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
         |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha,
         |    n_stop,
-        |    n_words BETWEEN 25 AND 5000 AS r_words
+        |    n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS r_words
         |  FROM m)
         |SELECT doc_id, n_words, mean_wlen, frac_alpha, n_stop, r_words,
-        |  (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS r_wlen,
-        |  frac_alpha >= 0.9 AS r_alpha,
-        |  n_stop >= 2 AS r_stop,
-        |  (r_words AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
-        |    AND frac_alpha >= 0.9 AND n_stop >= 2) AS pass
+        |  (mean_wlen >= $GopherMinWlen AND mean_wlen <= $GopherMaxWlen) AS r_wlen,
+        |  frac_alpha >= $GopherMinAlpha AS r_alpha,
+        |  n_stop >= $GopherMinStop AS r_stop,
+        |  (r_words AND (mean_wlen >= $GopherMinWlen AND mean_wlen <= $GopherMaxWlen)
+        |    AND frac_alpha >= $GopherMinAlpha AND n_stop >= $GopherMinStop) AS pass
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "pii01_redact" ->
@@ -501,18 +515,18 @@ object CurationQueries {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "split01_hash_split" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |    $splitBucketSql AS bucket
         |  FROM documents)
         |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "split02_split_sizes" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |    $splitBucketSql AS bucket
         |  FROM documents),
         |s AS (SELECT lang,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
@@ -646,25 +660,17 @@ object CurationQueries {
         |FROM m ORDER BY vec_id""".stripMargin,
 
     "c01_corpus_pipeline" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id, lang, text,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))) AS sum_wlen,
-        |    len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
-        |    (CAST(list_contains(string_split(text, ' '), 'the') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
-        |     + CAST(list_contains(string_split(text, ' '), 'in') AS INT)) AS n_stop
+        |    $gopherColsSql
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, lang, n_words, md5(text) AS fp FROM m
-        |  WHERE n_words BETWEEN 25 AND 5000
-        |    AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
-        |    AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
-        |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.9
-        |    AND n_stop >= 2),
+        |  WHERE n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+        |    AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinWlen
+        |    AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxWlen
+        |    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinAlpha
+        |    AND n_stop >= $GopherMinStop),
         |k AS (
         |  SELECT doc_id, lang, n_words FROM (
         |    SELECT p.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM p)
@@ -672,8 +678,7 @@ object CurationQueries {
         |s AS (
         |  SELECT lang, n_words,
         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT doc_id, lang, n_words,
-        |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        |  FROM (SELECT doc_id, lang, n_words, $splitBucketSql AS b
         |        FROM k))
         |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_words_total
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,

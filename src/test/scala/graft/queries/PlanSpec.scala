@@ -176,10 +176,17 @@ class PlanSpec extends SparkSpec {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges <= 3, s"expected <= 3 exchanges (fp window, report agg, output sort):\n$p")
     // The wide text column is consumed scan-side by the quality gate; only
-    // its md5 fingerprint may cross a shuffle boundary.
-    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
-    assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")),
-      s"text must not be a shuffle key:\n${exchangeLines.mkString("\n")}")
+    // its md5 fingerprint may cross a shuffle boundary. Check the Exchange
+    // operators' Input lists — the actual exchanged payload, not just the
+    // partitioning keys.
+    val lines = p.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse(fail(s"no Input line after Exchange at $i"))
+      }
+    assert(exchangeInputs.nonEmpty && exchangeInputs.forall(!_.contains("text#")),
+      s"text must not cross a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
   test("driver smoke contract: entry() returns rows at sf0.001") {
