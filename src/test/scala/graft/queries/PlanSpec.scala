@@ -189,6 +189,21 @@ class PlanSpec extends SparkSpec {
       s"text must not cross a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("tri01/pr01: graph analytics plan as equi-joins, never cartesian") {
+    val equiJoin = """\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)""".r
+    val ptri = plan("tri01_cosupplier_triangles")
+    assert(!ptri.contains("CartesianProduct"))
+    assert(equiJoin.findAllIn(ptri).nonEmpty, s"wedge/closing must be equi-joins:\n$ptri")
+    // the only nested-loop joins are the two broadcast 1-row scalar
+    // attaches (n_nodes/n_wedges x n_edges x n_triangles) — the accepted
+    // scalar-aggregate idiom, never a data-sized all-pairs
+    assert("BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(ptri).size <= 2,
+      s"data-sized nested loop crept in:\n$ptri")
+    val ppr = plan("pr01_nation_trade_rank")
+    assert(!ppr.contains("CartesianProduct") && !ppr.contains("BroadcastNestedLoopJoin"))
+    assert(equiJoin.findAllIn(ppr).nonEmpty, s"expected equi-joins:\n$ppr")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
