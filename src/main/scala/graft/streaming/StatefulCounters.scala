@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Spark 4 `transformWithState` — the arbitrary-state operator API that
+  * supersedes flatMapGroupsWithState (typed composite state with
+  * per-state TTL, timers, and the state data source for inspection;
+  * requires the RocksDB state store provider). The engine keeps
+  * [[StatefulSessionize]] on the older API deliberately — both APIs are
+  * part of the supported surface — and uses the new one here for its
+  * natural fit: long-lived per-entity composite state.
+  *
+  * Operator: per-user typed event counters in a MapState[event_type ->
+  * count], emitting the updated (user, type, running count) rows each
+  * micro-batch — the streaming twin of `groupBy(user, type).count`.
+  * State size is O(users x distinct types), independent of event
+  * volume; a TTL config would bound it further for abandoned users
+  * (RocksDB evicts without any per-key polling).
+  */
+object StatefulCounters {
+
+  final case class Ev(user_id: Long, event_type: String, event_id: Long)
+  final case class TypedCount(user_id: Long, event_type: String, n: Long)
+
+  class CounterProcessor extends StatefulProcessor[Long, Ev, TypedCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[TypedCount] = {
+      // fold the batch locally, ONE state read + write per touched type
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val base = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L)
+        touched(e.event_type) = base + 1L
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypedCount(user, t, n) }
+    }
+  }
+
+  /** Running per-(user, event_type) counts over a stream of events. */
+  def typedCounts(events: Dataset[Ev]): Dataset[TypedCount] = {
+    implicit val outEnc = Encoders.product[TypedCount]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update())
+  }
+}

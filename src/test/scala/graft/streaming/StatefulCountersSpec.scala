@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+/** transformWithState (Spark 4 arbitrary-state API, RocksDB-backed) must
+  * equal the batch groupBy count — including MapState carried across a
+  * checkpointed restart. */
+class StatefulCountersSpec extends SparkSpec {
+
+  test("transformWithState typed counters == batch counts across a restart") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("tws_spec")
+      val events = graft.queries.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      val batchCounts = events.groupBy("user_id", "event_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      // half the events per run; the MapState must survive the restart
+      // (and the multi-batch run: maxFilesPerTrigger=1 over 2 files)
+      events.filter(col("event_id") % 2 === 0).repartition(2)
+        .write.parquet(base.resolve("in/p0").toString)
+      val outDir = base.resolve("out").toString
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(base.resolve("in").toString + "/*")
+          .as[StatefulCounters.Ev]
+        val q = StatefulCounters.typedCounts(stream).writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .outputMode("update")
+          // memory sink can't recover from a checkpoint; foreachBatch can
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulCounters.TypedCount], _: Long) =>
+            batch.write.mode("append").parquet(outDir): Unit
+          }
+          .start()
+        q.awaitTermination(180000)
+      }
+      runOnce()
+      events.filter(col("event_id") % 2 === 1).repartition(2)
+        .write.parquet(base.resolve("in/p1").toString)
+      runOnce()
+
+      // counters are monotone, so the final value per key is the max
+      // emitted across both runs' update streams
+      val streamed = spark.read.parquet(outDir)
+        .groupBy("user_id", "event_type").agg(max("n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batchCounts,
+        s"streamed ${streamed.size} pairs, batch ${batchCounts.size}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+}
