@@ -50,4 +50,61 @@ object StatefulCounters {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  final case class EvT(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /** The event-time-timer path of the API: counters accumulate silently
+    * and are emitted ONCE, as final totals, when the watermark proves the
+    * user idle past `idleGapMs` — the "closed ledger per entity" shape
+    * (per-user ingest totals, billing periods, abandoned-cart rollups).
+    * One registered timer per key, re-armed on every batch; expiry emits
+    * and clears, so state for quiet users reaches exactly zero without
+    * any scan-all-keys sweep. */
+  class FinalizingCounterProcessor(idleGapMs: Long)
+      extends StatefulProcessor[Long, EvT, TypedCount] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long](
+        "deadline", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[EvT], tv: TimerValues): Iterator[TypedCount] = {
+      var maxTs = Long.MinValue
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      // re-arm the single idle timer: drop the previous deadline, register
+      // the new one (event-time timers fire when the watermark passes them)
+      val next = maxTs + idleGapMs
+      if (deadline.exists() && deadline.get() != next) getHandle.deleteTimer(deadline.get())
+      deadline.update(next)
+      getHandle.registerTimer(next)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long, tv: TimerValues, expired: ExpiredTimerInfo): Iterator[TypedCount] = {
+      val out = counts.iterator().map { case (t, n) => TypedCount(user, t, n) }.toVector
+      counts.clear()
+      deadline.clear()
+      out.iterator
+    }
+  }
+
+  /** Final per-(user, event_type) totals, emitted when the user has been
+    * idle past `idleGapMinutes` by event time. */
+  def finalizedCounts(events: Dataset[EvT], idleGapMinutes: Int): Dataset[TypedCount] = {
+    implicit val outEnc = Encoders.product[TypedCount]
+    events.withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new FinalizingCounterProcessor(idleGapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

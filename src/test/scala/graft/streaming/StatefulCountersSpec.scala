@@ -63,4 +63,56 @@ class StatefulCountersSpec extends SparkSpec {
       }
     }
   }
+
+  test("event-time timers finalize idle users' counters exactly once") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("tws_timer_spec")
+      val events = graft.queries.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val batchCounts = events.groupBy("user_id", "event_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      events.write.parquet(base.resolve("in/p0").toString)
+      // a far-future sentinel advances the watermark past every real
+      // user's idle deadline, firing all timers (watermark lags one batch
+      // for input filtering but not for timer eviction)
+      Seq((99999L, "noop", java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .toDF("user_id", "event_type", "ts")
+        .write.parquet(base.resolve("in/p1").toString)
+
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base.resolve("in").toString + "/*")
+        .as[StatefulCounters.EvT]
+      val outDir = base.resolve("out").toString
+      val q = StatefulCounters.finalizedCounts(stream, idleGapMinutes = 30).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulCounters.TypedCount], _: Long) =>
+          batch.write.mode("append").parquet(outDir): Unit
+        }
+        .start()
+      q.awaitTermination(180000)
+
+      val finals = spark.read.parquet(outDir)
+        .filter(col("user_id") =!= 99999L)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(finals == batchCounts,
+        s"finalized ${finals.size} pairs, batch ${batchCounts.size}")
+      // exactly once: no (user, type) pair appears twice
+      val n = spark.read.parquet(outDir).filter(col("user_id") =!= 99999L).count()
+      assert(n == finals.size, "duplicate finalization rows")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
