@@ -56,6 +56,21 @@ class StatefulCountersSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(streamed == batchCounts,
         s"streamed ${streamed.size} pairs, batch ${batchCounts.size}")
+
+      // the checkpointed MapState is also inspectable OFFLINE through the
+      // state data source — the ops path for debugging a live pipeline's
+      // state without replaying it. The final counters read back from
+      // RocksDB must equal the batch truth too.
+      val stateRows = spark.read.format("statestore")
+        .option("path", base.resolve("ckpt").toString)
+        .option("stateVarName", "counts")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("user_map_key.value").as("event_type"),
+          col("user_map_value.value").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(stateRows == batchCounts,
+        s"offline state read ${stateRows.size} pairs, batch ${batchCounts.size}")
     } finally {
       prior match {
         case Some(v) => spark.conf.set(providerKey, v)
