@@ -43,7 +43,9 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .withColumn("share",
         col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
-      .orderBy(col("n").desc)
+      // total order (count desc, key) so the top-K set and its row order
+      // are deterministic under ties
+      .orderBy(col("n").desc, col(key))
       .limit(topK)
   }
 }

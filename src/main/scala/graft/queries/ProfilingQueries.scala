@@ -134,9 +134,28 @@ object ProfilingQueries {
           col("n_orders").cast("double") / sum(col("n_orders")).over(w).cast("double"))
         .select(col("bin"), col("n_orders"), col("min_price"), col("max_price"), col("share"))
         .orderBy("bin")
+    }),
+
+    // ---- skew01: hot-key diagnostic (graft.ops.Skew.keySkewProfile) as
+    // a driver-gated query — the profile that decides whether a join key
+    // needs salting before a 100 TB run. One map-side-combinable groupBy
+    // over the fact table; the share denominator comes from an
+    // empty-frame window over the (key-cardinality-sized) grouped
+    // relation, never a second scan of the input.
+    "skew01_hot_keys" -> ((spark: SparkSession, dir: String) => {
+      graft.ops.Skew.keySkewProfile(
+        t(spark, dir, "lineitem").select(col("l_suppkey")), "l_suppkey", topK = 10)
     }))
 
   val oracles: Map[String, String] = Map(
+    "skew01_hot_keys" ->
+      """WITH g AS (
+        |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST((SELECT CAST(SUM(n) AS BIGINT) FROM g) AS DOUBLE) AS share
+        |FROM g ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
+
     "prof01_column_profile" ->
       """SELECT * FROM (
         |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,

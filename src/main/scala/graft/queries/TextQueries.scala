@@ -65,6 +65,35 @@ object TextQueries {
           TextAnalysis.prefixFingerprint(col("text")).as("prefix_fp"))
         .orderBy("doc_id")
     }),
+
+    // ---- t11: vocabulary-coverage / OOV-rate analysis — the tokenizer
+    // question every pre-training run asks: "what fraction of my tokens
+    // fall outside a top-K vocabulary?" Vocab = top-K corpus words by
+    // frequency with a total (count desc, word) tie-break, so the set is
+    // deterministic across engines. K=16 here because the synthetic
+    // corpus has a 31-word vocabulary; production K (e.g. 50k) changes
+    // nothing structural.
+    // Scale shape (100 TB): word counts are a map-side-combinable
+    // groupBy of the token stream; the vocab relation is K rows ->
+    // BROADCASTs into a left_anti join against the token stream, so the
+    // corpus itself never shuffles; per-doc OOV counts key on doc_id
+    // (the same partitioning the doc-grain join uses).
+    "t11_oov_rate" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint(true) // feeds vocab counts AND the anti join
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(16).select(col("w"))
+      val oov = toks.join(broadcast(vocab), Seq("w"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .join(oov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
   ) ++ t06Defs
 
   // lazy: referenced from `defs`, which is declared earlier in this object
@@ -216,6 +245,22 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "t11_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY w)
+        |  ORDER BY c DESC, w LIMIT 16),
+        |oov AS (
+        |  SELECT doc_id, COUNT(*) AS n_oov FROM toks
+        |  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id)
+        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+        |  COALESCE(o.n_oov, 0) AS n_oov,
+        |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE)
+        |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS oov_rate
+        |FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "t10_normalize" ->
       """WITH r AS (
         |  SELECT doc_id, text,
