@@ -69,6 +69,32 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- dd14: sketch-based similarity ESTIMATE — the step between
+    // dd04's banded candidates and dd02's exact verify in the production
+    // estimate-then-verify pipeline: est_jaccard = matching MinHash
+    // components / k (an unbiased Jaccard estimator), thresholded before
+    // any exact shingle work. n/16 is an exact binary division, so the
+    // estimate hash-matches across engines. Scale shape: estimates are
+    // computed ONLY for banded candidate pairs (never all pairs); the
+    // signature relation joins by id — 17 narrow int columns, no text.
+    "dd14_minhash_estimate" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      // localCheckpoint: the signature relation feeds both join sides
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
+      val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      val a = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"a$j")): _*)
+      val b = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"b$j")): _*)
+      val nMatch = (0 until 16).map(j => (col(s"a$j") === col(s"b$j")).cast("int"))
+        .reduce(_ + _)
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+        .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
+        .filter(col("n_match") >= 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- dd05: 32-bit SimHash from md5-derived word hashes (frequency-
     // weighted bit votes). Scan-local; near-dup = small Hamming distance.
     "dd05_simhash" -> ((spark: SparkSession, dir: String) => {
@@ -363,6 +389,28 @@ object DedupQueries {
         |FROM bands x JOIN bands y
         |  ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd14_minhash_estimate" ->
+      s"""WITH sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM documents),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band_sig FROM sig")
+            .mkString("\n  UNION ALL\n  ")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (${(0 until 16).map(j => s"CAST(sa.mh$j = sb.mh$j AS INT)").mkString(" + ")}) AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON c.doc_a = sa.doc_id
+        |  JOIN sig sb ON c.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, n_match, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
+        |FROM est WHERE n_match >= 8 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd05_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",

@@ -189,6 +189,13 @@ class PlanSpec extends SparkSpec {
       s"text must not cross a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("t11: the K-row vocab broadcasts into the anti join; corpus side never shuffles for it") {
+    val p = plan("t11_oov_rate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"vocab must broadcast into a left_anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tri01/pr01: graph analytics plan as equi-joins, never cartesian") {
     val equiJoin = """\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)""".r
     val ptri = plan("tri01_cosupplier_triangles")
