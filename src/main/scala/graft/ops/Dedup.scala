@@ -64,8 +64,16 @@ object Dedup {
     * an existing corpus, dd12) can band each side independently and
     * equi-join, instead of self-joining one combined relation. */
   def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    bandSignaturesFromSigs(
+      minhashSignatures(df, idCol, textCol, bands * rowsPerBand), idCol, bands, rowsPerBand)
+
+  /** Band an ALREADY-COMPUTED signature relation (mh0..mh{k-1} columns).
+    * Use this when the signatures are needed downstream anyway (dd14's
+    * estimate join) — banding from them avoids a second full scan +
+    * shingle/minhash pass over the corpus text. */
+  def bandSignaturesFromSigs(sigs: DataFrame, idCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, bands * rowsPerBand)
     sigs.select(col(idCol), posexplode(array((0 until bands).map(b =>
         concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(r => col(s"mh$r")): _*)): _*))
       .as(Seq("band", "band_sig")))

@@ -79,9 +79,15 @@ object DedupQueries {
     // signature relation joins by id — 17 narrow int columns, no text.
     "dd14_minhash_estimate" -> ((spark: SparkSession, dir: String) => {
       val docs = t(spark, dir, "documents")
-      // localCheckpoint: the signature relation feeds both join sides
+      // ONE text scan: the checkpointed signature relation feeds banding
+      // AND both estimate-join sides (vs lshCandidates re-hashing text)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
-      val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      val bandRel = Dedup.bandSignaturesFromSigs(sigs, "doc_id").localCheckpoint(true)
+      val cands = bandRel.as("x").join(bandRel.as("y"),
+          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
       val a = sigs.select(col("doc_id").as("doc_a") +:
         (0 until 16).map(j => col(s"mh$j").as(s"a$j")): _*)
       val b = sigs.select(col("doc_id").as("doc_b") +:
