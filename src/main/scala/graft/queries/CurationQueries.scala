@@ -16,7 +16,7 @@ import Tables._
   * surface the builder prompt asks for, designed Spark-first.
   *
   * Scale notes (100 TB):
-  *  - pii01/split01/samp02/pack01/quant01 are scan-local projections or a
+  *  - pii01/split01/samp02/pack01/chunk01/quant01 are scan-local projections or a
   *    single keyed window — no joins, no driver state; they run at scan
   *    throughput on any number of executors.
   *  - qf01 aggregates (doc, bigram) then doc — two map-side-combinable
@@ -407,6 +407,28 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- chunk01: context-window chunking — slide a 32-token window
+    // with stride 24 (8-token overlap) over each document's token stream;
+    // one row per chunk with its offset, length, and content fingerprint
+    // (how documents longer than the model context become training /
+    // embedding examples; pack01 then packs the chunks). Scan-local:
+    // explode of a per-doc start list, no shuffle before the output sort,
+    // and only each chunk's md5 leaves the scan — the text never does.
+    // sequence(0, n_words - 1, 24) is safe from the descending-sequence
+    // trap: split() never returns an empty array, so the end bound >= 0.
+    "chunk01_context_chunks" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("tok_start", explode(expr("sequence(0, n_words - 1, 24)")))
+        .select(col("doc_id"),
+          expr("tok_start div 24").as("chunk_id"),
+          col("tok_start"),
+          least(lit(32), col("n_words") - col("tok_start")).as("chunk_len"),
+          md5(concat_ws(" ", expr("slice(toks, tok_start + 1, 32)"))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- quant01: int8 symmetric embedding quantization — per-vector
     // scale = max|x|/127, q_i = floor(x_i * 127 / max|x|), plus the
     // reconstruction MSE the quantizer reports. Scan-local array math in
@@ -646,6 +668,18 @@ object CurationQueries {
         |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS bin,
         |  (cum - n_tokens) % 512 AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "chunk01_context_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n_words,
+        |    unnest(range(0, len(toks), 24)) AS tok_start
+        |  FROM d)
+        |SELECT doc_id, tok_start // 24 AS chunk_id, tok_start,
+        |  least(32, n_words - tok_start) AS chunk_len,
+        |  md5(array_to_string(toks[tok_start + 1 : tok_start + 32], ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "quant01_int8_embeddings" ->
       """WITH m AS (

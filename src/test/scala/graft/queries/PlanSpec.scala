@@ -211,6 +211,21 @@ class PlanSpec extends SparkSpec {
     assert(equiJoin.findAllIn(ppr).nonEmpty, s"expected equi-joins:\n$ppr")
   }
 
+  test("chunk01: chunking is scan-local — no join; neither text nor the token array crosses a shuffle") {
+    val p = plan("chunk01_context_chunks")
+    assert(!p.contains("Join"), "chunking must not plan a join")
+    // The only exchange is the output sort's range partitioning, and its
+    // payload is the fingerprint projection — never text or toks.
+    val lines = p.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse(fail(s"no Input line after Exchange at $i"))
+      }
+    assert(exchangeInputs.forall(l => !l.contains("text#") && !l.contains("toks#")),
+      s"chunk text must not cross a shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
