@@ -165,6 +165,53 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize — the thumbnail / fixed-input-size step
+    * before a vision encoder. Floor index mapping: output pixel (x, y)
+    * samples source pixel (x*W div outW, y*H div outH). Pure integer
+    * index math and byte copies: byte-exact across JVMs, partitionings,
+    * and runs (no FP interpolation to drift). Works for both down- and
+    * up-scaling (upscale replicates source pixels). */
+  def resize(img: PixelImage, outW: Int, outH: Int): PixelImage = {
+    require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        val s = (sy * img.width + sx) * 3
+        val d = (y * outW + x) * 3
+        out(d) = img.rgb(s)
+        out(d + 1) = img.rgb(s + 1)
+        out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PixelImage(outW, outH, out)
+  }
+
+  /** Integer Rec.601 luma (sum, min, max) over a raster — shared by the
+    * full-image and thumbnail stat paths so the two can't drift. */
+  private def lumaStats(img: PixelImage): (Long, Int, Int) = {
+    var i = 0
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    while (i < img.rgb.length) {
+      val r = img.rgb(i) & 0xff
+      val g = img.rgb(i + 1) & 0xff
+      val bl = img.rgb(i + 2) & 0xff
+      val luma = (299 * r + 587 * g + 114 * bl) / 1000
+      sum += luma
+      if (luma < mn) mn = luma
+      if (luma > mx) mx = luma
+      i += 3
+    }
+    (sum, mn, mx)
+  }
+
   /** Per-image REAL pixel statistics (integer-luma mean/min/max over
     * decoded RGB). Same scale shape as decodeMeta: partition-local
     * decode inside mapPartitions, only small stat rows leave the
@@ -186,22 +233,34 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val img = decoder.decodePixels(MediaItem(id, bytes))
-        var i = 0
-        var sum = 0L
-        var mn = 255
-        var mx = 0
-        while (i < img.rgb.length) {
-          val r = img.rgb(i) & 0xff
-          val g = img.rgb(i + 1) & 0xff
-          val bl = img.rgb(i + 2) & 0xff
-          val luma = (299 * r + 587 * g + 114 * bl) / 1000
-          sum += luma
-          if (luma < mn) mn = luma
-          if (luma > mx) mx = luma
-          i += 3
-        }
+        val (sum, mn, mx) = lumaStats(img)
         val nPix = img.width.toLong * img.height
         PixelStats(id, img.width, img.height, sum.toDouble / nPix, mn, mx)
+      })
+  }
+
+  /** Thumbnail pipeline stage: decode -> nearest-neighbor resize -> luma
+    * stats of the thumbnail, all partition-local inside one
+    * mapPartitions pass; only the small stat rows leave the executor
+    * (the resized rasters never shuffle — a sink that needs the bytes
+    * writes them from inside the partition). */
+  final case class ThumbStats(
+      mediaId: Long, srcWidth: Int, srcHeight: Int,
+      outWidth: Int, outHeight: Int,
+      meanLuma: Double, minLuma: Int, maxLuma: Int)
+
+  def thumbnailStats(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: PixelDecoder, outW: Int, outH: Int): Dataset[ThumbStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val src = decoder.decodePixels(MediaItem(id, bytes))
+        val thumb = resize(src, outW, outH)
+        val (sum, mn, mx) = lumaStats(thumb)
+        ThumbStats(id, src.width, src.height, outW, outH,
+          sum.toDouble / (outW.toLong * outH), mn, mx)
       })
   }
 

@@ -71,9 +71,46 @@ object MultimodalQueries {
           col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
         .orderBy("media_id")
     }),
+
+    // ---- mm04: REAL decode -> nearest-neighbor resize (the thumbnail /
+    // fixed-input-size step before a vision encoder) -> thumbnail luma
+    // stats. Same 4x2 gray PPM fixture as mm03; the 2x1 thumbnail's
+    // floor mapping samples source pixels (0,0) and (2,0) — gray values
+    // j=0 and j=2 — so the oracle states the expected stats in closed
+    // form without a PPM parser or resampler. The resize kernel itself
+    // is pinned byte-exact (down AND up) in OpsSpec.
+    "mm04_thumbnail_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val header = "P6\n4 2\n255\n"
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = header.getBytes("US-ASCII")
+          it.map { id =>
+            val px = Array.tabulate(24)(i => ((id * 7 + (i / 3) * 13) % 256).toByte)
+            (id, head ++ px)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.thumbnailStats(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PpmDecoder, outW = 2, outH = 1)
+        .toDF()
+        .select(col("mediaId").as("media_id"),
+          col("srcWidth").as("src_w"), col("srcHeight").as("src_h"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "mm04_thumbnail_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest([0, 2]) AS u(j))
+        |SELECT doc_id AS media_id, CAST(4 AS INT) AS src_w, CAST(2 AS INT) AS src_h,
+        |  CAST(SUM(v) AS DOUBLE) / 2 AS mean_luma,
+        |  CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "mm03_ppm_pixel_stats" ->
       """WITH px AS (
         |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v

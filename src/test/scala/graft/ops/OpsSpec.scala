@@ -86,6 +86,37 @@ class OpsSpec extends SparkSpec {
     assert(run(docs.repartition(7)) == stats)
   }
 
+  test("multimodal: nearest-neighbor resize is byte-exact down and up") {
+    // 4x2 source; pixel j (row-major) is the uniform value 10*j.
+    val src = Multimodal.PixelImage(4, 2,
+      Array.tabulate(24)(i => (10 * (i / 3)).toByte))
+    // Downscale to 2x1: floor mapping samples (0,0) and (2,0) -> j=0, j=2.
+    val down = Multimodal.resize(src, 2, 1)
+    assert(down.width == 2 && down.height == 1)
+    assert(down.rgb.toSeq == Seq[Byte](0, 0, 0, 20, 20, 20))
+    // Upscale 2x1 -> 4x2 replicates: sx = x*2/4 = x/2, sy = 0.
+    val up = Multimodal.resize(down, 4, 2)
+    assert(up.rgb.toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 0, 20, 20, 20, 20, 20, 20,
+        0, 0, 0, 0, 0, 0, 20, 20, 20, 20, 20, 20))
+  }
+
+  test("multimodal: thumbnailStats = decode+resize+luma, partition-invariant") {
+    import spark.implicits._
+    // 4x2 gray ramp PPM: pixel j has value 10*j; 2x1 thumb samples j=0, j=2.
+    val px = Array.tabulate(24)(i => (10 * (i / 3)).toByte)
+    val ppm = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ px
+    val docs = Seq((1L, ppm)).toDF("media_id", "payload")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.thumbnailStats(df, "media_id", "payload",
+          Multimodal.PpmDecoder, outW = 2, outH = 1)
+        .collect().map(s => (s.mediaId, s.srcWidth, s.srcHeight,
+          s.outWidth, s.outHeight, s.meanLuma, s.minLuma, s.maxLuma)).toSet
+    val stats = run(docs)
+    assert(stats == Set((1L, 4, 2, 2, 1, 10.0, 0, 20)))
+    assert(run(docs.repartition(5)) == stats)
+  }
+
   test("multimodal: frame sampling emits every step-th frame") {
     import spark.implicits._
     val meta = Seq((1L, "h1", 7), (2L, "h2", 12)).toDF("mediaId", "contentHash", "frameCount")
