@@ -94,6 +94,15 @@ object TextQueries {
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")
     }),
+    // ---- bpe01: BPE merge learning — the tokenizer-training step
+    // (Sennrich et al. 2016). One corpus scan builds word counts; each
+    // merge iteration is a vocab-sized pair aggregation + a broadcast of
+    // the single winning pair (see graft.ops.Bpe for the 100 TB shape
+    // and the replace-to-fixpoint determinism contract). The oracle
+    // unrolls the 4 iterations as CTEs, pr01-style.
+    "bpe01_merge_learning" -> ((spark: SparkSession, dir: String) => {
+      graft.ops.Bpe.learnMerges(t(spark, dir, "documents"), "text", steps = 4)
+    }),
   ) ++ t06Defs
 
   // lazy: referenced from `defs`, which is declared earlier in this object
@@ -245,6 +254,37 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // 4 BPE iterations unrolled as CTEs; `replace` applied exactly 4
+    // times per step, mirroring graft.ops.Bpe verbatim. CAST sums to
+    // BIGINT (DuckDB sum -> HUGEINT).
+    "bpe01_merge_learning" -> {
+      def step(i: Int, prev: String) =
+        s"""p$i AS (
+           |  SELECT s.syms[t.i] AS left_sym, s.syms[t.i+1] AS right_sym,
+           |    CAST(sum(s.c) AS BIGINT) AS freq
+           |  FROM (SELECT string_split(trim(seq, '|'), '|') AS syms, c FROM $prev) s,
+           |       unnest(range(1, len(s.syms))) AS t(i)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT $i AS step, left_sym, right_sym,
+           |    left_sym || right_sym AS merged_sym, freq
+           |  FROM p$i ORDER BY freq DESC, left_sym, right_sym LIMIT 1),
+           |s$i AS (
+           |  SELECT replace(replace(replace(replace(w.seq, r.pat, r.rep),
+           |      r.pat, r.rep), r.pat, r.rep), r.pat, r.rep) AS seq, w.c
+           |  FROM $prev w,
+           |    (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
+           |            '|' || left_sym || right_sym || '|' AS rep FROM m$i) r)""".stripMargin
+      """WITH wc AS (
+        |  SELECT regexp_replace(w, '(.)', '|\1', 'g') || '|' AS seq,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |""".stripMargin +
+        (1 to 4).map(i => step(i, if (i == 1) "wc" else s"s${i - 1}")).mkString(",\n") +
+        "\nSELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL " +
+        "SELECT * FROM m3 UNION ALL SELECT * FROM m4 ORDER BY step"
+    },
+
     "t11_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
