@@ -24,6 +24,28 @@ object DedupQueries {
 
   import graft.ops.Dedup
 
+  /** Candidate pairs + MinHash component-match counts, shared by dd14
+    * (similarity estimate) and dd15 (cross-source profile). ONE text
+    * scan: the checkpointed signature relation feeds banding AND both
+    * estimate-join sides. Returns (doc_a, doc_b, n_match), unfiltered. */
+  private def minhashEstimates(docs: DataFrame): DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
+    val bandRel = Dedup.bandSignaturesFromSigs(sigs, "doc_id").localCheckpoint(true)
+    val cands = bandRel.as("x").join(bandRel.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nMatch = (0 until 16).map(j => (col(s"a$j") === col(s"b$j")).cast("int"))
+      .reduce(_ + _)
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dd01: exact dedup via content hash. Keeper = min doc_id.
     "dd01_exact_dedup" -> ((spark: SparkSession, dir: String) => {
@@ -78,27 +100,37 @@ object DedupQueries {
     // computed ONLY for banded candidate pairs (never all pairs); the
     // signature relation joins by id — 17 narrow int columns, no text.
     "dd14_minhash_estimate" -> ((spark: SparkSession, dir: String) => {
-      val docs = t(spark, dir, "documents")
-      // ONE text scan: the checkpointed signature relation feeds banding
-      // AND both estimate-join sides (vs lshCandidates re-hashing text)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
-      val bandRel = Dedup.bandSignaturesFromSigs(sigs, "doc_id").localCheckpoint(true)
-      val cands = bandRel.as("x").join(bandRel.as("y"),
-          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val a = sigs.select(col("doc_id").as("doc_a") +:
-        (0 until 16).map(j => col(s"mh$j").as(s"a$j")): _*)
-      val b = sigs.select(col("doc_id").as("doc_b") +:
-        (0 until 16).map(j => col(s"mh$j").as(s"b$j")): _*)
-      val nMatch = (0 until 16).map(j => (col(s"a$j") === col(s"b$j")).cast("int"))
-        .reduce(_ + _)
-      cands.join(a, "doc_a").join(b, "doc_b")
-        .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+      minhashEstimates(t(spark, dir, "documents"))
         .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
         .filter(col("n_match") >= 8)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- dd15: cross-source contamination matrix — "how much does
+    // source X overlap source Y?", the question asked before mixing
+    // corpora (common-crawl snapshots, books vs web, vendor datasets).
+    // Profiles ALL LSH candidate pairs (no similarity threshold — the
+    // matrix should show weak overlap too): per unordered source pair,
+    // candidate count and mean estimated Jaccard.
+    // Scale shape: candidates come from the band join (never all-pairs);
+    // the (doc_id, source) relation is 2 narrow columns joined by id at
+    // candidate grain — the same shape as dd14's signature joins; the
+    // final agg has #sources^2/2 groups, trivially small.
+    // Determinism: mean = exact int sum / exact int count in one IEEE
+    // double division; least/greatest on ASCII source names.
+    "dd15_cross_source_profile" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+        .localCheckpoint(true) // feeds both side-joins below
+      minhashEstimates(docs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"), sum("n_match").as("sum_match"))
+        .withColumn("mean_est_jaccard",
+          col("sum_match").cast("double") / (col("n_pairs") * 16).cast("double"))
+        .orderBy("source_a", "source_b")
     }),
 
     // ---- dd05: 32-bit SimHash from md5-derived word hashes (frequency-
@@ -417,6 +449,35 @@ object DedupQueries {
         |  JOIN sig sb ON c.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, n_match, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard
         |FROM est WHERE n_match >= 8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd15_cross_source_profile" ->
+      s"""WITH sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM documents),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band_sig FROM sig")
+            .mkString("\n  UNION ALL\n  ")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (${(0 until 16).map(j => s"CAST(sa.mh$j = sb.mh$j AS INT)").mkString(" + ")}) AS n_match
+        |  FROM cand c
+        |  JOIN sig sa ON c.doc_a = sa.doc_id
+        |  JOIN sig sb ON c.doc_b = sb.doc_id)
+        |SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(e.n_match) AS BIGINT) AS sum_match,
+        |  CAST(sum(e.n_match) AS DOUBLE) / CAST(count(*) * 16 AS DOUBLE) AS mean_est_jaccard
+        |FROM est e
+        |JOIN documents a ON e.doc_a = a.doc_id
+        |JOIN documents b ON e.doc_b = b.doc_id
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "dd05_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",
