@@ -295,6 +295,46 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- qf04: token budget per quality decile — the curriculum /
+    // mixing question asked after scoring: "if I keep only the top
+    // deciles, how many tokens survive?" Deciles are VALUE-based
+    // (ceil(10 * cume_dist), ties share a bucket) computed from a
+    // score histogram, NOT a global ntile: a corpus-grain ntile window
+    // is a single-reducer sort at 100 TB, while the histogram is
+    // distinct-score-sized — the running sum below windows over THAT
+    // bounded relation (same class as the w02/w06 day-grain windows).
+    // Determinism: score is one IEEE division of exact ints (safe to
+    // group on); decile = (10*cum + n - 1) div n in pure int64
+    // (pr01-style div-truncation, positive operands); per-decile means
+    // are POOLED exact-int sums in one final division — never a sum of
+    // doubles, whose shuffle-order dependence would break the hash gate.
+    "qf04_quality_deciles" -> ((spark: SparkSession, dir: String) => {
+      val perDoc = t(spark, dir, "documents").select(
+          col("doc_id"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_uniq"))
+        .withColumn("score",
+          col("n_uniq").cast("double") / col("n_words").cast("double"))
+      val hist = perDoc.groupBy("score").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_uniq").as("sum_uniq"))
+      val total = perDoc.agg(count(lit(1)).as("n_total"))
+      val cum = hist.withColumn("cum",
+        sum("n_docs").over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.crossJoin(broadcast(total))
+        .withColumn("decile", expr("(10 * cum + n_total - 1) div n_total"))
+        .groupBy("decile").agg(
+          sum("n_docs").as("n_docs"),
+          sum("sum_words").as("n_tokens"),
+          (sum("sum_uniq").cast("double") / sum("sum_words").cast("double"))
+            .as("pooled_unique_ratio"),
+          min("score").as("min_score"),
+          max("score").as("max_score"))
+        .orderBy("decile")
+    }),
+
     // ---- cont01: benchmark-contamination screen — 4-gram overlap between
     // the corpus and a held-out benchmark set (here: doc_id % 97 == 0).
     // The benchmark gram set is DISTINCT'd and broadcast; the corpus side
@@ -604,6 +644,32 @@ object CurationQueries {
         |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
         |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= 0.05 AS flagged
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "qf04_quality_deciles" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        |  FROM documents),
+        |hist AS (
+        |  SELECT score, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |    CAST(sum(n_uniq) AS BIGINT) AS sum_uniq
+        |  FROM perdoc GROUP BY score),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM perdoc),
+        |cum AS (
+        |  SELECT score, n_docs, sum_words, sum_uniq,
+        |    CAST(sum(n_docs) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM hist)
+        |SELECT (10 * cum + n_total - 1) // n_total AS decile,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(sum_words) AS BIGINT) AS n_tokens,
+        |  CAST(sum(sum_uniq) AS DOUBLE) / CAST(sum(sum_words) AS DOUBLE)
+        |    AS pooled_unique_ratio,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM cum, tot GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "cont03_overlap_fraction" ->
       """WITH g AS (
