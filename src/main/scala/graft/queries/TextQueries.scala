@@ -103,6 +103,18 @@ object TextQueries {
     "bpe01_merge_learning" -> ((spark: SparkSession, dir: String) => {
       graft.ops.Bpe.learnMerges(t(spark, dir, "documents"), "text", steps = 4)
     }),
+
+    // ---- bpe02: encode the corpus with the LEARNED tokenizer — per-doc
+    // BPE token counts and chars-per-token, the token-budget estimate a
+    // training run plans against (raw word counts under- or over-state
+    // the budget; only the actual tokenizer's counts are real). The
+    // (word -> n_tokens) relation is vocab-sized and broadcasts onto
+    // the token stream: the corpus never shuffles.
+    "bpe02_token_encoding" -> ((spark: SparkSession, dir: String) => {
+      graft.ops.Bpe.encodeTokenCounts(
+          t(spark, dir, "documents"), "doc_id", "text", steps = 4)
+        .orderBy("doc_id")
+    }),
   ) ++ t06Defs
 
   // lazy: referenced from `defs`, which is declared earlier in this object
@@ -253,37 +265,57 @@ object TextQueries {
         .orderBy("doc_id")
     }))
 
+  // 4 BPE iterations unrolled as CTEs; `replace` applied exactly 4
+  // times per step, mirroring graft.ops.Bpe verbatim. CAST sums to
+  // BIGINT (DuckDB sum -> HUGEINT). The s_i CTEs carry the word `w`
+  // so bpe02 can join token counts back onto the doc-word stream.
+  private def bpeStepCte(i: Int, prev: String): String =
+    s"""p$i AS (
+       |  SELECT s.syms[t.i] AS left_sym, s.syms[t.i+1] AS right_sym,
+       |    CAST(sum(s.c) AS BIGINT) AS freq
+       |  FROM (SELECT string_split(trim(seq, '|'), '|') AS syms, c FROM $prev) s,
+       |       unnest(range(1, len(s.syms))) AS t(i)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT $i AS step, left_sym, right_sym,
+       |    left_sym || right_sym AS merged_sym, freq
+       |  FROM p$i ORDER BY freq DESC, left_sym, right_sym LIMIT 1),
+       |s$i AS (
+       |  SELECT v.w, replace(replace(replace(replace(v.seq, r.pat, r.rep),
+       |      r.pat, r.rep), r.pat, r.rep), r.pat, r.rep) AS seq, v.c
+       |  FROM $prev v,
+       |    (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
+       |            '|' || left_sym || right_sym || '|' AS rep FROM m$i) r)""".stripMargin
+
+  private val bpeCtePrefix: String =
+    """WITH wc AS (
+      |  SELECT w, regexp_replace(w, '(.)', '|\1', 'g') || '|' AS seq,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |""".stripMargin +
+      (1 to 4).map(i => bpeStepCte(i, if (i == 1) "wc" else s"s${i - 1}")).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
-    // 4 BPE iterations unrolled as CTEs; `replace` applied exactly 4
-    // times per step, mirroring graft.ops.Bpe verbatim. CAST sums to
-    // BIGINT (DuckDB sum -> HUGEINT).
-    "bpe01_merge_learning" -> {
-      def step(i: Int, prev: String) =
-        s"""p$i AS (
-           |  SELECT s.syms[t.i] AS left_sym, s.syms[t.i+1] AS right_sym,
-           |    CAST(sum(s.c) AS BIGINT) AS freq
-           |  FROM (SELECT string_split(trim(seq, '|'), '|') AS syms, c FROM $prev) s,
-           |       unnest(range(1, len(s.syms))) AS t(i)
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT $i AS step, left_sym, right_sym,
-           |    left_sym || right_sym AS merged_sym, freq
-           |  FROM p$i ORDER BY freq DESC, left_sym, right_sym LIMIT 1),
-           |s$i AS (
-           |  SELECT replace(replace(replace(replace(w.seq, r.pat, r.rep),
-           |      r.pat, r.rep), r.pat, r.rep), r.pat, r.rep) AS seq, w.c
-           |  FROM $prev w,
-           |    (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
-           |            '|' || left_sym || right_sym || '|' AS rep FROM m$i) r)""".stripMargin
-      """WITH wc AS (
-        |  SELECT regexp_replace(w, '(.)', '|\1', 'g') || '|' AS seq,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY 1),
-        |""".stripMargin +
-        (1 to 4).map(i => step(i, if (i == 1) "wc" else s"s${i - 1}")).mkString(",\n") +
+    "bpe01_merge_learning" ->
+      (bpeCtePrefix +
         "\nSELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL " +
-        "SELECT * FROM m3 UNION ALL SELECT * FROM m4 ORDER BY step"
-    },
+        "SELECT * FROM m3 UNION ALL SELECT * FROM m4 ORDER BY step"),
+
+    "bpe02_token_encoding" ->
+      (bpeCtePrefix + """,
+        |tok AS (SELECT w, len(string_split(trim(seq, '|'), '|')) AS n_tok FROM s4),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+        |  FROM dw JOIN tok USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, a.n_words, a.n_bpe_tokens, length(d.text) AS n_chars,
+        |  CAST(length(d.text) AS DOUBLE) / CAST(a.n_bpe_tokens AS DOUBLE)
+        |    AS chars_per_token
+        |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     "t11_oov_rate" ->
       """WITH toks AS (

@@ -50,6 +50,20 @@ class BpeSpec extends SparkSpec {
       Row(2, "aa", "a", "aaa", 4L)))
   }
 
+  test("bpe: encodeTokenCounts applies the learned merges per document") {
+    import spark.implicits._
+    // Merges learned (see first test): (l,o), (lo,w), (low,e). Final
+    // encodings: low = [low] (1), lower = [lowe, r] (2),
+    // lowest = [lowe, s, t] (3).
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "lowest"))
+      .toDF("doc_id", "text")
+    val r = Bpe.encodeTokenCounts(docs, "doc_id", "text", steps = 3)
+      .select("doc_id", "n_words", "n_bpe_tokens", "n_chars")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+      .toSet
+    assert(r == Set((1L, 3L, 3L, 11), (2L, 2L, 4L, 11), (3L, 1L, 3L, 6)))
+  }
+
   test("bpe: steps beyond pair exhaustion emit no rows") {
     // Vocabulary {ab x2}: one pair (a,b), then the word is one symbol
     // and no pairs remain — steps 2+ produce empty argmax rows.

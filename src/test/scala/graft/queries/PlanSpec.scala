@@ -226,6 +226,65 @@ class PlanSpec extends SparkSpec {
       s"chunk text must not cross a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
+  /** The Input [n] detail line of every Exchange operator — the actual
+    * exchanged payload columns, not just the partitioning keys. */
+  private def exchangeInputs(p: String): Vector[String] = {
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.startsWith("Input"))
+          .getOrElse(fail(s"no Input line after Exchange at $i"))
+      }
+  }
+
+  test("bpe01/bpe02: merge loop ends at checkpoints; encode joins the vocab " +
+      "by broadcast and text never shuffles") {
+    // bpe01's returned plan reads the per-step checkpoint scans — the
+    // iterative joins already ran (vocab-sized); no join may remain.
+    val p1 = plan("bpe01_merge_learning")
+    assert(!p1.contains("Join"), s"merge output must be checkpoint scans + union:\n$p1")
+    val p2 = plan("bpe02_token_encoding")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"the vocab-sized (word -> n_tokens) relation must broadcast:\n$p2")
+    assert(!p2.contains("CartesianProduct"))
+    assert(exchangeInputs(p2).forall(!_.contains("text#")),
+      s"text must not cross a shuffle:\n${exchangeInputs(p2).mkString("\n")}")
+  }
+
+  test("dd15: cross-source profile stays on keyed equi-joins") {
+    val p = plan("dd15_cross_source_profile")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation and source attach must be equi-joins:\n$p")
+    assert("""\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)""".r
+      .findAllIn(p).nonEmpty)
+  }
+
+  test("qf04: the decile window runs over the score histogram, not the corpus") {
+    val p = plan("qf04_quality_deciles")
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one (bounded) window:\n$p")
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.matches("""\(\d+\) Window.*"""))
+    val wInput = lines.drop(wIdx + 1).find(_.startsWith("Input"))
+      .getOrElse(fail("no Input line after Window"))
+    // Histogram-grain input: aggregated per-score counts — no per-doc or
+    // corpus columns (the w02/w06 bounded-cardinality contract).
+    assert(wInput.contains("score") && !wInput.contains("doc_id#") &&
+      !wInput.contains("text#"),
+      s"window must consume the distinct-score histogram:\n$wInput")
+    // the only nested loop is the 1-row n_total scalar attach
+    assert("BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(p).size <= 1)
+  }
+
+  test("mm04: media payload bytes never cross a shuffle") {
+    val p = plan("mm04_thumbnail_stats")
+    assert(!p.contains("Join"))
+    assert(exchangeInputs(p).forall(l =>
+        !l.contains("payload#") && !l.contains("rgb#")),
+      s"only stat rows may shuffle:\n${exchangeInputs(p).mkString("\n")}")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
