@@ -135,6 +135,14 @@ object Dedup {
     val corpusFp = corpus.select(md5(col(textCol)).as("fp")).distinct()
     val corpusBands = bandSignatures(corpus, idCol, textCol)
       .select(col("band"), col("band_sig")).distinct()
+    incrementalDedupFlagsFromIndex(corpusFp, corpusBands, batch, idCol, textCol)
+  }
+
+  /** Same decision, but against a PRE-BUILT corpus index (the persisted
+    * DISTINCT fp / (band, band_sig) relations) — the form the streaming
+    * gate reuses every micro-batch without re-deriving the corpus side. */
+  def incrementalDedupFlagsFromIndex(corpusFp: DataFrame, corpusBands: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nearIds = bandSignatures(batch, idCol, textCol)
       .join(corpusBands, Seq("band", "band_sig"), "left_semi")
       .select(col(idCol)).distinct()

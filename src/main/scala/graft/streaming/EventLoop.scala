@@ -182,4 +182,31 @@ object StreamingAggregations {
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** dd12's streaming twin: gate ARRIVING documents against an existing
+    * corpus's dedup index (DISTINCT content fingerprints + LSH band
+    * keys — the persisted artifacts a 100 TB pipeline maintains), via
+    * foreachBatch: each micro-batch runs the same pure relational
+    * decision as the batch path (Dedup.incrementalDedupFlagsFromIndex),
+    * and surviving docs land in one parquet dir per epoch with
+    * mode=overwrite — an epoch replayed after a mid-write crash
+    * overwrites its own directory, so the sink is idempotent and the
+    * checkpoint gives effectively-once output. The index relations are
+    * localCheckpoint'd ONCE here, not re-derived per batch.
+    * Caller starts the returned writer with trigger + checkpoint set. */
+  def incrementalNearDupGate(stream: DataFrame, corpusFp: DataFrame,
+      corpusBands: DataFrame, idCol: String, textCol: String,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fpIdx = corpusFp.localCheckpoint(true)
+    val bandIdx = corpusBands.localCheckpoint(true)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        val keepIds = graft.ops.Dedup
+          .incrementalDedupFlagsFromIndex(fpIdx, bandIdx, batch, idCol, textCol)
+          .filter(col("keep")).select(idCol)
+        batch.join(keepIds, Seq(idCol), "left_semi")
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        ()
+    }
+  }
 }

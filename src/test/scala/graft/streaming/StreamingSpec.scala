@@ -379,4 +379,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 2, s"expected 2 unique docs, got ${out.length}")
     assert(out.map(_.getString(1)).toSet == Set("alpha beta", "gamma delta"))
   }
+
+  test("streaming near-dup gate == batch incremental dedup (dd12's streaming twin)") {
+    import graft.ops.Dedup
+    val base = Files.createTempDirectory("stream_neardup")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val arriving = docs.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+    // the persisted corpus-index artifacts the production gate maintains
+    val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
+    val corpusBands = Dedup.bandSignatures(corpus, "doc_id", "text")
+      .select(col("band"), col("band_sig")).distinct()
+    // two input files -> two micro-batches under maxFilesPerTrigger=1
+    val in = base.resolve("in").toString
+    arriving.filter(col("doc_id") % 20 === 7).coalesce(1).write.mode("append").parquet(in)
+    arriving.filter(col("doc_id") % 20 === 17).coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val out = base.resolve("out").toString
+    val q = StreamingAggregations
+      .incrementalNearDupGate(stream, corpusFp, corpusBands, "doc_id", "text", out)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+    val streamedKept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchKept = Dedup.incrementalDedupFlags(corpus, arriving, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedKept == batchKept,
+      s"streaming gate diverged from batch: only-stream=${(streamedKept -- batchKept).take(5)} " +
+        s"only-batch=${(batchKept -- streamedKept).take(5)}")
+    val nArriving = arriving.count()
+    assert(batchKept.nonEmpty && batchKept.size < nArriving,
+      s"fixture degenerate: kept ${batchKept.size} of $nArriving")
+  }
 }
