@@ -62,9 +62,11 @@ object Clustering {
         p => p.getField("s").cast("double") / p.getField("cnt").cast("double")).as("m"))
 
   /** Full Lloyd loop: centroids seeded from the k smallest ids, `iters`
-    * assign+update rounds, returning the final (id, cluster) labeling. */
-  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2): DataFrame = {
+    * assign+update rounds. Returns BOTH the final (id, cluster) labeling
+    * and the trained (cid, m) centroids — index builds (PQ codebooks,
+    * IVF lists) need the centroids, not just the labels. */
+  def kmeansModel(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
     val q = quantize(df, idCol, vecCol)
     val init = q.filter(col(idCol) < k)
       .select(col(idCol).as("cid"),
@@ -72,6 +74,11 @@ object Clustering {
     val finalMeans = (1 until iters).foldLeft(init) { (means, _) =>
       recomputeMeans(assign(q, means, idCol)).localCheckpoint(true)
     }
-    assign(q, finalMeans, idCol).select(col(idCol), col("cluster"))
+    (assign(q, finalMeans, idCol).select(col(idCol), col("cluster")), finalMeans)
   }
+
+  /** Final (id, cluster) labeling only — the km01/km02/km03 surface. */
+  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansModel(df, idCol, vecCol, k, iters)._1
 }

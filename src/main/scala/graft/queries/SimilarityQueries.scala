@@ -166,6 +166,25 @@ object SimilarityQueries {
           round(sqrt(sum(col("mean_v") * col("mean_v"))), 6).as("centroid_norm"))
         .orderBy("label")
     }),
+
+    // ---- sim06: product-quantization ANN (see graft.ops.Pq) — 8
+    // subspaces x 16 centroids trained by the deterministic Lloyd loop,
+    // every vector stored as 8 codes; query = floored-integer ADC
+    // shortlist (top-100, reads ONLY codes) -> exact rerank of the 100
+    // fetched vectors -> top-10. The memory-compression scale path: at
+    // 100 TB the corpus-wide pass touches the skinny code relation;
+    // full vectors are read for the shortlist alone. Oracle =
+    // per-subspace km01-style unrolled Lloyd CTEs + the ADC join +
+    // rerank, all exact-integer after the floors.
+    "sim06_pq_ann" -> ((spark: SparkSession, dir: String) => {
+      val emb = t(spark, dir, "embeddings")
+      val (codes, codebook) = graft.ops.Pq.model(
+        emb, "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 2)
+      graft.ops.Pq.adcRerankTopK(emb, codes, codebook,
+          emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", dims = 64, m = 8, shortlistK = 100, topK = 10)
+        .orderBy("rank")
+    }),
   )
 
   private def dotSql(a: String, b: String): String =
@@ -211,7 +230,94 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  /** km01-style unrolled 2-round Lloyd over ONE PQ subspace (k=4,
+    * seeds vec_id < 4), on the 1-based-inclusive embedding slice
+    * [lo+1 .. lo+dsub]; all CTE names suffixed _s. */
+  private def pqSubCtes(s: Int, lo: Int, dsub: Int): String = {
+    def dist(qRel: String, cRel: String) =
+      s"""SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(list_zip(e.q, c.m),
+         |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist
+         |  FROM $qRel e CROSS JOIN $cRel c""".stripMargin
+    s"""q_$s AS (
+       |  SELECT vec_id, list_transform(embedding[${lo + 1}:${lo + dsub}],
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0_$s AS (
+       |  SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS m
+       |  FROM q_$s WHERE vec_id < 16),
+       |d1_$s AS (
+       |  ${dist(s"q_$s", s"c0_$s")}),
+       |a1_$s AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1_$s) WHERE rn = 1),
+       |x1_$s AS (
+       |  SELECT a.cid, generate_subscripts(q.q, 1) AS dim, unnest(q.q) AS val
+       |  FROM a1_$s a JOIN q_$s q USING (vec_id)),
+       |s1_$s AS (
+       |  SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv, COUNT(*) AS cnt
+       |  FROM x1_$s GROUP BY cid, dim),
+       |c1_$s AS (
+       |  SELECT cid, list(CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY dim) AS m
+       |  FROM s1_$s GROUP BY cid),
+       |d2_$s AS (
+       |  ${dist(s"q_$s", s"c1_$s")}),
+       |a2_$s AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d2_$s) WHERE rn = 1)""".stripMargin
+  }
+
+  private val sim06Sql: String = {
+    val subs = 0 until 8
+    "WITH " + subs.map(s => pqSubCtes(s, s * 8, 8)).mkString(",\n") + ",\n" +
+      s"""codes AS (
+         |  ${subs.map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a2_$s")
+              .mkString("\n  UNION ALL\n  ")}),
+         |qt AS (
+         |  ${subs.map(s => s"SELECT $s AS sub, q FROM q_$s WHERE vec_id = 0")
+              .mkString("\n  UNION ALL\n  ")}),
+         |cb AS (
+         |  ${subs.map(s => s"SELECT $s AS sub, cid, m FROM c1_$s")
+              .mkString("\n  UNION ALL\n  ")}),
+         |dt AS (
+         |  SELECT qt.sub, cb.cid AS code,
+         |    CAST(floor(list_sum(list_transform(list_zip(qt.q, cb.m),
+         |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))) AS BIGINT) AS d
+         |  FROM qt JOIN cb ON qt.sub = cb.sub),
+         |approx AS (
+         |  SELECT c.vec_id, CAST(sum(dt.d) AS BIGINT) AS approx_dist
+         |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |  WHERE c.vec_id <> 0
+         |  GROUP BY c.vec_id),
+         |shortlist AS (SELECT vec_id, approx_dist FROM approx
+         |  ORDER BY approx_dist, vec_id LIMIT 100),
+         |qfull AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |rerank AS (
+         |  SELECT s.vec_id, s.approx_dist,
+         |    CAST(floor(list_sum(list_transform(
+         |      list_zip(list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), qf.q),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS BIGINT)
+         |      AS exact_dist
+         |  FROM shortlist s
+         |  JOIN embeddings e ON s.vec_id = e.vec_id
+         |  CROSS JOIN qfull qf),
+         |top AS (SELECT vec_id, exact_dist, approx_dist FROM rerank
+         |  ORDER BY exact_dist, vec_id LIMIT 10)
+         |SELECT row_number() OVER (ORDER BY exact_dist, vec_id) AS rank,
+         |  vec_id, exact_dist, approx_dist
+         |FROM top ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim06_pq_ann" -> sim06Sql,
+
     "sim01_cosine_topk" -> sim01Sql,
 
     "sim02_ivf_ann" -> sim02Sql,

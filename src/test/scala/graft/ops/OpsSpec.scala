@@ -126,6 +126,28 @@ class OpsSpec extends SparkSpec {
     assert(byId(2L) == Seq(0, 5, 10))
   }
 
+  test("pq: ADC shortlist + exact rerank achieves >= 0.8 recall@10") {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (codes, codebook) = Pq.model(emb, "vec_id", "embedding",
+      dims = 64, m = 8, k = 16, iters = 2)
+    val pq = Pq.adcRerankTopK(emb, codes, codebook,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dims = 64, m = 8, shortlistK = 100, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val q = Clustering.quantize(emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+      .select(expr("transform(q, x -> cast(x as double))").as("qm"))
+    val exact = Clustering.quantize(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        """aggregate(zip_with(q, qm, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |          0D, (acc, x) -> acc + x)""".stripMargin).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & exact).size / 10.0
+    assert(recall >= 0.8, s"PQ recall@10 = $recall (pq=$pq exact=$exact)")
+  }
+
   test("dedup: LSH candidates achieve full recall over high-Jaccard pairs") {
     // Exact 8-gram Jaccard on all pairs of a small doc set vs the banded
     // MinHash candidates: every pair with J >= 0.5 must be a candidate

@@ -277,6 +277,18 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(p).size <= 1)
   }
 
+  test("sim06: PQ query path is keyed joins — no cartesian; nested loops " +
+      "are only the bounded scalar/centroid broadcast attaches") {
+    val p = plan("sim06_pq_ann")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC table and shortlist must broadcast-join:\n$p")
+    // 8 per-subspace centroid-array attaches + the 1-row query attach:
+    // every BNLJ carries a 1-row broadcast, never a data-sized side.
+    assert("BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(p).size <= 10,
+      s"data-sized nested loop crept in:\n$p")
+  }
+
   test("mm04: media payload bytes never cross a shuffle") {
     val p = plan("mm04_thumbnail_stats")
     assert(!p.contains("Join"))
