@@ -30,19 +30,51 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Train the codebook and encode every vector.
-    * Returns (codes: (id, sub, code), codebook: (sub, cid, m)). */
+    * Returns (codes: (id, sub, code), codebook: (sub, cid, m)).
+    *
+    * All m subspaces train TOGETHER in one (id, sub, subvector)
+    * relation: each Lloyd iteration is one broadcast join keyed by sub
+    * (the m x k centroid relation) plus one (sub, cid, dim)-keyed
+    * aggregation — m-fold fewer jobs than looping per-subspace, and the
+    * corpus is scanned exactly once (the checkpoint below). Numerically
+    * identical to independent per-subspace training: every (sub) group
+    * sees the same seeds, distances, and tie-breaks. */
   def model(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val dsub = dims / m
-    val parts = (0 until m).map { s =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
-      val (asg, means) = Clustering.kmeansModel(sub, idCol, "subv", k, iters)
-      (asg.select(col(idCol), lit(s).as("sub"), col("cluster").as("code")),
-        means.select(lit(s).as("sub"), col("cid"), col("m")))
+    val q = df.select(col(idCol), posexplode(array((0 until m).map(s =>
+        expr(s"transform(slice($vecCol, ${s * dsub + 1}, $dsub), " +
+          "x -> floor(cast(x as double) * 1000000.0))")): _*))
+      .as(Seq("sub", "q")))
+      .localCheckpoint(true) // the one corpus scan ends here
+    val init = q.filter(col(idCol) < k)
+      .select(col("sub"), col(idCol).as("cid"),
+        expr("transform(q, x -> cast(x as double))").as("m"))
+    def assignAll(means: DataFrame): DataFrame = {
+      val cents = means.groupBy("sub")
+        .agg(collect_list(struct(col("cid"), col("m"))).as("cs"))
+      q.join(broadcast(cents), "sub")
+        .select(col(idCol), col("sub"), col("q"),
+          expr( // Clustering.assign's argmin, per subspace group
+            """array_min(transform(cs, c -> struct(
+              |  aggregate(zip_with(q, c.m, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+              |            0D, (acc, x) -> acc + x) as d,
+              |  c.cid as cid))).cid""".stripMargin).as("code"))
     }
-    (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2).reduce(_ unionAll _))
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("sub"), col("code").as("cid"), posexplode(col("q")).as(Seq("dim", "val")))
+        .groupBy("sub", "cid", "dim").agg(sum("val").as("s"), count(lit(1)).as("cnt"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("s"), col("cnt")))),
+          p => p.getField("s").cast("double") / p.getField("cnt").cast("double")).as("m"))
+    val finalMeans = (1 until iters).foldLeft(init) { (means, _) =>
+      recompute(assignAll(means)).localCheckpoint(true)
+    }
+    (assignAll(finalMeans).select(col(idCol), col("sub"), col("code")),
+      finalMeans.select(col("sub"), col("cid"), col("m")))
   }
 
   /** The in-order squared-distance fold between a quantized int vector
