@@ -36,6 +36,69 @@ object CurationQueries {
 
   private val words = split(col("text"), " ")
 
+  /** The qf04 decile relation as a DuckDB CTE chain ending in `deciles`
+    * — shared by the qf04 and samp04 oracles. */
+  private val qualityDecilesCte: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      |  FROM documents),
+      |hist AS (
+      |  SELECT score, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |    CAST(sum(n_uniq) AS BIGINT) AS sum_uniq
+      |  FROM perdoc GROUP BY score),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM perdoc),
+      |cum AS (
+      |  SELECT score, n_docs, sum_words, sum_uniq,
+      |    CAST(sum(n_docs) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist),
+      |deciles AS (
+      |  SELECT (10 * cum + n_total - 1) // n_total AS decile,
+      |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(sum(sum_words) AS BIGINT) AS n_tokens,
+      |    CAST(sum(sum_uniq) AS DOUBLE) / CAST(sum(sum_words) AS DOUBLE)
+      |      AS pooled_unique_ratio,
+      |    min(score) AS min_score, max(score) AS max_score
+      |  FROM cum, tot GROUP BY 1)""".stripMargin
+
+  /** Shared qf04/samp04 builder: token budget per VALUE-based quality
+    * decile (ceil(10 * cume_dist), ties share a bucket), computed from a
+    * distinct-score histogram — deliberately NOT a corpus-grain ntile,
+    * which would be a single-reducer sort at 100 TB. The running sum
+    * windows over the histogram relation only (w02/w06 bounded-
+    * cardinality class); decile ids are pure int64 ceil-division
+    * (pr01-style div, positive operands); per-decile means are POOLED
+    * exact-int sums in one final IEEE division. */
+  private def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = t(spark, dir, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_uniq"))
+      .withColumn("score",
+        col("n_uniq").cast("double") / col("n_words").cast("double"))
+    val hist = perDoc.groupBy("score").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_words").as("sum_words"),
+      sum("n_uniq").as("sum_uniq"))
+    val total = perDoc.agg(count(lit(1)).as("n_total"))
+    val cum = hist.withColumn("cum",
+      sum("n_docs").over(Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(total))
+      .withColumn("decile", expr("(10 * cum + n_total - 1) div n_total"))
+      .groupBy("decile").agg(
+        sum("n_docs").as("n_docs"),
+        sum("sum_words").as("n_tokens"),
+        (sum("sum_uniq").cast("double") / sum("sum_words").cast("double"))
+          .as("pooled_unique_ratio"),
+        min("score").as("min_score"),
+        max("score").as("max_score"))
+  }
+
   // Java-regex and RE2-compatible PII patterns: plain character classes,
   // no lookaround, no backreferences (the RE2 subset both engines share).
   private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
@@ -297,41 +360,33 @@ object CurationQueries {
 
     // ---- qf04: token budget per quality decile — the curriculum /
     // mixing question asked after scoring: "if I keep only the top
-    // deciles, how many tokens survive?" Deciles are VALUE-based
-    // (ceil(10 * cume_dist), ties share a bucket) computed from a
-    // score histogram, NOT a global ntile: a corpus-grain ntile window
-    // is a single-reducer sort at 100 TB, while the histogram is
-    // distinct-score-sized — the running sum below windows over THAT
-    // bounded relation (same class as the w02/w06 day-grain windows).
-    // Determinism: score is one IEEE division of exact ints (safe to
-    // group on); decile = (10*cum + n - 1) div n in pure int64
-    // (pr01-style div-truncation, positive operands); per-decile means
-    // are POOLED exact-int sums in one final division — never a sum of
-    // doubles, whose shuffle-order dependence would break the hash gate.
-    "qf04_quality_deciles" -> ((spark: SparkSession, dir: String) => {
-      val perDoc = t(spark, dir, "documents").select(
-          col("doc_id"),
-          size(words).as("n_words"),
-          size(array_distinct(words)).as("n_uniq"))
-        .withColumn("score",
-          col("n_uniq").cast("double") / col("n_words").cast("double"))
-      val hist = perDoc.groupBy("score").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_words").as("sum_words"),
-        sum("n_uniq").as("sum_uniq"))
-      val total = perDoc.agg(count(lit(1)).as("n_total"))
-      val cum = hist.withColumn("cum",
-        sum("n_docs").over(Window.orderBy("score")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      cum.crossJoin(broadcast(total))
-        .withColumn("decile", expr("(10 * cum + n_total - 1) div n_total"))
-        .groupBy("decile").agg(
-          sum("n_docs").as("n_docs"),
-          sum("sum_words").as("n_tokens"),
-          (sum("sum_uniq").cast("double") / sum("sum_words").cast("double"))
-            .as("pooled_unique_ratio"),
-          min("score").as("min_score"),
-          max("score").as("max_score"))
+    // deciles, how many tokens survive?" Design + determinism notes on
+    // the shared `qualityDeciles` builder above (samp04 reuses it).
+    "qf04_quality_deciles" -> ((spark: SparkSession, dir: String) =>
+      qualityDeciles(spark, dir).orderBy("decile")),
+
+    // ---- samp04: temperature-flattened mixing weights over the quality
+    // deciles — the Pile/ROOTS-style reweighting that boosts rare
+    // high-value strata: share_i ~ mass_i^(1/T). T = 2 exactly, because
+    // x^(1/2) = sqrt(x) is CORRECTLY-ROUNDED IEEE in both the JVM and
+    // libm — a general pow() differs across libm builds by ulps and
+    // would break the hash gate (the same reasoning that keeps qf03
+    // log-free). The weight normalizer is a 10-element IN-ORDER fold
+    // over (decile-sorted) sqrt masses — a sum of doubles is only
+    // deterministic with a pinned fold order.
+    "samp04_temperature_mix" -> ((spark: SparkSession, dir: String) => {
+      val dec = qualityDeciles(spark, dir).select("decile", "n_tokens")
+      val tot = dec.agg(
+        sum("n_tokens").as("tot_tokens"),
+        expr("""aggregate(
+          |  array_sort(collect_list(struct(decile, cast(n_tokens as double) as t))),
+          |  0D, (acc, x) -> acc + sqrt(x.t))""".stripMargin).as("sum_w"))
+      dec.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+            .as("raw_share"),
+          (sqrt(col("n_tokens").cast("double")) / col("sum_w")).as("temp_share"))
+        .withColumn("boost", col("temp_share") / col("raw_share"))
         .orderBy("decile")
     }),
 
@@ -646,30 +701,21 @@ object CurationQueries {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "qf04_quality_deciles" ->
-      """WITH perdoc AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
-        |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
-        |  FROM documents),
-        |hist AS (
-        |  SELECT score, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n_words) AS BIGINT) AS sum_words,
-        |    CAST(sum(n_uniq) AS BIGINT) AS sum_uniq
-        |  FROM perdoc GROUP BY score),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM perdoc),
-        |cum AS (
-        |  SELECT score, n_docs, sum_words, sum_uniq,
-        |    CAST(sum(n_docs) OVER (ORDER BY score
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |  FROM hist)
-        |SELECT (10 * cum + n_total - 1) // n_total AS decile,
-        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
-        |  CAST(sum(sum_words) AS BIGINT) AS n_tokens,
-        |  CAST(sum(sum_uniq) AS DOUBLE) / CAST(sum(sum_words) AS DOUBLE)
-        |    AS pooled_unique_ratio,
-        |  min(score) AS min_score, max(score) AS max_score
-        |FROM cum, tot GROUP BY 1 ORDER BY decile""".stripMargin,
+      s"""$qualityDecilesCte
+        |SELECT * FROM deciles ORDER BY decile""".stripMargin,
+
+    "samp04_temperature_mix" ->
+      s"""$qualityDecilesCte,
+        |dw AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |  list_sum(list_transform(list(CAST(n_tokens AS DOUBLE) ORDER BY decile),
+        |    x -> sqrt(x))) AS sum_w
+        |  FROM deciles)
+        |SELECT d.decile, d.n_tokens,
+        |  CAST(d.n_tokens AS DOUBLE) / CAST(w.tot_tokens AS DOUBLE) AS raw_share,
+        |  sqrt(CAST(d.n_tokens AS DOUBLE)) / w.sum_w AS temp_share,
+        |  (sqrt(CAST(d.n_tokens AS DOUBLE)) / w.sum_w)
+        |    / (CAST(d.n_tokens AS DOUBLE) / CAST(w.tot_tokens AS DOUBLE)) AS boost
+        |FROM deciles d, dw w ORDER BY d.decile""".stripMargin,
 
     "cont03_overlap_fraction" ->
       """WITH g AS (
