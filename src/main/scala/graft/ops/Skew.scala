@@ -34,6 +34,23 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Two-stage salted aggregation — the hot-GROUP mitigation: Spark's
+    * map-side partial aggregation already combines before the shuffle,
+    * but a group key holding a huge share of rows still lands its merge
+    * on ONE reduce task; salting splits that reducer k ways, and a
+    * second (group-cardinality-sized, trivially small) shuffle merges
+    * the k partials. For algebraic aggregates over exact types (decimal
+    * sums, counts) the result is bit-identical to the one-stage groupBy
+    * for ANY salt assignment — ScaleSpec and the skew02 oracle both pin
+    * that. `saltSource` is a deterministic hash source (no rand()). */
+  def saltedSumCount(df: DataFrame, key: String, value: Column,
+      saltSource: Column, k: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(k)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(value).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(sum("__s").as("sum_value"), sum("__n").as("n_rows"))
+
   /** Top-k hot keys of a column with their row share — the diagnostic
     * that decides whether salting is warranted. One scan: the total comes
     * from an empty-frame window over the (tiny) grouped relation rather

@@ -145,9 +145,31 @@ object ProfilingQueries {
     "skew01_hot_keys" -> ((spark: SparkSession, dir: String) => {
       graft.ops.Skew.keySkewProfile(
         t(spark, dir, "lineitem").select(col("l_suppkey")), "l_suppkey", topK = 10)
+    }),
+
+    // ---- skew02: salted two-stage aggregation, oracle-proven equal to
+    // the plain one-stage groupBy (graft.ops.Skew.saltedSumCount).
+    // l_returnflag has 3 values — the canonical hot reduce key: at
+    // 100 TB each flag's merge would land on one task; the 16-way salt
+    // splits it, and the decimal/count partials merge exactly. The
+    // DuckDB oracle is the UNSALTED aggregate — hash-equality IS the
+    // proof that salting never changes results.
+    "skew02_salted_agg" -> ((spark: SparkSession, dir: String) => {
+      graft.ops.Skew.saltedSumCount(
+          t(spark, dir, "lineitem"), "l_returnflag",
+          dec(col("l_quantity")), saltSource = col("l_orderkey"), k = 16)
+        .select(col("l_returnflag"), d(col("sum_value")).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
+    "skew02_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "skew01_hot_keys" ->
       """WITH g AS (
         |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)

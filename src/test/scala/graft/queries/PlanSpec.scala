@@ -289,6 +289,18 @@ class PlanSpec extends SparkSpec {
       s"data-sized nested loop crept in:\n$p")
   }
 
+  test("skew02: salted aggregation plans TWO exchanges — (key, salt) then key") {
+    val p = plan("skew02_salted_agg")
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toVector
+    assert(hashExchanges.exists(l =>
+        l.contains("l_returnflag") && l.contains("__salt")),
+      s"stage-1 shuffle must key on (l_returnflag, __salt):\n$p")
+    assert(hashExchanges.exists(l =>
+        l.contains("l_returnflag") && !l.contains("__salt")),
+      s"stage-2 merge shuffle must key on l_returnflag alone:\n$p")
+  }
+
   test("mm04: media payload bytes never cross a shuffle") {
     val p = plan("mm04_thumbnail_stats")
     assert(!p.contains("Join"))
