@@ -570,9 +570,86 @@ object CurationQueries {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
         .orderBy("split", "lang")
+    }),
+
+    // ---- c02: the composed VECTOR-ingestion pipeline — context-window
+    // chunking (chunk01's exact expressions) -> feature-hash embedding
+    // (the 16-component MinHash signature as an integer vector, reusing
+    // the native shingle/minhash kernels) -> IVF list assignment against
+    // 16 fixed seed-chunk centroids -> per-list index stats, as ONE
+    // deferred plan: what a RAG/embedding ingestion run ends with.
+    // Scale shape (100 TB): chunking and signatures are scan-local; the
+    // 16-centroid relation collapses to one broadcast row and the argmin
+    // runs inside the scan (Clustering.assign's shape); the only
+    // shuffle is the final 16-group aggregation. Chunk text never
+    // leaves the scan — only its 16-int signature does.
+    // Determinism: signatures are md5-derived ints; squared distances
+    // are exact int64 products summed in decimal(38,0) (a 31-bit
+    // component diff squared is ~2^62 — 16 of them overflow int64, the
+    // tri01 lesson); argmin ties break by centroid id.
+    "c02_vector_pipeline" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      val chunks = t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("tok_start", explode(expr("sequence(0, n_words - 1, 24)")))
+        .select(col("doc_id"),
+          expr("tok_start div 24").as("chunk_id"),
+          least(lit(32), col("n_words") - col("tok_start")).as("chunk_len"),
+          concat_ws(" ", expr("slice(toks, tok_start + 1, 32)")).as("chunk_text"))
+      val sigs = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_len"),
+        call_function("minhash_sig",
+          call_function("shingle_hashes", col("chunk_text"), lit(8)), lit(16)).as("sig"))
+      val cents = sigs.filter(col("doc_id") < 16 && col("chunk_id") === 0)
+        .select(col("doc_id").as("cid"), col("sig").as("m"))
+        .agg(collect_list(struct(col("cid"), col("m"))).as("cs"))
+      sigs.join(broadcast(cents))
+        .withColumn("list_id", expr(
+          """array_min(transform(cs, c -> struct(
+            |  aggregate(zip_with(sig, c.m, (a, b) -> cast((a - b) * (a - b) as decimal(38,0))),
+            |            cast(0 as decimal(38,0)), (acc, x) -> acc + x) as d,
+            |  c.cid as cid))).cid""".stripMargin))
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          (sum(col("chunk_len")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chunk_len"))
+        .orderBy("list_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "c02_vector_pipeline" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n_words,
+        |    unnest(range(0, len(toks), 24)) AS tok_start
+        |  FROM d),
+        |chunks AS (
+        |  SELECT doc_id, tok_start // 24 AS chunk_id,
+        |    least(32, n_words - tok_start) AS chunk_len,
+        |    array_to_string(toks[tok_start + 1 : tok_start + 32], ' ') AS chunk_text
+        |  FROM s),
+        |sig AS (
+        |  SELECT doc_id, chunk_id, chunk_len,
+        |    [${(0 until 16).map(j => DedupQueries.minhashSqlOf(j, "chunk_text")).mkString(", ")}] AS sig
+        |  FROM chunks),
+        |cents AS (SELECT doc_id AS cid, sig AS m FROM sig WHERE doc_id < 16 AND chunk_id = 0),
+        |dist AS (
+        |  SELECT s2.doc_id, s2.chunk_id, s2.chunk_len, c.cid,
+        |    list_sum(list_transform(list_zip(s2.sig, c.m),
+        |      p -> CAST(p[1] - p[2] AS HUGEINT) * (p[1] - p[2]))) AS dd
+        |  FROM sig s2 CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT doc_id, chunk_id, chunk_len, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_id ORDER BY dd, cid) AS rn
+        |    FROM dist) WHERE rn = 1)
+        |SELECT list_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(CAST(sum(chunk_len) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_chunk_len
+        |FROM assigned GROUP BY list_id ORDER BY list_id""".stripMargin,
+
     "samp03_dsir_importance" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),

@@ -358,11 +358,15 @@ object DedupQueries {
 
   // DuckDB mirrors. h32: ('0x' || substr(md5(s),1,8))::BIGINT == Spark's
   // conv(...,16,10) (both unsigned 32-bit, fits BIGINT exactly).
-  private val shinglesSql =
-    "list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> substr(text, i, 8)))"
+  private[queries] def shinglesSqlOf(c: String): String =
+    s"list_distinct(list_transform(range(1, greatest(length($c) - 7, 1) + 1), i -> substr($c, i, 8)))"
+  private val shinglesSql = shinglesSqlOf("text")
   private def h32Sql(e: String) = s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
-  private def minhashSql(j: Int): String =
-    s"list_min(list_transform($shinglesSql, s -> ((${2 * j + 1} * ${h32Sql("s")} + ${j * j + 7}) % 2147483647)))"
+  /** The j-th MinHash component over column `c` — shared with c02's
+    * chunk-grain signatures in CurationQueries. */
+  private[queries] def minhashSqlOf(j: Int, c: String): String =
+    s"list_min(list_transform(${shinglesSqlOf(c)}, s -> ((${2 * j + 1} * ${h32Sql("s")} + ${j * j + 7}) % 2147483647)))"
+  private def minhashSql(j: Int): String = minhashSqlOf(j, "text")
   private val simhashSql: String = "(" +
     (0 until 32).map(j =>
       s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> (2 * ((${h32Sql("w")} >> $j) % 2) - 1))) > 0 THEN ${1L << j} ELSE 0 END)")

@@ -289,6 +289,17 @@ class PlanSpec extends SparkSpec {
       s"data-sized nested loop crept in:\n$p")
   }
 
+  test("c02: vector pipeline fuses scan-local; chunk text never shuffles; " +
+      "centroids are the one bounded nested-loop attach") {
+    val p = plan("c02_vector_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(p).size <= 1,
+      s"only the 1-row centroid attach may nested-loop:\n$p")
+    assert(exchangeInputs(p).forall(l =>
+        !l.contains("chunk_text#") && !l.contains("text#") && !l.contains("sig#")),
+      s"neither text nor signatures may cross a shuffle:\n${exchangeInputs(p).mkString("\n")}")
+  }
+
   test("skew02: salted aggregation plans TWO exchanges — (key, salt) then key") {
     val p = plan("skew02_salted_agg")
     val hashExchanges = p.linesIterator
