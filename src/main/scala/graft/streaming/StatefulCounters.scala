@@ -107,4 +107,34 @@ object StatefulCounters {
       .transformWithState(new FinalizingCounterProcessor(idleGapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class Recent(user_id: Long, n_buffered: Int, oldest_id: Long, newest_id: Long)
+
+  /** The THIRD state type of the API, ListState: a bounded last-N ring
+    * buffer per entity (the "recent context" a personalization or
+    * fraud-scoring pipeline keeps). State is O(users x n) regardless of
+    * event volume — the buffer is re-put trimmed every batch, so RocksDB
+    * never accumulates history. Incoming rows are folded in event_id
+    * order so the buffer content is input-partitioning-independent. */
+  class RecentEventsProcessor(n: Int) extends StatefulProcessor[Long, Ev, Recent] {
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[Recent] = {
+      val incoming = rows.map(_.event_id).toArray.sorted
+      val merged = (recent.get().toArray ++ incoming).takeRight(n)
+      recent.put(merged)
+      Iterator.single(Recent(user, merged.length, merged.head, merged.last))
+    }
+  }
+
+  /** Last-`n` event ids per user as a streaming ring buffer. */
+  def recentEvents(events: Dataset[Ev], n: Int): Dataset[Recent] = {
+    implicit val outEnc = Encoders.product[Recent]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RecentEventsProcessor(n), TimeMode.None(), OutputMode.Update())
+  }
 }

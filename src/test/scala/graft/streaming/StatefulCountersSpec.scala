@@ -79,6 +79,66 @@ class StatefulCountersSpec extends SparkSpec {
     }
   }
 
+  test("ListState ring buffer keeps the last N ids across batches and restarts") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("tws_list_spec")
+      val events = graft.queries.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      // batch 1 = even ids (sorted in-processor), batch 2 = odd ids; the
+      // expected final buffer per user is last-3 of (evens ++ odds).
+      val byUser = events.select("user_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rows) =>
+          val ids = rows.map(_._2)
+          val arrival = ids.filter(_ % 2 == 0).sorted ++ ids.filter(_ % 2 == 1).sorted
+          u -> arrival.takeRight(3).toSet
+        }
+      val outDir = base.resolve("out").toString
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(events.schema)
+          .parquet(base.resolve("in").toString + "/*")
+          .as[StatefulCounters.Ev]
+        val q = StatefulCounters.recentEvents(stream, n = 3).writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulCounters.Recent], _: Long) =>
+            batch.write.mode("append").parquet(outDir): Unit
+          }
+          .start()
+        q.awaitTermination(180000)
+      }
+      events.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(base.resolve("in/p0").toString)
+      runOnce()
+      events.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(base.resolve("in/p1").toString)
+      runOnce() // ListState must survive the checkpointed restart
+      // the buffers live in RocksDB: read them back OFFLINE and compare
+      val stateRows = spark.read.format("statestore")
+        .option("path", base.resolve("ckpt").toString)
+        .option("stateVarName", "recent")
+        .load()
+      val buffers = stateRows
+        .select(col("key.value").as("user_id"), col("list_element.value").as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).toSet }
+      assert(buffers == byUser,
+        s"state buffers diverge, e.g. ${buffers.toSeq.sortBy(_._1).take(2)} vs " +
+          s"${byUser.toSeq.sortBy(_._1).take(2)}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("event-time timers finalize idle users' counters exactly once") {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
