@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
@@ -147,6 +147,50 @@ object ProfilingQueries {
         t(spark, dir, "lineitem").select(col("l_suppkey")), "l_suppkey", topK = 10)
     }),
 
+    // ---- prof04: exact Pearson correlation matrix over the numeric
+    // measure columns — the profiling step that finds redundant /
+    // derived columns before feature selection. ONE map-side-combinable
+    // aggregation pass computes every moment (no Expand, no second
+    // scan); the 2-decimal measures are exact DECIMAL(18,2), their
+    // products exact decimal(37,4) sums, so every input to the r
+    // formula crosses to double correctly rounded ONCE (DuckDB mirrors
+    // via the n06 VARCHAR cast path — sums of squares exceed 53 bits).
+    // r itself is then a fixed dag of IEEE ops on identical doubles.
+    // Variances are clamped at zero (e08 lesson: FP rounding on
+    // near-constant columns can go epsilon-negative; Spark sqrt(-eps)
+    // returns NaN silently while DuckDB raises).
+    "prof04_numeric_correlation" -> ((spark: SparkSession, dir: String) => {
+      val li = t(spark, dir, "lineitem")
+      def m(c: String) = dec(col(c))
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum(m("l_quantity")).as("sq"), sum(m("l_extendedprice")).as("se"),
+        sum(m("l_discount")).as("sd"),
+        sum(m("l_quantity") * m("l_quantity")).as("sqq"),
+        sum(m("l_extendedprice") * m("l_extendedprice")).as("see"),
+        sum(m("l_discount") * m("l_discount")).as("sdd"),
+        sum(m("l_quantity") * m("l_extendedprice")).as("sqe"),
+        sum(m("l_quantity") * m("l_discount")).as("sqd"),
+        sum(m("l_extendedprice") * m("l_discount")).as("sed"))
+      val cols = Seq("n", "sq", "se", "sd", "sqq", "see", "sdd", "sqe", "sqd", "sed")
+      val dbl = a.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      def r(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column): Column =
+        (col("n") * sxy - sx * sy) /
+          (sqrt(greatest(col("n") * sxx - sx * sx, lit(0.0))) *
+            sqrt(greatest(col("n") * syy - sy * sy, lit(0.0))))
+      dbl.select(col("n").cast("long").as("n_rows"),
+          r(col("sq"), col("se"), col("sqq"), col("see"), col("sqe")).as("r_qty_price"),
+          r(col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd")).as("r_qty_disc"),
+          r(col("se"), col("sd"), col("see"), col("sdd"), col("sed")).as("r_price_disc"))
+        .selectExpr(
+          """stack(3,
+            |  'quantity_extendedprice', n_rows, r_qty_price,
+            |  'quantity_discount',      n_rows, r_qty_disc,
+            |  'extendedprice_discount', n_rows, r_price_disc)
+            |AS (pair_name, n_rows, r)""".stripMargin)
+        .orderBy("pair_name")
+    }),
+
     // ---- skew02: salted two-stage aggregation, oracle-proven equal to
     // the plain one-stage groupBy (graft.ops.Skew.saltedSumCount).
     // l_returnflag has 3 values — the canonical hot reduce key: at
@@ -164,6 +208,37 @@ object ProfilingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "prof04_numeric_correlation" -> {
+      def s(e: String, alias: String) =
+        s"CAST(CAST(SUM($e) AS VARCHAR) AS DOUBLE) AS $alias"
+      def m(c: String) = s"CAST($c AS DECIMAL(18,2))"
+      def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        s"""(n * $sxy - $sx * $sy)
+           |    / (sqrt(greatest(n * $sxx - $sx * $sx, 0.0))
+           |       * sqrt(greatest(n * $syy - $sy * $sy, 0.0)))""".stripMargin
+      s"""WITH a AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    ${s(m("l_quantity"), "sq")}, ${s(m("l_extendedprice"), "se")},
+        |    ${s(m("l_discount"), "sd")},
+        |    ${s(s"${m("l_quantity")} * ${m("l_quantity")}", "sqq")},
+        |    ${s(s"${m("l_extendedprice")} * ${m("l_extendedprice")}", "see")},
+        |    ${s(s"${m("l_discount")} * ${m("l_discount")}", "sdd")},
+        |    ${s(s"${m("l_quantity")} * ${m("l_extendedprice")}", "sqe")},
+        |    ${s(s"${m("l_quantity")} * ${m("l_discount")}", "sqd")},
+        |    ${s(s"${m("l_extendedprice")} * ${m("l_discount")}", "sed")}
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'quantity_extendedprice' AS pair_name, CAST(n AS BIGINT) AS n_rows,
+        |    ${r("sq", "se", "sqq", "see", "sqe")} AS r FROM a
+        |  UNION ALL
+        |  SELECT 'quantity_discount', CAST(n AS BIGINT),
+        |    ${r("sq", "sd", "sqq", "sdd", "sqd")} FROM a
+        |  UNION ALL
+        |  SELECT 'extendedprice_discount', CAST(n AS BIGINT),
+        |    ${r("se", "sd", "see", "sdd", "sed")} FROM a)
+        |ORDER BY pair_name""".stripMargin
+    },
+
     "skew02_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -150,6 +150,10 @@ class PlanSpec extends SparkSpec {
     // shape IS the 100 TB claim prof01's scaladoc makes.
     assert(!plan("prof03_approx_profile").contains("Expand"))
     assert(plan("prof01_column_profile").contains("Expand"))
+    // prof04's 10 correlation moments likewise fold into ONE pass — no
+    // Expand, no join, no per-pair re-scan.
+    val p4 = plan("prof04_numeric_correlation")
+    assert(!p4.contains("Expand") && !p4.contains("Join"), s"one-pass moments:\n$p4")
   }
 
   test("asof02: forward as-of is one window pass — no join operator at all") {
