@@ -272,6 +272,43 @@ object DedupQueries {
     // (jaccard, clean_id) — a total order, so the pick is
     // deterministic in both engines.
     "er01_fuzzy_entity_match" -> ((spark: SparkSession, dir: String) => {
+      val jac = col("jaccard")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dirty_id")).orderBy(jac.desc, col("clean_id").asc)
+      erPairs(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("jaccard") >= 0.5)
+        .select(col("dirty_id"), col("clean_id"), col("jaccard"),
+          (col("dirty_id") === col("clean_id")).as("is_self"))
+        .orderBy("dirty_id")
+    }),
+
+    // ---- er02: entity CLUSTERS — the step after er01's pairwise
+    // matching in the standard block -> match -> cluster ER pipeline:
+    // connected components over the accepted match edges turn pairwise
+    // links into entity groups (A matched B, B matched C => one
+    // entity), labeled by min id with member counts. Clusters on ALL
+    // links above threshold, not er01's best-per-dirty pick: transitive
+    // grouping wants every accepted edge. Self-matches carry no edge
+    // information and are excluded. Cost is dominated by the shared
+    // trigram-join pair scoring (data-inherent at this fixture — see
+    // er01's scaladoc); the CC loop itself runs on checkpointed edges.
+    "er02_entity_clusters" -> ((spark: SparkSession, dir: String) => {
+      val edges = erPairs(spark, dir)
+        .filter(col("jaccard") >= 0.5 && col("dirty_id") =!= col("clean_id"))
+        .select(col("dirty_id").as("doc_a"), col("clean_id").as("doc_b"))
+      val cc = graft.ops.Graph.connectedComponents(edges, "doc_a", "doc_b")
+      cc.join(cc.groupBy(col("component")).agg(count(lit(1)).as("n_members")),
+          "component")
+        .select(col("id"), col("component").as("entity_id"), col("n_members"))
+        .orderBy("id")
+    }),
+  ) ++ starDefs
+
+  /** The scored ER candidate pairs (dirty_id, clean_id, jaccard) —
+    * shared by er01 (best-per-dirty pair report) and er02 (entity
+    * clustering over every accepted link). */
+  private def erPairs(spark: SparkSession, dir: String): DataFrame = {
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
       val dirty = base.select(col("doc_id").as("dirty_id"), expr(
@@ -307,18 +344,12 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"))
       val jac = col("n_shared").cast("double") /
         (col("n_d") + col("n_c") - col("n_shared")).cast("double")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dirty_id")).orderBy(jac.desc, col("clean_id").asc)
       shared.join(dsz, "dirty_id").join(csz, "clean_id")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .withColumn("jaccard", jac)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("dirty_id"), col("clean_id"), col("jaccard"),
-          (col("dirty_id") === col("clean_id")).as("is_self"))
-        .orderBy("dirty_id")
-    }),
+        .select(col("dirty_id"), col("clean_id"), jac.as("jaccard"))
+  }
 
+  // lazy: referenced from `defs`, which is declared earlier in this object
+  private lazy val starDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dd13: large-star/small-star CC on a LONG-DIAMETER graph —
     // the scale path dd07's min-label propagation can't take. The
     // fixture chains consecutive doc_ids into 50-node paths (edge
@@ -371,6 +402,39 @@ object DedupQueries {
     (0 until 32).map(j =>
       s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> (2 * ((${h32Sql("w")} >> $j) % 2) - 1))) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ") + ")"
+
+  /** er01's match-scoring CTE chain through `pairs` — shared by the
+    * er01 and er02 oracles (er02 prepends RECURSIVE for the CC part). */
+  private val erPairsCte: String =
+    """base AS (
+      |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS name FROM documents),
+      |dirty AS (
+      |  SELECT doc_id AS dirty_id,
+      |    substr(name, 1, CAST(doc_id % length(name) AS INT))
+      |      || substr(name, CAST(doc_id % length(name) AS INT) + 2) AS dname
+      |  FROM base),
+      |ct0 AS (
+      |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(name) - 2, 1) + 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
+      |  FROM base),
+      |dt0 AS (
+      |  SELECT dirty_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(dname) - 2, 1) + 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
+      |  FROM dirty),
+      |stop AS (
+      |  SELECT tri FROM (SELECT tri, count(*) AS df FROM ct0 GROUP BY tri)
+      |  WHERE CAST(df AS DOUBLE) > 0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM base)),
+      |ct AS (SELECT * FROM ct0 ANTI JOIN stop USING (tri)),
+      |dt AS (SELECT * FROM dt0 ANTI JOIN stop USING (tri)),
+      |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
+      |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),
+      |shared AS (
+      |  SELECT dirty_id, clean_id, count(*) AS n_shared
+      |  FROM dt JOIN ct USING (tri) GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT dirty_id, clean_id,
+      |    CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) AS jaccard
+      |  FROM shared JOIN dsz USING (dirty_id) JOIN csz USING (clean_id))""".stripMargin
 
   /** Rounded strict-order cosine in DuckDB — mirrors vector_cosine + round(,6). */
   private def cosSql(a: String, b: String): String =
@@ -588,41 +652,36 @@ object DedupQueries {
         |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_ratio
         |FROM per WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin,
 
+    // NOTE: erScoredCte is concatenated, never interpolated inside a
+    // stripMargin block — a second stripMargin pass would eat the first
+    // pipe of the `|| substr` concat lines.
     "er01_fuzzy_entity_match" ->
-      """WITH base AS (
-        |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS name FROM documents),
-        |dirty AS (
-        |  SELECT doc_id AS dirty_id,
-        |    substr(name, 1, CAST(doc_id % length(name) AS INT))
-        |      || substr(name, CAST(doc_id % length(name) AS INT) + 2) AS dname
-        |  FROM base),
-        |ct0 AS (
-        |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(length(name) - 2, 1) + 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
-        |  FROM base),
-        |dt0 AS (
-        |  SELECT dirty_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(length(dname) - 2, 1) + 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
-        |  FROM dirty),
-        |stop AS (
-        |  SELECT tri FROM (SELECT tri, count(*) AS df FROM ct0 GROUP BY tri)
-        |  WHERE CAST(df AS DOUBLE) > 0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM base)),
-        |ct AS (SELECT * FROM ct0 ANTI JOIN stop USING (tri)),
-        |dt AS (SELECT * FROM dt0 ANTI JOIN stop USING (tri)),
-        |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
-        |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),
-        |shared AS (
-        |  SELECT dirty_id, clean_id, count(*) AS n_shared
-        |  FROM dt JOIN ct USING (tri) GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT dirty_id, clean_id,
-        |    CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) AS jaccard,
-        |    row_number() OVER (PARTITION BY dirty_id
-        |      ORDER BY CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) DESC, clean_id) AS rk
-        |  FROM shared JOIN dsz USING (dirty_id) JOIN csz USING (clean_id))
-        |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
-        |FROM scored WHERE rk = 1 AND jaccard >= 0.5
-        |ORDER BY dirty_id""".stripMargin,
+      ("WITH " + erPairsCte + ",\n" +
+        """scored AS (
+          |  SELECT dirty_id, clean_id, jaccard,
+          |    row_number() OVER (PARTITION BY dirty_id
+          |      ORDER BY jaccard DESC, clean_id) AS rk
+          |  FROM pairs)
+          |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
+          |FROM scored WHERE rk = 1 AND jaccard >= 0.5
+          |ORDER BY dirty_id""".stripMargin),
+
+    "er02_entity_clusters" ->
+      ("WITH RECURSIVE " + erPairsCte + ",\n" +
+        """matches AS (
+          |  SELECT dirty_id, clean_id FROM pairs
+          |  WHERE jaccard >= 0.5 AND dirty_id <> clean_id),
+          |edges AS (
+          |  SELECT dirty_id AS src, clean_id AS dst FROM matches
+          |  UNION SELECT clean_id, dirty_id FROM matches),
+          |reach(id, label) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+          |comp AS (SELECT id, MIN(label) AS entity_id FROM reach GROUP BY id)
+          |SELECT id, entity_id,
+          |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+          |FROM comp ORDER BY id""".stripMargin),
 
     "dd13_star_cc_chain" ->
       """SELECT doc_id, (doc_id // 50) * 50 AS component
