@@ -233,4 +233,60 @@ object Graph {
         (col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"))
           .as("global_clustering"))
   }
+
+  /** k-core: the maximal subgraph where every node has degree >= k —
+    * the standard "dense backbone" extraction (community seeds, spam
+    * rings, influence cores). Computed by iterative peeling: drop every
+    * node whose CURRENT degree is < k, re-derive degrees, repeat until
+    * the edge set stops shrinking (the fixpoint is the k-core, unique
+    * regardless of removal order — Batagelj & Zaversnik 2003).
+    *
+    * Scale design: each round is one symmetric-degree aggregation (a
+    * map-side-combinable groupBy over 2|E| endpoint rows) plus two
+    * left_semi joins that keep only edges whose BOTH endpoints survive —
+    * all keyed operations, no collect, no per-node driver state. Edges
+    * are localCheckpointed per round (the relation feeds the degree agg
+    * and both semi-joins, and iterative lineage would otherwise replay
+    * the whole peel history each round). Convergence is detected by edge
+    * count alone: peeling only ever REMOVES edges, so an unchanged count
+    * is an unchanged relation — no signature needed. Rounds are bounded
+    * by the graph's degeneracy ordering depth; real similarity/co-link
+    * graphs converge in a handful.
+    *
+    * Returns (id, deg): every node in the k-core with its within-core
+    * degree (all >= k by definition).
+    */
+  def kCore(pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = pairs
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter && nEdges > 0) {
+      val deg = edges.select(col("a").as("id")).union(edges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id")).localCheckpoint(true)
+      val next = edges
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      edges = next
+      nEdges = n
+      iter += 1
+    }
+    if (!converged && nEdges > 0)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter rounds; raise maxIter")
+    edges.select(col("a").as("id")).union(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -133,6 +133,38 @@ object DedupQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- dd16: ASYMMETRIC near-dup — shingle CONTAINMENT
+    // |A∩B| / min(|A|,|B|) instead of dd02's symmetric Jaccard. The
+    // case this catches that Jaccard structurally can't: a short doc
+    // quoted whole inside a much longer one has |∩|≈|A| but
+    // |∪|≈|B|>>|A|, so Jaccard ~|A|/|B| → 0 while containment → 1 —
+    // the quote-inclusion / boilerplate-embedding class of duplicate.
+    // Same inverted-index join shape as dd02 (shared-shingle equi-join,
+    // never all-pairs), same deterministic doc_id%50 subsample; only the
+    // scoring denominator differs (least of the two set sizes).
+    "dd16_shingle_containment" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      val docs = t(spark, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), call_function("shingles", col("text"), lit(8)).as("shingles"))
+      val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      val inv = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+            .as("containment"),
+          // which doc is the (near-)contained one: the smaller set; ties -> doc_a
+          when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+            .as("contained_doc"))
+        .filter(col("containment") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- dd05: 32-bit SimHash from md5-derived word hashes (frequency-
     // weighted bit votes). Scan-local; near-dup = small Hamming distance.
     "dd05_simhash" -> ((spark: SparkSession, dir: String) => {
@@ -475,6 +507,24 @@ object DedupQueries {
         |JOIN sizes sa ON pairs.doc_a = sa.doc_id
         |JOIN sizes sb ON pairs.doc_b = sb.doc_id
         |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.08
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd16_shingle_containment" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, $shinglesSql AS shingles FROM documents WHERE doc_id % 50 = 0),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM docs),
+        |inv AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
+        |  CASE WHEN sa.n_sh <= sb.n_sh THEN doc_a ELSE doc_b END AS contained_doc
+        |FROM pairs
+        |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd03_minhash_signatures" ->

@@ -63,6 +63,30 @@ object EventQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // ---- e09: top onboarding paths — each user's first 3 events in
+    // (ts, event_id) order become a path string; count users per path.
+    // The sequence-mining primitive funnels (e04/e07) don't give: e04
+    // checks ONE fixed order, this surfaces which orders actually occur.
+    // Scale shape: one shuffle on user_id; the first-3 pick is a
+    // row_number window inside that partition, the per-rank values fold
+    // into one row via max(case) (no collect_list ordering semantics to
+    // rely on), and the path rollup runs on the user-grain relation.
+    // concat_ws skips NULLs identically in both engines, so users with
+    // < 3 events keep their shorter path.
+    "e09_top_paths" -> ((spark: SparkSession, dir: String) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val firstN = t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), row_number().over(byUser).as("rn"))
+        .filter(col("rn") <= 3)
+      firstN.groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type")))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+
     // ---- e02: gap-based sessionization (30-min inactivity). The classic
     // lag -> boundary-flag -> running-sum pattern: two windows over the
     // same (user_id, time) partitioning -> ONE shuffle, two sorted passes.
@@ -171,6 +195,20 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "e09_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, concat_ws('>',
+        |    max(CASE WHEN rn = 1 THEN event_type END),
+        |    max(CASE WHEN rn = 2 THEN event_type END),
+        |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
 
     "e08_hourly_anomalies" ->
       """WITH hourly AS (

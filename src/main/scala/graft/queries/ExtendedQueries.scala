@@ -321,6 +321,29 @@ object ExtendedQueries {
           (col("r").cast("double") / col("total").cast("double")).as("rank_share"))
         .orderBy(col("rank_scaled").desc, col("nation"))
     }),
+
+    // ---- kcore01: 3-core of the max-quantity co-supplier graph — the
+    // third whole-graph analytic (after dd07/dd13 components and tri01
+    // triangles): iterative peeling to the dense backbone, the standard
+    // precursor to community/spam-ring mining. Edge set is tri01's
+    // co-supplier relation tightened to l_quantity >= 50 so the graph is
+    // sparse enough that peeling actually peels (2-4 rounds at
+    // sf0.001-0.1; >= 49 is near-complete and nothing falls out).
+    // Scale shape: each peel round is one symmetric map-side-combinable
+    // degree agg + two left_semi joins, all keyed, edges checkpointed per
+    // round (graft.ops.Graph.kCore). The oracle unrolls 6 peel rounds —
+    // peeling is monotone, so extra rounds past the fixpoint are no-ops
+    // and the unroll only has to be >= the deepest observed peel depth.
+    "kcore01_cosupplier_core" -> ((spark: SparkSession, dir: String) => {
+      val ps = t(spark, dir, "lineitem").filter(col("l_quantity") >= 50)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val pairs = ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+        .select(col("x.s").as("s1"), col("y.s").as("s2"))
+      graft.ops.Graph.kCore(pairs, "s1", "s2", k = 3)
+        .select(col("id").as("s_suppkey"), col("deg").as("core_degree"))
+        .orderBy("s_suppkey")
+    }),
   )
 
   /** HLL sketch distinct (approx_count_distinct). Sketch estimates are
@@ -549,5 +572,31 @@ object ExtendedQueries {
         |SELECT node AS nation, r AS rank_scaled,
         |  CAST(r AS DOUBLE) / CAST(CAST(SUM(r) OVER () AS BIGINT) AS DOUBLE) AS rank_share
         |FROM r3 ORDER BY rank_scaled DESC, nation""".stripMargin,
+
+    // 6 peel rounds unrolled (observed depth <= 4 at sf0.001-0.1; rounds
+    // past the fixpoint are identity, so over-unrolling is safe). Every
+    // round CTE is MATERIALIZED: round i references round i-1 three
+    // times, so letting DuckDB inline them re-plans the base scan 3^6
+    // times (observed as an fd-exhaustion crash, not just slowness).
+    "kcore01_cosupplier_core" -> {
+      val peels = (1 to 6).map { i =>
+        val prev = s"e${i - 1}"
+        s"""k$i AS MATERIALIZED (SELECT id FROM (
+           |  SELECT id, COUNT(*) AS deg FROM (
+           |    SELECT a AS id FROM $prev UNION ALL SELECT b AS id FROM $prev)
+           |  GROUP BY id) WHERE deg >= 3),
+           |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ps AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_quantity >= 50),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.s AS a, y.s AS b FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+         |$peels
+         |SELECT id AS s_suppkey, COUNT(*) AS core_degree FROM (
+         |  SELECT a AS id FROM e6 UNION ALL SELECT b AS id FROM e6)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
   )
 }

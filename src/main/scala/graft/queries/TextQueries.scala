@@ -94,6 +94,35 @@ object TextQueries {
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")
     }),
+    // ---- t12: winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    // the MOSS algorithm) — t05's rolling hash made ROBUST: from each
+    // window of w=4 consecutive 8-gram hashes keep the minimum, so any
+    // sufficiently long shared substring is GUARANTEED to contribute a
+    // shared fingerprint regardless of alignment (position-shifted
+    // copies hash identically; fixed-stride sampling misses them).
+    // Expected density is 2/(w+1) = 0.4 — the fixture lands there.
+    // Scale shape: pure per-row array expressions (k-gram hashes ->
+    // sliding window min -> distinct), ZERO shuffles before the final
+    // tiny sort — the selection runs inside the scan, codegen'd; the
+    // fingerprint relation it feeds (cross-doc match join) is t05/dd02's
+    // inverted-index shape. min is taken over (hash) alone, so the pick
+    // is deterministic without position tie-breaks.
+    "t12_winnowing_fingerprints" -> ((spark: SparkSession, dir: String) => {
+      val h = "cast(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) as bigint)"
+      t(spark, dir, "documents")
+        .withColumn("hs",
+          expr(s"transform(sequence(1, greatest(length(text) - 7, 1)), i -> $h)"))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), i -> array_min(slice(hs, i, 4))))"))
+        .select(col("doc_id"), size(col("hs")).as("n_grams"),
+          size(col("fps")).as("n_fps"),
+          (size(col("fps")).cast("double") / size(col("hs")).cast("double"))
+            .as("density"),
+          expr("array_join(transform(slice(array_sort(fps), 1, 5), x -> cast(x as string)), ',')")
+            .as("fp_sample"))
+        .orderBy("doc_id")
+    }),
+
     // ---- bpe01: BPE merge learning — the tokenizer-training step
     // (Sennrich et al. 2016). One corpus scan builds word counts; each
     // merge iteration is a vocab-sized pair aggregation + a broadcast of
@@ -332,6 +361,22 @@ object TextQueries {
         |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS oov_rate
         |FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t12_winnowing_fingerprints" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(hs) AS n_grams,
+        |    list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |      i -> list_min(hs[i:i+3]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, n_grams, len(fps) AS n_fps,
+        |  CAST(len(fps) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS density,
+        |  array_to_string(list_transform(list_sort(fps)[1:5], x -> CAST(x AS VARCHAR)), ',')
+        |    AS fp_sample
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "t10_normalize" ->
       """WITH r AS (

@@ -337,6 +337,27 @@ class OpsSpec extends SparkSpec {
     assert(star(200L) == 200L, "self-pair id labels itself")
   }
 
+  test("graph: k-core peels pendant chains down to the dense backbone") {
+    import spark.implicits._
+    // K5 (ids 1-5, every degree 4) with a pendant chain 1-10-11-12
+    // hanging off it: 3-core = exactly the K5. The chain forces a
+    // CASCADE (12 falls first, then 11, then 10) — multiple peel rounds,
+    // not one — and the K5 degrees must come back UNchanged.
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((1L, 10L), (10L, 11L), (11L, 12L))
+    val pairs = (k5 ++ chain).toDF("a", "b")
+    val core3 = Graph.kCore(pairs, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    // k above the max degree: the whole graph peels away
+    assert(Graph.kCore(pairs, "a", "b", k = 5).isEmpty)
+    // already-a-core input (K4 at k=3): nothing to peel, degrees intact
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("a", "b")
+    val core = Graph.kCore(k4, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("aggregation: HLL approx distinct within bounded error of exact counts") {
     // approx_count_distinct at rsd=0.02: assert within 10% (5 sigma) of
     // dist01's exact counts. Sketches can't hash-match a DuckDB oracle,

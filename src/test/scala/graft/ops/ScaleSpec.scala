@@ -119,6 +119,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // The third runtime scale mechanism next to AQE coalesce/skew: when
+    // one join side carries a selective filter, Catalyst injects a bloom
+    // filter built from it into the OTHER side's scan, so the big side
+    // drops non-joining rows before the shuffle (Spark's
+    // InjectRuntimeFilter). At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~matching slice.
+    // Production thresholds (10 GB application side) can't trigger on
+    // test data, so the size gates are lowered — the mechanism under
+    // test is the rewrite itself.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // no broadcast: a broadcast-hash join already prunes via its own
+      // runtime mechanisms; the bloom path targets shuffle joins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"expected an injected bloom filter on the lineitem side:\n${optimized.take(2000)}")
+      // and the rewrite must not change the answer
+      val expected = li.join(
+        spark.read.parquet(s"$sf0001/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+      assert(joined.count() == expected && expected > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL surface: registered views answer spark.sql directly") {
     Tables.registerViews(spark, sf0001)
     val df = spark.sql(
