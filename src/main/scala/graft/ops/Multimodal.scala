@@ -264,6 +264,54 @@ object Multimodal {
       })
   }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint: decode, nearest-neighbor resize to a 9x8 luma grid,
+    * then one bit per horizontally adjacent pair (right > left). Scale
+    * or pixel-doubling changes map to the same grid, so re-encoded /
+    * resized copies of an image collide — the image analogue of dd01's
+    * content-hash dedup (exact-byte md5 can't see those).
+    *
+    * The 64 bits ship as TWO 32-bit halves (rows 0-3 / rows 4-7):
+    * bit 63 of a single int64 would be its sign bit, and int64 shift
+    * semantics at position 63 differ across engines — two positive
+    * int32-range values compare/group identically everywhere.
+    * Partition-local like every decoder path: only (id, w, h, hi, lo)
+    * rows leave the executor. */
+  final case class DHash(
+      mediaId: Long, srcWidth: Int, srcHeight: Int, dhashHi: Long, dhashLo: Long)
+
+  def dhash64(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: PixelDecoder): Dataset[DHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val src = decoder.decodePixels(MediaItem(id, bytes))
+        val g = resize(src, 9, 8)
+        def luma(x: Int, y: Int): Int = {
+          val i = (y * 9 + x) * 3
+          (299 * (g.rgb(i) & 0xff) + 587 * (g.rgb(i + 1) & 0xff) +
+            114 * (g.rgb(i + 2) & 0xff)) / 1000
+        }
+        var hi = 0L
+        var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x + 1, y) > luma(x, y)) {
+              if (y < 4) hi |= 1L << (y * 8 + x)
+              else lo |= 1L << ((y - 4) * 8 + x)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        DHash(id, src.width, src.height, hi, lo)
+      })
+  }
+
   /** Batch decode: binary payload column -> typed metadata Dataset.
     * Partition-parallel, streaming, no collect. */
   def decodeMeta(

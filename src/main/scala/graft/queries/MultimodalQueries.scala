@@ -100,9 +100,65 @@ object MultimodalQueries {
           col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
         .orderBy("media_id")
     }),
+
+    // ---- mm05: perceptual near-dup — REAL decode -> 9x8 dHash ->
+    // group identical hashes into duplicate classes (min-id keeper),
+    // the image analogue of dd01's exact dedup: re-encoded or
+    // pixel-doubled copies share a dHash while their bytes (and md5)
+    // differ. Fixture: 9x8 gray PPMs synthesized from doc_id (pixel
+    // p = (id*7 + p*13) % 256), so the oracle states every gradient
+    // bit in closed form; the gray ramp repeats with id period 256,
+    // which gives the fixture genuine multi-member classes. The hash
+    // is computed by the general decode->resize->luma path (OpsSpec
+    // pins the scale-invariance that makes it perceptual); the class
+    // rollup is one keyed window over (hi, lo) — never a pair join.
+    "mm05_perceptual_dupes" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val header = "P6\n9 8\n255\n"
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = header.getBytes("US-ASCII")
+          it.map { id =>
+            val px = Array.tabulate(216)(i => ((id * 7 + (i / 3) * 13) % 256).toByte)
+            (id, head ++ px)
+          }
+        }
+        .toDF("media_id", "payload")
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash_hi"), col("dhash_lo"))
+      graft.ops.Multimodal.dhash64(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PpmDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"),
+          col("dhashHi").as("dhash_hi"), col("dhashLo").as("dhash_lo"))
+        .withColumn("keeper_id", min(col("media_id")).over(byHash))
+        .withColumn("n_same", count(lit(1)).over(byHash))
+        .withColumn("is_dup", col("media_id") =!= col("keeper_id"))
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // Every gradient bit in closed form from the fixture's pixel
+    // formula; two int32-range halves (see Multimodal.dhash64).
+    "mm05_perceptual_dupes" ->
+      """WITH b AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN (doc_id * 7 + (y * 9 + x + 1) * 13) % 256
+        |            > (doc_id * 7 + (y * 9 + x) * 13) % 256
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM documents, unnest(range(0, 8)) AS uy(y), unnest(range(0, 8)) AS ux(x)),
+        |h AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT media_id, dhash_hi, dhash_lo,
+        |  MIN(media_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS keeper_id,
+        |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same,
+        |  media_id <> MIN(media_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS is_dup
+        |FROM h ORDER BY media_id""".stripMargin,
+
     "mm04_thumbnail_stats" ->
       """WITH px AS (
         |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v

@@ -358,6 +358,27 @@ class OpsSpec extends SparkSpec {
     assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("multimodal: dHash is invariant under pixel-doubling (perceptual, not byte)") {
+    import spark.implicits._
+    // a 9x8 gray image and its 18x16 pixel-doubled copy: different bytes
+    // (md5 dedup is blind to that), same dHash — the invariance that
+    // makes the hash perceptual. A one-pixel edit must change the hash.
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      head ++ Array.tabulate(w * h * 3)(i => px((i / 3) % w, i / 3 / w).toByte)
+    }
+    def base(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val items = Seq(
+      (1L, ppm(9, 8, base)),
+      (2L, ppm(18, 16, (x, y) => base(x / 2, y / 2))), // pixel-doubled copy
+      (3L, ppm(9, 8, (x, y) => if (x == 4 && y == 4) 255 else base(x, y))))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.dhash64(items, "media_id", "payload", Multimodal.PpmDecoder)
+      .collect().map(d => d.mediaId -> ((d.dhashHi, d.dhashLo))).toMap
+    assert(hashes(1L) == hashes(2L), "doubled copy must collide")
+    assert(hashes(1L) != hashes(3L), "a visible edit must not collide")
+  }
+
   test("aggregation: HLL approx distinct within bounded error of exact counts") {
     // approx_count_distinct at rsd=0.02: assert within 10% (5 sigma) of
     // dist01's exact counts. Sketches can't hash-match a DuckDB oracle,
