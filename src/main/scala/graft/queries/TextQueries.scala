@@ -123,6 +123,48 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- t13: copy-detection candidates — the cross-doc match step
+    // winnowing exists for (MOSS's second half): invert t12's
+    // fingerprints, drop corpus-common ones (df > 5 — er01's
+    // stop-key cap in fingerprint space: a boilerplate fingerprint
+    // would make the self-join quadratic in its posting length AND
+    // carries no copy evidence), then pairs sharing >= 3 surviving
+    // RARE fingerprints are the likely-copied candidates. Same
+    // inverted-index equi-join shape as dd02/er01 — candidate
+    // generation is keyed, never all-pairs, and the df cap bounds
+    // per-key fan-out at corpus scale.
+    "t13_copy_candidates" -> ((spark: SparkSession, dir: String) => {
+      val h = "cast(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) as bigint)"
+      // MATERIALIZE hs before deriving fps: `hs` is referenced exactly
+      // once downstream, so CollapseProject would otherwise inline the
+      // per-position md5 transform INSIDE the window-min transform —
+      // re-hashing the whole document for EVERY window (O(n^2) per doc;
+      // observed as ~10 CPU-minutes at sf0.1 vs seconds linear). t12
+      // dodges this only because it reads hs three times, which blocks
+      // the collapse; here the barrier makes the one-pass explicit.
+      val grams = t(spark, dir, "documents")
+        .withColumn("hs",
+          expr(s"transform(sequence(1, greatest(length(text) - 7, 1)), i -> $h)"))
+        .select(col("doc_id"), col("hs"))
+        .localCheckpoint(true)
+      val inv = grams
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), i -> array_min(slice(hs, i, 4))))"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        // second checkpoint: this relation feeds the df agg AND both
+        // self-join sides (t11's toks pattern)
+        .localCheckpoint(true)
+      val rare = inv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 5).select(col("fp"))
+      val kept = inv.join(rare, "fp")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- bpe01: BPE merge learning — the tokenizer-training step
     // (Sennrich et al. 2016). One corpus scan builds word counts; each
     // merge iteration is a vocab-sized pair aggregation + a broadcast of
@@ -377,6 +419,25 @@ object TextQueries {
         |  array_to_string(list_transform(list_sort(fps)[1:5], x -> CAST(x AS VARCHAR)), ',')
         |    AS fp_sample
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "t13_copy_candidates" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |      i -> list_min(hs[i:i+3]))) AS fps
+        |  FROM g),
+        |inv AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM inv GROUP BY fp)
+        |         WHERE df <= 5),
+        |kept AS (SELECT i.doc_id, i.fp FROM inv i JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "t10_normalize" ->
       """WITH r AS (
