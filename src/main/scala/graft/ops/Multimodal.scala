@@ -280,6 +280,33 @@ object Multimodal {
   final case class DHash(
       mediaId: Long, srcWidth: Int, srcHeight: Int, dhashHi: Long, dhashLo: Long)
 
+  /** The 64 gradient bits of an already-decoded image, as two 32-bit
+    * halves. Shared by the standalone hash path and the composed
+    * mediaProfile pass so the two cannot drift. */
+  private def dhashBits(src: PixelImage): (Long, Long) = {
+    val g = resize(src, 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val i = (y * 9 + x) * 3
+      (299 * (g.rgb(i) & 0xff) + 587 * (g.rgb(i + 1) & 0xff) +
+        114 * (g.rgb(i + 2) & 0xff)) / 1000
+    }
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) {
+          if (y < 4) hi |= 1L << (y * 8 + x)
+          else lo |= 1L << ((y - 4) * 8 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   def dhash64(df: DataFrame, idCol: String, payloadCol: String,
       decoder: PixelDecoder): Dataset[DHash] = {
     val spark = df.sparkSession
@@ -288,27 +315,38 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val src = decoder.decodePixels(MediaItem(id, bytes))
-        val g = resize(src, 9, 8)
-        def luma(x: Int, y: Int): Int = {
-          val i = (y * 9 + x) * 3
-          (299 * (g.rgb(i) & 0xff) + 587 * (g.rgb(i + 1) & 0xff) +
-            114 * (g.rgb(i + 2) & 0xff)) / 1000
-        }
-        var hi = 0L
-        var lo = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (luma(x + 1, y) > luma(x, y)) {
-              if (y < 4) hi |= 1L << (y * 8 + x)
-              else lo |= 1L << ((y - 4) * 8 + x)
-            }
-            x += 1
-          }
-          y += 1
-        }
+        val (hi, lo) = dhashBits(src)
         DHash(id, src.width, src.height, hi, lo)
+      })
+  }
+
+  /** The composed per-image profile a media pipeline actually wants:
+    * decode ONCE, derive everything — dimensions, full-image luma
+    * stats, perceptual dHash, thumbnail luma stats — in one
+    * mapPartitions pass. At 100 TB the decode dominates every
+    * downstream feature by orders of magnitude, so running mm01/mm03/
+    * mm04/mm05 as separate scans would decode the corpus four times;
+    * this emits all four feature families from a single decode while
+    * each stays individually available for pipelines that need one. */
+  final case class MediaProfile(
+      mediaId: Long, width: Int, height: Int,
+      meanLuma: Double, dhashHi: Long, dhashLo: Long, thumbMeanLuma: Double)
+
+  def mediaProfile(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: PixelDecoder, thumbW: Int, thumbH: Int): Dataset[MediaProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val src = decoder.decodePixels(MediaItem(id, bytes))
+        val (sum, _, _) = lumaStats(src)
+        val (hi, lo) = dhashBits(src)
+        val thumb = resize(src, thumbW, thumbH)
+        val (tSum, _, _) = lumaStats(thumb)
+        MediaProfile(id, src.width, src.height,
+          sum.toDouble / (src.width.toLong * src.height), hi, lo,
+          tSum.toDouble / (thumbW.toLong * thumbH))
       })
   }
 

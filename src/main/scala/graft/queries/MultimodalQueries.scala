@@ -136,9 +136,77 @@ object MultimodalQueries {
         .withColumn("is_dup", col("media_id") =!= col("keeper_id"))
         .orderBy("media_id")
     }),
+
+    // ---- c03: composed media pipeline — the third flagship
+    // composition (c01 corpus curation, c02 vector ingestion): decode
+    // ONCE per image, derive dimensions + full-image luma + perceptual
+    // dHash + 2x1 thumbnail luma in a single mapPartitions pass
+    // (Multimodal.mediaProfile), then the dedup-keeper rollup on top.
+    // Run as separate queries, mm01/mm03/mm04/mm05 would decode the
+    // corpus four times; at 100 TB the decode IS the cost, so the
+    // pipeline shape — one decode, many derivations, relational rollups
+    // on the skinny feature rows — is the point being gated. Same 9x8
+    // fixture as mm05, so every feature has a closed-form oracle.
+    "c03_media_pipeline" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val header = "P6\n9 8\n255\n"
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = header.getBytes("US-ASCII")
+          it.map { id =>
+            val px = Array.tabulate(216)(i => ((id * 7 + (i / 3) * 13) % 256).toByte)
+            (id, head ++ px)
+          }
+        }
+        .toDF("media_id", "payload")
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash_hi"), col("dhash_lo"))
+      graft.ops.Multimodal.mediaProfile(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PpmDecoder, thumbW = 2, thumbH = 1)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("dhashHi").as("dhash_hi"), col("dhashLo").as("dhash_lo"),
+          col("thumbMeanLuma").as("thumb_mean_luma"))
+        .withColumn("keeper_id", min(col("media_id")).over(byHash))
+        .withColumn("is_kept", col("media_id") === col("keeper_id"))
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    // All four feature families in closed form from the fixture's pixel
+    // formula v(id, p) = (id*7 + p*13) % 256 on the 9x8 gray grid:
+    // mean over p = 0..71; thumbnail (2x1 floor mapping) samples
+    // p = 0 and p = 4; dHash bits as in mm05.
+    "c03_media_pipeline" ->
+      """WITH px AS (
+        |  SELECT doc_id, j, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 72)) AS u(j)),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(v) AS DOUBLE) / 72 AS mean_luma,
+        |    CAST(SUM(CASE WHEN j IN (0, 4) THEN v ELSE 0 END) AS DOUBLE) / 2
+        |      AS thumb_mean_luma
+        |  FROM px GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN (doc_id * 7 + (y * 9 + x + 1) * 13) % 256
+        |            > (doc_id * 7 + (y * 9 + x) * 13) % 256
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM documents, unnest(range(0, 8)) AS uy(y), unnest(range(0, 8)) AS ux(x)),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM b GROUP BY doc_id)
+        |SELECT m.doc_id AS media_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  m.mean_luma, h.dhash_hi, h.dhash_lo, m.thumb_mean_luma,
+        |  MIN(m.doc_id) OVER (PARTITION BY h.dhash_hi, h.dhash_lo) AS keeper_id,
+        |  m.doc_id = MIN(m.doc_id) OVER (PARTITION BY h.dhash_hi, h.dhash_lo) AS is_kept
+        |FROM m JOIN h ON m.doc_id = h.doc_id
+        |ORDER BY media_id""".stripMargin,
+
     // Every gradient bit in closed form from the fixture's pixel
     // formula; two int32-range halves (see Multimodal.dhash64).
     "mm05_perceptual_dupes" ->
