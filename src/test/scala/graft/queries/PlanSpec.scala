@@ -324,6 +324,39 @@ class PlanSpec extends SparkSpec {
       s"only stat rows may shuffle:\n${exchangeInputs(p).mkString("\n")}")
   }
 
+  test("zorder01: bucket stats shuffle on file_id; only the 1-row zmax attaches by broadcast") {
+    val p = plan("zorder01_file_boxes")
+    assert(!p.contains("CartesianProduct"))
+    // equal-width bucketing needs NO global row_number — no Window node
+    // (a single-partition window over the table would be the scale bug)
+    assert(!p.contains("Window"), s"zorder01 must not window over the data:\n$p")
+    assert("BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(p).size <= 1,
+      s"only the 1-row zmax may nested-loop:\n$p")
+  }
+
+  test("dd16/t13: containment and copy-candidate pairs come from equi-joins, never all-pairs") {
+    val equiJoin = """\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)""".r
+    val pdd = plan("dd16_shingle_containment")
+    assert(!pdd.contains("CartesianProduct") && !pdd.contains("BroadcastNestedLoopJoin"))
+    assert(equiJoin.findAllIn(pdd).nonEmpty)
+    val pt = plan("t13_copy_candidates")
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoopJoin"))
+    assert(equiJoin.findAllIn(pt).nonEmpty,
+      s"rare-fingerprint candidates must join on fp:\n$pt")
+  }
+
+  test("e09: path mining reuses the user_id partitioning between window and rollup") {
+    val p = plan("e09_top_paths")
+    assert(!p.contains("Join"))
+    // window partition (user_id) == first groupBy key, so Catalyst must
+    // not insert a second user_id exchange between them: expect exactly
+    // two hash exchanges total (user_id, then path). Formatted mode puts
+    // the partitioning on the detail `Arguments:` line, one per Exchange.
+    val hashEx = p.linesIterator.filter(l =>
+      l.contains("Arguments: hashpartitioning")).toVector
+    assert(hashEx.size == 2, s"expected user_id + path exchanges only:\n$p")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
