@@ -335,11 +335,39 @@ object DedupQueries {
         .select(col("id"), col("component").as("entity_id"), col("n_members"))
         .orderBy("id")
     }),
+    // ---- er03: exact edit-distance VERIFY — the third stage of the
+    // canonical block -> cheap-match -> exact-verify ER pipeline
+    // (er01 blocks on trigrams and scores Jaccard; er02 clusters
+    // accepted links). Trigram Jaccard is set-based, so it confuses
+    // anagram-ish rearrangements and shared-vocabulary names; the
+    // Levenshtein gate kills those false accepts (at sf0.1 ~28k pairs
+    // pass jaccard >= 0.5 yet sit > 2 edits apart — the class this
+    // stage exists to reject). Cost shape: the expensive exact metric
+    // runs ONLY on the blocked candidate pairs (never all-pairs), a
+    // looser jaccard >= 0.3 pre-gate keeps recall for near-misses the
+    // set metric underscores, and levenshtein is a codegen'd integer
+    // kernel in both engines.
+    "er03_edit_verify" -> ((spark: SparkSession, dir: String) => {
+      val base = t(spark, dir, "documents")
+        .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
+      val dirty = base.select(col("doc_id").as("dirty_id"), expr(
+        """concat(substr(name, 1, cast(doc_id % length(name) as int)),
+          |       substr(name, cast(doc_id % length(name) as int) + 2))""".stripMargin).as("dname"))
+      erPairs(spark, dir)
+        .filter(col("jaccard") >= 0.3)
+        .join(dirty, "dirty_id")
+        .join(base.select(col("doc_id").as("clean_id"), col("name")), "clean_id")
+        .withColumn("edit_dist", levenshtein(col("dname"), col("name")))
+        .filter(col("edit_dist") <= 2)
+        .select(col("dirty_id"), col("clean_id"), col("edit_dist"), col("jaccard"))
+        .orderBy("dirty_id", "clean_id")
+    }),
   ) ++ starDefs
 
   /** The scored ER candidate pairs (dirty_id, clean_id, jaccard) —
-    * shared by er01 (best-per-dirty pair report) and er02 (entity
-    * clustering over every accepted link). */
+    * shared by er01 (best-per-dirty pair report), er02 (entity
+    * clustering over every accepted link), and er03 (exact
+    * edit-distance verification of blocked candidates). */
   private def erPairs(spark: SparkSession, dir: String): DataFrame = {
       val base = t(spark, dir, "documents")
         .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
@@ -715,6 +743,16 @@ object DedupQueries {
           |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
           |FROM scored WHERE rk = 1 AND jaccard >= 0.5
           |ORDER BY dirty_id""".stripMargin),
+
+    "er03_edit_verify" ->
+      ("WITH " + erPairsCte + "\n" +
+        """SELECT p.dirty_id, p.clean_id,
+          |  levenshtein(d.dname, b.name) AS edit_dist, p.jaccard
+          |FROM pairs p
+          |JOIN dirty d ON p.dirty_id = d.dirty_id
+          |JOIN base b ON p.clean_id = b.doc_id
+          |WHERE p.jaccard >= 0.3 AND levenshtein(d.dname, b.name) <= 2
+          |ORDER BY p.dirty_id, p.clean_id""".stripMargin),
 
     "er02_entity_clusters" ->
       ("WITH RECURSIVE " + erPairsCte + ",\n" +
