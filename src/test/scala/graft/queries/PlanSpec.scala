@@ -135,6 +135,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("ShuffledHashJoin"), "trigram candidate join must be an equi-join")
+    // er03: the exact verify runs on the blocked pairs only — the
+    // levenshtein filter must sit above equi-joins, never a cartesian
+    val p3 = plan("er03_edit_verify")
+    assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"))
+    assert(p3.contains("levenshtein"), s"exact verify must be in-plan:\n$p3")
   }
 
   test("samp03: DSIR top-k plans as TakeOrdered, scores broadcast") {
