@@ -77,6 +77,53 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** h32 of EVERY n-char window, positional (NOT deduped) — the
+    * winnowing k-gram pass (t12/t13), where window order carries the
+    * alignment guarantee. Value parity: identical to
+    * `transform(sequence(1, greatest(length(text) - (n-1), 1)),
+    *    i -> cast(conv(substr(md5(substr(text, i, n)), 1, 8), 16, 10) as bigint))`
+    * (substringSQL truncates at the end exactly like SQL substr). */
+  def gramHashes(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    val count = math.max(len - (n - 1), 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      out(i) = h32(text.substringSQL(i + 1, n).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding-window minima: out(i) = min(xs[i .. i+w-1]), truncating at
+    * the array end, for i in 0 .. max(len-w, 0). Parity: identical to
+    * `transform(sequence(1, greatest(size(xs) - (w-1), 1)),
+    *    i -> array_min(slice(xs, i, w)))` — nulls skipped like
+    * array_min; an all-null window yields a null element. */
+  def windowMins(xs: ArrayData, w: Int): ArrayData = {
+    val len = xs.numElements()
+    val count = math.max(len - (w - 1), 1)
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      var m = Long.MaxValue
+      var any = false
+      var j = i
+      val end = math.min(i + w, len)
+      while (j < end) {
+        if (!xs.isNullAt(j)) {
+          any = true
+          val v = xs.getLong(j)
+          if (v < m) m = v
+        }
+        j += 1
+      }
+      out(i) = if (any) java.lang.Long.valueOf(m) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-wide MinHash signature over precomputed hashes; one traversal,
     * null elements skipped (array_min semantics); null when no non-null
     * element exists. */
@@ -151,6 +198,43 @@ case class ShingleHashes(child: Expression, param: Int) extends HashKernelExpres
     HashKernels.shingleHashes(input.asInstanceOf[UTF8String], param)
   override protected def kernelCall(c: String): String =
     s"graft.functions.HashKernels.shingleHashes($c, $param)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** gram_hashes(text, n): h32 of every n-character window, positional. */
+case class GramHashes(child: Expression, param: Int) extends HashKernelExpression {
+  override def prettyName: String = "gram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string, got $other")
+  }
+
+  override protected def kernelEval(input: Any): Any =
+    HashKernels.gramHashes(input.asInstanceOf[UTF8String], param)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.gramHashes($c, $param)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** window_mins(hashes, w): sliding-window minima over an array. */
+case class WindowMins(child: Expression, param: Int) extends HashKernelExpression {
+  override def prettyName: String = "window_mins"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array of bigint hashes, got $other")
+  }
+
+  override protected def kernelEval(input: Any): Any =
+    HashKernels.windowMins(input.asInstanceOf[ArrayData], param)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HashKernels.windowMins($c, $param)"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -200,6 +200,10 @@ object VectorFunctions {
       exprs => ShingleHashes(exprs.head, litInt(exprs, 1)), "built-in")
     registry.createOrReplaceTempFunction("minhash_sig",
       exprs => MinhashSig(exprs.head, litInt(exprs, 1)), "built-in")
+    registry.createOrReplaceTempFunction("gram_hashes",
+      exprs => GramHashes(exprs.head, litInt(exprs, 1)), "built-in")
+    registry.createOrReplaceTempFunction("window_mins",
+      exprs => WindowMins(exprs.head, litInt(exprs, 1)), "built-in")
     // Spark ships Bloom-filter expressions for its own runtime join
     // pruning but does not expose them in SQL; register them so corpus
     // screens (cont02) can build/probe a filter without UDFs or driver

@@ -107,13 +107,18 @@ object TextQueries {
     // fingerprint relation it feeds (cross-doc match join) is t05/dd02's
     // inverted-index shape. min is taken over (hash) alone, so the pick
     // is deterministic without position tie-breaks.
+    // Both hashing passes run as native compiled kernels (gram_hashes =
+    // positional h32 per 8-gram, window_mins = sliding minima): the
+    // declarative transform/slice forms are higher-order functions that
+    // Catalyst evaluates interpreted — measured 40x slower on this scan
+    // (see ShingleExpressions; value parity with the conv/md5 formula in
+    // the oracle is exact).
     "t12_winnowing_fingerprints" -> ((spark: SparkSession, dir: String) => {
-      val h = "cast(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) as bigint)"
+      graft.functions.VectorFunctions.registerAll(spark)
       t(spark, dir, "documents")
-        .withColumn("hs",
-          expr(s"transform(sequence(1, greatest(length(text) - 7, 1)), i -> $h)"))
-        .withColumn("fps", expr(
-          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), i -> array_min(slice(hs, i, 4))))"))
+        .withColumn("hs", call_function("gram_hashes", col("text"), lit(8)))
+        .withColumn("fps",
+          array_distinct(call_function("window_mins", col("hs"), lit(4))))
         .select(col("doc_id"), size(col("hs")).as("n_grams"),
           size(col("fps")).as("n_fps"),
           (size(col("fps")).cast("double") / size(col("hs")).cast("double"))
@@ -134,25 +139,36 @@ object TextQueries {
     // generation is keyed, never all-pairs, and the df cap bounds
     // per-key fan-out at corpus scale.
     "t13_copy_candidates" -> ((spark: SparkSession, dir: String) => {
-      val h = "cast(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) as bigint)"
-      // MATERIALIZE hs before deriving fps: `hs` is referenced exactly
-      // once downstream, so CollapseProject would otherwise inline the
-      // per-position md5 transform INSIDE the window-min transform —
-      // re-hashing the whole document for EVERY window (O(n^2) per doc;
-      // observed as ~10 CPU-minutes at sf0.1 vs seconds linear). t12
-      // dodges this only because it reads hs three times, which blocks
-      // the collapse; here the barrier makes the one-pass explicit.
-      val grams = t(spark, dir, "documents")
-        .withColumn("hs",
-          expr(s"transform(sequence(1, greatest(length(text) - 7, 1)), i -> $h)"))
-        .select(col("doc_id"), col("hs"))
+      graft.functions.VectorFunctions.registerAll(spark)
+      // The hashing runs as one compiled gram_hashes -> window_mins chain
+      // (the earlier declarative transform/slice form was interpreted,
+      // and CollapseProject inlining hs into the window-min transform
+      // made it O(n^2) per doc on top — hence kernels, not a checkpoint
+      // barrier). The inverted relation IS checkpointed: it feeds the
+      // document-frequency agg and both self-join sides.
+      // Parallelism guard: a small corpus arrives as ONE file split, so
+      // the hashing would run as a single task. Shuffle the raw text
+      // only when the scan has fewer splits than cores — a 100 TB
+      // corpus already has thousands of splits and stays scan-local.
+      // The partition count must be EXPLICIT: repartition(col) alone is
+      // a coalescible shuffle origin, so AQE merges the tiny post-
+      // shuffle partitions straight back into one task.
+      val docs = t(spark, dir, "documents")
+      val src =
+        if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+          docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        else docs
+      // Materialize the fingerprint ARRAYS before exploding: Generate
+      // re-evaluates an inline generator input, so explode over the
+      // unmaterialized kernel chain was measured 10x slower than
+      // explode over stored arrays (3.3 s vs 0.3 s at sf0.1).
+      val arrs = src
+        .withColumn("fps", array_distinct(call_function("window_mins",
+          call_function("gram_hashes", col("text"), lit(8)), lit(4))))
+        .select(col("doc_id"), col("fps"))
         .localCheckpoint(true)
-      val inv = grams
-        .withColumn("fps", expr(
-          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), i -> array_min(slice(hs, i, 4))))"))
+      val inv = arrs
         .select(col("doc_id"), explode(col("fps")).as("fp"))
-        // second checkpoint: this relation feeds the df agg AND both
-        // self-join sides (t11's toks pattern)
         .localCheckpoint(true)
       val rare = inv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 5).select(col("fp"))

@@ -40,6 +40,31 @@ class HashKernelsSpec extends SparkSpec {
     }
   }
 
+  test("gram_hashes/window_mins match the declarative positional chain (t12/t13)") {
+    import spark.implicits._
+    VectorFunctions.registerAll(spark)
+    val h = "cast(conv(substr(md5(substr(text, i, 8)), 1, 8), 16, 10) as bigint)"
+    val edge = Seq("", "abc", "exactly8", "日本語のテキストです、短い", "aaaaaaaaaaaa").toDF("text")
+    val both = docs.select(col("text")).union(edge)
+      .withColumn("dec_h",
+        expr(s"transform(sequence(1, greatest(length(text) - 7, 1)), i -> $h)"))
+      .select(col("dec_h"),
+        call_function("gram_hashes", col("text"), lit(8)).as("nat_h"),
+        expr("transform(sequence(1, greatest(size(dec_h) - 3, 1)), i -> array_min(slice(dec_h, i, 4)))").as("dec_m"),
+        call_function("window_mins", col("dec_h"), lit(4)).as("nat_m"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"gram hashes diverge: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"window mins diverge: $r")
+    }
+    // null semantics: null text -> NULL; null elements skipped like array_min
+    val n = spark.sql(
+      """SELECT gram_hashes(CAST(NULL AS STRING), 8) AS a,
+        |       window_mins(CAST(NULL AS ARRAY<BIGINT>), 4) AS b,
+        |       window_mins(array(5L, CAST(NULL AS BIGINT), 3L), 2) AS c""".stripMargin).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+    assert(n.getSeq[java.lang.Long](2) == Seq(5L, 3L))
+  }
+
   test("minhash_sig matches the 16 declarative array_min folds") {
     VectorFunctions.registerAll(spark)
     val xs = docs.select(col("doc_id"),
