@@ -106,6 +106,59 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- dd17: LSH RECALL audit — sim05's question asked of the dedup
+    // path: what fraction of TRUE near-dup pairs does 4x4 banding
+    // actually surface, as a function of similarity? The corpus has no
+    // graded near-dup population, so the query synthesizes one the way
+    // er01 synthesizes dirty names: each doc gets a PREFIX twin
+    // (first 3 + doc_id % 48 words — doc lengths are 25-99 words, so
+    // exact Jaccard spreads across the whole [0.08, 1] range). Truth is
+    // the exact shingle Jaccard of each (doc, twin) pair — set
+    // intersect/union sizes, no join needed; candidacy is the band join
+    // over docs + twins (a pair's candidacy depends only on its own two
+    // signatures). Reported per similarity bucket because that IS the
+    // S-curve story: P(candidate) = 1-(1-j^4)^4 — near 1 at j >= 0.8,
+    // ~0.2 at j = 0.5 — and the measured per-bucket recall pins where
+    // the banding knobs stop being safe (below ~0.35 banding alone
+    // misses most pairs: tighten bands or accept the loss; MMDS ch. 3).
+    // Deterministic: fixed md5 hash family, exact counts, one IEEE
+    // division. Scale shape: truth is per-row arithmetic (zero joins),
+    // candidates come from the band equi-join — never all-pairs.
+    "dd17_lsh_recall" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      val mutId = 10000000L
+      val s = t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          expr("array_join(slice(split(text, ' '), 1, 3 + cast(doc_id % 48 as int)), ' ')")
+            .as("mtext"))
+        .localCheckpoint(true) // feeds truth AND both union legs below
+      val truth = s.select(col("doc_id"),
+        (size(array_intersect(
+            call_function("shingles", col("text"), lit(8)),
+            call_function("shingles", col("mtext"), lit(8)))).cast("double") /
+          size(array_union(
+            call_function("shingles", col("text"), lit(8)),
+            call_function("shingles", col("mtext"), lit(8)))).cast("double"))
+          .as("jaccard"))
+        .filter(col("jaccard") >= 0.08)
+      val u = s.select(col("doc_id"), col("text"))
+        .union(s.select((col("doc_id") + mutId).as("doc_id"), col("mtext").as("text")))
+      val hits = Dedup.lshCandidates(u, "doc_id", "text")
+        .filter(col("doc_b") === col("doc_a") + mutId)
+        .select(col("doc_a").as("doc_id"), lit(1L).as("hit"))
+      truth.join(hits, Seq("doc_id"), "left_outer")
+        .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"))
+        .withColumn("bucket", when(col("jaccard") >= 0.5, "4_j_ge_0.50")
+          .when(col("jaccard") >= 0.35, "3_j_0.35_0.50")
+          .when(col("jaccard") >= 0.2, "2_j_0.20_0.35")
+          .otherwise("1_j_0.08_0.20"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("n_caught"))
+        .withColumn("recall",
+          col("n_caught").cast("double") / col("n_truth").cast("double"))
+        .orderBy("bucket")
+    }),
+
     // ---- dd15: cross-source contamination matrix — "how much does
     // source X overlap source Y?", the question asked before mixing
     // corpora (common-crawl snapshots, books vs web, vendor datasets).
@@ -335,6 +388,34 @@ object DedupQueries {
         .select(col("id"), col("component").as("entity_id"), col("n_members"))
         .orderBy("id")
     }),
+    // ---- er04: BLOCKING-QUALITY metrics — the audit every production
+    // blocking scheme ships with (Christen, "Data Matching", ch. 7):
+    // REDUCTION RATIO (how much of the n^2 comparison space the trigram
+    // blocking prunes: 1 - |candidates| / (|dirty| x |clean|)) and
+    // PAIRS COMPLETENESS (recall of the blocking alone: this fixture
+    // derives each dirty name from its own clean row, so dirty_id ==
+    // clean_id IS the ground-truth match set). These two numbers are
+    // the whole tuning story for a 100 TB blocking stage — RR says the
+    // candidate join stays tractable, PC says the stop-trigram cap
+    // didn't price recall — and both are exact counts over the already
+    // keyed candidate relation: no new join shape, one extra
+    // aggregation over erPairs plus a broadcast 1-row corpus count.
+    "er04_blocking_metrics" -> ((spark: SparkSession, dir: String) => {
+      val names = t(spark, dir, "documents").agg(count(lit(1)).as("n_names"))
+      erPairs(spark, dir)
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("dirty_id") === col("clean_id"), 1L).otherwise(0L))
+            .as("n_true_found"))
+        .crossJoin(broadcast(names))
+        .select(col("n_names"), col("n_candidates"), col("n_true_found"),
+          (lit(1.0) - col("n_candidates").cast("double") /
+            (col("n_names").cast("double") * col("n_names").cast("double")))
+            .as("reduction_ratio"),
+          (col("n_true_found").cast("double") / col("n_names").cast("double"))
+            .as("pairs_completeness"))
+    }),
+
     // ---- er03: exact edit-distance VERIFY — the third stage of the
     // canonical block -> cheap-match -> exact-verify ER pipeline
     // (er01 blocks on trigrams and scores Jaccard; er02 clusters
@@ -574,6 +655,46 @@ object DedupQueries {
         |  ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dd17_lsh_recall" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, text,
+        |    array_to_string((string_split(text, ' '))[1:(3 + CAST(doc_id % 48 AS INT))], ' ') AS mtext
+        |  FROM documents),
+        |truth AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(${shinglesSqlOf("text")}, ${shinglesSqlOf("mtext")})) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(${shinglesSqlOf("text")}, ${shinglesSqlOf("mtext")}))) AS DOUBLE) AS jaccard
+        |  FROM s),
+        |u AS (
+        |  SELECT doc_id, text FROM s
+        |  UNION ALL SELECT doc_id + 10000000, mtext AS text FROM s),
+        |sig AS (
+        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
+        |  FROM u),
+        |bands AS (
+        |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band_sig FROM sig")
+            .mkString("\n  UNION ALL\n  ")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+        |hits AS (
+        |  SELECT t.jaccard, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM truth t LEFT JOIN cand c
+        |    ON c.doc_a = t.doc_id AND c.doc_b = t.doc_id + 10000000
+        |  WHERE t.jaccard >= 0.08),
+        |bucketed AS (
+        |  SELECT CASE WHEN jaccard >= 0.5 THEN '4_j_ge_0.50'
+        |              WHEN jaccard >= 0.35 THEN '3_j_0.35_0.50'
+        |              WHEN jaccard >= 0.2 THEN '2_j_0.20_0.35'
+        |              ELSE '1_j_0.08_0.20' END AS bucket, hit
+        |  FROM hits)
+        |SELECT bucket, COUNT(*) AS n_truth, CAST(SUM(hit) AS BIGINT) AS n_caught,
+        |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "dd14_minhash_estimate" ->
       s"""WITH sig AS (
         |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
@@ -743,6 +864,19 @@ object DedupQueries {
           |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
           |FROM scored WHERE rk = 1 AND jaccard >= 0.5
           |ORDER BY dirty_id""".stripMargin),
+
+    "er04_blocking_metrics" ->
+      ("WITH " + erPairsCte + ",\n" +
+        """m AS (
+          |  SELECT count(*) AS n_candidates,
+          |    CAST(sum(CASE WHEN dirty_id = clean_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found
+          |  FROM pairs),
+          |nn AS (SELECT count(*) AS n_names FROM base)
+          |SELECT nn.n_names, m.n_candidates, m.n_true_found,
+          |  CAST(1 AS DOUBLE) - CAST(m.n_candidates AS DOUBLE) /
+          |    (CAST(nn.n_names AS DOUBLE) * CAST(nn.n_names AS DOUBLE)) AS reduction_ratio,
+          |  CAST(m.n_true_found AS DOUBLE) / CAST(nn.n_names AS DOUBLE) AS pairs_completeness
+          |FROM m, nn""".stripMargin),
 
     "er03_edit_verify" ->
       ("WITH " + erPairsCte + "\n" +

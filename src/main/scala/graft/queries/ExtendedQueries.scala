@@ -242,6 +242,32 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ---- n09: APPROX percentiles — the corpus-scale path n07's exact
+    // machinery can't take. n07's nearest-rank definition needs a full
+    // per-group sort (row_number window): at 100 TB that is a total
+    // shuffle + sort of the fact column. approx_percentile merges
+    // Greenwald-Khanna sketches instead: one pass, partial-aggregated
+    // map-side, mergeable across any partitioning, error bounded by the
+    // accuracy knob (10000 -> rank error <= n/10000). Declared
+    // rows-only for the driver (DuckDB's quantile interpolates — no
+    // cross-engine bit parity, the same reason n07 exists); the
+    // executable guarantees live in PlanSpec: no WindowExec/global sort
+    // in the plan, partial aggregation present, and every sketch value
+    // within the documented rank error of n07's exact answer.
+    "n09_approx_percentiles" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)")
+            .as("pcts"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("pcts"), 1).as("median_qty"),
+          element_at(col("pcts"), 2).as("p90_qty"),
+          element_at(col("pcts"), 3).as("p99_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- fn02: array-function parity (construction, slicing, search,
     // sort, join) — scan-local, codegen'd.
     "fn02_array_functions" -> ((spark: SparkSession, dir: String) => {

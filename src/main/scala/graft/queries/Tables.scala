@@ -33,14 +33,23 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
-    * (its timestamp type is microseconds). Read nanos as raw longs and
-    * floor-divide to micros — exactly DuckDB's ns->us truncation, so both
-    * engines see identical microsecond timestamps. */
+  /** `events.ts` has shipped in two physical layouts across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects — its
+    * timestamp type is microseconds) and plain TIMESTAMP(MICROS). Adapt to
+    * whichever is on disk: nanos are read as raw longs and floor-divided to
+    * micros — exactly DuckDB's ns->us truncation — while a native
+    * micros column is cast to the session-zone timestamp type (UTC session,
+    * so the cast is value-preserving and downstream date math matches the
+    * DuckDB oracle's naive-timestamp reading bit-for-bit). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Registers all tables as temp views (the SQL entry surface). */

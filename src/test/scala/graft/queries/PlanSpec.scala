@@ -161,6 +161,33 @@ class PlanSpec extends SparkSpec {
     assert(!p4.contains("Expand") && !p4.contains("Join"), s"one-pass moments:\n$p4")
   }
 
+  test("n09: approx percentiles are one partial-aggregated pass (no window " +
+      "sort) and land within the documented rank error of n07's exact answer") {
+    // The plan shape IS the scale claim: n07's nearest-rank definition
+    // needs a per-group sort window; the GK-sketch path must plan as a
+    // plain two-phase aggregate — map-side partials, no WindowExec, no
+    // per-group sort of the fact column.
+    val p = plan("n09_approx_percentiles")
+    assert(!p.contains("Window"), s"sketch path must not window:\n$p")
+    assert(p.contains("partial_approx_percentile"),
+      s"map-side partial sketch merge expected:\n$p")
+    // Accuracy: rank error <= n / accuracy. At accuracy=10000 and
+    // sf0.001 group sizes (~1.5k) the sketch is exact up to ties;
+    // tolerate one quantity step to stay robust across data
+    // regenerations (l_quantity is a 2-decimal grid).
+    val exact = SparkEntry.queries("n07_exact_percentiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = SparkEntry.queries("n09_approx_percentiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (m, p90, p99)) <- approx) {
+      val (em, e90, e99) = exact(k)
+      assert(math.abs(m - em) <= 1.0, s"$k median: $m vs exact $em")
+      assert(math.abs(p90 - e90) <= 1.0, s"$k p90: $p90 vs exact $e90")
+      assert(math.abs(p99 - e99) <= 1.0, s"$k p99: $p99 vs exact $e99")
+    }
+  }
+
   test("asof02: forward as-of is one window pass — no join operator at all") {
     val p = plan("asof02_next_purchase_attribution")
     assert(p.contains("Window"))
