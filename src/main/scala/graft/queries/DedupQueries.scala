@@ -429,11 +429,8 @@ object DedupQueries {
     // set metric underscores, and levenshtein is a codegen'd integer
     // kernel in both engines.
     "er03_edit_verify" -> ((spark: SparkSession, dir: String) => {
-      val base = t(spark, dir, "documents")
-        .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
-      val dirty = base.select(col("doc_id").as("dirty_id"), expr(
-        """concat(substr(name, 1, cast(doc_id % length(name) as int)),
-          |       substr(name, cast(doc_id % length(name) as int) + 2))""".stripMargin).as("dname"))
+      val base = erBase(spark, dir)
+      val dirty = erDirty(base)
       erPairs(spark, dir)
         .filter(col("jaccard") >= 0.3)
         .join(dirty, "dirty_id")
@@ -443,18 +440,58 @@ object DedupQueries {
         .select(col("dirty_id"), col("clean_id"), col("edit_dist"), col("jaccard"))
         .orderBy("dirty_id", "clean_id")
     }),
+    // ---- c04: the COMPOSED entity-resolution pipeline — block ->
+    // cheap-match -> exact-verify -> cluster as ONE deferred plan. er01,
+    // er02, and er03 each gate one stage self-containedly and therefore
+    // each re-derive the candidate scoring (the documented cost triple
+    // in BENCH.md); this is the executable form of that design note: a
+    // real pipeline computes erPairs ONCE, and every downstream stage
+    // (jaccard pre-gate, Levenshtein verify, connected-components
+    // clustering, member rollup) consumes the same relation. Clusters
+    // are built over the VERIFIED link set (jaccard >= 0.3 AND
+    // edit_dist <= 2, the production acceptance rule) — a different,
+    // stricter entity table than er02's unverified jaccard >= 0.5
+    // links. Scale shape: one candidate scoring pass, the verify joins
+    // attach two narrow name relations by id, and the CC loop runs on
+    // checkpointed verified edges (orders of magnitude smaller than
+    // the candidate relation).
+    "c04_entity_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val base = erBase(spark, dir)
+      val dirty = erDirty(base)
+      val verified = erPairs(spark, dir)
+        .filter(col("jaccard") >= 0.3)
+        .join(dirty, "dirty_id")
+        .join(base.select(col("doc_id").as("clean_id"), col("name")), "clean_id")
+        .filter(levenshtein(col("dname"), col("name")) <= 2 &&
+          col("dirty_id") =!= col("clean_id"))
+        .select(col("dirty_id").as("doc_a"), col("clean_id").as("doc_b"))
+      val cc = graft.ops.Graph.connectedComponents(verified, "doc_a", "doc_b")
+      cc.join(cc.groupBy(col("component")).agg(count(lit(1)).as("n_members")),
+          "component")
+        .select(col("id"), col("component").as("entity_id"), col("n_members"))
+        .orderBy("id")
+    }),
   ) ++ starDefs
+
+  /** The ER fixture's name relations: `base` = (doc_id, name) with name =
+    * first 3 words; `erDirty` = (dirty_id, dname) with one deterministically
+    * dropped character — shared by er01-er04, c04, and erPairs. */
+  private def erBase(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
+
+  private def erDirty(base: DataFrame): DataFrame =
+    base.select(col("doc_id").as("dirty_id"), expr(
+      """concat(substr(name, 1, cast(doc_id % length(name) as int)),
+        |       substr(name, cast(doc_id % length(name) as int) + 2))""".stripMargin).as("dname"))
 
   /** The scored ER candidate pairs (dirty_id, clean_id, jaccard) —
     * shared by er01 (best-per-dirty pair report), er02 (entity
     * clustering over every accepted link), and er03 (exact
     * edit-distance verification of blocked candidates). */
   private def erPairs(spark: SparkSession, dir: String): DataFrame = {
-      val base = t(spark, dir, "documents")
-        .select(col("doc_id"), expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("name"))
-      val dirty = base.select(col("doc_id").as("dirty_id"), expr(
-        """concat(substr(name, 1, cast(doc_id % length(name) as int)),
-          |       substr(name, cast(doc_id % length(name) as int) + 2))""".stripMargin).as("dname"))
+      val base = erBase(spark, dir)
+      val dirty = erDirty(base)
       // Pair counting is a 2-phase hash aggregate over the inverted-index
       // join; sizes join back onto the (much smaller) pair relation, and
       // top-1 is a window over per-dirty candidates. A/B'd against a
@@ -887,6 +924,26 @@ object DedupQueries {
           |JOIN base b ON p.clean_id = b.doc_id
           |WHERE p.jaccard >= 0.3 AND levenshtein(d.dname, b.name) <= 2
           |ORDER BY p.dirty_id, p.clean_id""".stripMargin),
+
+    "c04_entity_pipeline" ->
+      ("WITH RECURSIVE " + erPairsCte + ",\n" +
+        """verified AS (
+          |  SELECT p.dirty_id, p.clean_id FROM pairs p
+          |  JOIN dirty d ON p.dirty_id = d.dirty_id
+          |  JOIN base b ON p.clean_id = b.doc_id
+          |  WHERE p.jaccard >= 0.3 AND levenshtein(d.dname, b.name) <= 2
+          |    AND p.dirty_id <> p.clean_id),
+          |edges AS (
+          |  SELECT dirty_id AS src, clean_id AS dst FROM verified
+          |  UNION SELECT clean_id, dirty_id FROM verified),
+          |reach(id, label) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+          |comp AS (SELECT id, MIN(label) AS entity_id FROM reach GROUP BY id)
+          |SELECT id, entity_id,
+          |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+          |FROM comp ORDER BY id""".stripMargin),
 
     "er02_entity_clusters" ->
       ("WITH RECURSIVE " + erPairsCte + ",\n" +
