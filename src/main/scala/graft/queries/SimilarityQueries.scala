@@ -151,6 +151,45 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // ---- knn01: k-NN GRAPH construction — every vector's top-3
+    // neighbors, the batch primitive under graph-based dedup/clustering
+    // and HNSW-style index bootstraps. Scale shape: vectors are
+    // IVF-assigned (sim02's broadcast-16-centroids pass), and
+    // candidates come from the WITHIN-LIST self-join — the corpus
+    // never all-pairs: cost is sum over lists of |list|^2, ~n^2/16
+    // here and n^2/n_lists in general, with n_lists scaled to the
+    // corpus. The assignment relation is checkpointed once and feeds
+    // both join sides. Known recall trade-off (documented, matching
+    // IVF probe semantics): a node's true neighbor in a different
+    // list is missed, and a singleton list yields an isolated node —
+    // a production build probes adjacent lists exactly like sim02's
+    // n_probes=2. Determinism: round-6 cosine + vec_id tie-break.
+    "knn01_graph" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("a_cos").desc, col("cent_id").asc)
+      val assigned = emb.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
+        .withColumn("ark", row_number().over(assignW))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("list_id"))
+        .localCheckpoint(true) // one assignment pass feeds both join sides
+      val scored = assigned.as("x").join(assigned.as("y"),
+          col("x.list_id") === col("y.list_id") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"),
+          expr(cosExpr("x.embedding", "y.embedding")).as("cosine"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("src"), col("rk"), col("nbr"), col("cosine"))
+        .orderBy("src", "rk")
+    }),
+
     // ---- sim03: pairwise label-centroid similarity — mean vector per
     // label (exact elementwise mean via posexplode + group), then cosine
     // between label centroids. Demonstrates vector aggregation.
@@ -361,6 +400,26 @@ object SimilarityQueries {
         |  FROM rr)
         |SELECT q_id, rk, c_id, label, approx, cosine FROM rk WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
+
+    "knn01_graph" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+        |    SELECT e.vec_id, e.embedding, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+        |    FROM embeddings e CROSS JOIN cent)
+        |  WHERE ark = 1),
+        |scored AS (
+        |  SELECT x.vec_id AS src, y.vec_id AS nbr,
+        |    ${cosSql("x.embedding", "y.embedding")} AS cosine
+        |  FROM assigned x JOIN assigned y
+        |    ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
+        |ranked AS (
+        |  SELECT src, nbr, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+        |  FROM scored)
+        |SELECT src, rk, nbr, cosine FROM ranked WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
 
     "sim03_label_centroids" ->
       """WITH by_dim AS (

@@ -336,6 +336,23 @@ class PlanSpec extends SparkSpec {
       s"neither text nor signatures may cross a shuffle:\n${exchangeInputs(p).mkString("\n")}")
   }
 
+  test("knn01: the neighbor join is a keyed within-list self-join; the " +
+      "centroid attach is the one bounded nested loop") {
+    // The k-NN graph's scale claim: candidate pairs come from the
+    // list_id equi-join of the checkpointed assignment relation (cost
+    // sum-of-|list|^2), never a corpus cross product. The only
+    // nested-loop allowed is the broadcast 16-row centroid attach
+    // inside the assignment pass — and that pass runs once (eagerly
+    // checkpointed), so the final plan joins two leaf scans.
+    val df = SparkEntry.queries("knn01_graph")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must be pre-materialized, not re-derived per side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"list_id equi-join expected:\n$p")
+  }
+
   test("skew02: salted aggregation plans TWO exchanges — (key, salt) then key") {
     val p = plan("skew02_salted_agg")
     val hashExchanges = p.linesIterator
