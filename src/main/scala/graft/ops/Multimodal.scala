@@ -239,6 +239,102 @@ object Multimodal {
       })
   }
 
+  /** A decoded PCM clip: interleaved 16-bit samples as read from the
+    * data chunk (frames = samples.length / channels). */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** REAL RIFF/WAVE PCM decoder — the audio format whose byte layout is
+    * fully public, the WAV analogue of PpmDecoder/BmpDecoder: "RIFF"
+    * size "WAVE", then a chunk walk (id + LE size + payload, word-
+    * aligned) to the "fmt " chunk (must be PCM, 16-bit) and the "data"
+    * chunk (interleaved LE int16 samples). Compressed codecs (MP3/AAC/
+    * Opus) stay behind the documented stub — this decodes actual bytes
+    * for the layout that needs no codec library. */
+  object WavDecoder extends Serializable {
+    def decodeAudio(item: MediaItem): PcmAudio = {
+      val p = item.payload
+      val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E',
+        s"media ${item.mediaId}: not a RIFF/WAVE file")
+      var pos = 12
+      var sampleRate = -1
+      var channels = -1
+      var samples: Array[Short] = null
+      while (pos + 8 <= p.length && (sampleRate < 0 || samples == null)) {
+        val id = new String(p, pos, 4, "US-ASCII")
+        val size = b.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= p.length,
+          s"media ${item.mediaId}: chunk '$id' overruns the payload")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"media ${item.mediaId}: fmt chunk too short")
+            val audioFormat = b.getShort(pos + 8)
+            channels = b.getShort(pos + 10)
+            sampleRate = b.getInt(pos + 12)
+            val bits = b.getShort(pos + 22)
+            require(audioFormat == 1 && bits == 16,
+              s"media ${item.mediaId}: only 16-bit PCM supported " +
+                s"(format=$audioFormat, bits=$bits)")
+            require(channels > 0 && sampleRate > 0,
+              s"media ${item.mediaId}: invalid fmt (channels=$channels, rate=$sampleRate)")
+          case "data" =>
+            require(sampleRate > 0,
+              s"media ${item.mediaId}: data chunk before fmt chunk")
+            val n = size / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = b.getShort(pos + 8 + i * 2); i += 1 }
+            samples = out
+          case _ => // skip LIST/INFO/fact/junk chunks
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(samples != null, s"media ${item.mediaId}: no data chunk")
+      PcmAudio(sampleRate, channels, samples)
+    }
+  }
+
+  /** Per-clip REAL audio statistics over decoded PCM: frame count,
+    * integer duration, peak amplitude, mean-square level (exact Long
+    * sum of squares, one IEEE division — deterministic under any
+    * partitioning, same discipline as lumaStats), and the count of
+    * near-full-scale samples (|s| >= clipAt, the clipping screen an
+    * audio-ingest quality gate runs). Partition-local decode inside
+    * mapPartitions; only skinny stat rows leave the executor. */
+  final case class AudioStats(
+      mediaId: Long, sampleRate: Int, channels: Int, nFrames: Long,
+      durationMs: Long, peak: Int, meanSquare: Double, nClip: Long)
+
+  def audioStats(df: DataFrame, idCol: String, payloadCol: String,
+      clipAt: Int = 2000): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val a = WavDecoder.decodeAudio(MediaItem(id, bytes))
+        var i = 0
+        var sumSq = 0L
+        var peak = 0
+        var nClip = 0L
+        while (i < a.samples.length) {
+          val s = a.samples(i).toInt
+          val mag = math.abs(s)
+          sumSq += s.toLong * s
+          if (mag > peak) peak = mag
+          if (mag >= clipAt) nClip += 1
+          i += 1
+        }
+        val n = a.samples.length
+        val frames = n.toLong / a.channels
+        AudioStats(id, a.sampleRate, a.channels, frames,
+          frames * 1000L / a.sampleRate, peak,
+          if (n == 0) 0.0 else sumSq.toDouble / n, nClip)
+      })
+  }
+
   /** Thumbnail pipeline stage: decode -> nearest-neighbor resize -> luma
     * stats of the thumbnail, all partition-local inside one
     * mapPartitions pass; only the small stat rows leave the executor

@@ -137,6 +137,49 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm06: REAL audio decode in the gate — the WAV analogue of
+    // mm03's pixel path, completing the image/audio/video modality
+    // triple (video = mm02's frame sampling over metadata). Each doc
+    // gets a deterministic 64-sample 8 kHz mono PCM WAV (sample i
+    // carries ((doc_id*31 + i*57) % 4096) - 2048, a +-2048 sawtooth);
+    // graft.ops.Multimodal.WavDecoder walks ACTUAL RIFF chunks
+    // (header parse, fmt validation, LE int16 raster), and the stats
+    // an audio-ingest quality gate needs (duration, peak, mean-square
+    // level, near-full-scale clip count) are exact integer sums — so
+    // the oracle states them in closed form without a WAV parser.
+    // MP3/AAC stay behind the documented stub, same rule as JPEG/PNG.
+    "mm06_wav_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 64
+            val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+              .put("WAVE".getBytes("US-ASCII"))
+              .put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1).putInt(8000).putInt(16000)
+              .putShort(2).putShort(16)
+              .put("data".getBytes("US-ASCII")).putInt(n * 2)
+            var i = 0
+            while (i < n) {
+              bb.putShort((((id * 31 + i * 57) % 4096) - 2048).toShort)
+              i += 1
+            }
+            (id, bb.array())
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.audioStats(payloads, "media_id", "payload")
+        .toDF()
+        .select(col("mediaId").as("media_id"),
+          col("sampleRate").as("sample_rate"), col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"), col("peak"),
+          col("meanSquare").as("mean_square"), col("nClip").as("n_clip"))
+        .orderBy("media_id")
+    }),
+
     // ---- c03: composed media pipeline — the third flagship
     // composition (c01 corpus curation, c02 vector ingestion): decode
     // ONCE per image, derive dimensions + full-image luma + perceptual
@@ -226,6 +269,21 @@ object MultimodalQueries {
         |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same,
         |  media_id <> MIN(media_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // The sawtooth's closed form: v(id, i) = ((id*31 + i*57) % 4096) -
+    // 2048 over i = 0..63 at 8 kHz mono; duration = 64*1000/8000 = 8 ms.
+    "mm06_wav_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, ((doc_id * 31 + i * 57) % 4096) - 2048 AS v
+        |  FROM documents, unnest(range(0, 64)) AS u(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(64 AS BIGINT) AS n_frames,
+        |  CAST(8 AS BIGINT) AS duration_ms,
+        |  CAST(MAX(abs(v)) AS INT) AS peak,
+        |  CAST(SUM(v * v) AS DOUBLE) / 64 AS mean_square,
+        |  CAST(SUM(CASE WHEN abs(v) >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm04_thumbnail_stats" ->
       """WITH px AS (

@@ -37,6 +37,55 @@ class OpsSpec extends SparkSpec {
     assert(meta.width == 2 && meta.height == 2 && meta.frameCount == 1)
   }
 
+  test("multimodal: WAV decoder walks RIFF chunks and recovers LE int16 samples") {
+    // Mono 16-bit PCM at 8 kHz with a junk LIST chunk BEFORE data (the
+    // chunk walk must skip it, not assume the canonical 44-byte layout)
+    // and an odd-sized chunk (word alignment pads one byte).
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val junk = Array[Byte](1, 2, 3) // odd size -> 1 alignment pad byte
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + 4 + 8 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(bb.capacity - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val a = Multimodal.WavDecoder.decodeAudio(Multimodal.MediaItem(3L, bb.array()))
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq) // incl. full-scale negatives
+    // malformed inputs error, not garbage: wrong magic / no data chunk
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decodeAudio(
+        Multimodal.MediaItem(4L, "RIFFxxxxAIFF".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] {
+      val noData = java.util.Arrays.copyOfRange(bb.array(), 0, 12 + 8 + 16)
+      Multimodal.WavDecoder.decodeAudio(Multimodal.MediaItem(5L, noData))
+    }
+  }
+
+  test("multimodal: audioStats clip/peak/mean-square over a known clip") {
+    import spark.implicits._
+    // One clip: samples 0, 2000, -2048, 100 -> peak 2048, nClip 2
+    // (|s| >= 2000), meanSquare = (0 + 4e6 + 2048^2 + 1e4)/4.
+    val samples = Array[Short](0, 2000, -2048, 100)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val df = Seq((9L, bb.array())).toDF("media_id", "payload")
+    val st = Multimodal.audioStats(df, "media_id", "payload").collect().head
+    assert(st.sampleRate == 8000 && st.nFrames == 4L && st.durationMs == 0L)
+    assert(st.peak == 2048 && st.nClip == 2L)
+    assert(st.meanSquare == (0L + 2000L * 2000 + 2048L * 2048 + 100L * 100).toDouble / 4)
+  }
+
   test("multimodal: BMP decoder flips bottom-up BGR rows and strips padding") {
     // 3x2 24-bit BMP: rows pad 9 -> 12 bytes; storage is bottom-up BGR.
     // Logical top row: red green blue; bottom row: white black gray.
