@@ -265,7 +265,10 @@ object Multimodal {
       while (pos + 8 <= p.length && (sampleRate < 0 || samples == null)) {
         val id = new String(p, pos, 4, "US-ASCII")
         val size = b.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= p.length,
+        // int-overflow-safe bound: p.length - pos - 8 >= 0 here (loop
+        // guard), so a forged size near Int.MaxValue fails instead of
+        // wrapping pos negative / allocating a ~2 GB sample array
+        require(size >= 0 && size <= p.length - pos - 8,
           s"media ${item.mediaId}: chunk '$id' overruns the payload")
         id match {
           case "fmt " =>

@@ -126,7 +126,6 @@ object DedupQueries {
     // candidates come from the band equi-join — never all-pairs.
     "dd17_lsh_recall" -> ((spark: SparkSession, dir: String) => {
       graft.functions.VectorFunctions.registerAll(spark)
-      val mutId = 10000000L
       val s = t(spark, dir, "documents")
         .select(col("doc_id"), col("text"),
           expr("array_join(slice(split(text, ' '), 1, 3 + cast(doc_id % 48 as int)), ' ')")
@@ -141,11 +140,17 @@ object DedupQueries {
             call_function("shingles", col("mtext"), lit(8)))).cast("double"))
           .as("jaccard"))
         .filter(col("jaccard") >= 0.08)
+      // Twin ids live in the NEGATIVE id space (twin = -doc_id - 1):
+      // disjoint from any non-negative corpus id by construction, so no
+      // fixed offset can collide with a real doc_id at any scale. The
+      // twin is always the smaller id, so a caught pair is exactly
+      // (doc_a = -doc_b - 1); twin-twin and real-real band collisions
+      // cannot satisfy that identity.
       val u = s.select(col("doc_id"), col("text"))
-        .union(s.select((col("doc_id") + mutId).as("doc_id"), col("mtext").as("text")))
+        .union(s.select((-col("doc_id") - 1).as("doc_id"), col("mtext").as("text")))
       val hits = Dedup.lshCandidates(u, "doc_id", "text")
-        .filter(col("doc_b") === col("doc_a") + mutId)
-        .select(col("doc_a").as("doc_id"), lit(1L).as("hit"))
+        .filter(col("doc_a") === -col("doc_b") - 1)
+        .select(col("doc_b").as("doc_id"), lit(1L).as("hit"))
       truth.join(hits, Seq("doc_id"), "left_outer")
         .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"))
         .withColumn("bucket", when(col("jaccard") >= 0.5, "4_j_ge_0.50")
@@ -441,7 +446,9 @@ object DedupQueries {
         .orderBy("dirty_id", "clean_id")
     }),
     // ---- c04: the COMPOSED entity-resolution pipeline — block ->
-    // cheap-match -> exact-verify -> cluster as ONE deferred plan. er01,
+    // cheap-match -> exact-verify -> cluster as one composition (the
+    // stages up to the verified edge set are a single deferred plan;
+    // the CC loop then iterates on eagerly-checkpointed edges). er01,
     // er02, and er03 each gate one stage self-containedly and therefore
     // each re-derive the candidate scoring (the documented cost triple
     // in BENCH.md); this is the executable form of that design note: a
@@ -704,7 +711,7 @@ object DedupQueries {
         |  FROM s),
         |u AS (
         |  SELECT doc_id, text FROM s
-        |  UNION ALL SELECT doc_id + 10000000, mtext AS text FROM s),
+        |  UNION ALL SELECT -doc_id - 1, mtext AS text FROM s),
         |sig AS (
         |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
         |  FROM u),
@@ -720,7 +727,7 @@ object DedupQueries {
         |hits AS (
         |  SELECT t.jaccard, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
         |  FROM truth t LEFT JOIN cand c
-        |    ON c.doc_a = t.doc_id AND c.doc_b = t.doc_id + 10000000
+        |    ON c.doc_a = -t.doc_id - 1 AND c.doc_b = t.doc_id
         |  WHERE t.jaccard >= 0.08),
         |bucketed AS (
         |  SELECT CASE WHEN jaccard >= 0.5 THEN '4_j_ge_0.50'

@@ -50,6 +50,30 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
   }
 
+  /** IVF assignment: every vector labeled with its nearest-centroid list
+    * (centroids = vectors 0..15, fixed and deterministic; broadcast
+    * 16-row attach, round-6 cosine, (cosine desc, cent_id) tie-break).
+    * Shared by sim02's probe search and knn01's within-list self-join —
+    * one definition so the centroid count / tie-break / hash family
+    * cannot silently diverge between the index build and the graph
+    * build. (dd08/dd11 keep their own assignment: different module,
+    * different candidate flow.) Returns (vec_id, embedding, label,
+    * list_id). */
+  private def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("a_cos").desc, col("cent_id").asc)
+      emb.join(broadcast(cent), lit(true))
+        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
+          expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
+        .withColumn("ark", row_number().over(assignW))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id").as("list_id"))
+  }
+
   // ---- sim02: IVF-bucketed ANN. Centroids = vectors 0..15 (fixed,
   // deterministic); every vector is assigned to its nearest centroid
   // (the "inverted list"); each query probes its 2 nearest lists only.
@@ -58,14 +82,7 @@ object SimilarityQueries {
       val emb = t(spark, dir, "embeddings")
       val cent = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      // assignment: nearest centroid per vector (broadcast 16 centroids)
-      val assignW = Window.partitionBy(col("vec_id")).orderBy(col("a_cos").desc, col("cent_id").asc)
-      val assigned = emb.join(broadcast(cent), lit(true))
-        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
-          expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
-        .withColumn("ark", row_number().over(assignW))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id").as("list_id"))
+      val assigned = ivfAssign(spark, dir)
       // queries probe their 2 nearest centroids
       val probeW = Window.partitionBy(col("q_id")).orderBy(col("p_cos").desc, col("cent_id").asc)
       val probes = emb.filter(col("vec_id") < 8)
@@ -165,18 +182,8 @@ object SimilarityQueries {
     // a production build probes adjacent lists exactly like sim02's
     // n_probes=2. Determinism: round-6 cosine + vec_id tie-break.
     "knn01_graph" -> ((spark: SparkSession, dir: String) => {
-      reg(spark)
-      val emb = t(spark, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("a_cos").desc, col("cent_id").asc)
-      val assigned = emb.join(broadcast(cent), lit(true))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
-        .withColumn("ark", row_number().over(assignW))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("list_id"))
+      val assigned = ivfAssign(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
         .localCheckpoint(true) // one assignment pass feeds both join sides
       val scored = assigned.as("x").join(assigned.as("y"),
           col("x.list_id") === col("y.list_id") &&
