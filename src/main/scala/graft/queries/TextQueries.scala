@@ -20,6 +20,46 @@ object TextQueries {
   private val words = split(col("text"), " ")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- t14: BM25 ranked retrieval — the sparse-retrieval primitive
+    // (Robertson/Walker Okapi BM25, k1 = 1.2, b = 0.75) the rest of the
+    // text stack composes with: retrieval-based decontamination, hard-
+    // negative mining, retrieval-mixed curation all score corpora
+    // against query terms exactly like this. Scale shape: tf is one
+    // tokenize + filter-to-query-terms pass (the term filter prunes
+    // BEFORE the aggregation, so only query-term postings shuffle); df
+    // and the (N, avgdl) scalars are broadcast relations; top-20 plans
+    // as TakeOrdered. Determinism: counts and doc lengths are exact
+    // ints; idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the always-
+    // positive variant) and the 3-term score sum are IEEE doubles whose
+    // ulp drift (libm ln, sum order) is absorbed by the round-6 + doc_id
+    // tie-break discipline the sim-suite established.
+    "t14_bm25_topk" -> ((spark: SparkSession, dir: String) => {
+      val qterms = Seq("spark", "join", "filter")
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        (sum(size(col("ws"))).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isInCollection(qterms))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            col("tf").cast("double") /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+            .as("part"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("part")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // ---- t01: per-document shape stats (scan-local projection).
     "t01_doc_stats" -> ((spark: SparkSession, dir: String) => {
       t(spark, dir, "documents")
@@ -383,6 +423,33 @@ object TextQueries {
       (1 to 4).map(i => bpeStepCte(i, if (i == 1) "wc" else s"s${i - 1}")).mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // Same idf variant, same round-6 + doc_id tie-break; DuckDB ln and
+    // sum order may differ by ulps from Spark's — absorbed by round().
+    "t14_bm25_topk" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, w, MAX(dl) AS dl, count(*) AS tf
+        |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+        |  WHERE w IN ('spark', 'join', 'filter')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(
+        |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      CAST(tf.tf AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) +
+        |        1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "bpe01_merge_learning" ->
       (bpeCtePrefix +
         "\nSELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL " +

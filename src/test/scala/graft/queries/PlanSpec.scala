@@ -336,6 +336,16 @@ class PlanSpec extends SparkSpec {
       s"neither text nor signatures may cross a shuffle:\n${exchangeInputs(p).mkString("\n")}")
   }
 
+  test("t14: BM25 top-20 plans as TakeOrdered with broadcast stats attach") {
+    // The retrieval claim at scale: no global sort for a limit-20
+    // ranking, and the df/corpus-stats relations attach by broadcast —
+    // only query-term postings ever shuffle.
+    val p = plan("t14_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"), s"df/stats must broadcast:\n$p")
+  }
+
   test("knn01: the neighbor join is a keyed within-list self-join; the " +
       "centroid attach is the one bounded nested loop") {
     // The k-NN graph's scale claim: candidate pairs come from the
