@@ -114,45 +114,52 @@ object DedupQueries {
     // (first 3 + doc_id % 48 words — doc lengths are 25-99 words, so
     // exact Jaccard spreads across the whole [0.08, 1] range). Truth is
     // the exact shingle Jaccard of each (doc, twin) pair — set
-    // intersect/union sizes, no join needed; candidacy is the band join
-    // over docs + twins (a pair's candidacy depends only on its own two
-    // signatures). Reported per similarity bucket because that IS the
+    // intersect/union sizes; candidacy depends only on the pair's own
+    // two signatures. Reported per similarity bucket because that IS the
     // S-curve story: P(candidate) = 1-(1-j^4)^4 — near 1 at j >= 0.8,
     // ~0.2 at j = 0.5 — and the measured per-bucket recall pins where
     // the banding knobs stop being safe (below ~0.35 banding alone
     // misses most pairs: tighten bands or accept the loss; MMDS ch. 3).
     // Deterministic: fixed md5 hash family, exact counts, one IEEE
-    // division. Scale shape: truth is per-row arithmetic (zero joins),
-    // candidates come from the band equi-join — never all-pairs.
+    // division. Scale shape: because every truth pair is (doc, its own
+    // twin), the band-candidacy test "do the two share ANY band
+    // signature" collapses from dd04's band equi-join to a PER-ROW
+    // predicate over the pair's two MinHash signatures — the whole
+    // audit is one corpus scan + a 4-group aggregate, zero joins
+    // (a general corpus audit keeps the band join; that machinery is
+    // gated by dd04/dd12/dd15).
     "dd17_lsh_recall" -> ((spark: SparkSession, dir: String) => {
       graft.functions.VectorFunctions.registerAll(spark)
-      val s = t(spark, dir, "documents")
+      // Parallelism guard (t13's lesson): a small corpus arrives as ONE
+      // file split and the four hash passes would run as a single task;
+      // the explicit partition count stops AQE coalescing it back.
+      val docs = t(spark, dir, "documents")
+      val fanned =
+        if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+          docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        else docs
+      val s = fanned
         .select(col("doc_id"), col("text"),
           expr("array_join(slice(split(text, ' '), 1, 3 + cast(doc_id % 48 as int)), ' ')")
             .as("mtext"))
-        .localCheckpoint(true) // feeds truth AND both union legs below
-      val truth = s.select(col("doc_id"),
-        (size(array_intersect(
-            call_function("shingles", col("text"), lit(8)),
-            call_function("shingles", col("mtext"), lit(8)))).cast("double") /
-          size(array_union(
-            call_function("shingles", col("text"), lit(8)),
-            call_function("shingles", col("mtext"), lit(8)))).cast("double"))
-          .as("jaccard"))
+      // shingle sets and signatures land in named columns so each is
+      // computed ONCE per row and shared by every consumer
+      // (CollapseProject keeps multi-referenced non-cheap aliases
+      // materialized — the same trap t13 hit with fingerprint arrays)
+      def sig(c: String) = call_function("minhash_sig",
+        call_function("shingle_hashes", col(c), lit(8)), lit(16))
+      val bandHit = (0 until 4).map(b =>
+          slice(col("ha"), b * 4 + 1, 4) === slice(col("hb"), b * 4 + 1, 4))
+        .reduce(_ || _)
+      s.select(col("doc_id"),
+          call_function("shingles", col("text"), lit(8)).as("sa"),
+          call_function("shingles", col("mtext"), lit(8)).as("sb"),
+          sig("text").as("ha"), sig("mtext").as("hb"))
+        .select(col("doc_id"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"),
+          when(bandHit, 1L).otherwise(0L).as("hit"))
         .filter(col("jaccard") >= 0.08)
-      // Twin ids live in the NEGATIVE id space (twin = -doc_id - 1):
-      // disjoint from any non-negative corpus id by construction, so no
-      // fixed offset can collide with a real doc_id at any scale. The
-      // twin is always the smaller id, so a caught pair is exactly
-      // (doc_a = -doc_b - 1); twin-twin and real-real band collisions
-      // cannot satisfy that identity.
-      val u = s.select(col("doc_id"), col("text"))
-        .union(s.select((-col("doc_id") - 1).as("doc_id"), col("mtext").as("text")))
-      val hits = Dedup.lshCandidates(u, "doc_id", "text")
-        .filter(col("doc_a") === -col("doc_b") - 1)
-        .select(col("doc_b").as("doc_id"), lit(1L).as("hit"))
-      truth.join(hits, Seq("doc_id"), "left_outer")
-        .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"))
         .withColumn("bucket", when(col("jaccard") >= 0.5, "4_j_ge_0.50")
           .when(col("jaccard") >= 0.35, "3_j_0.35_0.50")
           .when(col("jaccard") >= 0.2, "2_j_0.20_0.35")
@@ -704,31 +711,21 @@ object DedupQueries {
         |  SELECT doc_id, text,
         |    array_to_string((string_split(text, ' '))[1:(3 + CAST(doc_id % 48 AS INT))], ' ') AS mtext
         |  FROM documents),
-        |truth AS (
+        |sig AS (
         |  SELECT doc_id,
         |    CAST(len(list_intersect(${shinglesSqlOf("text")}, ${shinglesSqlOf("mtext")})) AS DOUBLE) /
-        |    CAST(len(list_distinct(list_concat(${shinglesSqlOf("text")}, ${shinglesSqlOf("mtext")}))) AS DOUBLE) AS jaccard
+        |    CAST(len(list_distinct(list_concat(${shinglesSqlOf("text")}, ${shinglesSqlOf("mtext")}))) AS DOUBLE) AS jaccard,
+        |    ${(0 until 16).map(j => s"${minhashSqlOf(j, "text")} AS ta$j").mkString(", ")},
+        |    ${(0 until 16).map(j => s"${minhashSqlOf(j, "mtext")} AS tb$j").mkString(", ")}
         |  FROM s),
-        |u AS (
-        |  SELECT doc_id, text FROM s
-        |  UNION ALL SELECT -doc_id - 1, mtext AS text FROM s),
-        |sig AS (
-        |  SELECT doc_id, ${(0 until 16).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ")}
-        |  FROM u),
-        |bands AS (
-        |  ${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")}) AS band_sig FROM sig")
-            .mkString("\n  UNION ALL\n  ")}
-        |),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
         |hits AS (
-        |  SELECT t.jaccard, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
-        |  FROM truth t LEFT JOIN cand c
-        |    ON c.doc_a = -t.doc_id - 1 AND c.doc_b = t.doc_id
-        |  WHERE t.jaccard >= 0.08),
+        |  SELECT jaccard,
+        |    CASE WHEN ${(0 until 4).map(b =>
+                "(" + (0 until 4).map(r => s"ta${b * 4 + r} = tb${b * 4 + r}").mkString(" AND ") + ")")
+                .mkString(" OR ")}
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM sig
+        |  WHERE jaccard >= 0.08),
         |bucketed AS (
         |  SELECT CASE WHEN jaccard >= 0.5 THEN '4_j_ge_0.50'
         |              WHEN jaccard >= 0.35 THEN '3_j_0.35_0.50'
