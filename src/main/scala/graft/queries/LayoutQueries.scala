@@ -54,9 +54,117 @@ object LayoutQueries {
           (max(col("y")) - min(col("y"))).as("day_span"))
         .orderBy("file_id")
     }),
+    // ---- zorder02: the PAYOFF metric of the Z-order layout — for a
+    // CUSTOMER-SELECTIVE box probe (x in the [5/16, 11/32] span slice,
+    // a ~3% customer band sitting inside one x-quarter; y spanning the
+    // middle HALF of all days — the predicate shape a day-sorted
+    // layout cannot prune at all), how many files does footer pruning
+    // skip under the Z-ordered
+    // layout vs a single-dim day-sorted layout of the SAME data into
+    // the SAME file count? A file is skippable iff its bounding box
+    // misses the probe box. The day-sorted layout prunes the day dim
+    // only (every file spans the full customer range), so its skip
+    // count is bounded by the probe's day selectivity; the Z layout
+    // prunes BOTH dims. This query states those numbers exactly —
+    // LayoutSpec proves the same skip on real parquet footers on disk.
+    // Determinism: pure int64 arithmetic end to end; the probe box is
+    // SPAN-RELATIVE (second quartile-ish slice of each dim) so the
+    // query stays meaningful under any data generation. The z-key here
+    // interleaves dims NORMALIZED to a common 8-bit grid — interleaving
+    // raw values with unequal bit-widths (14-bit custkey vs 12-bit day)
+    // lets the wide dim dominate the key and costs most of the
+    // pruning; normalize-then-interleave is the standard recipe
+    // (zorder01 gates the raw-key math itself).
+    "zorder02_skip_stats" -> ((spark: SparkSession, dir: String) => {
+      val zt = t(spark, dir, "orders").select(
+          col("o_custkey").cast("bigint").as("x"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("bigint").as("y"))
+      val bounds = zt.agg(
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      // zfile = top-4-bits z-block (z div 4096 on the fixed 16-bit
+      // grid): block-ALIGNED, so every file is one (x-quarter,
+      // y-quarter) rectangle; a zmax-relative split would straddle
+      // block boundaries and widen every box.
+      val keyed = zt.crossJoin(broadcast(bounds))
+        .withColumn("xs", expr("((x - xmin) * 256) div (xmax - xmin + 1)"))
+        .withColumn("ys", expr("((y - ymin) * 256) div (ymax - ymin + 1)"))
+        .withColumn("z", expr(Layout.zkeySql("xs", "ys", bits = 8)))
+        .withColumn("zfile", expr(s"z div ${65536 / nFiles}"))
+        .withColumn("dfile", expr(s"((y - ymin) * $nFiles) div (ymax - ymin + 1)"))
+        .withColumn("pxlo", expr("xmin + (5 * (xmax - xmin)) div 16"))
+        .withColumn("pxhi", expr("xmin + (11 * (xmax - xmin)) div 32"))
+        .withColumn("pylo", expr("ymin + (ymax - ymin) div 4"))
+        .withColumn("pyhi", expr("ymin + (3 * (ymax - ymin)) div 4"))
+      def stats(fileCol: String, label: String) = keyed
+        .groupBy(col(fileCol).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("lo_x"), max(col("x")).as("hi_x"),
+          min(col("y")).as("lo_y"), max(col("y")).as("hi_y"),
+          max(col("pxlo")).as("pxlo"), max(col("pxhi")).as("pxhi"),
+          max(col("pylo")).as("pylo"), max(col("pyhi")).as("pyhi"))
+        .withColumn("skipped",
+          (col("hi_x") < col("pxlo") || col("lo_x") > col("pxhi") ||
+            col("hi_y") < col("pylo") || col("lo_y") > col("pyhi")).cast("int"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("skipped")).cast("bigint").as("n_skipped"),
+          sum(when(col("skipped") === 0, col("n_rows")).otherwise(0L))
+            .as("rows_scanned"))
+        .select(lit(label).as("layout"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"))
+      stats("zfile", "zorder").unionAll(stats("dfile", "day_sorted"))
+        .orderBy("layout")
+    }),
   )
 
+  private val skipCase =
+    "CASE WHEN hi_x < pxlo OR lo_x > pxhi OR hi_y < pylo OR lo_y > pyhi THEN 1 ELSE 0 END"
+
   val oracles: Map[String, String] = Map(
+    "zorder02_skip_stats" ->
+      s"""WITH zt AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+         |  FROM orders),
+         |b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+         |    MIN(y) AS ymin, MAX(y) AS ymax,
+         |    MIN(x) + (5 * (MAX(x) - MIN(x))) // 16 AS pxlo,
+         |    MIN(x) + (11 * (MAX(x) - MIN(x))) // 32 AS pxhi,
+         |    MIN(y) + (MAX(y) - MIN(y)) // 4 AS pylo,
+         |    MIN(y) + (3 * (MAX(y) - MIN(y))) // 4 AS pyhi
+         |  FROM zt),
+         |zk AS (
+         |  SELECT x, y, pxlo, pxhi, pylo, pyhi, ymin, ymax,
+         |    ${Layout.zkeySql("((x - xmin) * 256) // (xmax - xmin + 1)", "((y - ymin) * 256) // (ymax - ymin + 1)", 8)} AS z
+         |  FROM zt, b),
+         |keyed AS (
+         |  SELECT x, y, z // ${65536 / nFiles} AS zfile,
+         |    ((y - ymin) * $nFiles) // (ymax - ymin + 1) AS dfile,
+         |    pxlo, pxhi, pylo, pyhi
+         |  FROM zk),
+         |zb AS (
+         |  SELECT zfile AS file_id, COUNT(*) AS n_rows,
+         |    MIN(x) AS lo_x, MAX(x) AS hi_x, MIN(y) AS lo_y, MAX(y) AS hi_y,
+         |    MAX(pxlo) AS pxlo, MAX(pxhi) AS pxhi, MAX(pylo) AS pylo, MAX(pyhi) AS pyhi
+         |  FROM keyed GROUP BY 1),
+         |db AS (
+         |  SELECT dfile AS file_id, COUNT(*) AS n_rows,
+         |    MIN(x) AS lo_x, MAX(x) AS hi_x, MIN(y) AS lo_y, MAX(y) AS hi_y,
+         |    MAX(pxlo) AS pxlo, MAX(pxhi) AS pxhi, MAX(pylo) AS pylo, MAX(pyhi) AS pyhi
+         |  FROM keyed GROUP BY 1),
+         |zs AS (
+         |  SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+         |    CAST(SUM($skipCase) AS BIGINT) AS n_skipped,
+         |    CAST(SUM(CASE WHEN $skipCase = 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM zb),
+         |ds AS (
+         |  SELECT 'day_sorted' AS layout, COUNT(*) AS n_files,
+         |    CAST(SUM($skipCase) AS BIGINT) AS n_skipped,
+         |    CAST(SUM(CASE WHEN $skipCase = 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM db)
+         |SELECT * FROM zs UNION ALL SELECT * FROM ds ORDER BY layout""".stripMargin,
+
     // Same zkeySql string as the Spark side; DuckDB's // is Spark's div
     // on the all-positive operands here.
     "zorder01_file_boxes" ->

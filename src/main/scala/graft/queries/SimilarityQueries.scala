@@ -74,6 +74,23 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"), col("label"), col("cent_id").as("list_id"))
   }
 
+  /** knn01's ranked neighbor relation (src, rk, nbr, cosine), rk <= 3 —
+    * shared by knn01 (graph export) and knn02 (mutual-kNN clusters). */
+  private def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+      val assigned = ivfAssign(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+        .localCheckpoint(true) // one assignment pass feeds both join sides
+      val scored = assigned.as("x").join(assigned.as("y"),
+          col("x.list_id") === col("y.list_id") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"),
+          expr(cosExpr("x.embedding", "y.embedding")).as("cosine"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("src"), col("rk"), col("nbr"), col("cosine"))
+  }
+
   // ---- sim02: IVF-bucketed ANN. Centroids = vectors 0..15 (fixed,
   // deterministic); every vector is assigned to its nearest centroid
   // (the "inverted list"); each query probes its 2 nearest lists only.
@@ -181,20 +198,33 @@ object SimilarityQueries {
     // list is missed, and a singleton list yields an isolated node —
     // a production build probes adjacent lists exactly like sim02's
     // n_probes=2. Determinism: round-6 cosine + vec_id tie-break.
-    "knn01_graph" -> ((spark: SparkSession, dir: String) => {
-      val assigned = ivfAssign(spark, dir)
-        .select(col("vec_id"), col("embedding"), col("list_id"))
-        .localCheckpoint(true) // one assignment pass feeds both join sides
-      val scored = assigned.as("x").join(assigned.as("y"),
-          col("x.list_id") === col("y.list_id") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"),
-          expr(cosExpr("x.embedding", "y.embedding")).as("cosine"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("src"), col("rk"), col("nbr"), col("cosine"))
-        .orderBy("src", "rk")
+    "knn01_graph" -> ((spark: SparkSession, dir: String) =>
+      knnGraph(spark, dir).orderBy("src", "rk")),
+
+    // ---- knn02: MUTUAL-kNN clusters — the graph-clustering payoff of
+    // knn01: keep only RECIPROCATED edges (a in b's top-3 AND b in
+    // a's top-3 — the standard symmetrization that kills hub-induced
+    // false links), then connected components + member counts over
+    // the mutual graph. This is density-based corpus clustering from
+    // embeddings without choosing k (contrast km01's k-means): at
+    // 100 TB the mutual filter is a self-join of the (src, nbr) edge
+    // relation on the reversed key — edge-sized, never vector-sized —
+    // and the CC loop runs on checkpointed mutual edges (<= 1.5 x
+    // corpus edges). Output: every clustered vector with its entity
+    // label and cluster size; singletons (no mutual edge) are absent,
+    // exactly like er02's link-cluster semantics.
+    "knn02_mutual_clusters" -> ((spark: SparkSession, dir: String) => {
+      val e = knnGraph(spark, dir).select(col("src"), col("nbr"))
+      val mutual = e.join(
+          e.select(col("nbr").as("src"), col("src").as("nbr")),
+          Seq("src", "nbr"), "left_semi")
+        .filter(col("src") < col("nbr"))
+      val cc = graft.ops.Graph.connectedComponents(mutual, "src", "nbr")
+      cc.join(cc.groupBy(col("component")).agg(count(lit(1)).as("n_members")),
+          "component")
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"),
+          col("n_members"))
+        .orderBy("vec_id")
     }),
 
     // ---- sim03: pairwise label-centroid similarity — mean vector per
@@ -275,6 +305,27 @@ object SimilarityQueries {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM scored)
         |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  /** knn01's CTE chain through `ranked` — shared by the knn01 and
+    * knn02 oracles (knn02 prepends RECURSIVE for the CC part). */
+  private val knnCtes: String =
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id AS list_id FROM (
+      |    SELECT e.vec_id, e.embedding, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+      |    FROM embeddings e CROSS JOIN cent)
+      |  WHERE ark = 1),
+      |scored AS (
+      |  SELECT x.vec_id AS src, y.vec_id AS nbr,
+      |    ${cosSql("x.embedding", "y.embedding")} AS cosine
+      |  FROM assigned x JOIN assigned y
+      |    ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
+      |ranked AS (
+      |  SELECT src, nbr, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+      |  FROM scored)""".stripMargin
 
   /** km01-style unrolled 2-round Lloyd over ONE PQ subspace (k=4,
     * seeds vec_id < 4), on the 1-based-inclusive embedding slice
@@ -409,24 +460,27 @@ object SimilarityQueries {
         |ORDER BY q_id, rk""".stripMargin,
 
     "knn01_graph" ->
-      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cent_id AS list_id FROM (
-        |    SELECT e.vec_id, e.embedding, cent_id,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
-        |    FROM embeddings e CROSS JOIN cent)
-        |  WHERE ark = 1),
-        |scored AS (
-        |  SELECT x.vec_id AS src, y.vec_id AS nbr,
-        |    ${cosSql("x.embedding", "y.embedding")} AS cosine
-        |  FROM assigned x JOIN assigned y
-        |    ON x.list_id = y.list_id AND x.vec_id <> y.vec_id),
-        |ranked AS (
-        |  SELECT src, nbr, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
-        |  FROM scored)
-        |SELECT src, rk, nbr, cosine FROM ranked WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
+      ("WITH " + knnCtes + "\n" +
+        "SELECT src, rk, nbr, cosine FROM ranked WHERE rk <= 3 ORDER BY src, rk"),
+
+    "knn02_mutual_clusters" ->
+      ("WITH RECURSIVE " + knnCtes + """,
+        |knn AS (SELECT src, nbr FROM ranked WHERE rk <= 3),
+        |mutual AS (
+        |  SELECT a.src, a.nbr FROM knn a
+        |  JOIN knn b ON a.src = b.nbr AND a.nbr = b.src
+        |  WHERE a.src < a.nbr),
+        |edges AS (
+        |  SELECT src, nbr AS dst FROM mutual
+        |  UNION SELECT nbr, src FROM mutual),
+        |reach(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+        |comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS vec_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM comp ORDER BY vec_id""".stripMargin),
 
     "sim03_label_centroids" ->
       """WITH by_dim AS (
