@@ -52,9 +52,74 @@ object QualityQueries {
             |AS (check_name, n_violations)""".stripMargin)
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy("check_name")
+    }),
+
+    // ---- dq02: referential-integrity audit of the WHOLE star schema —
+    // per foreign-key edge, how many referencing rows exist and how
+    // many are orphans (non-null FK with no matching dimension row).
+    // This is the cross-table half of data-quality monitoring (dq01 is
+    // the single-table half): run after every ingest batch, a nonzero
+    // orphan rate is the first symptom of a broken upstream join key.
+    // One LEFT OUTER join per edge folds the reference count and the
+    // orphan count into a single pass (no separate anti-join + count
+    // scans); dimension key relations broadcast (DISTINCT'd first so a
+    // corrupt dimension with duplicate keys cannot multiply fact rows
+    // and corrupt the audit itself); the two fact-sized edges
+    // (lineitem -> orders/part) are plain keyed shuffles at scale.
+    // Determinism: exact counts, one IEEE division per edge.
+    "dq02_referential_integrity" -> ((spark: SparkSession, dir: String) => {
+      def edge(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+          name: String): DataFrame = {
+        val keys = broadcast(dim.select(col(pk)).distinct()
+          .withColumn("__hit", lit(1)))
+        fact.select(col(fk))
+          .join(keys, col(fk) === col(pk), "left_outer")
+          .agg(count(col(fk)).as("n_refs"),
+            sum(when(col(fk).isNotNull && col("__hit").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_refs"), col("n_orphans"),
+            (col("n_orphans").cast("double") / col("n_refs").cast("double"))
+              .as("orphan_rate"))
+      }
+      val li = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val su = t(spark, dir, "supplier")
+      val n = t(spark, dir, "nation")
+      Seq(
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey"),
+        edge(li, "l_partkey", t(spark, dir, "part"), "p_partkey", "lineitem_partkey"),
+        edge(li, "l_suppkey", su, "s_suppkey", "lineitem_suppkey"),
+        edge(o, "o_custkey", c, "c_custkey", "orders_custkey"),
+        edge(c, "c_nationkey", n, "n_nationkey", "customer_nationkey"),
+        edge(su, "s_nationkey", n, "n_nationkey", "supplier_nationkey"),
+        edge(n, "n_regionkey", t(spark, dir, "region"), "r_regionkey", "nation_regionkey"))
+        .reduce(_ unionAll _)
+        .orderBy("fk_edge")
     }))
 
+  private def dqEdgeSql(fact: String, fk: String, dim: String, pk: String,
+      name: String): String =
+    s"""SELECT '$name' AS fk_edge, COUNT(f.$fk) AS n_refs,
+       |  CAST(SUM(CASE WHEN f.$fk IS NOT NULL AND d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+       |FROM $fact f LEFT JOIN (SELECT DISTINCT $pk FROM $dim) d ON f.$fk = d.$pk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dq02_referential_integrity" ->
+      (s"""SELECT fk_edge, n_refs, n_orphans,
+         |  CAST(n_orphans AS DOUBLE) / CAST(n_refs AS DOUBLE) AS orphan_rate
+         |FROM (
+         |${Seq(
+             dqEdgeSql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem_orderkey"),
+             dqEdgeSql("lineitem", "l_partkey", "part", "p_partkey", "lineitem_partkey"),
+             dqEdgeSql("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem_suppkey"),
+             dqEdgeSql("orders", "o_custkey", "customer", "c_custkey", "orders_custkey"),
+             dqEdgeSql("customer", "c_nationkey", "nation", "n_nationkey", "customer_nationkey"),
+             dqEdgeSql("supplier", "s_nationkey", "nation", "n_nationkey", "supplier_nationkey"),
+             dqEdgeSql("nation", "n_regionkey", "region", "r_regionkey", "nation_regionkey"))
+           .mkString("\nUNION ALL\n")}
+         |) ORDER BY fk_edge""".stripMargin),
+
     "dq01_constraint_report" ->
       """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
         |  SELECT 'orderkey_unique' AS check_name,
