@@ -185,9 +185,15 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
 object VectorFunctions {
 
   /** Registers vector_dot / vector_cosine for spark.sql + Column use.
-    * Idempotent; call once per session (query defs call it defensively). */
+    * Idempotent AND quiet: query defs call it defensively before every
+    * run, so re-registration is skipped entirely once the sentinel
+    * function exists in this session's registry — otherwise each call
+    * emits a `SimpleFunctionRegistry: ... replaced` warning per function
+    * and a 166-query bench log buries real warnings under ~2k of them. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"))) return
     registry.createOrReplaceTempFunction("vector_dot",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vector_cosine",
@@ -214,6 +220,12 @@ object VectorFunctions {
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"heavy_hitters expects exactly 2 arguments (column, k), got ${exprs.length}")
         HeavyHittersAgg(exprs.head, litInt(exprs, 1))
+      }, "built-in")
+    registry.createOrReplaceTempFunction("kmv_distinct",
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"kmv_distinct expects exactly 2 arguments (hash48, k), got ${exprs.length}")
+        KmvDistinctAgg(exprs.head, litInt(exprs, 1))
       }, "built-in")
     registry.createOrReplaceTempFunction("bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

@@ -242,29 +242,36 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     }),
 
-    // ---- n09: APPROX percentiles — the corpus-scale path n07's exact
-    // machinery can't take. n07's nearest-rank definition needs a full
-    // per-group sort (row_number window): at 100 TB that is a total
-    // shuffle + sort of the fact column. approx_percentile merges
-    // Greenwald-Khanna sketches instead: one pass, partial-aggregated
-    // map-side, mergeable across any partitioning, error bounded by the
-    // accuracy knob (10000 -> rank error <= n/10000). Declared
-    // rows-only for the driver (DuckDB's quantile interpolates — no
-    // cross-engine bit parity, the same reason n07 exists); the
-    // executable guarantees live in PlanSpec: no WindowExec/global sort
-    // in the plan, partial aggregation present, and every sketch value
-    // within the documented rank error of n07's exact answer.
-    "n09_approx_percentiles" -> ((spark: SparkSession, dir: String) => {
-      t(spark, dir, "lineitem")
+    // ---- n10: DETERMINISTIC approximate percentiles — the
+    // oracle-gateable corpus-scale path. n07's exact nearest-rank needs
+    // a per-group sort of the FULL fact column; n10 sorts a
+    // deterministic 1-in-10 hash sample instead (md5 of the row's
+    // unique key — the same rows in any engine, any partitioning, any
+    // data order), then applies n07's bit-reproducible count-and-pick
+    // to the sample. Sampling error follows order-statistics theory
+    // (~sqrt(p(1-p)/(r*n)) rank error at rate r); the sample RATE is
+    // the scale knob — at 100 TB a 1e-4 rate leaves a sortable sample
+    // with sub-percent rank error. Unlike the GK sketch (n09, kept as
+    // the engine-native alternate in `alternates`), the result is a
+    // pure function of the data, so DuckDB computes the identical
+    // sample and the identical picks — a green gate row.
+    "n10_sampled_percentiles" -> ((spark: SparkSession, dir: String) => {
+      val li = t(spark, dir, "lineitem")
+        .filter(expr(
+          """cast(conv(substr(md5(concat(
+            |  cast(l_orderkey as string), '#', cast(l_linenumber as string))),
+            |  1, 8), 16, 10) as bigint) % 10 = 0""".stripMargin))
+        .select(col("l_returnflag"), col("l_quantity"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      li.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
         .groupBy(col("l_returnflag"))
         .agg(
-          count(lit(1)).as("n"),
-          expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)")
-            .as("pcts"))
-        .select(col("l_returnflag"), col("n"),
-          element_at(col("pcts"), 1).as("median_qty"),
-          element_at(col("pcts"), 2).as("p90_qty"),
-          element_at(col("pcts"), 3).as("p99_qty"))
+          max(col("n")).as("n_sample"),
+          d(max(when(expr("rn = (n + 1) div 2"), dec(col("l_quantity"))))).as("median_qty"),
+          d(max(when(expr("rn = (9 * n + 9) div 10"), dec(col("l_quantity"))))).as("p90_qty"),
+          d(max(when(expr("rn = (99 * n + 99) div 100"), dec(col("l_quantity"))))).as("p99_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -383,6 +390,31 @@ object ExtendedQueries {
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
       count(lit(1)).as("n_rows"))
 
+  /** Engine-native approximate alternates — NOT driver-gated (GK sketch
+    * internals are engine-specific; DuckDB's quantile interpolates, so
+    * values cannot hash-match). The oracle-gated scale path is n10's
+    * deterministic hash-sampled percentiles; this stays available for
+    * users who want Spark's built-in one-pass GK sketch. Plan shape
+    * (no WindowExec, partial-aggregated) and rank-error-vs-n07 bounds
+    * are pinned by PlanSpec. */
+  val alternates: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n09_approx_percentiles" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(cast(l_quantity as double), array(0.5, 0.9, 0.99), 10000)")
+            .as("pcts"))
+        // explicit double cast (n07's dec->double discipline): the
+        // driver re-rolls testdata schemas between rounds, and a
+        // DECIMAL l_quantity must not change this query's output types.
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("pcts"), 1).cast("double").as("median_qty"),
+          element_at(col("pcts"), 2).cast("double").as("p90_qty"),
+          element_at(col("pcts"), 3).cast("double").as("p99_qty"))
+        .orderBy("l_returnflag")
+    }))
+
   val oracles: Map[String, String] = Map(
     "q11_important_suppliers" ->
       s"""SELECT l_suppkey, CAST(rev_dec AS DOUBLE) AS revenue FROM (
@@ -494,6 +526,22 @@ object ExtendedQueries {
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "n10_sampled_percentiles" ->
+      """SELECT l_returnflag, MAX(n) AS n_sample,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS median_qty,
+        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS p90_qty,
+        |  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS p99_qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |  WHERE ('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)),
+        |      1, 8))::BIGINT % 10 = 0)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 

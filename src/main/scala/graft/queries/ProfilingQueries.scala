@@ -79,33 +79,40 @@ object ProfilingQueries {
         .orderBy("column_name")
     }),
 
-    // ---- prof03: the corpus-scale profile prof01's scaladoc promises,
-    // as an executable query: distinct counts via approx_count_distinct
-    // (HLL++, fixed memory per column) instead of exact
-    // COUNT(DISTINCT). Planwise this collapses prof01's Expand (one
-    // duplicated stream of the scan PER distinct column) back to a
-    // single non-expanded aggregation pass — at 100 TB that's a 6x scan
-    // reduction. No DuckDB oracle on purpose (its HLL differs from
-    // Spark's, so values can't hash-match; the driver records the
-    // weaker rows-only check) — the estimate-vs-exact error bound is
-    // spec-pinned instead (OpsSpec), and PlanSpec asserts the
-    // no-Expand plan shape.
-    "prof03_approx_profile" -> ((spark: SparkSession, dir: String) => {
+    // ---- prof05: the ORACLE-GATED corpus-scale profile — distinct
+    // counts via the engine's KMV (bottom-k) sketch aggregate
+    // (graft.functions.KmvDistinctAgg): one non-Expand aggregation
+    // pass like prof03, fixed k-longs memory per column, mergeable
+    // partials — but, unlike HLL, a pure function of the input SET
+    // (the k smallest md5-derived 48-bit hashes), so DuckDB can
+    // compute the identical bottom-k in SQL and the estimates
+    // hash-match bit-for-bit. This makes the approximate-profiling
+    // path a green row in the driver's gate; prof03 (HLL) stays as
+    // the engine-native alternate in `alternates`, spec-gated.
+    // k=256 -> ~6% relative error (Beyer et al., SIGMOD'07).
+    "prof05_kmv_profile" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
       val o = t(spark, dir, "orders")
+      // 48-bit md5-derived hash of the value's canonical string form —
+      // the string forms reuse prof01's proven cross-engine casts
+      // (BIGINT/text direct, money through DECIMAL(18,2), dates through
+      // yyyy-MM-dd).
+      def kmv(s: String) = expr(
+        s"kmv_distinct(cast(conv(substr(md5($s), 1, 12), 16, 10) as bigint), 256)")
       val agg = o.agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("o_orderkey"))).as("nn_orderkey"),
-        approx_count_distinct(col("o_orderkey")).as("nd_orderkey"),
+        kmv("cast(o_orderkey as string)").as("nd_orderkey"),
         (count(lit(1)) - count(col("o_custkey"))).as("nn_custkey"),
-        approx_count_distinct(col("o_custkey")).as("nd_custkey"),
+        kmv("cast(o_custkey as string)").as("nd_custkey"),
         (count(lit(1)) - count(col("o_orderstatus"))).as("nn_status"),
-        approx_count_distinct(col("o_orderstatus")).as("nd_status"),
+        kmv("o_orderstatus").as("nd_status"),
         (count(lit(1)) - count(col("o_totalprice"))).as("nn_price"),
-        approx_count_distinct(col("o_totalprice")).as("nd_price"),
+        kmv("cast(cast(o_totalprice as decimal(18,2)) as string)").as("nd_price"),
         (count(lit(1)) - count(col("o_orderdate"))).as("nn_date"),
-        approx_count_distinct(col("o_orderdate")).as("nd_date"),
+        kmv("date_format(o_orderdate, 'yyyy-MM-dd')").as("nd_date"),
         (count(lit(1)) - count(col("o_orderpriority"))).as("nn_prio"),
-        approx_count_distinct(col("o_orderpriority")).as("nd_prio"))
+        kmv("o_orderpriority").as("nd_prio"))
       agg.selectExpr("n_rows",
         """stack(6,
           |  'o_custkey',       nn_custkey,  nd_custkey,
@@ -114,9 +121,9 @@ object ProfilingQueries {
           |  'o_orderpriority', nn_prio,     nd_prio,
           |  'o_orderstatus',   nn_status,   nd_status,
           |  'o_totalprice',    nn_price,    nd_price)
-          |AS (column_name, n_nulls, n_distinct_approx)""".stripMargin)
+          |AS (column_name, n_nulls, n_distinct_kmv)""".stripMargin)
         .select(col("column_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct_approx"))
+          col("n_distinct_kmv"))
         .orderBy("column_name")
     }),
 
@@ -207,7 +214,74 @@ object ProfilingQueries {
         .orderBy("l_returnflag")
     }))
 
+  /** Engine-native approximate alternates — NOT driver-gated (their
+    * sketch internals are engine-specific, so values cannot hash-match a
+    * DuckDB oracle); the oracle-gated scale path is prof05's KMV sketch,
+    * and these stay available for users who want Spark's built-in HLL.
+    * Value bounds are spec-pinned (OpsSpec) and plan shape asserted
+    * (PlanSpec), same machinery as the gated queries. */
+  val alternates: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HLL++ per column: one non-Expand aggregation pass, fixed memory.
+    "prof03_approx_profile" -> ((spark: SparkSession, dir: String) => {
+      val o = t(spark, dir, "orders")
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_orderkey"))).as("nn_orderkey"),
+        approx_count_distinct(col("o_orderkey")).as("nd_orderkey"),
+        (count(lit(1)) - count(col("o_custkey"))).as("nn_custkey"),
+        approx_count_distinct(col("o_custkey")).as("nd_custkey"),
+        (count(lit(1)) - count(col("o_orderstatus"))).as("nn_status"),
+        approx_count_distinct(col("o_orderstatus")).as("nd_status"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("nn_price"),
+        approx_count_distinct(col("o_totalprice")).as("nd_price"),
+        (count(lit(1)) - count(col("o_orderdate"))).as("nn_date"),
+        approx_count_distinct(col("o_orderdate")).as("nd_date"),
+        (count(lit(1)) - count(col("o_orderpriority"))).as("nn_prio"),
+        approx_count_distinct(col("o_orderpriority")).as("nd_prio"))
+      agg.selectExpr("n_rows",
+        """stack(6,
+          |  'o_custkey',       nn_custkey,  nd_custkey,
+          |  'o_orderdate',     nn_date,     nd_date,
+          |  'o_orderkey',      nn_orderkey, nd_orderkey,
+          |  'o_orderpriority', nn_prio,     nd_prio,
+          |  'o_orderstatus',   nn_status,   nd_status,
+          |  'o_totalprice',    nn_price,    nd_price)
+          |AS (column_name, n_nulls, n_distinct_approx)""".stripMargin)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct_approx"))
+        .orderBy("column_name")
+    }))
+
   val oracles: Map[String, String] = Map(
+    "prof05_kmv_profile" -> {
+      // Per column: the same bottom-256 of the same 48-bit md5 hashes,
+      // then (k-1) * 2^48 / h_(k) — every operand an exact double, one
+      // IEEE division, so the estimate hash-matches Spark's KMV agg.
+      def est(sExpr: String, colName: String) =
+        s"""(SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+           |       ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+           |            / CAST(MAX(h) AS DOUBLE) END
+           |  FROM (SELECT DISTINCT ('0x' || substr(md5($sExpr), 1, 12))::BIGINT AS h
+           |        FROM orders WHERE $colName IS NOT NULL
+           |        ORDER BY h LIMIT 256))""".stripMargin
+      def row(label: String, colName: String, sExpr: String) =
+        s"""SELECT '$label' AS column_name,
+           |  (SELECT COUNT(*) FROM orders) AS n_rows,
+           |  (SELECT COUNT(*) - COUNT($colName) FROM orders) AS n_nulls,
+           |  ${est(sExpr, colName)} AS n_distinct_kmv""".stripMargin
+      s"""SELECT * FROM (
+         |${Seq(
+             row("o_custkey", "o_custkey", "CAST(o_custkey AS VARCHAR)"),
+             row("o_orderdate", "o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
+             row("o_orderkey", "o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+             row("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+             row("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+             row("o_totalprice", "o_totalprice",
+               "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"))
+           .mkString("\nUNION ALL\n")}
+         |) ORDER BY column_name""".stripMargin
+    },
+
     "prof04_numeric_correlation" -> {
       def s(e: String, alias: String) =
         s"CAST(CAST(SUM($e) AS VARCHAR) AS DOUBLE) AS $alias"

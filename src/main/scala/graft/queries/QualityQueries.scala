@@ -62,16 +62,20 @@ object QualityQueries {
     // orphan rate is the first symptom of a broken upstream join key.
     // One LEFT OUTER join per edge folds the reference count and the
     // orphan count into a single pass (no separate anti-join + count
-    // scans); dimension key relations broadcast (DISTINCT'd first so a
-    // corrupt dimension with duplicate keys cannot multiply fact rows
-    // and corrupt the audit itself); the two fact-sized edges
-    // (lineitem -> orders/part) are plain keyed shuffles at scale.
+    // scans); genuinely-small dimension key relations broadcast
+    // (DISTINCT'd first so a corrupt dimension with duplicate keys
+    // cannot multiply fact rows and corrupt the audit itself); the two
+    // fact-sized edges (lineitem -> orders/part) carry NO hint — the
+    // planner picks a keyed shuffle (or AQE-broadcast if the key set
+    // happens to fit) instead of being forced to collect a fact-sized
+    // relation onto the driver at the 100 TB design point.
     // Determinism: exact counts, one IEEE division per edge.
     "dq02_referential_integrity" -> ((spark: SparkSession, dir: String) => {
       def edge(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
-          name: String): DataFrame = {
-        val keys = broadcast(dim.select(col(pk)).distinct()
-          .withColumn("__hit", lit(1)))
+          name: String, bcast: Boolean = true): DataFrame = {
+        val keySet = dim.select(col(pk)).distinct()
+          .withColumn("__hit", lit(1))
+        val keys = if (bcast) broadcast(keySet) else keySet
         fact.select(col(fk))
           .join(keys, col(fk) === col(pk), "left_outer")
           .agg(count(col(fk)).as("n_refs"),
@@ -87,8 +91,8 @@ object QualityQueries {
       val su = t(spark, dir, "supplier")
       val n = t(spark, dir, "nation")
       Seq(
-        edge(li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey"),
-        edge(li, "l_partkey", t(spark, dir, "part"), "p_partkey", "lineitem_partkey"),
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey", bcast = false),
+        edge(li, "l_partkey", t(spark, dir, "part"), "p_partkey", "lineitem_partkey", bcast = false),
         edge(li, "l_suppkey", su, "s_suppkey", "lineitem_suppkey"),
         edge(o, "o_custkey", c, "c_custkey", "orders_custkey"),
         edge(c, "c_nationkey", n, "n_nationkey", "customer_nationkey"),

@@ -449,7 +449,7 @@ class OpsSpec extends SparkSpec {
     import graft.queries.ProfilingQueries
     val exact = ProfilingQueries.defs("prof01_column_profile")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val approx = ProfilingQueries.defs("prof03_approx_profile")(spark, sf0001)
+    val approx = ProfilingQueries.alternates("prof03_approx_profile")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (colName, (nRows, nNulls, nd)) =>
@@ -457,6 +457,29 @@ class OpsSpec extends SparkSpec {
       assert(nRows == eRows && nNulls == eNulls, s"$colName exact stats differ")
       assert(math.abs(nd - eNd).toDouble <= math.max(1.0, 0.10 * eNd),
         s"$colName approx distinct $nd too far from exact $eNd")
+    }
+  }
+
+  test("profiling: prof05 KMV distincts are exact under k and within 15% above it") {
+    // The oracle gate proves cross-engine bit-parity; this spec pins the
+    // ESTIMATOR contract against ground truth: columns with fewer than
+    // k=256 distinct values report the exact count (the bottom-k set IS
+    // the value set), high-cardinality columns land within the
+    // ~1/sqrt(k-2) KMV error band (15% ~ 2.4 sigma at k=256).
+    import graft.queries.ProfilingQueries
+    val exact = ProfilingQueries.defs("prof01_column_profile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val kmv = ProfilingQueries.defs("prof05_kmv_profile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(kmv.keySet == exact.keySet)
+    kmv.foreach { case (colName, (nRows, nNulls, nd)) =>
+      val (eRows, eNulls, eNd) = exact(colName)
+      assert(nRows == eRows && nNulls == eNulls, s"$colName exact stats differ")
+      if (eNd < 256)
+        assert(nd == eNd.toDouble, s"$colName under-k KMV must be exact: $nd vs $eNd")
+      else
+        assert(math.abs(nd - eNd) <= 0.15 * eNd,
+          s"$colName KMV estimate $nd too far from exact $eNd")
     }
   }
 

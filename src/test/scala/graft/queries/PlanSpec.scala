@@ -13,7 +13,11 @@ import graft.SparkEntry
 class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String = {
-    val df: DataFrame = SparkEntry.queries(name)(spark, sf0001)
+    // Spec-gated engine-native alternates (HLL / GK sketches) live
+    // outside the driver map but get the same plan-shape assertions.
+    val all = SparkEntry.queries ++ ProfilingQueries.alternates ++
+      ExtendedQueries.alternates
+    val df: DataFrame = all(name)(spark, sf0001)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
@@ -155,6 +159,13 @@ class PlanSpec extends SparkSpec {
     // shape IS the 100 TB claim prof01's scaladoc makes.
     assert(!plan("prof03_approx_profile").contains("Expand"))
     assert(plan("prof01_column_profile").contains("Expand"))
+    // prof05 (the oracle-gated KMV variant) must share prof03's one-pass
+    // shape: no Expand, and the sketch partial-aggregates map-side
+    // (TypedImperativeAggregate -> ObjectHashAggregate partials).
+    val p5 = plan("prof05_kmv_profile")
+    assert(!p5.contains("Expand"), s"KMV profile must not expand:\n$p5")
+    assert(p5.contains("partial_kmv_distinct"),
+      s"map-side partial KMV merge expected:\n$p5")
     // prof04's 10 correlation moments likewise fold into ONE pass — no
     // Expand, no join, no per-pair re-scan.
     val p4 = plan("prof04_numeric_correlation")
@@ -177,7 +188,7 @@ class PlanSpec extends SparkSpec {
     // regenerations (l_quantity is a 2-decimal grid).
     val exact = SparkEntry.queries("n07_exact_percentiles")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val approx = SparkEntry.queries("n09_approx_percentiles")(spark, sf0001)
+    val approx = ExtendedQueries.alternates("n09_approx_percentiles")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(approx.keySet === exact.keySet)
     for ((k, (m, p90, p99)) <- approx) {
