@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * metadata structs — the Spark-side plumbing for image/audio/video
   * feature extraction at scale.
   *
-  * The real decode (JPEG/PNG/audio codecs) is STUBBED — codec libraries
-  * are not present in this environment — behind `Decoder`, a pluggable
-  * partition-local function. The deterministic `FakeDecoder` stands in so
-  * the plumbing (schema, batch iteration, partition locality, memory
-  * shape) is real and tested end-to-end; swapping in a JNI/JavaCV decoder
-  * is a one-line change at the call site.
+  * Formats with public byte layouts decode for REAL, pure-JVM: PPM, BMP,
+  * WAV — and PNG, whose only "codec" is DEFLATE (java.util.zip.Inflater).
+  * Entropy-codec formats (JPEG, MP3/AAC, video) are STUBBED — codec
+  * libraries are not present in this environment — behind `Decoder`, a
+  * pluggable partition-local function. The deterministic `FakeDecoder`
+  * stands in so the plumbing (schema, batch iteration, partition
+  * locality, memory shape) is real and tested end-to-end; swapping in a
+  * JNI/JavaCV decoder is a one-line change at the call site.
   *
   * Scale design: decode runs inside `mapPartitions` (the Scala analogue of
   * mapInPandas batch UDFs) — one decoder instance per partition, streaming
@@ -152,15 +154,254 @@ object Multimodal {
     }
   }
 
+  /** REAL PNG decoder — pure JVM, no codec library: PNG's compression
+    * is DEFLATE (java.util.zip.Inflater, in the JDK since 1.1) and
+    * everything else is public byte layout (RFC 2083): signature, then
+    * length/type/data/CRC chunks; IHDR gives dimensions + color type;
+    * the concatenated IDAT chunks inflate to height scanlines, each one
+    * filter-type byte + filtered samples; per-byte unfiltering (None /
+    * Sub / Up / Average / Paeth) recovers the raster. Supports bit
+    * depth 8 in all five color types — grayscale (0), RGB (2),
+    * palette (3, via PLTE), gray+alpha (4), RGBA (6) — normalized to
+    * the engine's 3-byte RGB raster (alpha dropped, gray replicated,
+    * palette resolved). Adam7 interlacing and sub-byte depths are
+    * refused with a clear error (the dominant training-corpus PNGs are
+    * 8-bit non-interlaced; a pre-pass can re-encode stragglers).
+    * This moves the dominant lossless training-image format off the
+    * FakeDecoder stub; JPEG (DCT entropy codecs) remains behind it. */
+  object PngDecoder extends PixelDecoder {
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (0 until 8).forall(i => p(i) == Sig(i))
+
+    private def be32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+
+    /** Standard Paeth predictor (RFC 2083 §6.6). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val pp = a + b - c
+      val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    override def decodePixels(item: MediaItem): PixelImage = {
+      val p = item.payload
+      require(isPng(p), s"media ${item.mediaId}: not a PNG")
+      var pos = 8
+      var width = -1; var height = -1; var colorType = -1
+      var palette: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && pos + 8 <= p.length) {
+        val len = be32(p, pos)
+        val typ = new String(p, pos + 4, 4, "US-ASCII")
+        // overflow-safe bound, same discipline as WavDecoder's chunk walk
+        require(len >= 0 && len <= p.length - pos - 12,
+          s"media ${item.mediaId}: chunk '$typ' overruns the payload")
+        typ match {
+          case "IHDR" =>
+            require(len >= 13, s"media ${item.mediaId}: IHDR too short")
+            width = be32(p, pos + 8); height = be32(p, pos + 12)
+            val bitDepth = p(pos + 16) & 0xff; colorType = p(pos + 17) & 0xff
+            val interlace = p(pos + 20) & 0xff
+            require(width > 0 && height > 0,
+              s"media ${item.mediaId}: bad dimensions ${width}x$height")
+            require(bitDepth == 8,
+              s"media ${item.mediaId}: only bit depth 8 supported, got $bitDepth")
+            require(interlace == 0,
+              s"media ${item.mediaId}: Adam7 interlacing unsupported")
+            require(colorType == 0 || colorType == 2 || colorType == 3 ||
+              colorType == 4 || colorType == 6,
+              s"media ${item.mediaId}: unknown color type $colorType")
+          case "PLTE" =>
+            require(len % 3 == 0, s"media ${item.mediaId}: PLTE not a multiple of 3")
+            palette = java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + len)
+          case "IDAT" => idat.write(p, pos + 8, len)
+          case "IEND" => done = true
+          case _ => // ancillary chunks (tEXt, tIME, gAMA, ...) skip
+        }
+        pos += 12 + len
+      }
+      require(width > 0, s"media ${item.mediaId}: no IHDR chunk")
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      }
+      if (colorType == 3) require(palette != null,
+        s"media ${item.mediaId}: palette image without PLTE chunk")
+      val rowBytes = width * channels
+      // Inflate the whole scanline stream: height * (1 filter byte + row).
+      val raw = new Array[Byte]((rowBytes + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          require(n > 0, s"media ${item.mediaId}: truncated IDAT stream " +
+            s"($off of ${raw.length} raster bytes)")
+          off += n
+        }
+        require(off == raw.length,
+          s"media ${item.mediaId}: IDAT inflated to $off of ${raw.length} bytes")
+      } finally inf.end()
+      // Unfilter scanlines (prev row starts all-zero per spec), then
+      // normalize samples to 3-byte RGB.
+      val out = new Array[Byte](width * height * 3)
+      val cur = new Array[Byte](rowBytes)
+      val prev = new Array[Byte](rowBytes)
+      var y = 0
+      while (y < height) {
+        val base = y * (rowBytes + 1)
+        val filter = raw(base) & 0xff
+        System.arraycopy(raw, base + 1, cur, 0, rowBytes)
+        filter match {
+          case 0 => // None
+          case 1 => // Sub
+            var i = channels
+            while (i < rowBytes) {
+              cur(i) = (cur(i) + cur(i - channels)).toByte; i += 1
+            }
+          case 2 => // Up
+            var i = 0
+            while (i < rowBytes) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
+          case 3 => // Average
+            var i = 0
+            while (i < rowBytes) {
+              val a = if (i >= channels) cur(i - channels) & 0xff else 0
+              cur(i) = (cur(i) + ((a + (prev(i) & 0xff)) >> 1)).toByte; i += 1
+            }
+          case 4 => // Paeth
+            var i = 0
+            while (i < rowBytes) {
+              val a = if (i >= channels) cur(i - channels) & 0xff else 0
+              val c = if (i >= channels) prev(i - channels) & 0xff else 0
+              cur(i) = (cur(i) + paeth(a, prev(i) & 0xff, c)).toByte; i += 1
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"media ${item.mediaId}: unknown filter type $other in row $y")
+        }
+        var x = 0
+        while (x < width) {
+          val d = (y * width + x) * 3
+          colorType match {
+            case 0 => // grayscale -> replicate
+              val v = cur(x)
+              out(d) = v; out(d + 1) = v; out(d + 2) = v
+            case 2 =>
+              val s = x * 3
+              out(d) = cur(s); out(d + 1) = cur(s + 1); out(d + 2) = cur(s + 2)
+            case 3 => // palette index -> PLTE RGB triple
+              val idx = (cur(x) & 0xff) * 3
+              require(idx + 2 < palette.length,
+                s"media ${item.mediaId}: palette index ${cur(x) & 0xff} out of range")
+              out(d) = palette(idx); out(d + 1) = palette(idx + 1); out(d + 2) = palette(idx + 2)
+            case 4 => // gray + alpha -> replicate gray, drop alpha
+              val v = cur(x * 2)
+              out(d) = v; out(d + 1) = v; out(d + 2) = v
+            case 6 => // RGBA -> drop alpha
+              val s = x * 4
+              out(d) = cur(s); out(d + 1) = cur(s + 1); out(d + 2) = cur(s + 2)
+          }
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        y += 1
+      }
+      PixelImage(width, height, out)
+    }
+  }
+
+  /** PNG encoder (RGB, color type 2, bit depth 8) — the write half of
+    * the PNG path: a thumbnail/raster sink and the round-trip fixture
+    * generator for the decoder's tests and gated queries. `filterForRow`
+    * picks each scanline's filter type (0-4); the samples are filtered
+    * exactly per RFC 2083 and deflated with java.util.zip.Deflater, so
+    * decode(encode(img)) is byte-exact for any filter choice — which is
+    * what lets a gated query prove real DEFLATE + unfilter work against
+    * a closed-form oracle. */
+  object PngEncoder extends Serializable {
+    private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(bytes, off, len)
+      c.getValue.toInt
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val pp = a + b - c
+      val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    def encode(img: PixelImage, filterForRow: Int => Int = _ => 0): Array[Byte] = {
+      val rowBytes = img.width * 3
+      val raw = new Array[Byte]((rowBytes + 1) * img.height)
+      val prev = new Array[Byte](rowBytes)
+      var y = 0
+      while (y < img.height) {
+        val f = filterForRow(y)
+        require(f >= 0 && f <= 4, s"filter type $f out of range")
+        val base = y * (rowBytes + 1)
+        raw(base) = f.toByte
+        var i = 0
+        while (i < rowBytes) {
+          val x = img.rgb(y * rowBytes + i) & 0xff
+          val a = if (i >= 3) img.rgb(y * rowBytes + i - 3) & 0xff else 0
+          val b = prev(i) & 0xff
+          val c = if (i >= 3) prev(i - 3) & 0xff else 0
+          val filtered = f match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case 4 => x - paeth(a, b, c)
+          }
+          raw(base + 1 + i) = filtered.toByte
+          i += 1
+        }
+        System.arraycopy(img.rgb, y * rowBytes, prev, 0, rowBytes)
+        y += 1
+      }
+      val deflated = {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        d.setInput(raw); d.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        buf.toByteArray
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val body = typ.getBytes("US-ASCII") ++ data
+        val bb = java.nio.ByteBuffer.allocate(body.length + 8)
+        bb.putInt(data.length).put(body).putInt(crc32(body, 0, body.length))
+        out.write(bb.array())
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(img.width).putInt(img.height)
+        .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", ihdr.array())
+      chunk("IDAT", deflated)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+  }
+
   /** Content-sniffing dispatch: real decoders for the formats whose
-    * layout is public ("P6" -> PPM, "BM" -> BMP), the deterministic
-    * stub for everything codec-dependent — so one `decodeMeta` call
-    * serves a mixed-format corpus column. */
+    * layout is public ("P6" -> PPM, "BM" -> BMP, the PNG signature ->
+    * PNG), the deterministic stub for everything codec-dependent — so
+    * one `decodeMeta` call serves a mixed-format corpus column. */
   object SniffDecoder extends Decoder {
     override def decode(item: MediaItem): MediaMeta = {
       val p = item.payload
       if (p.length >= 2 && p(0) == 'P' && p(1) == '6') PpmDecoder.decode(item)
       else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') BmpDecoder.decode(item)
+      else if (PngDecoder.isPng(p)) PngDecoder.decode(item)
       else FakeDecoder.decode(item)
     }
   }

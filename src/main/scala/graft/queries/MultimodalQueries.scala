@@ -180,6 +180,41 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm07: REAL PNG decode in the gate — each doc's 9x8 gray ramp
+    // (same pixel formula as mm05) is encoded as an ACTUAL PNG (RGB,
+    // bit depth 8: signature, IHDR, a DEFLATE'd IDAT, CRC'd chunks)
+    // with row y carrying filter type y % 5 — so decoding exercises
+    // every unfilter path (None/Sub/Up/Average/Paeth) plus a real
+    // Inflater round-trip, per row, per document. The oracle states the
+    // luma stats in closed form from the pixel formula: hash-equality
+    // proves the decoder recovered every byte of the raster. JPEG stays
+    // behind the documented stub (entropy codec, no JDK primitive).
+    "mm07_png_pixel_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rgb = new Array[Byte](9 * 8 * 3)
+            var p = 0
+            while (p < 72) {
+              val v = ((id * 7 + p * 13) % 256).toByte
+              rgb(p * 3) = v; rgb(p * 3 + 1) = v; rgb(p * 3 + 2) = v
+              p += 1
+            }
+            val img = graft.ops.Multimodal.PixelImage(9, 8, rgb)
+            (id, graft.ops.Multimodal.PngEncoder.encode(img, y => y % 5))
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PngDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
+
     // ---- c03: composed media pipeline — the third flagship
     // composition (c01 corpus curation, c02 vector ingestion): decode
     // ONCE per image, derive dimensions + full-image luma + perceptual
@@ -284,6 +319,18 @@ object MultimodalQueries {
         |  CAST(SUM(v * v) AS DOUBLE) / 64 AS mean_square,
         |  CAST(SUM(CASE WHEN abs(v) >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // Same 72-pixel closed form as mm05/c03 — a gray pixel's Rec.601
+    // luma is its value, so the PNG round-trip must reproduce the
+    // formula exactly for the hashes to match.
+    "mm07_png_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 72)) AS u(j))
+        |SELECT doc_id AS media_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(SUM(v) AS DOUBLE) / 72 AS mean_luma,
+        |  CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm04_thumbnail_stats" ->
       """WITH px AS (

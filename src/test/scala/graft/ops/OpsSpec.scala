@@ -114,9 +114,107 @@ class OpsSpec extends SparkSpec {
     val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
     val real = Multimodal.SniffDecoder.decode(Multimodal.MediaItem(1L, ppm))
     assert(real.width == 1 && real.height == 1 && real.frameCount == 1)
+    val png = Multimodal.PngEncoder.encode(
+      Multimodal.PixelImage(2, 1, Array[Byte](1, 2, 3, 4, 5, 6)))
+    val viaPng = Multimodal.SniffDecoder.decode(Multimodal.MediaItem(3L, png))
+    assert(viaPng.width == 2 && viaPng.height == 1, "PNG signature routes to PngDecoder")
     val opaque = "not an image".getBytes("US-ASCII")
     val stub = Multimodal.SniffDecoder.decode(Multimodal.MediaItem(2L, opaque))
     assert(stub.width == opaque.length % 640, "codec-less payloads keep stub semantics")
+  }
+
+  test("multimodal: PNG round-trips byte-exactly under every filter type") {
+    // A 5x7 RGB image with full byte-range content (ramps + step edges
+    // that make Sub/Up/Average/Paeth produce distinct filtered bytes).
+    val w = 5; val h = 7
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      ((i * 37 + (i / 3) * 11 + (i / 15) * 101) % 256).toByte
+    }
+    val img = Multimodal.PixelImage(w, h, rgb)
+    // Each fixed filter type, plus the per-row mix the gated query uses.
+    (0 to 4).foreach { f =>
+      val bytes = Multimodal.PngEncoder.encode(img, _ => f)
+      val out = Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(f.toLong, bytes))
+      assert(out.width == w && out.height == h)
+      assert(out.rgb.toSeq == rgb.toSeq, s"filter $f round-trip differs")
+    }
+    val mixed = Multimodal.PngEncoder.encode(img, y => y % 5)
+    val out = Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(9L, mixed))
+    assert(out.rgb.toSeq == rgb.toSeq, "mixed-filter round-trip differs")
+  }
+
+  test("multimodal: PNG decoder normalizes gray/palette/alpha color types to RGB") {
+    // Hand-build minimal PNGs for color types 0/3/4/6 (the encoder only
+    // writes type 2) — deflate the raw scanlines directly.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      java.nio.ByteBuffer.allocate(body.length + 8)
+        .putInt(data.length).put(body).putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](512)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end(); buf.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def png(colorType: Int, scanlines: Array[Byte], plte: Option[Array[Byte]] = None): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(1)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      sig ++ chunk("IHDR", ihdr.array()) ++
+        plte.map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray) ++
+        chunk("IDAT", deflate(scanlines)) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    // 2x1 grayscale (type 0): values 7, 200 -> replicated to RGB.
+    val gray = Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(1L,
+      png(0, Array[Byte](0, 7, 200.toByte))))
+    assert(gray.rgb.toSeq == Seq[Byte](7, 7, 7, 200.toByte, 200.toByte, 200.toByte))
+    // 2x1 palette (type 3): indices 1, 0 against a 2-entry PLTE.
+    val pal = Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(2L,
+      png(3, Array[Byte](0, 1, 0),
+        plte = Some(Array[Byte](10, 20, 30, 40, 50, 60)))))
+    assert(pal.rgb.toSeq == Seq[Byte](40, 50, 60, 10, 20, 30))
+    // 2x1 gray+alpha (type 4): alpha dropped, gray replicated.
+    val ga = Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(3L,
+      png(4, Array[Byte](0, 9, 128.toByte, 250.toByte, 0))))
+    assert(ga.rgb.toSeq == Seq[Byte](9, 9, 9, 250.toByte, 250.toByte, 250.toByte))
+    // 2x1 RGBA (type 6): alpha dropped.
+    val rgba = Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(4L,
+      png(6, Array[Byte](0, 1, 2, 3, 99.toByte, 4, 5, 6, 7))))
+    assert(rgba.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // Malformed inputs error, not garbage: bad signature, truncated
+    // IDAT, palette image without PLTE.
+    intercept[IllegalArgumentException] {
+      Multimodal.PngDecoder.decodePixels(
+        Multimodal.MediaItem(5L, "how about no".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] {
+      val full = png(0, Array[Byte](0, 7, 200.toByte))
+      Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(6L,
+        java.util.Arrays.copyOfRange(full, 0, full.length - 20)))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PngDecoder.decodePixels(Multimodal.MediaItem(7L,
+        png(3, Array[Byte](0, 1, 0)))) // type 3, no PLTE
+    }
+  }
+
+  test("multimodal: PNG and PPM encodings of one image produce the same dHash") {
+    import spark.implicits._
+    // The perceptual fingerprint must be format-independent: the same
+    // raster through either real decoder yields identical bits — the
+    // property that makes dHash dedup catch re-encoded copies.
+    val rgb = Array.tabulate(9 * 8 * 3)(i => ((i / 3 * 13 + 5) % 256).toByte)
+    val ppm = "P6\n9 8\n255\n".getBytes("US-ASCII") ++ rgb
+    val pngB = Multimodal.PngEncoder.encode(Multimodal.PixelImage(9, 8, rgb), y => y % 5)
+    val viaPpm = Multimodal.dhash64(
+      Seq((1L, ppm)).toDF("media_id", "payload"), "media_id", "payload",
+      Multimodal.PpmDecoder).collect().head
+    val viaPng = Multimodal.dhash64(
+      Seq((1L, pngB)).toDF("media_id", "payload"), "media_id", "payload",
+      Multimodal.PngDecoder).collect().head
+    assert((viaPpm.dhashHi, viaPpm.dhashLo) == ((viaPng.dhashHi, viaPng.dhashLo)))
   }
 
   test("multimodal: pixelStats computes real luma stats, partition-invariant") {
