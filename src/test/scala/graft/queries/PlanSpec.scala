@@ -199,6 +199,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("knn03: multi-probe graph build lifts recall over 1-probe, >= the IVF bar") {
+    // The graph build shares sim02's probe semantics; the audit must
+    // show the extra probes actually pay (strictly more hits than the
+    // single-probe build on this data) and the default 3-probe build
+    // clears the same 0.7 bar OpsSpec pins for sim05's query-side
+    // recall. Measured curve on this corpus (knnGraph scaladoc):
+    // 1 -> 0.60, 2 -> 0.67, 3 -> 0.72, 4 -> 0.74.
+    def mean(nProbes: Int): Double = {
+      val rows = SimilarityQueries.knnRecall(spark, sf0001, nProbes).collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    val one = mean(1)
+    val three = mean(3)
+    assert(three > one, s"probes must add hits: 3-probe $three vs 1-probe $one")
+    assert(three >= 0.7, s"3-probe graph recall $three below the 0.7 bar")
+  }
+
   test("asof02: forward as-of is one window pass — no join operator at all") {
     val p = plan("asof02_next_purchase_attribution")
     assert(p.contains("Window"))
