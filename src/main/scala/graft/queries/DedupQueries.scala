@@ -372,9 +372,17 @@ object DedupQueries {
       val jac = col("jaccard")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("dirty_id")).orderBy(jac.desc, col("clean_id").asc)
+      // The acceptance gate runs BEFORE the window: top-1-then-filter
+      // and filter-then-top-1 are equivalent for the same ordering key
+      // (if the global best passes the gate it is also the filtered
+      // best; if not, the filtered partition is empty) — but Catalyst
+      // cannot prove that, and the unpushed form sorts the FULL
+      // candidate relation (6.5M pairs at sf0.1) for a window whose
+      // survivors are ~0.1% of it.
       erPairs(spark, dir)
+        .filter(col("jaccard") >= 0.5)
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1 && col("jaccard") >= 0.5)
+        .filter(col("rk") === 1)
         .select(col("dirty_id"), col("clean_id"), col("jaccard"),
           (col("dirty_id") === col("clean_id")).as("is_self"))
         .orderBy("dirty_id")
@@ -502,7 +510,21 @@ object DedupQueries {
   /** The scored ER candidate pairs (dirty_id, clean_id, jaccard) —
     * shared by er01 (best-per-dirty pair report), er02 (entity
     * clustering over every accepted link), and er03 (exact
-    * edit-distance verification of blocked candidates). */
+    * edit-distance verification of blocked candidates).
+    *
+    * A/B note (round 7, measured like round 5's window-vs-struct):
+    * a LENGTH-BAND prefilter (prune joined rows where
+    * min(n_d,n_c)/max(n_d,n_c) < 0.3 before the pair-count aggregate —
+    * sound, since jaccard <= min/max) was measured on sf0.1 and prunes
+    * 460 of 20,528,907 join rows (0.002%): this fixture's names are
+    * uniform-length (first 3 words of a fixed-vocabulary generator), so
+    * the band never fires and the extra size-attach joins on the JOIN
+    * INPUT would cost more than they save. Not adopted; the candidate
+    * volume here is data-inherent (26% of all pairs share a non-stop
+    * trigram — tiny synthetic vocabulary), and the plan is already the
+    * scale shape: broadcast trigram join, one exchange for the pair
+    * aggregate, broadcast size attaches. On a real-language corpus the
+    * band becomes a standard blocking component worth re-measuring. */
   private def erPairs(spark: SparkSession, dir: String): DataFrame = {
       val base = erBase(spark, dir)
       val dirty = erDirty(base)
