@@ -19,11 +19,12 @@ import graft.sinks.MongoWire
   * is control-plane-sized; a long-lived service wanting rule updates
   * re-constructs the repository (one find), it never per-key round-trips.
   */
-final class MongoConfigRepository(host: String, port: Int, database: String)
+final class MongoConfigRepository(host: String, port: Int, database: String,
+    credential: Option[graft.sinks.MongoCredential] = None)
     extends ConfigRepository {
 
   private val matcher =
-    new RuleMatcher(MongoConfigRepository.loadRules(host, port, database))
+    new RuleMatcher(MongoConfigRepository.loadRules(host, port, database, credential))
 
   override def allRules: Seq[IngestionConfigRule] = matcher.allRules
   override def findBestMatch(key: String): Option[IngestionConfigRule] =
@@ -33,8 +34,10 @@ final class MongoConfigRepository(host: String, port: Int, database: String)
 object MongoConfigRepository {
 
   /** One wire round-trip: find on `{database}.ingestion_config`. */
-  def loadRules(host: String, port: Int, database: String): Seq[IngestionConfigRule] =
+  def loadRules(host: String, port: Int, database: String,
+      credential: Option[graft.sinks.MongoCredential] = None): Seq[IngestionConfigRule] =
     MongoWire.withConnection(host, port) { (out, in) =>
+      credential.foreach(c => MongoWire.authenticate(out, in, c.authDb, c.user, c.password))
       MongoWire.find(out, in, database, "ingestion_config").map(ruleFromBson)
     }
 

@@ -49,6 +49,14 @@ object Bson {
   private def writeElement(out: ByteArrayOutputStream, name: String, v: JsonNode): Unit = {
     def tag(t: Int): Unit = { out.write(t); writeCString(out, name) }
     v match {
+      case _ if v.isBinary =>
+        // binData subtype 0 (generic) — SASL payloads ride here; length
+        // counts the payload only, not the subtype byte (bsonspec.org).
+        tag(0x05)
+        val bytes = v.binaryValue()
+        writeInt32(out, bytes.length)
+        out.write(0) // subtype
+        out.write(bytes, 0, bytes.length)
       case _ if v.isTextual =>
         tag(0x02)
         val bytes = v.textValue().getBytes(UTF_8)
@@ -134,7 +142,7 @@ object Bson {
       buf.get() // subtype
       val bytes = new Array[Byte](len)
       buf.get(bytes)
-      nodes.textNode(java.util.Base64.getEncoder.encodeToString(bytes))
+      nodes.binaryNode(bytes) // JSON-serializes as base64, binaryValue() is lossless
     case 0x08 => nodes.booleanNode(buf.get() != 0)
     case 0x09 => nodes.numberNode(buf.getLong()) // UTC datetime, epoch millis
     case 0x0A => nodes.nullNode()

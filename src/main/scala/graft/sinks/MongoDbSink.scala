@@ -43,7 +43,8 @@ import graft.ports.DataSink
 final class MongoDbSink(host: String, port: Int, database: String,
                         batchSize: Int = 1000,
                         batchBytes: Long = 16L * 1024 * 1024,
-                        deterministicIdColumns: Seq[String] = Nil) extends DataSink {
+                        deterministicIdColumns: Seq[String] = Nil,
+                        credential: Option[MongoCredential] = None) extends DataSink {
 
   /** With `deterministicIdColumns` set, every row gets
     * `_id = md5(to_json(struct(cols)))` and duplicate-key rejections
@@ -56,6 +57,7 @@ final class MongoDbSink(host: String, port: Int, database: String,
     * would deduplicate legitimate repeats. */
   override def write(df: DataFrame, targetTable: String): Long = {
     val (h, p, db, maxDocs, maxBytes) = (host, port, database, batchSize, batchBytes)
+    val creds = credential // capture the case class, not `this`, in the task closure
     val keyed =
       if (deterministicIdColumns.isEmpty) df
       else df.withColumn("_id", org.apache.spark.sql.functions.md5(
@@ -67,6 +69,7 @@ final class MongoDbSink(host: String, port: Int, database: String,
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.single(0L)
         else MongoWire.withConnection(h, p, soTimeoutMs = 120000) { (out, in) =>
+          creds.foreach(c => MongoWire.authenticate(out, in, c.authDb, c.user, c.password))
           var total = 0L
           val batch = scala.collection.mutable.ArrayBuffer.empty[String]
           var bytes = 0L
@@ -88,6 +91,14 @@ final class MongoDbSink(host: String, port: Int, database: String,
   }
 }
 
+/** SCRAM login identity for the Mongo/DocumentDB wire — user/password
+  * plus the database the user is defined in (MongoDB's `authSource`,
+  * "admin" for the root users the reference's deployment provisions).
+  * Serializable by construction: executor partitions authenticate
+  * their own connections. */
+final case class MongoCredential(user: String, password: String,
+                                 authDb: String = "admin")
+
 /** OP_MSG framing shared by the sink (client side) and StubMongoServer
   * (server side). Public protocol layout: 16-byte message header
   * (messageLength, requestID, responseTo, opCode — all int32 LE), then
@@ -99,6 +110,78 @@ object MongoWire {
   val OpMsg = 2013
   private val mapper = new ObjectMapper()
   private val requestIds = new AtomicInteger(0)
+
+  /** Sends one kind-0 command document and returns the reply body,
+    * raising on `ok != 1` with the server's errmsg. */
+  def runCommand(out: DataOutputStream, in: DataInputStream,
+                 cmd: JsonNode, what: String): JsonNode = {
+    val cmdBytes = Bson.encodeDocument(cmd)
+    val bodyLen = 4 + 1 + cmdBytes.length
+    val buf = ByteBuffer.allocate(16 + bodyLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(16 + bodyLen).putInt(requestIds.incrementAndGet()).putInt(0).putInt(OpMsg)
+    buf.putInt(0).put(0.toByte).put(cmdBytes)
+    out.write(buf.array()); out.flush()
+    val body = firstDocument(readMessage(in)._2)
+    val ok = Option(body.get("ok")).exists(_.asDouble() == 1.0)
+    if (!ok) {
+      val msg = Option(body.get("errmsg")).map(_.asText()).getOrElse(body.toString)
+      throw DatabaseError(s"$what failed: $msg")
+    }
+    body
+  }
+
+  /** SCRAM-SHA-256 login over saslStart/saslContinue — run once per
+    * connection, BEFORE any data command, exactly as MongoDB drivers
+    * do on socket open. Verifies the ServerSignature on the final leg
+    * (mutual auth): a server that accepts the proof but cannot produce
+    * `v=` does not know the credential, and trusting it would hand a
+    * fake endpoint every document in the partition. `clientNonce` is
+    * injectable for deterministic tests; production path draws from
+    * SecureRandom. */
+  def authenticate(out: DataOutputStream, in: DataInputStream,
+                   authDb: String, user: String, password: String,
+                   clientNonce: Option[String] = None): Unit = {
+    val nonce = clientNonce.getOrElse {
+      val b = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(b)
+      java.util.Base64.getEncoder.encodeToString(b)
+    }
+    val firstBare = Scram.clientFirstBare(user, nonce)
+    val start = mapper.createObjectNode()
+    start.put("saslStart", 1)
+    start.put("mechanism", "SCRAM-SHA-256")
+    start.put("payload", (Scram.Gs2Header + firstBare).getBytes(UTF_8))
+    start.set[JsonNode]("options",
+      mapper.createObjectNode().put("skipEmptyExchange", true))
+    start.put("$db", authDb)
+    val r1 = runCommand(out, in, start, s"saslStart as '$user'")
+    val convId = r1.path("conversationId").asInt()
+    val serverFirst = new String(r1.get("payload").binaryValue(), UTF_8)
+
+    val derived = Scram.deriveClient(password, firstBare, serverFirst)
+    val cont = mapper.createObjectNode()
+    cont.put("saslContinue", 1)
+    cont.put("conversationId", convId)
+    cont.put("payload", derived.clientFinal.getBytes(UTF_8))
+    cont.put("$db", authDb)
+    var reply = runCommand(out, in, cont, s"saslContinue as '$user'")
+    val serverFinal = new String(reply.get("payload").binaryValue(), UTF_8)
+    if (!Scram.parseAttributes(serverFinal).get('v')
+        .contains(derived.serverSignatureB64))
+      throw DatabaseError(
+        s"SCRAM server signature mismatch for '$user' — endpoint does not hold this credential")
+    // Servers without skipEmptyExchange close with one empty round.
+    if (!reply.path("done").asBoolean(false)) {
+      val fin = mapper.createObjectNode()
+      fin.put("saslContinue", 1)
+      fin.put("conversationId", convId)
+      fin.put("payload", Array.emptyByteArray)
+      fin.put("$db", authDb)
+      reply = runCommand(out, in, fin, s"saslContinue (final) as '$user'")
+      if (!reply.path("done").asBoolean(false))
+        throw DatabaseError(s"SASL conversation for '$user' never completed")
+    }
+  }
 
   /** One TCP connection wrapped in data streams, closed on exit — the
     * shared connect/timeout/cleanup shape for every wire client (sink

@@ -23,13 +23,17 @@ import graft.ports.LogRepository
   */
 final class MongoLogRepository(
     host: String, port: Int, database: String,
-    idGen: String => String = _ => java.util.UUID.randomUUID().toString)
+    idGen: String => String = _ => java.util.UUID.randomUUID().toString,
+    credential: Option[MongoCredential] = None)
     extends LogRepository {
 
   private val mapper = new ObjectMapper()
 
   private def withWire[A](f: (DataOutputStream, DataInputStream) => A): A =
-    MongoWire.withConnection(host, port)(f)
+    MongoWire.withConnection(host, port) { (out, in) =>
+      credential.foreach(c => MongoWire.authenticate(out, in, c.authDb, c.user, c.password))
+      f(out, in)
+    }
 
   override def insertLog(log: IngestionLog): String = {
     val id = if (log.logId.nonEmpty) log.logId else idGen(log.fileName)

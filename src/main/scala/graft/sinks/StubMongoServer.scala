@@ -26,6 +26,20 @@ final class StubMongoServer {
   private val reqCount = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var failAtRequest = -1
   @volatile private var running = true
+  @volatile private var authUser: String = null
+  @volatile private var authCred: Scram.Credential = null
+
+  /** Turns on SCRAM-SHA-256: every connection must complete the SASL
+    * exchange before any data command (the real server's
+    * `--auth` mode). Salt is derived from the username so the stored
+    * credential — and therefore the whole exchange given fixed
+    * nonces — is deterministic for tests. */
+  def requireAuth(user: String, password: String): Unit = {
+    val salt = java.util.Arrays.copyOf(
+      Scram.h(s"salt:$user".getBytes(java.nio.charset.StandardCharsets.UTF_8)), 16)
+    authUser = user
+    authCred = Scram.credential(password, salt, 4096)
+  }
 
   private val server = new ServerSocket(0, 64, java.net.InetAddress.getLoopbackAddress)
 
@@ -65,6 +79,14 @@ final class StubMongoServer {
   def stop(): Unit = { running = false; server.close() }
 
   private def serve(sock: Socket): Unit = {
+    // SASL is a per-CONNECTION conversation: authentication state lives
+    // on this socket's stack, exactly like the real server's session.
+    var authenticated = false
+    var saslBare: String = null        // client-first-bare, pending verify
+    var saslServerFirst: String = null
+    var saslSkipEmpty = false
+    var saslVerified = false
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
@@ -78,7 +100,73 @@ final class StubMongoServer {
         } else {
           val (cmd, _) = MongoWire.parseCommand(msg)
           val db = Option(cmd.get("$db")).map(_.asText()).getOrElse("")
-          if (cmd.has("insert")) {
+          if (cmd.has("saslStart")) {
+            val mech = cmd.path("mechanism").asText()
+            val payload = new String(cmd.get("payload").binaryValue(), utf8)
+            if (authUser == null) {
+              body.put("ok", 0.0); body.put("code", 18)
+              body.put("errmsg", "Authentication failed: no users configured")
+            } else if (mech != "SCRAM-SHA-256") {
+              body.put("ok", 0.0); body.put("code", 2) // BadValue
+              body.put("errmsg", s"unsupported SASL mechanism $mech")
+            } else if (!payload.startsWith(Scram.Gs2Header)) {
+              body.put("ok", 0.0); body.put("code", 18)
+              body.put("errmsg", "malformed gs2 header")
+            } else {
+              val bare = payload.substring(Scram.Gs2Header.length)
+              val attrs = Scram.parseAttributes(bare)
+              if (!attrs.get('n').contains(Scram.escapeUsername(authUser))) {
+                body.put("ok", 0.0); body.put("code", 18)
+                body.put("errmsg", "Authentication failed.")
+              } else {
+                // Deterministic server nonce (hash of the client's) so a
+                // fixed client nonce makes the WHOLE exchange replayable
+                // in tests; a real server draws this randomly.
+                val clientNonce = attrs('r')
+                val serverNonce = java.util.Base64.getEncoder.encodeToString(
+                  java.util.Arrays.copyOf(
+                    Scram.h(s"nonce:$clientNonce".getBytes(utf8)), 18))
+                saslBare = bare
+                saslServerFirst =
+                  Scram.serverFirstMessage(clientNonce + serverNonce, authCred)
+                saslSkipEmpty =
+                  cmd.path("options").path("skipEmptyExchange").asBoolean(false)
+                saslVerified = false
+                body.put("conversationId", 1)
+                body.put("done", false)
+                body.put("payload", saslServerFirst.getBytes(utf8))
+                body.put("ok", 1.0)
+              }
+            }
+          } else if (cmd.has("saslContinue")) {
+            val payload = new String(cmd.get("payload").binaryValue(), utf8)
+            if (saslBare == null) {
+              body.put("ok", 0.0); body.put("code", 17) // ProtocolError
+              body.put("errmsg", "no SASL conversation in progress")
+            } else if (payload.isEmpty && saslVerified) {
+              authenticated = true // the classic empty closing round
+              body.put("conversationId", 1)
+              body.put("done", true)
+              body.put("payload", Array.emptyByteArray)
+              body.put("ok", 1.0)
+            } else Scram.verifyClientFinal(authCred, saslBare, saslServerFirst,
+                payload) match {
+              case Some(serverFinal) =>
+                saslVerified = true
+                if (saslSkipEmpty) authenticated = true
+                body.put("conversationId", 1)
+                body.put("done", saslSkipEmpty)
+                body.put("payload", serverFinal.getBytes(utf8))
+                body.put("ok", 1.0)
+              case None =>
+                body.put("ok", 0.0); body.put("code", 18) // AuthenticationFailed
+                body.put("errmsg", "Authentication failed.")
+            }
+          } else if (authUser != null && !authenticated) {
+            body.put("ok", 0.0); body.put("code", 13) // Unauthorized
+            body.put("errmsg",
+              s"command ${cmd.fieldNames().next()} requires authentication")
+          } else if (cmd.has("insert")) {
             // parseInsert owns the kind-1 + inline `documents` merge rule.
             // Like a real server, the unique _id index rejects duplicate
             // ids with writeError code 11000; reply `n` counts only the

@@ -210,4 +210,126 @@ class MongoWireSpec extends AnyFunSuite {
       assert(stored.map(_.get("v").asInt()) == Seq(1, 2))
     } finally server.stop()
   }
+
+  // ---- SCRAM-SHA-256 ----
+
+  test("SCRAM derivation reproduces the RFC 7677 test vector exactly") {
+    // RFC 7677 §3: user "user", pass "pencil", fixed nonces. Pinning the
+    // published vector proves interop with ANY conforming server, not
+    // just our stub agreeing with our client.
+    val clientFirstBare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    val serverFirst =
+      "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val d = Scram.deriveClient("pencil", clientFirstBare, serverFirst)
+    assert(d.clientFinal ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert(d.serverSignatureB64 == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    // and the server-side verifier accepts exactly that proof
+    val salt = java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val cred = Scram.credential("pencil", salt, 4096)
+    assert(Scram.verifyClientFinal(cred, clientFirstBare, serverFirst, d.clientFinal)
+      .contains("v=" + d.serverSignatureB64))
+    assert(Scram.verifyClientFinal(cred, clientFirstBare, serverFirst,
+      d.clientFinal.dropRight(5) + "AAAA=").isEmpty)
+  }
+
+  test("SCRAM username escaping and SASLprep normalization") {
+    assert(Scram.escapeUsername("a=b,c") == "a=3Db=2Cc")
+    assert(Scram.saslPrep("pen cil") == "pen cil") // NBSP -> space
+    assert(Scram.saslPrep("pen­cil") == "pencil")  // soft hyphen removed
+    assert(Scram.saslPrep("Ⅸ") == "IX")            // NFKC roman numeral
+    intercept[IllegalArgumentException](Scram.saslPrep("pencil"))
+  }
+
+  test("authenticated wire round-trip: login, insert, reject bad password") {
+    val server = new StubMongoServer
+    server.requireAuth("ingest_user", "s3cret")
+    try {
+      // happy path: saslStart/saslContinue then a working insert
+      val sock = new java.net.Socket(server.host, server.port)
+      try {
+        val out = new DataOutputStream(sock.getOutputStream)
+        val in = new DataInputStream(sock.getInputStream)
+        MongoWire.authenticate(out, in, "admin", "ingest_user", "s3cret")
+        val n = MongoWire.insertMany(out, in, "db", "c", Seq("""{"x":1}"""))
+        assert(n == 1)
+      } finally sock.close()
+      assert(server.docs("db", "c").nonEmpty)
+
+      // wrong password: server refuses at the proof leg
+      val sock2 = new java.net.Socket(server.host, server.port)
+      try {
+        val e = intercept[graft.domain.IngestionError.DatabaseError](
+          MongoWire.authenticate(
+            new DataOutputStream(sock2.getOutputStream),
+            new DataInputStream(sock2.getInputStream),
+            "admin", "ingest_user", "wrong"))
+        assert(e.getMessage.contains("Authentication failed"))
+      } finally sock2.close()
+    } finally server.stop()
+  }
+
+  test("auth-required stub rejects unauthenticated commands with code 13") {
+    val server = new StubMongoServer
+    server.requireAuth("u", "p")
+    try {
+      val sock = new java.net.Socket(server.host, server.port)
+      try {
+        val e = intercept[graft.domain.IngestionError.DatabaseError](
+          MongoWire.insertMany(
+            new DataOutputStream(sock.getOutputStream),
+            new DataInputStream(sock.getInputStream),
+            "db", "c", Seq("""{"x":1}""")))
+        assert(e.getMessage.contains("requires authentication"))
+      } finally sock.close()
+    } finally server.stop()
+  }
+
+  test("client rejects a server whose ServerSignature is forged") {
+    // A fake endpoint that accepts any proof but cannot compute
+    // HMAC(ServerKey, AuthMessage) must NOT be trusted with writes —
+    // build its replies by hand and watch the client walk away.
+    val salt = Array.fill[Byte](16)(7)
+    val cred = Scram.credential("pw", salt, 4096)
+    val clientNonce = "fixedClientNonce"
+    val serverFirst = Scram.serverFirstMessage(clientNonce + "srvAdds", cred)
+
+    val r1 = mapper.createObjectNode()
+    r1.put("conversationId", 1); r1.put("done", false)
+    r1.put("payload", serverFirst.getBytes("UTF-8")); r1.put("ok", 1.0)
+    val r2 = mapper.createObjectNode()
+    r2.put("conversationId", 1); r2.put("done", true)
+    r2.put("payload", "v=Zm9yZ2VkIHNpZ25hdHVyZQ==".getBytes("UTF-8")); r2.put("ok", 1.0)
+    val replies = new ByteArrayOutputStream()
+    replies.write(MongoWire.reply(1, r1))
+    replies.write(MongoWire.reply(2, r2))
+
+    val e = intercept[graft.domain.IngestionError.DatabaseError](
+      MongoWire.authenticate(
+        new DataOutputStream(new ByteArrayOutputStream()),
+        new DataInputStream(new ByteArrayInputStream(replies.toByteArray)),
+        "admin", "u", "pw", clientNonce = Some(clientNonce)))
+    assert(e.getMessage.contains("signature mismatch"))
+  }
+
+  test("authenticated MongoDbSink writes partitions after per-connection login") {
+    val spark = graft.GraftSession.local(cores = 8, shufflePartitions = 8)
+    val server = new StubMongoServer
+    server.requireAuth("writer", "wr1te-pw")
+    try {
+      import spark.implicits._
+      val df = (1 to 20).map(i => (i, s"doc$i")).toDF("n", "name").repartition(4)
+      val sink = new MongoDbSink(server.host, server.port, "ingestion_db",
+        credential = Some(MongoCredential("writer", "wr1te-pw")))
+      assert(sink.write(df, "authed") == 20L)
+      assert(server.docs("ingestion_db", "authed").size == 20)
+      // and without credentials the same write is refused
+      val bare = new MongoDbSink(server.host, server.port, "ingestion_db")
+      val e = intercept[org.apache.spark.SparkException](bare.write(df, "authed2"))
+      assert(e.getMessage.contains("requires authentication") ||
+        Option(e.getCause).exists(_.getMessage.contains("requires authentication")))
+    } finally server.stop()
+  }
 }
