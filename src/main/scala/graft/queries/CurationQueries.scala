@@ -144,6 +144,28 @@ object CurationQueries {
       |     + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
       |     + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
       |     + CAST(list_contains(string_split(text, ' '), 'in') AS INT)) AS n_stop""".stripMargin
+  // qf05 fixed-point LR trainer: iteration count and learning-rate
+  // multiplier were grid-searched offline on all three SFs (8 iters,
+  // lrm 4 -> train accuracy 0.83-0.84 vs 0.60-0.62 majority baseline at
+  // every scale; larger rates oscillate, fewer iterations stay at the
+  // majority predictor). Weights are int64 at scale 1e6, features int64
+  // centered at scale 1e3, so Z = w·x sits at scale 1e9 and
+  // u = Z div 4e6 + 500 is the hard-sigmoid pre-activation at scale 1e3
+  // — every training step is integer arithmetic both engines compute
+  // bit-identically (`div`/`//` both truncate toward zero).
+  private val LrIters = 8
+  private val LrMult = 4L
+  private val LrClamp = 4000000L
+  // centered quantized features; x0 = 1000 is the implicit bias input
+  private val lrFeatSqlDuck =
+    """(1000 * LEAST(n_words, 100)) // 100 - 500 AS x1,
+      |    (1000 * n_uniq) // n_words - 500 AS x2,
+      |    (1000 * n_stop) // 6 - 500 AS x3""".stripMargin
+  private val lrUSqlDuck =
+    "((w0 * 1000 + w1 * x1 + w2 * x2 + w3 * x3) // 4000000) + 500"
+  private val lrUSqlSpark =
+    "((w0 * 1000L + w1 * x1 + w2 * x2 + w3 * x3) div 4000000L) + 500L"
+
   // md5 split bucket in [0,100): <80 train, <90 val, else test — the one
   // salt both engines and every split consumer must agree on.
   private val splitBucketExpr =
@@ -315,6 +337,71 @@ object CurationQueries {
           col("n_stop"), col("r_words"), col("r_wlen"), col("r_alpha"), col("r_stop"),
           col("pass"))
         .orderBy("doc_id")
+    }),
+
+    // ---- qf05: TRAINED quality classifier — full-batch gradient
+    // descent on a linear model, in-engine, distilling qf02's rule
+    // labeler into a cheap scorer (the CCNet/GPT-3 pipeline pattern:
+    // train a linear/fastText-class model on heuristic quality labels,
+    // then score the whole corpus with one projection). Training is
+    // FIXED-POINT so it is bit-deterministic across runs, partitionings,
+    // and engines (km01's quantized-Lloyd discipline applied to GD):
+    // integer features, integer weights, a hard-sigmoid activation
+    // clamp(z/4 + 1/2, 0, 1) instead of exp-based sigmoid (libm exp
+    // differs across engines by ulps; clamp/mul/div do not), gradient
+    // sums as exact int64, truncating-division updates.
+    // Scale shape (100 TB): the feature relation is 4 ints per doc —
+    // text is read ONCE and never again; each of the 8 iterations is
+    // one scan of that skinny relation with a broadcast 1-row weight
+    // vector and a 4-sum map-side-combinable aggregate (the classic
+    // full-batch distributed GD shape); the final scoring pass is the
+    // same broadcast-join projection. Output: per-label prediction
+    // counts + the learned weights (per-class rows carry the same
+    // weight columns, like km02's profile shape).
+    "qf05_quality_classifier" -> ((spark: SparkSession, dir: String) => {
+      // localCheckpoint: 9 scans (8 GD + 1 scoring) must not re-derive
+      // the features from text 9 times — materialize the skinny ints.
+      val feat = t(spark, dir, "documents")
+        .select(col("doc_id") +: (gopherCols :+ size(array_distinct(words)).as("n_uniq")): _*)
+        .select(
+          when(gopherPass, 1L).otherwise(0L).as("y"),
+          expr("(1000L * least(n_words, 100)) div 100L - 500L").as("x1"),
+          expr("(1000L * n_uniq) div n_words - 500L").as("x2"),
+          expr("(1000L * n_stop) div 6L - 500L").as("x3"))
+        .localCheckpoint(true)
+      val w0 = spark.range(1).select(
+        lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+      val trained = (1 to LrIters).foldLeft(w0) { (w, _) =>
+        // active region: 0 < u < 1000 (hard-sigmoid gradient 1/4, the
+        // constant factor absorbed into LrMult); err = u - 1000*y there
+        val g = feat.crossJoin(broadcast(w))
+          .withColumn("u", expr(lrUSqlSpark))
+          .withColumn("act", col("u") > 0L && col("u") < 1000L)
+          .withColumn("err", col("u") - col("y") * 1000L)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("act"), col("err") * 1000L).otherwise(0L)).as("g0"),
+            sum(when(col("act"), col("err") * col("x1")).otherwise(0L)).as("g1"),
+            sum(when(col("act"), col("err") * col("x2")).otherwise(0L)).as("g2"),
+            sum(when(col("act"), col("err") * col("x3")).otherwise(0L)).as("g3"))
+        g.crossJoin(broadcast(w)).select(
+          expr(s"greatest(-$LrClamp, least($LrClamp, w0 - $LrMult * (g0 div n)))").as("w0"),
+          expr(s"greatest(-$LrClamp, least($LrClamp, w1 - $LrMult * (g1 div n)))").as("w1"),
+          expr(s"greatest(-$LrClamp, least($LrClamp, w2 - $LrMult * (g2 div n)))").as("w2"),
+          expr(s"greatest(-$LrClamp, least($LrClamp, w3 - $LrMult * (g3 div n)))").as("w3"))
+          .localCheckpoint(true) // 1 row; bounds lineage across iterations
+      }
+      feat.crossJoin(broadcast(trained))
+        .withColumn("u", expr(lrUSqlSpark))
+        .withColumn("pred", (col("u") >= 500L).cast("long"))
+        .groupBy(col("y").as("label_quality"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("pred")).as("n_pred_quality"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+          max(col("w0")).as("w0"), max(col("w1")).as("w1"),
+          max(col("w2")).as("w2"), max(col("w3")).as("w3"))
+        .orderBy("label_quality")
     }),
 
     // ---- qf03: bigram-LM surprisal filter — the corpus estimates its
@@ -692,6 +779,53 @@ object CurationQueries {
         |  (r_words AND (mean_wlen >= $GopherMinWlen AND mean_wlen <= $GopherMaxWlen)
         |    AND frac_alpha >= $GopherMinAlpha AND n_stop >= $GopherMinStop) AS pass
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "qf05_quality_classifier" -> {
+      // one CTE pair (gradient sums, updated weights) per unrolled GD
+      // iteration, each referencing the previous weight CTE — the exact
+      // integer arithmetic of the Spark fold, bpeStepCte-style
+      val iterCtes = (1 to LrIters).map { i =>
+        val wp = if (i == 1) "w0cte" else s"w${i - 1}"
+        s"""g$i AS (
+           |  SELECT count(*) AS n,
+           |    CAST(SUM(CASE WHEN u > 0 AND u < 1000 THEN (u - y * 1000) * 1000 ELSE 0 END) AS BIGINT) AS g0,
+           |    CAST(SUM(CASE WHEN u > 0 AND u < 1000 THEN (u - y * 1000) * x1 ELSE 0 END) AS BIGINT) AS g1,
+           |    CAST(SUM(CASE WHEN u > 0 AND u < 1000 THEN (u - y * 1000) * x2 ELSE 0 END) AS BIGINT) AS g2,
+           |    CAST(SUM(CASE WHEN u > 0 AND u < 1000 THEN (u - y * 1000) * x3 ELSE 0 END) AS BIGINT) AS g3
+           |  FROM (SELECT f.*, $lrUSqlDuck AS u FROM f, $wp)),
+           |w$i AS (
+           |  SELECT
+           |    GREATEST(-$LrClamp, LEAST($LrClamp, w0 - $LrMult * CAST(g0 // n AS BIGINT))) AS w0,
+           |    GREATEST(-$LrClamp, LEAST($LrClamp, w1 - $LrMult * CAST(g1 // n AS BIGINT))) AS w1,
+           |    GREATEST(-$LrClamp, LEAST($LrClamp, w2 - $LrMult * CAST(g2 // n AS BIGINT))) AS w2,
+           |    GREATEST(-$LrClamp, LEAST($LrClamp, w3 - $LrMult * CAST(g3 // n AS BIGINT))) AS w3
+           |  FROM g$i, $wp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    $gopherColsSql,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents),
+        |f AS (
+        |  SELECT CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+        |      AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinWlen
+        |      AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= $GopherMaxWlen
+        |      AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= $GopherMinAlpha
+        |      AND n_stop >= $GopherMinStop THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+        |    $lrFeatSqlDuck
+        |  FROM m),
+        |w0cte AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |          CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        |$iterCtes
+        |SELECT y AS label_quality, count(*) AS n_docs,
+        |  CAST(SUM(pred) AS BIGINT) AS n_pred_quality,
+        |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  MAX(w0) AS w0, MAX(w1) AS w1, MAX(w2) AS w2, MAX(w3) AS w3
+        |FROM (SELECT f.y, CASE WHEN $lrUSqlDuck >= 500 THEN CAST(1 AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END AS pred, w0, w1, w2, w3
+        |      FROM f, w$LrIters)
+        |GROUP BY y ORDER BY label_quality""".stripMargin
+    },
 
     "pii01_redact" ->
       s"""WITH r AS (

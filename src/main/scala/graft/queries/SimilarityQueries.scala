@@ -50,20 +50,39 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
   }
 
+  /** CORPUS-SCALED IVF list count: C = max(16, ceil(n / 125)), i.e. a
+    * ~125-vector target list size. With C fixed (the pre-round-7 shape)
+    * the within-list self-join is n^2/C — quadratic in corpus size —
+    * and the 10x scaling sweep measured exactly that bend on knn02
+    * (38 s at 10x vs a linear ~12 s expectation; BENCH.md round-7
+    * curves). With C ∝ n the per-list size is constant, so list joins
+    * are n * target — linear. Floored at 16 so every driver SF
+    * (n = 500..2000) computes C = 16, bit-identical to the fixed-16
+    * results the oracle gate has always pinned; the DuckDB oracles
+    * carry the same GREATEST(16, ...) subquery. */
+  private val IvfTargetListSize = 125
+  private def ivfCentroids(emb: DataFrame): DataFrame = {
+    val nc = emb.agg(greatest(lit(16L),
+      expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
+    emb.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+  }
+  private def ivfCentSql: String =
+    s"(SELECT GREATEST(16, (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM embeddings)"
+
   /** IVF centroid ranking: every vector joined to its `nProbes` nearest
-    * centroid lists (centroids = vectors 0..15, fixed and deterministic;
-    * broadcast 16-row attach, round-6 cosine, (cosine desc, cent_id)
-    * tie-break). Shared by sim02's probe search and knn01's graph build —
-    * one definition so the centroid count / tie-break / hash family
-    * cannot silently diverge between the index build and the graph
-    * build. (dd08/dd11 keep their own assignment: different module,
-    * different candidate flow.) Returns (vec_id, embedding, label,
-    * list_id, ark) with ark in [1, nProbes]. */
+    * centroid lists (centroids = the C lowest-id vectors, C corpus-
+    * scaled above; broadcast C-row attach, round-6 cosine,
+    * (cosine desc, cent_id) tie-break). Shared by sim02's probe search
+    * and knn01's graph build — one definition so the centroid count /
+    * tie-break / hash family cannot silently diverge between the index
+    * build and the graph build. (dd08/dd11 keep their own assignment:
+    * different module, different candidate flow.) Returns (vec_id,
+    * embedding, label, list_id, ark) with ark in [1, nProbes]. */
   private def ivfProbes(spark: SparkSession, dir: String, nProbes: Int): DataFrame = {
       reg(spark)
       val emb = t(spark, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val cent = ivfCentroids(emb)
       val assignW = Window.partitionBy(col("vec_id"))
         .orderBy(col("a_cos").desc, col("cent_id").asc)
       emb.join(broadcast(cent), lit(true))
@@ -150,8 +169,7 @@ object SimilarityQueries {
   private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
       reg(spark)
       val emb = t(spark, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val cent = ivfCentroids(emb)
       val assigned = ivfAssign(spark, dir)
       // queries probe their 2 nearest centroids
       val probeW = Window.partitionBy(col("q_id")).orderBy(col("p_cos").desc, col("cent_id").asc)
@@ -343,7 +361,7 @@ object SimilarityQueries {
         |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
   private val sim02Sql: String =
-      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < $ivfCentSql),
         |assigned AS (
         |  SELECT vec_id, embedding, label, cent_id AS list_id FROM (
         |    SELECT e.vec_id, e.embedding, e.label, cent_id,
@@ -372,7 +390,7 @@ object SimilarityQueries {
     * build: sources come from their 3 nearest lists (ark <= 3),
     * candidates from their ark=1 home list. */
   private val knnCtes: String =
-    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < $ivfCentSql),
       |probed AS (
       |  SELECT vec_id, embedding, cent_id AS list_id, ark FROM (
       |    SELECT e.vec_id, e.embedding, cent_id,

@@ -135,4 +135,21 @@ class CurationSpec extends SparkSpec {
       assert(r.getBoolean(5) == (top >= 0.07 || dup >= 0.65))
     }
   }
+
+  test("qf05: trained classifier beats the majority predictor; weights shared") {
+    // rows: (label_quality, n_docs, n_pred_quality, n_correct, w0..w3)
+    val rows = q("qf05_quality_classifier").collect()
+    assert(rows.length == 2 && rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val n = rows.map(_.getLong(1)).sum
+    val nCorrect = rows.map(_.getLong(3)).sum
+    val majority = rows.map(_.getLong(1)).max
+    assert(nCorrect > majority,
+      s"training must beat predicting the majority class: $nCorrect vs $majority of $n")
+    // both class rows report the SAME trained weight vector, and
+    // training actually moved it off the zero init
+    val ws = rows.map(r => (4 to 7).map(r.getLong)).distinct
+    assert(ws.length == 1 && ws.head.exists(_ != 0L))
+    // weights stayed inside the fixed-point clamp
+    assert(ws.head.forall(w => math.abs(w) <= 4000000L))
+  }
 }
