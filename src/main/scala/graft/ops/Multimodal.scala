@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * feature extraction at scale.
   *
   * Formats with public byte layouts decode for REAL, pure-JVM: PPM, BMP,
-  * WAV — and PNG, whose only "codec" is DEFLATE (java.util.zip.Inflater).
-  * Entropy-codec formats (JPEG, MP3/AAC, video) are STUBBED — codec
-  * libraries are not present in this environment — behind `Decoder`, a
-  * pluggable partition-local function. The deterministic `FakeDecoder`
-  * stands in so the plumbing (schema, batch iteration, partition
-  * locality, memory shape) is real and tested end-to-end; swapping in a
-  * JNI/JavaCV decoder is a one-line change at the call site.
+  * WAV, PNG (DEFLATE via java.util.zip.Inflater) — and baseline JPEG
+  * (graft.ops.Jpeg: the Huffman/DCT arithmetic implemented directly; no
+  * codec library). Remaining formats (MP3/AAC audio, video codecs,
+  * progressive JPEG) stay STUBBED behind `Decoder`, a pluggable
+  * partition-local function. The deterministic `FakeDecoder` stands in
+  * so the plumbing (schema, batch iteration, partition locality, memory
+  * shape) is real and tested end-to-end; swapping in a JNI/JavaCV
+  * decoder is a one-line change at the call site.
   *
   * Scale design: decode runs inside `mapPartitions` (the Scala analogue of
   * mapInPandas batch UDFs) — one decoder instance per partition, streaming
@@ -65,9 +66,9 @@ object Multimodal {
   /** A decoded raster: row-major, top-down, 3 bytes per pixel (RGB). */
   final case class PixelImage(width: Int, height: Int, rgb: Array[Byte])
 
-  /** A decoder that yields real pixels, not just metadata. Formats with
-    * fully public byte layouts (PPM, BMP) get real implementations;
-    * codec-dependent formats (JPEG/PNG/video) stay behind the stub. */
+  /** A decoder that yields real pixels, not just metadata. PPM, BMP,
+    * PNG and baseline JPEG (graft.ops.Jpeg) implement it for real;
+    * video codecs stay behind the stub. */
   trait PixelDecoder extends Decoder {
     def decodePixels(item: MediaItem): PixelImage
     override def decode(item: MediaItem): MediaMeta = {
@@ -167,8 +168,8 @@ object Multimodal {
     * palette resolved). Adam7 interlacing and sub-byte depths are
     * refused with a clear error (the dominant training-corpus PNGs are
     * 8-bit non-interlaced; a pre-pass can re-encode stragglers).
-    * This moves the dominant lossless training-image format off the
-    * FakeDecoder stub; JPEG (DCT entropy codecs) remains behind it. */
+    * This moved the dominant lossless training-image format off the
+    * FakeDecoder stub; baseline JPEG followed (graft.ops.Jpeg). */
   object PngDecoder extends PixelDecoder {
     private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -402,6 +403,7 @@ object Multimodal {
       if (p.length >= 2 && p(0) == 'P' && p(1) == '6') PpmDecoder.decode(item)
       else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') BmpDecoder.decode(item)
       else if (PngDecoder.isPng(p)) PngDecoder.decode(item)
+      else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decode(item)
       else FakeDecoder.decode(item)
     }
   }

@@ -215,6 +215,36 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm08: REAL baseline-JPEG decode in the gate — the dominant
+    // training-corpus image format, pure JVM (graft.ops.Jpeg: marker
+    // parse, Huffman, dequant, 8x8 IDCT, level shift). Fixture: per-doc
+    // solid-gray 16x16 with v = 128 + 2*((doc_id*7) % 57 - 28): a
+    // constant block is DC-only, and with the flat q=16 table an even
+    // (v-128) offset survives quantization EXACTLY (DC = (v-128)/2,
+    // IDCT of a lone DC is the constant 2*DC), so the oracle states the
+    // stats in closed form with no JPEG parser — mm03's PPM discipline
+    // applied to a lossy entropy codec. JpegSpec pins the general
+    // paths (arbitrary coefficients vs an independent reference IDCT,
+    // 4:2:0 chroma, restart markers, progressive refusal).
+    "mm08_jpeg_pixel_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val v = (128 + 2 * ((id * 7) % 57 - 28)).toInt
+            (id, graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, v))
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Jpeg.JpegDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
+
     // ---- c03: composed media pipeline — the third flagship
     // composition (c01 corpus curation, c02 vector ingestion): decode
     // ONCE per image, derive dimensions + full-image luma + perceptual
@@ -323,6 +353,13 @@ object MultimodalQueries {
     // Same 72-pixel closed form as mm05/c03 — a gray pixel's Rec.601
     // luma is its value, so the PNG round-trip must reproduce the
     // formula exactly for the hashes to match.
+    "mm08_jpeg_pixel_stats" ->
+      """SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS DOUBLE) AS mean_luma,
+        |  CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS INT) AS min_luma,
+        |  CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS INT) AS max_luma
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "mm07_png_pixel_stats" ->
       """WITH px AS (
         |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
