@@ -404,6 +404,7 @@ object Multimodal {
       else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') BmpDecoder.decode(item)
       else if (PngDecoder.isPng(p)) PngDecoder.decode(item)
       else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decode(item)
+      else if (Mp4.isMp4(p)) Mp4.Mp4MetaDecoder.decode(item)
       else FakeDecoder.decode(item)
     }
   }

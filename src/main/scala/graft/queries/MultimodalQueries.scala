@@ -245,6 +245,36 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm09: REAL video-container metadata (graft.ops.Mp4,
+    // ISO-BMFF box parsing — no codec needed: at 100 TB the metadata
+    // pass IS the video workload; frame decode happens later on the
+    // tiny filtered subset). Fixture: per-doc minimal MP4 (ftyp +
+    // mvhd + video/audio traks) with deterministic duration/dims/
+    // sample counts, parsed back field-for-field — the oracle states
+    // every extracted value in closed form. Mp4Spec pins largesize
+    // framing, unknown-box skipping, and the overrun error contract.
+    "mm09_mp4_metadata" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes = graft.ops.Mp4.Mp4Encoder.minimal(
+              timescale = 1000L, duration = (id % 3600) * 100 + 500,
+              w = 320 + (id % 4).toInt * 160, h = 240 + (id % 4).toInt * 120,
+              videoSamples = id % 250 + 1, audioSamples = (id % 250 + 1) * 2)
+            val m = graft.ops.Mp4.parse(graft.ops.Multimodal.MediaItem(id, bytes))
+            val v = m.tracks.find(_.handler == "vide").get
+            val a = m.tracks.find(_.handler == "soun").get
+            (id, m.brand, m.timescale, m.durationMs, m.tracks.size,
+              v.codec, v.width, v.height, v.sampleCount, a.codec, a.sampleCount)
+          }
+        }
+        .toDF("media_id", "brand", "timescale", "duration_ms", "n_tracks",
+          "video_codec", "width", "height", "n_frames", "audio_codec",
+          "n_audio_samples")
+        .orderBy("media_id")
+    }),
+
     // ---- c03: composed media pipeline — the third flagship
     // composition (c01 corpus curation, c02 vector ingestion): decode
     // ONCE per image, derive dimensions + full-image luma + perceptual
@@ -353,6 +383,18 @@ object MultimodalQueries {
     // Same 72-pixel closed form as mm05/c03 — a gray pixel's Rec.601
     // luma is its value, so the PNG round-trip must reproduce the
     // formula exactly for the hashes to match.
+    "mm09_mp4_metadata" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 3600) * 100 + 500 AS BIGINT) AS duration_ms,
+        |  CAST(2 AS INT) AS n_tracks, 'avc1' AS video_codec,
+        |  CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+        |  CAST(240 + (doc_id % 4) * 120 AS INT) AS height,
+        |  CAST(doc_id % 250 + 1 AS BIGINT) AS n_frames,
+        |  'mp4a' AS audio_codec,
+        |  CAST((doc_id % 250 + 1) * 2 AS BIGINT) AS n_audio_samples
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "mm08_jpeg_pixel_stats" ->
       """SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
         |  CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS DOUBLE) AS mean_luma,
