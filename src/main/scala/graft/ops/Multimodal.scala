@@ -405,6 +405,8 @@ object Multimodal {
       else if (PngDecoder.isPng(p)) PngDecoder.decode(item)
       else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decode(item)
       else if (Mp4.isMp4(p)) Mp4.Mp4MetaDecoder.decode(item)
+      else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
+      else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
       else FakeDecoder.decode(item)
     }
   }

@@ -275,6 +275,56 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm10: REAL GIF decode in the gate (graft.ops.Gif: LZW with
+    // variable-width codes — the last common image format off the
+    // stub). Fixture: per-doc 9x8 GIF over a 256-entry GRAYSCALE
+    // palette with index p = (doc_id*7 + p*13) % 256 — palette entry
+    // i is (i,i,i), so luma == index and the oracle is mm07's
+    // closed-form ramp verbatim; the LZW stream itself exercises
+    // dictionary growth and CLEAR resets (GifSpec pins multi-frame
+    // counting, sub-block framing, truncation errors).
+    "mm10_gif_pixel_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val idx = Array.tabulate(72)(p => ((id * 7 + p * 13) % 256).toByte)
+            (id, graft.ops.Gif.GifEncoder.encode(9, 8, idx))
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Gif.GifDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
+
+    // ---- mm11: REAL MP3 container metadata (graft.ops.Mp3 — frame
+    // walk + ID3v2 tags; audio DECODE stays stubbed like video, the
+    // metadata pass is the corpus workload). Fixture: per-doc ID3v2.3
+    // tag + (doc_id % 120 + 10) valid MPEG-1 Layer III frames at
+    // 128 kbps/44.1 kHz; every extracted field is closed-form,
+    // including the exact sample-accurate duration.
+    "mm11_mp3_metadata" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes = graft.ops.Mp3.Mp3Encoder.encode(
+              s"doc $id", s"src ${id % 7}", nFrames = (id % 120 + 10).toInt)
+            val m = graft.ops.Mp3.parse(graft.ops.Multimodal.MediaItem(id, bytes))
+            (id, m.mpegVersion, m.sampleRate, m.firstBitrateKbps, m.vbr,
+              m.nFrames, m.durationMs, m.title, m.artist)
+          }
+        }
+        .toDF("media_id", "mpeg_version", "sample_rate", "bitrate_kbps",
+          "vbr", "n_frames", "duration_ms", "title", "artist")
+        .orderBy("media_id")
+    }),
+
     // ---- c03: composed media pipeline — the third flagship
     // composition (c01 corpus curation, c02 vector ingestion): decode
     // ONCE per image, derive dimensions + full-image luma + perceptual
@@ -383,6 +433,25 @@ object MultimodalQueries {
     // Same 72-pixel closed form as mm05/c03 — a gray pixel's Rec.601
     // luma is its value, so the PNG round-trip must reproduce the
     // formula exactly for the hashes to match.
+    "mm11_mp3_metadata" ->
+      """SELECT doc_id AS media_id, 'MPEG1' AS mpeg_version,
+        |  CAST(44100 AS INT) AS sample_rate, CAST(128 AS INT) AS bitrate_kbps,
+        |  FALSE AS vbr,
+        |  CAST(doc_id % 120 + 10 AS BIGINT) AS n_frames,
+        |  CAST(((doc_id % 120 + 10) * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms,
+        |  'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'src ' || CAST(doc_id % 7 AS VARCHAR) AS artist
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm10_gif_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 72)) AS u(j))
+        |SELECT doc_id AS media_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(SUM(v) AS DOUBLE) / 72 AS mean_luma,
+        |  CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
     "mm09_mp4_metadata" ->
       """SELECT doc_id AS media_id, 'isom' AS brand,
         |  CAST(1000 AS BIGINT) AS timescale,
