@@ -327,8 +327,14 @@ object Jpeg {
             }
             pos = in.pos
             done = true
-          case m if m >= 0xE0 && m <= 0xEF => pos += u16() - 2 // APPn
-          case 0xFE => pos += u16() - 2 // COM
+          case m if m >= 0xE0 && m <= 0xEF => // APPn
+            val l = u16()
+            require(l >= 2 && pos + l - 2 <= p.length, s"media $id: bad APP segment length")
+            pos += l - 2
+          case 0xFE => // COM
+            val l = u16()
+            require(l >= 2 && pos + l - 2 <= p.length, s"media $id: bad COM segment length")
+            pos += l - 2
           case other =>
             throw new IllegalArgumentException(
               f"media $id: unsupported marker FF$other%02X")

@@ -411,6 +411,53 @@ object Multimodal {
     }
   }
 
+  /** Pixel-level dispatch: the mixed-corpus reality — one binary column
+    * holding whatever formats the crawl produced, routed by signature
+    * to the right REAL decoder. Formats without a pixel path (MP4/MP3
+    * are metadata-only, unknown bytes have no decoder) are refused:
+    * a pixel-stats pass silently faking rasters would corrupt corpus
+    * statistics, so dispatch fails loudly instead. */
+  object SniffPixelDecoder extends PixelDecoder {
+    override def decodePixels(item: MediaItem): PixelImage = {
+      val p = item.payload
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') PpmDecoder.decodePixels(item)
+      else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') BmpDecoder.decodePixels(item)
+      else if (PngDecoder.isPng(p)) PngDecoder.decodePixels(item)
+      else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decodePixels(item)
+      else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decodePixels(item)
+      else throw new IllegalArgumentException(
+        s"media ${item.mediaId}: no pixel decoder for this signature")
+    }
+  }
+
+  /** Deterministic BMP fixture writer (BITMAPINFOHEADER, 24-bit,
+    * top-down via negative height) — the PngEncoder/GifEncoder pattern
+    * for the uncompressed Windows DIB layout. */
+  object BmpEncoder extends Serializable {
+    def encode(img: PixelImage): Array[Byte] = {
+      val rowSize = ((img.width * 3) + 3) & ~3
+      val total = 54 + rowSize * img.height
+      val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(total).putInt(0).putInt(54)
+      b.putInt(40).putInt(img.width).putInt(-img.height) // top-down
+      b.putShort(1).putShort(24).putInt(0).putInt(rowSize * img.height)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val s = (y * img.width + x) * 3
+          b.put(img.rgb(s + 2)).put(img.rgb(s + 1)).put(img.rgb(s)) // BGR
+          x += 1
+        }
+        var pad = rowSize - img.width * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        y += 1
+      }
+      b.array()
+    }
+  }
+
   /** Nearest-neighbor resize — the thumbnail / fixed-input-size step
     * before a vision encoder. Floor index mapping: output pixel (x, y)
     * samples source pixel (x*W div outW, y*H div outH). Pure integer

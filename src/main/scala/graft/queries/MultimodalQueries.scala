@@ -325,6 +325,52 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm12: MIXED-FORMAT corpus through signature dispatch — the
+    // capstone over every real image decoder: each doc's payload is a
+    // DIFFERENT format by doc_id % 5 (PPM, BMP, PNG, GIF carry the
+    // same 9x8 gray ramp; JPEG a 16x16 exactly-encodable solid), and
+    // ONE pass routes by signature (Multimodal.SniffPixelDecoder) the
+    // way a crawled corpus actually arrives. Formats 0-3 must produce
+    // IDENTICAL stats (same pixels, four codecs); the JPEG branch is
+    // mm08's closed form — so the oracle needs no decoder at all.
+    "mm12_mixed_corpus_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val ppmHead = "P6\n9 8\n255\n".getBytes("US-ASCII")
+          it.map { id =>
+            def ramp = Array.tabulate(72)(p => ((id * 7 + p * 13) % 256).toByte)
+            def rampRgb = {
+              val rgb = new Array[Byte](72 * 3)
+              var p = 0
+              while (p < 72) {
+                val v = ramp(p)
+                rgb(p * 3) = v; rgb(p * 3 + 1) = v; rgb(p * 3 + 2) = v
+                p += 1
+              }
+              graft.ops.Multimodal.PixelImage(9, 8, rgb)
+            }
+            val payload = (id % 5) match {
+              case 0 => ppmHead ++ rampRgb.rgb
+              case 1 => graft.ops.Multimodal.BmpEncoder.encode(rampRgb)
+              case 2 => graft.ops.Multimodal.PngEncoder.encode(rampRgb, y => y % 5)
+              case 3 => graft.ops.Gif.GifEncoder.encode(9, 8, ramp)
+              case _ => graft.ops.Jpeg.JpegEncoder.solidGray(16, 16,
+                (128 + 2 * ((id * 7) % 57 - 28)).toInt)
+            }
+            (id, payload)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Multimodal.SniffPixelDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
+
     // ---- c03: composed media pipeline — the third flagship
     // composition (c01 corpus curation, c02 vector ingestion): decode
     // ONCE per image, derive dimensions + full-image luma + perceptual
@@ -433,6 +479,24 @@ object MultimodalQueries {
     // Same 72-pixel closed form as mm05/c03 — a gray pixel's Rec.601
     // luma is its value, so the PNG round-trip must reproduce the
     // formula exactly for the hashes to match.
+    "mm12_mixed_corpus_stats" ->
+      """WITH ramp AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 72)) AS u(j)
+        |  WHERE doc_id % 5 < 4),
+        |rs AS (
+        |  SELECT doc_id AS media_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |    CAST(SUM(v) AS DOUBLE) / 72 AS mean_luma,
+        |    CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
+        |  FROM ramp GROUP BY doc_id),
+        |js AS (
+        |  SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |    CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS DOUBLE) AS mean_luma,
+        |    CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS INT) AS min_luma,
+        |    CAST(128 + 2 * ((doc_id * 7) % 57 - 28) AS INT) AS max_luma
+        |  FROM documents WHERE doc_id % 5 = 4)
+        |SELECT * FROM rs UNION ALL SELECT * FROM js ORDER BY media_id""".stripMargin,
+
     "mm11_mp3_metadata" ->
       """SELECT doc_id AS media_id, 'MPEG1' AS mpeg_version,
         |  CAST(44100 AS INT) AS sample_rate, CAST(128 AS INT) AS bitrate_kbps,
