@@ -21,6 +21,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spark's default useV1SourceList reserves the name "avro" for the
+    // (absent) spark-avro connector and would force our DSv2 Avro source
+    // (graft.sources.AvroDataSource) through a V1 resolution path it
+    // cannot satisfy; dropping it lets `format("avro")` resolve via the
+    // ServiceLoader registration. Runtime conf -> applies to an already
+    // -created session too (getOrCreate reuse).
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      "csv,json,kafka,orc,parquet,text")
     spark
   }
 }

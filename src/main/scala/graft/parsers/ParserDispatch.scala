@@ -25,6 +25,7 @@ object ParserDispatch {
     case "xml"          => XmlParser
     case "xlsx" | "xls" => ExcelParser
     case "orc"          => OrcParser // beyond-reference columnar source
+    case "avro"         => AvroParser // beyond-reference row format
     case "parquet"      => ParquetPassthroughParser // beyond-reference
     case other          => throw ParseError(s"unsupported file type: $other")
   }

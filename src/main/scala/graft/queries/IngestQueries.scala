@@ -225,6 +225,30 @@ object IngestQueries {
         .orderBy("name")
     }),
 
+    // Avro OCF through the same pipeline, read by the hand-rolled DSv2
+    // source (sync-split scans + decoder-level pruning — AvroDataSource).
+    // The fixture is written with the Avro library itself (Spark ships no
+    // avro writer without the connector), exercising real wire bytes:
+    // deflate-less binary encoding, sync markers, [null,string] union.
+    "ing18_avro" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.avro$", "avro_data"))
+      runPipeline(spark, "data/test.avro", rules) { p =>
+        import org.apache.avro.SchemaBuilder
+        import org.apache.avro.file.DataFileWriter
+        import org.apache.avro.generic.{GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+        val schema = SchemaBuilder.record("Doc").fields()
+          .requiredString("name").requiredLong("value").optionalString("tag")
+          .endRecord()
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, p.toFile)
+        w.append(new GenericRecordBuilder(schema)
+          .set("name", "Erin").set("value", 300L).set("tag", "x").build())
+        w.append(new GenericRecordBuilder(schema)
+          .set("name", "Frank").set("value", 400L).set("tag", null).build())
+        w.close()
+      }.orderBy("name")
+    }),
+
     "ing13_parquet" -> ((spark: SparkSession, _: String) => {
       val rules = Seq(IngestionConfigRule(".*\\.parquet$", "parquet_data"))
       runPipeline(spark, "data/test.parquet", rules)(
@@ -469,6 +493,12 @@ object IngestQueries {
       s"""SELECT name, CAST(value AS BIGINT) AS value, ${fn}'data/test.orc' AS file_name,
         |  md5(${fn}'data/test.orc') AS log_id
         |FROM (VALUES ('Alice', 100), ('Bob', 200)) t(name, value)
+        |ORDER BY name""".stripMargin,
+
+    "ing18_avro" ->
+      s"""SELECT name, CAST(value AS BIGINT) AS value, tag, ${fn}'data/test.avro' AS file_name,
+        |  md5(${fn}'data/test.avro') AS log_id
+        |FROM (VALUES ('Erin', 300, 'x'), ('Frank', 400, CAST(NULL AS VARCHAR))) t(name, value, tag)
         |ORDER BY name""".stripMargin,
 
     "ing13_parquet" ->

@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => AvroSchema}
+import org.apache.avro.file.{DataFileReader, SeekableFileInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.avro.util.Utf8
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for Avro Object Container Files:
+  * `spark.read.format("avro").load(pathOrDir)`.
+  *
+  * Spark ships the Avro *library* but not the spark-avro connector, so a
+  * lake holding OCF drops (the Kafka-archive / log-shipping default) would
+  * be unreadable; this source implements the connector surface from
+  * scratch against the public Avro file API. The two properties that make
+  * it survive 100 TB:
+  *
+  *  - SPLITTABLE SCANS. An OCF is a sequence of blocks delimited by a
+  *    16-byte sync marker, so a byte range is an independent unit of
+  *    work: the reader seeks to its range start, scans forward to the
+  *    next sync (`DataFileReader.sync`), and decodes blocks until the
+  *    first sync PAST its range end (`pastSync`). Each block belongs to
+  *    exactly one split, so N splits partition the file with no overlap
+  *    and no gap — same contract as Hadoop's AvroInputFormat. A 10 GB
+  *    file becomes ~80 parallel 128 MB tasks instead of one 10 GB task.
+  *
+  *  - DECODER-LEVEL COLUMN PRUNING. `SupportsPushDownRequiredColumns`
+  *    rewrites the *Avro reader schema* to the projected top-level
+  *    fields; Avro schema resolution then skips unprojected fields
+  *    during decode (no bytes materialized), so `SELECT 2 cols FROM
+  *    30-col avro` decodes 2 columns — visible as a narrowed ReadSchema
+  *    in `.explain`.
+  *
+  * Type mapping (the spark-avro-compatible subset): boolean/int/long/
+  * float/double/string/bytes/fixed/enum map to their Spark scalars
+  * (enum -> string, bytes/fixed -> binary); `date` and
+  * `timestamp-micros`/`timestamp-millis` logical types map to
+  * DateType/TimestampType; `decimal` on bytes/fixed maps to DecimalType;
+  * records nest as structs, arrays and string-keyed maps map directly;
+  * `[null, T]` unions mark T nullable. General (multi-branch) unions are
+  * refused with a clear error rather than silently stringified.
+  */
+class AvroDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = AvroDataSource.listFiles(options.get("path"))
+    require(files.nonEmpty, s"no .avro files at ${options.get("path")}")
+    val reader = DataFileReader.openReader(
+      new SeekableFileInput(files.head.toFile), new GenericDatumReader[GenericRecord]())
+    try AvroConversions.toSparkType(reader.getSchema).asInstanceOf[StructType]
+    finally reader.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new AvroTable(schema, opts.get("path"),
+      Option(opts.get("maxSplitBytes")).map(_.toLong).getOrElse(128L * 1024 * 1024))
+  }
+}
+
+object AvroDataSource {
+  def listFiles(path: String): Seq[Path] = {
+    val p = Paths.get(if (path.startsWith("file:")) path.stripPrefix("file:") else path)
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
+        .filter(_.toString.toLowerCase.endsWith(".avro")).toSeq.sortBy(_.toString)
+      finally stream.close()
+    } else Seq(p)
+  }
+}
+
+final class AvroTable(tableSchema: StructType, path: String, maxSplitBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"avro:$path"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def schema(): StructType = tableSchema
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // retain only existing top-level fields, in table-schema order
+        // (Avro schema resolution matches by name)
+        required = StructType(tableSchema.fields.filter(f =>
+          requiredSchema.fieldNames.contains(f.name)))
+
+      override def build(): Scan = this
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] =
+        AvroDataSource.listFiles(path).flatMap { f =>
+          val len = Files.size(f)
+          // ranges of <= maxSplitBytes; block ownership resolves by sync
+          val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+          (0L until n).map { i =>
+            val start = i * maxSplitBytes
+            val end = math.min(len, start + maxSplitBytes)
+            AvroSplitPartition(f.toString, start, end): InputPartition
+          }
+        }.toArray
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new AvroReaderFactory(required)
+    }
+}
+
+final case class AvroSplitPartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+final class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AvroSplitPartition]
+    new PartitionReader[InternalRow] {
+      private val in = new SeekableFileInput(new File(p.file))
+      // writer schema comes from the file header; reader schema is the
+      // pruned projection (schema resolution skips the rest on decode)
+      private val readerSchema = {
+        val header = DataFileReader.openReader(
+          new SeekableFileInput(new File(p.file)), new GenericDatumReader[GenericRecord]())
+        val writerSchema = try header.getSchema finally header.close()
+        AvroConversions.pruneAvroSchema(writerSchema, required)
+      }
+      private val fileReader = {
+        val r = new DataFileReader[GenericRecord](
+          in, new GenericDatumReader[GenericRecord](null, readerSchema))
+        r.sync(p.start) // first sync at-or-after range start
+        r
+      }
+      private val convert = AvroConversions.rowConverter(readerSchema, required)
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        // a block belongs to the split whose range contains its leading
+        // sync marker: stop at the first block past our range end
+        if (fileReader.hasNext && !fileReader.pastSync(p.end)) {
+          current = convert(fileReader.next())
+          true
+        } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = fileReader.close()
+    }
+  }
+}
+
+/** Avro <-> Spark schema and value conversion (the public spark-avro
+  * mapping, reimplemented). Converters are compiled once per partition
+  * from the projected schema — the per-row path is array-indexed
+  * dispatch, no per-value schema inspection. */
+object AvroConversions {
+
+  def toSparkType(s: AvroSchema): DataType = s.getType match {
+    case AvroSchema.Type.BOOLEAN => BooleanType
+    case AvroSchema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType else IntegerType
+    case AvroSchema.Type.LONG => s.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => TimestampType
+      case _: LogicalTypes.TimestampMillis => TimestampType
+      case _ => LongType
+    }
+    case AvroSchema.Type.FLOAT => FloatType
+    case AvroSchema.Type.DOUBLE => DoubleType
+    case AvroSchema.Type.STRING => StringType
+    case AvroSchema.Type.ENUM => StringType
+    case AvroSchema.Type.BYTES | AvroSchema.Type.FIXED => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
+    case AvroSchema.Type.RECORD =>
+      StructType(s.getFields.asScala.map(f =>
+        StructField(f.name, toSparkType(f.schema()), nullable = isNullable(f.schema()))).toArray)
+    case AvroSchema.Type.ARRAY =>
+      ArrayType(toSparkType(nonNull(s.getElementType)), containsNull = isNullable(s.getElementType))
+    case AvroSchema.Type.MAP =>
+      MapType(StringType, toSparkType(nonNull(s.getValueType)),
+        valueContainsNull = isNullable(s.getValueType))
+    case AvroSchema.Type.UNION => toSparkType(nonNull(s))
+    case AvroSchema.Type.NULL => NullType
+  }
+
+  private def isNullable(s: AvroSchema): Boolean =
+    s.getType == AvroSchema.Type.UNION &&
+      s.getTypes.asScala.exists(_.getType == AvroSchema.Type.NULL)
+
+  /** Unwraps [null, T]; refuses general unions (no silent stringify). */
+  private def nonNull(s: AvroSchema): AvroSchema =
+    if (s.getType != AvroSchema.Type.UNION) s
+    else s.getTypes.asScala.filter(_.getType != AvroSchema.Type.NULL).toList match {
+      case single :: Nil => single
+      case branches => throw new IllegalArgumentException(
+        s"unsupported Avro union with ${branches.size} non-null branches: $s " +
+          "(only [null, T] unions map to Spark)")
+    }
+
+  /** Reader schema = writer schema minus unprojected TOP-LEVEL fields
+    * (Avro decode then skips those fields without materializing them). */
+  def pruneAvroSchema(writer: AvroSchema, required: StructType): AvroSchema = {
+    val keep = required.fieldNames.toSet
+    val fields = writer.getFields.asScala.filter(f => keep(f.name)).map { f =>
+      new AvroSchema.Field(f.name, f.schema(), f.doc(), f.defaultVal())
+    }
+    AvroSchema.createRecord(writer.getName, writer.getDoc, writer.getNamespace,
+      writer.isError, fields.toList.asJava)
+  }
+
+  /** Compiles a GenericRecord -> InternalRow converter for the reader
+    * schema / projected Spark schema pair. Driven by BOTH schemas because
+    * Spark's representation depends on the Avro logical type (e.g.
+    * timestamp-millis Long must scale to Spark's micros). */
+  def rowConverter(avro: AvroSchema, schema: StructType): GenericRecord => InternalRow = {
+    val fieldConverters: Array[Any => Any] = schema.fields.map { f =>
+      valueConverter(nonNull(avro.getField(f.name).schema()), f.dataType)
+    }
+    val names = schema.fieldNames
+    rec => {
+      val out = new Array[Any](names.length)
+      var i = 0
+      while (i < names.length) {
+        val v = rec.get(names(i))
+        out(i) = if (v == null) null else fieldConverters(i)(v)
+        i += 1
+      }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    }
+  }
+
+  private def valueConverter(avro: AvroSchema, dt: DataType): Any => Any = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType | DateType =>
+      identity // Avro date is epoch-day int, Spark DateType is epoch-day int
+    case TimestampType =>
+      if (avro.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis])
+        v => v.asInstanceOf[java.lang.Long] * 1000L // millis -> Spark micros
+      else identity // timestamp-micros is Spark's native unit
+    case StringType => {
+      case u: Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+      case s: CharSequence => UTF8String.fromString(s.toString)
+      case e => UTF8String.fromString(e.toString) // enum symbol
+    }
+    case BinaryType => {
+      case b: ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case f: GenericFixed => f.bytes().clone()
+      case a: Array[Byte] => a
+    }
+    case d: DecimalType => {
+      case b: ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        Decimal(BigDecimal(new java.math.BigInteger(arr), d.scale), d.precision, d.scale)
+      case f: GenericFixed =>
+        Decimal(BigDecimal(new java.math.BigInteger(f.bytes()), d.scale), d.precision, d.scale)
+    }
+    case st: StructType =>
+      val conv = rowConverter(avro, st)
+      v => conv(v.asInstanceOf[GenericRecord])
+    case ArrayType(et, _) =>
+      val conv = valueConverter(nonNull(avro.getElementType), et)
+      v => new GenericArrayData(
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(e => if (e == null) null else conv(e)).toArray)
+    case MapType(StringType, vt, _) =>
+      val conv = valueConverter(nonNull(avro.getValueType), vt)
+      v => {
+        val m = v.asInstanceOf[java.util.Map[Any, Any]].asScala
+        ArrayBasedMapData(
+          m.keys.map(k => UTF8String.fromString(k.toString)).toArray[Any],
+          m.values.map(e => if (e == null) null else conv(e)).toArray[Any])
+      }
+    case other => throw new IllegalArgumentException(s"unsupported Spark type for Avro: $other")
+  }
+}
