@@ -123,6 +123,69 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** ExactSubstr EXCISION (the transformation behind Lee et al. 2022,
+    * arXiv:2107.06499, here with fixed-k windows instead of a suffix
+    * array): every k-token window whose text occurs elsewhere in the
+    * corpus is CUT from its document — except the corpus-wide first
+    * occurrence (minimal (doc_id, pos)), which is kept so exactly one
+    * copy of every repeated passage survives. Overlapping/adjacent cut
+    * windows merge into maximal spans; the surviving tokens re-join into
+    * the cleaned document. dd10 MEASURES duplicated-span coverage; this
+    * produces the rewritten corpus a curation run actually ships.
+    *
+    * Scale: one corpus scan emits the (doc, pos, hash) window relation;
+    * the keep/cut decision is one row_number window keyed by span hash
+    * (the same shuffle class as dd10); the islands merge runs over ONLY
+    * the cut windows (duplicate-sized, not corpus-sized); reassembly is
+    * per-doc array expressions after one doc_id-keyed join of the
+    * (small) islands relation onto the token arrays — AQE broadcasts it
+    * when the duplicate set is small, and no window ever spans the
+    * un-partitioned corpus.
+    */
+  def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val spans = toks.filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $k))))")).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+    // keeper = first occurrence corpus-wide; every later one is cut
+    val cut = spans
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("h").orderBy(col(idCol), col("pos"))))
+      .filter(col("rk") > 1)
+      .select(col(idCol), col("pos"), (col("pos") + (k - 1)).as("e"))
+    // gaps-and-islands: windows starting <= prev_max_end + 1 merge
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val islands = cut
+      .withColumn("brk", when(col("pos") > coalesce(
+          max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("s"), max("e").as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("islands"),
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("e") - col("s") + 1).as("n_tokens_cut"))
+    toks.join(islands, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("n_tokens_cut"), lit(0L)).as("n_tokens_cut"),
+        (coalesce(col("n_tokens_cut"), lit(0L)).cast("double") /
+          size(col("toks")).cast("double")).as("cut_ratio"),
+        when(col("islands").isNull, array_join(col("toks"), " "))
+          .otherwise(expr(
+            """array_join(transform(filter(
+              |  zip_with(toks, sequence(1, size(toks)), (t, i) -> struct(t as t, i as i)),
+              |  x -> !exists(islands, sp -> x.i >= sp.s AND x.i <= sp.e)),
+              |  x -> x.t), ' ')""".stripMargin))
+          .as("clean_text"))
+  }
+
   /** Flags each batch doc against an existing corpus — the incremental-
     * ingestion shape: at 100 TB you never re-dedup the whole corpus when
     * a new crawl lands; you test the batch against the corpus's content

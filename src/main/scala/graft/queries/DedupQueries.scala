@@ -312,6 +312,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dd18: ExactSubstr excision (Lee et al. 2022) — dd10 measures
+    // duplicated-span coverage; this emits the REWRITTEN corpus: every
+    // cross-corpus repeated 8-token window except its first occurrence
+    // is cut, adjacent cuts merge into maximal spans, and the cleaned
+    // text is re-joined. Keep-first is deterministic (minimal (doc_id,
+    // pos) per span hash). Scale shape in ops/Dedup.scaladoc.
+    "dd18_substring_excision" -> ((spark: SparkSession, dir: String) => {
+      Dedup.exciseDuplicateSpans(t(spark, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- dd11: SemDeDup — semantic dedup via k-means bucketing then
     // within-cluster cosine (Abbas et al. 2023, arXiv:2303.09540): cluster
     // the embedding space (deterministic Lloyd, k=8), then inside each
@@ -913,6 +924,53 @@ object DedupQueries {
         |SELECT doc_id, n_spans, n_dup_spans,
         |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_ratio
         |FROM per WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin,
+
+    "dd18_substring_excision" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |cut AS (
+        |  SELECT doc_id, pos, pos + 7 AS e FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+        |    FROM spans) WHERE rk > 1),
+        |brk AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM cut),
+        |islands AS (
+        |  SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e FROM (
+        |    SELECT doc_id, pos, e,
+        |      SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |    FROM brk) GROUP BY doc_id, island),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans_cut,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_cut
+        |  FROM islands GROUP BY doc_id),
+        |tokidx AS (
+        |  SELECT doc_id, t[i] AS tok, i
+        |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |clean AS (
+        |  SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.i) AS clean_text
+        |  FROM tokidx x
+        |  WHERE NOT EXISTS (SELECT 1 FROM islands s
+        |    WHERE s.doc_id = x.doc_id AND x.i BETWEEN s.s AND s.e)
+        |  GROUP BY x.doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  COALESCE(p.n_spans_cut, 0) AS n_spans_cut,
+        |  COALESCE(p.n_tokens_cut, 0) AS n_tokens_cut,
+        |  CAST(COALESCE(p.n_tokens_cut, 0) AS DOUBLE) / CAST(len(d.t) AS DOUBLE)
+        |    AS cut_ratio,
+        |  COALESCE(c.clean_text, '') AS clean_text
+        |FROM toks d
+        |LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |LEFT JOIN clean c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // NOTE: erScoredCte is concatenated, never interpolated inside a
     // stripMargin block — a second stripMargin pass would eat the first

@@ -393,6 +393,32 @@ class OpsSpec extends SparkSpec {
     assert(!stats.contains(4L))
   }
 
+  test("dedup: substring excision keeps first occurrence, cuts the rest, merges spans") {
+    import spark.implicits._
+    val shared = "a b c d e f g h" // one 8-token span, planted in docs 1-3
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"), //            first occurrence -> kept whole
+      (2L, s"lead1 lead2 $shared"), //            later occurrence -> span cut
+      (3L, s"$shared i j"), // "b c d e f g h i" + "c..i j"? no — only the planted span repeats
+      (4L, "one two three"), //                   under k tokens -> untouched
+      (5L, shared + " " + shared) //              both copies post-date doc 1's
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    // doc 1 holds the corpus-wide first occurrence: nothing cut
+    assert(out(1L) == ((10L, 0L, 0L, "a b c d e f g h tail1 tail2")))
+    // doc 2's copy is cut; the lead tokens survive
+    assert(out(2L) == ((10L, 1L, 8L, "lead1 lead2")))
+    // doc 3 starts with the shared span; its unique suffix survives
+    assert(out(3L)._4 == "i j")
+    // under-k docs flow through untouched
+    assert(out(4L) == ((3L, 0L, 0L, "one two three")))
+    // doc 5: both its copies post-date doc 1's keeper, so the cut
+    // windows [1,8] and [9,16] merge into one island covering the doc
+    assert(out(5L) == ((16L, 1L, 16L, "")))
+  }
+
   test("dedup: incremental flags classify exact, near, and novel batch docs") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
