@@ -17,18 +17,7 @@ import graft.ports.RecordParser
 object AvroParser extends RecordParser {
 
   override def parse(spark: SparkSession, path: String, config: Option[ParserConfig]): DataFrame = {
-    // Spark's default useV1SourceList reserves "avro" for the absent
-    // spark-avro connector, which would force our DSv2 provider through
-    // a V1 path it can't satisfy; runtime-drop it so format("avro")
-    // resolves via ServiceLoader in ANY session (GraftSession sets the
-    // same, but the parse path must not depend on the session factory).
-    val key = "spark.sql.sources.useV1SourceList"
-    // no-default get: returns the ENTRY default ("avro,csv,...") when
-    // unset — a "" fallback would mask it and skip the rewrite
-    val v1List = spark.conf.get(key)
-    if (v1List.contains("avro"))
-      spark.conf.set(key,
-        v1List.split(",").map(_.trim).filter(_ != "avro").mkString(","))
+    graft.sources.AvroDataSource.enable(spark) // see its scaladoc
     spark.read.format("avro").load(path)
   }
 }

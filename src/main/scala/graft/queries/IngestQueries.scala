@@ -249,6 +249,27 @@ object IngestQueries {
       }.orderBy("name")
     }),
 
+    // Write-side proof over REAL data: the engine archives the documents
+    // table to Avro OCF with its own DSv2 writer (executor-parallel part
+    // files, atomic rename commit), reads it back with its own splittable
+    // reader, and aggregates — gated against DuckDB reading the ORIGINAL
+    // parquet, so any loss/corruption/type drift in either direction of
+    // the Avro codec surfaces as a hash mismatch.
+    "ing19_avro_roundtrip" -> ((spark: SparkSession, dir: String) => {
+      graft.sources.AvroDataSource.enable(spark)
+      val out = Files.createTempDirectory("graft_avro_rt").resolve("docs")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(4)
+        .write.format("avro").mode("overwrite").save(out.toString)
+      spark.read.format("avro").load(out.toString)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(length(col("text"))).as("max_len"))
+        .orderBy("source")
+    }),
+
     "ing13_parquet" -> ((spark: SparkSession, _: String) => {
       val rules = Seq(IngestionConfigRule(".*\\.parquet$", "parquet_data"))
       runPipeline(spark, "data/test.parquet", rules)(
@@ -500,6 +521,11 @@ object IngestQueries {
         |  md5(${fn}'data/test.avro') AS log_id
         |FROM (VALUES ('Erin', 300, 'x'), ('Frank', 400, CAST(NULL AS VARCHAR))) t(name, value, tag)
         |ORDER BY name""".stripMargin,
+
+    "ing19_avro_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs, MAX(LENGTH(text)) AS max_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "ing13_parquet" ->
       s"""SELECT name, CAST(score AS BIGINT) AS score, active, ${fn}'data/test.parquet' AS file_name,

@@ -62,7 +62,9 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = AvroDataSource.listFiles(options.get("path"))
-    require(files.nonEmpty, s"no .avro files at ${options.get("path")}")
+    // writes consult inferSchema too (the actual write schema comes from
+    // LogicalWriteInfo) — a fresh target dir must not fail here
+    if (files.isEmpty) return StructType(Nil)
     val reader = DataFileReader.openReader(
       new SeekableFileInput(files.head.toFile), new GenericDatumReader[GenericRecord]())
     try AvroConversions.toSparkType(reader.getSchema).asInstanceOf[StructType]
@@ -78,9 +80,25 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroDataSource {
+
+  /** Spark's default useV1SourceList reserves the name "avro" for the
+    * (absent) spark-avro connector, which routes both reads and writes
+    * down a V1 path this DSv2 provider cannot satisfy. Dropping the name
+    * (runtime conf — works on an existing session) lets format("avro")
+    * resolve via the ServiceLoader registration. Call before the first
+    * avro read/write on a session not built by GraftSession. */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = "spark.sql.sources.useV1SourceList"
+    val v1List = spark.conf.get(key) // no-default get: sees the entry default
+    if (v1List.contains("avro"))
+      spark.conf.set(key,
+        v1List.split(",").map(_.trim).filter(_ != "avro").mkString(","))
+  }
+
   def listFiles(path: String): Seq[Path] = {
     val p = Paths.get(if (path.startsWith("file:")) path.stripPrefix("file:") else path)
-    if (Files.isDirectory(p)) {
+    if (!Files.exists(p)) Nil // fresh write target
+    else if (Files.isDirectory(p)) {
       val stream = Files.list(p)
       try stream.iterator().asScala
         .filter(_.toString.toLowerCase.endsWith(".avro")).toSeq.sortBy(_.toString)
@@ -90,11 +108,18 @@ object AvroDataSource {
 }
 
 final class AvroTable(tableSchema: StructType, path: String, maxSplitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"avro:$path"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def schema(): StructType = tableSchema
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteSupport.AvroWriteBuilder(path, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {

@@ -153,6 +153,48 @@ class AvroDataSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("union")))
   }
 
+  test("write path: executor-parallel OCF write, read-back round trip is type-identical") {
+    val dir = Files.createTempDirectory("avro_write").resolve("out")
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text", "lang",
+        "cast(n_chars as int) as n32",
+        "cast(doc_id % 3 = 0 as boolean) as flag",
+        "named_struct('a', doc_id, 'b', lang) as nested",
+        "array(doc_id, doc_id + 1) as xs",
+        "map('k', lang) as m",
+        "cast(cast(doc_id as string) as decimal(12,2)) as dec",
+        "date'2024-03-01' + cast(doc_id % 28 as int) as d",
+        "timestamp'2024-03-01 12:00:00' + make_interval(0,0,0,0,0,0,doc_id % 59) as ts")
+      .repartition(3)
+    src.write.format("avro").mode("append").save(dir.toString)
+    val files = AvroDataSource.listFiles(dir.toString)
+    assert(files.size == 3, s"one part per partition, got ${files.map(_.getFileName)}")
+    assert(files.forall(_.getFileName.toString.startsWith("part-")))
+    val back = spark.read.format("avro").load(dir.toString)
+    assert(back.schema == src.schema.copy(fields = src.schema.fields.map(f =>
+      f.copy(nullable = true))) || back.schema == src.schema,
+      s"round-trip schema drift: ${back.schema} vs ${src.schema}")
+    assert(back.count() == src.count())
+    // full-row equality via anti-joins both ways on a canonical projection
+    val canon = (df: org.apache.spark.sql.DataFrame) => df.selectExpr(
+      "doc_id", "text", "lang", "n32", "flag", "nested.a", "nested.b",
+      "xs[0]", "xs[1]", "m['k']", "cast(dec as string)",
+      "cast(d as string)", "cast(ts as string)")
+    assert(canon(back).exceptAll(canon(src)).count() == 0)
+    assert(canon(src).exceptAll(canon(back)).count() == 0)
+  }
+
+  test("overwrite truncates prior parts; append accumulates") {
+    val dir = Files.createTempDirectory("avro_modes").resolve("out")
+    val df = spark.range(10).selectExpr("id", "cast(id as string) as s").coalesce(1)
+    df.write.format("avro").mode("append").save(dir.toString)
+    df.write.format("avro").mode("append").save(dir.toString)
+    assert(spark.read.format("avro").load(dir.toString).count() == 20)
+    df.write.format("avro").mode("overwrite").save(dir.toString)
+    assert(spark.read.format("avro").load(dir.toString).count() == 10)
+    assert(AvroDataSource.listFiles(dir.toString).size == 1)
+  }
+
   test("pipeline dispatch routes .avro through the rule-matched ingest path") {
     assert(graft.parsers.ParserDispatch.parserFor("avro") eq graft.parsers.AvroParser)
   }
