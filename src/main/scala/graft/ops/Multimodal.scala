@@ -406,6 +406,8 @@ object Multimodal {
       else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decode(item)
       else if (Mp4.isMp4(p)) Mp4.Mp4MetaDecoder.decode(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
+      else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
+      else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
       else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
       else FakeDecoder.decode(item)
     }
@@ -425,6 +427,7 @@ object Multimodal {
       else if (PngDecoder.isPng(p)) PngDecoder.decodePixels(item)
       else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decodePixels(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decodePixels(item)
+      else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decodePixels(item)
       else throw new IllegalArgumentException(
         s"media ${item.mediaId}: no pixel decoder for this signature")
     }

@@ -333,6 +333,63 @@ object MultimodalQueries {
     // way a crawled corpus actually arrives. Formats 0-3 must produce
     // IDENTICAL stats (same pixels, four codecs); the JPEG branch is
     // mm08's closed form — so the oracle needs no decoder at all.
+    // ---- mm13: REAL FLAC container metadata (graft.ops.Flac) — the
+    // lossless-audio analogue of mm11: STREAMINFO gives sample-ACCURATE
+    // duration (total_samples is stored, not estimated) plus the
+    // spec-mandated raw-PCM MD5 (a pre-decode dedup fingerprint), and
+    // Vorbis tags carry provenance. Fixture params derive from doc_id,
+    // so the oracle states every field in closed form.
+    "mm13_flac_metadata" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes = graft.ops.Flac.FlacEncoder.encode(
+              sampleRate = 44100, channels = (id % 2 + 1).toInt,
+              bitsPerSample = 16, totalSamples = id * 100 + 1000,
+              title = s"doc $id", artist = s"src ${id % 7}")
+            val m = graft.ops.Flac.parse(graft.ops.Multimodal.MediaItem(id, bytes))
+            (id, m.sampleRate, m.channels, m.bitsPerSample, m.totalSamples,
+              m.durationMs, m.title, m.artist)
+          }
+        }
+        .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "duration_ms", "title", "artist")
+        .orderBy("media_id")
+    }),
+
+    // ---- mm14: REAL baseline-TIFF decode (graft.ops.Tiff) — the
+    // archival/scanned-document raster format: same 9x8 gray ramp as
+    // mm07/mm10 (one oracle, N codecs), but encoded BIG-endian and
+    // split into 3-row strips, so the gate pins the two TIFF-specific
+    // hazards (byte-order handling, multi-strip assembly) on every doc.
+    "mm14_tiff_pixel_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rgb = new Array[Byte](9 * 8 * 3)
+            var p = 0
+            while (p < 72) {
+              val v = ((id * 7 + p * 13) % 256).toByte
+              rgb(p * 3) = v; rgb(p * 3 + 1) = v; rgb(p * 3 + 2) = v
+              p += 1
+            }
+            val img = graft.ops.Multimodal.PixelImage(9, 8, rgb)
+            (id, graft.ops.Tiff.TiffEncoder.encode(
+              img, littleEndian = false, rowsPerStrip = 3))
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Tiff.TiffDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
+
     "mm12_mixed_corpus_stats" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -506,6 +563,25 @@ object MultimodalQueries {
         |  'doc ' || CAST(doc_id AS VARCHAR) AS title,
         |  'src ' || CAST(doc_id % 7 AS VARCHAR) AS artist
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm13_flac_metadata" ->
+      """SELECT doc_id AS media_id, CAST(44100 AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(doc_id * 100 + 1000 AS BIGINT) AS total_samples,
+        |  CAST(((doc_id * 100 + 1000) * 1000) // 44100 AS BIGINT) AS duration_ms,
+        |  'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'src ' || CAST(doc_id % 7 AS VARCHAR) AS artist
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm14_tiff_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 72)) AS u(j))
+        |SELECT doc_id AS media_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(SUM(v) AS DOUBLE) / 72 AS mean_luma,
+        |  CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm10_gif_pixel_stats" ->
       """WITH px AS (
