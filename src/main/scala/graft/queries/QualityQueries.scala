@@ -100,6 +100,39 @@ object QualityQueries {
         edge(n, "n_regionkey", t(spark, dir, "region"), "r_regionkey", "nation_regionkey"))
         .reduce(_ unionAll _)
         .orderBy("fk_edge")
+    }),
+
+    // ---- dq03: distribution DRIFT between two corpus snapshots — the
+    // monitoring pass run when a new drop lands: bucket a numeric
+    // column into fixed-width bins, compare the old/new bin shares, and
+    // report the per-bin Population Stability Index contribution
+    // ((p-q)*ln(p/q), Laplace-smoothed so empty bins stay finite). The
+    // per-bin breakdown (not just the scalar PSI) is what a triage
+    // actually reads — WHICH price band moved. Scale: one conditional
+    // aggregation pass over the fact scan (map-side combinable, 10
+    // groups), totals meet the bins in a broadcast 1-row cross join;
+    // no window over the un-partitioned corpus, no second scan.
+    // Determinism: bins and counts are exact integers; p, q, and the
+    // PSI term are fixed-order IEEE expressions computed identically
+    // in DuckDB.
+    "dq03_distribution_drift" -> ((spark: SparkSession, dir: String) => {
+      val o = t(spark, dir, "orders").select(
+        least(floor(col("o_totalprice").cast("double") / 50000.0), lit(9.0))
+          .cast("int").as("bin"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("is_base"))
+      val bins = o.groupBy(col("bin")).agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr"))
+      val totals = bins.agg(sum("n_base").as("t_base"), sum("n_curr").as("t_curr"))
+      bins.crossJoin(broadcast(totals))
+        .select(col("bin"), col("n_base"), col("n_curr"),
+          ((col("n_base") + 1).cast("double") / (col("t_base") + 10).cast("double"))
+            .as("p_base"),
+          ((col("n_curr") + 1).cast("double") / (col("t_curr") + 10).cast("double"))
+            .as("p_curr"))
+        .withColumn("psi_term",
+          (col("p_base") - col("p_curr")) * log(col("p_base") / col("p_curr")))
+        .orderBy("bin")
     }))
 
   private def dqEdgeSql(fact: String, fk: String, dim: String, pk: String,
@@ -123,6 +156,26 @@ object QualityQueries {
              dqEdgeSql("nation", "n_regionkey", "region", "r_regionkey", "nation_regionkey"))
            .mkString("\nUNION ALL\n")}
          |) ORDER BY fk_edge""".stripMargin),
+
+    "dq03_distribution_drift" ->
+      """WITH binned AS (
+        |  SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS INT) AS bin,
+        |    o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+        |  FROM orders),
+        |bins AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |    CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_curr
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT SUM(n_base) AS t_base, SUM(n_curr) AS t_curr FROM bins)
+        |SELECT bin, n_base, n_curr,
+        |  CAST(n_base + 1 AS DOUBLE) / CAST(t_base + 10 AS DOUBLE) AS p_base,
+        |  CAST(n_curr + 1 AS DOUBLE) / CAST(t_curr + 10 AS DOUBLE) AS p_curr,
+        |  (CAST(n_base + 1 AS DOUBLE) / CAST(t_base + 10 AS DOUBLE)
+        |    - CAST(n_curr + 1 AS DOUBLE) / CAST(t_curr + 10 AS DOUBLE))
+        |  * LN((CAST(n_base + 1 AS DOUBLE) / CAST(t_base + 10 AS DOUBLE))
+        |      / (CAST(n_curr + 1 AS DOUBLE) / CAST(t_curr + 10 AS DOUBLE))) AS psi_term
+        |FROM bins, tot ORDER BY bin""".stripMargin,
 
     "dq01_constraint_report" ->
       """SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
