@@ -52,10 +52,10 @@ final class IngestionPipeline(
         .getOrElse(throw NoMatchingRule(file.key))
       // Step 2 — resolve (reference fetched bytes: ingestion_service.rs:59)
       val path = source.resolve(file)
-      // Step 3 — file type (reference: ingestion_service.rs:67,149-158)
-      val fileType = ParserDispatch.extractFileType(file.key)
-      // Step 4 — parse (reference: ingestion_service.rs:72; S4-S8)
-      val parsed = ParserDispatch.parserFor(fileType).parse(spark, path, rule.parserConfig)
+      // Step 3+4 — file type + parse (reference: ingestion_service.rs:67,
+      // 72,149-158; S4-S8). Full-key dispatch also resolves compound
+      // compressed extensions (x.csv.gz) — see ParserDispatch.parserForKey.
+      val parsed = ParserDispatch.parserForKey(file.key).parse(spark, path, rule.parserConfig)
       // Step 5 — enrich + store (reference: ingestion_service.rs:79-116; T3+T4)
       val enriched = enrich(parsed, file, logId)
       val rows = sink.write(enriched, rule.targetTable)

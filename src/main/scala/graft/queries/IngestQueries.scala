@@ -249,6 +249,33 @@ object IngestQueries {
       }.orderBy("name")
     }),
 
+    // JSON-Lines through the pipeline: the lake-scale JSON shape (one
+    // object per line, line-splittable scan — JsonlParser scaladoc).
+    // Native types preserved, like .json but without the whole-file cap.
+    "ing20_jsonl" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.jsonl$", "jsonl_data"))
+      runPipeline(spark, "data/test.jsonl", rules)(writeString(_,
+        """{"name":"Gail","value":500,"active":true}
+          |{"name":"Hank","value":600,"active":false}
+          |{"name":"Iris","value":700,"active":true}
+          |""".stripMargin))
+        .orderBy("name")
+    }),
+
+    // Compressed text through the pipeline: x.csv.gz resolves the
+    // compound extension (ParserDispatch.parserForKey), and Spark's CSV
+    // reader streams through the gzip codec by file name — the per-part
+    // compression convention of real lake drops. Same header semantics
+    // as ing01; the enrich columns carry the full compressed key.
+    "ing21_gzip_csv" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.csv\\.gz$", "gz_data"))
+      runPipeline(spark, "data/test.csv.gz", rules) { p =>
+        val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+        out.write(csvFixture.getBytes("UTF-8"))
+        out.close()
+      }.orderBy("name")
+    }),
+
     // Write-side proof over REAL data: the engine archives the documents
     // table to Avro OCF with its own DSv2 writer (executor-parallel part
     // files, atomic rename commit), reads it back with its own splittable
@@ -520,6 +547,19 @@ object IngestQueries {
       s"""SELECT name, CAST(value AS BIGINT) AS value, tag, ${fn}'data/test.avro' AS file_name,
         |  md5(${fn}'data/test.avro') AS log_id
         |FROM (VALUES ('Erin', 300, 'x'), ('Frank', 400, CAST(NULL AS VARCHAR))) t(name, value, tag)
+        |ORDER BY name""".stripMargin,
+
+    "ing20_jsonl" ->
+      s"""SELECT active, name, CAST(value AS BIGINT) AS value, ${fn}'data/test.jsonl' AS file_name,
+        |  md5(${fn}'data/test.jsonl') AS log_id
+        |FROM (VALUES (true, 'Gail', 500), (false, 'Hank', 600), (true, 'Iris', 700))
+        |  t(active, name, value)
+        |ORDER BY name""".stripMargin,
+
+    "ing21_gzip_csv" ->
+      s"""SELECT name, age, city, ${fn}'data/test.csv.gz' AS file_name,
+        |  md5(${fn}'data/test.csv.gz') AS log_id
+        |FROM (VALUES ('Bob','35','Chicago'), ('Jane','25','LA'), ('John','30','NYC')) t(name, age, city)
         |ORDER BY name""".stripMargin,
 
     "ing19_avro_roundtrip" ->

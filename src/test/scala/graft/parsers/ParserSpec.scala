@@ -172,6 +172,39 @@ class ParserSpec extends SparkSpec {
     assertThrows[ParseError](ParserDispatch.parserFor("pdf"))
   }
 
+  test("dispatch: compound compressed extensions route the inner text format") {
+    assert(ParserDispatch.parserForKey("a/b/data.csv.gz") == CsvParser)
+    assert(ParserDispatch.parserForKey("x.jsonl.bz2") == JsonlParser)
+    assert(ParserDispatch.parserForKey("plain.csv") == CsvParser) // unchanged path
+    // binary containers carry their own framing: a codec wrapper is refused
+    assertThrows[ParseError](ParserDispatch.parserForKey("x.parquet.gz"))
+    assertThrows[ParseError](ParserDispatch.parserForKey("x.xlsx.gz"))
+    assertThrows[ParseError](ParserDispatch.parserForKey("bare.gz"))
+  }
+
+  test("jsonl: line-split scan preserves types; blank lines skipped") {
+    val dir = Files.createTempDirectory("parser_jsonl")
+    val p = dir.resolve("t.jsonl")
+    Files.writeString(p,
+      "{\"k\":\"a\",\"v\":1}\n\n{\"k\":\"b\",\"v\":2}\n")
+    assert(ParserDispatch.parserForKey("t.jsonl") == JsonlParser)
+    val df = JsonlParser.parse(spark, p.toString, None)
+    assert(df.schema("v").dataType.typeName == "long")
+    assert(df.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("gzip csv: codec-wrapped text streams through the inner parser") {
+    val dir = Files.createTempDirectory("parser_gz")
+    val p = dir.resolve("t.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    out.write("name,age\nAda,36\nBo,41\n".getBytes("UTF-8")); out.close()
+    val df = ParserDispatch.parserForKey("t.csv.gz").parse(spark, p.toString, None)
+    assert(df.schema.fieldNames.toSeq == Seq("name", "age"))
+    assert(df.orderBy("name").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("Ada", "36"), ("Bo", "41")))
+  }
+
   // --- columnar sources (beyond-reference: ORC + parquet passthrough) ---
 
   test("orc: native-typed roundtrip through the dispatch parser") {
