@@ -72,4 +72,17 @@ object TextAnalysis {
     s"""zip_with(slice(split($textCol, ' '), 1, size(split($textCol, ' ')) - 1),
        |         slice(split($textCol, ' '), 2, size(split($textCol, ' ')) - 1),
        |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin
+
+  /** Adjacent word triples, same zip_with-over-slices shape as the
+    * bigram builder (and the same single-word/short-doc safety: a doc
+    * with < 3 tokens yields an empty array, never a descending
+    * sequence). */
+  def trigramTriplesExpr(textCol: String): String = {
+    val n3 = s"greatest(size(split($textCol, ' ')) - 2, 0)" // <3 tokens -> empty, not a negative slice
+    s"""zip_with(zip_with(slice(split($textCol, ' '), 1, $n3),
+       |                  slice(split($textCol, ' '), 2, $n3),
+       |                  (a, b) -> struct(a AS w1, b AS w2)),
+       |         slice(split($textCol, ' '), 3, $n3),
+       |         (ab, c) -> struct(ab.w1 AS w1, ab.w2 AS w2, c AS w3))""".stripMargin
+  }
 }

@@ -33,6 +33,46 @@ object TextQueries {
     // positive variant) and the 3-term score sum are IEEE doubles whose
     // ulp drift (libm ln, sum order) is absorbed by the round-6 + doc_id
     // tie-break discipline the sim-suite established.
+    //
+    // ---- t15: trigram-LM surprisal scoring — the KenLM-style fluency
+    // filter (CCNet's second axis, next to qf05's classifier): train
+    // add-1-smoothed trigram conditionals ON the corpus itself, then
+    // score every doc's average surprisal; gibberish and boilerplate
+    // sit in the tails. Determinism: each trigram's surprisal is
+    // quantized to integer MICRO-NATS (floor(-ln p * 1e6)) before the
+    // per-doc sum, so aggregation is exact integer math — no
+    // float-sum-order hazard (the samp04 lesson); the single ln() per
+    // distinct probability matches DuckDB bit-for-bit (t14 precedent).
+    // Scale: count relations are vocab^3-bounded (zipf-truncated in
+    // practice) and broadcast here; at web-scale vocab they become
+    // keyed shuffle joins on (w1,w2[,w3]) — same plan minus the hint.
+    "t15_trigram_surprisal" -> ((spark: SparkSession, dir: String) => {
+      // localCheckpoint: the trigram stream feeds both count tables and
+      // the scoring join (the qf03 expression-reuse trap).
+      val tri = t(spark, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          graft.ops.TextAnalysis.trigramTriplesExpr("text"))).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"),
+          col("g.w2").as("w2"), col("g.w3").as("w3"))
+        .localCheckpoint(true)
+      val vocab = t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val c123 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123"))
+      val c12 = tri.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      tri.join(broadcast(c123), Seq("w1", "w2", "w3"))
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("unats", floor(-log(
+          (col("n123") + 1).cast("double") / (col("n12") + col("v")).cast("double"))
+          * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"), sum("unats").as("total_unats"))
+        .withColumn("avg_unats", expr("total_unats div n_trigrams"))
+        .withColumn("flagged", col("avg_unats") > lit(3000000L))
+        .orderBy("doc_id")
+    }),
+
     "t14_bm25_topk" -> ((spark: SparkSession, dir: String) => {
       val qterms = Seq("spark", "join", "filter")
       val docs = t(spark, dir, "documents")
@@ -423,6 +463,31 @@ object TextQueries {
       (1 to 4).map(i => bpeStepCte(i, if (i == 1) "wc" else s"s${i - 1}")).mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "t15_trigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |uni AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT UNNEST(t) AS tok FROM toks)),
+        |c123 AS (SELECT w1, w2, w3, COUNT(*) AS n123 FROM tri GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM tri GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tri.doc_id,
+        |    CAST(FLOOR(-LN(CAST(n123 + 1 AS DOUBLE) / CAST(n12 + v AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS unats
+        |  FROM tri
+        |  JOIN c123 USING (w1, w2, w3)
+        |  JOIN c12 USING (w1, w2), uni)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  CAST(SUM(unats) AS BIGINT) AS total_unats,
+        |  CAST(SUM(unats) // COUNT(*) AS BIGINT) AS avg_unats,
+        |  CAST(SUM(unats) // COUNT(*) AS BIGINT) > 3000000 AS flagged
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Same idf variant, same round-6 + doc_id tie-break; DuckDB ln and
     // sum order may differ by ulps from Spark's — absorbed by round().
     "t14_bm25_topk" ->
