@@ -197,6 +197,27 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- pii02: k-anonymity audit — pii01 handles PII *in content*;
+    // this handles PII *by linkage*: before releasing a table with
+    // quasi-identifiers (nation, segment, account-balance band), every
+    // equivalence class over those columns must hold >= k individuals,
+    // or its members are re-identifiable by joining public attributes
+    // (Sweeney 2002). Output is the per-class audit a release gate
+    // reads: class key, size, and the k>=5 verdict. Scale: ONE
+    // map-side-combinable aggregation over the scan — the class count
+    // is the only shuffle; banding is scan-local; generalizing a
+    // failing attribute (wider bands) just re-runs the same plan.
+    "pii02_k_anonymity" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal").cast("double") / 2000.0).cast("int").as("bal_band"))
+        .groupBy("nationkey", "segment", "bal_band")
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("k_anonymous", col("class_size") >= 5)
+        .orderBy("nationkey", "segment", "bal_band")
+    }),
+
     // ---- split01: deterministic train/val/test split — md5 bucket in
     // [0,100): <80 train, <90 val, else test. Content-independent and
     // stable under repartitioning/re-runs, so the same doc lands in the
@@ -826,6 +847,13 @@ object CurationQueries {
         |      FROM f, w$LrIters)
         |GROUP BY y ORDER BY label_quality""".stripMargin
     },
+
+    "pii02_k_anonymity" ->
+      """SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+        |  CAST(FLOOR(c_acctbal / 2000.0) AS INT) AS bal_band,
+        |  COUNT(*) AS class_size, COUNT(*) >= 5 AS k_anonymous
+        |FROM customer
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "pii01_redact" ->
       s"""WITH r AS (
