@@ -120,4 +120,35 @@ object Layout {
       .drop("__za", "__zb", "__zkey")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Lays out lineitem+orders BUCKETED on the order key (8 buckets,
+    * sorted, one file per bucket via a pre-repartition on the same
+    * hash) as external bucketed tables, once per (session, sfDir) —
+    * every later equi-join on the key then reads bucket i of both
+    * sides into one task with NO Exchange on either side (and no
+    * re-sort: single sorted file per bucket reports its ordering).
+    * This is the storage-layer answer to the repeated fact-to-fact
+    * join: pay one layout write, every downstream join skips its two
+    * biggest shuffles. PlanSpec asserts the exchange-free plan;
+    * bucket01 gates the join RESULT cross-engine. */
+  def bucketedPair(spark: SparkSession, dir: String): (String, String) = {
+    val tag = f"${math.abs(dir.hashCode)}%x"
+    val li = s"graft_li_bucketed_$tag"
+    val o = s"graft_o_bucketed_$tag"
+    def ensure(name: String, src: String, key: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        import org.apache.spark.sql.functions.col
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft_bucketed_$name").resolve("t").toString
+        spark.read.parquet(src)
+          .repartition(8, col(key)) // same Murmur3 hash as bucketBy -> 1 file/bucket
+          .write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", path)
+          .saveAsTable(name)
+      }
+    ensure(li, s"$dir/lineitem.parquet", "l_orderkey")
+    ensure(o, s"$dir/orders.parquet", "o_orderkey")
+    (li, o)
+  }
 }

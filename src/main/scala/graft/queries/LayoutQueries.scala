@@ -75,6 +75,31 @@ object LayoutQueries {
     // lets the wide dim dominate the key and costs most of the
     // pruning; normalize-then-interleave is the standard recipe
     // (zorder01 gates the raw-key math itself).
+    // ---- bucket01: bucketed co-located join — THE shuffle eliminator
+    // for the repeated fact-to-fact join at 100 TB: write both sides
+    // bucketed on the join key (8 buckets here; thousands on a real
+    // lake), and every later join on that key reads bucket i of each
+    // side into the same task — NO Exchange on either side, proven by
+    // PlanSpec (the plan shape is the artifact; this query gates the
+    // RESULT). One-time layout cost, every downstream join rides free;
+    // the same mechanism backs the skew01/shard01 story at the storage
+    // layer instead of at query time.
+    "bucket01_colocated_join" -> ((spark: SparkSession, dir: String) => {
+      import graft.ops.Layout
+      val (liTable, oTable) = Layout.bucketedPair(spark, dir)
+      val li = spark.table(liTable)
+      // merge hint: at test SF the orders side fits the broadcast
+      // threshold, which would bypass the co-location being proven; at
+      // the 100 TB design point both sides are fact-sized and SMJ is
+      // what the planner picks anyway — the hint just pins that plan.
+      val o = spark.table(oTable).hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          d(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "zorder02_skip_stats" -> ((spark: SparkSession, dir: String) => {
       val zt = t(spark, dir, "orders").select(
           col("o_custkey").cast("bigint").as("x"),
@@ -122,6 +147,12 @@ object LayoutQueries {
     "CASE WHEN hi_x < pxlo OR lo_x > pxhi OR hi_y < pylo OR lo_y > pyhi THEN 1 ELSE 0 END"
 
   val oracles: Map[String, String] = Map(
+    "bucket01_colocated_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "zorder02_skip_stats" ->
       s"""WITH zt AS (
          |  SELECT CAST(o_custkey AS BIGINT) AS x,

@@ -21,6 +21,23 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("bucket01: bucketed co-located join plans with ZERO exchanges") {
+    val p = plan("bucket01_colocated_join")
+    // the join must read bucket i of both sides into one task: in the
+    // formatted tree, children print BELOW their parent, so no Exchange
+    // may appear after the SortMergeJoin line (the 5-row final agg and
+    // its orderBy legitimately shuffle ABOVE the join)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val joinAt = tree.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinAt >= 0, s"expected a SortMergeJoin over the bucketed tables:\n$p")
+    assert(!tree.drop(joinAt + 1).exists(_.contains("Exchange")),
+      s"the bucketed join's inputs must not shuffle:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must report bucketed reads:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      "a broadcast would mask the co-location proof at this scale")
+  }
+
   test("q05: star joins broadcast the dimensions; no cartesian product") {
     val p = plan("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
