@@ -21,7 +21,7 @@ object SparkEntry {
       MultimodalQueries.defs ++ IngestQueries.defs ++ ExtendedQueries.defs ++
       TemporalQueries.defs ++ TpchDeepQueries.defs ++ CurationQueries.defs ++
       ClusteringQueries.defs ++ ChangeQueries.defs ++ ProfilingQueries.defs ++
-      QualityQueries.defs ++ LayoutQueries.defs
+      QualityQueries.defs ++ LayoutQueries.defs ++ LakeQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
       MultimodalQueries.oracles ++ IngestQueries.oracles ++ ExtendedQueries.oracles ++
       TemporalQueries.oracles ++ TpchDeepQueries.oracles ++ CurationQueries.oracles ++
       ClusteringQueries.oracles ++ ChangeQueries.oracles ++ ProfilingQueries.oracles ++
-      QualityQueries.oracles ++ LayoutQueries.oracles
+      QualityQueries.oracles ++ LayoutQueries.oracles ++ LakeQueries.oracles
 }

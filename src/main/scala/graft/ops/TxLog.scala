@@ -1,0 +1,357 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal ACID table format on parquet — the transaction-log pattern of
+  * Delta Lake (Armbrust et al., "Delta Lake: High-Performance ACID Table
+  * Storage over Cloud Object Stores", VLDB 2020). The reference pipeline
+  * appends documents to a NoSQL store with no snapshot/versioning story
+  * (mongodb/data_repo.rs:20-70 inserts, nothing reads back consistently);
+  * at lake scale the same need — atomic multi-file commits, snapshot
+  * isolation for concurrent readers, time travel, small-file compaction,
+  * stats-based file skipping — is solved by a log of file-level actions,
+  * which is what this module provides, pure-JVM on the Hadoop FS API.
+  *
+  * Layout (all under the table directory):
+  *   _graft_log/v<%020d>/commit.json      — one commit: adds + removes
+  *   _graft_log/v<%020d>/checkpoint.json  — full live set, every 10th
+  *   data files: <uuid>.parquet, written by executor-parallel Spark jobs
+  *
+  * Commit protocol: a writer claims version V by atomically creating the
+  * directory `v<%020d>` (POSIX mkdir is create-exclusive; on an object
+  * store you would use a conditional PUT or a log-store service, per the
+  * published Delta protocol). The loser of a race gets
+  * FileAlreadyExistsException, re-reads the snapshot, revalidates, and
+  * retries at V+1 — classic optimistic concurrency. commit.json is
+  * written via temp-file + ATOMIC_MOVE inside the claimed directory, so
+  * readers never observe a partial commit: a version exists only once
+  * its commit.json does.
+  *
+  * Scale shapes (100 TB):
+  *  - the log is METADATA-sized: O(files) JSON, not O(rows). Snapshot
+  *    replay from the latest checkpoint reads <= 10 commit files no
+  *    matter how long the table's history is.
+  *  - per-file (rows, min, max) stats come from the parquet FOOTERS
+  *    (ParquetFileReader), not a data scan — stats collection after an
+  *    append reads O(files) footers, each a few KB.
+  *  - file skipping: a key-range read intersects the predicate with each
+  *    file's [min,max] in the DRIVER over the metadata only; a 100 TB
+  *    table with range-clustered files answers a narrow range query by
+  *    scanning a handful of files (LakeQueries.tx05 gates the math).
+  *  - copy-on-write merge/delete rewrite ONLY the files whose stats
+  *    range can contain an affected key (then an exact membership probe
+  *    narrows further) — at scale an upsert of a small delta touches a
+  *    small fraction of files, never the whole table.
+  */
+object TxLog {
+
+  /** File-level action: a live data file with its footer stats over the
+    * table's designated stats column (minKey/maxKey are Long.MinValue/
+    * MaxValue sentinels when the file has no stats for that column). */
+  final case class AddFile(path: String, rows: Long, minKey: Long, maxKey: Long)
+
+  final case class Snapshot(version: Long, files: Vector[AddFile])
+
+  private val CheckpointEvery = 10
+  private val mapper = new ObjectMapper()
+
+  private def listDir(p: Path): Vector[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def logDir(table: Path): Path = table.resolve("_graft_log")
+  private def vName(v: Long): String = f"v$v%020d"
+  private def versionDir(table: Path, v: Long): Path = logDir(table).resolve(vName(v))
+
+  // ---------------------------------------------------------------- log IO
+
+  private def writeJsonAtomic(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def addToNode(a: AddFile): java.util.Map[String, Object] =
+    Map[String, Object]("path" -> a.path, "rows" -> java.lang.Long.valueOf(a.rows),
+      "min" -> java.lang.Long.valueOf(a.minKey), "max" -> java.lang.Long.valueOf(a.maxKey)).asJava
+
+  private def nodeToAdd(n: com.fasterxml.jackson.databind.JsonNode): AddFile =
+    AddFile(n.get("path").asText, n.get("rows").asLong, n.get("min").asLong, n.get("max").asLong)
+
+  /** Committed versions present in the log, ascending. A version counts
+    * only once its commit.json is visible (see commit protocol above). */
+  def versions(table: Path): Vector[Long] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) Vector.empty
+    else listDir(ld)
+      .filter(p => p.getFileName.toString.startsWith("v") &&
+        Files.exists(p.resolve("commit.json")))
+      .map(p => p.getFileName.toString.drop(1).toLong)
+      .sorted
+  }
+
+  def latestVersion(table: Path): Long = versions(table).lastOption.getOrElse(-1L)
+
+  /** Replay the log up to `version` (latest when None). Starts from the
+    * newest checkpoint at or below the target, then applies at most the
+    * commits after it — O(checkpoint interval) commit reads. */
+  def snapshotAt(table: Path, version: Option[Long] = None): Snapshot = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions in $table")
+    val target = version.getOrElse(vs.last)
+    require(vs.contains(target), s"version $target not in log (have ${vs.mkString(",")})")
+    val ckpt = vs.filter(_ <= target).reverse
+      .find(v => Files.exists(versionDir(table, v).resolve("checkpoint.json")))
+    var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    ckpt.foreach { v =>
+      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("checkpoint.json")))
+      node.get("files").elements().asScala.foreach { f =>
+        val a = nodeToAdd(f); live += (a.path -> a)
+      }
+    }
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    vs.filter(v => v >= from && v <= target).foreach { v =>
+      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      node.get("removes").elements().asScala.foreach(r => live -= r.asText)
+      node.get("adds").elements().asScala.foreach { f =>
+        val a = nodeToAdd(f); live += (a.path -> a)
+      }
+    }
+    Snapshot(target, live.values.toVector)
+  }
+
+  /** Claim exactly version `v`; false if someone else got there first. */
+  def tryCommit(table: Path, v: Long, op: String,
+      adds: Seq[AddFile], removes: Seq[String]): Boolean = {
+    Files.createDirectories(logDir(table))
+    val vd = versionDir(table, v)
+    try Files.createDirectory(vd) // atomic create-exclusive claim
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    val body = Map[String, Object](
+      "version" -> java.lang.Long.valueOf(v), "op" -> op,
+      "adds" -> adds.map(addToNode).asJava,
+      "removes" -> removes.asJava).asJava
+    writeJsonAtomic(vd.resolve("commit.json"), mapper.writeValueAsBytes(body))
+    if (v % CheckpointEvery == 0 && v > 0) {
+      val snap = snapshotAt(table, Some(v))
+      val ck = Map[String, Object]("version" -> java.lang.Long.valueOf(v),
+        "files" -> snap.files.map(addToNode).asJava).asJava
+      writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
+    }
+    true
+  }
+
+  /** Optimistic-retry commit. `validate` re-checks the commit's
+    * preconditions against the snapshot it would now apply to (e.g. a
+    * compaction aborts if a file it means to remove is already gone);
+    * returns the committed version. */
+  def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
+      maxAttempts: Int = 20)(validate: Option[Snapshot] => Boolean): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = latestVersion(table) + 1
+      val snap = if (v == 0) None else Some(snapshotAt(table))
+      if (!validate(snap))
+        throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
+      if (tryCommit(table, v, op, adds, removes)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commit '$op' lost $maxAttempts races")
+  }
+
+  // ------------------------------------------------------------- file stats
+
+  /** Footer-only stats for one parquet file: row count from block
+    * metadata, min/max of `statsCol` from the column-chunk statistics.
+    * No data pages are read. */
+  def footerStats(spark: SparkSession, file: Path, statsCol: String): AddFile = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file.toString), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+      blocks.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == statsCol).foreach { c =>
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                mn = math.min(mn, lo); mx = math.max(mx, hi); seen = true
+              case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                mn = math.min(mn, lo.longValue); mx = math.max(mx, hi.longValue); seen = true
+              case _ => ()
+            }
+          }
+        }
+      }
+      if (!seen) { mn = Long.MinValue; mx = Long.MaxValue } // unknown: never prunable
+      AddFile(file.getFileName.toString, rows, mn, mx)
+    } finally reader.close()
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** Move every staged part file into the table root under a fresh UUID
+    * name and return its footer-derived AddFile; the files stay
+    * invisible to readers until a commit references them. */
+  private def promoteStaged(spark: SparkSession, stage: Path, table: Path,
+      statsCol: String): Vector[AddFile] = {
+    val adds = listDir(stage)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+      .map { p =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        val dest = table.resolve(name)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        footerStats(spark, dest, statsCol).copy(path = name)
+      }
+    deleteRecursively(stage)
+    adds
+  }
+
+  /** Write `df` as new data files (executor-parallel, `nParts` tasks) and
+    * commit them as one atomic append. Files are staged under a private
+    * directory, stats-read from their footers, then moved into the table
+    * root under fresh UUID names before the commit makes them visible. */
+  def append(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
+      nParts: Int = 0): Long = {
+    Files.createDirectories(table)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    val out = if (nParts > 0) df.repartition(nParts) else df
+    out.write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    commitRetry(table, "append", adds, Nil)(_ => true)
+  }
+
+  /** Files of `snap` whose [min,max] can intersect [lo,hi] — the driver-
+    * side, metadata-only skipping decision. */
+  def pruneFiles(snap: Snapshot, lo: Long, hi: Long): Vector[AddFile] =
+    snap.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+
+  /** Snapshot read, optionally time-traveled and/or key-range pruned.
+    * Pruning filters the file LIST (metadata only); the residual row
+    * predicate is still applied so the answer is exact either way. */
+  def readAt(spark: SparkSession, table: Path, version: Option[Long] = None,
+      range: Option[(String, Long, Long)] = None): DataFrame = {
+    val snap = snapshotAt(table, version)
+    val kept = range match {
+      case Some((_, lo, hi)) => pruneFiles(snap, lo, hi)
+      case None => snap.files
+    }
+    if (kept.isEmpty) {
+      // schema-preserving empty relation off any live file
+      val any = spark.read.parquet(table.resolve(snap.files.head.path).toString)
+      return any.filter(lit(false))
+    }
+    val df = spark.read.parquet(kept.map(f => table.resolve(f.path).toString): _*)
+    range match {
+      case Some((c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+      case None => df
+    }
+  }
+
+  /** Rewrite the current live set as `nParts` files in one commit.
+    * Readers pinned at any older version still resolve their own file
+    * list — compaction never mutates data files in place. Validates at
+    * commit time that every file it replaces is still live. */
+  def compact(spark: SparkSession, table: Path, statsCol: String, nParts: Int = 1): Long = {
+    val snap = snapshotAt(table)
+    val removes = snap.files.map(_.path)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    spark.read.parquet(snap.files.map(f => table.resolve(f.path).toString): _*)
+      .repartition(nParts)
+      .write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    commitRetry(table, "compact", adds, removes) {
+      case None => false
+      case Some(s) => removes.forall(s.files.map(_.path).contains)
+    }
+  }
+
+  /** Copy-on-write MERGE (upsert): rows of `updates` replace same-key
+    * rows; unmatched update keys are inserted. Only files that can
+    * contain an affected key are rewritten:
+    *   1. stats prune: files whose [min,max] intersects the updates' key
+    *      envelope (driver metadata only);
+    *   2. exact probe: one scan of ONLY those candidates, semi-joined
+    *      (broadcast — the delta is small by contract) against the
+    *      update keys, to the distinct containing files;
+    *   3. rewrite: affected rows anti-join the update keys, union the
+    *      full updates, new files, one commit of removes+adds.
+    * Returns (version, filesRewritten, filesTotal). */
+  def mergeCow(spark: SparkSession, table: Path, updates: DataFrame, keyCol: String,
+      statsCol: String, nParts: Int = 1): (Long, Int, Int) = {
+    val snap = snapshotAt(table)
+    val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
+    if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size) // empty delta
+    val candidates = pruneFiles(snap, bounds.getLong(0), bounds.getLong(1))
+    val affected: Vector[String] =
+      if (candidates.isEmpty) Vector.empty
+      else {
+        val cand = spark.read.parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+        cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
+          .join(broadcast(updates.select(col(keyCol)).distinct()), keyCol)
+          .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
+      }
+    val base =
+      if (affected.isEmpty) updates.filter(lit(false))
+      else spark.read.parquet(affected.map(table.resolve(_).toString): _*)
+        .join(broadcast(updates.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    val rewritten = base.unionByName(updates)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    rewritten.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    val v = commitRetry(table, "merge", adds, affected) {
+      case None => false
+      case Some(s) => affected.forall(s.files.map(_.path).contains)
+    }
+    (v, affected.size, snap.files.size)
+  }
+
+  /** Copy-on-write DELETE of keys (the GDPR / right-to-be-forgotten
+    * primitive): same pruning discipline as mergeCow — only files whose
+    * stats range can contain a deleted key are rewritten, everything
+    * else is untouched metadata-side. Returns (version, filesRewritten,
+    * filesTotal). */
+  def deleteKeys(spark: SparkSession, table: Path, keys: DataFrame, keyCol: String,
+      statsCol: String, nParts: Int = 1): (Long, Int, Int) = {
+    val snap = snapshotAt(table)
+    val bounds = keys.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
+    if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size)
+    val candidates = pruneFiles(snap, bounds.getLong(0), bounds.getLong(1))
+    val affected: Vector[String] =
+      if (candidates.isEmpty) Vector.empty
+      else {
+        val cand = spark.read.parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+        cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
+          .join(broadcast(keys.select(col(keyCol)).distinct()), keyCol)
+          .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
+      }
+    if (affected.isEmpty) return (snap.version, 0, snap.files.size)
+    val kept = spark.read.parquet(affected.map(table.resolve(_).toString): _*)
+      .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    kept.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    val v = commitRetry(table, "delete", adds, affected) {
+      case None => false
+      case Some(s) => affected.forall(s.files.map(_.path).contains)
+    }
+    (v, affected.size, snap.files.size)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+import graft.ops.TxLog
+
+/** Transaction-log (lakehouse) operators as gated queries — ACID commits,
+  * snapshot isolation, time travel, compaction, stats-based file
+  * skipping, and copy-on-write merge/delete over parquet, per the
+  * published Delta Lake protocol pattern (Armbrust et al., VLDB 2020).
+  * The mechanism lives in [[graft.ops.TxLog]] (log replay, optimistic
+  * commit, footer stats) with TxLogSpec covering the filesystem-level
+  * contracts (commit races, partial-commit invisibility, checkpoint
+  * replay equivalence); these queries gate the DATA semantics
+  * cross-engine: every table is built inside the query from the
+  * `documents` parquet, so DuckDB can state the expected contents of any
+  * snapshot closed-form.
+  *
+  * Layout determinism: tx04/tx05 build the table as 8 equal-WIDTH
+  * doc_id range files (file b = ids with  id*8 div (max_id+1) = b  —
+  * one append each), the same equal-width trick zorder01 uses: a real
+  * write clusters by repartitionByRange (sample-based, engine-private),
+  * while equal-width needs only max(doc_id) and lets the oracle compute
+  * exactly which files a key set or range predicate touches. The
+  * rewritten/scanned file COUNTS are therefore first-class gated
+  * columns, not just spec assertions.
+  *
+  * Scale notes (100 TB):
+  *  - every append/compact/merge writes files executor-parallel and
+  *    commits them in one atomic metadata operation; the log stays
+  *    O(files), replayed from checkpoints (<= 10 commits read).
+  *  - tx05's files_scanned IS the 100 TB story: a narrow range predicate
+  *    on a range-clustered table touches ceil(width/file_width) files
+  *    regardless of table size — the scan cost tracks the ANSWER size,
+  *    not the data size.
+  *  - tx04's files_rewritten shows the merge analog: an upsert delta
+  *    rewrites only the files whose footer range can contain an
+  *    affected key (stats prune, then an exact broadcast probe).
+  */
+object LakeQueries {
+
+  /** documents with a bigint doc_id — the tx tables' content. */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id").cast("bigint").as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("bigint").as("n_chars"))
+
+  private def freshTable(): Path =
+    Files.createTempDirectory("graft_tx").resolve("tbl")
+
+  /** max(doc_id)+1 — the equal-width denominator (1-row control-plane
+    * agg, same role as zorder01's zmax). */
+  private def idSpan(d: DataFrame): Long =
+    d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+
+  /** Build the 8-file equal-width range layout: one append per bucket,
+    * each a single file, so file b's footer [min,max] is exactly its id
+    * range. Driver-looped COMMITS (8 metadata operations); each append's
+    * data write is a distributed job. */
+  private def rangeLayout(spark: SparkSession, d: DataFrame, table: Path, span: Long): Unit =
+    (0 until 8).foreach { b =>
+      TxLog.append(spark,
+        d.filter(expr(s"(doc_id * 8) div ${span}L") === b), table, "doc_id", nParts = 1)
+    }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- tx01: atomic multi-file append + snapshot read. Two commits
+    // (even ids, odd ids, 2 files each), then one snapshot read of the
+    // latest version aggregated per source — any lost/duplicated row or
+    // type drift through the parquet+log round trip breaks the hash.
+    "tx01_snapshot_read" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      TxLog.readAt(spark, table)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    }),
+
+    // ---- tx02: time travel across append/append/delete. Version 0 has
+    // the even ids, version 1 everything, version 2 everything minus the
+    // multiples of 10 (a copy-on-write delete). One read per pinned
+    // version; old versions stay byte-stable because no commit mutates
+    // a data file in place.
+    "tx02_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      TxLog.deleteKeys(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id", "doc_id", nParts = 1)
+      def at(v: Long): DataFrame =
+        TxLog.readAt(spark, table, version = Some(v))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_ids"), col("sum_chars"))
+      at(0).unionByName(at(1)).unionByName(at(2)).orderBy("version")
+    }),
+
+    // ---- tx03: compaction preserves contents and collapses the file
+    // count. Six single-file appends (the small-file problem), one
+    // compact commit; files_before/files_after come from the LOG
+    // snapshots, the aggregate proves bit-level content preservation.
+    "tx03_compaction" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      (0 until 6).foreach { b =>
+        TxLog.append(spark, d.filter(col("doc_id") % 6 === b), table, "doc_id", nParts = 1)
+      }
+      val before = TxLog.snapshotAt(table).files.size
+      TxLog.compact(spark, table, "doc_id", nParts = 1)
+      val after = TxLog.snapshotAt(table).files.size
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(lit(before).cast("bigint").as("files_before"),
+          lit(after).cast("bigint").as("files_after"),
+          col("n_docs"), col("sum_chars"), col("n_sources"))
+    }),
+
+    // ---- tx04: copy-on-write MERGE with file-pruned rewrites. The
+    // delta redacts every doc_id % 100 = 7 (update) and inserts three
+    // brand-new ids above the id span. files_rewritten is gated: it must
+    // equal the number of DISTINCT equal-width buckets containing a
+    // matched key — the oracle computes that from the bucket arithmetic,
+    // proving the merge touched nothing it didn't have to.
+    "tx04_cow_merge" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      rangeLayout(spark, d, table, span)
+      val updates = d.filter(col("doc_id") % 100 === 7)
+        .withColumn("text", lit("REDACTED")).withColumn("n_chars", lit(8L))
+        .unionByName(
+          d.filter(col("doc_id") < 3).select(
+            (col("doc_id") + lit(span)).as("doc_id"), lit("INSERTED").as("text"),
+            col("lang"), lit("merge").as("source"), lit(8L).as("n_chars")))
+      val (_, rewritten, total) = TxLog.mergeCow(spark, table, updates, "doc_id", "doc_id")
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("text") === "REDACTED", 1L).otherwise(0L)).as("n_redacted"),
+          sum(when(col("source") === "merge", 1L).otherwise(0L)).as("n_inserted"))
+        .select(lit(total).cast("bigint").as("files_total"),
+          lit(rewritten).cast("bigint").as("files_rewritten"),
+          col("n_docs"), col("sum_chars"), col("n_redacted"), col("n_inserted"))
+    }),
+
+    // ---- tx05: stats-based file skipping. A range predicate over the
+    // middle quarter of the id space reads only the files whose footer
+    // [min,max] intersects it; files_scanned is gated against the bucket
+    // arithmetic. The residual row filter keeps the answer exact even
+    // when a kept file straddles the range edge.
+    "tx05_stats_pruning" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      rangeLayout(spark, d, table, span)
+      val lo = span / 4
+      val hi = span / 2 - 1
+      val snap = TxLog.snapshotAt(table)
+      val scanned = TxLog.pruneFiles(snap, lo, hi).size
+      TxLog.readAt(spark, table, range = Some(("doc_id", lo, hi)))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(snap.files.size).cast("bigint").as("files_total"),
+          lit(scanned).cast("bigint").as("files_scanned"),
+          col("n_rows"), col("sum_chars"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "tx01_snapshot_read" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "tx02_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 10 <> 0
+        |ORDER BY version""".stripMargin,
+
+    "tx03_compaction" ->
+      """SELECT CAST(6 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents""".stripMargin,
+
+    "tx04_cow_merge" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |touched AS (
+        |  SELECT COUNT(DISTINCT (doc_id * 8) // n) AS rewritten
+        |  FROM documents, span WHERE doc_id % 100 = 7)
+        |SELECT CAST(8 AS BIGINT) AS files_total,
+        |  CAST(touched.rewritten AS BIGINT) AS files_rewritten,
+        |  CAST((SELECT COUNT(*) FROM documents) + 3 AS BIGINT) AS n_docs,
+        |  CAST((SELECT SUM(CASE WHEN doc_id % 100 = 7 THEN 8 ELSE n_chars END)
+        |        FROM documents) + 24 AS BIGINT) AS sum_chars,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 100 = 7) AS BIGINT)
+        |    AS n_redacted,
+        |  CAST(3 AS BIGINT) AS n_inserted
+        |FROM touched""".stripMargin,
+
+    // files_scanned replays the FOOTER rule exactly: file b is scanned
+    // iff [min(id in b), max(id in b)] intersects [lo, hi] — robust even
+    // if the driver ever regenerates doc_id as a sparse key space.
+    "tx05_stats_pruning" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |rng AS (SELECT n // 4 AS lo, n // 2 - 1 AS hi, n FROM span),
+        |boxes AS (
+        |  SELECT (doc_id * 8) // rng.n AS b, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents, rng GROUP BY 1)
+        |SELECT CAST(8 AS BIGINT) AS files_total,
+        |  CAST((SELECT COUNT(*) FROM boxes, rng
+        |        WHERE boxes.mx >= rng.lo AND boxes.mn <= rng.hi) AS BIGINT)
+        |    AS files_scanned,
+        |  (SELECT COUNT(*) FROM documents, rng
+        |   WHERE doc_id BETWEEN rng.lo AND rng.hi) AS n_rows,
+        |  CAST((SELECT SUM(n_chars) FROM documents, rng
+        |        WHERE doc_id BETWEEN rng.lo AND rng.hi) AS BIGINT) AS sum_chars
+        |FROM rng""".stripMargin)
+}

@@ -254,6 +254,32 @@ object RelationalQueries {
           col("revenue"))
         .orderBy("region", "nation")
     }),
+
+    // ---- bloom01: runtime Bloom-filter join pruning. With a selective
+    // predicate on the dimension side of a SHUFFLE join, the optimizer
+    // builds bloom_filter_agg over the dim's join keys and injects
+    // might_contain(<bloom>, xxhash64(l_orderkey)) into the FACT scan's
+    // filter — non-joining fact rows die before the shuffle, which at
+    // 100 TB is the difference between shuffling the whole fact table
+    // and shuffling the ~20% that can match (PlanSpec asserts both
+    // plan artifacts). The cloned session only lowers the injection
+    // thresholds so the optimization fires at test scale — on a real
+    // cluster the fact side clears the default 10 GB threshold by
+    // itself; false positives cost nothing (the join stays exact).
+    "bloom01_runtime_filter" -> ((spark: SparkSession, dir: String) => {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      val ord = t(s2, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s2, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          d(sum(ep(s2) * (one - disc))).as("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -410,5 +436,12 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+
+    "bloom01_runtime_filter" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

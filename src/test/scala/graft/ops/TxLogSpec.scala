@@ -1,0 +1,166 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Filesystem-level contracts of the transaction log: atomic commit
+  * claims under a race, partial-commit invisibility, optimistic-retry
+  * append concurrency, time-travel pinning across compaction, checkpoint
+  * replay equivalence, footer-only stats, and the copy-on-write
+  * pruning guarantee (merge touches only files that can contain an
+  * affected key). LakeQueries/tx01-tx05 gate the data semantics against
+  * DuckDB; this spec covers what SQL cannot see. */
+class TxLogSpec extends SparkSpec {
+
+  private def freshTable(): Path =
+    Files.createTempDirectory("graft_txspec").resolve("tbl")
+
+  private def idsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("doc_id").withColumn("payload", concat(lit("v"), col("doc_id")))
+  }
+
+  test("txlog: atomic version claim — exactly one of two racing commits wins") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1) // v0
+    val latch = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val results = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          latch.await(5, TimeUnit.SECONDS)
+          TxLog.tryCommit(table, 1L, s"racer$i", Nil, Nil)
+        }
+      })
+    }
+    latch.countDown()
+    val wins = results.map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.count(identity) == 1, s"expected exactly one winner, got $wins")
+    assert(TxLog.latestVersion(table) == 1L)
+  }
+
+  test("txlog: a claimed version without commit.json is invisible to readers") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1) // v0
+    // simulate a writer that claimed v1 and died before publishing
+    Files.createDirectory(table.resolve("_graft_log").resolve(f"v${1L}%020d"))
+    assert(TxLog.versions(table) == Vector(0L))
+    assert(TxLog.snapshotAt(table).version == 0L)
+    assert(TxLog.readAt(spark, table).count() == 5L)
+  }
+
+  test("txlog: concurrent optimistic appends both land, at distinct versions") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
+    val pool = Executors.newFixedThreadPool(2)
+    val latch = new CountDownLatch(1)
+    val futures = Seq(5L to 9L, 10L to 14L).map { r =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { latch.await(5, TimeUnit.SECONDS)
+          TxLog.append(spark, idsDf(r), table, "doc_id", nParts = 1) }
+      })
+    }
+    latch.countDown()
+    val vs = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(vs.toSet == Set(1L, 2L))
+    assert(TxLog.readAt(spark, table).count() == 15L)
+  }
+
+  test("txlog: time travel pins old versions across delete and compaction") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 2)   // v0
+    TxLog.append(spark, idsDf(10L to 19L), table, "doc_id", nParts = 2) // v1
+    TxLog.deleteKeys(spark, table, idsDf(Seq(3L, 13L)).select("doc_id"),
+      "doc_id", "doc_id")                                               // v2
+    TxLog.compact(spark, table, "doc_id", nParts = 1)                   // v3
+    assert(TxLog.readAt(spark, table, Some(0L)).count() == 10L)
+    assert(TxLog.readAt(spark, table, Some(1L)).count() == 20L)
+    assert(TxLog.readAt(spark, table, Some(2L)).count() == 18L)
+    assert(TxLog.readAt(spark, table, Some(3L)).count() == 18L)
+    assert(TxLog.snapshotAt(table, Some(3L)).files.size == 1)
+    // v0's physical files are still resolvable (no in-place mutation)
+    val v0ids = TxLog.readAt(spark, table, Some(0L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(v0ids.toSeq == (0L to 9L))
+  }
+
+  test("txlog: checkpoint written at v10 and replay-from-checkpoint = full replay") {
+    val table = freshTable()
+    (0 until 12).foreach { i =>
+      TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1)
+    }
+    val ck = table.resolve("_graft_log").resolve(f"v${10L}%020d").resolve("checkpoint.json")
+    assert(Files.exists(ck), "expected a checkpoint at version 10")
+    val snap = TxLog.snapshotAt(table) // replays ckpt(10) + v11
+    assert(snap.version == 11L && snap.files.size == 12)
+    assert(TxLog.readAt(spark, table).count() == 12L)
+    // sabotage an early commit file: replay must NOT read it anymore
+    Files.delete(table.resolve("_graft_log").resolve(f"v${3L}%020d").resolve("commit.json"))
+    // v3 no longer counts as committed, but the checkpoint carries its files
+    assert(TxLog.snapshotAt(table, Some(11L)).files.size == 12)
+  }
+
+  test("txlog: footer stats are exact (rows, min, max) without a data scan") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(7L to 23L), table, "doc_id", nParts = 1)
+    val f = TxLog.snapshotAt(table).files.head
+    assert(f.rows == 17L && f.minKey == 7L && f.maxKey == 23L)
+  }
+
+  test("txlog: copy-on-write merge rewrites ONLY files that contain a key") {
+    val table = freshTable()
+    // four files with disjoint known ranges
+    Seq(0L to 9L, 10L to 19L, 20L to 29L, 30L to 39L).foreach { r =>
+      TxLog.append(spark, idsDf(r), table, "doc_id", nParts = 1)
+    }
+    val before = TxLog.snapshotAt(table).files.map(_.path).toSet
+    val upd = idsDf(Seq(15L)).withColumn("payload", lit("UPDATED"))
+    val (_, rewritten, total) = TxLog.mergeCow(spark, table, upd, "doc_id", "doc_id")
+    assert(total == 4 && rewritten == 1)
+    val after = TxLog.snapshotAt(table).files.map(_.path).toSet
+    assert((before -- after).size == 1, "exactly one file replaced")
+    assert((after -- before).size == 1, "exactly one file added")
+    val row = TxLog.readAt(spark, table).filter(col("doc_id") === 15L)
+      .select("payload").head.getString(0)
+    assert(row == "UPDATED")
+    assert(TxLog.readAt(spark, table).count() == 40L)
+  }
+
+  test("txlog: merge inserts unmatched keys as new rows in a new file") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    val upd = idsDf(Seq(5L, 100L)).withColumn("payload", lit("M"))
+    val (_, rewritten, _) = TxLog.mergeCow(spark, table, upd, "doc_id", "doc_id")
+    assert(rewritten == 1)
+    val out = TxLog.readAt(spark, table)
+    assert(out.count() == 11L)
+    assert(out.filter(col("payload") === "M").count() == 2L)
+  }
+
+  test("txlog: stale rewrite commit is rejected by validation") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    intercept[IllegalStateException] {
+      TxLog.commitRetry(table, "compact", Nil, Seq("no-such-file.parquet")) {
+        case None => false
+        case Some(s) => Seq("no-such-file.parquet").forall(s.files.map(_.path).contains)
+      }
+    }
+  }
+
+  test("txlog: range-pruned read keeps only intersecting files, answer stays exact") {
+    val table = freshTable()
+    Seq(0L to 9L, 10L to 19L, 20L to 29L, 30L to 39L).foreach { r =>
+      TxLog.append(spark, idsDf(r), table, "doc_id", nParts = 1)
+    }
+    val snap = TxLog.snapshotAt(table)
+    assert(TxLog.pruneFiles(snap, 12L, 27L).size == 2)
+    val out = TxLog.readAt(spark, table, range = Some(("doc_id", 12L, 27L)))
+    assert(out.count() == 16L) // 12..27 — residual filter trims file edges
+  }
+}

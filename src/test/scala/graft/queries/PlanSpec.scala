@@ -461,6 +461,24 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.size == 2, s"expected user_id + path exchanges only:\n$p")
   }
 
+  test("bloom01: runtime Bloom filter is injected into the fact scan") {
+    val p = plan("bloom01_runtime_filter")
+    // creation side: an aggregate building the bloom over the filtered
+    // dim keys; application side: might_contain in the fact scan filter
+    assert(p.contains("bloom_filter_agg"),
+      s"expected a bloom_filter_agg build over o_orderkey:\n$p")
+    assert(p.contains("might_contain"),
+      s"expected might_contain injected into the lineitem side:\n$p")
+    // the filter must sit BELOW the join (prunes before the shuffle):
+    // in formatted mode children print after their parent, so
+    // might_contain's Condition line appears after the join line
+    val lines = p.linesIterator.toVector
+    val joinAt = lines.indexWhere(_.contains("SortMergeJoin"))
+    val mcAt = lines.indexWhere(_.contains("might_contain"))
+    assert(joinAt >= 0 && mcAt > joinAt,
+      s"might_contain must filter a join INPUT, not the output:\n$p")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
