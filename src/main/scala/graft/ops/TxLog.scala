@@ -130,17 +130,20 @@ object TxLog {
     Snapshot(target, live.values.toVector)
   }
 
-  /** Claim exactly version `v`; false if someone else got there first. */
+  /** Claim exactly version `v`; false if someone else got there first.
+    * `batchId` tags the commit with a streaming batch id (see
+    * [[streamingAppend]]). */
   def tryCommit(table: Path, v: Long, op: String,
-      adds: Seq[AddFile], removes: Seq[String]): Boolean = {
+      adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long] = None): Boolean = {
     Files.createDirectories(logDir(table))
     val vd = versionDir(table, v)
     try Files.createDirectory(vd) // atomic create-exclusive claim
     catch { case _: java.nio.file.FileAlreadyExistsException => return false }
-    val body = Map[String, Object](
+    val base = Map[String, Object](
       "version" -> java.lang.Long.valueOf(v), "op" -> op,
       "adds" -> adds.map(addToNode).asJava,
-      "removes" -> removes.asJava).asJava
+      "removes" -> removes.asJava)
+    val body = (base ++ batchId.map(b => "batchId" -> (java.lang.Long.valueOf(b): Object))).asJava
     writeJsonAtomic(vd.resolve("commit.json"), mapper.writeValueAsBytes(body))
     if (v % CheckpointEvery == 0 && v > 0) {
       val snap = snapshotAt(table, Some(v))
@@ -156,14 +159,15 @@ object TxLog {
     * compaction aborts if a file it means to remove is already gone);
     * returns the committed version. */
   def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
-      maxAttempts: Int = 20)(validate: Option[Snapshot] => Boolean): Long = {
+      maxAttempts: Int = 20, batchId: Option[Long] = None)(
+      validate: Option[Snapshot] => Boolean): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = latestVersion(table) + 1
       val snap = if (v == 0) None else Some(snapshotAt(table))
       if (!validate(snap))
         throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
-      if (tryCommit(table, v, op, adds, removes)) return v
+      if (tryCommit(table, v, op, adds, removes, batchId)) return v
       attempt += 1
     }
     throw new IllegalStateException(s"commit '$op' lost $maxAttempts races")
@@ -348,6 +352,59 @@ object TxLog {
       case Some(s) => affected.forall(s.files.map(_.path).contains)
     }
     (v, affected.size, snap.files.size)
+  }
+
+  // ------------------------------------------------- streaming exactly-once
+
+  /** Streaming batch ids already recorded in the log. O(commits) commit
+    * reads — at production history depth the ids would be folded into
+    * checkpoints like the live set (Delta's txn appId/version pattern);
+    * only the trailing ids matter for restart dedup. */
+  def committedBatchIds(table: Path): Set[Long] =
+    versions(table).flatMap { v =>
+      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      Option(node.get("batchId")).map(_.asLong)
+    }.toSet
+
+  /** Exactly-once foreachBatch sink: Structured Streaming re-delivers
+    * the in-flight batch after a restart, so an idempotent sink must
+    * recognize a batch it already committed. Each streaming append
+    * records its batchId in the commit; a redelivered batch is skipped
+    * (returns None). Use from foreachBatch:
+    * {{{ q.foreachBatch((df, id) => TxLog.streamingAppend(spark, df, id, table, "k")) }}} */
+  def streamingAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
+      table: Path, statsCol: String, nParts: Int = 1): Option[Long] = {
+    if (committedBatchIds(table).contains(batchId)) return None
+    Files.createDirectories(table)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    val out = if (nParts > 0) batch.repartition(nParts) else batch
+    out.write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    // revalidate under the optimistic loop: a concurrent restart of the
+    // same query could have committed this batch between check and claim
+    Some(commitRetry(table, "streaming-append", adds, Nil, batchId = Some(batchId)) {
+      _ => !committedBatchIds(table).contains(batchId)
+    })
+  }
+
+  // ----------------------------------------------------------------- vacuum
+
+  /** Delete data files unreferenced by the snapshots of the most recent
+    * `keepVersions` committed versions — the storage-reclaim half of
+    * compaction/merge (their old files stay on disk for time travel
+    * until vacuumed). Time travel to vacuumed-away versions becomes
+    * unreadable, exactly like VACUUM in the published Delta protocol.
+    * Returns the deleted file names. */
+  def vacuum(table: Path, keepVersions: Int = 1): Vector[String] = {
+    val vs = versions(table)
+    val retained = vs.takeRight(math.max(1, keepVersions))
+    val referenced = retained.flatMap(v => snapshotAt(table, Some(v)).files.map(_.path)).toSet
+    val onDisk = listDir(table)
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(_.getFileName.toString)
+    val doomed = onDisk.filterNot(referenced).sorted
+    doomed.foreach(f => Files.deleteIfExists(table.resolve(f)))
+    doomed
   }
 
   private def deleteRecursively(p: Path): Unit = {

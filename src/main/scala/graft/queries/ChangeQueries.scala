@@ -88,6 +88,43 @@ object ChangeQueries {
         .select(col("o_orderkey"), col("version"), col("o_totalprice"), col("o_orderstatus"))
         .orderBy("o_orderkey")
     }),
+
+    // ---- ivm01: incremental view maintenance with retractions — keep a
+    // per-event_type (count, sum) materialized view current by merging a
+    // SIGNED delta instead of recomputing. Deterministic split: the view
+    // was built over event_id % 10 <> 0; the delta INSERTS the % 10 = 0
+    // rows and RETRACTS the % 7 = 0 rows already in the view. The gate
+    // is cross-METHOD as well as cross-engine: Spark computes the
+    // algebraic merge (view + Σsign, view + Σsign·value), DuckDB
+    // recomputes the final state from scratch — the hashes agree only if
+    // delta maintenance is exactly equivalent to recomputation. Exact
+    // DECIMAL sums make the algebra order-independent, so "base + delta"
+    // and "one pass" cannot drift by float association.
+    // 100 TB shape: the view update scans ONLY the delta (two skinny
+    // aggregates + an event_type-grain outer join); recomputation would
+    // scan the world. This is the foreachBatch pattern for keeping
+    // serving aggregates fresh under a CDC stream.
+    "ivm01_incremental_view" -> ((spark: SparkSession, dir: String) => {
+      val ev = t(spark, dir, "events")
+      val baseAgg = ev.filter(col("event_id") % 10 =!= 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("s"))
+      val delta = ev.filter(col("event_id") % 10 === 0)
+          .select(col("event_type"), lit(1L).as("sign"), dec(col("value")).as("v"))
+        .unionByName(ev.filter(col("event_id") % 10 =!= 0 && col("event_id") % 7 === 0)
+          .select(col("event_type"), lit(-1L).as("sign"), dec(col("value")).as("v")))
+      val deltaAgg = delta.groupBy(col("event_type"))
+        .agg(sum(col("sign")).as("dn"),
+          sum(col("sign") * col("v")).as("ds"),
+          sum(when(col("sign") === -1L, 1L).otherwise(0L)).as("n_retracted"))
+      baseAgg.join(deltaAgg, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_final"),
+          d(coalesce(col("s"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("ds"), lit(0).cast("decimal(18,2)"))).as("sum_final"),
+          coalesce(col("n_retracted"), lit(0L)).as("n_retracted"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +182,16 @@ object ChangeQueries {
         |  FROM changes)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Direct RECOMPUTE of the final state (not the delta algebra): final
+    // set = inserts (id%10=0) ∪ (base \ retractions) = id%10=0 OR id%7<>0.
+    "ivm01_incremental_view" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE event_id % 10 = 0 OR event_id % 7 <> 0) AS n_final,
+        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (WHERE event_id % 10 = 0 OR event_id % 7 <> 0), 0) AS DOUBLE)
+        |    AS sum_final,
+        |  COUNT(*) FILTER (WHERE event_id % 10 <> 0 AND event_id % 7 = 0) AS n_retracted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -153,6 +153,65 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("txlog: streaming append commits a batch once, skips its redelivery") {
+    val table = freshTable()
+    assert(TxLog.streamingAppend(spark, idsDf(0L to 9L), 0L, table, "doc_id").isDefined)
+    // restart redelivery: same batch id arrives again
+    assert(TxLog.streamingAppend(spark, idsDf(0L to 9L), 0L, table, "doc_id").isEmpty)
+    assert(TxLog.readAt(spark, table).count() == 10L)
+    assert(TxLog.streamingAppend(spark, idsDf(10L to 14L), 1L, table, "doc_id").isDefined)
+    assert(TxLog.readAt(spark, table).count() == 15L)
+    assert(TxLog.committedBatchIds(table) == Set(0L, 1L))
+  }
+
+  test("txlog: exactly-once through a real stream restart with a wiped checkpoint") {
+    val base = Files.createTempDirectory("graft_txstream")
+    val table = base.resolve("tbl")
+    idsDf(0L to 19L).repartition(2).write.parquet(base.resolve("in/p0").toString)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(idsDf(Seq(0L)).schema)
+        .parquet(base.resolve("in").toString + "/*")
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxLog.streamingAppend(spark, batch, id, table, "doc_id"): Unit
+        }
+        .start()
+      q.awaitTermination(180000)
+    }
+    runOnce()
+    assert(TxLog.readAt(spark, table).count() == 20L)
+    // wipe the engine checkpoint: Spark replays batch 0 from scratch —
+    // the LOG's batch record is what keeps the sink exactly-once
+    val ckpt = base.resolve("ckpt")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(ckpt)
+    runOnce()
+    assert(TxLog.readAt(spark, table).count() == 20L,
+      "redelivered batch 0 must be deduplicated by the log")
+  }
+
+  test("txlog: vacuum reclaims files dead to the retained window") {
+    val table = freshTable()
+    (0 until 3).foreach(i => TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1))
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    assert(TxLog.readAt(spark, table, Some(2L)).count() == 3L) // pre-vacuum time travel works
+    val deleted = TxLog.vacuum(table, keepVersions = 1)
+    assert(deleted.size == 3, s"expected the 3 pre-compaction files gone, got $deleted")
+    assert(TxLog.readAt(spark, table).count() == 3L) // latest unharmed
+    intercept[Exception] { // vacuumed-away version no longer readable
+      TxLog.readAt(spark, table, Some(1L)).count()
+    }
+  }
+
   test("txlog: range-pruned read keeps only intersecting files, answer stays exact") {
     val table = freshTable()
     Seq(0L to 9L, 10L to 19L, 20L to 29L, 30L to 39L).foreach { r =>
