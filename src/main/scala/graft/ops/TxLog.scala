@@ -10,6 +10,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal ACID table format on parquet — the transaction-log pattern of
   * Delta Lake (Armbrust et al., "Delta Lake: High-Performance ACID Table
@@ -132,9 +133,12 @@ object TxLog {
 
   /** Claim exactly version `v`; false if someone else got there first.
     * `batchId` tags the commit with a streaming batch id (see
-    * [[streamingAppend]]). */
+    * [[streamingAppend]]); `schema` records the table schema as of this
+    * commit (the metadata the reads resolve against — see
+    * [[tableSchema]]). */
   def tryCommit(table: Path, v: Long, op: String,
-      adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long] = None): Boolean = {
+      adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long] = None,
+      schema: Option[StructType] = None): Boolean = {
     Files.createDirectories(logDir(table))
     val vd = versionDir(table, v)
     try Files.createDirectory(vd) // atomic create-exclusive claim
@@ -143,7 +147,9 @@ object TxLog {
       "version" -> java.lang.Long.valueOf(v), "op" -> op,
       "adds" -> adds.map(addToNode).asJava,
       "removes" -> removes.asJava)
-    val body = (base ++ batchId.map(b => "batchId" -> (java.lang.Long.valueOf(b): Object))).asJava
+    val body = (base
+      ++ batchId.map(b => "batchId" -> (java.lang.Long.valueOf(b): Object))
+      ++ schema.map(s => "schema" -> (s.json: Object))).asJava
     writeJsonAtomic(vd.resolve("commit.json"), mapper.writeValueAsBytes(body))
     if (v % CheckpointEvery == 0 && v > 0) {
       val snap = snapshotAt(table, Some(v))
@@ -159,7 +165,8 @@ object TxLog {
     * compaction aborts if a file it means to remove is already gone);
     * returns the committed version. */
   def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
-      maxAttempts: Int = 20, batchId: Option[Long] = None)(
+      maxAttempts: Int = 20, batchId: Option[Long] = None,
+      schema: Option[StructType] = None)(
       validate: Option[Snapshot] => Boolean): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -167,10 +174,50 @@ object TxLog {
       val snap = if (v == 0) None else Some(snapshotAt(table))
       if (!validate(snap))
         throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
-      if (tryCommit(table, v, op, adds, removes, batchId)) return v
+      if (tryCommit(table, v, op, adds, removes, batchId, schema)) return v
       attempt += 1
     }
     throw new IllegalStateException(s"commit '$op' lost $maxAttempts races")
+  }
+
+  // ------------------------------------------------------- schema metadata
+
+  /** The table schema as of `version` (latest when None): the newest
+    * schema-carrying commit at or below it. Reads resolve against THIS —
+    * metadata, not file footers — so a snapshot read never pays a
+    * footer-merge pass (`mergeSchema`) over 100k files. */
+  def tableSchema(table: Path, version: Option[Long] = None): Option[StructType] = {
+    val vs = versions(table)
+    val upTo = version.getOrElse(if (vs.isEmpty) -1L else vs.last)
+    vs.filter(_ <= upTo).reverse.iterator.flatMap { v =>
+      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      Option(node.get("schema")).map(s => DataType.fromJson(s.asText).asInstanceOf[StructType])
+    }.nextOption()
+  }
+
+  /** Schema ENFORCEMENT + optional additive EVOLUTION (the Delta write
+    * contract): every written field must match the table schema by name
+    * and type; brand-new fields are appended to the table schema only
+    * when `allowEvolution` is set, and a type conflict is refused
+    * always. Returns the (possibly evolved) table schema to record. */
+  private def validateSchema(current: Option[StructType], incoming: StructType,
+      allowEvolution: Boolean): StructType = current match {
+    case None => incoming
+    case Some(cur) =>
+      val curByName = cur.fields.map(f => f.name -> f).toMap
+      val conflicts = incoming.fields.filter(f =>
+        curByName.get(f.name).exists(_.dataType != f.dataType))
+      if (conflicts.nonEmpty)
+        throw new IllegalArgumentException(
+          s"schema type conflict on ${conflicts.map(_.name).mkString(", ")}: " +
+          s"table has ${conflicts.map(f => curByName(f.name).dataType).mkString(", ")}, " +
+          s"write has ${conflicts.map(_.dataType).mkString(", ")}")
+      val newFields = incoming.fields.filterNot(f => curByName.contains(f.name))
+      if (newFields.nonEmpty && !allowEvolution)
+        throw new IllegalArgumentException(
+          s"write adds fields ${newFields.map(_.name).mkString(", ")} " +
+          "not in the table schema; pass allowEvolution=true to evolve")
+      StructType(cur.fields ++ newFields.map(_.copy(nullable = true)))
   }
 
   // ------------------------------------------------------------- file stats
@@ -228,13 +275,14 @@ object TxLog {
     * directory, stats-read from their footers, then moved into the table
     * root under fresh UUID names before the commit makes them visible. */
   def append(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
-      nParts: Int = 0): Long = {
+      nParts: Int = 0, allowEvolution: Boolean = false): Long = {
     Files.createDirectories(table)
+    val evolved = validateSchema(tableSchema(table), df.schema, allowEvolution)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) df.repartition(nParts) else df
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    commitRetry(table, "append", adds, Nil)(_ => true)
+    commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
   }
 
   /** Files of `snap` whose [min,max] can intersect [lo,hi] — the driver-
@@ -252,12 +300,20 @@ object TxLog {
       case Some((_, lo, hi)) => pruneFiles(snap, lo, hi)
       case None => snap.files
     }
+    // resolve against the LOG's schema as of the read version: old files
+    // missing later-evolved columns null-fill, and no footer-merge pass
+    // (mergeSchema) is ever paid. Fall back to footer schema for tables
+    // written before schema tracking.
+    val reader = tableSchema(table, Some(snap.version)) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
     if (kept.isEmpty) {
       // schema-preserving empty relation off any live file
-      val any = spark.read.parquet(table.resolve(snap.files.head.path).toString)
+      val any = reader.parquet(table.resolve(snap.files.head.path).toString)
       return any.filter(lit(false))
     }
-    val df = spark.read.parquet(kept.map(f => table.resolve(f.path).toString): _*)
+    val df = reader.parquet(kept.map(f => table.resolve(f.path).toString): _*)
     range match {
       case Some((c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       case None => df
@@ -376,15 +432,62 @@ object TxLog {
       table: Path, statsCol: String, nParts: Int = 1): Option[Long] = {
     if (committedBatchIds(table).contains(batchId)) return None
     Files.createDirectories(table)
+    val evolved = validateSchema(tableSchema(table), batch.schema, allowEvolution = false)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) batch.repartition(nParts) else batch
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     // revalidate under the optimistic loop: a concurrent restart of the
     // same query could have committed this batch between check and claim
-    Some(commitRetry(table, "streaming-append", adds, Nil, batchId = Some(batchId)) {
+    Some(commitRetry(table, "streaming-append", adds, Nil, batchId = Some(batchId),
+      schema = Some(evolved)) {
       _ => !committedBatchIds(table).contains(batchId)
     })
+  }
+
+  // ------------------------------------------------------------ change feed
+
+  /** Row-level change feed between two versions, derived from the FILE
+    * diff: rows appearing only in files added across (fromVersion,
+    * toVersion] are `insert`s, rows appearing only in removed files are
+    * `delete`s; rows a copy-on-write rewrite carried over unchanged
+    * cancel out of both sides. The EXCEPT runs over the TOUCHED files
+    * only — at 100 TB the feed's cost tracks the churn between the two
+    * versions, never the table size. Updates surface as delete+insert
+    * pairs of the same key (the CDC-minimal encoding downstream
+    * incremental consumers re-merge). */
+  def changeFeed(spark: SparkSession, table: Path, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val from = snapshotAt(table, Some(fromVersion)).files.map(_.path).toSet
+    val to = snapshotAt(table, Some(toVersion)).files.map(_.path).toSet
+    val addedFiles = (to -- from).toVector.sorted
+    val removedFiles = (from -- to).toVector.sorted
+    val reader = tableSchema(table, Some(toVersion)) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+    def rows(files: Vector[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(reader.parquet(files.map(table.resolve(_).toString): _*))
+    (rows(addedFiles), rows(removedFiles)) match {
+      case (None, None) =>
+        // no churn: an empty feed with the change-typed schema
+        val any = readAt(spark, table, Some(toVersion)).filter(lit(false))
+        any.withColumn("_change_type", lit("insert"))
+      case (added, removed) =>
+        val ins = (added, removed) match {
+          case (Some(a), Some(r)) => a.exceptAll(r)
+          case (Some(a), None) => a
+          case (None, _) => added.getOrElse(removed.get).filter(lit(false))
+        }
+        val del = (added, removed) match {
+          case (Some(a), Some(r)) => r.exceptAll(a)
+          case (None, Some(r)) => r
+          case (_, None) => added.get.filter(lit(false))
+        }
+        ins.withColumn("_change_type", lit("insert"))
+          .unionByName(del.withColumn("_change_type", lit("delete")))
+    }
   }
 
   // ----------------------------------------------------------------- vacuum

@@ -155,6 +155,47 @@ object LakeQueries {
           col("n_docs"), col("sum_chars"), col("n_redacted"), col("n_inserted"))
     }),
 
+    // ---- tx06: schema enforcement + additive evolution. The second
+    // append carries a new `quality` column (allowed only via
+    // allowEvolution); the snapshot read resolves against the LOG's
+    // evolved schema — old files null-fill the new column with no
+    // footer-merge pass. Type conflicts and un-flagged new columns are
+    // refused at append time (TxLogSpec).
+    "tx06_schema_evolution" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark,
+        d.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", (col("n_chars") % 5).cast("bigint")),
+        table, "doc_id", nParts = 2, allowEvolution = true)
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          sum(coalesce(col("quality"), lit(0L))).as("sum_quality"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- tx07: row-level change feed from the file diff. Between v1
+    // (all docs) and v2 (copy-on-write delete of the % 10 = 0 ids) the
+    // feed must contain EXACTLY the deleted rows — the rows the rewrite
+    // carried over unchanged cancel out of the added/removed file sets.
+    // This is the CDC output an incremental downstream (ivm01's delta
+    // input) reads off a lakehouse table.
+    "tx07_change_feed" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      TxLog.deleteKeys(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id", "doc_id", nParts = 1)
+      TxLog.changeFeed(spark, table, 1L, 2L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("_change_type")
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -217,6 +258,21 @@ object LakeQueries {
         |    AS n_redacted,
         |  CAST(3 AS BIGINT) AS n_inserted
         |FROM touched""".stripMargin,
+
+    "tx06_schema_evolution" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1) AS n_with_quality,
+        |  CAST((SELECT COALESCE(SUM(n_chars % 5), 0) FROM documents
+        |        WHERE doc_id % 2 = 1) AS BIGINT) AS sum_quality,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+
+    "tx07_change_feed" ->
+      """SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY _change_type""".stripMargin,
 
     // files_scanned replays the FOOTER rule exactly: file b is scanned
     // iff [min(id in b), max(id in b)] intersects [lo, hi] — robust even

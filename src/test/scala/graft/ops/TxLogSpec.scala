@@ -199,6 +199,48 @@ class TxLogSpec extends SparkSpec {
       "redelivered batch 0 must be deduplicated by the log")
   }
 
+  test("txlog: schema is enforced — type conflicts and un-flagged new columns refused") {
+    import spark.implicits._
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
+    // type conflict: payload becomes a long
+    val conflict = Seq((5L, 9L)).toDF("doc_id", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.append(spark, conflict, table, "doc_id", nParts = 1)
+    }
+    assert(e1.getMessage.contains("type conflict"))
+    // new column without the flag
+    val extra = idsDf(Seq(5L)).withColumn("extra", lit(1L))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.append(spark, extra, table, "doc_id", nParts = 1)
+    }
+    assert(e2.getMessage.contains("allowEvolution"))
+    // with the flag: schema evolves, old rows null-fill
+    TxLog.append(spark, extra, table, "doc_id", nParts = 1, allowEvolution = true)
+    val out = TxLog.readAt(spark, table)
+    assert(out.columns.toSeq == Seq("doc_id", "payload", "extra"))
+    assert(out.filter(col("extra").isNull).count() == 5L)
+    // time travel to v0 sees the PRE-evolution schema
+    assert(TxLog.readAt(spark, table, Some(0L)).columns.toSeq == Seq("doc_id", "payload"))
+  }
+
+  test("txlog: change feed emits an update as a delete+insert pair of the key") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 2) // v0
+    val upd = idsDf(Seq(4L)).withColumn("payload", lit("UPDATED"))
+    TxLog.mergeCow(spark, table, upd, "doc_id", "doc_id")             // v1
+    val feed = TxLog.changeFeed(spark, table, 0L, 1L)
+      .select("_change_type", "doc_id", "payload")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set(("delete", 4L, "v4"), ("insert", 4L, "UPDATED")),
+      s"carried-over rows must cancel out, got $feed")
+    // pure appends produce an insert-only feed
+    TxLog.append(spark, idsDf(Seq(100L)), table, "doc_id", nParts = 1) // v2
+    val feed2 = TxLog.changeFeed(spark, table, 1L, 2L)
+      .select("_change_type", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed2 == Set(("insert", 100L)))
+  }
+
   test("txlog: vacuum reclaims files dead to the retained window") {
     val table = freshTable()
     (0 until 3).foreach(i => TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1))
