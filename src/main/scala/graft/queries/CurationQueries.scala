@@ -498,6 +498,54 @@ object CurationQueries {
         .orderBy("decile")
     }),
 
+    // ---- samp05: domain-mixture reweighting from LM surprisal — the
+    // DoReMi question (Xie et al. 2023): upweight the domains the
+    // reference model finds HARD (excess loss), downweight the easy
+    // ones. The loss signal is t15's corpus-trained trigram LM,
+    // aggregated per SOURCE in integer micro-nats (exact: the float
+    // enters once per distinct trigram probability, is floored to
+    // int64, and every aggregation after that is integer). The
+    // published method's exponential tilt exp(η·excess) is replaced by
+    // a LINEAR tilt 1e6 + excess_unats — same ordering, and unlike
+    // exp()/pow() it is bit-deterministic across engines (the samp04
+    // lesson: only sqrt and ln have cross-engine-exact precedent).
+    // Scale shape: identical to t15 (count relations broadcast at test
+    // scale, keyed shuffles at web scale); the per-source rollup adds
+    // one source-grain aggregation and two 1-row broadcasts.
+    "samp05_doremi_weights" -> ((spark: SparkSession, dir: String) => {
+      val docs = t(spark, dir, "documents")
+      val tri = docs
+        .select(col("source"), explode(expr(
+          graft.ops.TextAnalysis.trigramTriplesExpr("text"))).as("g"))
+        .select(col("source"), col("g.w1").as("w1"),
+          col("g.w2").as("w2"), col("g.w3").as("w3"))
+        .localCheckpoint(true)
+      val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val c123 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123"))
+      val c12 = tri.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val perSource = tri.join(broadcast(c123), Seq("w1", "w2", "w3"))
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("unats", floor(-log(
+          (col("n123") + 1).cast("double") / (col("n12") + col("v")).cast("double"))
+          * lit(1e6)).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_trigrams"), sum("unats").as("total_unats"))
+        .withColumn("avg_unats", expr("total_unats div n_trigrams"))
+        .localCheckpoint(true) // feeds the min, the weights, and the total
+      val minA = perSource.agg(min("avg_unats").as("min_unats"))
+      val weighted = perSource.crossJoin(broadcast(minA))
+        .withColumn("excess_unats", col("avg_unats") - col("min_unats"))
+        .withColumn("wq", lit(1000000L) + col("excess_unats"))
+      val tot = weighted.agg(sum("wq").as("wtot"))
+      weighted.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_trigrams"), col("avg_unats"),
+          col("excess_unats"),
+          (col("wq").cast("double") / col("wtot").cast("double")).as("mix_weight"))
+        .orderBy("source")
+    }),
+
     // ---- cont01: benchmark-contamination screen — 4-gram overlap between
     // the corpus and a held-out benchmark set (here: doc_id % 97 == 0).
     // The benchmark gram set is DISTINCT'd and broadcast; the corpus side
@@ -955,6 +1003,41 @@ object CurationQueries {
         |  (sqrt(CAST(d.n_tokens AS DOUBLE)) / w.sum_w)
         |    / (CAST(d.n_tokens AS DOUBLE) / CAST(w.tot_tokens AS DOUBLE)) AS boost
         |FROM deciles d, dw w ORDER BY d.decile""".stripMargin,
+
+    "samp05_doremi_weights" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |tri AS (
+        |  SELECT source, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |uni AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT UNNEST(t) AS tok FROM toks)),
+        |c123 AS (SELECT w1, w2, w3, COUNT(*) AS n123 FROM tri GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM tri GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tri.source,
+        |    CAST(FLOOR(-LN(CAST(n123 + 1 AS DOUBLE) / CAST(n12 + v AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS unats
+        |  FROM tri
+        |  JOIN c123 USING (w1, w2, w3)
+        |  JOIN c12 USING (w1, w2), uni),
+        |per_src AS (
+        |  SELECT source, COUNT(*) AS n_trigrams,
+        |    CAST(SUM(unats) // COUNT(*) AS BIGINT) AS avg_unats
+        |  FROM scored GROUP BY source),
+        |m AS (SELECT MIN(avg_unats) AS mn FROM per_src),
+        |wq AS (
+        |  SELECT source, n_trigrams, avg_unats,
+        |    avg_unats - mn AS excess_unats,
+        |    1000000 + avg_unats - mn AS w
+        |  FROM per_src, m),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wq)
+        |SELECT source, n_trigrams, avg_unats,
+        |  CAST(excess_unats AS BIGINT) AS excess_unats,
+        |  CAST(w AS DOUBLE) / CAST(wt AS DOUBLE) AS mix_weight
+        |FROM wq, tot ORDER BY source""".stripMargin,
 
     "cont03_overlap_fraction" ->
       """WITH g AS (

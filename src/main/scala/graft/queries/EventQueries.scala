@@ -19,6 +19,41 @@ object EventQueries {
   private def ts = col("ts").cast("timestamp")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- e10: gap-filled resampling + forward fill — the time-series
+    // densification every monitoring/feature pipeline needs: build the
+    // complete (type × hour) spine from a 1-row bounds agg (sequence +
+    // explode — no engine-private series generator), left-join the real
+    // hourly rollup, then forward-fill the value via the
+    // count-non-null-groups trick (a running COUNT(sv) splits the
+    // series at each observation; MAX within (type, group) carries it
+    // forward) — the same SQL works verbatim in DuckDB, where
+    // last_value(IGNORE NULLS) support differs by version.
+    // Scale shape: the spine is METADATA-sized (types × hours), the
+    // hourly rollup is one partial-agg shuffle of the events, and both
+    // windows partition by event_type — a year of hours per type is
+    // still a few-thousand-row partition at any corpus size.
+    "e10_gapfill_ffill" -> ((spark: SparkSession, dir: String) => {
+      val ev = t(spark, dir, "events")
+      val hourly = ev.groupBy(date_trunc("hour", ts).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      val bounds = ev.agg(date_trunc("hour", min(ts)).as("h0"),
+        date_trunc("hour", max(ts)).as("h1"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      spine.join(hourly, Seq("event_type", "hour"), "left_outer")
+        .withColumn("grp", count(col("sv")).over(wRun))
+        .withColumn("filled",
+          max(col("sv")).over(Window.partitionBy(col("event_type"), col("grp"))))
+        .select(col("event_type"), date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          d(coalesce(col("filled"), lit(0).cast("decimal(18,2)"))).as("filled_value"),
+          col("sv").isNull.as("is_gap"))
+        .orderBy("event_type", "hour")
+    }),
+
     // ---- e01: tumbling 1-hour rollup (streaming's groupBy(window(...))
     // batch twin). Partial aggregation, single shuffle on (hour, type).
     "e01_hourly_rollup" -> ((spark: SparkSession, dir: String) => {
@@ -189,6 +224,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e10_gapfill_ffill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events), b),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT s.event_type, s.hour, h.n, h.sv FROM spine s
+        |  LEFT JOIN hourly h USING (event_type, hour)),
+        |g AS (
+        |  SELECT *, COUNT(sv) OVER (PARTITION BY event_type ORDER BY hour) AS grp
+        |  FROM j)
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(MAX(sv) OVER (PARTITION BY event_type, grp), 0) AS DOUBLE)
+        |    AS filled_value,
+        |  (sv IS NULL) AS is_gap
+        |FROM g ORDER BY event_type, hour""".stripMargin,
+
     "e01_hourly_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
         |  COUNT(*) AS n_events,
