@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -282,6 +282,36 @@ object TxLog {
     val out = if (nParts > 0) df.repartition(nParts) else df
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
+    commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
+  }
+
+  /** Clustered append: ONE distributed write producing one data file per
+    * cluster of `clusterCol` (repartition on the cluster key + a
+    * partitionBy split keeps co-hashed clusters in separate files), all
+    * committed atomically. This is how a range/Z-clustered layout is
+    * written at scale — a single job, not a job per cluster; with a
+    * range-derived cluster key each file's footer [min,max] is exactly
+    * its cluster's key range, which is what makes [[pruneFiles]] sharp.
+    * The cluster column is layout metadata (derivable from the data) and
+    * is not stored in the files. */
+  def appendClustered(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
+      clusterCol: Column, nClusters: Int): Long = {
+    Files.createDirectories(table)
+    val evolved = validateSchema(tableSchema(table), df.schema, allowEvolution = false)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    df.withColumn("__cluster", clusterCol)
+      .repartition(nClusters, col("__cluster"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(stage.toString)
+    val parts = listDir(stage).filter(p => p.getFileName.toString.startsWith("__cluster="))
+      .sortBy(_.getFileName.toString)
+      .flatMap(d => listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
+    val adds = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      val dest = table.resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      footerStats(spark, dest, statsCol).copy(path = name)
+    }
+    deleteRecursively(stage)
     commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
   }
 

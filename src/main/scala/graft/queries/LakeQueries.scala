@@ -57,15 +57,13 @@ object LakeQueries {
   private def idSpan(d: DataFrame): Long =
     d.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
-  /** Build the 8-file equal-width range layout: one append per bucket,
-    * each a single file, so file b's footer [min,max] is exactly its id
-    * range. Driver-looped COMMITS (8 metadata operations); each append's
-    * data write is a distributed job. */
+  /** Build the 8-file equal-width range layout in ONE clustered append:
+    * file b holds the ids with (id*8) div span = b, so each file's
+    * footer [min,max] is exactly its id range. One distributed write,
+    * one atomic commit of 8 adds. */
   private def rangeLayout(spark: SparkSession, d: DataFrame, table: Path, span: Long): Unit =
-    (0 until 8).foreach { b =>
-      TxLog.append(spark,
-        d.filter(expr(s"(doc_id * 8) div ${span}L") === b), table, "doc_id", nParts = 1)
-    }
+    TxLog.appendClustered(spark, d, table, "doc_id",
+      expr(s"(doc_id * 8) div ${span}L"), nClusters = 8): Unit
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -241,6 +241,19 @@ class TxLogSpec extends SparkSpec {
     assert(feed2 == Set(("insert", 100L)))
   }
 
+  test("txlog: clustered append writes one file per cluster with exact range stats") {
+    val table = freshTable()
+    TxLog.appendClustered(spark, idsDf(0L to 39L), table, "doc_id",
+      expr("doc_id div 10"), nClusters = 4)
+    val snap = TxLog.snapshotAt(table)
+    assert(snap.version == 0L && snap.files.size == 4)
+    val ranges = snap.files.map(f => (f.minKey, f.maxKey, f.rows)).sortBy(_._1)
+    assert(ranges == Vector((0L, 9L, 10L), (10L, 19L, 10L), (20L, 29L, 10L), (30L, 39L, 10L)))
+    // the cluster key is layout metadata, not a stored column
+    assert(TxLog.readAt(spark, table).columns.toSeq == Seq("doc_id", "payload"))
+    assert(TxLog.readAt(spark, table).count() == 40L)
+  }
+
   test("txlog: vacuum reclaims files dead to the retained window") {
     val table = freshTable()
     (0 until 3).foreach(i => TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1))
