@@ -57,6 +57,14 @@ object LakeQueries {
   private def idSpan(d: DataFrame): Long =
     d.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
+  /** Driver-side Morton interleave — the Scala twin of
+    * [[graft.ops.Layout.zkeySql]], used only to turn the query box's
+    * corner CONSTANTS into the covering z-interval for the metadata
+    * pruning decision. */
+  private def zkey(a: Long, b: Long, bits: Int = 16): Long =
+    (0 until bits).map(j =>
+      (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))).sum
+
   /** Build the 8-file equal-width range layout in ONE clustered append:
     * file b holds the ids with (id*8) div span = b, so each file's
     * footer [min,max] is exactly its id range. One distributed write,
@@ -194,6 +202,42 @@ object LakeQueries {
         .orderBy("_change_type")
     }),
 
+    // ---- tx08: Z-ORDER-clustered ACID table + 2-dim box pruning — the
+    // full cluster-then-skip loop inside the transaction log. The table
+    // stores a materialized Morton key z = interleave(doc_id, n_chars)
+    // and is written as ONE clustered append on equal-width z-buckets,
+    // so each file's footer [min,max] over z is a compact z-range = a
+    // small box in BOTH dimensions. A 2-dim box query then prunes on
+    // the COVERING z-interval [z(xlo,ylo), z(xhi,yhi)] (valid because
+    // bit-spreading is order-preserving per coordinate, so z is
+    // componentwise monotone) and applies the exact box predicate as
+    // the residual filter. files_scanned/files_total are gated — the
+    // oracle recomputes the bucket boxes and the same interval test
+    // from the verbatim zkeySql expression.
+    "tx08_zorder_pruning" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val yb = d.agg(min(col("n_chars")), max(col("n_chars"))).head
+      val (ylo, ymid) = (yb.getLong(0), (yb.getLong(0) + yb.getLong(1)) / 2)
+      val zed = d.select(col("doc_id"), col("n_chars"))
+        .withColumn("z", expr(graft.ops.Layout.zkeySql("doc_id", "n_chars")))
+      val zmax = zed.agg(max(col("z"))).head.getLong(0)
+      val table = freshTable()
+      TxLog.appendClustered(spark, zed, table, "z",
+        expr(s"(z * 16) div ${zmax + 1}L"), nClusters = 16)
+      val (xlo, xhi) = (span / 4, span / 2 - 1)
+      val (zlo, zhi) = (zkey(xlo, ylo), zkey(xhi, ymid))
+      val snap = TxLog.snapshotAt(table)
+      val scanned = TxLog.pruneFiles(snap, zlo, zhi).size
+      TxLog.readAt(spark, table, range = Some(("z", zlo, zhi)))
+        .filter(col("doc_id").between(xlo, xhi) && col("n_chars").between(ylo, ymid))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(snap.files.size).cast("bigint").as("files_total"),
+          lit(scanned).cast("bigint").as("files_scanned"),
+          col("n_rows"), col("sum_chars"))
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -271,6 +315,35 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY _change_type""".stripMargin,
+
+    // Same bucket-boxes replay as tx05, but over the Morton key: the
+    // covering z-interval comes from the VERBATIM zkeySql expression
+    // applied to the box corners.
+    "tx08_zorder_pruning" ->
+      s"""WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |yb AS (SELECT MIN(n_chars) AS ylo,
+        |  (MIN(n_chars) + MAX(n_chars)) // 2 AS ymid FROM documents),
+        |zed AS (SELECT doc_id, n_chars,
+        |  ${graft.ops.Layout.zkeySql("doc_id", "n_chars")} AS z FROM documents),
+        |zm AS (SELECT MAX(z) AS zmax FROM zed),
+        |boxes AS (
+        |  SELECT (z * 16) // (zm.zmax + 1) AS b, MIN(z) AS mn, MAX(z) AS mx
+        |  FROM zed, zm GROUP BY 1),
+        |corners AS (
+        |  SELECT ${graft.ops.Layout.zkeySql("xlo", "ylo")} AS zlo,
+        |         ${graft.ops.Layout.zkeySql("xhi", "ymid")} AS zhi,
+        |         xlo, xhi, ylo, ymid
+        |  FROM (SELECT n // 4 AS xlo, n // 2 - 1 AS xhi, ylo, ymid FROM span, yb))
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM boxes) AS BIGINT) AS files_total,
+        |  CAST((SELECT COUNT(*) FROM boxes, corners
+        |        WHERE boxes.mx >= corners.zlo AND boxes.mn <= corners.zhi) AS BIGINT)
+        |    AS files_scanned,
+        |  (SELECT COUNT(*) FROM documents, corners
+        |   WHERE doc_id BETWEEN xlo AND xhi AND n_chars BETWEEN ylo AND ymid) AS n_rows,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents, corners
+        |        WHERE doc_id BETWEEN xlo AND xhi AND n_chars BETWEEN ylo AND ymid)
+        |    AS BIGINT) AS sum_chars""".stripMargin,
 
     // files_scanned replays the FOOTER rule exactly: file b is scanned
     // iff [min(id in b), max(id in b)] intersects [lo, hi] — robust even
