@@ -142,6 +142,46 @@ class TxLogSpec extends SparkSpec {
     assert(out.filter(col("payload") === "M").count() == 2L)
   }
 
+  test("txlog: concurrent merges on DISJOINT files both land via optimistic retry") {
+    val table = freshTable()
+    Seq(0L to 9L, 100L to 109L).foreach { r =>
+      TxLog.append(spark, idsDf(r), table, "doc_id", nParts = 1)
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    val latch = new CountDownLatch(1)
+    val futures = Seq(5L, 105L).map { k =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { latch.await(5, TimeUnit.SECONDS)
+          val upd = idsDf(Seq(k)).withColumn("payload", lit(s"M$k"))
+          TxLog.mergeCow(spark, table, upd, "doc_id", "doc_id")._1 }
+      })
+    }
+    latch.countDown()
+    val vs = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(vs.toSet == Set(2L, 3L), s"both merges must commit, got $vs")
+    val out = TxLog.readAt(spark, table)
+    assert(out.count() == 20L)
+    assert(out.filter(col("payload").startsWith("M")).count() == 2L)
+  }
+
+  test("txlog: a merge whose file was stolen by a concurrent rewrite aborts cleanly") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    val snap = TxLog.snapshotAt(table)
+    // winner: compacts (removes the file the loser plans to rewrite)
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    // loser: staged against the OLD snapshot — simulate by committing
+    // removes of the now-gone file through the same validation path
+    intercept[IllegalStateException] {
+      TxLog.commitRetry(table, "merge", Nil, snap.files.map(_.path)) {
+        case None => false
+        case Some(s) => snap.files.map(_.path).forall(s.files.map(_.path).contains)
+      }
+    }
+    assert(TxLog.readAt(spark, table).count() == 10L) // table unharmed
+  }
+
   test("txlog: stale rewrite commit is rejected by validation") {
     val table = freshTable()
     TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
