@@ -238,6 +238,37 @@ object LakeQueries {
           col("n_rows"), col("sum_chars"))
     }),
 
+    // ---- tx09: the change feed DRIVING incremental view maintenance —
+    // the full lakehouse-incremental pipeline in one gated query (tx07
+    // produces the feed, ivm01's algebra consumes it). A per-source
+    // (count, sum) view is materialized as of v1, then kept current
+    // under v2's copy-on-write delete by merging the SIGNED feed delta —
+    // never rescanning the base table. Gated cross-method: Spark merges
+    // the delta, the oracle recomputes v2's state from scratch.
+    // 100 TB shape: the view update reads the feed (churn-sized) plus
+    // the source-grain view — the base table is never touched.
+    "tx09_feed_ivm" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      TxLog.deleteKeys(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id", "doc_id", nParts = 1)
+      val view1 = TxLog.readAt(spark, table, version = Some(1L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      val delta = TxLog.changeFeed(spark, table, 1L, 2L)
+        .withColumn("sign", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("source"))
+        .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("n_chars")).as("ds"))
+      view1.join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .orderBy("source")
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -315,6 +346,13 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY _change_type""".stripMargin,
+
+    // Direct recompute of v2's state (not the feed algebra).
+    "tx09_feed_ivm" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Same bucket-boxes replay as tx05, but over the Morton key: the
     // covering z-interval comes from the VERBATIM zkeySql expression

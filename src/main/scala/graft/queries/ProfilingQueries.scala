@@ -127,6 +127,64 @@ object ProfilingQueries {
         .orderBy("column_name")
     }),
 
+    // ---- est01: sketch-based JOIN-CARDINALITY estimation — the
+    // planner-side use of the KMV sketch (prof05 profiles one table;
+    // this answers "how many keys will this join match?" WITHOUT
+    // running the join). Standard KMV set algebra: bottom-256 of each
+    // side's 48-bit md5 key hashes; the union sketch is the bottom-256
+    // of the merged signatures; Jaccard ~= |K(U) ∩ S_A ∩ S_B| / |K(U)|
+    // and |A∩B| ~= Jaccard * est(|A∪B|) (Beyer et al., SIGMOD 2007).
+    // The EXACT counts ride along, so the gate pins both the sketch
+    // arithmetic and its accuracy. Determinism: the estimator is exact
+    // integer operands into single IEEE divisions (prof05 discipline);
+    // sketch membership is set algebra on exact hashes.
+    // 100 TB shape: each bottom-k is a TakeOrdered (per-partition
+    // heaps, k rows to the driver-side merge) over a DISTINCT — the
+    // sketches are KB-sized regardless of table size, which is the
+    // point: join planning reads sketches, not tables.
+    "est01_join_cardinality" -> ((spark: SparkSession, dir: String) => {
+      val k = 256
+      def h(e: String) = expr(s"cast(conv(substr(md5($e), 1, 12), 16, 10) as bigint)")
+      // two proper subsets so the intersection is a real estimate, not
+      // a containment tautology: high-value order customers vs the
+      // BUILDING market segment
+      val a = t(spark, dir, "orders")
+        .where(col("o_custkey").isNotNull && col("o_totalprice") > 150000.0)
+        .select(h("cast(o_custkey as string)").as("hv")).distinct()
+      val b = t(spark, dir, "customer")
+        .where(col("c_custkey").isNotNull && col("c_mktsegment") === "BUILDING")
+        .select(h("cast(c_custkey as string)").as("hv")).distinct()
+      val ak = a.orderBy("hv").limit(k).localCheckpoint(true)
+      val bk = b.orderBy("hv").limit(k).localCheckpoint(true)
+      val uk = ak.unionByName(bk).distinct().orderBy("hv").limit(k).localCheckpoint(true)
+      def stats(s: DataFrame, c: String, tau: String) =
+        s.agg(count(lit(1)).as(c), max(col("hv")).as(tau))
+      def estim(cnt: Column, tau: Column): Column =
+        when(cnt < k, cnt.cast("double"))
+          .otherwise(lit(255.0) * lit(281474976710656.0) / tau.cast("double"))
+      val common = uk.join(ak, Seq("hv"), "left_semi")
+        .join(bk, Seq("hv"), "left_semi").agg(count(lit(1)).as("n_common"))
+      val exact = t(spark, dir, "orders")
+        .where(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("key")).distinct()
+        .join(t(spark, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("key")).distinct(),
+          Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersection"))
+      val exactA = a.agg(count(lit(1)).as("exact_a"))
+      val exactB = b.agg(count(lit(1)).as("exact_b"))
+      stats(ak, "ka", "ta").crossJoin(stats(bk, "kb", "tb"))
+        .crossJoin(stats(uk, "ku", "tu"))
+        .crossJoin(common).crossJoin(exact).crossJoin(exactA).crossJoin(exactB)
+        .select(lit(k.toLong).as("k"),
+          col("exact_a"), estim(col("ka"), col("ta")).as("est_a"),
+          col("exact_b"), estim(col("kb"), col("tb")).as("est_b"),
+          col("exact_intersection"),
+          ((col("n_common").cast("double") / col("ku").cast("double")) *
+            estim(col("ku"), col("tu"))).as("est_intersection"))
+    }),
+
     // ---- prof02: fixed-width value histogram of order totals, with
     // each bin's exact bounds and corpus share.
     "prof02_price_histogram" -> ((spark: SparkSession, dir: String) => {
@@ -253,6 +311,50 @@ object ProfilingQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Same bottom-256 KMV algebra; exact_a/exact_b are defined as the
+    // distinct-HASH counts (identical to distinct keys up to 48-bit
+    // collisions, and identically so in both engines).
+    "est01_join_cardinality" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice > 150000.0),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM customer WHERE c_custkey IS NOT NULL AND c_mktsegment = 'BUILDING'),
+        |ak AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |bk AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |uk AS (SELECT h FROM (SELECT h FROM ak UNION SELECT h FROM bk)
+        |       ORDER BY h LIMIT 256),
+        |sa AS (SELECT COUNT(*) AS ka, MAX(h) AS ta FROM ak),
+        |sb AS (SELECT COUNT(*) AS kb, MAX(h) AS tb FROM bk),
+        |su AS (SELECT COUNT(*) AS ku, MAX(h) AS tu FROM uk),
+        |ic AS (SELECT COUNT(*) AS n_common FROM uk
+        |       WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)),
+        |ex AS (SELECT
+        |  (SELECT COUNT(*) FROM ha) AS exact_a,
+        |  (SELECT COUNT(*) FROM hb) AS exact_b,
+        |  (SELECT COUNT(*) FROM
+        |     (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0) o
+        |   WHERE o_custkey IN
+        |     (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        |    AS exact_intersection)
+        |SELECT CAST(256 AS BIGINT) AS k,
+        |  exact_a,
+        |  CASE WHEN ka < 256 THEN CAST(ka AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |            / CAST(ta AS DOUBLE) END AS est_a,
+        |  exact_b,
+        |  CASE WHEN kb < 256 THEN CAST(kb AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |            / CAST(tb AS DOUBLE) END AS est_b,
+        |  exact_intersection,
+        |  (CAST(n_common AS DOUBLE) / CAST(ku AS DOUBLE)) *
+        |    (CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |          ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |               / CAST(tu AS DOUBLE) END)
+        |    AS est_intersection
+        |FROM sa, sb, su, ic, ex""".stripMargin,
+
     "prof05_kmv_profile" -> {
       // Per column: the same bottom-256 of the same 48-bit md5 hashes,
       // then (k-1) * 2^48 / h_(k) — every operand an exact double, one
