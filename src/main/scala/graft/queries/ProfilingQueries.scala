@@ -31,6 +31,13 @@ import Tables._
   */
 object ProfilingQueries {
 
+  /** Bottom-k of a sketch's `hv` hash column — planned as a TakeOrdered
+    * (per-partition k-row heaps merged at the driver), never a global
+    * sort; PlanSpec pins that shape. The KB-sized result is what makes
+    * KMV sketches readable at any table size. */
+  private[queries] def bottomK(s: DataFrame, k: Int): DataFrame =
+    s.orderBy("hv").limit(k)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- prof01: one-pass per-column profile of `orders`.
     "prof01_column_profile" -> ((spark: SparkSession, dir: String) => {
@@ -154,9 +161,14 @@ object ProfilingQueries {
       val b = t(spark, dir, "customer")
         .where(col("c_custkey").isNotNull && col("c_mktsegment") === "BUILDING")
         .select(h("cast(c_custkey as string)").as("hv")).distinct()
-      val ak = a.orderBy("hv").limit(k).localCheckpoint(true)
-      val bk = b.orderBy("hv").limit(k).localCheckpoint(true)
-      val uk = ak.unionByName(bk).distinct().orderBy("hv").limit(k).localCheckpoint(true)
+      // localCheckpoint: each sketch feeds 2-3 consumers (stats, semi
+      // joins, union); the checkpoint stops the TakeOrdered + source
+      // distinct from re-executing per consumer. PlanSpec asserts the
+      // TakeOrdered shape on bottomK directly (the checkpoint hides it
+      // from the composed plan).
+      val ak = bottomK(a, k).localCheckpoint(true)
+      val bk = bottomK(b, k).localCheckpoint(true)
+      val uk = bottomK(ak.unionByName(bk).distinct(), k).localCheckpoint(true)
       def stats(s: DataFrame, c: String, tau: String) =
         s.agg(count(lit(1)).as(c), max(col("hv")).as(tau))
       def estim(cnt: Column, tau: Column): Column =

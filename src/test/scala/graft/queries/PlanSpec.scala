@@ -479,6 +479,23 @@ class PlanSpec extends SparkSpec {
       s"might_contain must filter a join INPUT, not the output:\n$p")
   }
 
+  test("est01: the bottom-k sketch build is a TakeOrdered, never a global sort") {
+    // est01 checkpoints its sketches (each feeds 2-3 consumers), which
+    // hides the build plan from the composed query — assert the shape
+    // on the builder itself, over the same hashed-distinct input
+    import org.apache.spark.sql.functions._
+    val a = Tables.t(spark, sf0001, "orders")
+      .select(expr("cast(conv(substr(md5(cast(o_custkey as string)), 1, 12), 16, 10) as bigint)")
+        .as("hv")).distinct()
+    val df = ProfilingQueries.bottomK(a, 256)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrdered sketch build:\n$p")
+    assert(!p.contains("GlobalLimit"),
+      s"a Sort + GlobalLimit would materialize a table-sized ordering:\n$p")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
