@@ -142,7 +142,17 @@ object TxLog {
     Files.createDirectories(logDir(table))
     val vd = versionDir(table, v)
     try Files.createDirectory(vd) // atomic create-exclusive claim
-    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false
+            // a reclaimer (see commitRetry) deleted our claimed dir out
+            // from under a >staleness-window pause: we lost the race
+            case _: java.nio.file.NoSuchFileException => return false }
+    try writeCommitBody(vd, v, op, adds, removes, batchId, schema)
+    catch { case _: java.nio.file.NoSuchFileException => return false }
+    true
+  }
+
+  private def writeCommitBody(vd: Path, v: Long, op: String, adds: Seq[AddFile],
+      removes: Seq[String], batchId: Option[Long], schema: Option[StructType]): Unit = {
     val base = Map[String, Object](
       "version" -> java.lang.Long.valueOf(v), "op" -> op,
       "adds" -> adds.map(addToNode).asJava,
@@ -152,18 +162,28 @@ object TxLog {
       ++ schema.map(s => "schema" -> (s.json: Object))).asJava
     writeJsonAtomic(vd.resolve("commit.json"), mapper.writeValueAsBytes(body))
     if (v % CheckpointEvery == 0 && v > 0) {
+      val table = vd.getParent.getParent
       val snap = snapshotAt(table, Some(v))
       val ck = Map[String, Object]("version" -> java.lang.Long.valueOf(v),
         "files" -> snap.files.map(addToNode).asJava).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
-    true
   }
+
+  /** How long a claimed-but-unpublished version dir may block the log
+    * before a retrying writer reclaims (deletes) it. A writer that
+    * pauses longer than this mid-commit loses its claim — the same
+    * timeout discipline every lease-based commit protocol documents. */
+  private[ops] var StaleClaimMs: Long = 10 * 60 * 1000L
 
   /** Optimistic-retry commit. `validate` re-checks the commit's
     * preconditions against the snapshot it would now apply to (e.g. a
     * compaction aborts if a file it means to remove is already gone);
-    * returns the committed version. */
+    * returns the committed version. Liveness: a claim left behind by a
+    * crashed writer (version dir, no commit.json) would otherwise block
+    * version v FOREVER — after [[StaleClaimMs]] it is reclaimed; before
+    * that, the loop backs off briefly instead of burning attempts on
+    * the same blocked version. */
   def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
       maxAttempts: Int = 20, batchId: Option[Long] = None,
       schema: Option[StructType] = None)(
@@ -175,9 +195,25 @@ object TxLog {
       if (!validate(snap))
         throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
       if (tryCommit(table, v, op, adds, removes, batchId, schema)) return v
+      reclaimIfStale(table, v)
       attempt += 1
     }
     throw new IllegalStateException(s"commit '$op' lost $maxAttempts races")
+  }
+
+  /** Blocked at version v: either a live writer is about to publish it
+    * (back off briefly — its commit.json advances latestVersion) or a
+    * crashed writer's orphan claim is squatting (reclaim after the
+    * staleness window). */
+  private def reclaimIfStale(table: Path, v: Long): Unit = {
+    val vd = versionDir(table, v)
+    if (Files.isDirectory(vd) && !Files.exists(vd.resolve("commit.json"))) {
+      val age = try System.currentTimeMillis() -
+        Files.getLastModifiedTime(vd).toMillis catch { case _: Throwable => 0L }
+      if (age > StaleClaimMs) {
+        try deleteRecursively(vd) catch { case _: Throwable => () }
+      } else Thread.sleep(25)
+    }
   }
 
   // ------------------------------------------------------- schema metadata
@@ -219,6 +255,19 @@ object TxLog {
           "not in the table schema; pass allowEvolution=true to evolve")
       StructType(cur.fields ++ newFields.map(_.copy(nullable = true)))
   }
+
+  /** Reader resolved against the log's schema (latest when version is
+    * None) — every internal read of live data files MUST go through
+    * this: a bare spark.read.parquet over mixed-schema files infers the
+    * schema from one file and would silently DROP later-evolved columns
+    * from a compaction/merge rewrite. Falls back to footer inference
+    * for tables written before schema tracking. */
+  private def schemaReader(spark: SparkSession, table: Path,
+      version: Option[Long] = None): org.apache.spark.sql.DataFrameReader =
+    tableSchema(table, version) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
 
   // ------------------------------------------------------------- file stats
 
@@ -339,9 +388,18 @@ object TxLog {
       case None => spark.read
     }
     if (kept.isEmpty) {
-      // schema-preserving empty relation off any live file
-      val any = reader.parquet(table.resolve(snap.files.head.path).toString)
-      return any.filter(lit(false))
+      // schema-preserving empty relation: from the log schema if
+      // recorded, else off any live file; a zero-file snapshot with no
+      // recorded schema has no schema to offer
+      return tableSchema(table, Some(snap.version)) match {
+        case Some(s) =>
+          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+        case None if snap.files.nonEmpty =>
+          reader.parquet(table.resolve(snap.files.head.path).toString).filter(lit(false))
+        case None =>
+          throw new IllegalStateException(
+            s"snapshot v${snap.version} of $table has no files and no recorded schema")
+      }
     }
     val df = reader.parquet(kept.map(f => table.resolve(f.path).toString): _*)
     range match {
@@ -358,7 +416,8 @@ object TxLog {
     val snap = snapshotAt(table)
     val removes = snap.files.map(_.path)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    spark.read.parquet(snap.files.map(f => table.resolve(f.path).toString): _*)
+    schemaReader(spark, table)
+      .parquet(snap.files.map(f => table.resolve(f.path).toString): _*)
       .repartition(nParts)
       .write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
@@ -388,16 +447,21 @@ object TxLog {
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
-        val cand = spark.read.parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+        val cand = schemaReader(spark, table)
+          .parquet(candidates.map(f => table.resolve(f.path).toString): _*)
         cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
           .join(broadcast(updates.select(col(keyCol)).distinct()), keyCol)
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
     val base =
       if (affected.isEmpty) updates.filter(lit(false))
-      else spark.read.parquet(affected.map(table.resolve(_).toString): _*)
+      else schemaReader(spark, table)
+        .parquet(affected.map(table.resolve(_).toString): _*)
         .join(broadcast(updates.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
-    val rewritten = base.unionByName(updates)
+    // updates may legitimately carry a SUBSET of an evolved schema —
+    // missing columns null-fill (enforcement above already refused any
+    // column not in the table schema or with a conflicting type)
+    val rewritten = base.unionByName(updates, allowMissingColumns = true)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     rewritten.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
@@ -422,13 +486,15 @@ object TxLog {
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
-        val cand = spark.read.parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+        val cand = schemaReader(spark, table)
+          .parquet(candidates.map(f => table.resolve(f.path).toString): _*)
         cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
           .join(broadcast(keys.select(col(keyCol)).distinct()), keyCol)
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
     if (affected.isEmpty) return (snap.version, 0, snap.files.size)
-    val kept = spark.read.parquet(affected.map(table.resolve(_).toString): _*)
+    val kept = schemaReader(spark, table)
+      .parquet(affected.map(table.resolve(_).toString): _*)
       .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     kept.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
@@ -467,12 +533,24 @@ object TxLog {
     val out = if (nParts > 0) batch.repartition(nParts) else batch
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    // revalidate under the optimistic loop: a concurrent restart of the
-    // same query could have committed this batch between check and claim
-    Some(commitRetry(table, "streaming-append", adds, Nil, batchId = Some(batchId),
-      schema = Some(evolved)) {
-      _ => !committedBatchIds(table).contains(batchId)
-    })
+    // revalidate before every claim: a concurrent restart of the same
+    // query can commit this batch between the entry check and the
+    // claim. The duplicate path must SKIP (clean up our orphaned files
+    // and return None) — throwing would fail the whole streaming query
+    // on what is, by contract, a benign redelivery.
+    var attempt = 0
+    while (attempt < 20) {
+      if (committedBatchIds(table).contains(batchId)) {
+        adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)))
+        return None
+      }
+      val v = latestVersion(table) + 1
+      if (tryCommit(table, v, "streaming-append", adds, Nil,
+          batchId = Some(batchId), schema = Some(evolved))) return Some(v)
+      reclaimIfStale(table, v) // same liveness discipline as commitRetry
+      attempt += 1
+    }
+    throw new IllegalStateException(s"streaming batch $batchId lost 20 commit races")
   }
 
   // ------------------------------------------------------------ change feed
@@ -527,13 +605,23 @@ object TxLog {
     * compaction/merge (their old files stay on disk for time travel
     * until vacuumed). Time travel to vacuumed-away versions becomes
     * unreadable, exactly like VACUUM in the published Delta protocol.
-    * Returns the deleted file names. */
-  def vacuum(table: Path, keepVersions: Int = 1): Vector[String] = {
+    *
+    * `minAgeMs` is the retention guard the Delta protocol documents:
+    * an IN-FLIGHT writer's promoted-but-uncommitted files are on disk
+    * and referenced by no snapshot — deleting them would corrupt the
+    * commit that is about to reference them. Only files older than the
+    * window (file mtime) are eligible; the default comfortably exceeds
+    * any write's promote-to-commit gap. Returns the deleted names. */
+  def vacuum(table: Path, keepVersions: Int = 1,
+      minAgeMs: Long = 10 * 60 * 1000L): Vector[String] = {
     val vs = versions(table)
     val retained = vs.takeRight(math.max(1, keepVersions))
     val referenced = retained.flatMap(v => snapshotAt(table, Some(v)).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val onDisk = listDir(table)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => (try Files.getLastModifiedTime(p).toMillis
+        catch { case _: Throwable => Long.MaxValue }) <= cutoff)
       .map(_.getFileName.toString)
     val doomed = onDisk.filterNot(referenced).sorted
     doomed.foreach(f => Files.deleteIfExists(table.resolve(f)))

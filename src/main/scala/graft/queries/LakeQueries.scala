@@ -60,10 +60,26 @@ object LakeQueries {
   /** Driver-side Morton interleave — the Scala twin of
     * [[graft.ops.Layout.zkeySql]], used only to turn the query box's
     * corner CONSTANTS into the covering z-interval for the metadata
-    * pruning decision. */
-  private def zkey(a: Long, b: Long, bits: Int = 16): Long =
+    * pruning decision. Inputs are clamped to the 16-bit interleave
+    * domain exactly like the column expressions (see zClampedExpr) so
+    * the covering-interval property survives any future value range. */
+  private def zkey(a: Long, b: Long, bits: Int = 16): Long = {
+    val top = (1L << bits) - 1
+    val (ac, bc) = (math.min(a, top), math.min(b, top))
     (0 until bits).map(j =>
-      (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))).sum
+      (((ac >> j) & 1L) << (2 * j)) | (((bc >> j) & 1L) << (2 * j + 1))).sum
+  }
+
+  /** zkeySql over CLAMPED dims: zkeySql interleaves bits 0-15 only, so
+    * raw values >= 2^16 would silently truncate and break the covering
+    * monotonicity pruning relies on. least(x, 65535) keeps z
+    * componentwise monotone at ANY value range (out-of-range points
+    * collapse onto the domain edge — the covering interval stays a
+    * superset, and the residual filter on the RAW columns stays exact).
+    * The identical string feeds Spark, DuckDB, and (via zkey) the
+    * driver twin. */
+  private def zClampedExpr: String =
+    graft.ops.Layout.zkeySql("least(doc_id, 65535)", "least(n_chars, 65535)")
 
   /** Build the 8-file equal-width range layout in ONE clustered append:
     * file b holds the ids with (id*8) div span = b, so each file's
@@ -220,7 +236,7 @@ object LakeQueries {
       val yb = d.agg(min(col("n_chars")), max(col("n_chars"))).head
       val (ylo, ymid) = (yb.getLong(0), (yb.getLong(0) + yb.getLong(1)) / 2)
       val zed = d.select(col("doc_id"), col("n_chars"))
-        .withColumn("z", expr(graft.ops.Layout.zkeySql("doc_id", "n_chars")))
+        .withColumn("z", expr(zClampedExpr))
       val zmax = zed.agg(max(col("z"))).head.getLong(0)
       val table = freshTable()
       TxLog.appendClustered(spark, zed, table, "z",
@@ -362,14 +378,14 @@ object LakeQueries {
         |yb AS (SELECT MIN(n_chars) AS ylo,
         |  (MIN(n_chars) + MAX(n_chars)) // 2 AS ymid FROM documents),
         |zed AS (SELECT doc_id, n_chars,
-        |  ${graft.ops.Layout.zkeySql("doc_id", "n_chars")} AS z FROM documents),
+        |  $zClampedExpr AS z FROM documents),
         |zm AS (SELECT MAX(z) AS zmax FROM zed),
         |boxes AS (
         |  SELECT (z * 16) // (zm.zmax + 1) AS b, MIN(z) AS mn, MAX(z) AS mx
         |  FROM zed, zm GROUP BY 1),
         |corners AS (
-        |  SELECT ${graft.ops.Layout.zkeySql("xlo", "ylo")} AS zlo,
-        |         ${graft.ops.Layout.zkeySql("xhi", "ymid")} AS zhi,
+        |  SELECT ${graft.ops.Layout.zkeySql("least(xlo, 65535)", "least(ylo, 65535)")} AS zlo,
+        |         ${graft.ops.Layout.zkeySql("least(xhi, 65535)", "least(ymid, 65535)")} AS zhi,
         |         xlo, xhi, ylo, ymid
         |  FROM (SELECT n // 4 AS xlo, n // 2 - 1 AS xhi, ylo, ymid FROM span, yb))
         |SELECT

@@ -53,6 +53,40 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readAt(spark, table).count() == 5L)
   }
 
+  test("txlog: a STALE orphan claim is reclaimed so writers stay live") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1) // v0
+    val orphan = table.resolve("_graft_log").resolve(f"v${1L}%020d")
+    Files.createDirectory(orphan)
+    // backdate past the staleness window: a crashed writer, long gone
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxLog.StaleClaimMs - 1000))
+    // without reclaim this would burn every retry on the blocked v1
+    val v = TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)
+    assert(v == 1L, s"append must reclaim the stale v1 claim, got v$v")
+    assert(TxLog.readAt(spark, table).count() == 10L)
+  }
+
+  test("txlog: compaction and merge PRESERVE later-evolved columns") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(Seq(5L)).withColumn("extra", lit(7L)),
+      table, "doc_id", nParts = 1, allowEvolution = true)
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    val afterCompact = TxLog.readAt(spark, table)
+    assert(afterCompact.columns.contains("extra"),
+      "compaction must rewrite with the LOG schema, not one file's footer")
+    assert(afterCompact.filter(col("extra") === 7L).count() == 1L)
+    // merge with a SUBSET of the evolved schema: missing column null-fills
+    val upd = idsDf(Seq(2L)).withColumn("payload", lit("U"))
+    TxLog.mergeCow(spark, table, upd, "doc_id", "doc_id")
+    val out = TxLog.readAt(spark, table)
+    assert(out.filter(col("extra") === 7L).count() == 1L, "evolved value survives the merge")
+    assert(out.filter(col("doc_id") === 2L).select("payload").head.getString(0) == "U")
+    assert(out.filter(col("doc_id") === 2L).select("extra").head.isNullAt(0))
+  }
+
   test("txlog: concurrent optimistic appends both land, at distinct versions") {
     val table = freshTable()
     TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
@@ -299,7 +333,11 @@ class TxLogSpec extends SparkSpec {
     (0 until 3).foreach(i => TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1))
     TxLog.compact(spark, table, "doc_id", nParts = 1)
     assert(TxLog.readAt(spark, table, Some(2L)).count() == 3L) // pre-vacuum time travel works
-    val deleted = TxLog.vacuum(table, keepVersions = 1)
+    // default retention window spares freshly-written files — the guard
+    // that protects an in-flight writer's promoted-but-uncommitted files
+    assert(TxLog.vacuum(table, keepVersions = 1).isEmpty,
+      "files younger than the retention window must survive")
+    val deleted = TxLog.vacuum(table, keepVersions = 1, minAgeMs = 0L)
     assert(deleted.size == 3, s"expected the 3 pre-compaction files gone, got $deleted")
     assert(TxLog.readAt(spark, table).count() == 3L) // latest unharmed
     intercept[Exception] { // vacuumed-away version no longer readable

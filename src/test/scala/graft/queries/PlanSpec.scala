@@ -469,14 +469,24 @@ class PlanSpec extends SparkSpec {
       s"expected a bloom_filter_agg build over o_orderkey:\n$p")
     assert(p.contains("might_contain"),
       s"expected might_contain injected into the lineitem side:\n$p")
-    // the filter must sit BELOW the join (prunes before the shuffle):
-    // in formatted mode children print after their parent, so
-    // might_contain's Condition line appears after the join line
+    // the filter must sit BELOW the join (prunes before the shuffle).
+    // Formatted mode splits tree and details, so simple line ordering is
+    // vacuous — instead recover the node ID of the Filter whose
+    // Condition carries might_contain and require that ID to appear in
+    // the TREE below the SortMergeJoin line (children print below their
+    // parent there).
     val lines = p.linesIterator.toVector
-    val joinAt = lines.indexWhere(_.contains("SortMergeJoin"))
-    val mcAt = lines.indexWhere(_.contains("might_contain"))
-    assert(joinAt >= 0 && mcAt > joinAt,
-      s"might_contain must filter a join INPUT, not the output:\n$p")
+    val tree = lines.takeWhile(_.trim.nonEmpty)
+    val joinAt = tree.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinAt >= 0, s"expected a shuffle join:\n$p")
+    val condAt = lines.indexWhere(l => l.contains("Condition") && l.contains("might_contain"))
+    assert(condAt >= 0, s"expected a might_contain Condition detail:\n$p")
+    val header = lines.take(condAt).reverse
+      .find(_.trim.matches("""\(\d+\) Filter.*""")) // the detail block's own header
+    assert(header.isDefined, s"could not locate the bloom Filter node header:\n$p")
+    val nodeId = header.get.trim.drop(1).takeWhile(_.isDigit)
+    assert(tree.drop(joinAt + 1).exists(_.contains(s"($nodeId)")),
+      s"Filter ($nodeId) with might_contain must be an INPUT of the join:\n$p")
   }
 
   test("est01: the bottom-k sketch build is a TakeOrdered, never a global sort") {
