@@ -285,6 +285,39 @@ object LakeQueries {
         .orderBy("source")
     }),
 
+    // ---- c05: the composed curation-to-lake pipeline — what a
+    // production run ends with: quality-gate the corpus, exact-dedup
+    // the survivors (keep-first per content fingerprint), write them
+    // to an ACID TxLog table as ONE clustered atomic commit, and serve
+    // the result from a snapshot read. The gate covers the whole
+    // composition: any row lost/duplicated in the gate, dedup, write
+    // or read breaks the hash, and files_total is gated against the
+    // oracle's bucket arithmetic over the SURVIVOR set.
+    // 100 TB shape: gate + fingerprint are scan-local, dedup is one
+    // fp-keyed shuffle, the lake write is one clustered shuffle, the
+    // serve is a footer-pruned snapshot scan.
+    "c05_lake_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val gated = d.filter(col("n_chars") >= 30 && size(split(col("text"), " ")) >= 5)
+      val kept = gated
+        .withColumn("fp", md5(lower(trim(col("text")))))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .drop("fp", "rk")
+      val table = freshTable()
+      TxLog.appendClustered(spark, kept, table, "doc_id",
+        expr(s"(doc_id * 4) div ${span}L"), nClusters = 4)
+      val snap = TxLog.snapshotAt(table)
+      TxLog.readAt(spark, table)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("files_total", lit(snap.files.size).cast("bigint"))
+        .orderBy("source")
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -362,6 +395,24 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY _change_type""".stripMargin,
+
+    "c05_lake_pipeline" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |gated AS (
+        |  SELECT * FROM documents
+        |  WHERE n_chars >= 30 AND len(string_split(text, ' ')) >= 5),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rk
+        |    FROM gated)
+        |  WHERE rk = 1),
+        |nf AS (SELECT COUNT(DISTINCT (doc_id * 4) // span.n) AS files_total
+        |       FROM kept, span)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(nf.files_total AS BIGINT) AS files_total
+        |FROM kept, nf GROUP BY source, nf.files_total ORDER BY source""".stripMargin,
 
     // Direct recompute of v2's state (not the feed algebra).
     "tx09_feed_ivm" ->
