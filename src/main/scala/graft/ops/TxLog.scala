@@ -55,10 +55,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object TxLog {
 
-  /** File-level action: a live data file with its footer stats over the
-    * table's designated stats column (minKey/maxKey are Long.MinValue/
-    * MaxValue sentinels when the file has no stats for that column). */
-  final case class AddFile(path: String, rows: Long, minKey: Long, maxKey: Long)
+  /** File-level action: a live data file with its footer stats.
+    * minKey/maxKey cover the table's DESIGNATED stats column
+    * (Long.MinValue/MaxValue sentinels when the file has none); `cols`
+    * carries per-column [min,max] for every integer-typed column (up to
+    * [[MaxStatsCols]], the Delta-style cap) so range reads can prune on
+    * ANY recorded column, not just the designated one. */
+  final case class AddFile(path: String, rows: Long, minKey: Long, maxKey: Long,
+      cols: Map[String, (Long, Long)] = Map.empty)
+
+  private val MaxStatsCols = 16
 
   final case class Snapshot(version: Long, files: Vector[AddFile])
 
@@ -84,10 +90,21 @@ object TxLog {
 
   private def addToNode(a: AddFile): java.util.Map[String, Object] =
     Map[String, Object]("path" -> a.path, "rows" -> java.lang.Long.valueOf(a.rows),
-      "min" -> java.lang.Long.valueOf(a.minKey), "max" -> java.lang.Long.valueOf(a.maxKey)).asJava
+      "min" -> java.lang.Long.valueOf(a.minKey), "max" -> java.lang.Long.valueOf(a.maxKey),
+      "cols" -> a.cols.map { case (c, (lo, hi)) =>
+        c -> Map[String, Object]("min" -> java.lang.Long.valueOf(lo),
+          "max" -> java.lang.Long.valueOf(hi)).asJava
+      }.asJava).asJava
 
-  private def nodeToAdd(n: com.fasterxml.jackson.databind.JsonNode): AddFile =
-    AddFile(n.get("path").asText, n.get("rows").asLong, n.get("min").asLong, n.get("max").asLong)
+  private def nodeToAdd(n: com.fasterxml.jackson.databind.JsonNode): AddFile = {
+    val cols = Option(n.get("cols")).map { cn =>
+      cn.fields().asScala.map { e =>
+        e.getKey -> (e.getValue.get("min").asLong, e.getValue.get("max").asLong)
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, Long)])
+    AddFile(n.get("path").asText, n.get("rows").asLong,
+      n.get("min").asLong, n.get("max").asLong, cols)
+  }
 
   /** Committed versions present in the log, ascending. A version counts
     * only once its commit.json is visible (see commit protocol above). */
@@ -280,23 +297,29 @@ object TxLog {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      var mn = Long.MaxValue; var mx = Long.MinValue; var seen = false
+      // one footer pass collects [min,max] for EVERY integer column
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
       blocks.foreach { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == statsCol).foreach { c =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
           val st = c.getStatistics
           if (st != null && st.hasNonNullValue) {
-            (st.genericGetMin, st.genericGetMax) match {
-              case (lo: java.lang.Long, hi: java.lang.Long) =>
-                mn = math.min(mn, lo); mx = math.max(mx, hi); seen = true
+            val range: Option[(Long, Long)] = (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) => Some((lo, hi))
               case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                mn = math.min(mn, lo.longValue); mx = math.max(mx, hi.longValue); seen = true
-              case _ => ()
+                Some((lo.longValue, hi.longValue))
+              case _ => None
+            }
+            range.foreach { case (lo, hi) =>
+              val cur = acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
+              acc(name) = (math.min(cur._1, lo), math.max(cur._2, hi))
             }
           }
         }
       }
-      if (!seen) { mn = Long.MinValue; mx = Long.MaxValue } // unknown: never prunable
-      AddFile(file.getFileName.toString, rows, mn, mx)
+      val cols = acc.toSeq.sortBy(_._1).take(MaxStatsCols).toMap
+      val (mn, mx) = cols.getOrElse(statsCol, (Long.MinValue, Long.MaxValue)) // unknown: never prunable
+      AddFile(file.getFileName.toString, rows, mn, mx, cols)
     } finally reader.close()
   }
 
@@ -364,10 +387,17 @@ object TxLog {
     commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
   }
 
-  /** Files of `snap` whose [min,max] can intersect [lo,hi] — the driver-
-    * side, metadata-only skipping decision. */
+  /** Files of `snap` whose designated-column [min,max] can intersect
+    * [lo,hi] — the driver-side, metadata-only skipping decision. */
   def pruneFiles(snap: Snapshot, lo: Long, hi: Long): Vector[AddFile] =
     snap.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+
+  /** Column-aware skipping: keep a file iff the NAMED column's recorded
+    * [min,max] can intersect [lo,hi]; a file with no stats for that
+    * column (string column, all-null chunk, pre-stats commit) is kept —
+    * pruning must only ever be conservative. */
+  def pruneFilesOn(snap: Snapshot, colName: String, lo: Long, hi: Long): Vector[AddFile] =
+    snap.files.filter(_.cols.get(colName).forall { case (mn, mx) => mx >= lo && mn <= hi })
 
   /** Snapshot read, optionally time-traveled and/or key-range pruned.
     * Pruning filters the file LIST (metadata only); the residual row
@@ -375,8 +405,10 @@ object TxLog {
   def readAt(spark: SparkSession, table: Path, version: Option[Long] = None,
       range: Option[(String, Long, Long)] = None): DataFrame = {
     val snap = snapshotAt(table, version)
+    // prune with the NAMED column's own stats — the designated-column
+    // ranges would be wrong (non-conservative) for any other column
     val kept = range match {
-      case Some((_, lo, hi)) => pruneFiles(snap, lo, hi)
+      case Some((c, lo, hi)) => pruneFilesOn(snap, c, lo, hi)
       case None => snap.files
     }
     // resolve against the LOG's schema as of the read version: old files

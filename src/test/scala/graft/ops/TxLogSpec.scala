@@ -141,9 +141,30 @@ class TxLogSpec extends SparkSpec {
 
   test("txlog: footer stats are exact (rows, min, max) without a data scan") {
     val table = freshTable()
-    TxLog.append(spark, idsDf(7L to 23L), table, "doc_id", nParts = 1)
+    TxLog.append(spark,
+      idsDf(7L to 23L).withColumn("score", col("doc_id") * 10L),
+      table, "doc_id", nParts = 1)
     val f = TxLog.snapshotAt(table).files.head
     assert(f.rows == 17L && f.minKey == 7L && f.maxKey == 23L)
+    // per-column stats recorded for EVERY integer column in one pass
+    assert(f.cols("doc_id") == (7L, 23L))
+    assert(f.cols("score") == (70L, 230L))
+    assert(!f.cols.contains("payload"), "string columns carry no integer range")
+  }
+
+  test("txlog: range reads prune with the NAMED column's stats, conservatively") {
+    val table = freshTable()
+    Seq(0L to 9L, 10L to 19L).foreach { r =>
+      TxLog.append(spark,
+        idsDf(r).withColumn("score", col("doc_id") * 10L), table, "doc_id", nParts = 1)
+    }
+    val snap = TxLog.snapshotAt(table)
+    // pruning on a NON-designated integer column uses ITS ranges
+    assert(TxLog.pruneFilesOn(snap, "score", 0L, 50L).size == 1)
+    val out = TxLog.readAt(spark, table, range = Some(("score", 0L, 50L)))
+    assert(out.count() == 6L) // scores 0..50 -> doc_ids 0..5
+    // a column with NO recorded stats must keep every file (conservative)
+    assert(TxLog.pruneFilesOn(snap, "payload", 0L, 1L).size == 2)
   }
 
   test("txlog: copy-on-write merge rewrites ONLY files that contain a key") {
