@@ -153,66 +153,102 @@ object TxLog {
     * [[streamingAppend]]); `schema` records the table schema as of this
     * commit (the metadata the reads resolve against — see
     * [[tableSchema]]). */
-  def tryCommit(table: Path, v: Long, op: String,
-      adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long] = None,
-      schema: Option[StructType] = None): Boolean = {
-    Files.createDirectories(logDir(table))
-    val vd = versionDir(table, v)
-    try Files.createDirectory(vd) // atomic create-exclusive claim
-    catch { case _: java.nio.file.FileAlreadyExistsException => return false
-            // a reclaimer (see commitRetry) deleted our claimed dir out
-            // from under a >staleness-window pause: we lost the race
-            case _: java.nio.file.NoSuchFileException => return false }
-    try writeCommitBody(vd, v, op, adds, removes, batchId, schema)
-    catch { case _: java.nio.file.NoSuchFileException => return false }
-    true
+  /** Publish `bytes` as `target` with CREATE-EXCLUSIVE semantics: the
+    * content is fully written to a temp file first, then hard-LINKED
+    * into place — link(2) is atomic and FAILS if the target exists,
+    * unlike rename(2), which silently replaces. This is what makes a
+    * published commit immutable: neither a resumed stale claimant nor
+    * a reclaimer can ever overwrite it. Returns false if someone else
+    * published first (or the claim dir vanished under us). */
+  private def publishExclusive(target: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = target.getParent.resolve(s".tmp-${UUID.randomUUID()}")
+    try {
+      Files.write(tmp, bytes)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } catch { case _: java.nio.file.NoSuchFileException => false }
+    finally { Files.deleteIfExists(tmp): Unit }
   }
 
-  private def writeCommitBody(vd: Path, v: Long, op: String, adds: Seq[AddFile],
-      removes: Seq[String], batchId: Option[Long], schema: Option[StructType]): Unit = {
+  private def claimDir(vd: Path): Boolean =
+    try { Files.createDirectory(vd); true } // atomic create-exclusive claim
+    catch { case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.nio.file.NoSuchFileException => false }
+
+  private def commitBytes(v: Long, op: String, adds: Seq[AddFile],
+      removes: Seq[String], batchId: Option[Long], schema: Option[StructType]): Array[Byte] = {
     val base = Map[String, Object](
       "version" -> java.lang.Long.valueOf(v), "op" -> op,
       "adds" -> adds.map(addToNode).asJava,
       "removes" -> removes.asJava)
-    val body = (base
+    mapper.writeValueAsBytes((base
       ++ batchId.map(b => "batchId" -> (java.lang.Long.valueOf(b): Object))
-      ++ schema.map(s => "schema" -> (s.json: Object))).asJava
-    writeJsonAtomic(vd.resolve("commit.json"), mapper.writeValueAsBytes(body))
-    if (v % CheckpointEvery == 0 && v > 0) {
-      val table = vd.getParent.getParent
+      ++ schema.map(s => "schema" -> (s.json: Object))).asJava)
+  }
+
+  private def publishCommit(table: Path, vd: Path, v: Long, op: String,
+      adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long],
+      schema: Option[StructType]): Boolean = {
+    val ok = publishExclusive(vd.resolve("commit.json"),
+      commitBytes(v, op, adds, removes, batchId, schema))
+    if (ok && v % CheckpointEvery == 0 && v > 0) {
       val snap = snapshotAt(table, Some(v))
       val ck = Map[String, Object]("version" -> java.lang.Long.valueOf(v),
         "files" -> snap.files.map(addToNode).asJava).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
+    ok
+  }
+
+  /** Resolve an orphan claim by publishing an EMPTY no-op commit into
+    * it — never by deleting, so a published commit can never disappear
+    * and a resumed claimant's own publish simply fails create-exclusive
+    * and retries at a fresh version. */
+  private def publishAbandoned(table: Path, vd: Path, v: Long): Unit =
+    publishCommit(table, vd, v, "abandoned", Nil, Nil, None, None): Unit
+
+  def tryCommit(table: Path, v: Long, op: String,
+      adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long] = None,
+      schema: Option[StructType] = None): Boolean = {
+    Files.createDirectories(logDir(table))
+    val vd = versionDir(table, v)
+    claimDir(vd) && publishCommit(table, vd, v, op, adds, removes, batchId, schema)
   }
 
   /** How long a claimed-but-unpublished version dir may block the log
-    * before a retrying writer reclaims (deletes) it. A writer that
-    * pauses longer than this mid-commit loses its claim — the same
-    * timeout discipline every lease-based commit protocol documents. */
+    * before a retrying writer resolves it as an abandoned no-op commit.
+    * A writer that pauses longer than this mid-commit loses its claim —
+    * the lease discipline every log-store commit protocol documents. */
   private[ops] var StaleClaimMs: Long = 10 * 60 * 1000L
 
-  /** Optimistic-retry commit. `validate` re-checks the commit's
-    * preconditions against the snapshot it would now apply to (e.g. a
-    * compaction aborts if a file it means to remove is already gone);
-    * returns the committed version. Liveness: a claim left behind by a
-    * crashed writer (version dir, no commit.json) would otherwise block
-    * version v FOREVER — after [[StaleClaimMs]] it is reclaimed; before
-    * that, the loop backs off briefly instead of burning attempts on
-    * the same blocked version. */
+  /** Optimistic-retry commit with CLAIM-FENCED validation: the version
+    * directory is claimed FIRST; because any other commit would need
+    * that same next version, holding the claim freezes the log — the
+    * snapshot `validate` sees cannot change before our publish, closing
+    * the validate-then-claim race. On validation failure the claim is
+    * resolved as an abandoned no-op (never left to squat) and the
+    * commit throws. A claim squatted by a crashed writer is resolved
+    * the same way after [[StaleClaimMs]]; before that the loop backs
+    * off briefly. */
   def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
-      maxAttempts: Int = 20, batchId: Option[Long] = None,
+      maxAttempts: Int = 60, batchId: Option[Long] = None,
       schema: Option[StructType] = None)(
       validate: Option[Snapshot] => Boolean): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = latestVersion(table) + 1
-      val snap = if (v == 0) None else Some(snapshotAt(table))
-      if (!validate(snap))
-        throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
-      if (tryCommit(table, v, op, adds, removes, batchId, schema)) return v
-      reclaimIfStale(table, v)
+      Files.createDirectories(logDir(table))
+      val vd = versionDir(table, v)
+      if (claimDir(vd)) {
+        val snap = if (v == 0) None else Some(snapshotAt(table))
+        if (!validate(snap)) {
+          publishAbandoned(table, vd, v)
+          throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
+        }
+        if (publishCommit(table, vd, v, op, adds, removes, batchId, schema)) return v
+        // publish lost create-exclusive: we stalled past the lease and a
+        // reclaimer resolved our claim — retry at a fresh version
+      } else reclaimIfStale(table, v)
       attempt += 1
     }
     throw new IllegalStateException(s"commit '$op' lost $maxAttempts races")
@@ -220,16 +256,16 @@ object TxLog {
 
   /** Blocked at version v: either a live writer is about to publish it
     * (back off briefly — its commit.json advances latestVersion) or a
-    * crashed writer's orphan claim is squatting (reclaim after the
-    * staleness window). */
+    * crashed writer's orphan claim is squatting (resolve as abandoned
+    * after the staleness window; publishing is atomic create-exclusive,
+    * so this can never clobber a commit that lands concurrently). */
   private def reclaimIfStale(table: Path, v: Long): Unit = {
     val vd = versionDir(table, v)
     if (Files.isDirectory(vd) && !Files.exists(vd.resolve("commit.json"))) {
       val age = try System.currentTimeMillis() -
         Files.getLastModifiedTime(vd).toMillis catch { case _: Throwable => 0L }
-      if (age > StaleClaimMs) {
-        try deleteRecursively(vd) catch { case _: Throwable => () }
-      } else Thread.sleep(25)
+      if (age > StaleClaimMs) publishAbandoned(table, vd, v)
+      else Thread.sleep(25)
     }
   }
 
@@ -317,7 +353,10 @@ object TxLog {
           }
         }
       }
-      val cols = acc.toSeq.sortBy(_._1).take(MaxStatsCols).toMap
+      // the cap must never evict the DESIGNATED column — dropping it
+      // would silently disable all file skipping for the table
+      val capped = acc.toSeq.sortBy(_._1).take(MaxStatsCols).toMap
+      val cols = capped ++ acc.get(statsCol).map(statsCol -> _)
       val (mn, mx) = cols.getOrElse(statsCol, (Long.MinValue, Long.MaxValue)) // unknown: never prunable
       AddFile(file.getFileName.toString, rows, mn, mx, cols)
     } finally reader.close()
@@ -328,16 +367,28 @@ object TxLog {
   /** Move every staged part file into the table root under a fresh UUID
     * name and return its footer-derived AddFile; the files stay
     * invisible to readers until a commit references them. */
+  /** Shared per-file promote: fresh UUID name, atomic move into the
+    * table root, footer stats — and a TOUCH of the file mtime, because
+    * vacuum's retention window must measure time-since-PROMOTE: the
+    * staged Spark write can itself run longer than the window, and
+    * ATOMIC_MOVE preserves the stage-write mtime. */
+  private def promoteParts(spark: SparkSession, parts: Vector[Path], table: Path,
+      statsCol: String): Vector[AddFile] =
+    parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      val dest = table.resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      footerStats(spark, dest, statsCol).copy(path = name)
+    }
+
   private def promoteStaged(spark: SparkSession, stage: Path, table: Path,
       statsCol: String): Vector[AddFile] = {
-    val adds = listDir(stage)
-      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
-      .map { p =>
-        val name = s"${UUID.randomUUID()}.parquet"
-        val dest = table.resolve(name)
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        footerStats(spark, dest, statsCol).copy(path = name)
-      }
+    val adds = promoteParts(spark,
+      listDir(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString),
+      table, statsCol)
     deleteRecursively(stage)
     adds
   }
@@ -377,12 +428,7 @@ object TxLog {
     val parts = listDir(stage).filter(p => p.getFileName.toString.startsWith("__cluster="))
       .sortBy(_.getFileName.toString)
       .flatMap(d => listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
-    val adds = parts.map { p =>
-      val name = s"${UUID.randomUUID()}.parquet"
-      val dest = table.resolve(name)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      footerStats(spark, dest, statsCol).copy(path = name)
-    }
+    val adds = promoteParts(spark, parts, table, statsCol)
     deleteRecursively(stage)
     commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
   }
@@ -470,9 +516,30 @@ object TxLog {
     *   3. rewrite: affected rows anti-join the update keys, union the
     *      full updates, new files, one commit of removes+adds.
     * Returns (version, filesRewritten, filesTotal). */
+  /** OCC write-write conflict rule for key-rewrites (the shape of the
+    * published Delta conflict checker): every file we replace must
+    * still be live, AND no file added since our base snapshot may
+    * contain an affected key — checked conservatively against the key
+    * column's recorded range (no stats ⇒ assume conflict). Without the
+    * second clause a concurrent append of an affected key would
+    * survive an upsert (duplicate keys) or a delete (missed
+    * right-to-be-forgotten row). */
+  private[ops] def rewriteValidator(base: Snapshot, removes: Seq[String], keyCol: String,
+      lo: Long, hi: Long): Option[Snapshot] => Boolean = {
+    val basePaths = base.files.map(_.path).toSet
+    (snap: Option[Snapshot]) => snap match {
+      case None => false
+      case Some(s) =>
+        removes.forall(s.files.map(_.path).contains) &&
+          !s.files.exists(f => !basePaths(f.path) &&
+            f.cols.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    }
+  }
+
   def mergeCow(spark: SparkSession, table: Path, updates: DataFrame, keyCol: String,
       statsCol: String, nParts: Int = 1): (Long, Int, Int) = {
     val snap = snapshotAt(table)
+    validateSchema(tableSchema(table), updates.schema, allowEvolution = false): Unit
     val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size) // empty delta
     val candidates = pruneFiles(snap, bounds.getLong(0), bounds.getLong(1))
@@ -497,10 +564,8 @@ object TxLog {
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     rewritten.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    val v = commitRetry(table, "merge", adds, affected) {
-      case None => false
-      case Some(s) => affected.forall(s.files.map(_.path).contains)
-    }
+    val v = commitRetry(table, "merge", adds, affected)(
+      rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
   }
 
@@ -531,10 +596,8 @@ object TxLog {
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     kept.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    val v = commitRetry(table, "delete", adds, affected) {
-      case None => false
-      case Some(s) => affected.forall(s.files.map(_.path).contains)
-    }
+    val v = commitRetry(table, "delete", adds, affected)(
+      rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
   }
 
@@ -565,24 +628,29 @@ object TxLog {
     val out = if (nParts > 0) batch.repartition(nParts) else batch
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    // revalidate before every claim: a concurrent restart of the same
-    // query can commit this batch between the entry check and the
-    // claim. The duplicate path must SKIP (clean up our orphaned files
-    // and return None) — throwing would fail the whole streaming query
-    // on what is, by contract, a benign redelivery.
+    // CLAIM-FENCED duplicate check: only after holding the claim on
+    // latest+1 is the batch-id set stable (no other commit can land
+    // until we publish or abandon), so check-then-publish has no TOCTOU
+    // window. A detected duplicate SKIPS — abandon the claim, clean up
+    // our orphaned files, return None; throwing would fail the whole
+    // streaming query on what is, by contract, a benign redelivery.
     var attempt = 0
-    while (attempt < 20) {
-      if (committedBatchIds(table).contains(batchId)) {
-        adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)))
-        return None
-      }
+    while (attempt < 60) {
       val v = latestVersion(table) + 1
-      if (tryCommit(table, v, "streaming-append", adds, Nil,
-          batchId = Some(batchId), schema = Some(evolved))) return Some(v)
-      reclaimIfStale(table, v) // same liveness discipline as commitRetry
+      Files.createDirectories(logDir(table))
+      val vd = versionDir(table, v)
+      if (claimDir(vd)) {
+        if (committedBatchIds(table).contains(batchId)) {
+          publishAbandoned(table, vd, v)
+          adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)))
+          return None
+        }
+        if (publishCommit(table, vd, v, "streaming-append", adds, Nil,
+            Some(batchId), Some(evolved))) return Some(v)
+      } else reclaimIfStale(table, v)
       attempt += 1
     }
-    throw new IllegalStateException(s"streaming batch $batchId lost 20 commit races")
+    throw new IllegalStateException(s"streaming batch $batchId lost 60 commit races")
   }
 
   // ------------------------------------------------------------ change feed
@@ -664,4 +732,8 @@ object TxLog {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+
+  /** Recursive delete for callers cleaning up whole table directories
+    * (e.g. temp tables built inside gated queries). */
+  def deleteTree(p: Path): Unit = deleteRecursively(p)
 }

@@ -49,8 +49,21 @@ object LakeQueries {
       col("doc_id").cast("bigint").as("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars").cast("bigint").as("n_chars"))
 
-  private def freshTable(): Path =
-    Files.createTempDirectory("graft_tx").resolve("tbl")
+  // every query builds its table in a fresh temp dir; a single JVM
+  // shutdown hook reclaims them all, so repeated sweeps (bench passes,
+  // scale factors) don't accumulate unbounded parquet under /tmp
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tmpDirs.forEach { p =>
+      try TxLog.deleteTree(p) catch { case _: Throwable => () }
+    }))
+
+  private def freshTable(): Path = {
+    cleanupHook
+    val d = Files.createTempDirectory("graft_tx")
+    tmpDirs.add(d)
+    d.resolve("tbl")
+  }
 
   /** max(doc_id)+1 — the equal-width denominator (1-row control-plane
     * agg, same role as zorder01's zmax). */

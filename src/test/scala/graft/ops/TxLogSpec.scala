@@ -62,10 +62,31 @@ class TxLogSpec extends SparkSpec {
     Files.setLastModifiedTime(orphan,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - TxLog.StaleClaimMs - 1000))
-    // without reclaim this would burn every retry on the blocked v1
+    // without reclaim this would burn every retry on the blocked v1;
+    // the orphan is resolved as an abandoned NO-OP commit (never
+    // deleted — a resumed claimant can't clobber a published commit),
+    // so the append lands at v2
     val v = TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)
-    assert(v == 1L, s"append must reclaim the stale v1 claim, got v$v")
+    assert(v == 2L, s"append must resolve the stale v1 claim and land at v2, got v$v")
     assert(TxLog.readAt(spark, table).count() == 10L)
+    assert(TxLog.readAt(spark, table, Some(1L)).count() == 5L, "v1 is a no-op commit")
+  }
+
+  test("txlog: a concurrent append of an affected key aborts the merge (OCC conflict)") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    val snap0 = TxLog.snapshotAt(table)
+    // winner: appends a NEW file containing key 5 after the merge's
+    // base snapshot was taken — simulate by committing through the same
+    // validator the merge uses
+    TxLog.append(spark, idsDf(Seq(5L)), table, "doc_id", nParts = 1)
+    intercept[IllegalStateException] {
+      TxLog.commitRetry(table, "merge", Nil, snap0.files.map(_.path))(
+        TxLog.rewriteValidator(snap0, snap0.files.map(_.path), "doc_id", 5L, 5L))
+    }
+    // a DISJOINT key range is not a conflict: same base, envelope 100..100
+    TxLog.commitRetry(table, "touch", Nil, Nil)(
+      TxLog.rewriteValidator(snap0, Nil, "doc_id", 100L, 100L))
   }
 
   test("txlog: compaction and merge PRESERVE later-evolved columns") {
