@@ -291,6 +291,26 @@ object ExtendedQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- fn03: HIGHER-ORDER array functions — the lambda surface
+    // (transform/filter/exists/aggregate) that keeps per-row array work
+    // inside whole-stage codegen instead of a UDF. aggregate() is an
+    // IN-ORDER left fold, so the integer sums are deterministic; every
+    // expression has a DuckDB list_* twin.
+    "fn03_higher_order" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).as("n_words"),
+          expr("size(filter(ws, w -> length(w) >= 6))").as("n_long"),
+          expr("aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x)")
+            .as("total_chars"),
+          expr("exists(ws, w -> w rlike '^[0-9]+$')").as("has_number"),
+          expr("array_max(transform(ws, w -> length(w)))").as("max_word_len"),
+          expr("cast(aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x) as double) / size(ws)")
+            .as("avg_word_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- tri01: exact triangle count + global clustering coefficient
     // over the co-supplier graph (two suppliers are adjacent when both
     // ship the same part in a near-full-quantity lineitem). Exercises
@@ -576,6 +596,18 @@ object ExtendedQueries {
         |  SELECT l_orderkey, l_linenumber, range(1, l_linenumber + 1) AS seq
         |  FROM lineitem WHERE l_orderkey % 500 = 0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn03_higher_order" ->
+      """SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  CAST(len(list_filter(ws, w -> length(w) >= 6)) AS INT) AS n_long,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS INT) AS total_chars,
+        |  len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) > 0 AS has_number,
+        |  CAST(list_max(list_transform(ws, w -> length(w))) AS INT) AS max_word_len,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+        |    AS avg_word_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "fn01_scalar_functions" ->
       """SELECT o_orderkey,

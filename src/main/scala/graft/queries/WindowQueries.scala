@@ -101,12 +101,48 @@ object WindowQueries {
           ntile(4).over(w).as("quartile"))
         .orderBy("s_nationkey", "s_suppkey")
     }),
+
+    // ---- w08: positional window functions with PINNED frames —
+    // first_value/last_value/nth_value read a specific row of the
+    // ordered partition, where the default RANGE frame would make
+    // last_value degenerate (current row); the explicit ROWS frame and
+    // the (s_acctbal, s_suppkey) total order make every value unique
+    // and engine-agnostic; lead's default argument covers the partition
+    // tail.
+    "w08_positional_windows" -> ((spark: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(spark, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          first(col("s_suppkey")).over(w).as("poorest_supp"),
+          last(col("s_suppkey")).over(w).as("richest_supp"),
+          nth_value(col("s_suppkey"), 2).over(w).as("second_supp"),
+          lead(col("s_suppkey"), 2, -1L).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("s_nationkey"))
+              .orderBy(col("s_acctbal"), col("s_suppkey"))).as("two_ahead"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
   )
 
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
+    "w08_positional_windows" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  first_value(s_suppkey) OVER w AS poorest_supp,
+        |  last_value(s_suppkey) OVER w AS richest_supp,
+        |  nth_value(s_suppkey, 2) OVER w AS second_supp,
+        |  lead(s_suppkey, 2, -1) OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal, s_suppkey) AS two_ahead
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
     "w01_top_suppliers_per_nation" ->
       s"""SELECT n_name, rk, s_suppkey, s_name, revenue FROM (
         |  SELECT n_name, s_suppkey, s_name, revenue,
