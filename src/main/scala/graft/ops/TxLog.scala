@@ -601,6 +601,15 @@ object TxLog {
     (v, affected.size, snap.files.size)
   }
 
+  /** Commit history (DESCRIBE HISTORY): one (version, op, n_adds,
+    * n_removes) tuple per committed version, metadata-only. */
+  def history(table: Path): Seq[(Long, String, Long, Long)] =
+    versions(table).map { v =>
+      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      (v, node.get("op").asText,
+        node.get("adds").size().toLong, node.get("removes").size().toLong)
+    }
+
   // ------------------------------------------------- streaming exactly-once
 
   /** Streaming batch ids already recorded in the log. O(commits) commit

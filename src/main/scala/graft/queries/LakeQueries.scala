@@ -331,6 +331,25 @@ object LakeQueries {
         .orderBy("source")
     }),
 
+    // ---- tx10: commit-history audit (DESCRIBE HISTORY) — the log
+    // itself as a relation: one row per committed version with its
+    // operation and file-action counts. Single-file appends make every
+    // count closed-form: append(1 add), append(1 add), COW delete
+    // (1 add, 1 remove — only v0's file contains the even keys),
+    // compact(1 add, 2 removes). Metadata-only: no data file is read.
+    "tx10_history" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 1)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 1)
+      TxLog.deleteKeys(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id", "doc_id", nParts = 1)
+      TxLog.compact(spark, table, "doc_id", nParts = 1)
+      TxLog.history(table).toDF("version", "op", "n_adds", "n_removes")
+        .orderBy("version")
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -426,6 +445,15 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(nf.files_total AS BIGINT) AS files_total
         |FROM kept, nf GROUP BY source, nf.files_total ORDER BY source""".stripMargin,
+
+    "tx10_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'delete',  CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'compact', CAST(1 AS BIGINT), CAST(2 AS BIGINT)))
+        |  t(version, op, n_adds, n_removes)
+        |ORDER BY version""".stripMargin,
 
     // Direct recompute of v2's state (not the feed algebra).
     "tx09_feed_ivm" ->
