@@ -392,26 +392,33 @@ object LakeQueries {
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
 
+    // files_before is data-derived (distinct non-empty % 6 residues),
+    // robust to a future sparse doc_id regeneration
     "tx03_compaction" ->
-      """SELECT CAST(6 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+      """SELECT (SELECT COUNT(DISTINCT doc_id % 6) FROM documents) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents""".stripMargin,
 
+    // insert counts are DATA-DERIVED (not the constant 3) so the gate
+    // survives a future driver regeneration where doc_id < 3 matches a
+    // different row count
     "tx04_cow_merge" ->
       """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
         |touched AS (
         |  SELECT COUNT(DISTINCT (doc_id * 8) // n) AS rewritten
-        |  FROM documents, span WHERE doc_id % 100 = 7)
+        |  FROM documents, span WHERE doc_id % 100 = 7),
+        |ins AS (SELECT COUNT(*) AS n_ins FROM documents WHERE doc_id < 3)
         |SELECT CAST(8 AS BIGINT) AS files_total,
         |  CAST(touched.rewritten AS BIGINT) AS files_rewritten,
-        |  CAST((SELECT COUNT(*) FROM documents) + 3 AS BIGINT) AS n_docs,
+        |  CAST((SELECT COUNT(*) FROM documents) + ins.n_ins AS BIGINT) AS n_docs,
         |  CAST((SELECT SUM(CASE WHEN doc_id % 100 = 7 THEN 8 ELSE n_chars END)
-        |        FROM documents) + 24 AS BIGINT) AS sum_chars,
+        |        FROM documents) + 8 * ins.n_ins AS BIGINT) AS sum_chars,
         |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 100 = 7) AS BIGINT)
         |    AS n_redacted,
-        |  CAST(3 AS BIGINT) AS n_inserted
-        |FROM touched""".stripMargin,
+        |  CAST(ins.n_ins AS BIGINT) AS n_inserted
+        |FROM touched, ins""".stripMargin,
 
     "tx06_schema_evolution" ->
       """SELECT COUNT(*) AS n_docs,
