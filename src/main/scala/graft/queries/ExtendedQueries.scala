@@ -167,6 +167,41 @@ object ExtendedQueries {
           |ORDER BY returnflag, linestatus""".stripMargin)
     }),
 
+    // ---- p02: UNPIVOT (melt) — the wide→long inverse of p01's pivot:
+    // per-nation status revenues as three columns, melted back to
+    // (nation, status, revenue) rows with Dataset.unpivot. At scale the
+    // melt is a scan-local Expand (rows × 3), no shuffle beyond the
+    // wide aggregate's own. The oracle uses the portable UNION ALL
+    // form of the same melt.
+    "p02_unpivot" -> ((spark: SparkSession, dir: String) => {
+      def statusRev(s: String) = d(sum(when(col("o_orderstatus") === s,
+        dec(col("o_totalprice"))).otherwise(lit(0).cast("decimal(18,2)"))))
+      val wide = t(spark, dir, "orders")
+        .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(statusRev("O").as("open"), statusRev("F").as("fulfilled"),
+          statusRev("P").as("pending"))
+      wide.unpivot(Array(col("n_name")),
+          Array(col("open"), col("fulfilled"), col("pending")), "status", "revenue")
+        .orderBy("n_name", "status")
+    }),
+
+    // ---- q23: correlated LATERAL join — the per-row dependent subquery
+    // in FROM position (top-2 customers per nation by balance). Catalyst
+    // decorrelates the DomainJoin into a ranked window under the hood;
+    // the SAME SQL string runs in DuckDB.
+    "q23_lateral_topk" -> ((spark: SparkSession, dir: String) => {
+      Tables.registerViews(spark, dir)
+      spark.sql(
+        """SELECT n_name, c.c_custkey, c.c_acctbal
+          |FROM nation, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS c
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
     // ---- n06: second-moment statistics computed from EXACT decimal sums
     // (sum x, sum x^2, sum xy are exact; the variance/correlation algebra
     // then runs in IEEE doubles identically in both engines — built-in
@@ -596,6 +631,30 @@ object ExtendedQueries {
         |  SELECT l_orderkey, l_linenumber, range(1, l_linenumber + 1) AS seq
         |  FROM lineitem WHERE l_orderkey % 500 = 0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p02_unpivot" ->
+      """WITH wide AS (
+        |  SELECT n_name,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS open,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS fulfilled,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS pending
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, status, revenue FROM (
+        |  SELECT n_name, 'open' AS status, open AS revenue FROM wide
+        |  UNION ALL SELECT n_name, 'fulfilled', fulfilled FROM wide
+        |  UNION ALL SELECT n_name, 'pending', pending FROM wide)
+        |ORDER BY n_name, status""".stripMargin,
+
+    "q23_lateral_topk" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
 
     "fn03_higher_order" ->
       """SELECT doc_id,
