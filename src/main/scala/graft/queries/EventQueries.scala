@@ -54,6 +54,21 @@ object EventQueries {
         .orderBy("event_type", "hour")
     }),
 
+    // ---- e12: HOPPING (sliding) windows — window(ts, 2h, 1h): every
+    // event lands in exactly 2 overlapping windows. This is the
+    // streaming-native windowed-agg shape (readStream + watermark runs
+    // the identical expression); in batch it plans as a scan-local
+    // Expand (x2) into one partial-agg shuffle. The oracle derives the
+    // same two epoch-aligned window starts per event arithmetically.
+    "e12_hopping_windows" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "events")
+        .groupBy(window(ts, "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), d(sum(dec(col("value")))).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // ---- e01: tumbling 1-hour rollup (streaming's groupBy(window(...))
     // batch twin). Partial aggregation, single shuffle on (hour, type).
     "e01_hourly_rollup" -> ((spark: SparkSession, dir: String) => {
@@ -224,6 +239,16 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e12_hopping_windows" ->
+      """WITH ex AS (
+        |  SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS win_start,
+        |    event_type, value
+        |  FROM events, UNNEST([0, 1]) AS t(i))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "e10_gapfill_ffill" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
