@@ -229,6 +229,44 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // ---- set05: BAG-semantics set ops — INTERSECT ALL / EXCEPT ALL
+    // keep multiplicities (per-key min / difference of counts), the
+    // semantics SQL defines and the DISTINCT variants above erase. The
+    // multisets are lineitem suppkey streams under two filters, so keys
+    // genuinely repeat; result grain is (suppkey, copies-per-op).
+    "set05_bag_ops" -> ((spark: SparkSession, dir: String) => {
+      val li = t(spark, dir, "lineitem")
+      val a = li.filter(col("l_quantity") >= 45).select(col("l_suppkey"))
+      val b = li.filter(col("l_discount") >= 0.08).select(col("l_suppkey"))
+      val ia = a.intersectAll(b).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_intersect_all"))
+      val ea = a.exceptAll(b).groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_except_all"))
+      ia.join(ea, Seq("l_suppkey"), "full_outer")
+        .select(col("l_suppkey"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+        .orderBy("l_suppkey")
+    }),
+
+    // ---- q24: NULL-SAFE equality join (<=>) — the three-valued-logic
+    // corner plain `=` gets wrong: rows whose join key is NULL match
+    // each other under <=> (IS NOT DISTINCT FROM) instead of vanishing.
+    // Keys are deterministically nulled (every suppkey % 50 = 0), and
+    // the aggregate counts prove the NULL-key matches are present.
+    "q24_nullsafe_join" -> ((spark: SparkSession, dir: String) => {
+      val su = t(spark, dir, "supplier")
+        .select(when(col("s_suppkey") % 50 === 0, lit(null)).otherwise(col("s_suppkey"))
+          .as("k"), col("s_acctbal"))
+      val n1 = su.as("x")
+      val n2 = su.as("y")
+      n1.join(n2, col("x.k") <=> col("y.k"))
+        .groupBy(col("x.k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          d(sum(dec(col("y.s_acctbal")))).as("sum_bal"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // ---- exact distinct counts (shuffle-dedup; HLL sketch variant is
     // benchmarked separately since approx results can't hash-match).
     "dist01_distinct_counts" -> ((spark: SparkSession, dir: String) => {
@@ -421,6 +459,31 @@ object RelationalQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
+
+    "set05_bag_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.08),
+        |ia AS (SELECT l_suppkey, COUNT(*) AS n_intersect_all
+        |       FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+        |       GROUP BY l_suppkey),
+        |ea AS (SELECT l_suppkey, COUNT(*) AS n_except_all
+        |       FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        |       GROUP BY l_suppkey)
+        |SELECT COALESCE(ia.l_suppkey, ea.l_suppkey) AS l_suppkey,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        |  COALESCE(n_except_all, 0) AS n_except_all
+        |FROM ia FULL OUTER JOIN ea ON ia.l_suppkey = ea.l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q24_nullsafe_join" ->
+      """WITH su AS (
+        |  SELECT CASE WHEN s_suppkey % 50 = 0 THEN NULL ELSE s_suppkey END AS k,
+        |    s_acctbal
+        |  FROM supplier)
+        |SELECT x.k AS k, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CAST(y.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM su x JOIN su y ON x.k IS NOT DISTINCT FROM y.k
+        |GROUP BY x.k ORDER BY k NULLS FIRST""".stripMargin,
 
     "dist01_distinct_counts" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
