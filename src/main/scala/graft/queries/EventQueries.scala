@@ -69,6 +69,26 @@ object EventQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // ---- e13: NATIVE session windows — session_window(ts, gap), the
+    // declarative dynamic-gap operator (streaming runs the identical
+    // expression with state-store session merging). Sessions merge
+    // while the next event starts within `gap` of the previous
+    // ([t, t+gap) overlap), i.e. a NEW session exactly when the gap is
+    // >= 6h; the oracle derives the same bounds with the
+    // gaps-and-islands form (lag + running sum), so this gates Spark's
+    // native operator against the portable SQL semantics. Window end =
+    // last event + gap, both engines in epoch-microsecond math.
+    "e13_session_windows" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "events")
+        .groupBy(session_window(ts, "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), d(sum(dec(col("value")))).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // ---- e01: tumbling 1-hour rollup (streaming's groupBy(window(...))
     // batch twin). Partial aggregation, single shuffle on (hour, type).
     "e01_hourly_rollup" -> ((spark: SparkSession, dir: String) => {
@@ -239,6 +259,25 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e13_session_windows" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
     "e12_hopping_windows" ->
       """WITH ex AS (
         |  SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS win_start,
