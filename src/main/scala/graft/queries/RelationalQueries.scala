@@ -267,6 +267,20 @@ object RelationalQueries {
         .orderBy(col("k").asc_nulls_first)
     }),
 
+    // ---- q25: grouped STRING aggregation — collect_list is
+    // order-nondeterministic under parallelism, so the cross-engine-safe
+    // form is array_sort before the join (DuckDB: string_agg ORDER BY).
+    // One partial-agg shuffle on the group key; the sort is per-group,
+    // bounded by nations-per-region.
+    "q25_string_agg" -> ((spark: SparkSession, dir: String) => {
+      t(spark, dir, "nation")
+        .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name")
+    }),
+
     // ---- exact distinct counts (shuffle-dedup; HLL sketch variant is
     // benchmarked separately since approx results can't hash-match).
     "dist01_distinct_counts" -> ((spark: SparkSession, dir: String) => {
@@ -484,6 +498,12 @@ object RelationalQueries {
         |  CAST(SUM(CAST(y.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM su x JOIN su y ON x.k IS NOT DISTINCT FROM y.k
         |GROUP BY x.k ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q25_string_agg" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "dist01_distinct_counts" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
