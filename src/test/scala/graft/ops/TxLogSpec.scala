@@ -370,6 +370,59 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readAt(spark, table).count() == 40L)
   }
 
+  test("txlog: watermarked append-mode windows land exactly-once in the table") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_txwin")
+    val table = base.resolve("tbl")
+    def mkEvents(ids: Range, hourOf: Long => Long) =
+      ids.map { i =>
+        (i.toLong, new java.sql.Timestamp(hourOf(i.toLong) * 3600 * 1000L), 1.0)
+      }.toDF("event_id", "ts", "value")
+    // run 1: hours 0..3; run 2 adds hours 4..6, advancing the watermark
+    // past the earlier windows so append mode finalizes them
+    mkEvents(0 until 40, _ % 4).repartition(2)
+      .write.parquet(base.resolve("in/p0").toString)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(mkEvents(0 until 1, _ => 0L).schema)
+        .parquet(base.resolve("in").toString + "/*")
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("win_start"), col("n"))
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append") // only FINALIZED windows emit -> append-only facts
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty)
+            TxLog.streamingAppend(spark, batch, id, table, "win_start"): Unit
+        }
+        .start()
+      q.awaitTermination(180000)
+    }
+    runOnce()
+    mkEvents(40 until 70, i => 4 + i % 3).repartition(2)
+      .write.parquet(base.resolve("in/p1").toString)
+    runOnce()
+    val out = TxLog.readAt(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: a finalized window appears at most once
+    assert(out.map(_._1).distinct.length == out.length,
+      s"duplicate windows in the table: ${out.toSeq.sorted}")
+    // correctness: every emitted window's count equals the batch recompute
+    val expected = Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 10L, 5L -> 10L, 6L -> 10L).map { case (h, n) => (h * 3600, n) }
+    out.foreach { case (w, n) =>
+      assert(expected(w) == n, s"window $w has $n, expected ${expected(w)}")
+    }
+    // the early windows must have finalized once run 2's data advanced
+    // the watermark past them
+    assert(out.map(_._1).toSet.intersect(Set(0L, 3600L, 7200L)).nonEmpty,
+      s"run 2 should finalize run 1's windows, got ${out.toSeq.sorted}")
+  }
+
   test("txlog: vacuum reclaims files dead to the retained window") {
     val table = freshTable()
     (0 until 3).foreach(i => TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1))
