@@ -38,7 +38,10 @@ object ScaleBench {
 
   private val DefaultQueries = Seq(
     "dd04_lsh_candidates", "dd07_dup_clusters", "er01_fuzzy_entity_match",
-    "c04_entity_pipeline", "knn02_mutual_clusters")
+    "c04_entity_pipeline", "knn02_mutual_clusters",
+    // lakehouse flagship: COW merge cost must track the delta, not the
+    // table (round-7 curves: commit-metadata bound at 10x)
+    "tx04_cow_merge")
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
