@@ -232,10 +232,16 @@ object TxLog {
     * off briefly. */
   def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
       maxAttempts: Int = 60, batchId: Option[Long] = None,
-      schema: Option[StructType] = None)(
+      schema: => Option[StructType] = None)(
       validate: Option[Snapshot] => Boolean): Long = {
+    // time-based bound: the loop must be able to OUTLAST a crashed
+    // writer's full staleness lease (plus margin) — an attempt-count
+    // bound alone would report a spurious 'lost races' outage for the
+    // whole lease window. maxAttempts still floors the live-contention
+    // patience when the lease is configured very short.
+    val deadline = System.currentTimeMillis() + StaleClaimMs + 60_000L
     var attempt = 0
-    while (attempt < maxAttempts) {
+    while (attempt < maxAttempts || System.currentTimeMillis() < deadline) {
       val v = latestVersion(table) + 1
       Files.createDirectories(logDir(table))
       val vd = versionDir(table, v)
@@ -245,13 +251,18 @@ object TxLog {
           publishAbandoned(table, vd, v)
           throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
         }
-        if (publishCommit(table, vd, v, op, adds, removes, batchId, schema)) return v
+        // the recorded schema is (re)computed UNDER the claim fence: a
+        // concurrent schema-evolving commit that landed since our first
+        // read must not be shadowed by a stale pre-evolution schema
+        val schemaNow = try schema catch { case e: Throwable =>
+          publishAbandoned(table, vd, v); throw e }
+        if (publishCommit(table, vd, v, op, adds, removes, batchId, schemaNow)) return v
         // publish lost create-exclusive: we stalled past the lease and a
         // reclaimer resolved our claim — retry at a fresh version
       } else reclaimIfStale(table, v)
       attempt += 1
     }
-    throw new IllegalStateException(s"commit '$op' lost $maxAttempts races")
+    throw new IllegalStateException(s"commit '$op' lost the commit race past the lease deadline")
   }
 
   /** Blocked at version v: either a live writer is about to publish it
@@ -353,10 +364,12 @@ object TxLog {
           }
         }
       }
-      // the cap must never evict the DESIGNATED column — dropping it
-      // would silently disable all file skipping for the table
-      val capped = acc.toSeq.sortBy(_._1).take(MaxStatsCols).toMap
-      val cols = capped ++ acc.get(statsCol).map(statsCol -> _)
+      // cap at MaxStatsCols with the DESIGNATED column always ranked
+      // first — evicting it would silently disable all file skipping,
+      // and naively re-adding it would exceed the documented cap
+      val cols = (acc.get(statsCol).map(statsCol -> _).toSeq ++
+        acc.toSeq.filter(_._1 != statsCol).sortBy(_._1))
+        .take(MaxStatsCols).toMap
       val (mn, mx) = cols.getOrElse(statsCol, (Long.MinValue, Long.MaxValue)) // unknown: never prunable
       AddFile(file.getFileName.toString, rows, mn, mx, cols)
     } finally reader.close()
@@ -381,6 +394,11 @@ object TxLog {
       Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       footerStats(spark, dest, statsCol).copy(path = name)
+    }.filter { a =>
+      // zero-row part files (empty partitions/filters) carry no data and
+      // would pollute the live set and file-count gates — drop them
+      if (a.rows == 0L) { Files.deleteIfExists(table.resolve(a.path)); false }
+      else true
     }
 
   private def promoteStaged(spark: SparkSession, stage: Path, table: Path,
@@ -400,12 +418,14 @@ object TxLog {
   def append(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
       nParts: Int = 0, allowEvolution: Boolean = false): Long = {
     Files.createDirectories(table)
-    val evolved = validateSchema(tableSchema(table), df.schema, allowEvolution)
+    validateSchema(tableSchema(table), df.schema, allowEvolution): Unit // fail fast pre-stage
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) df.repartition(nParts) else df
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
+    // schema is a BY-NAME argument, re-validated under the claim fence
+    commitRetry(table, "append", adds, Nil,
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution)))(_ => true)
   }
 
   /** Clustered append: ONE distributed write producing one data file per
@@ -420,7 +440,7 @@ object TxLog {
   def appendClustered(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
       clusterCol: Column, nClusters: Int): Long = {
     Files.createDirectories(table)
-    val evolved = validateSchema(tableSchema(table), df.schema, allowEvolution = false)
+    validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     df.withColumn("__cluster", clusterCol)
       .repartition(nClusters, col("__cluster"))
@@ -430,7 +450,9 @@ object TxLog {
       .flatMap(d => listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
     val adds = promoteParts(spark, parts, table, statsCol)
     deleteRecursively(stage)
-    commitRetry(table, "append", adds, Nil, schema = Some(evolved))(_ => true)
+    commitRetry(table, "append", adds, Nil,
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false)))(
+      _ => true)
   }
 
   /** Files of `snap` whose designated-column [min,max] can intersect
@@ -501,7 +523,7 @@ object TxLog {
     val adds = promoteStaged(spark, stage, table, statsCol)
     commitRetry(table, "compact", adds, removes) {
       case None => false
-      case Some(s) => removes.forall(s.files.map(_.path).contains)
+      case Some(s) => val live = s.files.map(_.path).toSet; removes.forall(live)
     }
   }
 
@@ -530,7 +552,8 @@ object TxLog {
     (snap: Option[Snapshot]) => snap match {
       case None => false
       case Some(s) =>
-        removes.forall(s.files.map(_.path).contains) &&
+        val live = s.files.map(_.path).toSet
+        removes.forall(live) &&
           !s.files.exists(f => !basePaths(f.path) &&
             f.cols.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
     }
@@ -542,7 +565,9 @@ object TxLog {
     validateSchema(tableSchema(table), updates.schema, allowEvolution = false): Unit
     val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size) // empty delta
-    val candidates = pruneFiles(snap, bounds.getLong(0), bounds.getLong(1))
+    // prune with the KEY column's own recorded stats — the designated
+    // column's ranges would be non-conservative whenever keyCol differs
+    val candidates = pruneFilesOn(snap, keyCol, bounds.getLong(0), bounds.getLong(1))
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
@@ -579,7 +604,9 @@ object TxLog {
     val snap = snapshotAt(table)
     val bounds = keys.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size)
-    val candidates = pruneFiles(snap, bounds.getLong(0), bounds.getLong(1))
+    // prune with the KEY column's own recorded stats — the designated
+    // column's ranges would be non-conservative whenever keyCol differs
+    val candidates = pruneFilesOn(snap, keyCol, bounds.getLong(0), bounds.getLong(1))
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
@@ -632,7 +659,7 @@ object TxLog {
       table: Path, statsCol: String, nParts: Int = 1): Option[Long] = {
     if (committedBatchIds(table).contains(batchId)) return None
     Files.createDirectories(table)
-    val evolved = validateSchema(tableSchema(table), batch.schema, allowEvolution = false)
+    validateSchema(tableSchema(table), batch.schema, allowEvolution = false): Unit // fail fast
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) batch.repartition(nParts) else batch
     out.write.mode("overwrite").parquet(stage.toString)
@@ -654,6 +681,9 @@ object TxLog {
           adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)))
           return None
         }
+        val evolved = try validateSchema(tableSchema(table), batch.schema,
+            allowEvolution = false)
+          catch { case e: Throwable => publishAbandoned(table, vd, v); throw e }
         if (publishCommit(table, vd, v, "streaming-append", adds, Nil,
             Some(batchId), Some(evolved))) return Some(v)
       } else reclaimIfStale(table, v)
