@@ -60,9 +60,18 @@ object TxLog {
     * (Long.MinValue/MaxValue sentinels when the file has none); `cols`
     * carries per-column [min,max] for every integer-typed column (up to
     * [[MaxStatsCols]], the Delta-style cap) so range reads can prune on
-    * ANY recorded column, not just the designated one. */
+    * ANY recorded column, not just the designated one.
+    *
+    * `dv` names this file's deletion-vector sidecar (merge-on-read: the
+    * file's rows minus the DV'd keys are the live rows — see
+    * [[deleteMor]]); a re-add of the same path with a new dv REPLACES
+    * the log entry, so DV updates are pure metadata commits. `part`
+    * carries the file's hive-style partition-column values (the Delta
+    * paper's partitionValues, its primary pruning axis) — equality
+    * predicates on partition columns prune on this map alone. */
   final case class AddFile(path: String, rows: Long, minKey: Long, maxKey: Long,
-      cols: Map[String, (Long, Long)] = Map.empty)
+      cols: Map[String, (Long, Long)] = Map.empty,
+      dv: Option[String] = None, part: Map[String, String] = Map.empty)
 
   private val MaxStatsCols = 16
 
@@ -89,12 +98,15 @@ object TxLog {
   }
 
   private def addToNode(a: AddFile): java.util.Map[String, Object] =
-    Map[String, Object]("path" -> a.path, "rows" -> java.lang.Long.valueOf(a.rows),
+    (Map[String, Object]("path" -> a.path, "rows" -> java.lang.Long.valueOf(a.rows),
       "min" -> java.lang.Long.valueOf(a.minKey), "max" -> java.lang.Long.valueOf(a.maxKey),
       "cols" -> a.cols.map { case (c, (lo, hi)) =>
         c -> Map[String, Object]("min" -> java.lang.Long.valueOf(lo),
           "max" -> java.lang.Long.valueOf(hi)).asJava
-      }.asJava).asJava
+      }.asJava)
+      ++ a.dv.map(d => "dv" -> (d: Object))
+      ++ (if (a.part.isEmpty) Map.empty[String, Object]
+          else Map("part" -> (a.part.asJava: Object)))).asJava
 
   private def nodeToAdd(n: com.fasterxml.jackson.databind.JsonNode): AddFile = {
     val cols = Option(n.get("cols")).map { cn =>
@@ -102,8 +114,12 @@ object TxLog {
         e.getKey -> (e.getValue.get("min").asLong, e.getValue.get("max").asLong)
       }.toMap
     }.getOrElse(Map.empty[String, (Long, Long)])
+    val part = Option(n.get("part")).map { pn =>
+      pn.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
     AddFile(n.get("path").asText, n.get("rows").asLong,
-      n.get("min").asLong, n.get("max").asLong, cols)
+      n.get("min").asLong, n.get("max").asLong, cols,
+      Option(n.get("dv")).map(_.asText), part)
   }
 
   /** Committed versions present in the log, ascending. A version counts
@@ -246,17 +262,30 @@ object TxLog {
       Files.createDirectories(logDir(table))
       val vd = versionDir(table, v)
       if (claimDir(vd)) {
-        val snap = if (v == 0) None else Some(snapshotAt(table))
-        if (!validate(snap)) {
-          publishAbandoned(table, vd, v)
-          throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
-        }
-        // the recorded schema is (re)computed UNDER the claim fence: a
-        // concurrent schema-evolving commit that landed since our first
-        // read must not be shadowed by a stale pre-evolution schema
-        val schemaNow = try schema catch { case e: Throwable =>
-          publishAbandoned(table, vd, v); throw e }
-        if (publishCommit(table, vd, v, op, adds, removes, batchId, schemaNow)) return v
+        // EVERYTHING between claim and publish is fenced: a failing
+        // validate, a throwing schema thunk, a vacuumed-away add file, or
+        // an unexpected publish error all resolve the claim as an
+        // abandoned no-op commit instead of squatting it for the full
+        // staleness lease (which would block every other writer).
+        val published = try {
+          val snap = if (v == 0) None else Some(snapshotAt(table))
+          if (!validate(snap))
+            throw new IllegalStateException(s"commit '$op' no longer valid at version $v")
+          // the recorded schema is (re)computed UNDER the claim fence: a
+          // concurrent schema-evolving commit that landed since our first
+          // read must not be shadowed by a stale pre-evolution schema
+          val schemaNow = schema
+          // a writer that stalled between promote and commit may have had
+          // its (snapshot-unreferenced) files reclaimed by a concurrent
+          // vacuum; publishing would produce an unreadable snapshot, so
+          // verify every add is still on disk and fail THIS write instead
+          val gone = adds.filterNot(a => Files.exists(table.resolve(a.path)))
+          if (gone.nonEmpty)
+            throw new IllegalStateException(s"commit '$op': data files vanished " +
+              s"(vacuumed?) before commit: ${gone.map(_.path).mkString(", ")}")
+          publishCommit(table, vd, v, op, adds, removes, batchId, schemaNow)
+        } catch { case e: Throwable => publishAbandoned(table, vd, v); throw e }
+        if (published) return v
         // publish lost create-exclusive: we stalled past the lease and a
         // reclaimer resolved our claim — retry at a fresh version
       } else reclaimIfStale(table, v)
@@ -455,6 +484,58 @@ object TxLog {
       _ => true)
   }
 
+  /** Hive-style PARTITIONED append: one distributed write laying the
+    * data out one file per (partition-tuple [, range/z cluster]) and
+    * recording each file's partition values in the log — the Delta
+    * protocol's partitionValues, its primary pruning axis (Armbrust
+    * VLDB 2020 §3). The data files RETAIN the partition columns (the
+    * hive directory level is written from stage-only `__p_` duplicates
+    * that partitionBy strips), so snapshot reads stay plain parquet
+    * scans and the partition predicate also applies as an exact
+    * residual. An optional `clusterCol` range/z sub-clusters WITHIN
+    * each partition, so footer [min,max] pruning composes with
+    * partition pruning: a 100 TB table partitioned by day and clustered
+    * by key answers (day = d AND key BETWEEN lo AND hi) from the
+    * metadata alone. */
+  def appendPartitioned(spark: SparkSession, df: DataFrame, table: Path,
+      partCols: Seq[String], statsCol: String,
+      clusterCol: Option[Column] = None, nParts: Int = 1): Long = {
+    require(partCols.nonEmpty, "appendPartitioned needs at least one partition column")
+    Files.createDirectories(table)
+    validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    val dup = partCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
+    val pKeys = partCols.map(c => col(s"__p_$c"))
+    val clustered = clusterCol match {
+      case Some(c) => dup.withColumn("__cluster", c)
+        .repartition(math.max(nParts, 1), pKeys :+ col("__cluster"): _*)
+      case None => dup.repartition(math.max(nParts, 1), pKeys: _*)
+    }
+    val dirCols = partCols.map(c => s"__p_$c") ++ clusterCol.map(_ => "__cluster").toSeq
+    clustered.write.partitionBy(dirCols: _*).mode("overwrite").parquet(stage.toString)
+    // walk the hive layout: each __p_ directory level fixes one
+    // partition value; a __cluster level is layout-only metadata
+    def leaves(p: Path, vals: Map[String, String]): Vector[(Path, Map[String, String])] =
+      listDir(p).sortBy(_.getFileName.toString).flatMap { c =>
+        val n = c.getFileName.toString
+        if (Files.isDirectory(c) && n.contains("=")) {
+          val Array(k, v) = n.split("=", 2)
+          val vals2 = if (k.startsWith("__p_"))
+            vals + (k.drop(4) -> java.net.URLDecoder.decode(v, "UTF-8"))
+          else vals
+          leaves(c, vals2)
+        } else if (n.endsWith(".parquet")) Vector((c, vals))
+        else Vector.empty
+      }
+    val adds = leaves(stage, Map.empty).flatMap { case (file, vals) =>
+      promoteParts(spark, Vector(file), table, statsCol).map(_.copy(part = vals))
+    }
+    deleteRecursively(stage)
+    commitRetry(table, "append", adds, Nil,
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false)))(
+      _ => true)
+  }
+
   /** Files of `snap` whose designated-column [min,max] can intersect
     * [lo,hi] — the driver-side, metadata-only skipping decision. */
   def pruneFiles(snap: Snapshot, lo: Long, hi: Long): Vector[AddFile] =
@@ -467,18 +548,77 @@ object TxLog {
   def pruneFilesOn(snap: Snapshot, colName: String, lo: Long, hi: Long): Vector[AddFile] =
     snap.files.filter(_.cols.get(colName).forall { case (mn, mx) => mx >= lo && mn <= hi })
 
-  /** Snapshot read, optionally time-traveled and/or key-range pruned.
-    * Pruning filters the file LIST (metadata only); the residual row
-    * predicate is still applied so the answer is exact either way. */
+  /** Partition pruning: keep a file iff its recorded partition values
+    * match every equality predicate; a file with no value recorded for a
+    * predicate column (unpartitioned append into the same table) is
+    * kept — conservative, the residual row filter keeps reads exact. */
+  def pruneFilesPart(files: Vector[AddFile], eq: Map[String, String]): Vector[AddFile] =
+    files.filter(f => eq.forall { case (c, v) => f.part.get(c).forall(_ == v) })
+
+  // ------------------------------------------------------ deletion vectors
+
+  /** Write a deletion-vector sidecar: the KEYS deleted from ONE data
+    * file, as sorted int64s (the spirit of Delta/Iceberg's positional
+    * bitmaps, keyed instead of positional so the vector is stable under
+    * any parquet split). Sidecars are invisible until an AddFile's `dv`
+    * references them; a later delete on the same file writes a NEW
+    * sidecar with the union (sidecars, like data files, are immutable).
+    * DVs are churn-sized by contract — a small scattered delete is KBs
+    * of sidecar against TBs of untouched data. */
+  private def writeDv(table: Path, keyCol: String, keys: Seq[Long]): String = {
+    val name = s"${UUID.randomUUID()}.dv.json"
+    val node = Map[String, Object]("keyCol" -> keyCol,
+      "keys" -> keys.sorted.map(java.lang.Long.valueOf).asJava).asJava
+    Files.write(table.resolve(name), mapper.writeValueAsBytes(node)): Unit
+    name
+  }
+
+  private def readDv(table: Path, name: String): (String, Vector[Long]) = {
+    val n = mapper.readTree(Files.readAllBytes(table.resolve(name)))
+    (n.get("keyCol").asText, n.get("keys").elements().asScala.map(_.asLong).toVector)
+  }
+
+  /** Apply the files' deletion vectors to their scan: rows whose (file,
+    * key) pair is DV'd drop out via ONE broadcast anti-join per DV key
+    * column (in practice one). Per-file pairing — not a global key
+    * anti-join — so a key re-inserted by a later append stays visible.
+    * The pair set is churn-sized (collected sidecars), never data-sized. */
+  private def applyDvs(spark: SparkSession, table: Path, files: Seq[AddFile],
+      df: DataFrame): DataFrame = {
+    val withDv = files.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return df
+    val triples = withDv.flatMap { f =>
+      val (kc, keys) = readDv(table, f.dv.get)
+      keys.map(k => (kc, f.path, k))
+    }
+    import spark.implicits._
+    val tagged = df.withColumn("__graft_file",
+      element_at(split(input_file_name(), "/"), -1))
+    triples.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(tagged) {
+      case (acc, (kc, rows)) =>
+        val dvDf = rows.map(t => (t._2, t._3)).toDF("__dv_file", "__dv_key")
+        acc.join(broadcast(dvDf),
+          col("__graft_file") === col("__dv_file") &&
+            col(kc).cast("long") === col("__dv_key"), "left_anti")
+    }.drop("__graft_file")
+  }
+
+  /** Snapshot read, optionally time-traveled, key-range pruned, and/or
+    * partition-pruned. Pruning filters the file LIST (metadata only);
+    * the residual row predicates are still applied so the answer is
+    * exact either way. Deletion vectors of the surviving files are
+    * applied automatically (merge-on-read). */
   def readAt(spark: SparkSession, table: Path, version: Option[Long] = None,
-      range: Option[(String, Long, Long)] = None): DataFrame = {
+      range: Option[(String, Long, Long)] = None,
+      partitions: Map[String, String] = Map.empty): DataFrame = {
     val snap = snapshotAt(table, version)
     // prune with the NAMED column's own stats — the designated-column
     // ranges would be wrong (non-conservative) for any other column
-    val kept = range match {
+    val keptR = range match {
       case Some((c, lo, hi)) => pruneFilesOn(snap, c, lo, hi)
       case None => snap.files
     }
+    val kept = pruneFilesPart(keptR, partitions)
     // resolve against the LOG's schema as of the read version: old files
     // missing later-evolved columns null-fill, and no footer-merge pass
     // (mergeSchema) is ever paid. Fall back to footer schema for tables
@@ -501,29 +641,39 @@ object TxLog {
             s"snapshot v${snap.version} of $table has no files and no recorded schema")
       }
     }
-    val df = reader.parquet(kept.map(f => table.resolve(f.path).toString): _*)
-    range match {
-      case Some((c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
-      case None => df
+    val df0 = applyDvs(spark, table, kept,
+      reader.parquet(kept.map(f => table.resolve(f.path).toString): _*))
+    val df = range match {
+      case Some((c, lo, hi)) => df0.filter(col(c) >= lo && col(c) <= hi)
+      case None => df0
     }
+    partitions.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
   }
 
   /** Rewrite the current live set as `nParts` files in one commit.
     * Readers pinned at any older version still resolve their own file
-    * list — compaction never mutates data files in place. Validates at
-    * commit time that every file it replaces is still live. */
+    * list — compaction never mutates data files in place. Deletion
+    * vectors are FOLDED IN: the rewrite reads the live rows (files minus
+    * their DVs), so the compacted files carry no sidecars. Validates at
+    * commit time that every file it replaces is still live WITH the same
+    * DV it read — a concurrent merge-on-read delete must not be silently
+    * resurrected by the rewrite. */
   def compact(spark: SparkSession, table: Path, statsCol: String, nParts: Int = 1): Long = {
     val snap = snapshotAt(table)
     val removes = snap.files.map(_.path)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    schemaReader(spark, table)
-      .parquet(snap.files.map(f => table.resolve(f.path).toString): _*)
+    applyDvs(spark, table, snap.files,
+      schemaReader(spark, table)
+        .parquet(snap.files.map(f => table.resolve(f.path).toString): _*))
       .repartition(nParts)
       .write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
+    val baseDv = snap.files.map(f => f.path -> f.dv).toMap
     commitRetry(table, "compact", adds, removes) {
       case None => false
-      case Some(s) => val live = s.files.map(_.path).toSet; removes.forall(live)
+      case Some(s) =>
+        val liveDv = s.files.map(f => f.path -> f.dv).toMap
+        removes.forall(p => liveDv.get(p).contains(baseDv(p)))
     }
   }
 
@@ -549,11 +699,15 @@ object TxLog {
   private[ops] def rewriteValidator(base: Snapshot, removes: Seq[String], keyCol: String,
       lo: Long, hi: Long): Option[Snapshot] => Boolean = {
     val basePaths = base.files.map(_.path).toSet
+    val baseDv = base.files.map(f => f.path -> f.dv).toMap
     (snap: Option[Snapshot]) => snap match {
       case None => false
       case Some(s) =>
-        val live = s.files.map(_.path).toSet
-        removes.forall(live) &&
+        val liveDv = s.files.map(f => f.path -> f.dv).toMap
+        // dv-IDENTITY, not mere liveness: a concurrent merge-on-read
+        // delete that re-added a file we are rewriting would be silently
+        // resurrected if we only checked the path is still live
+        removes.forall(p => liveDv.get(p).contains(baseDv.getOrElse(p, None))) &&
           !s.files.exists(f => !basePaths(f.path) &&
             f.cols.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
     }
@@ -571,16 +725,19 @@ object TxLog {
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
-        val cand = schemaReader(spark, table)
-          .parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+        // DV-aware probe: a row already deleted by a vector must not
+        // flag its file as affected (nor be resurrected by the rewrite)
+        val cand = applyDvs(spark, table, candidates, schemaReader(spark, table)
+          .parquet(candidates.map(f => table.resolve(f.path).toString): _*))
         cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
           .join(broadcast(updates.select(col(keyCol)).distinct()), keyCol)
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
+    val affectedAdds = snap.files.filter(f => affected.contains(f.path))
     val base =
       if (affected.isEmpty) updates.filter(lit(false))
-      else schemaReader(spark, table)
-        .parquet(affected.map(table.resolve(_).toString): _*)
+      else applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
+        .parquet(affected.map(table.resolve(_).toString): _*))
         .join(broadcast(updates.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
     // updates may legitimately carry a SUBSET of an evolved schema —
     // missing columns null-fill (enforcement above already refused any
@@ -610,15 +767,17 @@ object TxLog {
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
-        val cand = schemaReader(spark, table)
-          .parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+        // DV-aware probe, same reason as mergeCow's
+        val cand = applyDvs(spark, table, candidates, schemaReader(spark, table)
+          .parquet(candidates.map(f => table.resolve(f.path).toString): _*))
         cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
           .join(broadcast(keys.select(col(keyCol)).distinct()), keyCol)
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
     if (affected.isEmpty) return (snap.version, 0, snap.files.size)
-    val kept = schemaReader(spark, table)
-      .parquet(affected.map(table.resolve(_).toString): _*)
+    val affectedAdds = snap.files.filter(f => affected.contains(f.path))
+    val kept = applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
+      .parquet(affected.map(table.resolve(_).toString): _*))
       .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     kept.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
@@ -626,6 +785,103 @@ object TxLog {
     val v = commitRetry(table, "delete", adds, affected)(
       rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
+  }
+
+  // ------------------------------------------------- merge-on-read writes
+
+  /** OCC rule for merge-on-read commits: every file whose DV we extend
+    * must still be live with the SAME dv we based the union on (a
+    * concurrent DV writer's keys must not be lost), and no file added
+    * since our base snapshot may contain an affected key (same clause as
+    * [[rewriteValidator]]). */
+  private def morValidator(base: Snapshot, touched: Set[String], keyCol: String,
+      lo: Long, hi: Long): Option[Snapshot] => Boolean = {
+    val basePaths = base.files.map(_.path).toSet
+    val baseDv = base.files.map(f => f.path -> f.dv).toMap
+    (snap: Option[Snapshot]) => snap match {
+      case None => false
+      case Some(s) =>
+        val liveDv = s.files.map(f => f.path -> f.dv).toMap
+        touched.forall(p => liveDv.get(p).contains(baseDv.getOrElse(p, None))) &&
+          !s.files.exists(f => !basePaths(f.path) &&
+            f.cols.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    }
+  }
+
+  /** Distinct (file, key) matches of `changeKeys` against the snapshot's
+    * DV-aware live rows — the probe both MOR writes share. Churn-sized
+    * driver collect (the delta is small by contract). */
+  private def morMatches(spark: SparkSession, table: Path, snap: Snapshot,
+      changeKeys: DataFrame, keyCol: String): Map[String, Vector[Long]] = {
+    val bounds = changeKeys.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).head
+    if (bounds.isNullAt(0)) return Map.empty
+    val candidates = pruneFilesOn(snap, keyCol, bounds.getLong(0), bounds.getLong(1))
+    if (candidates.isEmpty) return Map.empty
+    val cand = applyDvs(spark, table, candidates, schemaReader(spark, table)
+      .parquet(candidates.map(f => table.resolve(f.path).toString): _*))
+    cand.select(col(keyCol).cast("long").as("__k"),
+        element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .join(broadcast(changeKeys.select(col(keyCol).cast("long").as("__k")).distinct()), "__k")
+      .distinct().collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector.sorted).toMap
+  }
+
+  /** Extend each matched file's deletion vector with its matched keys:
+    * new immutable sidecar = old DV keys ∪ new keys; the returned
+    * AddFiles re-enter the log with the new dv (replacing the old
+    * entries — pure metadata, zero data rewritten). */
+  private def extendDvs(table: Path, snap: Snapshot, matches: Map[String, Vector[Long]],
+      keyCol: String): Vector[AddFile] = {
+    val byPath = snap.files.map(f => f.path -> f).toMap
+    matches.toVector.sortBy(_._1).map { case (path, newKeys) =>
+      val f = byPath(path)
+      val existing = f.dv.map(readDv(table, _)._2).getOrElse(Vector.empty)
+      f.copy(dv = Some(writeDv(table, keyCol, (existing ++ newKeys).distinct)))
+    }
+  }
+
+  /** Merge-on-READ delete: instead of copy-on-write rewriting every file
+    * that contains a deleted key ([[deleteKeys]]), write a churn-sized
+    * deletion-vector sidecar per affected file and re-commit the file
+    * entries with the new dv — a 1-row delete against a 100 TB table
+    * writes O(1) bytes of data and rewrites ZERO files; readers apply
+    * the vectors, and the next [[compact]] folds them in. The key column
+    * must be integral (same domain as the footer stats). Returns
+    * (version, filesRewritten = 0, dvFilesTouched, filesTotal). */
+  def deleteMor(spark: SparkSession, table: Path, keys: DataFrame, keyCol: String):
+      (Long, Int, Int, Int) = {
+    val snap = snapshotAt(table)
+    val matches = morMatches(spark, table, snap, keys.select(col(keyCol)), keyCol)
+    if (matches.isEmpty) return (snap.version, 0, 0, snap.files.size)
+    val bounds = keys.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
+    val dvAdds = extendDvs(table, snap, matches, keyCol)
+    val v = commitRetry(table, "delete-mor", dvAdds, Nil)(
+      morValidator(snap, matches.keySet, keyCol, bounds.getLong(0), bounds.getLong(1)))
+    (v, 0, dvAdds.size, snap.files.size)
+  }
+
+  /** Merge-on-READ MERGE (upsert): same result as [[mergeCow]] — update
+    * rows replace same-key rows, unmatched keys insert — but the matched
+    * old rows are deletion-vectored instead of rewritten, and the full
+    * update set lands as fresh files: the write cost is
+    * O(delta + sidecars), never O(affected files). Returns
+    * (version, filesRewritten = 0, dvFilesTouched, filesTotal). */
+  def mergeMor(spark: SparkSession, table: Path, updates: DataFrame, keyCol: String,
+      statsCol: String, nParts: Int = 1): (Long, Int, Int, Int) = {
+    val snap = snapshotAt(table)
+    validateSchema(tableSchema(table), updates.schema, allowEvolution = false): Unit
+    val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
+    if (bounds.isNullAt(0)) return (snap.version, 0, 0, snap.files.size) // empty delta
+    val matches = morMatches(spark, table, snap, updates.select(col(keyCol)), keyCol)
+    val dvAdds = extendDvs(table, snap, matches, keyCol)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    updates.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    val v = commitRetry(table, "merge-mor", dvAdds ++ adds, Nil)(
+      morValidator(snap, matches.keySet, keyCol, bounds.getLong(0), bounds.getLong(1)))
+    (v, 0, dvAdds.size, snap.files.size)
   }
 
   /** Commit history (DESCRIBE HISTORY): one (version, op, n_adds,
@@ -649,6 +905,49 @@ object TxLog {
       Option(node.get("batchId")).map(_.asLong)
     }.toSet
 
+  /** Shared claim-fenced exactly-once commit loop for streaming sinks.
+    * CLAIM-FENCED duplicate check: only after holding the claim on
+    * latest+1 is the batch-id set stable (no other commit can land
+    * until we publish or abandon), so check-then-publish has no TOCTOU
+    * window. A detected duplicate SKIPS — abandon the claim, run
+    * `cleanup` (delete the batch's orphaned artifacts), return None;
+    * throwing would fail the whole streaming query on what is, by
+    * contract, a benign redelivery. A FAILING `validate` (a real OCC
+    * conflict) throws instead — nothing was committed, so the streaming
+    * engine's retry of the batch stays exactly-once. Same time-based
+    * bound as commitRetry: the loop must OUTLAST a crashed writer's
+    * full staleness lease — an attempt-count bound alone would fail
+    * every batch for the whole lease window. */
+  private def streamingCommit(table: Path, batchId: Long, op: String,
+      adds: Seq[AddFile], schema: => StructType,
+      validate: Option[Snapshot] => Boolean, cleanup: () => Unit): Option[Long] = {
+    val deadline = System.currentTimeMillis() + StaleClaimMs + 60_000L
+    var attempt = 0
+    while (attempt < 60 || System.currentTimeMillis() < deadline) {
+      val v = latestVersion(table) + 1
+      Files.createDirectories(logDir(table))
+      val vd = versionDir(table, v)
+      if (claimDir(vd)) {
+        if (committedBatchIds(table).contains(batchId)) {
+          publishAbandoned(table, vd, v)
+          cleanup()
+          return None
+        }
+        val published = try { // same fence as commitRetry: never squat the claim
+          val snapNow = if (v == 0) None else Some(snapshotAt(table))
+          if (!validate(snapNow))
+            throw new IllegalStateException(
+              s"streaming batch $batchId '$op' conflicts with a concurrent commit")
+          publishCommit(table, vd, v, op, adds, Nil, Some(batchId), Some(schema))
+        } catch { case e: Throwable => publishAbandoned(table, vd, v); throw e }
+        if (published) return Some(v)
+      } else reclaimIfStale(table, v)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"streaming batch $batchId lost the commit race past the lease deadline")
+  }
+
   /** Exactly-once foreachBatch sink: Structured Streaming re-delivers
     * the in-flight batch after a restart, so an idempotent sink must
     * recognize a batch it already committed. Each streaming append
@@ -664,32 +963,59 @@ object TxLog {
     val out = if (nParts > 0) batch.repartition(nParts) else batch
     out.write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    // CLAIM-FENCED duplicate check: only after holding the claim on
-    // latest+1 is the batch-id set stable (no other commit can land
-    // until we publish or abandon), so check-then-publish has no TOCTOU
-    // window. A detected duplicate SKIPS — abandon the claim, clean up
-    // our orphaned files, return None; throwing would fail the whole
-    // streaming query on what is, by contract, a benign redelivery.
-    var attempt = 0
-    while (attempt < 60) {
-      val v = latestVersion(table) + 1
-      Files.createDirectories(logDir(table))
-      val vd = versionDir(table, v)
-      if (claimDir(vd)) {
-        if (committedBatchIds(table).contains(batchId)) {
-          publishAbandoned(table, vd, v)
-          adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)))
-          return None
-        }
-        val evolved = try validateSchema(tableSchema(table), batch.schema,
-            allowEvolution = false)
-          catch { case e: Throwable => publishAbandoned(table, vd, v); throw e }
-        if (publishCommit(table, vd, v, "streaming-append", adds, Nil,
-            Some(batchId), Some(evolved))) return Some(v)
-      } else reclaimIfStale(table, v)
-      attempt += 1
-    }
-    throw new IllegalStateException(s"streaming batch $batchId lost 60 commit races")
+    streamingCommit(table, batchId, "streaming-append", adds,
+      validateSchema(tableSchema(table), batch.schema, allowEvolution = false),
+      _ => true,
+      () => adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)): Unit))
+  }
+
+  /** Exactly-once streaming CDC APPLY — the composition of the two
+    * pillars: a stream of change rows (insert/update/delete, tagged by
+    * `opCol`) lands in the ACID table as ONE merge-on-read commit per
+    * micro-batch, tagged with the batch id. Non-delete rows upsert
+    * (matched old rows are deletion-vectored, the new rows land as a
+    * fresh file); delete rows extend the vectors only. A redelivered
+    * batch (engine restart) is recognized by its batch id under the
+    * claim fence and skipped, so the table equals the batch recompute
+    * of the whole change stream no matter where the restart hit.
+    * Contract: at most one change row per key per batch — pre-compact
+    * upstream (e.g. latest-by-sequence per key) when the source can
+    * carry more. Use from foreachBatch:
+    * {{{ q.foreachBatch((df, id) =>
+    *       TxLog.streamingApply(spark, df, id, table, "op", "k", "k")) }}} */
+  def streamingApply(spark: SparkSession, batch: DataFrame, batchId: Long,
+      table: Path, opCol: String, keyCol: String, statsCol: String,
+      nParts: Int = 1): Option[Long] = {
+    Files.createDirectories(table)
+    if (committedBatchIds(table).contains(batchId)) return None
+    val baseSnap = if (versions(table).isEmpty) Snapshot(-1L, Vector.empty)
+      else snapshotAt(table)
+    val upserts = batch.filter(col(opCol) =!= "delete").drop(opCol)
+    validateSchema(tableSchema(table), upserts.schema, allowEvolution = false): Unit
+    val changeKeys = batch.select(col(keyCol))
+    val bounds = changeKeys.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).head
+    val matches =
+      if (bounds.isNullAt(0) || baseSnap.files.isEmpty) Map.empty[String, Vector[Long]]
+      else morMatches(spark, table, baseSnap, changeKeys, keyCol)
+    val dvAdds = extendDvs(table, baseSnap, matches, keyCol)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    upserts.repartition(math.max(nParts, 1)).write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    val validator: Option[Snapshot] => Boolean =
+      if (bounds.isNullAt(0)) _ => true
+      else morValidator(baseSnap, matches.keySet, keyCol,
+        bounds.getLong(0), bounds.getLong(1))
+    streamingCommit(table, batchId, "streaming-merge", dvAdds ++ adds,
+      validateSchema(tableSchema(table), upserts.schema, allowEvolution = false),
+      validator,
+      // a redelivered batch's orphans are the NEW artifacts only: the
+      // fresh data files and the new sidecars — never the dvAdds' data
+      // paths, which are the table's own live files
+      () => {
+        adds.foreach(a => Files.deleteIfExists(table.resolve(a.path)): Unit)
+        dvAdds.foreach(_.dv.foreach(d => Files.deleteIfExists(table.resolve(d)): Unit))
+      })
   }
 
   // ------------------------------------------------------------ change feed
@@ -705,17 +1031,25 @@ object TxLog {
     * incremental consumers re-merge). */
   def changeFeed(spark: SparkSession, table: Path, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val from = snapshotAt(table, Some(fromVersion)).files.map(_.path).toSet
-    val to = snapshotAt(table, Some(toVersion)).files.map(_.path).toSet
-    val addedFiles = (to -- from).toVector.sorted
-    val removedFiles = (from -- to).toVector.sorted
+    val fromS = snapshotAt(table, Some(fromVersion))
+    val toS = snapshotAt(table, Some(toVersion))
+    // file identity is (path, dv): a merge-on-read delete re-adds the
+    // same path with a new vector, so the file enters BOTH diff sides
+    // and the exceptAll below cancels the carried-over rows, leaving
+    // exactly the newly-DV'd rows as deletes — same algebra as a
+    // copy-on-write rewrite
+    val fromBy = fromS.files.map(f => f.path -> f.dv).toMap
+    val toBy = toS.files.map(f => f.path -> f.dv).toMap
+    val addedFiles = toS.files.filter(f => !fromBy.get(f.path).contains(f.dv)).sortBy(_.path)
+    val removedFiles = fromS.files.filter(f => !toBy.get(f.path).contains(f.dv)).sortBy(_.path)
     val reader = tableSchema(table, Some(toVersion)) match {
       case Some(s) => spark.read.schema(s)
       case None => spark.read
     }
-    def rows(files: Vector[String]): Option[DataFrame] =
+    def rows(files: Vector[AddFile]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(reader.parquet(files.map(table.resolve(_).toString): _*))
+      else Some(applyDvs(spark, table, files,
+        reader.parquet(files.map(f => table.resolve(f.path).toString): _*)))
     (rows(addedFiles), rows(removedFiles)) match {
       case (None, None) =>
         // no churn: an empty feed with the change-typed schema
@@ -749,16 +1083,24 @@ object TxLog {
     * an IN-FLIGHT writer's promoted-but-uncommitted files are on disk
     * and referenced by no snapshot — deleting them would corrupt the
     * commit that is about to reference them. Only files older than the
-    * window (file mtime) are eligible; the default comfortably exceeds
-    * any write's promote-to-commit gap. Returns the deleted names. */
+    * window (file mtime) are eligible. The default is 24 HOURS — far
+    * above the commit lease, because nothing bounds a writer's
+    * promote-to-commit gap (Delta defaults to 7 days for the same
+    * reason); commitRetry additionally re-verifies its adds still
+    * exist under the claim fence, so a write that DOES straddle the
+    * window fails cleanly instead of publishing an unreadable
+    * snapshot. Returns the deleted names. */
   def vacuum(table: Path, keepVersions: Int = 1,
-      minAgeMs: Long = 10 * 60 * 1000L): Vector[String] = {
+      minAgeMs: Long = 24 * 60 * 60 * 1000L): Vector[String] = {
     val vs = versions(table)
     val retained = vs.takeRight(math.max(1, keepVersions))
-    val referenced = retained.flatMap(v => snapshotAt(table, Some(v)).files.map(_.path)).toSet
+    // a retained snapshot references its data files AND their DV sidecars
+    val referenced = retained.flatMap(v =>
+      snapshotAt(table, Some(v)).files.flatMap(f => f.path +: f.dv.toSeq)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val onDisk = listDir(table)
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Files.isRegularFile(p) && (p.getFileName.toString.endsWith(".parquet")
+        || p.getFileName.toString.endsWith(".dv.json")))
       .filter(p => (try Files.getLastModifiedTime(p).toMillis
         catch { case _: Throwable => Long.MaxValue }) <= cutoff)
       .map(_.getFileName.toString)

@@ -19,14 +19,16 @@ object ExtendedQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q11: suppliers above a global revenue share — the "compare to a
-    // scalar aggregate of the whole table" shape, done with an empty-frame
-    // window (one extra exchange, no driver round-trip).
+    // scalar aggregate of the whole table" shape. The total is a 1-row
+    // broadcast crossJoin, NOT an empty-frame window: the window form
+    // moves the whole per-supplier aggregate (grows with the corpus) to a
+    // single partition, while the broadcast total stays O(1) at any scale.
     "q11_important_suppliers" -> ((spark: SparkSession, dir: String) => {
       val perSupp = t(spark, dir, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg(sum(revDec).as("rev_dec"))
-      perSupp
-        .withColumn("total_dec", sum(col("rev_dec")).over(Window.partitionBy()))
+      val total = perSupp.agg(sum(col("rev_dec")).as("total_dec"))
+      perSupp.crossJoin(broadcast(total))
         .filter(d(col("rev_dec")) > d(col("total_dec")) * 0.012)
         .select(col("l_suppkey"), d(col("rev_dec")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_suppkey").asc)

@@ -350,6 +350,91 @@ object LakeQueries {
         .orderBy("version")
     }),
 
+    // ---- tx11: merge-on-read MERGE via deletion vectors — the same
+    // delta as tx04 (redact doc_id % 100 = 7, insert three above-span
+    // ids) but applied with ZERO files rewritten: each affected file
+    // gets a churn-sized DV sidecar and the updates land as one fresh
+    // file. files_rewritten = 0 is gated, dv_files is gated against the
+    // same bucket arithmetic tx04 gates its rewrites with, and the
+    // aggregate must equal tx04's — the cross-method proof that MOR and
+    // COW produce the same table.
+    "tx11_mor_merge" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      rangeLayout(spark, d, table, span)
+      val updates = d.filter(col("doc_id") % 100 === 7)
+        .withColumn("text", lit("REDACTED")).withColumn("n_chars", lit(8L))
+        .unionByName(
+          d.filter(col("doc_id") < 3).select(
+            (col("doc_id") + lit(span)).as("doc_id"), lit("INSERTED").as("text"),
+            col("lang"), lit("merge").as("source"), lit(8L).as("n_chars")))
+      val (_, rewritten, dvFiles, total) = TxLog.mergeMor(spark, table, updates, "doc_id", "doc_id")
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("text") === "REDACTED", 1L).otherwise(0L)).as("n_redacted"),
+          sum(when(col("source") === "merge", 1L).otherwise(0L)).as("n_inserted"))
+        .select(lit(total).cast("bigint").as("files_total"),
+          lit(rewritten).cast("bigint").as("files_rewritten"),
+          lit(dvFiles).cast("bigint").as("dv_files"),
+          col("n_docs"), col("sum_chars"), col("n_redacted"), col("n_inserted"))
+    }),
+
+    // ---- tx12: hive-partitioned append + partition pruning COMPOSED
+    // with footer range pruning. One distributed write lays the table
+    // out as one file per (lang, equal-width doc_id bucket), with each
+    // file's partitionValues in the log; a (lang = 'en' AND doc_id
+    // range) read then prunes FIRST on the partition map, THEN on the
+    // surviving files' footer [min,max] — both counts gated against the
+    // oracle's replay of the same rules. The 100 TB shape: partition
+    // columns are the coarse pruning axis (day/tenant), clustering is
+    // the fine axis; a two-predicate read touches only the files in the
+    // intersection, never the table.
+    "tx12_partition_pruning" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      TxLog.appendPartitioned(spark, d, table, Seq("lang"), "doc_id",
+        clusterCol = Some(expr(s"(doc_id * 4) div ${span}L")), nParts = 8)
+      val (lo, hi) = (span / 4, span / 2 - 1)
+      val snap = TxLog.snapshotAt(table)
+      val partKept = TxLog.pruneFilesPart(snap.files, Map("lang" -> "en"))
+      val scanned = partKept.count(f => f.maxKey >= lo && f.minKey <= hi)
+      TxLog.readAt(spark, table, range = Some(("doc_id", lo, hi)),
+          partitions = Map("lang" -> "en"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(snap.files.size).cast("bigint").as("files_total"),
+          lit(partKept.size).cast("bigint").as("files_part"),
+          lit(scanned).cast("bigint").as("files_scanned"),
+          col("n_rows"), col("sum_chars"))
+    }),
+
+    // ---- tx14: merge-on-read DELETE, then compaction folds the
+    // vectors in. The %10=0 keys are deleted with zero files rewritten
+    // (every affected file just gains a sidecar); the snapshot read
+    // applies the vectors; compact then rewrites the live rows into one
+    // vector-free file with identical contents. dv_files is gated
+    // against the bucket arithmetic, dv_after_compact must be 0.
+    "tx14_mor_delete_compact" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      rangeLayout(spark, d, table, span)
+      val (_, rewritten, dvFiles, _) = TxLog.deleteMor(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id")
+      TxLog.compact(spark, table, "doc_id", nParts = 1)
+      val snap = TxLog.snapshotAt(table)
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(rewritten).cast("bigint").as("files_rewritten"),
+          lit(dvFiles).cast("bigint").as("dv_files"),
+          lit(snap.files.size).cast("bigint").as("files_after_compact"),
+          lit(snap.files.count(_.dv.isDefined)).cast("bigint").as("dv_after_compact"),
+          col("n_docs"), col("sum_chars"))
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -401,16 +486,19 @@ object LakeQueries {
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents""".stripMargin,
 
-    // insert counts are DATA-DERIVED (not the constant 3) so the gate
-    // survives a future driver regeneration where doc_id < 3 matches a
-    // different row count
+    // insert counts and files_total are DATA-DERIVED (not constants) so
+    // the gate survives a future driver regeneration where doc_id < 3
+    // matches a different row count or an equal-width bucket lands empty
+    // (promoteParts drops zero-row part files)
     "tx04_cow_merge" ->
       """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
         |touched AS (
         |  SELECT COUNT(DISTINCT (doc_id * 8) // n) AS rewritten
         |  FROM documents, span WHERE doc_id % 100 = 7),
+        |nf AS (SELECT COUNT(DISTINCT (doc_id * 8) // n) AS files_total
+        |       FROM documents, span),
         |ins AS (SELECT COUNT(*) AS n_ins FROM documents WHERE doc_id < 3)
-        |SELECT CAST(8 AS BIGINT) AS files_total,
+        |SELECT CAST(nf.files_total AS BIGINT) AS files_total,
         |  CAST(touched.rewritten AS BIGINT) AS files_rewritten,
         |  CAST((SELECT COUNT(*) FROM documents) + ins.n_ins AS BIGINT) AS n_docs,
         |  CAST((SELECT SUM(CASE WHEN doc_id % 100 = 7 THEN 8 ELSE n_chars END)
@@ -418,7 +506,7 @@ object LakeQueries {
         |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 100 = 7) AS BIGINT)
         |    AS n_redacted,
         |  CAST(ins.n_ins AS BIGINT) AS n_inserted
-        |FROM touched, ins""".stripMargin,
+        |FROM touched, nf, ins""".stripMargin,
 
     "tx06_schema_evolution" ->
       """SELECT COUNT(*) AS n_docs,
@@ -498,6 +586,63 @@ object LakeQueries {
         |        WHERE doc_id BETWEEN xlo AND xhi AND n_chars BETWEEN ylo AND ymid)
         |    AS BIGINT) AS sum_chars""".stripMargin,
 
+    // Same aggregate as tx04's oracle, but files_rewritten is the
+    // CONSTANT 0 (the merge-on-read contract) and dv_files carries the
+    // touched-bucket arithmetic instead.
+    "tx11_mor_merge" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |touched AS (
+        |  SELECT COUNT(DISTINCT (doc_id * 8) // n) AS dvf
+        |  FROM documents, span WHERE doc_id % 100 = 7),
+        |nf AS (SELECT COUNT(DISTINCT (doc_id * 8) // n) AS files_total
+        |       FROM documents, span),
+        |ins AS (SELECT COUNT(*) AS n_ins FROM documents WHERE doc_id < 3)
+        |SELECT CAST(nf.files_total AS BIGINT) AS files_total,
+        |  CAST(0 AS BIGINT) AS files_rewritten,
+        |  CAST(touched.dvf AS BIGINT) AS dv_files,
+        |  CAST((SELECT COUNT(*) FROM documents) + ins.n_ins AS BIGINT) AS n_docs,
+        |  CAST((SELECT SUM(CASE WHEN doc_id % 100 = 7 THEN 8 ELSE n_chars END)
+        |        FROM documents) + 8 * ins.n_ins AS BIGINT) AS sum_chars,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 100 = 7) AS BIGINT)
+        |    AS n_redacted,
+        |  CAST(ins.n_ins AS BIGINT) AS n_inserted
+        |FROM touched, nf, ins""".stripMargin,
+
+    // Replays BOTH pruning rules: partition equality on lang, then the
+    // footer [min,max] rule per (lang, bucket) file.
+    "tx12_partition_pruning" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |rng AS (SELECT n // 4 AS lo, n // 2 - 1 AS hi, n FROM span),
+        |boxes AS (
+        |  SELECT lang, (doc_id * 4) // rng.n AS b,
+        |    MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents, rng GROUP BY 1, 2)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM boxes) AS BIGINT) AS files_total,
+        |  CAST((SELECT COUNT(*) FROM boxes WHERE lang = 'en') AS BIGINT) AS files_part,
+        |  CAST((SELECT COUNT(*) FROM boxes, rng
+        |        WHERE lang = 'en' AND mx >= rng.lo AND mn <= rng.hi) AS BIGINT)
+        |    AS files_scanned,
+        |  (SELECT COUNT(*) FROM documents, rng
+        |   WHERE lang = 'en' AND doc_id BETWEEN rng.lo AND rng.hi) AS n_rows,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents, rng
+        |        WHERE lang = 'en' AND doc_id BETWEEN rng.lo AND rng.hi) AS BIGINT)
+        |    AS sum_chars""".stripMargin,
+
+    "tx14_mor_delete_compact" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |touched AS (
+        |  SELECT COUNT(DISTINCT (doc_id * 8) // n) AS dvf
+        |  FROM documents, span WHERE doc_id % 10 = 0)
+        |SELECT CAST(0 AS BIGINT) AS files_rewritten,
+        |  CAST(touched.dvf AS BIGINT) AS dv_files,
+        |  CAST(1 AS BIGINT) AS files_after_compact,
+        |  CAST(0 AS BIGINT) AS dv_after_compact,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0) AS n_docs,
+        |  CAST((SELECT SUM(n_chars) FROM documents WHERE doc_id % 10 <> 0) AS BIGINT)
+        |    AS sum_chars
+        |FROM touched""".stripMargin,
+
     // files_scanned replays the FOOTER rule exactly: file b is scanned
     // iff [min(id in b), max(id in b)] intersects [lo, hi] — robust even
     // if the driver ever regenerates doc_id as a sparse key space.
@@ -507,7 +652,7 @@ object LakeQueries {
         |boxes AS (
         |  SELECT (doc_id * 8) // rng.n AS b, MIN(doc_id) AS mn, MAX(doc_id) AS mx
         |  FROM documents, rng GROUP BY 1)
-        |SELECT CAST(8 AS BIGINT) AS files_total,
+        |SELECT CAST((SELECT COUNT(*) FROM boxes) AS BIGINT) AS files_total,
         |  CAST((SELECT COUNT(*) FROM boxes, rng
         |        WHERE boxes.mx >= rng.lo AND boxes.mn <= rng.hi) AS BIGINT)
         |    AS files_scanned,

@@ -2,6 +2,7 @@ package graft.ops
 
 import java.nio.file.{Files, Path}
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
@@ -449,5 +450,143 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.pruneFiles(snap, 12L, 27L).size == 2)
     val out = TxLog.readAt(spark, table, range = Some(("doc_id", 12L, 27L)))
     assert(out.count() == 16L) // 12..27 — residual filter trims file edges
+  }
+
+  // ------------------------------------------------------ deletion vectors
+
+  private def listFiles(table: Path): Vector[Path] = {
+    val s = Files.list(table)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
+  private def dataBytes(table: Path): Map[String, Long] =
+    listFiles(table)
+      .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+
+  test("txlog: merge-on-read delete writes O(1) bytes, rewrites ZERO files") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)   // v0
+    TxLog.append(spark, idsDf(10L to 19L), table, "doc_id", nParts = 1) // v1
+    val before = dataBytes(table)
+    val (v, rewritten, dvTouched, total) =
+      TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    assert(v == 2L && rewritten == 0 && dvTouched == 1 && total == 2)
+    // the data files are byte-identical — the only new artifact is the sidecar
+    assert(dataBytes(table) == before, "a MOR delete must not touch any data file")
+    val sidecars = listFiles(table).filter(_.getFileName.toString.endsWith(".dv.json"))
+    assert(sidecars.size == 1 && Files.size(sidecars.head) < 256L,
+      s"a 1-key delete should be a tiny sidecar, got ${sidecars.map(Files.size(_))}")
+    val ids = TxLog.readAt(spark, table).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L to 19L).toSet - 5L))
+    // time travel to the pre-delete version still sees the row
+    assert(TxLog.readAt(spark, table, Some(1L)).filter(col("doc_id") === 5L).count() == 1L)
+    // the change feed across the DV commit is exactly the deleted row
+    val feed = TxLog.changeFeed(spark, table, 1L, 2L)
+      .select("_change_type", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(feed.toSeq == Seq(("delete", 5L)), s"got ${feed.toSeq}")
+  }
+
+  test("txlog: DV is per-file — a re-inserted key stays visible") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    TxLog.append(spark, idsDf(Seq(5L)), table, "doc_id", nParts = 1) // re-insert
+    val five = TxLog.readAt(spark, table).filter(col("doc_id") === 5L)
+    assert(five.count() == 1L, "re-inserted key must not be shadowed by the old file's DV")
+  }
+
+  test("txlog: successive MOR deletes union the vector; compact folds it in") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    TxLog.deleteMor(spark, table, idsDf(Seq(3L)).select("doc_id"), "doc_id")
+    TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    assert(TxLog.readAt(spark, table).select("doc_id").collect().map(_.getLong(0)).toSet
+      == ((0L to 9L).toSet -- Set(3L, 5L)))
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    val snap = TxLog.snapshotAt(table)
+    assert(snap.files.size == 1 && snap.files.forall(_.dv.isEmpty),
+      "compaction must fold deletion vectors into vector-free files")
+    assert(TxLog.readAt(spark, table).count() == 8L)
+  }
+
+  test("txlog: COW rewrite and MOR merge respect existing vectors (no resurrection)") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    // COW-merge touching the same file must not resurrect the DV'd row
+    TxLog.mergeCow(spark, table,
+      idsDf(Seq(6L)).withColumn("payload", lit("updated")), "doc_id", "doc_id")
+    val ids = TxLog.readAt(spark, table).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L to 9L).toSet - 5L), s"COW rewrite resurrected the deleted row: $ids")
+    // MOR merge replaces matched keys and inserts new ones, zero rewrites
+    val (_, rewritten, _, _) = TxLog.mergeMor(spark, table,
+      idsDf(Seq(7L, 20L)).withColumn("payload", lit("merged")), "doc_id", "doc_id")
+    assert(rewritten == 0)
+    val out = TxLog.readAt(spark, table).filter(col("payload") === "merged")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(7L, 20L))
+    assert(TxLog.readAt(spark, table).filter(col("doc_id") === 7L).count() == 1L,
+      "MOR merge must DV the old version of an updated key")
+  }
+
+  test("txlog: vacuum keeps retained sidecars, reclaims them after compaction") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    // latest snapshot references the sidecar — vacuum must spare it
+    assert(TxLog.vacuum(table, keepVersions = 1, minAgeMs = 0L).isEmpty)
+    assert(TxLog.readAt(spark, table).count() == 9L)
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    val deleted = TxLog.vacuum(table, keepVersions = 1, minAgeMs = 0L)
+    assert(deleted.exists(_.endsWith(".dv.json")),
+      s"post-compaction vacuum must reclaim the dead sidecar, got $deleted")
+    assert(TxLog.readAt(spark, table).count() == 9L)
+  }
+
+  // ------------------------------------------------------ partition values
+
+  test("txlog: partitioned append records partitionValues; reads prune on them") {
+    import spark.implicits._
+    val table = freshTable()
+    val df = (0L to 29L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "tag")
+    TxLog.appendPartitioned(spark, df, table, Seq("tag"), "doc_id")
+    val snap = TxLog.snapshotAt(table)
+    assert(snap.files.size == 3, s"one file per partition value, got ${snap.files.size}")
+    assert(snap.files.forall(f => f.part.keySet == Set("tag")))
+    assert(TxLog.pruneFilesPart(snap.files, Map("tag" -> "b")).size == 1)
+    val out = TxLog.readAt(spark, table, partitions = Map("tag" -> "b"))
+    // data files RETAIN the partition column; the answer is exact
+    assert(out.columns.toSet == Set("doc_id", "tag"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      == (0L to 29L).filter(_ % 3 == 1).toSet)
+    // a file with no recorded value for the column is kept (conservative)
+    TxLog.append(spark, df.filter($"doc_id" < 2), table, "doc_id", nParts = 1)
+    val snap2 = TxLog.snapshotAt(table)
+    assert(TxLog.pruneFilesPart(snap2.files, Map("tag" -> "b")).size == 2)
+    val out2 = TxLog.readAt(spark, table, partitions = Map("tag" -> "b"))
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet
+      == ((0L to 29L).filter(_ % 3 == 1).toSet + 1L),
+      "the unpartitioned file's rows must flow through the exact residual filter")
+  }
+
+  test("txlog: partition pruning composes with footer range pruning") {
+    import spark.implicits._
+    val table = freshTable()
+    val df = (0L to 99L).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("doc_id", "tag")
+    TxLog.appendPartitioned(spark, df, table, Seq("tag"), "doc_id",
+      clusterCol = Some(expr("doc_id div 25")), nParts = 8)
+    val snap = TxLog.snapshotAt(table)
+    assert(snap.files.size == 8, s"2 tags x 4 range clusters, got ${snap.files.size}")
+    val partKept = TxLog.pruneFilesPart(snap.files, Map("tag" -> "x"))
+    assert(partKept.size == 4)
+    assert(partKept.count(f => f.maxKey >= 10L && f.minKey <= 30L) == 2,
+      "range pruning must bite within the partition")
+    val out = TxLog.readAt(spark, table, range = Some(("doc_id", 10L, 30L)),
+      partitions = Map("tag" -> "x"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      == (10L to 30L).filter(_ % 2 == 0).toSet)
   }
 }
