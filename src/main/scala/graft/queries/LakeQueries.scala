@@ -435,6 +435,71 @@ object LakeQueries {
           col("n_docs"), col("sum_chars"))
     }),
 
+    // ---- tx13: streaming CDC APPLY into the lake — the two finished
+    // pillars composed: a REAL bounded stream (AvailableNow, one
+    // micro-batch per change file) of insert/update/delete rows lands
+    // in the ACID table via exactly-once merge-on-read commits
+    // (streamingApply: batch id under the claim fence, DVs for matched
+    // keys, fresh files for upserts). The final table must equal the
+    // oracle's batch recompute of the whole change stream; dv_files is
+    // gated against the bucket arithmetic (TxLogSpec proves the
+    // restart/redelivery half). 100 TB shape: each batch's cost is
+    // O(delta + probed candidate files) — the table is never rescanned.
+    "tx13_streaming_cdc" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      val base = table.getParent
+      // v0: seed the table with the EVEN ids in the 8-file range layout
+      rangeLayout(spark, d.filter(col("doc_id") % 2 === 0), table, span)
+      // three CDC files, mtime-ordered: insert the odds, redact the
+      // %100=7 ids (all odd), delete the %10=0 ids (all even)
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("bigint")
+      val b0 = d.filter(col("doc_id") % 2 === 1).withColumn("op", lit("insert"))
+      val b1 = d.filter(col("doc_id") % 100 === 7)
+        .withColumn("text", lit("REDACTED")).withColumn("n_chars", lit(8L))
+        .withColumn("op", lit("update"))
+      val b2 = d.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
+        nullS.as("text"), nullS.as("lang"), nullS.as("source"),
+        nullL.as("n_chars"), lit("delete").as("op"))
+      val inDir = base.resolve("in")
+      val t0 = System.currentTimeMillis() - 60000
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        val fdir = inDir.resolve(s"b$i")
+        b.coalesce(1).write.parquet(fdir.toString)
+        // stamp strictly-increasing mtimes so the file source delivers
+        // the change files in CDC order
+        val s = Files.list(fdir)
+        try s.forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet"))
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L)): Unit
+        } finally s.close()
+      }
+      val stream = spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString + "/*")
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          TxLog.streamingApply(spark, batch, id, table, "op", "doc_id", "doc_id"): Unit
+        }
+        .start()
+      q.awaitTermination(180000): Unit
+      val snap = TxLog.snapshotAt(table)
+      val nBatches = TxLog.history(table)
+        .count { case (_, op, nAdds, _) => op == "streaming-merge" && nAdds > 0 }
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("text") === "REDACTED", 1L).otherwise(0L)).as("n_redacted"))
+        .select(lit(nBatches).cast("bigint").as("n_batches"),
+          lit(snap.files.count(_.dv.isDefined)).cast("bigint").as("dv_files"),
+          col("n_docs"), col("sum_chars"), col("n_redacted"))
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -628,6 +693,23 @@ object LakeQueries {
         |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents, rng
         |        WHERE lang = 'en' AND doc_id BETWEEN rng.lo AND rng.hi) AS BIGINT)
         |    AS sum_chars""".stripMargin,
+
+    // Batch recompute of the streamed CDC result. dv_files = the odd
+    // upsert file the redaction batch vectored, plus one seed file per
+    // equal-width bucket containing a deleted (%10=0, all even) key.
+    "tx13_streaming_cdc" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |delbuckets AS (
+        |  SELECT COUNT(DISTINCT (doc_id * 8) // n) AS b
+        |  FROM documents, span WHERE doc_id % 10 = 0)
+        |SELECT CAST(3 AS BIGINT) AS n_batches,
+        |  CAST(1 + delbuckets.b AS BIGINT) AS dv_files,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0) AS n_docs,
+        |  CAST((SELECT SUM(CASE WHEN doc_id % 100 = 7 THEN 8 ELSE n_chars END)
+        |        FROM documents WHERE doc_id % 10 <> 0) AS BIGINT) AS sum_chars,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 100 = 7) AS BIGINT)
+        |    AS n_redacted
+        |FROM delbuckets""".stripMargin,
 
     "tx14_mor_delete_compact" ->
       """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),

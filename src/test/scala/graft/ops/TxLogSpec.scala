@@ -545,6 +545,38 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readAt(spark, table).count() == 9L)
   }
 
+  test("txlog: streaming CDC apply is exactly-once through redelivery and restart") {
+    import spark.implicits._
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1) // seed v0
+    def change(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "payload", "op")
+    // batch 0: upsert 5 (update) + 20 (insert); batch 1: delete 3
+    val b0 = change(Seq((5L, "updated", "update"), (20L, "v20", "insert")))
+    val b1 = change(Seq((3L, null, "delete")))
+    assert(TxLog.streamingApply(spark, b0, 0L, table, "op", "doc_id", "doc_id").isDefined)
+    assert(TxLog.streamingApply(spark, b1, 1L, table, "op", "doc_id", "doc_id").isDefined)
+    val expected = ((0L to 9L).toSet - 3L) + 20L
+    def state() = TxLog.readAt(spark, table).select("doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val s1 = state()
+    assert(s1.keySet == expected && s1(5L) == "updated" && s1(20L) == "v20")
+    // REDELIVER both batches (what a restarted stream does): both must
+    // skip under the claim fence, the table must not change
+    val before = listFiles(table).map(_.getFileName.toString).toSet
+    assert(TxLog.streamingApply(spark, b0, 0L, table, "op", "doc_id", "doc_id").isEmpty)
+    assert(TxLog.streamingApply(spark, b1, 1L, table, "op", "doc_id", "doc_id").isEmpty)
+    assert(state() == s1, "redelivered batches must be no-ops")
+    // the skipped batches' orphaned artifacts were cleaned up, and no
+    // live file lost its sidecar
+    assert(listFiles(table).map(_.getFileName.toString).toSet == before,
+      "redelivery cleanup must remove its staged files and sidecars only")
+    // a FRESH batch after the redeliveries still lands
+    assert(TxLog.streamingApply(spark, change(Seq((21L, "v21", "insert"))),
+      2L, table, "op", "doc_id", "doc_id").isDefined)
+    assert(state().keySet == expected + 21L)
+  }
+
   // ------------------------------------------------------ partition values
 
   test("txlog: partitioned append records partitionValues; reads prune on them") {
