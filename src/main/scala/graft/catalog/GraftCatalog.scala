@@ -1,0 +1,123 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TxLog
+
+/** DataSource-V2 catalog exposing [[graft.ops.TxLog]] tables to plain
+  * SQL — snapshot reads and time travel become first-class statements:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.lake.base", "/data/lake")
+  *   spark.sql("SELECT * FROM lake.docs")                  // latest snapshot
+  *   spark.sql("SELECT * FROM lake.docs VERSION AS OF 3")  // time travel
+  * }}}
+  *
+  * Each table is a directory under `base` holding a `_graft_log`. The
+  * catalog resolves the snapshot's LIVE file list and schema from the
+  * log (metadata only — checkpoint replay reads <= 10 commits at any
+  * history depth) and delegates the scan to Spark's own parquet V2
+  * table over exactly those files, so column pruning, predicate
+  * pushdown, and vectorized reading all apply unchanged. The reference
+  * has no SQL surface at all (its data plane is the port list in
+  * /root/reference/src/domain/ports.rs:5-30); this is the lakehouse
+  * analog of DESCRIBE-less direct reads.
+  *
+  * Honest boundary: a snapshot whose files carry merge-on-read deletion
+  * vectors cannot be served by a bare parquet scan; the catalog refuses
+  * it with a clear error (compact first, or read via TxLog.readAt,
+  * which applies the vectors). Writes go through the TxLog API — the
+  * catalog is read-only, like a warehouse's external-table mount.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val b = options.get("base")
+    require(b != null, s"catalog $name needs spark.sql.catalog.$name.base")
+    base = Paths.get(b)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    ident.namespace().foldLeft(base)(_.resolve(_)).resolve(ident.name)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(base)(_.resolve(_))
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p.resolve("_graft_log")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray.sortBy(_.name)
+      finally s.close()
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.isDirectory(tableDir(ident).resolve("_graft_log"))
+
+  override def loadTable(ident: Identifier): Table = snapshotTable(ident, None)
+
+  /** SQL `VERSION AS OF <v>` lands here (Spark passes the literal). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    snapshotTable(ident, Some(
+      try version.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName catalog versions are commit numbers, got '$version'") }))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName catalog supports VERSION AS OF (commit numbers), not TIMESTAMP AS OF")
+
+  private def snapshotTable(ident: Identifier, version: Option[Long]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val snap = TxLog.snapshotAt(dir, version)
+    if (snap.files.exists(_.dv.isDefined))
+      throw new UnsupportedOperationException(
+        s"snapshot v${snap.version} of ${ident.name} carries deletion vectors; " +
+        "compact the table or read it via TxLog.readAt")
+    val schema: Option[StructType] = TxLog.tableSchema(dir, Some(snap.version))
+    val paths = snap.files.map(f => dir.resolve(f.path).toString)
+    ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
+      SparkSession.active,
+      new CaseInsensitiveStringMap(Collections.emptyMap()),
+      paths, schema, classOf[ParquetFileFormat])
+  }
+
+  // The catalog is a read mount; mutations go through the TxLog API,
+  // whose commit protocol (claims, OCC validation) SQL DDL cannot honor.
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"create tables with TxLog.append; $catalogName is a read-only mount")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"alter tables with TxLog schema evolution; $catalogName is a read-only mount")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only mount; rename the directory instead")
+}

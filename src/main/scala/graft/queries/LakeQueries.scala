@@ -500,6 +500,38 @@ object LakeQueries {
           col("n_docs"), col("sum_chars"), col("n_redacted"))
     }),
 
+    // ---- sql01: the TxLog table served PURELY through SQL — the
+    // DSv2 catalog resolves each version's live file set and schema
+    // from the log and delegates the scan to Spark's parquet V2 table,
+    // so `VERSION AS OF` time travel is a first-class statement and
+    // pushdown/pruning apply unchanged. Same version history as tx02;
+    // the aggregate per pinned version must match the oracle recompute.
+    "sql01_catalog_time_travel" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      TxLog.deleteKeys(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id", "doc_id", nParts = 1)
+      // catalog names are session-cached by Spark, so derive a fresh one
+      // from the table dir — each invocation mounts its own base
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      spark.sql(
+        s"""SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  SUM(doc_id) AS sum_ids, SUM(n_chars) AS sum_chars
+           |FROM $cat.tbl VERSION AS OF 0
+           |UNION ALL
+           |SELECT CAST(1 AS BIGINT), COUNT(*), SUM(doc_id), SUM(n_chars)
+           |FROM $cat.tbl VERSION AS OF 1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), COUNT(*), SUM(doc_id), SUM(n_chars)
+           |FROM $cat.tbl
+           |ORDER BY version""".stripMargin)
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -693,6 +725,22 @@ object LakeQueries {
         |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents, rng
         |        WHERE lang = 'en' AND doc_id BETWEEN rng.lo AND rng.hi) AS BIGINT)
         |    AS sum_chars""".stripMargin,
+
+    // Same recompute as tx02's oracle — the catalog must agree with the
+    // API surface it mounts.
+    "sql01_catalog_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+        |  CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 10 <> 0
+        |ORDER BY version""".stripMargin,
 
     // Batch recompute of the streamed CDC result. dv_files = the odd
     // upsert file the redaction batch vectored, plus one seed file per
