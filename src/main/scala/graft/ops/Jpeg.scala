@@ -13,13 +13,18 @@ import Multimodal.{MediaItem, PixelImage}
   * codec. This moves the DOMINANT training-corpus image format off the
   * FakeDecoder stub (PPM/BMP/WAV/PNG were already real).
   *
-  * Supported: baseline + extended sequential Huffman (SOF0/SOF1),
-  * 8-bit samples, 1 or 3 components, any h/v sampling factors <= 4
-  * (4:4:4, 4:2:2, 4:2:0, ... — chroma upsampled by replication),
-  * restart markers (DRI/RSTn), multiple DQT/DHT segments, fill bytes.
-  * Refused with a clear error: progressive (SOF2) and arithmetic
-  * (SOF9+) coding, 12-bit precision, DNL. Those are rare in training
-  * corpora and a pre-pass can transcode stragglers.
+  * Supported: baseline + extended sequential Huffman (SOF0/SOF1) AND
+  * progressive Huffman (SOF2, T.81 Annex G: spectral selection,
+  * successive approximation — DC first/refine, AC first with EOB runs,
+  * AC refinement with correction bits; a large share of real web
+  * corpus images are progressive, so a 100 TB image pipeline cannot
+  * refuse them), 8-bit samples, 1 or 3 components, any h/v sampling
+  * factors <= 4 (4:4:4, 4:2:2, 4:2:0, ... — chroma upsampled by
+  * replication), restart markers (DRI/RSTn), multiple DQT/DHT
+  * segments (including between progressive scans), fill bytes.
+  * Refused with a clear error: arithmetic (SOF9+) coding, 12-bit
+  * precision, DNL. Those are rare in training corpora and a pre-pass
+  * can transcode stragglers.
   *
   * JpegEncoder is the deterministic FIXTURE side (the PngEncoder
   * pattern): it writes spec-valid baseline files with minimal custom
@@ -52,6 +57,124 @@ object Jpeg {
   /** F.2.2.1 EXTEND: map a `t`-bit magnitude to its signed value. */
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Separable 8x8 IDCT of natural-order DEQUANTIZED coefficients,
+    * level-shifted and clamped into the plane at (baseX, baseY).
+    * coef is F[r][c]: r = vertical frequency (pairs with y), c =
+    * horizontal (with x). Pass 1: tmp[r][x] = sum_c Basis[c][x] *
+    * F[r][c]; pass 2: f(x,y) = sum_r Basis[r][y] * tmp[r][x]. Shared
+    * by the baseline and progressive paths. */
+  private def idct8x8Into(coef: Array[Int], tmp: Array[Array[Double]],
+      plane: Array[Int], planeW: Int, baseX: Int, baseY: Int): Unit = {
+    var r0 = 0
+    while (r0 < 8) {
+      var x0 = 0
+      while (x0 < 8) {
+        var acc = 0.0
+        var c0 = 0
+        while (c0 < 8) { acc += Basis(c0)(x0) * coef(r0 * 8 + c0); c0 += 1 }
+        tmp(r0)(x0) = acc
+        x0 += 1
+      }
+      r0 += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        var acc = 0.0
+        var r2 = 0
+        while (r2 < 8) { acc += Basis(r2)(yy) * tmp(r2)(xx); r2 += 1 }
+        val s2 = Math.round(acc).toInt + 128
+        val clamped = if (s2 < 0) 0 else if (s2 > 255) 255 else s2
+        plane((baseY + yy) * planeW + baseX + xx) = clamped
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Progressive AC "first" scan for one block (T.81 G.1.2.2): the
+    * spectral band [ss, se] at point transform al; returns the updated
+    * end-of-band run (blocks remaining to skip AFTER this one). */
+  private def acFirstBlock(in: BitReader, ac: Huff, block: Array[Int],
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    if (eobrunIn > 0) return eobrunIn - 1
+    var k = ss
+    while (k <= se) {
+      val rs = ac.decode(in)
+      val r = rs >> 4
+      val s = rs & 15
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else return (1 << r) - 1 + (if (r > 0) in.receive(r) else 0)
+      } else {
+        k += r
+        require(k <= se, "AC run overflows spectral band")
+        block(ZigZag(k)) = extend(in.receive(s), s) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    * append one successive-approximation bit to every already-nonzero
+    * coefficient of the band, and place newly-visible +-1<<al
+    * coefficients. The walk after each symbol reads one correction bit
+    * at each nonzero-history position it passes; `eobrun` here counts
+    * bands whose REMAINDER is refinement-only, INCLUDING the current
+    * one (decremented as each is consumed). */
+  private def acRefineBlock(in: BitReader, ac: Huff, block: Array[Int],
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = eobrunIn
+    var k = ss
+    if (eobrun == 0) {
+      var inBand = true
+      while (k <= se && inBand) {
+        val rs = ac.decode(in)
+        var r = rs >> 4
+        val s = rs & 15
+        var newval = 0
+        if (s == 0) {
+          if (r < 15) { // EOB(r): the band tail joins the history pass below
+            eobrun = (1 << r) + (if (r > 0) in.receive(r) else 0)
+            inBand = false
+          } // r == 15: ZRL — the walk below consumes 16 zero-history slots
+        } else {
+          require(s == 1, "AC refinement symbol with size > 1")
+          newval = if (in.nextBit() == 1) p1 else m1
+        }
+        if (inBand) {
+          var placed = false
+          while (k <= se && !placed) {
+            val z = ZigZag(k)
+            if (block(z) != 0) {
+              if (in.nextBit() == 1 && (block(z) & p1) == 0)
+                block(z) += (if (block(z) >= 0) p1 else m1)
+            } else if (r == 0) {
+              if (newval != 0) block(z) = newval
+              placed = true
+            } else r -= 1
+            k += 1
+          }
+        }
+      }
+    }
+    if (eobrun > 0) {
+      while (k <= se) { // history-only refinement of the band remainder
+        val z = ZigZag(k)
+        if (block(z) != 0) {
+          if (in.nextBit() == 1 && (block(z) & p1) == 0)
+            block(z) += (if (block(z) >= 0) p1 else m1)
+        }
+        k += 1
+      }
+      eobrun - 1
+    } else 0
+  }
 
   /** Canonical Huffman table in T.81 form (16 length counts + values),
     * with the standard mincode/maxcode/valptr decode arrays (F.2.2.3). */
@@ -152,6 +275,17 @@ object Jpeg {
       var scanned: Array[Array[Int]] = null // per-comp plane, padded dims
       var planeW: Array[Int] = null
       var planeH: Array[Int] = null
+      // progressive (SOF2) state: RAW successive-approximation
+      // coefficients accumulate across scans in natural order, per
+      // padded block grid; dequantize + IDCT happen once, at EOI
+      var progressive = false
+      var coefStore: Array[Array[Array[Int]]] = null
+      var mcusX = 0
+      var mcusY = 0
+      var padBW: Array[Int] = null  // padded (MCU-grid) blocks per row
+      var usedBW: Array[Int] = null // the component's OWN block dims —
+      var usedBH: Array[Int] = null // non-interleaved scans walk these
+      var sawScan = false
 
       def u8(): Int = { val v = p(pos) & 0xFF; pos += 1; v }
       def u16(): Int = { val v = ((p(pos) & 0xFF) << 8) | (p(pos + 1) & 0xFF); pos += 2; v }
@@ -163,8 +297,30 @@ object Jpeg {
         var marker = u8()
         while (marker == 0xFF) marker = u8() // fill bytes
         marker match {
-          case 0xD9 => // EOI before any scan
-            throw new IllegalArgumentException(s"media $id: EOI before SOS")
+          case 0xD9 => // EOI: finalize a progressive decode, else error
+            require(progressive && sawScan, s"media $id: EOI before SOS")
+            // dequantize (q is stored in zigzag slots, coefStore in
+            // natural order) and run the shared IDCT per block
+            val tmp = Array.ofDim[Double](8, 8)
+            val deq = new Array[Int](64)
+            var c = 0
+            while (c < comps.length) {
+              val q = qtab(comps(c).tq)
+              require(q != null, s"media $id: missing quant table ${comps(c).tq}")
+              val bw = padBW(c)
+              val nBlocks = coefStore(c).length
+              var b = 0
+              while (b < nBlocks) {
+                val blk = coefStore(c)(b)
+                var k = 0
+                while (k < 64) { deq(ZigZag(k)) = blk(ZigZag(k)) * q(k); k += 1 }
+                idct8x8Into(deq, tmp, scanned(c), planeW(c),
+                  (b % bw) * 8, (b / bw) * 8)
+                b += 1
+              }
+              c += 1
+            }
+            done = true
           case 0xDB => // DQT — one or more tables
             val end = pos + u16() - 2
             while (pos < end) {
@@ -190,7 +346,8 @@ object Jpeg {
               val h = new Huff(bits, vals)
               if (tcTh >> 4 == 0) dcTab(tcTh & 15) = h else acTab(tcTh & 15) = h
             }
-          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             u16()
             require(u8() == 8, s"media $id: only 8-bit precision supported")
             height = u16(); width = u16()
@@ -204,9 +361,6 @@ object Jpeg {
                 s"media $id: sampling factors ${comp.h}x${comp.v} out of range")
               comp
             }
-          case 0xC2 =>
-            throw new IllegalArgumentException(
-              s"media $id: progressive JPEG (SOF2) not supported — transcode to baseline")
           case m if m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
             throw new IllegalArgumentException(
               f"media $id: SOF$m%02X coding process not supported")
@@ -216,7 +370,9 @@ object Jpeg {
             require(comps != null, s"media $id: SOS before SOF")
             u16()
             val ns = u8()
-            require(ns == comps.length, s"media $id: partial scans unsupported")
+            require(ns >= 1 && ns <= comps.length,
+              s"media $id: bad scan component count $ns")
+            val scanComp = new Array[Int](ns)
             val useDc = new Array[Int](ns)
             val useAc = new Array[Int](ns)
             var i = 0
@@ -224,21 +380,122 @@ object Jpeg {
               val cs = u8()
               val j = comps.indexWhere(_.id == cs)
               require(j >= 0, s"media $id: scan names unknown component $cs")
+              scanComp(i) = j
               val tdTa = u8()
-              useDc(j) = tdTa >> 4
-              useAc(j) = tdTa & 15
+              useDc(i) = tdTa >> 4
+              useAc(i) = tdTa & 15
               i += 1
             }
-            require(u8() == 0 && u8() == 63 && u8() == 0,
-              s"media $id: non-baseline spectral selection")
+            val ssSpec = u8(); val seSpec = u8()
+            val ahAl = u8(); val ah = ahAl >> 4; val al = ahAl & 15
 
             val hmax = comps.map(_.h).max
             val vmax = comps.map(_.v).max
-            val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-            val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
-            planeW = comps.map(c => mcusX * c.h * 8)
-            planeH = comps.map(c => mcusY * c.v * 8)
-            scanned = comps.indices.map(c => new Array[Int](planeW(c) * planeH(c))).toArray
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            if (planeW == null) {
+              planeW = comps.map(c => mcusX * c.h * 8)
+              planeH = comps.map(c => mcusY * c.v * 8)
+              scanned = comps.indices.map(c => new Array[Int](planeW(c) * planeH(c))).toArray
+            }
+
+            if (progressive) {
+              // -------- progressive scan (T.81 Annex G): accumulate raw
+              // coefficients; pixels materialize at EOI
+              sawScan = true
+              require(ssSpec <= 63 && seSpec <= 63 && ssSpec <= seSpec,
+                s"media $id: bad spectral band [$ssSpec, $seSpec]")
+              if (ssSpec == 0) require(seSpec == 0,
+                s"media $id: progressive DC scan must have Se=0")
+              else require(ns == 1,
+                s"media $id: progressive AC scans are single-component")
+              if (coefStore == null) {
+                padBW = comps.map(c => mcusX * c.h)
+                usedBW = comps.map(c => ((width * c.h + hmax - 1) / hmax + 7) / 8)
+                usedBH = comps.map(c => ((height * c.v + vmax - 1) / vmax + 7) / 8)
+                coefStore = comps.indices.map(c =>
+                  Array.fill(padBW(c) * mcusY * comps(c).v)(new Array[Int](64))).toArray
+              }
+              val in = new BitReader(p, pos)
+              val dcPred = new Array[Int](comps.length)
+              var eobrun = 0
+              def dcDecode(si: Int, blk: Array[Int]): Unit =
+                if (ah == 0) { // DC first: Huffman diff, shifted by Al
+                  val dc = dcTab(useDc(si))
+                  require(dc != null, s"media $id: missing DC Huffman table")
+                  val t = dc.decode(in)
+                  dcPred(scanComp(si)) += extend(in.receive(t), t)
+                  blk(0) = dcPred(scanComp(si)) << al
+                } else blk(0) |= in.nextBit() << al // DC refine: one raw bit
+              if (ssSpec == 0 && ns > 1) {
+                // interleaved DC scan over the MCU grid
+                var mcu = 0
+                val nMcus = mcusX * mcusY
+                while (mcu < nMcus) {
+                  if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                    in.expectRestart((mcu / restartInterval - 1) % 8)
+                    java.util.Arrays.fill(dcPred, 0)
+                  }
+                  val mx = mcu % mcusX
+                  val my = mcu / mcusX
+                  var si = 0
+                  while (si < ns) {
+                    val c = scanComp(si)
+                    val comp = comps(c)
+                    var by = 0
+                    while (by < comp.v) {
+                      var bx = 0
+                      while (bx < comp.h) {
+                        dcDecode(si,
+                          coefStore(c)((my * comp.v + by) * padBW(c) + mx * comp.h + bx))
+                        bx += 1
+                      }
+                      by += 1
+                    }
+                    si += 1
+                  }
+                  mcu += 1
+                }
+              } else {
+                // non-interleaved: walk the single component's OWN block
+                // grid (G.1: ns=1 scans ignore the MCU padding)
+                val c = scanComp(0)
+                val acH = acTab(useAc(0))
+                require(ssSpec == 0 || acH != null,
+                  s"media $id: missing AC Huffman table")
+                val bw = usedBW(c)
+                val total = bw * usedBH(c)
+                var bi = 0
+                while (bi < total) {
+                  if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+                    in.expectRestart((bi / restartInterval - 1) % 8)
+                    java.util.Arrays.fill(dcPred, 0)
+                    eobrun = 0
+                  }
+                  val blk = coefStore(c)((bi / bw) * padBW(c) + bi % bw)
+                  if (ssSpec == 0) dcDecode(0, blk)
+                  else if (ah == 0)
+                    eobrun = acFirstBlock(in, acH, blk, ssSpec, seSpec, al, eobrun)
+                  else
+                    eobrun = acRefineBlock(in, acH, blk, ssSpec, seSpec, al, eobrun)
+                  bi += 1
+                }
+              }
+              pos = in.pos
+              // done stays false: further scans (then EOI) follow
+            } else {
+            // -------- baseline: one interleaved full-band scan
+            require(ns == comps.length, s"media $id: partial scans unsupported")
+            require(ssSpec == 0 && seSpec == 63 && ah == 0 && al == 0,
+              s"media $id: non-baseline spectral selection")
+            val dcByComp = new Array[Int](comps.length)
+            val acByComp = new Array[Int](comps.length)
+            i = 0
+            while (i < ns) {
+              dcByComp(scanComp(i)) = useDc(i)
+              acByComp(scanComp(i)) = useAc(i)
+              i += 1
+            }
 
             val in = new BitReader(p, pos)
             val dcPred = new Array[Int](comps.length)
@@ -258,7 +515,7 @@ object Jpeg {
                 val comp = comps(c)
                 val q = qtab(comp.tq)
                 require(q != null, s"media $id: missing quant table ${comp.tq}")
-                val dc = dcTab(useDc(c)); val ac = acTab(useAc(c))
+                val dc = dcTab(dcByComp(c)); val ac = acTab(acByComp(c))
                 require(dc != null && ac != null, s"media $id: missing Huffman table")
                 var by = 0
                 while (by < comp.v) {
@@ -285,38 +542,8 @@ object Jpeg {
                       }
                     }
                     // -- inverse DCT + level shift into the plane --
-                    // coef is natural order F[r][c]: r = vertical
-                    // frequency (pairs with y), c = horizontal (with x).
-                    // Pass 1: tmp[r][x] = sum_c Basis[c][x] * F[r][c];
-                    // pass 2: f(x,y) = sum_r Basis[r][y] * tmp[r][x].
-                    var r0 = 0
-                    while (r0 < 8) {
-                      var x0 = 0
-                      while (x0 < 8) {
-                        var acc = 0.0
-                        var c0 = 0
-                        while (c0 < 8) { acc += Basis(c0)(x0) * coef(r0 * 8 + c0); c0 += 1 }
-                        tmp(r0)(x0) = acc
-                        x0 += 1
-                      }
-                      r0 += 1
-                    }
-                    val baseX = (mx * comp.h + bx) * 8
-                    val baseY = (my * comp.v + by) * 8
-                    var yy = 0
-                    while (yy < 8) {
-                      var xx = 0
-                      while (xx < 8) {
-                        var acc = 0.0
-                        var r2 = 0
-                        while (r2 < 8) { acc += Basis(r2)(yy) * tmp(r2)(xx); r2 += 1 }
-                        val s2 = Math.round(acc).toInt + 128
-                        val clamped = if (s2 < 0) 0 else if (s2 > 255) 255 else s2
-                        scanned(c)((baseY + yy) * planeW(c) + baseX + xx) = clamped
-                        xx += 1
-                      }
-                      yy += 1
-                    }
+                    idct8x8Into(coef, tmp, scanned(c), planeW(c),
+                      (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
                     bx += 1
                   }
                   by += 1
@@ -327,6 +554,7 @@ object Jpeg {
             }
             pos = in.pos
             done = true
+            } // end baseline SOS branch
           case m if m >= 0xE0 && m <= 0xEF => // APPn
             val l = u16()
             require(l >= 2 && pos + l - 2 <= p.length, s"media $id: bad APP segment length")
@@ -536,6 +764,223 @@ object Jpeg {
       out.toByteArray
     }
 
+    /** One progressive scan script entry: component indices (into the
+      * planes seq), spectral band [ss, se], successive-approximation
+      * high/low bit positions (ah = 0 for a first scan). */
+    final case class Scan(compIdxs: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+    /** AC point transform (T.81 §G.1.1.2): divide by 2^al truncating
+      * toward zero — NOT an arithmetic shift for negatives. */
+    private def pt(v: Int, al: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+
+    /** Progressive (SOF2) twin of encode(): the same quantized
+      * coefficient planes delivered through a scripted scan sequence —
+      * DC first/refine, spectral AC bands, successive approximation.
+      * The entropy coding MIRRORS the decoder's walk exactly (symbol,
+      * sign bit, then correction bits at nonzero-history positions in
+      * position order); EOB runs are flushed per block (a spec-valid
+      * encoder choice that keeps the stream deterministic). Scans must
+      * jointly deliver every coefficient down to al = 0 for the decode
+      * to equal the baseline decode of the same planes. Fixture-side
+      * restriction: plane grids must be MCU-aligned (used == padded
+      * block grid), which all our fixtures are. */
+    def encodeProgressive(width: Int, height: Int, quant: Array[Int],
+        planes: Seq[Plane], scans: Seq[Scan]): Array[Byte] = {
+      require(quant.length == 64, "quant table must have 64 entries")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+      out.write(seg(0xDB, Array(0x00.toByte) ++ quant.map(_.toByte)))
+      val sofBody = Array(8.toByte,
+        (height >> 8).toByte, (height & 0xFF).toByte,
+        (width >> 8).toByte, (width & 0xFF).toByte,
+        planes.size.toByte) ++
+        planes.zipWithIndex.flatMap { case (pl, i) =>
+          Array((i + 1).toByte, ((pl.h << 4) | pl.v).toByte, 0x00.toByte)
+        }
+      out.write(seg(0xC2, sofBody)) // SOF2: progressive
+
+      val mcusX = planes.head.blocksX / planes.head.h
+      val mcusY = planes.head.blocksY / planes.head.v
+
+      scans.foreach { scan =>
+        require(scan.ss <= scan.se && scan.se <= 63, s"bad band $scan")
+        // (sym, value, size): sym >= 0 is a Huffman symbol followed by
+        // `size` magnitude bits; sym = -1 is raw bits only
+        final case class Ev(sym: Int, value: Int, size: Int)
+        val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
+        def raw(v: Int, n: Int): Unit = events += Ev(-1, v, n)
+
+        // Cross-block EOB runs (G.1.2.2): a deferred EOB covers the
+        // current block's band terminator PLUS every following block
+        // whose band is content-free in this scan; the run's refinement
+        // correction bits (each covered block's band tail, in block
+        // order) follow the EOB symbol — exactly what the decoder's
+        // eobrun path consumes.
+        var eobCount = 0
+        val eobBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = if (eobCount > 0) {
+          val r = 31 - Integer.numberOfLeadingZeros(eobCount)
+          events += Ev(r << 4, eobCount - (1 << r), r)
+          eobBits.foreach(b => raw(b, 1))
+          eobBits.clear()
+          eobCount = 0
+        }
+        def joinEobRun(tailBits: Seq[Int]): Unit = {
+          eobCount += 1
+          eobBits ++= tailBits
+          if (eobCount == 32767) flushEob()
+        }
+        def historyBits(block: Array[Int], from: Int): Seq[Int] =
+          (from to scan.se).collect {
+            case k if pt(block(ZigZag(k)), scan.ah) != 0 =>
+              math.abs(pt(block(ZigZag(k)), scan.al)) & 1
+          }
+
+        def emitAcFirst(block: Array[Int]): Unit = {
+          var lastNz = scan.se
+          while (lastNz >= scan.ss && pt(block(ZigZag(lastNz)), scan.al) == 0) lastNz -= 1
+          if (lastNz < scan.ss) { joinEobRun(Nil); return } // content-free band
+          flushEob()
+          var run = 0
+          var k = scan.ss
+          while (k <= lastNz) {
+            val v = pt(block(ZigZag(k)), scan.al)
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) { events += Ev(0xF0, 0, 0); run -= 16 }
+              val s = category(v)
+              events += Ev((run << 4) | s, magnitudeBits(v, s), s)
+              run = 0
+            }
+            k += 1
+          }
+          if (lastNz < scan.se) eobCount = 1 // deferred terminator starts a run
+        }
+
+        def emitAcRefine(block: Array[Int]): Unit = {
+          var idx = scan.ss
+          // consume `zeros`+1 zero-HISTORY positions (the decoder's walk),
+          // emitting one correction bit at every nonzero-history position
+          def walkEmit(zeros: Int): Unit = {
+            var r = zeros
+            var doneW = false
+            while (idx <= scan.se && !doneW) {
+              if (pt(block(ZigZag(idx)), scan.ah) != 0)
+                raw(math.abs(pt(block(ZigZag(idx)), scan.al)) & 1, 1)
+              else { if (r == 0) doneW = true else r -= 1 }
+              idx += 1
+            }
+          }
+          def nextStop(): (Int, Int) = { // (zero-history run, stop idx or -1)
+            var j = idx
+            var zeros = 0
+            while (j <= scan.se) {
+              if (pt(block(ZigZag(j)), scan.ah) == 0) {
+                if (pt(block(ZigZag(j)), scan.al) != 0) return (zeros, j)
+                zeros += 1
+              }
+              j += 1
+            }
+            (zeros, -1)
+          }
+          if (nextStop()._2 < 0) { // no new coefficients: join the EOB run
+            joinEobRun(historyBits(block, scan.ss))
+            return
+          }
+          flushEob()
+          var doneBlock = false
+          while (!doneBlock) {
+            val (zeros, stop) = nextStop()
+            if (stop < 0) {
+              if (idx <= scan.se) { // trailing tail starts a new run
+                eobCount = 1
+                eobBits ++= historyBits(block, idx)
+              }
+              doneBlock = true
+            } else {
+              var z = zeros
+              while (z >= 16) { events += Ev(0xF0, 0, 0); walkEmit(15); z -= 16 }
+              val cv = pt(block(ZigZag(stop)), scan.al)
+              events += Ev((z << 4) | 1, 0, 0)
+              raw(if (cv > 0) 1 else 0, 1)
+              walkEmit(z)
+            }
+          }
+        }
+
+        if (scan.ss == 0) { // DC scan
+          val dcPred = new Array[Int](planes.size)
+          def emitDc(c: Int, block: Array[Int]): Unit =
+            if (scan.ah == 0) {
+              val vs = block(0) >> scan.al // DC point transform IS arithmetic shift
+              val diff = vs - dcPred(c)
+              dcPred(c) = vs
+              val cat = category(diff)
+              events += Ev(cat, magnitudeBits(diff, cat), cat)
+            } else raw((block(0) >> scan.al) & 1, 1)
+          if (scan.compIdxs.size > 1) { // interleaved MCU walk
+            var mcu = 0
+            while (mcu < mcusX * mcusY) {
+              val mx = mcu % mcusX
+              val my = mcu / mcusX
+              scan.compIdxs.foreach { c =>
+                val pl = planes(c)
+                var by = 0
+                while (by < pl.v) {
+                  var bx = 0
+                  while (bx < pl.h) {
+                    emitDc(c, pl.blocks((my * pl.v + by) * pl.blocksX + mx * pl.h + bx))
+                    bx += 1
+                  }
+                  by += 1
+                }
+              }
+              mcu += 1
+            }
+          } else planes(scan.compIdxs.head).blocks.foreach(b =>
+            emitDc(scan.compIdxs.head, b))
+        } else { // AC scan: single component, non-interleaved
+          require(scan.compIdxs.size == 1, "progressive AC scans are single-component")
+          planes(scan.compIdxs.head).blocks.foreach { b =>
+            if (scan.ah == 0) emitAcFirst(b) else emitAcRefine(b)
+          }
+          flushEob() // the scan may end inside a deferred EOB run
+        }
+
+        val syms = events.filter(_.sym >= 0).map(_.sym).toSeq
+        val codes: Map[Int, Int] = if (syms.isEmpty) Map.empty else {
+          val (payload, cs) = buildTable(syms)
+          out.write(seg(0xC4,
+            Array((if (scan.ss == 0) 0x00 else 0x10).toByte) ++ payload))
+          cs
+        }
+        val sosBody = Array(scan.compIdxs.size.toByte) ++
+          scan.compIdxs.flatMap(ci => Array((ci + 1).toByte, 0x00.toByte)) ++
+          Array(scan.ss.toByte, scan.se.toByte,
+            ((scan.ah << 4) | scan.al).toByte)
+        out.write(seg(0xDA, sosBody))
+        val bw = new BitWriter(out)
+        events.foreach { ev =>
+          if (ev.sym >= 0) bw.put(codes(ev.sym), 8)
+          if (ev.size > 0) bw.put(ev.value, ev.size)
+        }
+        bw.flushWithOnes()
+      }
+      out.write(Array(0xFF, 0xD9).map(_.toByte)) // EOI
+      out.toByteArray
+    }
+
+    /** The standard full progressive script for a single-component
+      * image: DC first at al, DC refinements down to 0, split AC bands
+      * first at al then refined to 0 — exercises every Annex G decode
+      * path (EOBRUN, ZRL-in-refinement, newly-visible coefficients). */
+    def grayScript(al: Int = 1): Seq[Scan] =
+      Seq(Scan(Seq(0), 0, 0, 0, al)) ++
+        (al to 1 by -1).map(a => Scan(Seq(0), 0, 0, a, a - 1)) ++
+        Seq(Scan(Seq(0), 1, 5, 0, al), Scan(Seq(0), 6, 63, 0, al)) ++
+        (al to 1 by -1).flatMap(a =>
+          Seq(Scan(Seq(0), 1, 5, a, a - 1), Scan(Seq(0), 6, 63, a, a - 1)))
+
     private val FlatQ16: Array[Int] = Array.fill(64)(16)
 
     /** Solid-gray baseline JPEG, w/h multiples of 8. With the flat
@@ -550,6 +995,20 @@ object Jpeg {
       block(0) = (v - 128) / 2
       encode(width, height, FlatQ16,
         Seq(Plane(bx, by, 1, 1, Seq.fill(bx * by)(block))))
+    }
+
+    /** Progressive twin of solidGray — identical closed-form pixels,
+      * delivered through the full DC/AC successive-approximation
+      * script. */
+    def solidGrayProgressive(width: Int, height: Int, v: Int): Array[Byte] = {
+      require(width % 8 == 0 && height % 8 == 0, "fixture dims must be block-aligned")
+      require((v - 128) % 2 == 0 && v >= 0 && v <= 255, s"gray $v not exactly encodable")
+      val bx = width / 8
+      val by = height / 8
+      val block = new Array[Int](64)
+      block(0) = (v - 128) / 2
+      encodeProgressive(width, height, FlatQ16,
+        Seq(Plane(bx, by, 1, 1, Seq.fill(bx * by)(block))), grayScript())
     }
 
     /** Solid-color 4:2:0 fixture (Y at 2x2, Cb/Cr at 1x1), w/h

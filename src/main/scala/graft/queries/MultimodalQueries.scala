@@ -245,6 +245,37 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm15: REAL progressive-JPEG decode in the gate — the one
+    // image refusal a 100 TB web corpus actually hits at volume (a
+    // large share of web JPEGs are SOF2). Fixture: per-doc solid-gray
+    // 16x16 with v = 128 + 2*((doc_id*11) % 53 - 26), delivered
+    // through the full Annex G scan script (DC first + refinement,
+    // split spectral AC bands, successive approximation) — the decoder
+    // reassembles the coefficients across SIX scans before one IDCT,
+    // and the oracle still states the stats in closed form because the
+    // final coefficients equal the baseline encoding's. JpegSpec pins
+    // progressive == baseline on arbitrary-coefficient and 4:2:0
+    // interleaved fixtures (EOB runs, ZRL-in-refinement, newly-visible
+    // coefficients).
+    "mm15_progressive_jpeg_stats" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val v = (128 + 2 * ((id * 11) % 53 - 26)).toInt
+            (id, graft.ops.Jpeg.JpegEncoder.solidGrayProgressive(16, 16, v))
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.pixelStats(payloads, "media_id", "payload",
+          graft.ops.Jpeg.JpegDecoder)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"),
+          col("minLuma").as("min_luma"), col("maxLuma").as("max_luma"))
+        .orderBy("media_id")
+    }),
+
     // ---- mm09: REAL video-container metadata (graft.ops.Mp4,
     // ISO-BMFF box parsing — no codec needed: at 100 TB the metadata
     // pass IS the video workload; frame decode happens later on the
@@ -602,6 +633,13 @@ object MultimodalQueries {
         |  CAST(doc_id % 250 + 1 AS BIGINT) AS n_frames,
         |  'mp4a' AS audio_codec,
         |  CAST((doc_id % 250 + 1) * 2 AS BIGINT) AS n_audio_samples
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm15_progressive_jpeg_stats" ->
+      """SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(128 + 2 * ((doc_id * 11) % 53 - 26) AS DOUBLE) AS mean_luma,
+        |  CAST(128 + 2 * ((doc_id * 11) % 53 - 26) AS INT) AS min_luma,
+        |  CAST(128 + 2 * ((doc_id * 11) % 53 - 26) AS INT) AS max_luma
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm08_jpeg_pixel_stats" ->

@@ -101,20 +101,90 @@ class JpegSpec extends AnyFunSuite {
 
   test("unsupported shapes are refused with clear errors") {
     val good = JpegEncoder.solidGray(8, 8, 130)
-    // progressive: rewrite SOF0 marker byte to SOF2
-    val prog = good.clone()
-    val sofAt = (0 until prog.length - 1).find(i =>
-      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
-    prog(sofAt + 1) = 0xC2.toByte
+    // arithmetic coding: rewrite SOF0 marker byte to SOF9
+    val arith = good.clone()
+    val sofAt = (0 until arith.length - 1).find(i =>
+      (arith(i) & 0xFF) == 0xFF && (arith(i + 1) & 0xFF) == 0xC0).get
+    arith(sofAt + 1) = 0xC9.toByte
     val e1 = intercept[IllegalArgumentException](
-      JpegDecoder.decodePixels(MediaItem(5L, prog)))
-    assert(e1.getMessage.contains("progressive"))
+      JpegDecoder.decodePixels(MediaItem(5L, arith)))
+    assert(e1.getMessage.contains("not supported"))
     // truncated entropy stream
     val cut = java.util.Arrays.copyOf(good, good.length - 4)
     intercept[IllegalArgumentException](JpegDecoder.decodePixels(MediaItem(6L, cut)))
     // not a JPEG at all
     intercept[IllegalArgumentException](
       JpegDecoder.decodePixels(MediaItem(7L, Array[Byte](1, 2, 3))))
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  test("progressive solid gray decodes identically to its baseline twin") {
+    for (v <- Seq(72, 128, 184, 254)) {
+      val base = JpegDecoder.decodePixels(MediaItem(v.toLong,
+        JpegEncoder.solidGray(16, 16, v)))
+      val prog = JpegDecoder.decodePixels(MediaItem(v.toLong,
+        JpegEncoder.solidGrayProgressive(16, 16, v)))
+      assert(prog.width == 16 && prog.height == 16)
+      assert(prog.rgb.toSeq == base.rgb.toSeq, s"solid $v progressive != baseline")
+    }
+  }
+
+  test("progressive arbitrary coefficients: every Annex G path == baseline decode") {
+    // four blocks engineered to exercise: newly-visible +-1 coefficients
+    // (invisible at al=1, placed only by the refinement scan), history
+    // correction bits (odd |v|), a >16-zero gap before a refinement
+    // stop (ZRL-in-refinement), a content-free high band (EOB), and a
+    // multi-block EOB run (blocks 2 and 3 are empty in the high band).
+    def blk(entries: (Int, Int)*): Array[Int] = {
+      val b = new Array[Int](64)
+      entries.foreach { case (k, v) => b(ZigZag(k)) = v }
+      b
+    }
+    val blocks = Seq(
+      blk(0 -> 13, 1 -> 5, 2 -> -1, 4 -> 3, 20 -> -7, 45 -> 1, 63 -> -2),
+      blk(0 -> -9, 3 -> 1, 5 -> -3, 6 -> 2, 7 -> -1, 30 -> 1),
+      blk(0 -> 4, 1 -> -2, 5 -> 1),
+      blk(0 -> 0))
+    val quant = Array.tabulate(64)(k => 8 + (k % 5))
+    val planes = Seq(JpegEncoder.Plane(2, 2, 1, 1, blocks))
+    val base = JpegDecoder.decodePixels(MediaItem(10L,
+      JpegEncoder.encode(16, 16, quant, planes)))
+    val prog = JpegDecoder.decodePixels(MediaItem(11L,
+      JpegEncoder.encodeProgressive(16, 16, quant, planes,
+        JpegEncoder.grayScript(al = 1))))
+    assert(prog.rgb.toSeq == base.rgb.toSeq)
+    // deeper successive approximation (al = 2): same pixels again
+    val prog2 = JpegDecoder.decodePixels(MediaItem(12L,
+      JpegEncoder.encodeProgressive(16, 16, quant, planes,
+        JpegEncoder.grayScript(al = 2))))
+    assert(prog2.rgb.toSeq == base.rgb.toSeq)
+  }
+
+  test("progressive 4:2:0 color: interleaved DC scan + per-component AC == baseline") {
+    def plane(bx: Int, by: Int, h: Int, v: Int, dc: Int, ac: (Int, Int)*): JpegEncoder.Plane = {
+      val b = new Array[Int](64)
+      b(0) = dc
+      ac.foreach { case (k, vv) => b(ZigZag(k)) = vv }
+      JpegEncoder.Plane(bx, by, h, v, Seq.fill(bx * by)(b))
+    }
+    val planes = Seq(
+      plane(4, 2, 2, 2, -4, 1 -> 3, 17 -> -1),
+      plane(2, 1, 1, 1, 6, 2 -> 1),
+      plane(2, 1, 1, 1, -14))
+    val quant = Array.fill(64)(16)
+    val base = JpegDecoder.decodePixels(MediaItem(13L,
+      JpegEncoder.encode(32, 16, quant, planes)))
+    val scans = Seq(
+      JpegEncoder.Scan(Seq(0, 1, 2), 0, 0, 0, 1), // interleaved DC first
+      JpegEncoder.Scan(Seq(0, 1, 2), 0, 0, 1, 0), // interleaved DC refine
+      JpegEncoder.Scan(Seq(0), 1, 63, 0, 1), JpegEncoder.Scan(Seq(0), 1, 63, 1, 0),
+      JpegEncoder.Scan(Seq(1), 1, 63, 0, 0),      // spectral-only, no approximation
+      JpegEncoder.Scan(Seq(2), 1, 63, 0, 0))
+    val prog = JpegDecoder.decodePixels(MediaItem(14L,
+      JpegEncoder.encodeProgressive(32, 16, quant, planes, scans)))
+    assert(prog.width == 32 && prog.height == 16)
+    assert(prog.rgb.toSeq == base.rgb.toSeq)
   }
 
   test("SniffDecoder routes the FFD8 signature to the JPEG decoder") {
