@@ -39,9 +39,10 @@ object ScaleBench {
   private val DefaultQueries = Seq(
     "dd04_lsh_candidates", "dd07_dup_clusters", "er01_fuzzy_entity_match",
     "c04_entity_pipeline", "knn02_mutual_clusters",
-    // lakehouse flagship: COW merge cost must track the delta, not the
-    // table (round-7 curves: commit-metadata bound at 10x)
-    "tx04_cow_merge")
+    // lakehouse flagship pair: COW merge cost must track the delta, not
+    // the table (round-7 curves: commit-metadata bound at 10x), and the
+    // merge-on-read twin must beat it by skipping the rewrite entirely
+    "tx04_cow_merge", "tx11_mor_merge")
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

@@ -209,11 +209,37 @@ object TxLog {
       commitBytes(v, op, adds, removes, batchId, schema))
     if (ok && v % CheckpointEvery == 0 && v > 0) {
       val snap = snapshotAt(table, Some(v))
-      val ck = Map[String, Object]("version" -> java.lang.Long.valueOf(v),
-        "files" -> snap.files.map(addToNode).asJava).asJava
+      // the checkpoint also folds the streaming BATCH-ID WATERMARK
+      // (Delta's txn appId/version pattern): batch ids are monotone per
+      // query, so the max at checkpoint time lets restart dedup read
+      // <= CheckpointEvery commits instead of the whole history
+      val ck = (Map[String, Object]("version" -> java.lang.Long.valueOf(v),
+        "files" -> snap.files.map(addToNode).asJava)
+        ++ maxBatchIdUpTo(table, v).map(m =>
+          "batchMax" -> (java.lang.Long.valueOf(m): Object))).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
     ok
+  }
+
+  /** Max committed batch id at or below `v`: newest checkpoint's
+    * watermark + the commits after it — O(checkpoint interval) reads. */
+  private def maxBatchIdUpTo(table: Path, v: Long): Option[Long] = {
+    val vs = versions(table).filter(_ <= v)
+    val ckpt = vs.reverse.find(cv =>
+      Files.exists(versionDir(table, cv).resolve("checkpoint.json")))
+    val fromCkpt = ckpt.flatMap { cv =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, cv).resolve("checkpoint.json")))
+      Option(node.get("batchMax")).map(_.asLong)
+    }
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    val tail = vs.filter(_ >= from).flatMap { cv =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, cv).resolve("commit.json")))
+      Option(node.get("batchId")).map(_.asLong)
+    }
+    (fromCkpt.toVector ++ tail).maxOption
   }
 
   /** Resolve an orphan claim by publishing an EMPTY no-op commit into
@@ -677,6 +703,39 @@ object TxLog {
     }
   }
 
+  /** CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` maintenance
+    * shape: rewrite the live set (deletion vectors folded in) as one
+    * file per equal-width cluster of `clusterCol` in a single
+    * distributed write + one atomic commit. A streaming table ingests
+    * in arrival order (no pruning power); this restores the
+    * range/Z-clustered layout whose footer [min,max] makes
+    * [[pruneFiles]] sharp, without blocking readers (old versions stay
+    * pinned until vacuum). Same dv-identity validation as [[compact]]. */
+  def compactClustered(spark: SparkSession, table: Path, statsCol: String,
+      clusterCol: Column, nClusters: Int): Long = {
+    val snap = snapshotAt(table)
+    val removes = snap.files.map(_.path)
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    applyDvs(spark, table, snap.files,
+      schemaReader(spark, table)
+        .parquet(snap.files.map(f => table.resolve(f.path).toString): _*))
+      .withColumn("__cluster", clusterCol)
+      .repartition(nClusters, col("__cluster"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(stage.toString)
+    val parts = listDir(stage).filter(p => p.getFileName.toString.startsWith("__cluster="))
+      .sortBy(_.getFileName.toString)
+      .flatMap(d => listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
+    val adds = promoteParts(spark, parts, table, statsCol)
+    deleteRecursively(stage)
+    val baseDv = snap.files.map(f => f.path -> f.dv).toMap
+    commitRetry(table, "compact", adds, removes) {
+      case None => false
+      case Some(s) =>
+        val liveDv = s.files.map(f => f.path -> f.dv).toMap
+        removes.forall(p => liveDv.get(p).contains(baseDv(p)))
+    }
+  }
+
   /** Copy-on-write MERGE (upsert): rows of `updates` replace same-key
     * rows; unmatched update keys are inserted. Only files that can
     * contain an affected key are rewritten:
@@ -896,14 +955,27 @@ object TxLog {
   // ------------------------------------------------- streaming exactly-once
 
   /** Streaming batch ids already recorded in the log. O(commits) commit
-    * reads — at production history depth the ids would be folded into
-    * checkpoints like the live set (Delta's txn appId/version pattern);
-    * only the trailing ids matter for restart dedup. */
+    * reads — use [[isBatchCommitted]] on the hot path; this full-history
+    * form exists for audits and tests. */
   def committedBatchIds(table: Path): Set[Long] =
     versions(table).flatMap { v =>
       val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
       Option(node.get("batchId")).map(_.asLong)
     }.toSet
+
+  /** Restart-dedup check in O(checkpoint interval): Structured
+    * Streaming delivers batches in order, so every committed id is at
+    * or below the checkpointed watermark except the trailing commits —
+    * id <= watermark means "already committed" (an id the sink never
+    * committed can only be above the watermark, because batch n+1 is
+    * only delivered after batch n's sink call returned). A 100k-commit
+    * streaming table answers this from <= CheckpointEvery file reads,
+    * not 100k. */
+  def isBatchCommitted(table: Path, batchId: Long): Boolean = {
+    val vs = versions(table)
+    if (vs.isEmpty) return false
+    maxBatchIdUpTo(table, vs.last).exists(batchId <= _)
+  }
 
   /** Shared claim-fenced exactly-once commit loop for streaming sinks.
     * CLAIM-FENCED duplicate check: only after holding the claim on
@@ -917,7 +989,10 @@ object TxLog {
     * engine's retry of the batch stays exactly-once. Same time-based
     * bound as commitRetry: the loop must OUTLAST a crashed writer's
     * full staleness lease — an attempt-count bound alone would fail
-    * every batch for the whole lease window. */
+    * every batch for the whole lease window. Contract: ONE streaming
+    * query writes a given table (two queries' batch ids would collide —
+    * the Delta appId refinement); ids are monotone, so dedup is the
+    * O(checkpoint-interval) [[isBatchCommitted]] watermark check. */
   private def streamingCommit(table: Path, batchId: Long, op: String,
       adds: Seq[AddFile], schema: => StructType,
       validate: Option[Snapshot] => Boolean, cleanup: () => Unit): Option[Long] = {
@@ -928,7 +1003,7 @@ object TxLog {
       Files.createDirectories(logDir(table))
       val vd = versionDir(table, v)
       if (claimDir(vd)) {
-        if (committedBatchIds(table).contains(batchId)) {
+        if (isBatchCommitted(table, batchId)) {
           publishAbandoned(table, vd, v)
           cleanup()
           return None
@@ -956,7 +1031,7 @@ object TxLog {
     * {{{ q.foreachBatch((df, id) => TxLog.streamingAppend(spark, df, id, table, "k")) }}} */
   def streamingAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
       table: Path, statsCol: String, nParts: Int = 1): Option[Long] = {
-    if (committedBatchIds(table).contains(batchId)) return None
+    if (isBatchCommitted(table, batchId)) return None
     Files.createDirectories(table)
     validateSchema(tableSchema(table), batch.schema, allowEvolution = false): Unit // fail fast
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
@@ -987,7 +1062,7 @@ object TxLog {
       table: Path, opCol: String, keyCol: String, statsCol: String,
       nParts: Int = 1): Option[Long] = {
     Files.createDirectories(table)
-    if (committedBatchIds(table).contains(batchId)) return None
+    if (isBatchCommitted(table, batchId)) return None
     val baseSnap = if (versions(table).isEmpty) Snapshot(-1L, Vector.empty)
       else snapshotAt(table)
     val upserts = batch.filter(col(opCol) =!= "delete").drop(opCol)

@@ -532,6 +532,39 @@ object LakeQueries {
            |ORDER BY version""".stripMargin)
     }),
 
+    // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
+    // maintenance a streaming table needs: four arrival-order appends
+    // (every file spans the whole id range — zero pruning power, gated
+    // as files_before_scanned) plus a merge-on-read delete, then ONE
+    // clustered rewrite into equal-width range files with the vectors
+    // folded in. The same range read that scanned every file before
+    // now touches only the intersecting buckets; all counts replayed
+    // by the oracle.
+    "tx15_clustered_compaction" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 1)
+      }
+      TxLog.deleteMor(spark, table,
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id")
+      val (lo, hi) = (span / 4, span / 2 - 1)
+      val preScan = TxLog.pruneFiles(TxLog.snapshotAt(table), lo, hi).size
+      TxLog.compactClustered(spark, table, "doc_id",
+        expr(s"(doc_id * 8) div ${span}L"), nClusters = 8)
+      val snap = TxLog.snapshotAt(table)
+      val scanned = TxLog.pruneFiles(snap, lo, hi).size
+      TxLog.readAt(spark, table, range = Some(("doc_id", lo, hi)))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(preScan).cast("bigint").as("files_before_scanned"),
+          lit(snap.files.size).cast("bigint").as("files_total"),
+          lit(scanned).cast("bigint").as("files_scanned"),
+          lit(snap.files.count(_.dv.isDefined)).cast("bigint").as("dv_after"),
+          col("n_rows"), col("sum_chars"))
+    }),
+
     // ---- tx05: stats-based file skipping. A range predicate over the
     // middle quarter of the id space reads only the files whose footer
     // [min,max] intersects it; files_scanned is gated against the bucket
@@ -741,6 +774,34 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
+
+    // The mod-4 arrival files' footers cover the WHOLE id range (the
+    // pre-compaction footers ignore the deletion vectors — stats are
+    // write-time), so files_before_scanned replays per-residue min/max;
+    // post-compaction boxes cover only the SURVIVING docs.
+    "tx15_clustered_compaction" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |rng AS (SELECT n // 4 AS lo, n // 2 - 1 AS hi, n FROM span),
+        |pre AS (
+        |  SELECT doc_id % 4 AS r, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents GROUP BY 1),
+        |kept AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |boxes AS (
+        |  SELECT (doc_id * 8) // rng.n AS b, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM kept, rng GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM pre, rng
+        |        WHERE pre.mx >= rng.lo AND pre.mn <= rng.hi) AS BIGINT)
+        |    AS files_before_scanned,
+        |  CAST((SELECT COUNT(*) FROM boxes) AS BIGINT) AS files_total,
+        |  CAST((SELECT COUNT(*) FROM boxes, rng
+        |        WHERE boxes.mx >= rng.lo AND boxes.mn <= rng.hi) AS BIGINT)
+        |    AS files_scanned,
+        |  CAST(0 AS BIGINT) AS dv_after,
+        |  (SELECT COUNT(*) FROM kept, rng
+        |   WHERE doc_id BETWEEN rng.lo AND rng.hi) AS n_rows,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM kept, rng
+        |        WHERE doc_id BETWEEN rng.lo AND rng.hi) AS BIGINT) AS sum_chars""".stripMargin,
 
     // Batch recompute of the streamed CDC result. dv_files = the odd
     // upsert file the redaction batch vectored, plus one seed file per

@@ -577,6 +577,69 @@ class TxLogSpec extends SparkSpec {
     assert(state().keySet == expected + 21L)
   }
 
+  test("txlog: batch-id watermark answers restart dedup across checkpoints") {
+    val table = freshTable()
+    // 12 streaming batches: versions 0..11, checkpoint at v10
+    (0L to 11L).foreach { b =>
+      assert(TxLog.streamingAppend(spark, idsDf(Seq(b)), b, table, "doc_id").isDefined)
+    }
+    assert(TxLog.isBatchCommitted(table, 3L), "pre-checkpoint id must dedup")
+    assert(TxLog.isBatchCommitted(table, 11L))
+    assert(!TxLog.isBatchCommitted(table, 12L))
+    // a redelivered PRE-CHECKPOINT batch skips; a fresh one lands
+    assert(TxLog.streamingAppend(spark, idsDf(Seq(2L)), 2L, table, "doc_id").isEmpty)
+    assert(TxLog.streamingAppend(spark, idsDf(Seq(12L)), 12L, table, "doc_id").isDefined)
+    assert(TxLog.readAt(spark, table).count() == 13L)
+  }
+
+  test("txlog: concurrent MOR deletes — disjoint files both land, same file conflicts") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)   // file A
+    TxLog.append(spark, idsDf(10L to 19L), table, "doc_id", nParts = 1) // file B
+    val pool = Executors.newFixedThreadPool(2)
+    val latch = new CountDownLatch(1)
+    def del(key: Long) = pool.submit(new java.util.concurrent.Callable[Any] {
+      def call(): Any = {
+        latch.await(5, TimeUnit.SECONDS)
+        try Right(TxLog.deleteMor(spark, table, idsDf(Seq(key)).select("doc_id"), "doc_id"))
+        catch { case e: IllegalStateException => Left(e) }
+      }
+    })
+    // disjoint: key 3 touches only file A, key 15 only file B
+    val (fa, fb) = (del(3L), del(15L))
+    latch.countDown()
+    val results = Seq(fa, fb).map(_.get(120, TimeUnit.SECONDS))
+    assert(results.forall(_.isInstanceOf[Right[_, _]]),
+      s"disjoint MOR deletes must both commit, got $results")
+    assert(TxLog.readAt(spark, table).select("doc_id").collect().map(_.getLong(0)).toSet
+      == ((0L to 19L).toSet -- Set(3L, 15L)))
+    // same file: both extend file A's vector — dv-identity OCC admits
+    // one; the loser aborts cleanly (nothing committed, nothing lost)
+    val latch2 = new CountDownLatch(1)
+    def del2(key: Long) = pool.submit(new java.util.concurrent.Callable[Any] {
+      def call(): Any = {
+        latch2.await(5, TimeUnit.SECONDS)
+        try Right(TxLog.deleteMor(spark, table, idsDf(Seq(key)).select("doc_id"), "doc_id"))
+        catch { case e: IllegalStateException => Left(e) }
+      }
+    })
+    val (g1, g2) = (del2(4L), del2(5L))
+    latch2.countDown()
+    val res2 = Seq(g1, g2).map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val ids = TxLog.readAt(spark, table).select("doc_id").collect().map(_.getLong(0)).toSet
+    if (res2.forall(_.isInstanceOf[Right[_, _]])) {
+      // serialized by timing: both landed
+      assert(ids == ((0L to 19L).toSet -- Set(3L, 15L, 4L, 5L)))
+    } else {
+      // true race: exactly one landed, and no committed delete was lost
+      val winners = res2.count(_.isInstanceOf[Right[_, _]])
+      assert(winners == 1, s"expected exactly one winner, got $res2")
+      assert(ids == ((0L to 19L).toSet -- Set(3L, 15L, 4L))
+        || ids == ((0L to 19L).toSet -- Set(3L, 15L, 5L)), s"got $ids")
+    }
+  }
+
   // ------------------------------------------------------ partition values
 
   test("txlog: partitioned append records partitionValues; reads prune on them") {
