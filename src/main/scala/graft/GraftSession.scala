@@ -19,6 +19,8 @@ object GraftSession {
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // analyzer rule serving DV-carrying TxLog snapshots through SQL
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Spark's default useV1SourceList reserves the name "avro" for the

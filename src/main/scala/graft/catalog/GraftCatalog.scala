@@ -36,11 +36,14 @@ import graft.ops.TxLog
   * /root/reference/src/domain/ports.rs:5-30); this is the lakehouse
   * analog of DESCRIBE-less direct reads.
   *
-  * Honest boundary: a snapshot whose files carry merge-on-read deletion
-  * vectors cannot be served by a bare parquet scan; the catalog refuses
-  * it with a clear error (compact first, or read via TxLog.readAt,
-  * which applies the vectors). Writes go through the TxLog API — the
-  * catalog is read-only, like a warehouse's external-table mount.
+  * A snapshot whose files carry merge-on-read deletion vectors cannot
+  * be served by a bare parquet scan (deleted rows would resurface); for
+  * those the catalog returns a schema-only [[GraftDvTable]] and the
+  * [[ResolveDvSnapshots]] analyzer rule (registered via
+  * [[GraftExtensions]]) swaps the relation for TxLog.readAt's
+  * DV-applying plan during analysis — transparent SQL either way.
+  * Writes go through the TxLog API — the catalog is read-only, like a
+  * warehouse's external-table mount.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -92,11 +95,15 @@ class GraftCatalog extends TableCatalog {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     val snap = TxLog.snapshotAt(dir, version)
-    if (snap.files.exists(_.dv.isDefined))
-      throw new UnsupportedOperationException(
-        s"snapshot v${snap.version} of ${ident.name} carries deletion vectors; " +
-        "compact the table or read it via TxLog.readAt")
     val schema: Option[StructType] = TxLog.tableSchema(dir, Some(snap.version))
+    if (snap.files.exists(_.dv.isDefined)) {
+      // DV-carrying snapshot: schema-only table, served by the
+      // ResolveDvSnapshots analyzer rule (see GraftExtensions)
+      val s = schema.getOrElse(
+        TxLog.readAt(SparkSession.active, dir, Some(snap.version)).schema)
+      return GraftDvTable(s"$catalogName.${ident.name}@v${snap.version}",
+        dir, snap.version, s)
+    }
     val paths = snap.files.map(f => dir.resolve(f.path).toString)
     ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
       SparkSession.active,

@@ -532,6 +532,35 @@ object LakeQueries {
            |ORDER BY version""".stripMargin)
     }),
 
+    // ---- sql02: DV-carrying snapshots served through SQL — the
+    // ResolveDvSnapshots analyzer rule (GraftExtensions) swaps the
+    // catalog relation for TxLog.readAt's merge-on-read plan at
+    // analysis time, so an uncompacted table with live deletion
+    // vectors is transparent `SELECT`/`VERSION AS OF` SQL: v1 sees one
+    // DV commit applied, the latest sees the unioned sidecars. This
+    // closes sql01's documented refusal boundary.
+    "sql02_catalog_dv_read" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      TxLog.append(spark, d, table, "doc_id", nParts = 4)               // v0
+      TxLog.deleteMor(spark, table,                                      // v1: DV
+        d.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      TxLog.deleteMor(spark, table,                                      // v2: DV union
+        d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      spark.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  SUM(n_chars) AS sum_chars
+           |FROM $cat.tbl VERSION AS OF 1 WHERE doc_id % 2 = 0
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), COUNT(*), SUM(n_chars)
+           |FROM $cat.tbl WHERE doc_id % 2 = 0
+           |ORDER BY version""".stripMargin)
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -773,6 +802,17 @@ object LakeQueries {
         |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT),
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
+        |ORDER BY version""".stripMargin,
+
+    // v1 applies the first deletion vector only; the latest applies the
+    // unioned sidecars — the recompute deletes by the same residues.
+    "sql02_catalog_dv_read" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 3
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (3, 7)
         |ORDER BY version""".stripMargin,
 
     // The mod-4 arrival files' footers cover the WHOLE id range (the

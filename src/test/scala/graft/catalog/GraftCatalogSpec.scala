@@ -7,8 +7,9 @@ import graft.SparkSpec
 import graft.ops.TxLog
 
 /** SQL-surface contracts of the TxLog catalog: latest-snapshot reads,
-  * VERSION AS OF time travel, listTables, the deletion-vector refusal,
-  * and the read-only mount behavior. LakeQueries/sql01 gates the data
+  * VERSION AS OF time travel, listTables, deletion-vector snapshots
+  * served through the ResolveDvSnapshots analyzer rule, and the
+  * read-only mount behavior. LakeQueries/sql01+sql02 gate the data
   * semantics against DuckDB; this covers the catalog plumbing. */
 class GraftCatalogSpec extends SparkSpec {
 
@@ -44,18 +45,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows == Seq("v14", "v16"))
   }
 
-  test("catalog: lists log-backed tables, refuses DV snapshots and writes") {
+  test("catalog: lists log-backed tables, serves DV snapshots, rejects writes") {
     val (cat, base) = freshCatalog()
     TxLog.append(spark, idsDf(0L to 4L), table = base.resolve("t1"), "doc_id", nParts = 1)
     TxLog.append(spark, idsDf(0L to 4L), table = base.resolve("t2"), "doc_id", nParts = 1)
     Files.createDirectories(base.resolve("not_a_table"))
     val listed = spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSet
     assert(listed == Set("t1", "t2"))
-    // a merge-on-read snapshot is refused with a pointer to the fix
+    // a merge-on-read snapshot is served transparently: the analyzer
+    // rule swaps the relation for the DV-applying plan
     TxLog.deleteMor(spark, base.resolve("t1"), idsDf(Seq(2L)).select("doc_id"), "doc_id")
-    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $cat.t1").collect() }
-    assert(e.getMessage.contains("deletion vectors"))
-    // compaction folds the vectors; the catalog serves the table again
+    val ids = spark.sql(s"SELECT doc_id FROM $cat.t1 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 1L, 3L, 4L))
+    // ...and time travel across the DV commit still works: v0 pre-delete
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.t1 VERSION AS OF 0")
+      .head.getLong(0) == 5L)
+    // the SQL answer is the API answer
+    assert(spark.sql(s"SELECT SUM(doc_id) AS s FROM $cat.t1").head.getLong(0) ==
+      TxLog.readAt(spark, base.resolve("t1"))
+        .agg(org.apache.spark.sql.functions.sum("doc_id")).head.getLong(0))
+    // compaction folds the vectors; the plain parquet mount resumes
     TxLog.compact(spark, base.resolve("t1"), "doc_id", nParts = 1)
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.t1").head.getLong(0) == 4L)
     // read-only mount
@@ -63,5 +73,18 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE $cat.t3 (x BIGINT) USING parquet")
     }
     assert(w.getMessage.contains("read-only") || w.getMessage.contains("TxLog"))
+  }
+
+  test("catalog: predicates still push into the parquet scans under the DV rewrite") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("p")
+    TxLog.append(spark, idsDf(0L to 99L), table, "doc_id", nParts = 2)
+    TxLog.deleteMor(spark, table, idsDf(Seq(10L)).select("doc_id"), "doc_id")
+    val df = spark.sql(s"SELECT payload FROM $cat.p WHERE doc_id >= 90")
+    assert(df.collect().length == 10)
+    // the user predicate reaches the parquet scan THROUGH the
+    // broadcast anti-join the rewrite introduced
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(doc_id,90)"), plan)
   }
 }
