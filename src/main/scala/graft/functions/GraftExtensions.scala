@@ -59,6 +59,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         })
       }))
     extensions.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_pairs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"topk_pairs(key, id, k) takes 3 arguments, got ${exprs.length}")
+        TopKAgg(exprs.head, exprs(1), exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_pairs k must be an integer literal, got $other")
+        })
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -227,6 +227,12 @@ object VectorFunctions {
           s"kmv_distinct expects exactly 2 arguments (hash48, k), got ${exprs.length}")
         KmvDistinctAgg(exprs.head, litInt(exprs, 1))
       }, "built-in")
+    registry.createOrReplaceTempFunction("topk_pairs",
+      exprs => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"topk_pairs expects exactly 3 arguments (key, id, k), got ${exprs.length}")
+        TopKAgg(exprs.head, exprs(1), litInt(exprs, 2))
+      }, "built-in")
     registry.createOrReplaceTempFunction("bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs.head, exprs(1)), "built-in")

@@ -256,6 +256,30 @@ object EventQueries {
         .select(col("event_type"), col("rk"), col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_type"), col("rk"))
     }),
+
+    // ---- topk01: e05's answer via the native bounded top-k aggregate
+    // (graft.functions.TopKAgg) instead of a row_number window. The
+    // window form shuffles and per-partition SORTS every event to keep
+    // 5 per type; topk_pairs keeps a k-bounded heap per group with
+    // map-side partial aggregation, so each task ships at most k rows
+    // per group into the exchange — at corpus grain the shuffle is
+    // groups x k x tasks, not the table. The tiny (type, rk, id) result
+    // then broadcast-joins back to the source for the payload columns.
+    // Ties break by smallest event_id (in-heap and in the oracle's
+    // ORDER BY), so the result is a pure function of the input set.
+    "topk01_bounded_topk_per_type" -> ((spark: SparkSession, dir: String) => {
+      graft.functions.VectorFunctions.registerAll(spark)
+      val ev = t(spark, dir, "events")
+      val top = ev.groupBy(col("event_type"))
+        .agg(expr("topk_pairs(value, event_id, 5)").as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+          col("p.id").as("event_id"))
+      t(spark, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+        .join(broadcast(top), Seq("event_id"))
+        .select(col("event_type"), col("rk"), col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +437,15 @@ object EventQueries {
         |GROUP BY w.wk ORDER BY w.wk""".stripMargin,
 
     "e05_top_events_per_type" ->
+      """SELECT event_type, rk, event_id, user_id, value FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
+    // Same recompute as e05 — the bounded-heap aggregate must agree
+    // with the window form row for row.
+    "topk01_bounded_topk_per_type" ->
       """SELECT event_type, rk, event_id, user_id, value FROM (
         |  SELECT event_type, event_id, user_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
