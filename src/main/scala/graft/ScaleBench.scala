@@ -100,9 +100,12 @@ object ScaleBench {
     expandEmbeddings(spark, s"$baseDir/embeddings.parquet", f)
       .coalesce(math.max(4, 2 * f))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    expandEvents(spark, s"$baseDir/events.parquet", f)
+      .coalesce(math.max(4, 2 * f))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       val src = Paths.get(s"$baseDir/$t.parquet")
       if (Files.exists(src))
         Files.copy(src, Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -123,6 +126,23 @@ object ScaleBench {
     * 10x more entities genuinely means ~100x trigram-blocked
     * candidates, and the mitigation is tighter blocking, not engine
     * work. Rotation isolates the engine curve from that data effect.) */
+  /** f disjoint copies of the event stream: copy i shifts event_id and
+    * user_id by i*stride (ts/type/value kept — identical value ties
+    * across copies are deliberate: the per-type top-k queries must
+    * break them deterministically by event_id, and at 10x the tie
+    * density is the stress case for the bounded-heap aggregate). */
+  def expandEvents(spark: SparkSession, path: String, f: Int): DataFrame = {
+    val ev = spark.read.parquet(path)
+    val stride = ev.agg(max("event_id")).head.getLong(0) + 1
+    val ustride = ev.agg(max("user_id")).head.getLong(0) + 1
+    (0 until f).map { i =>
+      if (i == 0) ev
+      else ev.select((col("event_id") + lit(i * stride)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * ustride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def expandDocuments(spark: SparkSession, path: String, f: Int): DataFrame = {
     val docs = spark.read.parquet(path)
     val stride = docs.agg(max("doc_id")).head.getLong(0) + 1

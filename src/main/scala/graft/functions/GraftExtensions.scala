@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (exprs.length != n) throw new IllegalArgumentException(
       s"$name takes $n argument(s), got ${exprs.length}")
 
+  private def litInt(name: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression], i: Int): Int =
+    exprs.lift(i) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType)) => v
+      case other => throw new IllegalArgumentException(
+        s"$name argument ${i + 1} must be a literal int, got $other")
+    }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       FunctionIdentifier("vector_dot"),
@@ -57,6 +66,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"heavy_hitters k must be an integer literal, got $other")
         })
+      }))
+    // the shingle/minhash kernel set (width as a literal int), so a
+    // SQL-only session has the same surface VectorFunctions.registerAll
+    // provides a driver-side one
+    Seq[(String, (Seq[org.apache.spark.sql.catalyst.expressions.Expression], Int) => org.apache.spark.sql.catalyst.expressions.Expression, Class[_])](
+      ("shingles", (e, w) => Shingles(e.head, w), classOf[Shingles]),
+      ("shingle_hashes", (e, w) => ShingleHashes(e.head, w), classOf[ShingleHashes]),
+      ("minhash_sig", (e, w) => MinhashSig(e.head, w), classOf[MinhashSig]),
+      ("gram_hashes", (e, w) => GramHashes(e.head, w), classOf[GramHashes]),
+      ("window_mins", (e, w) => WindowMins(e.head, w), classOf[WindowMins])
+    ).foreach { case (name, build, cls) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          arity(name, 2)(exprs)
+          build(exprs, litInt(name, exprs, 1))
+        }))
+    }
+    extensions.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("kmv_distinct", 2)(exprs)
+        KmvDistinctAgg(exprs.head, litInt("kmv_distinct", exprs, 1))
       }))
     extensions.injectFunction((
       FunctionIdentifier("topk_pairs"),

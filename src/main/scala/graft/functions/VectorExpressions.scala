@@ -192,8 +192,14 @@ object VectorFunctions {
     * and a 166-query bench log buries real warnings under ~2k of them. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    // short-circuit invariant: kmv_distinct exists only if EITHER a
+    // previous registerAll completed OR the graft.GraftExtensions
+    // session extension injected its function set — which is kept a
+    // SUPERSET of this list (GraftExtensionsSpec pins that), so either
+    // way every function below is already available. Do NOT sentinel
+    // on a function the extension injects but this list lacks.
     if (registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"))) return
+        org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"))) return
     registry.createOrReplaceTempFunction("vector_dot",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vector_cosine",

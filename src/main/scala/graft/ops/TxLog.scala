@@ -943,6 +943,18 @@ object TxLog {
     (v, 0, dvAdds.size, snap.files.size)
   }
 
+  /** One commit's recorded actions — (op, adds, removed paths),
+    * metadata-only. The streaming tail (graft.sources.LakeStreamSource)
+    * classifies commits with this: an append-class commit (no removes,
+    * no deletion vectors on its adds) contributes exactly its added
+    * files to a micro-batch; anything else is a data-change commit. */
+  def commitActions(table: Path, v: Long): (String, Vector[AddFile], Vector[String]) = {
+    val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+    (node.get("op").asText,
+      node.get("adds").elements().asScala.map(nodeToAdd).toVector,
+      node.get("removes").elements().asScala.map(_.asText).toVector)
+  }
+
   /** Commit history (DESCRIBE HISTORY): one (version, op, n_adds,
     * n_removes) tuple per committed version, metadata-only. */
   def history(table: Path): Seq[(Long, String, Long, Long)] =

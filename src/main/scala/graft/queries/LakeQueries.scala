@@ -561,6 +561,38 @@ object LakeQueries {
            |ORDER BY version""".stripMargin)
     }),
 
+    // ---- tx16: streaming TAIL of the lake table — the read-side twin
+    // of tx13's CDC writer: readStream.format("graft-lake") follows the
+    // COMMIT LOG (offsets are versions, batches are the files commits
+    // added — O(1) metadata per batch, no directory diffing). The
+    // mid-sequence compaction is a data-unchanged rewrite; with
+    // skipChangeCommits the tail skips it and still delivers every
+    // appended row exactly once (the pre-compaction files remain until
+    // vacuum). The drained sink must equal the oracle's full recompute.
+    "tx16_stream_tail" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 3 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 3 === 1), table, "doc_id", nParts = 2)
+      TxLog.compact(spark, table, "doc_id", nParts = 1)
+      TxLog.append(spark, d.filter(col("doc_id") % 3 === 2), table, "doc_id", nParts = 2)
+      val ckpt = Files.createTempDirectory("graft_tx16_ckpt")
+      tmpDirs.add(ckpt)
+      val sink = s"tx16_sink_${math.abs(table.hashCode().toLong)}"
+      val q = spark.readStream.format("graft-lake")
+        .option("skipChangeCommits", "true")
+        .load(table.toString)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -803,6 +835,14 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
+
+    // The tail must deliver every appended row exactly once, compaction
+    // notwithstanding — a full-table recompute is the oracle.
+    "tx16_stream_tail" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
 
     // v1 applies the first deletion vector only; the latest applies the
     // unioned sidecars — the recompute deletes by the same residues.

@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.StreamingShims
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.TxLog
+
+/** Structured-Streaming TAIL of a TxLog table — the read-side twin of
+  * the exactly-once writers (TxLog.streamingAppend / streamingApply):
+  *
+  * {{{
+  *   spark.readStream.format("graft-lake").load(tablePath)
+  *     ... .writeStream.option("checkpointLocation", ...).start()
+  * }}}
+  *
+  * Offsets are COMMIT VERSIONS (one log number per micro-batch range),
+  * so progress tracking is O(1) metadata: a batch is "the files added
+  * by commits (start, end]", resolved from commit.json alone — never a
+  * directory listing, never a data diff. This is the lakehouse
+  * streaming model of Delta's streaming source (Armbrust, VLDB 2020
+  * §4.3): the table IS the queue, retention is the log's, and a
+  * consumer restarting from a checkpoint resumes at its version.
+  *
+  * Commit classification (via TxLog.commitActions): an append-class
+  * commit — no removed files, no deletion vectors on its adds — streams
+  * exactly its added files. Anything else (COW rewrite, compaction,
+  * MOR delete/merge) CHANGES or rewrites existing data, which a
+  * downstream incremental consumer cannot replay from files alone; by
+  * default the source fails fast on such a commit, and with
+  * `.option("skipChangeCommits", "true")` it skips them (the documented
+  * contract for appends-plus-maintenance tables: compaction rewrites
+  * carry no new rows, so skipping them keeps the stream exactly-once
+  * on the appended data).
+  *
+  * Batches are built as a plain parquet read over the commits' file
+  * list re-tagged streaming in place (StreamingShims) — pushdown,
+  * pruning, and vectorized reading all apply; payload bytes never pass
+  * through the driver.
+  */
+class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def tablePath(parameters: Map[String, String]): Path =
+    Paths.get(parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake needs a table path: readStream.format(\"graft-lake\").load(path)")))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      LakeStreamSource.tableSchema(sqlContext.sparkSession, tablePath(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext.sparkSession, tablePath(parameters),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+}
+
+object LakeStreamSource {
+  /** The log's recorded schema (falls back to a live file's footer for
+    * tables written before schema tracking). */
+  private[sources] def tableSchema(spark: SparkSession, table: Path): StructType =
+    TxLog.tableSchema(table, None).getOrElse {
+      val snap = TxLog.snapshotAt(table)
+      require(snap.files.nonEmpty,
+        s"$table has no recorded schema and no files to derive one from")
+      spark.read.parquet(table.resolve(snap.files.head.path).toString).schema
+    }
+}
+
+class LakeStreamSource(spark: SparkSession, table: Path,
+    skipChangeCommits: Boolean, startingVersion: Long) extends Source {
+
+  override val schema: StructType = LakeStreamSource.tableSchema(spark, table)
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(s"unexpected offset $other")
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = TxLog.latestVersion(table)
+    if (latest < startingVersion) None else Some(LongOffset(latest))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion - 1L)
+    val to = ver(end)
+    val adds = TxLog.versions(table).filter(v => v > from && v <= to).flatMap { v =>
+      val (op, commitAdds, removes) = TxLog.commitActions(table, v)
+      val appendClass = removes.isEmpty && commitAdds.forall(_.dv.isEmpty)
+      if (appendClass) commitAdds
+      else if (skipChangeCommits) Vector.empty
+      else throw new IllegalStateException(
+        s"commit v$v of $table is a data-change commit (op=$op); a streaming " +
+        "tail cannot replay it incrementally — set " +
+        "option(\"skipChangeCommits\", \"true\") if such commits carry no new " +
+        "rows for this table (e.g. compaction), or recompute downstream")
+    }
+    if (adds.isEmpty) StreamingShims.emptyStreamingBatch(spark, schema)
+    else StreamingShims.asStreamingBatch(spark,
+      spark.read.schema(schema).parquet(adds.map(a => table.resolve(a.path).toString): _*),
+      this)
+  }
+
+  override def stop(): Unit = ()
+}

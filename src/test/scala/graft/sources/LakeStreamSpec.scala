@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ops.TxLog
+
+/** Contracts of the lake streaming tail (graft-lake source): version
+  * offsets with exactly-once resume from a checkpoint, append-class
+  * commit classification, the fail-fast on data-change commits, and
+  * the skipChangeCommits escape for data-unchanged rewrites. */
+class LakeStreamSpec extends SparkSpec {
+
+  private def idsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("doc_id").withColumn("payload", concat(lit("v"), col("doc_id")))
+  }
+
+  private var sinkN = 0
+  /** One AvailableNow drain; returns the doc_ids delivered THIS run.
+    * foreachBatch (not the memory sink) so the checkpoint is
+    * recoverable across drains — that recovery IS what the restart
+    * test exercises. */
+  private def drain(table: java.nio.file.Path, ckpt: String,
+      skipChanges: Boolean = false): Seq[Long] = {
+    sinkN += 1
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-lake")
+      .option("skipChangeCommits", skipChanges.toString)
+      .load(table.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq.sorted
+  }
+
+  test("tails appends exactly once across a checkpointed restart") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 2)
+    TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 2)
+    assert(drain(table, ckpt) == (0L to 9L))
+    // a new commit after the drain; the SAME checkpoint resumes at its
+    // version and must deliver ONLY the new files
+    TxLog.append(spark, idsDf(10L to 12L), table, "doc_id", nParts = 1)
+    assert(drain(table, ckpt) == (10L to 12L))
+    // nothing new: the next drain is empty
+    assert(drain(table, ckpt) == Seq.empty)
+  }
+
+  test("fails fast on a data-change commit; skipChangeCommits skips it") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 2)
+    TxLog.deleteMor(spark, table, idsDf(Seq(3L)).select("doc_id"), "doc_id")
+    val e = intercept[Exception] {
+      drain(table, Files.createTempDirectory("graft_lakestream_ckpt").toString)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("data-change commit")), e.getMessage)
+    // skipping the MOR commit streams the APPENDED files as written
+    // (the tail is an append log, not a table diff — documented)
+    val got = drain(table,
+      Files.createTempDirectory("graft_lakestream_ckpt").toString, skipChanges = true)
+    assert(got == (0L to 9L))
+  }
+
+  test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 2)
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(5L to 7L), table, "doc_id", nParts = 1)
+    assert(drain(table, ckpt, skipChanges = true) == (0L to 7L))
+  }
+}
