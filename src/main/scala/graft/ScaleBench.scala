@@ -78,9 +78,25 @@ object ScaleBench {
         println(f"SCALE x$f%-3d $q%-28s ${bestSec}%8.2f s  $rows%9d rows  load=${load1()}%.1f")
       }
     }
-    val json = results.map { case (f, q, s, r) =>
-      s"""{"factor":$f,"query":"$q","sec":${f"$s%.2f"},"rows":$r}"""
-    }.mkString("[", ",", "]")
+    // MERGE into the existing curve file: a targeted rerun (one query
+    // family, a new factor set) must not clobber the other families'
+    // recorded curves — same-(factor,query) entries are superseded.
+    val fresh = results.map { case (f, q, s, r) =>
+      (f, q, s"""{"factor":$f,"query":"$q","sec":${f"$s%.2f"},"rows":$r}""")
+    }
+    val freshKeys = fresh.map { case (f, q, _) => (f, q) }.toSet
+    val keyRe = """"factor":(\d+),"query":"([^"]+)"""".r
+    val kept = try {
+      val txt = new String(Files.readAllBytes(Paths.get("scale_curves.json"))).trim
+      txt.stripPrefix("[").stripSuffix("]").split("\\},\\s*\\{").toSeq
+        .filter(_.nonEmpty)
+        .map(e => ("{" + e.stripPrefix("{").stripSuffix("}") + "}").replaceAll("\\s+", ""))
+        .filter(e => keyRe.findFirstMatchIn(e) match {
+          case Some(m) => !freshKeys.contains((m.group(1).toInt, m.group(2)))
+          case None => false
+        })
+    } catch { case _: Throwable => Seq.empty }
+    val json = (kept ++ fresh.map(_._3)).mkString("[", ",", "]")
     val w = new java.io.PrintWriter("scale_curves.json")
     try w.println(json) finally w.close()
     println(json)

@@ -593,6 +593,43 @@ object LakeQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- tx17: the MEDALLION composition — bronze -> silver entirely
+    // inside the engine's own machinery: three raw appends land in a
+    // bronze TxLog table; a graft-lake STREAMING TAIL (tx16's source)
+    // filters/projects each micro-batch and lands it in a silver TxLog
+    // table via the exactly-once streaming writer (tx13's batch-id
+    // commits). Offsets are commit versions on the read side and batch
+    // ids in commits on the write side, so BOTH hops replay safely
+    // through restarts. The silver table must equal the oracle's batch
+    // recompute of the same filter.
+    "tx17_medallion" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val bronze = freshTable()
+      val silver = freshTable()
+      (0 until 3).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 3 === i), bronze, "doc_id", nParts = 2)
+      }
+      val ckpt = Files.createTempDirectory("graft_tx17_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1") // one bronze commit per micro-batch
+        .load(bronze.toString)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          TxLog.streamingAppend(spark, batch, bid, silver, "doc_id", nParts = 1): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TxLog.readAt(spark, silver)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -835,6 +872,14 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
+
+    // Bronze -> silver through the streaming tail + exactly-once
+    // writer must equal the batch recompute of the same filter.
+    "tx17_medallion" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // The tail must deliver every appended row exactly once, compaction
     // notwithstanding — a full-table recompute is the oracle.

@@ -42,6 +42,12 @@ import graft.ops.TxLog
   * list re-tagged streaming in place (StreamingShims) — pushdown,
   * pruning, and vectorized reading all apply; payload bytes never pass
   * through the driver.
+  *
+  * `.option("maxVersionsPerBatch", n)` bounds how many commits one
+  * micro-batch covers (admission control, the version-grain analog of
+  * maxFilesPerTrigger); under Trigger.AvailableNow the drain target is
+  * frozen at start, so the run terminates even while writers keep
+  * committing. `.option("startingVersion", v)` skips history before v.
   */
 class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -61,7 +67,8 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source =
     new LakeStreamSource(sqlContext.sparkSession, tablePath(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt))
 }
 
 object LakeStreamSource {
@@ -77,7 +84,13 @@ object LakeStreamSource {
 }
 
 class LakeStreamSource(spark: SparkSession, table: Path,
-    skipChangeCommits: Boolean, startingVersion: Long) extends Source {
+    skipChangeCommits: Boolean, startingVersion: Long,
+    maxVersionsPerBatch: Option[Int] = None)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => ConnectorOffset, ReadLimit, ReadMaxFiles}
 
   override val schema: StructType = LakeStreamSource.tableSchema(spark, table)
 
@@ -87,9 +100,41 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     case other => throw new IllegalStateException(s"unexpected offset $other")
   }
 
+  private def cver(o: ConnectorOffset): Long = o match {
+    case null => startingVersion - 1L
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong // LongOffset serializes as the bare number
+  }
+
   override def getOffset: Option[Offset] = {
     val latest = TxLog.latestVersion(table)
     if (latest < startingVersion) None else Some(LongOffset(latest))
+  }
+
+  // ---- admission control: `maxVersionsPerBatch` caps how many commits
+  // one micro-batch covers (the version-grain analog of the file
+  // source's maxFilesPerTrigger). Under Trigger.AvailableNow the target
+  // is FROZEN at stream start, so a drain terminates even while writers
+  // keep committing — and with a cap of 1 each bronze commit replays as
+  // its own batch, which is what gives a downstream exactly-once writer
+  // commit-level restart granularity.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TxLog.latestVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(ReadLimit.maxFiles(_)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val from = cver(start)
+    val latest = availableNowCap.getOrElse(TxLog.latestVersion(table))
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(latest, from + m.maxFiles())
+      case _ => latest
+    }
+    if (capped <= from || capped < startingVersion) null else LongOffset(capped)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -74,6 +74,29 @@ class LakeStreamSpec extends SparkSpec {
     assert(got == (0L to 9L))
   }
 
+  test("maxVersionsPerBatch=1 replays one commit per micro-batch under AvailableNow") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    (0 until 3).foreach { i =>
+      TxLog.append(spark, idsDf((i * 5L) until (i * 5L + 5L)), table, "doc_id", nParts = 1)
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerBatch", "1")
+      .load(table.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batches.add((bid, batch.count())): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_lakestream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 5L), (1L, 5L), (2L, 5L)), got)
+  }
+
   test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
     val table = Files.createTempDirectory("graft_lakestream").resolve("t")
     val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
