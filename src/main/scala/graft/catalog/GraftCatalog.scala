@@ -87,9 +87,14 @@ class GraftCatalog extends TableCatalog {
       catch { case _: NumberFormatException => throw new IllegalArgumentException(
         s"$catalogName catalog versions are commit numbers, got '$version'") }))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName catalog supports VERSION AS OF (commit numbers), not TIMESTAMP AS OF")
+  /** SQL `TIMESTAMP AS OF <t>` lands here; Spark passes MICROSECONDS
+    * since epoch. Resolution is Delta's rule: the latest commit whose
+    * file mtime is <= t (TxLog.versionAtTimestamp). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    snapshotTable(ident,
+      Some(TxLog.versionAtTimestamp(tableDir(ident), timestamp / 1000L)))
+  }
 
   private def snapshotTable(ident: Identifier, version: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)

@@ -943,6 +943,21 @@ object TxLog {
     (v, 0, dvAdds.size, snap.files.size)
   }
 
+  /** TIMESTAMP AS OF resolution, Delta's rule (Armbrust VLDB 2020 §2):
+    * the snapshot at time t is the LATEST commit whose timestamp is
+    * <= t, the commit timestamp being the commit file's modification
+    * time (no schema change, works for every table ever written; a
+    * clock-skewed object store would need monotonized times, noted in
+    * the Delta paper too). Errors before the first commit. */
+  def versionAtTimestamp(table: Path, tsMillis: Long): Long = {
+    val fit = versions(table).filter(v =>
+      Files.getLastModifiedTime(versionDir(table, v).resolve("commit.json"))
+        .toMillis <= tsMillis)
+    require(fit.nonEmpty,
+      s"no commit in $table at or before ${java.time.Instant.ofEpochMilli(tsMillis)}")
+    fit.max
+  }
+
   /** One commit's recorded actions — (op, adds, removed paths),
     * metadata-only. The streaming tail (graft.sources.LakeStreamSource)
     * classifies commits with this: an append-class commit (no removes,

@@ -137,10 +137,29 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     if (capped <= from || capped < startingVersion) null else LongOffset(capped)
   }
 
+  /** Can this source's frozen schema represent a commit written under
+    * `commitSchema`? Older (subset) schemas are fine — their files
+    * null-fill the later columns; new or type-changed fields are not
+    * (reading them under the frozen schema would silently drop data). */
+  private def representable(commitSchema: StructType): Boolean = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    commitSchema.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion - 1L)
     val to = ver(end)
     val adds = TxLog.versions(table).filter(v => v > from && v <= to).flatMap { v =>
+      TxLog.tableSchema(table, Some(v)).filterNot(representable).foreach { s =>
+        // Delta's rule: a schema evolution invalidates the running
+        // stream's frozen schema; restarting re-resolves it (and the
+        // old commits' subset schemas stay readable via null-fill)
+        throw new IllegalStateException(
+          s"commit v$v of $table evolved the table schema to " +
+          s"${s.catalogString}, which this stream's schema " +
+          s"${schema.catalogString} cannot represent; restart the stream " +
+          "to pick up the evolved schema")
+      }
       val (op, commitAdds, removes) = TxLog.commitActions(table, v)
       val appendClass = removes.isEmpty && commitAdds.forall(_.dv.isEmpty)
       if (appendClass) commitAdds

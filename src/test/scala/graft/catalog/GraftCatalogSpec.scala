@@ -75,6 +75,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(w.getMessage.contains("read-only") || w.getMessage.contains("TxLog"))
   }
 
+  test("catalog: TIMESTAMP AS OF resolves to the latest commit at or before t") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("tt")
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)   // v0
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)   // v1
+    def tsLit(ms: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    // between the commits -> v0; after the last -> v1 (the latest)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $cat.tt TIMESTAMP AS OF '${tsLit(betweenMs)}'")
+      .head.getLong(0) == 5L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM $cat.tt TIMESTAMP AS OF '${tsLit(System.currentTimeMillis())}'")
+      .head.getLong(0) == 10L)
+    // before the first commit: a clear error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.tt TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("no commit"), e.getMessage)
+  }
+
   test("catalog: predicates still push into the parquet scans under the DV rewrite") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("p")

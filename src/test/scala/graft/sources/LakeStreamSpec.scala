@@ -97,6 +97,45 @@ class LakeStreamSpec extends SparkSpec {
     assert(got == Seq((0L, 5L), (1L, 5L), (2L, 5L)), got)
   }
 
+  test("schema evolution fails the running stream; a restarted stream reads it all") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
+    assert(drain(table, ckpt) == (0L to 4L))
+    // a RUNNING stream's source has its schema frozen at creation; an
+    // evolution committed under it must fail that stream's next batch
+    // (a fresh drain would re-resolve the schema and mask this, so the
+    // running-stream case is driven at the source level)
+    val running = new LakeStreamSource(spark, table,
+      skipChangeCommits = false, startingVersion = 0L)
+    TxLog.append(spark, idsDf(5L to 7L).withColumn("extra", lit(1L)),
+      table, "doc_id", nParts = 1, allowEvolution = true)
+    val e = intercept[IllegalStateException] {
+      running.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(0L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L))
+    }
+    assert(e.getMessage.contains("evolved the table schema"), e.getMessage)
+    // a NEW stream (fresh source => re-resolved schema, fresh checkpoint)
+    // reads everything: pre-evolution files null-fill `extra`
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    val q = spark.readStream.format("graft-lake").load(table.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id", "extra").collect()
+          .foreach(r => sink.add((r.getLong(0), r.isNullAt(1)))): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_lakestream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala.toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (0L to 7L))
+    assert(got.map(_._2) == Seq(true, true, true, true, true, false, false, false))
+  }
+
   test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
     val table = Files.createTempDirectory("graft_lakestream").resolve("t")
     val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
