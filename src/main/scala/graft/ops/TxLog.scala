@@ -970,6 +970,24 @@ object TxLog {
       node.get("removes").elements().asScala.map(_.asText).toVector)
   }
 
+  /** The keys NEWLY deletion-vectored by commit `v`, per re-added file:
+    * (file, keyCol, keys) with keys = dv(v) \ dv(v-1). Driver-side and
+    * churn-sized (sidecars are KBs by contract) — this is what lets the
+    * streaming change feed surface a merge-on-read commit's deletes as
+    * a plain scan + IN-list filter, no join and no except algebra. */
+  def newlyDvKeys(table: Path, v: Long): Seq[(AddFile, String, Vector[Long])] = {
+    val prev: Map[String, Option[String]] =
+      if (v == 0) Map.empty
+      else snapshotAt(table, Some(v - 1)).files.map(f => f.path -> f.dv).toMap
+    commitActions(table, v)._2.filter(_.dv.isDefined).flatMap { f =>
+      val (kc, keys) = readDv(table, f.dv.get)
+      val old = prev.get(f.path).flatten
+        .map(d => readDv(table, d)._2.toSet).getOrElse(Set.empty[Long])
+      val fresh = keys.filterNot(old)
+      if (fresh.isEmpty) None else Some((f, kc, fresh))
+    }
+  }
+
   /** Commit history (DESCRIBE HISTORY): one (version, op, n_adds,
     * n_removes) tuple per committed version, metadata-only. */
   def history(table: Path): Seq[(Long, String, Long, Long)] =
@@ -1106,8 +1124,14 @@ object TxLog {
     val adds = promoteStaged(spark, stage, table, statsCol)
     val validator: Option[Snapshot] => Boolean =
       if (bounds.isNullAt(0)) _ => true
-      else morValidator(baseSnap, matches.keySet, keyCol,
-        bounds.getLong(0), bounds.getLong(1))
+      else {
+        val mor = morValidator(baseSnap, matches.keySet, keyCol,
+          bounds.getLong(0), bounds.getLong(1))
+        // claiming v0 over an EMPTY base is the expected first-commit
+        // state, not a conflict (morValidator's None=conflict rule is
+        // for bases that HAD commits when the write began)
+        snapNow => (baseSnap.version == -1L && snapNow.isEmpty) || mor(snapNow)
+      }
     streamingCommit(table, batchId, "streaming-merge", dvAdds ++ adds,
       validateSchema(tableSchema(table), upserts.schema, allowEvolution = false),
       validator,

@@ -630,6 +630,52 @@ object LakeQueries {
         .orderBy(col("source"))
     }),
 
+    // ---- tx18: lake-to-lake REPLICATION over the streaming change
+    // feed — readChangeFeed streams row-level changes (inserts from
+    // appends; delete+insert pairs and pure deletes from merge-on-read
+    // commits, recovered scan-shaped from the sidecar diffs), one
+    // commit per micro-batch so the <=1-change-per-key contract holds,
+    // and streamingApply lands each batch exactly-once in the replica.
+    // The replica's full state must equal the oracle's recompute of
+    // the same append/update/delete history.
+    "tx18_cdf_replication" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val src = freshTable()
+      val replica = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), src, "doc_id", nParts = 2)
+      TxLog.deleteMor(spark, src,
+        d.filter(col("doc_id") % 10 === 4).select("doc_id"), "doc_id")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), src, "doc_id", nParts = 2)
+      TxLog.mergeMor(spark, src,
+        d.filter(col("doc_id") % 10 === 8).withColumn("n_chars", col("n_chars") + 1000L),
+        "doc_id", "doc_id")
+      val ckpt = Files.createTempDirectory("graft_tx18_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(src.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val delOnly = b.filter(col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+            .join(ins, Seq("doc_id"), "left_anti")
+          val changes = ins.withColumn("op", lit("upsert"))
+            .unionByName(delOnly.withColumn("op", lit("delete")))
+          TxLog.streamingApply(spark, changes, bid, replica, "op", "doc_id", "doc_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TxLog.readAt(spark, replica)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -872,6 +918,15 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
+
+    // The replica replays append/MOR-delete/append/MOR-update through
+    // the change feed; its state is the oracle's direct recompute.
+    "tx18_cdf_replication" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars + CASE WHEN doc_id % 10 = 8 THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 4""".stripMargin,
 
     // Bronze -> silver through the streaming tail + exactly-once
     // writer must equal the batch recompute of the same filter.

@@ -48,6 +48,16 @@ import graft.ops.TxLog
   * maxFilesPerTrigger); under Trigger.AvailableNow the drain target is
   * frozen at start, so the run terminates even while writers keep
   * committing. `.option("startingVersion", v)` skips history before v.
+  *
+  * `.option("readChangeFeed", "true")` streams ROW-LEVEL CHANGES
+  * instead of appended rows — Delta CDF's shape (`_change_type`
+  * insert|delete, `_commit_version`): append commits emit inserts,
+  * merge-on-read commits emit their dv-free adds as inserts plus the
+  * newly-vectored keys as deletes (an update is its delete+insert
+  * pair), compaction emits nothing, and copy-on-write commits fail
+  * fast (their row delta is not recoverable from files alone). Feeding
+  * this into TxLog.streamingApply on another table is lake-to-lake
+  * replication with exactly-once on both hops.
   */
 class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -58,9 +68,14 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
       "graft-lake needs a table path: readStream.format(\"graft-lake\").load(path)")))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      LakeStreamSource.tableSchema(sqlContext.sparkSession, tablePath(parameters))))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      LakeStreamSource.tableSchema(sqlContext.sparkSession, tablePath(parameters)))
+    (shortName(),
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        LakeStreamSource.withCdfColumns(base)
+      else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -68,7 +83,8 @@ class LakeSourceProvider extends StreamSourceProvider with DataSourceRegister {
     new LakeStreamSource(sqlContext.sparkSession, tablePath(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt))
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt),
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
 }
 
 object LakeStreamSource {
@@ -81,18 +97,31 @@ object LakeStreamSource {
         s"$table has no recorded schema and no files to derive one from")
       spark.read.parquet(table.resolve(snap.files.head.path).toString).schema
     }
+
+  /** Change-feed batches carry the data columns plus Delta-CDF-style
+    * change metadata. */
+  private[sources] def withCdfColumns(base: StructType): StructType =
+    StructType(base.fields
+      :+ org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false)
+      :+ org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
 }
 
 class LakeStreamSource(spark: SparkSession, table: Path,
     skipChangeCommits: Boolean, startingVersion: Long,
-    maxVersionsPerBatch: Option[Int] = None)
+    maxVersionsPerBatch: Option[Int] = None,
+    readChangeFeed: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{
     Offset => ConnectorOffset, ReadLimit, ReadMaxFiles}
 
-  override val schema: StructType = LakeStreamSource.tableSchema(spark, table)
+  private val dataSchema: StructType = LakeStreamSource.tableSchema(spark, table)
+
+  override val schema: StructType =
+    if (readChangeFeed) LakeStreamSource.withCdfColumns(dataSchema) else dataSchema
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -142,14 +171,63 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     * null-fill the later columns; new or type-changed fields are not
     * (reading them under the frozen schema would silently drop data). */
   private def representable(commitSchema: StructType): Boolean = {
-    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
     commitSchema.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
+  private def scanFiles(files: Seq[TxLog.AddFile]): DataFrame =
+    spark.read.schema(dataSchema)
+      .parquet(files.map(f => table.resolve(f.path).toString): _*)
+
+  /** Commit v's row-level changes as a SCAN-SHAPED plan (scans,
+    * IN-list filters, unions — deliberately no joins and no except
+    * algebra, which a streaming-tagged plan must not carry):
+    *  - append-class commits: their files' rows as inserts;
+    *  - compaction: layout-only, no logical change, nothing emitted;
+    *  - merge-on-read commits: dv-free adds as inserts, plus each
+    *    re-added file scanned raw and filtered to its NEWLY-vectored
+    *    keys (TxLog.newlyDvKeys — driver-side sidecar diff,
+    *    churn-sized) as deletes; an update is its delete+insert pair;
+    *  - copy-on-write commits: the row-level delta is not recoverable
+    *    from files alone (the Delta CDF position absent change files) —
+    *    fail fast, or skip under skipChangeCommits.
+    */
+  private def cdfForVersion(v: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (op, adds, _) = TxLog.commitActions(table, v)
+    op match {
+      case "compact" => None
+      case "append" | "streaming-append" | "abandoned" =>
+        if (adds.isEmpty) None
+        else Some(scanFiles(adds)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      case "delete-mor" | "merge-mor" | "streaming-merge" =>
+        val inserts = adds.filter(_.dv.isEmpty)
+        val ins = if (inserts.isEmpty) Seq.empty else Seq(
+          scanFiles(inserts).withColumn("_change_type", lit("insert")))
+        val dels = TxLog.newlyDvKeys(table, v).map { case (f, kc, keys) =>
+          scanFiles(Seq(f)).filter(col(kc).cast("long").isin(keys: _*))
+            .withColumn("_change_type", lit("delete"))
+        }
+        val parts = ins ++ dels
+        if (parts.isEmpty) None
+        else Some(parts.reduce(_ unionByName _).withColumn("_commit_version", lit(v)))
+      case other =>
+        if (skipChangeCommits) None
+        else throw new IllegalStateException(
+          s"commit v$v of $table is a copy-on-write '$other'; its row-level " +
+          "changes are not recoverable from files alone — use TxLog.changeFeed " +
+          "for a batch diff, write through the merge-on-read/append paths for a " +
+          "streamable feed, or set skipChangeCommits to ignore it")
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion - 1L)
     val to = ver(end)
-    val adds = TxLog.versions(table).filter(v => v > from && v <= to).flatMap { v =>
+    val vs = TxLog.versions(table).filter(v => v > from && v <= to)
+    vs.foreach { v =>
       TxLog.tableSchema(table, Some(v)).filterNot(representable).foreach { s =>
         // Delta's rule: a schema evolution invalidates the running
         // stream's frozen schema; restarting re-resolves it (and the
@@ -157,23 +235,29 @@ class LakeStreamSource(spark: SparkSession, table: Path,
         throw new IllegalStateException(
           s"commit v$v of $table evolved the table schema to " +
           s"${s.catalogString}, which this stream's schema " +
-          s"${schema.catalogString} cannot represent; restart the stream " +
+          s"${dataSchema.catalogString} cannot represent; restart the stream " +
           "to pick up the evolved schema")
       }
-      val (op, commitAdds, removes) = TxLog.commitActions(table, v)
-      val appendClass = removes.isEmpty && commitAdds.forall(_.dv.isEmpty)
-      if (appendClass) commitAdds
-      else if (skipChangeCommits) Vector.empty
-      else throw new IllegalStateException(
-        s"commit v$v of $table is a data-change commit (op=$op); a streaming " +
-        "tail cannot replay it incrementally — set " +
-        "option(\"skipChangeCommits\", \"true\") if such commits carry no new " +
-        "rows for this table (e.g. compaction), or recompute downstream")
     }
-    if (adds.isEmpty) StreamingShims.emptyStreamingBatch(spark, schema)
-    else StreamingShims.asStreamingBatch(spark,
-      spark.read.schema(schema).parquet(adds.map(a => table.resolve(a.path).toString): _*),
-      this)
+    if (readChangeFeed) {
+      val parts = vs.flatMap(cdfForVersion)
+      if (parts.isEmpty) StreamingShims.emptyStreamingBatch(spark, schema)
+      else StreamingShims.asStreamingBatch(spark, parts.reduce(_ unionByName _), this)
+    } else {
+      val adds = vs.flatMap { v =>
+        val (op, commitAdds, removes) = TxLog.commitActions(table, v)
+        val appendClass = removes.isEmpty && commitAdds.forall(_.dv.isEmpty)
+        if (appendClass) commitAdds
+        else if (skipChangeCommits) Vector.empty
+        else throw new IllegalStateException(
+          s"commit v$v of $table is a data-change commit (op=$op); a streaming " +
+          "tail cannot replay it incrementally — set " +
+          "option(\"skipChangeCommits\", \"true\") if such commits carry no new " +
+          "rows for this table (e.g. compaction), or recompute downstream")
+      }
+      if (adds.isEmpty) StreamingShims.emptyStreamingBatch(spark, schema)
+      else StreamingShims.asStreamingBatch(spark, scanFiles(adds), this)
+    }
   }
 
   override def stop(): Unit = ()

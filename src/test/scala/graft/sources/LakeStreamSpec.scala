@@ -136,6 +136,74 @@ class LakeStreamSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(true, true, true, true, true, false, false, false))
   }
 
+  test("readChangeFeed + streamingApply is lake-to-lake replication, restart-safe") {
+    val src = Files.createTempDirectory("graft_lakestream").resolve("src")
+    val replica = Files.createTempDirectory("graft_lakestream").resolve("rep")
+    val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1") // <=1 change per key per batch
+        .load(src.toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // CDC-minimal pair merge: an update arrives as delete+insert
+          // of the same key — the insert wins, the delete drops
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val delOnly = b.filter(col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+            .join(ins, Seq("doc_id"), "left_anti")
+          val changes = ins.withColumn("op", lit("upsert"))
+            .unionByName(delOnly.withColumn("op", lit("delete")))
+          TxLog.streamingApply(spark, changes, bid, replica, "op", "doc_id", "doc_id"): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TxLog.append(spark, idsDf(0L to 9L), src, "doc_id", nParts = 2)
+    replicate()
+    // churn AFTER the first drain: an update pair and a delete, then
+    // resume from the same checkpoint
+    TxLog.mergeMor(spark, src,
+      idsDf(Seq(2L, 3L)).withColumn("payload", concat(lit("updated"), col("doc_id"))),
+      "doc_id", "doc_id")
+    TxLog.deleteMor(spark, src, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    replicate()
+    def state(t: java.nio.file.Path): Seq[(Long, String)] =
+      TxLog.readAt(spark, t).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("payload"))).toSeq.sorted
+    assert(state(replica) == state(src))
+    assert(state(replica).find(_._1 == 2L).map(_._2).contains("updated2"))
+    assert(!state(replica).exists(_._1 == 5L))
+  }
+
+  test("readChangeFeed fails fast on a copy-on-write commit") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    TxLog.deleteKeys(spark, table, idsDf(Seq(4L)).select("doc_id"), "doc_id", "doc_id")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .load(table.toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getAs[Long]("doc_id"))): Unit
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_lakestream_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("copy-on-write")), e.getMessage)
+  }
+
   test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
     val table = Files.createTempDirectory("graft_lakestream").resolve("t")
     val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
