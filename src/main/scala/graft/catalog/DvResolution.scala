@@ -45,13 +45,80 @@ private[catalog] case class GraftDvTable(
       "the table / read via TxLog.readAt) to serve it")
 }
 
-/** Rewrites [[GraftDvTable]] relations into the deletion-vector-applying
-  * plan, preserving the relation's output attribute ids so every
+/** Iceberg-style METADATA TABLE of a TxLog table — `` lake.`t$history` ``
+  * and `` lake.`t$files` `` are first-class SQL relations. Like
+  * [[GraftDvTable]] it is schema-only; the analyzer rule materializes
+  * the rows (log metadata — O(commits)/O(files), never data) as a
+  * LocalRelation at analysis time. */
+private[catalog] case class GraftMetaTable(
+    tableName: String, dir: Path, kind: String, tableSchema: StructType)
+  extends SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$tableName is a TxLog metadata table; add graft.GraftExtensions to " +
+      "spark.sql.extensions to serve it")
+}
+
+private[catalog] object GraftMetaTable {
+  import org.apache.spark.sql.types._
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_adds", LongType, nullable = false),
+    StructField("n_removes", LongType, nullable = false)))
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("min_key", LongType, nullable = false),
+    StructField("max_key", LongType, nullable = false),
+    StructField("has_dv", BooleanType, nullable = false)))
+
+  def schemaFor(kind: String): StructType = kind match {
+    case "history" => HistorySchema
+    case "files" => FilesSchema
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table '$$$other' (have: $$history, $$files)")
+  }
+
+  /** The rows, computed from log metadata only. */
+  def rows(t: GraftMetaTable): Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    t.kind match {
+      case "history" =>
+        TxLog.history(t.dir).map { case (v, op, na, nr) =>
+          InternalRow(v, UTF8String.fromString(op), na, nr)
+        }
+      case "files" =>
+        TxLog.snapshotAt(t.dir).files.sortBy(_.path).map { f =>
+          InternalRow(UTF8String.fromString(f.path), f.rows, f.minKey, f.maxKey,
+            f.dv.isDefined)
+        }
+    }
+  }
+}
+
+/** Rewrites the catalog's schema-only stand-in tables into real plans,
+  * preserving each relation's output attribute ids so every
   * already-resolved reference upstream keeps binding. Runs at analysis
-  * time — before capability checks build scans — so `SELECT ... FROM
-  * lake.t [VERSION AS OF v]` over a DV-carrying snapshot is transparent
-  * SQL. The snapshot version was pinned when the catalog resolved the
-  * table, so the rewrite is deterministic under concurrent commits. */
+  * time — before capability checks build scans:
+  *
+  *  - [[GraftDvTable]] (a snapshot carrying deletion vectors) becomes
+  *    TxLog.readAt's merge-on-read plan, so `SELECT ... FROM lake.t
+  *    [VERSION AS OF v]` is transparent SQL with pushdown intact;
+  *  - [[GraftMetaTable]] (`$history`/`$files`) becomes a LocalRelation
+  *    of log metadata rows.
+  *
+  * Versions were pinned when the catalog resolved the table, so the
+  * rewrite is deterministic under concurrent commits. */
 case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDvTable] =>
@@ -63,6 +130,10 @@ case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
       Project(r.output.zip(resolved.output).map { case (o, a) =>
         Alias(a, o.name)(exprId = o.exprId)
       }, resolved)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftMetaTable] =>
+      val t = r.table.asInstanceOf[GraftMetaTable]
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        r.output, GraftMetaTable.rows(t))
   }
 }
 

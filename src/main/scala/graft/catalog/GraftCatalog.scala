@@ -78,7 +78,20 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     Files.isDirectory(tableDir(ident).resolve("_graft_log"))
 
-  override def loadTable(ident: Identifier): Table = snapshotTable(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: lake.`t$history` / lake.`t$files`
+    // (backticks — `$` needs quoting in SQL identifiers)
+    ident.name.split('$') match {
+      case Array(base, kind) =>
+        val baseIdent = Identifier.of(ident.namespace(), base)
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
+        val schema = GraftMetaTable.schemaFor(kind)
+        return GraftMetaTable(s"$catalogName.${ident.name}",
+          tableDir(baseIdent), kind, schema)
+      case _ => ()
+    }
+    snapshotTable(ident, None)
+  }
 
   /** SQL `VERSION AS OF <v>` lands here (Spark passes the literal). */
   override def loadTable(ident: Identifier, version: String): Table =

@@ -676,6 +676,35 @@ object LakeQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- sql03: Iceberg-style METADATA TABLES — the log's own state
+    // served as SQL relations: lake.`t$history` (one row per commit:
+    // version/op/adds/removes) and lake.`t$files` (the live snapshot's
+    // file inventory with footer stats and dv flags). Resolution is the
+    // same analyzer-rule mechanism as sql02 — metadata-sized
+    // LocalRelations, never a data scan. The audit aggregate must
+    // replay the known append/append/delete-mor/compact history.
+    "sql03_metadata_tables" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      TxLog.deleteMor(spark, table,
+        d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id")
+      TxLog.compact(spark, table, "doc_id", nParts = 1)
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      spark.sql(
+        s"""SELECT 'commits_' || op AS metric, COUNT(*) AS value
+           |FROM $cat.`tbl$$history` GROUP BY op
+           |UNION ALL SELECT 'files_live', COUNT(*) FROM $cat.`tbl$$files`
+           |UNION ALL SELECT 'dv_files', COUNT(CASE WHEN has_dv THEN 1 END)
+           |  FROM $cat.`tbl$$files`
+           |UNION ALL SELECT 'rows_live', SUM(rows) FROM $cat.`tbl$$files`
+           |ORDER BY metric""".stripMargin)
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -918,6 +947,19 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
+
+    // The metadata tables replay the KNOWN commit sequence: two
+    // appends, one merge-on-read delete, one compaction folding the
+    // vectors into a single live file.
+    "sql03_metadata_tables" ->
+      """SELECT 'commits_append' AS metric, CAST(2 AS BIGINT) AS value
+        |UNION ALL SELECT 'commits_compact', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'commits_delete-mor', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'dv_files', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'files_live', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rows_live',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 7)
+        |ORDER BY metric""".stripMargin,
 
     // The replica replays append/MOR-delete/append/MOR-update through
     // the change feed; its state is the oracle's direct recompute.

@@ -101,6 +101,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no commit"), e.getMessage)
   }
 
+  test("catalog: $history and $files metadata tables reflect the log") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("m")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 2)
+    TxLog.deleteMor(spark, table, idsDf(Seq(3L)).select("doc_id"), "doc_id")
+    val hist = spark.sql(s"SELECT version, op FROM $cat.`m$$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((0L, "append"), (1L, "delete-mor")))
+    // the dv'd file shows its flag; footer stats ride along
+    val files = spark.sql(
+      s"SELECT has_dv, SUM(rows) AS r FROM $cat.`m$$files` GROUP BY has_dv ORDER BY has_dv")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq
+    assert(files.map(_._2).sum == 10L) // rows stat is write-time (pre-dv)
+    assert(files.exists(_._1 == true))
+    // unknown suffix: a clear error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`m$$bogus`").collect()
+    }
+    assert(e.getMessage.contains("unknown metadata table"), e.getMessage)
+  }
+
   test("catalog: predicates still push into the parquet scans under the DV rewrite") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("p")
