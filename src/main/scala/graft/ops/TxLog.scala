@@ -192,31 +192,38 @@ object TxLog {
             case _: java.nio.file.NoSuchFileException => false }
 
   private def commitBytes(v: Long, op: String, adds: Seq[AddFile],
-      removes: Seq[String], batchId: Option[Long], schema: Option[StructType]): Array[Byte] = {
+      removes: Seq[String], batchId: Option[Long], schema: Option[StructType],
+      extra: Map[String, Object]): Array[Byte] = {
     val base = Map[String, Object](
       "version" -> java.lang.Long.valueOf(v), "op" -> op,
       "adds" -> adds.map(addToNode).asJava,
       "removes" -> removes.asJava)
     mapper.writeValueAsBytes((base
       ++ batchId.map(b => "batchId" -> (java.lang.Long.valueOf(b): Object))
-      ++ schema.map(s => "schema" -> (s.json: Object))).asJava)
+      ++ schema.map(s => "schema" -> (s.json: Object))
+      ++ extra).asJava)
   }
 
   private def publishCommit(table: Path, vd: Path, v: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long],
-      schema: Option[StructType]): Boolean = {
+      schema: Option[StructType], extra: Map[String, Object] = Map.empty): Boolean = {
     val ok = publishExclusive(vd.resolve("commit.json"),
-      commitBytes(v, op, adds, removes, batchId, schema))
+      commitBytes(v, op, adds, removes, batchId, schema, extra))
     if (ok && v % CheckpointEvery == 0 && v > 0) {
       val snap = snapshotAt(table, Some(v))
       // the checkpoint also folds the streaming BATCH-ID WATERMARK
       // (Delta's txn appId/version pattern): batch ids are monotone per
       // query, so the max at checkpoint time lets restart dedup read
       // <= CheckpointEvery commits instead of the whole history
+      // ...and the accumulated CHECK constraints, so constraint replay
+      // (like state replay) reads <= CheckpointEvery commits
+      val cons = constraintsUpTo(table, v)
       val ck = (Map[String, Object]("version" -> java.lang.Long.valueOf(v),
         "files" -> snap.files.map(addToNode).asJava)
         ++ maxBatchIdUpTo(table, v).map(m =>
-          "batchMax" -> (java.lang.Long.valueOf(m): Object))).asJava
+          "batchMax" -> (java.lang.Long.valueOf(m): Object))
+        ++ (if (cons.isEmpty) Map.empty[String, Object]
+            else Map("constraints" -> (cons.asJava: Object)))).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
     ok
@@ -251,10 +258,11 @@ object TxLog {
 
   def tryCommit(table: Path, v: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String], batchId: Option[Long] = None,
-      schema: Option[StructType] = None): Boolean = {
+      schema: Option[StructType] = None,
+      extra: Map[String, Object] = Map.empty): Boolean = {
     Files.createDirectories(logDir(table))
     val vd = versionDir(table, v)
-    claimDir(vd) && publishCommit(table, vd, v, op, adds, removes, batchId, schema)
+    claimDir(vd) && publishCommit(table, vd, v, op, adds, removes, batchId, schema, extra)
   }
 
   /** How long a claimed-but-unpublished version dir may block the log
@@ -274,7 +282,8 @@ object TxLog {
     * off briefly. */
   def commitRetry(table: Path, op: String, adds: Seq[AddFile], removes: Seq[String],
       maxAttempts: Int = 60, batchId: Option[Long] = None,
-      schema: => Option[StructType] = None)(
+      schema: => Option[StructType] = None,
+      extra: Map[String, Object] = Map.empty)(
       validate: Option[Snapshot] => Boolean): Long = {
     // time-based bound: the loop must be able to OUTLAST a crashed
     // writer's full staleness lease (plus margin) — an attempt-count
@@ -309,7 +318,7 @@ object TxLog {
           if (gone.nonEmpty)
             throw new IllegalStateException(s"commit '$op': data files vanished " +
               s"(vacuumed?) before commit: ${gone.map(_.path).mkString(", ")}")
-          publishCommit(table, vd, v, op, adds, removes, batchId, schemaNow)
+          publishCommit(table, vd, v, op, adds, removes, batchId, schemaNow, extra)
         } catch { case e: Throwable => publishAbandoned(table, vd, v); throw e }
         if (published) return v
         // publish lost create-exclusive: we stalled past the lease and a
@@ -386,6 +395,70 @@ object TxLog {
     tableSchema(table, version) match {
       case Some(s) => spark.read.schema(s)
       case None => spark.read
+    }
+
+  // ------------------------------------------------------- CHECK constraints
+
+  /** Record a CHECK constraint on the table — a named SQL boolean
+    * expression every FUTURE write of new rows must satisfy (Delta's
+    * `ALTER TABLE ADD CONSTRAINT ... CHECK`). The constraint is itself
+    * a commit (op `set-constraint`, no files), so it is ordered with
+    * every other commit, travels with time travel, and replays from
+    * checkpoints like the rest of the state. SQL-standard semantics: a
+    * row violates only when the expression is FALSE — NULL passes.
+    * Existing rows are NOT re-validated (the Delta behavior is to scan
+    * and reject; our writes-only contract is documented — validate the
+    * table first if needed). Re-setting a name replaces its expression.
+    * The expression is resolved against the table schema NOW, so a
+    * typo fails fast here rather than at the next write. */
+  def setConstraint(spark: SparkSession, table: Path, name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.contains('\n'), s"bad constraint name '$name'")
+    tableSchema(table).foreach { s =>
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+        .filter(expr(sqlExpr)).queryExecution.analyzed: Unit // unresolvable -> throws here
+    }
+    commitRetry(table, "set-constraint", Nil, Nil,
+      extra = Map("constraintName" -> name, "constraintExpr" -> sqlExpr))(_ => true)
+  }
+
+  /** The constraints in force at `version` (latest when None):
+    * checkpoint map + the set-constraint commits after it — the same
+    * <= CheckpointEvery replay bound as snapshot state. */
+  def constraints(table: Path, version: Option[Long] = None): Map[String, String] = {
+    val vs = versions(table)
+    if (vs.isEmpty) return Map.empty
+    constraintsUpTo(table, version.getOrElse(vs.last))
+  }
+
+  private def constraintsUpTo(table: Path, target: Long): Map[String, String] = {
+    val vs = versions(table).filter(_ <= target)
+    val ckpt = vs.reverse.find(v =>
+      Files.exists(versionDir(table, v).resolve("checkpoint.json")))
+    val seed = ckpt.map { v =>
+      val node = mapper.readTree(Files.readAllBytes(
+        versionDir(table, v).resolve("checkpoint.json")))
+      Option(node.get("constraints")).map { c =>
+        c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
+    }.getOrElse(Map.empty[String, String])
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    vs.filter(_ >= from).foldLeft(seed) { (acc, v) =>
+      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      Option(node.get("constraintName")) match {
+        case Some(n) => acc + (n.asText -> node.get("constraintExpr").asText)
+        case None => acc
+      }
+    }
+  }
+
+  /** Validate a write's NEW rows against the table's constraints — one
+    * pass over the WRITE-sized delta (never the table), before any
+    * staging I/O. Violation = expression FALSE (NULL passes). */
+  private def enforceConstraints(table: Path, df: DataFrame): Unit =
+    constraints(table).foreach { case (name, e) =>
+      val bad = df.filter(not(coalesce(expr(e), lit(true)))).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($e) violated by the write; no data was committed")
     }
 
   // ------------------------------------------------------------- file stats
@@ -474,6 +547,7 @@ object TxLog {
       nParts: Int = 0, allowEvolution: Boolean = false): Long = {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution): Unit // fail fast pre-stage
+    enforceConstraints(table, df)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) df.repartition(nParts) else df
     out.write.mode("overwrite").parquet(stage.toString)
@@ -496,6 +570,7 @@ object TxLog {
       clusterCol: Column, nClusters: Int): Long = {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
+    enforceConstraints(table, df)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     df.withColumn("__cluster", clusterCol)
       .repartition(nClusters, col("__cluster"))
@@ -529,6 +604,7 @@ object TxLog {
     require(partCols.nonEmpty, "appendPartitioned needs at least one partition column")
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
+    enforceConstraints(table, df)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val dup = partCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
     val pKeys = partCols.map(c => col(s"__p_$c"))
@@ -776,6 +852,7 @@ object TxLog {
       statsCol: String, nParts: Int = 1): (Long, Int, Int) = {
     val snap = snapshotAt(table)
     validateSchema(tableSchema(table), updates.schema, allowEvolution = false): Unit
+    enforceConstraints(table, updates)
     val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size) // empty delta
     // prune with the KEY column's own recorded stats — the designated
@@ -931,6 +1008,7 @@ object TxLog {
       statsCol: String, nParts: Int = 1): (Long, Int, Int, Int) = {
     val snap = snapshotAt(table)
     validateSchema(tableSchema(table), updates.schema, allowEvolution = false): Unit
+    enforceConstraints(table, updates)
     val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return (snap.version, 0, 0, snap.files.size) // empty delta
     val matches = morMatches(spark, table, snap, updates.select(col(keyCol)), keyCol)
@@ -1079,6 +1157,7 @@ object TxLog {
     if (isBatchCommitted(table, batchId)) return None
     Files.createDirectories(table)
     validateSchema(tableSchema(table), batch.schema, allowEvolution = false): Unit // fail fast
+    enforceConstraints(table, batch)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) batch.repartition(nParts) else batch
     out.write.mode("overwrite").parquet(stage.toString)
@@ -1112,6 +1191,7 @@ object TxLog {
       else snapshotAt(table)
     val upserts = batch.filter(col(opCol) =!= "delete").drop(opCol)
     validateSchema(tableSchema(table), upserts.schema, allowEvolution = false): Unit
+    enforceConstraints(table, upserts)
     val changeKeys = batch.select(col(keyCol))
     val bounds = changeKeys.agg(min(col(keyCol)).cast("long"),
       max(col(keyCol)).cast("long")).head

@@ -705,6 +705,40 @@ object LakeQueries {
            |ORDER BY metric""".stripMargin)
     }),
 
+    // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
+    // commit: `set-constraint` is ordered with every other commit
+    // (time travel sees the constraints of its era, checkpoints fold
+    // them), and every subsequent write of NEW rows validates its
+    // WRITE-sized delta before any staging I/O. SQL semantics: FALSE
+    // violates, NULL passes. The gate proves the valid writes landed,
+    // the violating append was rejected, and rejection left the table
+    // byte-identical (rows_changed_by_reject = 0).
+    "tx19_check_constraints" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.setConstraint(spark, table, "chars_nonneg",
+        "n_chars >= 0 AND lang IS NOT NULL")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      val before = TxLog.readAt(spark, table).count()
+      val rejected =
+        try {
+          TxLog.append(spark, d.limit(50).withColumn("n_chars", lit(-1L)),
+            table, "doc_id", nParts = 1)
+          0L
+        } catch {
+          case e: IllegalArgumentException if e.getMessage.contains("CHECK") => 1L
+        }
+      val after = TxLog.readAt(spark, table).count()
+      Seq(
+        ("n_constraints", TxLog.constraints(table).size.toLong),
+        ("rejected_write", rejected),
+        ("rows_changed_by_reject", after - before),
+        ("rows_live", after))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -947,6 +981,15 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 10 <> 0
         |ORDER BY version""".stripMargin,
+
+    // A rejected write must change NOTHING; the valid appends carry
+    // every document.
+    "tx19_check_constraints" ->
+      """SELECT 'n_constraints' AS metric, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'rejected_write', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'rows_changed_by_reject', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'rows_live', (SELECT COUNT(*) FROM documents)
+        |ORDER BY metric""".stripMargin,
 
     // The metadata tables replay the KNOWN commit sequence: two
     // appends, one merge-on-read delete, one compaction folding the

@@ -196,7 +196,7 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     import org.apache.spark.sql.functions.{col, lit}
     val (op, adds, _) = TxLog.commitActions(table, v)
     op match {
-      case "compact" => None
+      case "compact" | "set-constraint" => None // no row-level change
       case "append" | "streaming-append" | "abandoned" =>
         if (adds.isEmpty) None
         else Some(scanFiles(adds)

@@ -684,4 +684,57 @@ class TxLogSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
       == (10L to 30L).filter(_ % 2 == 0).toSet)
   }
+
+  test("txlog: CHECK constraints gate every new-row writer; NULL passes; replace by name") {
+    import org.apache.spark.sql.functions._
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
+    TxLog.setConstraint(spark, table, "id_cap", "doc_id < 100")
+    // valid append lands; violating append rejected with nothing changed
+    TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)
+    val before = TxLog.readAt(spark, table).count()
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, idsDf(Seq(200L)), table, "doc_id", nParts = 1)
+    }
+    assert(e.getMessage.contains("id_cap"), e.getMessage)
+    assert(TxLog.readAt(spark, table).count() == before)
+    // NULL passes (SQL standard): a null payload row under a payload
+    // constraint commits fine
+    TxLog.setConstraint(spark, table, "pay_len", "length(payload) <= 10")
+    TxLog.append(spark,
+      idsDf(Seq(50L)).withColumn("payload", lit(null).cast("string")),
+      table, "doc_id", nParts = 1)
+    // the MOR writers enforce too: a violating streaming upsert aborts
+    val bad = intercept[Exception] {
+      TxLog.streamingApply(spark,
+        idsDf(Seq(300L)).withColumn("op", lit("upsert")),
+        batchId = 900L, table, "op", "doc_id", "doc_id")
+    }
+    assert(bad.getMessage.contains("id_cap"), bad.getMessage)
+    // re-setting a name REPLACES its expression
+    TxLog.setConstraint(spark, table, "id_cap", "doc_id < 1000")
+    TxLog.append(spark, idsDf(Seq(200L)), table, "doc_id", nParts = 1)
+    assert(TxLog.constraints(table)("id_cap") == "doc_id < 1000")
+    assert(TxLog.constraints(table).size == 2)
+    // an unresolvable expression fails at set time, not at the next write
+    intercept[Exception] {
+      TxLog.setConstraint(spark, table, "typo", "no_such_column > 0")
+    }
+  }
+
+  test("txlog: constraints replay from checkpoints and travel with time travel") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1) // v0
+    TxLog.setConstraint(spark, table, "cap", "doc_id < 100")          // v1
+    val vCap = TxLog.latestVersion(table)
+    // push past a checkpoint boundary (v10) with more commits
+    (0 until 10).foreach { i =>
+      TxLog.append(spark, idsDf(Seq(10L + i)), table, "doc_id", nParts = 1)
+    }
+    assert(TxLog.latestVersion(table) >= 10L)
+    assert(TxLog.constraints(table) == Map("cap" -> "doc_id < 100"))
+    // as-of before the constraint: none in force
+    assert(TxLog.constraints(table, Some(vCap - 1)).isEmpty)
+    assert(TxLog.constraints(table, Some(vCap)) == Map("cap" -> "doc_id < 100"))
+  }
 }
