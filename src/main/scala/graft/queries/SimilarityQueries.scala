@@ -343,6 +343,62 @@ object SimilarityQueries {
           shortlistK = pqShortlist(n), topK = 10)
         .orderBy("rank")
     }),
+
+    // ---- rrf01: HYBRID retrieval fusion — reciprocal-rank fusion
+    // (Cormack/Clarke/Buettcher SIGIR'09, k = 60) of a sparse BM25
+    // ranking (t14's exact expression) and a dense cosine ranking (one
+    // query vector against the corpus). This is the retrieval stack's
+    // standard two-arm merge: each arm produces its own top-20 with its
+    // own tie-breaks, RRF needs only the RANKS (so float-score
+    // incomparability across arms never matters), and a doc found by
+    // both arms sums both reciprocals. Scale shape: each arm ends in a
+    // distributed TakeOrdered top-20; the rank windows then run over
+    // those 20-row bounded relations (not the corpus), and the fusion
+    // join is 20x20-bounded.
+    "rrf01_hybrid_fusion" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val qterms = Seq("spark", "join", "filter")
+      val docsW = t(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val stats = docsW.agg(count(lit(1)).as("n"),
+        (sum(size(col("ws"))).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docsW
+        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isInCollection(qterms))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val bmScored = tf.join(broadcast(dfq), "w").crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            col("tf").cast("double") /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(1.0) - 0.75 +
+                lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+            .as("part"))
+        .groupBy(col("doc_id")).agg(round(sum(col("part")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20) // TakeOrdered
+      val sparse = bmScored.withColumn("bm25_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("bm25_rank")) // 20-row bounded window
+      val emb = t(spark, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val cosTop = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          expr(cosExpr("q_emb", "embedding")).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id").asc).limit(20) // TakeOrdered
+      val dense = cosTop.withColumn("cos_rank",
+          row_number().over(Window.orderBy(col("cosine").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("cos_rank")) // 20-row bounded window
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0))).as("rrf"),
+          coalesce(col("bm25_rank"), lit(-1)).cast("bigint").as("bm25_rank"),
+          coalesce(col("cos_rank"), lit(-1)).cast("bigint").as("cos_rank"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    }),
   )
 
   private def dotSql(a: String, b: String): String =
@@ -521,6 +577,52 @@ object SimilarityQueries {
     "sim06_pq_ann" -> sim06Sql,
 
     "sim01_cosine_topk" -> sim01Sql,
+
+    // Both arms' rank lists replay exactly (t14's rounded BM25, the
+    // round-6 cosine); the fusion is rank arithmetic — CAST the
+    // literals to DOUBLE (DuckDB's bare 1.0 is DECIMAL and its
+    // DECIMAL/BIGINT division would not be IEEE).
+    "rrf01_hybrid_fusion" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, w, MAX(dl) AS dl, count(*) AS tf
+        |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+        |  WHERE w IN ('spark', 'join', 'filter')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |bmscored AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(
+        |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      CAST(tf.tf AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) +
+        |        1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |bmtop AS (SELECT doc_id, score FROM bmscored ORDER BY score DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bmtop),
+        |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT e.vec_id AS doc_id, ${cosSql("q_emb", "e.embedding")} AS cosine
+        |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+        |costop AS (SELECT doc_id, cosine FROM cos ORDER BY cosine DESC, doc_id LIMIT 20),
+        |cdr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS cos_rank FROM costop),
+        |fused AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.bm25_rank), CAST(0.0 AS DOUBLE)) +
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + c.cos_rank), CAST(0.0 AS DOUBLE)) AS rrf,
+        |    CAST(COALESCE(b.bm25_rank, -1) AS BIGINT) AS bm25_rank,
+        |    CAST(COALESCE(c.cos_rank, -1) AS BIGINT) AS cos_rank
+        |  FROM bmr b FULL OUTER JOIN cdr c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, rrf, bm25_rank, cos_rank FROM fused
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "sim02_ivf_ann" -> sim02Sql,
 
