@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("+- Sort\n"), "no global sort for a limit-15 query")
   }
 
+  test("rrf01: both fusion arms end in distributed TakeOrdered, not corpus sorts") {
+    val p = plan("rrf01_hybrid_fusion")
+    // two arm top-20s + the final top-10 — three TakeOrdered, zero
+    // corpus-grain Sort/Window (the rank windows run over the bounded
+    // 20-row arm results)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, p)
+  }
+
   test("q04: EXISTS runs as a semi join (no row multiplication)") {
     val p = plan("q04_order_priority")
     assert(p.contains("LeftSemi"))
