@@ -276,6 +276,39 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm16: EXIF metadata — the per-file pass a 100 TB image
+    // corpus runs BEFORE any decode: orientation (with the 5-8
+    // axis-swap normalization a thumbnail pipeline needs), camera
+    // make, capture time, and the Exif-IFD pixel dims, parsed from a
+    // real APP1 TIFF IFD riding a REAL decodable baseline JPEG (the
+    // decoder skips APPn; the EXIF walker reads ONLY the leading
+    // marker segments — bytes-of-header, never bytes-of-image).
+    // Endianness alternates per doc so both TIFF byte orders are in
+    // the gate. Oracle: every field in closed form from doc_id.
+    "mm16_exif_metadata" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ori = (id % 8 + 1).toInt
+            val make = s"cam${id % 5}"
+            val dt = f"2024:01:${id % 27 + 1}%02d 03:04:05"
+            val jpeg = graft.ops.Exif.insertApp1(
+              graft.ops.Jpeg.JpegEncoder.solidGray(24, 16, 100),
+              graft.ops.Exif.app1Segment(ori, make, dt,
+                pixelX = 24L + id % 7, pixelY = 16L,
+                littleEndian = id % 2 == 0))
+            val m = graft.ops.Exif.parse(jpeg).get
+            val (nw, nh) = m.normalizedDims(24, 16)
+            (id, m.orientation, m.make.get, m.dateTime.get,
+              m.pixelX.get, m.pixelY.get, nw, nh)
+          }
+        }
+        .toDF("media_id", "orientation", "make", "date_time",
+          "pixel_x", "pixel_y", "norm_w", "norm_h")
+        .orderBy("media_id")
+    }),
+
     // ---- mm09: REAL video-container metadata (graft.ops.Mp4,
     // ISO-BMFF box parsing — no codec needed: at 100 TB the metadata
     // pass IS the video workload; frame decode happens later on the
@@ -622,6 +655,18 @@ object MultimodalQueries {
         |  CAST(SUM(v) AS DOUBLE) / 72 AS mean_luma,
         |  CAST(MIN(v) AS INT) AS min_luma, CAST(MAX(v) AS INT) AS max_luma
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "mm16_exif_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |  'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  '2024:01:' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+        |    || ' 03:04:05' AS date_time,
+        |  CAST(24 + doc_id % 7 AS BIGINT) AS pixel_x,
+        |  CAST(16 AS BIGINT) AS pixel_y,
+        |  CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 16 ELSE 24 END AS INT) AS norm_w,
+        |  CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 24 ELSE 16 END AS INT) AS norm_h
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm09_mp4_metadata" ->
       """SELECT doc_id AS media_id, 'isom' AS brand,
