@@ -848,6 +848,31 @@ object TxLog {
     }
   }
 
+  /** Write a copy-on-write commit's CDC sidecar — the row-level
+    * changes AS WRITTEN (data columns + `_change_type`), the Delta
+    * `_change_data` design: a COW rewrite's delta is unrecoverable
+    * from data files alone (carried-over rows drown it), so the writer
+    * — who has the delta in hand anyway — persists it. Churn-sized by
+    * construction (the replaced old rows + the update rows), hence the
+    * single-file repartition(1). Never an AddFile: snapshots don't see
+    * it; vacuum retains it while its commit is retained. */
+  private def writeCdc(spark: SparkSession, table: Path, cdc: DataFrame): String = {
+    val stage = table.resolve(s".cdc-${UUID.randomUUID()}")
+    cdc.repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val part = listDir(stage).find(_.getFileName.toString.startsWith("part-")).get
+    val name = s"${UUID.randomUUID()}.cdc.parquet"
+    Files.move(part, table.resolve(name))
+    deleteRecursively(stage)
+    name
+  }
+
+  /** The CDC sidecar a copy-on-write commit recorded, if any — what
+    * lets the streaming change feed replay COW commits exactly. */
+  def commitCdcFile(table: Path, v: Long): Option[String] = {
+    val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+    Option(node.get("cdcFile")).map(_.asText)
+  }
+
   def mergeCow(spark: SparkSession, table: Path, updates: DataFrame, keyCol: String,
       statsCol: String, nParts: Int = 1): (Long, Int, Int) = {
     val snap = snapshotAt(table)
@@ -870,11 +895,15 @@ object TxLog {
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
     val affectedAdds = snap.files.filter(f => affected.contains(f.path))
-    val base =
-      if (affected.isEmpty) updates.filter(lit(false))
-      else applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
-        .parquet(affected.map(table.resolve(_).toString): _*))
-        .join(broadcast(updates.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    val affectedScan: Option[DataFrame] =
+      if (affected.isEmpty) None
+      else Some(applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
+        .parquet(affected.map(table.resolve(_).toString): _*)))
+    val base = affectedScan match {
+      case None => updates.filter(lit(false))
+      case Some(s) =>
+        s.join(broadcast(updates.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    }
     // updates may legitimately carry a SUBSET of an evolved schema —
     // missing columns null-fill (enforcement above already refused any
     // column not in the table schema or with a conflicting type)
@@ -882,7 +911,20 @@ object TxLog {
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     rewritten.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    val v = commitRetry(table, "merge", adds, affected)(
+    // CDC sidecar: replaced old rows as deletes + the update rows as
+    // inserts (an update is its delete+insert pair, the CDC-minimal
+    // encoding the batch change feed uses)
+    val oldRows = affectedScan match {
+      case None => updates.filter(lit(false))
+      case Some(s) =>
+        s.join(broadcast(updates.select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
+    }
+    val cdcName = writeCdc(spark, table,
+      oldRows.withColumn("_change_type", lit("delete"))
+        .unionByName(updates.withColumn("_change_type", lit("insert")),
+          allowMissingColumns = true))
+    val v = commitRetry(table, "merge", adds, affected,
+      extra = Map("cdcFile" -> cdcName))(
       rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
   }
@@ -912,13 +954,19 @@ object TxLog {
       }
     if (affected.isEmpty) return (snap.version, 0, snap.files.size)
     val affectedAdds = snap.files.filter(f => affected.contains(f.path))
-    val kept = applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
+    val affectedScan = applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
       .parquet(affected.map(table.resolve(_).toString): _*))
+    val kept = affectedScan
       .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     kept.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
-    val v = commitRetry(table, "delete", adds, affected)(
+    // CDC sidecar: the removed rows, as deletes
+    val cdcName = writeCdc(spark, table, affectedScan
+      .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
+      .withColumn("_change_type", lit("delete")))
+    val v = commitRetry(table, "delete", adds, affected,
+      extra = Map("cdcFile" -> cdcName))(
       rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
   }
@@ -1300,9 +1348,12 @@ object TxLog {
       minAgeMs: Long = 24 * 60 * 60 * 1000L): Vector[String] = {
     val vs = versions(table)
     val retained = vs.takeRight(math.max(1, keepVersions))
-    // a retained snapshot references its data files AND their DV sidecars
+    // a retained snapshot references its data files AND their DV
+    // sidecars; a retained COMMIT additionally references its CDC
+    // sidecar (the change feed must stay replayable over the window)
     val referenced = retained.flatMap(v =>
-      snapshotAt(table, Some(v)).files.flatMap(f => f.path +: f.dv.toSeq)).toSet
+      snapshotAt(table, Some(v)).files.flatMap(f => f.path +: f.dv.toSeq)).toSet ++
+      retained.flatMap(v => commitCdcFile(table, v))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val onDisk = listDir(table)
       .filter(p => Files.isRegularFile(p) && (p.getFileName.toString.endsWith(".parquet")

@@ -739,6 +739,52 @@ object LakeQueries {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // ---- tx20: CDF replication through COPY-ON-WRITE history — the
+    // tx18 loop with the other write family: COW merges and deletes
+    // record their row-level delta as a churn-sized CDC sidecar at
+    // write time (the Delta _change_data design — a COW delta is
+    // unrecoverable from data files alone, so the writer, who has it
+    // in hand, persists it), and the streaming change feed replays
+    // the sidecars as plain scans. Replica == recompute, same gate
+    // style as tx18.
+    "tx20_cow_cdf_replication" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val src = freshTable()
+      val replica = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), src, "doc_id", nParts = 2)
+      TxLog.deleteKeys(spark, src,
+        d.filter(col("doc_id") % 10 === 4).select("doc_id"), "doc_id", "doc_id")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), src, "doc_id", nParts = 2)
+      TxLog.mergeCow(spark, src,
+        d.filter(col("doc_id") % 10 === 8).withColumn("n_chars", col("n_chars") + 1000L),
+        "doc_id", "doc_id")
+      val ckpt = Files.createTempDirectory("graft_tx20_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(src.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val delOnly = b.filter(col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+            .join(ins, Seq("doc_id"), "left_anti")
+          val changes = ins.withColumn("op", lit("upsert"))
+            .unionByName(delOnly.withColumn("op", lit("delete")))
+          TxLog.streamingApply(spark, changes, bid, replica, "op", "doc_id", "doc_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TxLog.readAt(spark, replica)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -1003,6 +1049,16 @@ object LakeQueries {
         |UNION ALL SELECT 'rows_live',
         |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 7)
         |ORDER BY metric""".stripMargin,
+
+    // Same recompute family as tx18, driven through the COW writers:
+    // evens, minus the %10=4 COW-deletes, plus odds, with %10=8
+    // COW-updated (+1000 chars).
+    "tx20_cow_cdf_replication" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars + CASE WHEN doc_id % 10 = 8 THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 4""".stripMargin,
 
     // The replica replays append/MOR-delete/append/MOR-update through
     // the change feed; its state is the oracle's direct recompute.

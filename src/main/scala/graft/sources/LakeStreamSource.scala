@@ -214,12 +214,23 @@ class LakeStreamSource(spark: SparkSession, table: Path,
         if (parts.isEmpty) None
         else Some(parts.reduce(_ unionByName _).withColumn("_commit_version", lit(v)))
       case other =>
-        if (skipChangeCommits) None
-        else throw new IllegalStateException(
-          s"commit v$v of $table is a copy-on-write '$other'; its row-level " +
-          "changes are not recoverable from files alone — use TxLog.changeFeed " +
-          "for a batch diff, write through the merge-on-read/append paths for a " +
-          "streamable feed, or set skipChangeCommits to ignore it")
+        // COW commits record a CDC sidecar (the writer's own delta:
+        // replaced rows as deletes + update rows as inserts) — a plain
+        // scan of churn-sized data, same safety class as the branches
+        // above. Only sidecar-less COW commits (older tables, foreign
+        // writers) still fail fast.
+        TxLog.commitCdcFile(table, v) match {
+          case Some(name) =>
+            Some(spark.read.parquet(table.resolve(name).toString)
+              .withColumn(
+                "_commit_version", org.apache.spark.sql.functions.lit(v)))
+          case None if skipChangeCommits => None
+          case None => throw new IllegalStateException(
+            s"commit v$v of $table is a copy-on-write '$other' without a CDC " +
+            "sidecar; its row-level changes are not recoverable from files " +
+            "alone — use TxLog.changeFeed for a batch diff, or set " +
+            "skipChangeCommits to ignore it")
+        }
     }
   }
 

@@ -722,6 +722,25 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("txlog: vacuum retains CDC sidecars of retained commits, reclaims older ones") {
+    import org.apache.spark.sql.functions._
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)      // v0
+    TxLog.deleteKeys(spark, table, idsDf(Seq(1L)).select("doc_id"), "doc_id", "doc_id") // v1 + cdc
+    TxLog.mergeCow(spark, table,
+      idsDf(Seq(2L)).withColumn("payload", lit("upd")), "doc_id", "doc_id") // v2 + cdc
+    val cdc1 = TxLog.commitCdcFile(table, 1L).get
+    val cdc2 = TxLog.commitCdcFile(table, 2L).get
+    // keep the last 2 versions: both cdc files survive an age-0 vacuum
+    TxLog.vacuum(table, keepVersions = 2, minAgeMs = 0L)
+    assert(java.nio.file.Files.exists(table.resolve(cdc1)))
+    assert(java.nio.file.Files.exists(table.resolve(cdc2)))
+    // keep only the latest: v1's cdc is reclaimable, v2's is retained
+    TxLog.vacuum(table, keepVersions = 1, minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(table.resolve(cdc1)))
+    assert(java.nio.file.Files.exists(table.resolve(cdc2)))
+  }
+
   test("txlog: constraints replay from checkpoints and travel with time travel") {
     val table = freshTable()
     TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1) // v0

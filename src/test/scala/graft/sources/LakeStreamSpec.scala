@@ -180,18 +180,22 @@ class LakeStreamSpec extends SparkSpec {
     assert(!state(replica).exists(_._1 == 5L))
   }
 
-  test("readChangeFeed fails fast on a copy-on-write commit") {
+  test("readChangeFeed replays COW commits from their CDC sidecars; " +
+      "a sidecar-less COW commit fails fast") {
     val table = Files.createTempDirectory("graft_lakestream").resolve("t")
     TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    // a COW delete now records its removed rows as a CDC sidecar
     TxLog.deleteKeys(spark, table, idsDf(Seq(4L)).select("doc_id"), "doc_id", "doc_id")
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    val e = intercept[Exception] {
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def drainCdf(): Unit = {
       val q = spark.readStream.format("graft-lake")
         .option("readChangeFeed", "true")
         .load(table.toString)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.collect().foreach(r => got.add(r.getAs[Long]("doc_id"))): Unit
+          b.collect().foreach(r => rows.add((r.getAs[Long]("doc_id"),
+            r.getAs[String]("_change_type"),
+            r.getAs[Long]("_commit_version")))): Unit
         }
         .option("checkpointLocation",
           Files.createTempDirectory("graft_lakestream_ckpt").toString)
@@ -199,9 +203,58 @@ class LakeStreamSpec extends SparkSpec {
         .start()
       q.awaitTermination()
     }
+    drainCdf()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq
+    assert(got.count(_._2 == "insert") == 10)
+    assert(got.filter(_._2 == "delete").map(_._1) == Seq(4L))
+    assert(got.find(_._2 == "delete").get._3 == 1L) // the delete commit's version
+    // a sidecar-less COW commit (older table format / foreign writer)
+    // still fails fast instead of silently dropping changes
+    val vNext = TxLog.latestVersion(table) + 1
+    assert(TxLog.tryCommit(table, vNext, "merge", Nil, Nil))
+    val e = intercept[Exception] { drainCdf() }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("copy-on-write")), e.getMessage)
+    assert(msgs(e).exists(m => m != null && m.contains("without a CDC sidecar")),
+      e.getMessage)
+  }
+
+  test("CDF replicates a COW-written table (merge + delete) exactly") {
+    val src = Files.createTempDirectory("graft_lakestream").resolve("src")
+    val replica = Files.createTempDirectory("graft_lakestream").resolve("rep")
+    TxLog.append(spark, idsDf(0L to 9L), src, "doc_id", nParts = 2)
+    TxLog.mergeCow(spark, src,
+      idsDf(Seq(2L, 7L)).withColumn("payload", concat(lit("cow"), col("doc_id"))),
+      "doc_id", "doc_id")
+    TxLog.deleteKeys(spark, src, idsDf(Seq(5L)).select("doc_id"), "doc_id", "doc_id")
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerBatch", "1")
+      .load(src.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val ins = b.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        val delOnly = b.filter(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_version")
+          .join(ins, Seq("doc_id"), "left_anti")
+        TxLog.streamingApply(spark,
+          ins.withColumn("op", lit("upsert"))
+            .unionByName(delOnly.withColumn("op", lit("delete"))),
+          bid, replica, "op", "doc_id", "doc_id"): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_lakestream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def state(t: java.nio.file.Path): Seq[(Long, String)] =
+      TxLog.readAt(spark, t).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("payload"))).toSeq.sorted
+    assert(state(replica) == state(src))
+    assert(state(replica).find(_._1 == 2L).map(_._2).contains("cow2"))
+    assert(!state(replica).exists(_._1 == 5L))
   }
 
   test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
