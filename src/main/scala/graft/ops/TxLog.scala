@@ -971,6 +971,36 @@ object TxLog {
     (v, affected.size, snap.files.size)
   }
 
+  /** RESTORE the table to an earlier version's state as a NEW commit
+    * (Delta RESTORE): metadata-only — adds re-instate the target
+    * snapshot's entries (with their recorded stats and deletion
+    * vectors), removes drop everything the target didn't have. History
+    * is preserved: time travel still sees every version including the
+    * pre-restore state, and the restore itself is one more auditable
+    * commit. The target's SCHEMA is restored with it; CHECK
+    * constraints are table properties and stay (Delta semantics).
+    * Fails fast if any restored file was vacuumed away, and under
+    * strict OCC (any concurrent commit re-derives the diff). */
+  def restore(spark: SparkSession, table: Path, toVersion: Long): Long = {
+    val target = snapshotAt(table, Some(toVersion))
+    val gone = target.files.filterNot(f => Files.exists(table.resolve(f.path)))
+    require(gone.isEmpty,
+      s"cannot restore to v$toVersion: files vacuumed away: ${gone.map(_.path).mkString(", ")}")
+    val base = snapshotAt(table)
+    val baseBy = base.files.map(f => f.path -> f).toMap
+    val targetBy = target.files.map(f => f.path -> f).toMap
+    // (path, dv, stats) identity: an entry changed in ANY way is
+    // re-added from the target; removes are processed before adds in
+    // snapshot replay, so a path in both lists resolves to the target's
+    val adds = target.files.filterNot(f => baseBy.get(f.path).contains(f))
+    val removes = base.files.filterNot(f => targetBy.get(f.path).contains(f)).map(_.path)
+    commitRetry(table, "restore", adds, removes,
+      schema = tableSchema(table, Some(toVersion))) {
+      case Some(s) => s.version == base.version
+      case None => base.version == -1L
+    }
+  }
+
   // ------------------------------------------------- merge-on-read writes
 
   /** OCC rule for merge-on-read commits: every file whose DV we extend

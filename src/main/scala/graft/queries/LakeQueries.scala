@@ -785,6 +785,28 @@ object LakeQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- tx21: RESTORE — write-side rollback (Delta RESTORE): one
+    // metadata commit re-instates an earlier snapshot's file entries
+    // (stats and deletion vectors included) and drops the rest;
+    // history is PRESERVED, so time travel still reads the pre-restore
+    // state after the rollback. The gate pins both: the pre-restore
+    // version (v2, all surviving docs) stays readable, and the latest
+    // (v3 = restored-to-v1) equals the target-era recompute.
+    "tx21_restore" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2) // v0
+      TxLog.deleteMor(spark, table,                                                        // v1
+        d.filter(col("doc_id") % 10 === 4).select("doc_id"), "doc_id")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2) // v2
+      TxLog.restore(spark, table, toVersion = 1L)                                          // v3
+      def aggAt(v: Long): DataFrame =
+        TxLog.readAt(spark, table, Some(v))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v).cast("bigint").as("version"), col("n_docs"), col("sum_chars"))
+      aggAt(2L).unionByName(aggAt(3L)).orderBy("version")
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -1049,6 +1071,17 @@ object LakeQueries {
         |UNION ALL SELECT 'rows_live',
         |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 7)
         |ORDER BY metric""".stripMargin,
+
+    // v2 = everything minus the MOR-deleted residue; v3 (the restore
+    // commit) = the v1 state: evens minus the same residue.
+    "tx21_restore" ->
+      """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 4
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4
+        |ORDER BY version""".stripMargin,
 
     // Same recompute family as tx18, driven through the COW writers:
     // evens, minus the %10=4 COW-deletes, plus odds, with %10=8

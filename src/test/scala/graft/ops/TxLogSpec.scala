@@ -741,6 +741,30 @@ class TxLogSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(table.resolve(cdc2)))
   }
 
+  test("txlog: RESTORE rolls data back in one metadata commit; history survives") {
+    import org.apache.spark.sql.functions._
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)   // v0
+    TxLog.deleteKeys(spark, table, idsDf(Seq(2L)).select("doc_id"), "doc_id", "doc_id") // v1
+    TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)   // v2
+    val v = TxLog.restore(spark, table, toVersion = 1L)                 // v3
+    assert(v == 3L)
+    // latest state == the v1 state
+    assert(TxLog.readAt(spark, table).select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L, 3L, 4L))
+    // history preserved: the pre-restore version still reads in full
+    assert(TxLog.readAt(spark, table, Some(2L)).count() == 9L)
+    assert(TxLog.history(table).map(_._2) ==
+      Seq("append", "delete", "append", "restore"))
+    // restoring to a vacuumed-away version fails fast with a clear error
+    TxLog.compact(spark, table, "doc_id", nParts = 1)                   // v4 rewrites
+    TxLog.vacuum(table, keepVersions = 1, minAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, table, toVersion = 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("txlog: constraints replay from checkpoints and travel with time travel") {
     val table = freshTable()
     TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1) // v0
