@@ -218,10 +218,12 @@ object TxLog {
       // ...and the accumulated CHECK constraints, so constraint replay
       // (like state replay) reads <= CheckpointEvery commits
       val cons = constraintsUpTo(table, v)
+      // batchMax is ALWAYS written (-1 = "no batch commits below"), so
+      // an absent field unambiguously means a pre-upgrade checkpoint
+      // and readers know to fall back to scanning the commits below it
       val ck = (Map[String, Object]("version" -> java.lang.Long.valueOf(v),
-        "files" -> snap.files.map(addToNode).asJava)
-        ++ maxBatchIdUpTo(table, v).map(m =>
-          "batchMax" -> (java.lang.Long.valueOf(m): Object))
+        "files" -> snap.files.map(addToNode).asJava,
+        "batchMax" -> java.lang.Long.valueOf(maxBatchIdUpTo(table, v).getOrElse(-1L)))
         ++ (if (cons.isEmpty) Map.empty[String, Object]
             else Map("constraints" -> (cons.asJava: Object)))).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
@@ -230,17 +232,27 @@ object TxLog {
   }
 
   /** Max committed batch id at or below `v`: newest checkpoint's
-    * watermark + the commits after it — O(checkpoint interval) reads. */
+    * watermark + the commits after it — O(checkpoint interval) reads.
+    * A checkpoint WITHOUT a batchMax field predates the watermark
+    * (pre-upgrade table); trusting it as "no batches" would let
+    * [[isBatchCommitted]] report a committed batch as uncommitted and
+    * re-commit a redelivery, so such checkpoints fall back to scanning
+    * every commit at/below them. New checkpoints always record the
+    * field (-1 sentinel = genuinely no batch commits below). */
   private def maxBatchIdUpTo(table: Path, v: Long): Option[Long] = {
     val vs = versions(table).filter(_ <= v)
     val ckpt = vs.reverse.find(cv =>
       Files.exists(versionDir(table, cv).resolve("checkpoint.json")))
-    val fromCkpt = ckpt.flatMap { cv =>
+    val ckptField = ckpt.flatMap { cv =>
       val node = mapper.readTree(
         Files.readAllBytes(versionDir(table, cv).resolve("checkpoint.json")))
       Option(node.get("batchMax")).map(_.asLong)
     }
-    val from = ckpt.map(_ + 1).getOrElse(0L)
+    val fromCkpt = ckptField.filter(_ >= 0L)
+    // pre-upgrade checkpoint (field absent): no trustworthy watermark —
+    // scan the full history below it, exactly the old committedBatchIds path
+    val from = if (ckpt.isDefined && ckptField.isEmpty) 0L
+      else ckpt.map(_ + 1).getOrElse(0L)
     val tail = vs.filter(_ >= from).flatMap { cv =>
       val node = mapper.readTree(
         Files.readAllBytes(versionDir(table, cv).resolve("commit.json")))
@@ -314,10 +326,13 @@ object TxLog {
           // its (snapshot-unreferenced) files reclaimed by a concurrent
           // vacuum; publishing would produce an unreadable snapshot, so
           // verify every add is still on disk and fail THIS write instead
-          val gone = adds.filterNot(a => Files.exists(table.resolve(a.path)))
+          // ...including DV sidecars: an AddFile whose .dv.json was
+          // reclaimed is just as unreadable as one whose parquet was
+          val gone = adds.flatMap(a => a.path +: a.dv.toSeq)
+            .filterNot(p => Files.exists(table.resolve(p)))
           if (gone.nonEmpty)
             throw new IllegalStateException(s"commit '$op': data files vanished " +
-              s"(vacuumed?) before commit: ${gone.map(_.path).mkString(", ")}")
+              s"(vacuumed?) before commit: ${gone.mkString(", ")}")
           publishCommit(table, vd, v, op, adds, removes, batchId, schemaNow, extra)
         } catch { case e: Throwable => publishAbandoned(table, vd, v); throw e }
         if (published) return v
@@ -451,14 +466,35 @@ object TxLog {
     }
   }
 
-  /** Validate a write's NEW rows against the table's constraints — one
-    * pass over the WRITE-sized delta (never the table), before any
-    * staging I/O. Violation = expression FALSE (NULL passes). */
-  private def enforceConstraints(table: Path, df: DataFrame): Unit =
-    constraints(table).foreach { case (name, e) =>
-      val bad = df.filter(not(coalesce(expr(e), lit(true)))).limit(1).count()
-      if (bad > 0) throw new IllegalArgumentException(
-        s"CHECK constraint '$name' ($e) violated by the write; no data was committed")
+  /** Validate a write's NEW rows against the table's constraints — ONE
+    * combined filter pass over the WRITE-sized delta (never the table),
+    * however many constraints are set. Violation = expression FALSE
+    * (NULL passes). On violation only, a per-constraint re-probe names
+    * the offenders (exceptional path, clarity over speed). */
+  private def enforceConstraints(table: Path, df: DataFrame): Unit = {
+    val cons = constraints(table)
+    if (cons.nonEmpty) {
+      val pass = cons.values.map(e => coalesce(expr(e), lit(true))).reduce(_ and _)
+      if (df.filter(not(pass)).limit(1).count() > 0) {
+        val names = cons.collect { case (name, e)
+          if df.filter(not(coalesce(expr(e), lit(true)))).limit(1).count() > 0 => s"'$name' ($e)" }
+        throw new IllegalArgumentException(
+          s"CHECK constraint ${names.mkString(", ")} violated by the write; no data was committed")
+      }
+    }
+  }
+
+  /** Constraint check against the STAGED parquet (post-write,
+    * pre-commit): validates exactly the bytes the commit would publish —
+    * a nondeterministic input (rand(), changing source) can no longer
+    * pass validation yet stage different rows — and replaces a full
+    * re-evaluation of the write's input plan with a columnar scan of
+    * the churn-sized stage. On violation the stage is deleted; nothing
+    * was committed. */
+  private def enforceConstraintsStaged(spark: SparkSession, table: Path, stage: Path): Unit =
+    if (constraints(table).nonEmpty) {
+      try enforceConstraints(table, spark.read.parquet(stage.toString))
+      catch { case e: Throwable => deleteRecursively(stage); throw e }
     }
 
   // ------------------------------------------------------------- file stats
@@ -547,10 +583,10 @@ object TxLog {
       nParts: Int = 0, allowEvolution: Boolean = false): Long = {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution): Unit // fail fast pre-stage
-    enforceConstraints(table, df)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) df.repartition(nParts) else df
     out.write.mode("overwrite").parquet(stage.toString)
+    enforceConstraintsStaged(spark, table, stage)
     val adds = promoteStaged(spark, stage, table, statsCol)
     // schema is a BY-NAME argument, re-validated under the claim fence
     commitRetry(table, "append", adds, Nil,
@@ -570,11 +606,11 @@ object TxLog {
       clusterCol: Column, nClusters: Int): Long = {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
-    enforceConstraints(table, df)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     df.withColumn("__cluster", clusterCol)
       .repartition(nClusters, col("__cluster"))
       .write.partitionBy("__cluster").mode("overwrite").parquet(stage.toString)
+    enforceConstraintsStaged(spark, table, stage)
     val parts = listDir(stage).filter(p => p.getFileName.toString.startsWith("__cluster="))
       .sortBy(_.getFileName.toString)
       .flatMap(d => listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
@@ -604,7 +640,6 @@ object TxLog {
     require(partCols.nonEmpty, "appendPartitioned needs at least one partition column")
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
-    enforceConstraints(table, df)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val dup = partCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
     val pKeys = partCols.map(c => col(s"__p_$c"))
@@ -615,6 +650,7 @@ object TxLog {
     }
     val dirCols = partCols.map(c => s"__p_$c") ++ clusterCol.map(_ => "__cluster").toSeq
     clustered.write.partitionBy(dirCols: _*).mode("overwrite").parquet(stage.toString)
+    enforceConstraintsStaged(spark, table, stage)
     // walk the hive layout: each __p_ directory level fixes one
     // partition value; a __cluster level is layout-only metadata
     def leaves(p: Path, vals: Map[String, String]): Vector[(Path, Map[String, String])] =
@@ -623,7 +659,7 @@ object TxLog {
         if (Files.isDirectory(c) && n.contains("=")) {
           val Array(k, v) = n.split("=", 2)
           val vals2 = if (k.startsWith("__p_"))
-            vals + (k.drop(4) -> java.net.URLDecoder.decode(v, "UTF-8"))
+            vals + (k.drop(4) -> unescapePathName(v))
           else vals
           leaves(c, vals2)
         } else if (n.endsWith(".parquet")) Vector((c, vals))
@@ -649,6 +685,26 @@ object TxLog {
     * pruning must only ever be conservative. */
   def pruneFilesOn(snap: Snapshot, colName: String, lo: Long, hi: Long): Vector[AddFile] =
     snap.files.filter(_.cols.get(colName).forall { case (mn, mx) => mx >= lo && mn <= hi })
+
+  /** Decode a hive partition-directory VALUE: only `%XX` escapes, never
+    * `'+'` (Spark's escapePathName leaves `'+'` literal, so URLDecoder —
+    * which maps `'+'` to a space — would record `"a+b"` as `"a b"` and
+    * pruneFilesPart would then silently drop the file on an equality
+    * read). Mirrors ExternalCatalogUtils.unescapePathName semantics. */
+  private[ops] def unescapePathName(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length) {
+        val code = try Integer.parseInt(v.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Partition pruning: keep a file iff its recorded partition values
     * match every equality predicate; a file with no value recorded for a
@@ -983,9 +1039,13 @@ object TxLog {
     * strict OCC (any concurrent commit re-derives the diff). */
   def restore(spark: SparkSession, table: Path, toVersion: Long): Long = {
     val target = snapshotAt(table, Some(toVersion))
-    val gone = target.files.filterNot(f => Files.exists(table.resolve(f.path)))
+    // verify data files AND their DV sidecars — vacuum treats both as
+    // referenced, so restore must fail fast on either being reclaimed
+    // (a published snapshot must never throw at readAt time)
+    val gone = target.files.flatMap(f => f.path +: f.dv.toSeq)
+      .filterNot(p => Files.exists(table.resolve(p)))
     require(gone.isEmpty,
-      s"cannot restore to v$toVersion: files vacuumed away: ${gone.map(_.path).mkString(", ")}")
+      s"cannot restore to v$toVersion: files vacuumed away: ${gone.mkString(", ")}")
     val base = snapshotAt(table)
     val baseBy = base.files.map(f => f.path -> f).toMap
     val targetBy = target.files.map(f => f.path -> f).toMap

@@ -190,7 +190,11 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     *    churn-sized) as deletes; an update is its delete+insert pair;
     *  - copy-on-write commits: the row-level delta is not recoverable
     *    from files alone (the Delta CDF position absent change files) —
-    *    fail fast, or skip under skipChangeCommits.
+    *    replay the writer's CDC sidecar; sidecar-less ones fail fast,
+    *    or skip under skipChangeCommits;
+    *  - restore: a metadata-only rollback whose delta spans two
+    *    historical snapshots — fail fast (batch changeFeed covers it),
+    *    or skip under skipChangeCommits.
     */
   private def cdfForVersion(v: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -213,6 +217,16 @@ class LakeStreamSource(spark: SparkSession, table: Path,
         val parts = ins ++ dels
         if (parts.isEmpty) None
         else Some(parts.reduce(_ unionByName _).withColumn("_commit_version", lit(v)))
+      case "restore" =>
+        // a restore is a metadata-only rollback: its row-level delta is
+        // the diff between two historical snapshots, not derivable from
+        // the commit's own adds (which may only re-instate DV'd entries)
+        if (skipChangeCommits) None
+        else throw new IllegalStateException(
+          s"commit v$v of $table is a RESTORE; its row-level changes span " +
+          "two historical snapshots and are not replayable as a change " +
+          "feed — use TxLog.changeFeed(from, to) for the batch diff, or " +
+          "set skipChangeCommits to ignore it")
       case other =>
         // COW commits record a CDC sidecar (the writer's own delta:
         // replaced rows as deletes + update rows as inserts) — a plain

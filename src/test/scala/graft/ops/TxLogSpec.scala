@@ -765,6 +765,87 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
+  test("txlog: partition values with '+', space, and '%' round-trip exactly") {
+    import spark.implicits._
+    val table = freshTable()
+    val rows = Seq((1L, "a+b"), (2L, "a b"), (3L, "a%2Bb"), (4L, "plain"))
+    TxLog.appendPartitioned(spark, rows.toDF("doc_id", "tag"), table, Seq("tag"), "doc_id")
+    val snap = TxLog.snapshotAt(table)
+    assert(snap.files.flatMap(_.part.get("tag")).toSet == rows.map(_._2).toSet,
+      s"recorded partition values drifted: ${snap.files.map(_.part)}")
+    // an equality read on each value returns exactly its row — a '+'
+    // URLDecoded to a space would prune the file away BEFORE the
+    // residual row filter and silently lose the match
+    for ((id, tag) <- rows) {
+      val out = TxLog.readAt(spark, table, partitions = Map("tag" -> tag))
+      assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(id),
+        s"equality read for tag=$tag")
+    }
+  }
+
+  test("txlog: restore fails fast when a restored DV sidecar was reclaimed") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)            // v0
+    TxLog.deleteMor(spark, table, idsDf(Seq(3L)).select("doc_id"), "doc_id")     // v1: dv
+    TxLog.append(spark, idsDf(10L to 14L), table, "doc_id", nParts = 1)          // v2
+    val dv = TxLog.snapshotAt(table, Some(1L)).files.flatMap(_.dv).head
+    Files.delete(table.resolve(dv)) // simulate a vacuum that reclaimed the sidecar
+    val e = intercept[IllegalArgumentException] { TxLog.restore(spark, table, toVersion = 1L) }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains(dv), e.getMessage)
+    // the refused restore committed nothing — no snapshot whose readAt throws
+    assert(TxLog.history(table).map(_._2) == Seq("append", "delete-mor", "append"))
+  }
+
+  test("txlog: batch-id watermark survives a pre-upgrade checkpoint (no batchMax)") {
+    val table = freshTable()
+    // 11 batch commits push past the v10 checkpoint boundary
+    (0 to 10).foreach { i =>
+      assert(TxLog.tryCommit(table, i.toLong, "streaming-append", Nil, Nil,
+        batchId = Some(100L + i)))
+    }
+    assert(TxLog.isBatchCommitted(table, 105L))
+    // strip batchMax from the checkpoint, simulating one written before
+    // the watermark field existed
+    val ck = table.resolve("_graft_log").resolve(f"v${10L}%020d").resolve("checkpoint.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Files.readAllBytes(ck))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    assert(node.has("batchMax"))
+    node.remove("batchMax"): Unit
+    Files.write(ck, om.writeValueAsBytes(node))
+    // the reader must fall back to scanning the commits below the
+    // checkpoint — reporting a committed batch as uncommitted would let
+    // a redelivered batch re-commit (duplicate rows)
+    assert(TxLog.isBatchCommitted(table, 105L),
+      "committed batch reported uncommitted after a pre-upgrade checkpoint")
+    assert(!TxLog.isBatchCommitted(table, 111L))
+  }
+
+  test("txlog: constraint violations are checked on the staged bytes and clean the stage") {
+    val table = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)
+    TxLog.setConstraint(spark, table, "cap", "doc_id < 100")
+    TxLog.setConstraint(spark, table, "nonneg", "doc_id >= 0")
+    // one combined pass on the happy path; the error names only the
+    // violated constraint
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, idsDf(Seq(200L)), table, "doc_id", nParts = 1)
+    }
+    assert(e.getMessage.contains("cap") && !e.getMessage.contains("nonneg"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      TxLog.appendClustered(spark, idsDf(Seq(300L)), table, "doc_id",
+        expr("doc_id div 10"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, idsDf(Seq(-1L)), table, Seq("payload"), "doc_id")
+    }
+    // no rejected write litters a stage directory or commits anything
+    assert(!Files.list(table).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".stage-")), "stage litter")
+    assert(TxLog.readAt(spark, table).count() == 5L)
+    assert(TxLog.history(table).map(_._2) == Seq("append", "set-constraint", "set-constraint"))
+  }
+
   test("txlog: constraints replay from checkpoints and travel with time travel") {
     val table = freshTable()
     TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1) // v0

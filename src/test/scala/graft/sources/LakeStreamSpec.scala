@@ -257,6 +257,41 @@ class LakeStreamSpec extends SparkSpec {
     assert(!state(replica).exists(_._1 == 5L))
   }
 
+  test("a RESTORE commit fails the change feed with a restore-specific error; " +
+      "skipChangeCommits skips it") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)   // v0
+    TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)   // v1
+    TxLog.restore(spark, table, toVersion = 0L)                         // v2
+    def drainCdf(skip: Boolean): Seq[(Long, String)] = {
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", skip.toString)
+        .load(table.toString)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => rows.add((r.getAs[Long]("doc_id"),
+            r.getAs[String]("_change_type")))): Unit
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_lakestream_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq
+    }
+    val e = intercept[Exception] { drainCdf(skip = false) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("RESTORE")),
+      s"expected a restore-specific error, got: ${e.getMessage}")
+    // under skipChangeCommits the appends still replay; the restore is skipped
+    val got = drainCdf(skip = true)
+    assert(got.map(_._1).sorted == (0L to 9L) && got.forall(_._2 == "insert"))
+  }
+
   test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
     val table = Files.createTempDirectory("graft_lakestream").resolve("t")
     val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
