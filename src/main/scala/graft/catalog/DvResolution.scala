@@ -31,18 +31,32 @@ import graft.ops.TxLog
   */
 private[catalog] case class GraftDvTable(
     tableName: String, dir: Path, snapVersion: Long, tableSchema: StructType)
-  extends SupportsRead {
+  extends SupportsRead with TxLogWriteSupport {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    Collections.singleton(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
 
+  /** LAZY refusal: the optimizer's V2ScanRelationPushDown instantiates
+    * a builder for EVERY relation in the plan — including the bare
+    * target of a DELETE command, which never builds a scan (the delete
+    * executes through [[TxLogWriteSupport.deleteWhere]], itself
+    * DV-aware). Only actually BUILDING a scan — a read that would
+    * resurrect deleted rows — throws. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new UnsupportedOperationException(
-      s"$tableName@v$snapVersion carries merge-on-read deletion vectors; add " +
-      "graft.GraftExtensions to spark.sql.extensions (or compact " +
-      "the table / read via TxLog.readAt) to serve it")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        throw new UnsupportedOperationException(
+          s"$tableName@v$snapVersion carries merge-on-read deletion vectors; add " +
+          "graft.GraftExtensions to spark.sql.extensions (or compact " +
+          "the table / read via TxLog.readAt) to serve it")
+    }
 }
 
 /** Iceberg-style METADATA TABLE of a TxLog table — `` lake.`t$history` ``
@@ -120,7 +134,7 @@ private[catalog] object GraftMetaTable {
   * Versions were pinned when the catalog resolved the table, so the
   * rewrite is deterministic under concurrent commits. */
 case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDvTable] =>
       val t = r.table.asInstanceOf[GraftDvTable]
       val resolved = TxLog.readAt(spark, t.dir, Some(t.snapVersion))
@@ -134,6 +148,52 @@ case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
       val t = r.table.asInstanceOf[GraftMetaTable]
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
         r.output, GraftMetaTable.rows(t))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // a write/delete command's TARGET must stay the raw catalog
+    // relation (the V2 planner matches on it to build the write exec);
+    // only the command's READ side (its source query) is rewritten —
+    // the write path itself is DV-safe (appends never resurrect rows;
+    // TxLog.deleteWhere scans DV-aware)
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable if d.resolved =>
+      // a DV-table DELETE is converted to the filter form HERE: the
+      // optimizer's scan-pushdown would otherwise try to BUILD a scan
+      // of the stand-in relation (Spark builds one for every relation,
+      // even pure delete targets). Same conversion Spark's
+      // OptimizeMetadataOnlyDeleteFromTable performs, done early.
+      org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(d.table) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDvTable] =>
+          import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+          def split(e: org.apache.spark.sql.catalyst.expressions.Expression):
+              Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+            case CAnd(l, rr) => split(l) ++ split(rr)
+            case other => Seq(other)
+          }
+          // constant folding hasn't run at analysis time — collapse
+          // foldable subtrees (CAST literals etc.) so translation sees
+          // plain literals, exactly what the optimizer would produce
+          def fold(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+            e.transformUp {
+              case f if f.foldable &&
+                  !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+                org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(f.eval(org.apache.spark.sql.catalyst.InternalRow.empty), f.dataType)
+            }
+          val filters = split(d.condition).map(fold).map { e =>
+            org.apache.spark.sql.graft.StreamingShims.filterToV2(
+              org.apache.spark.sql.graft.StreamingShims.translateFilter(e)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"DELETE condition $e is not filter-translatable on a snapshot " +
+                  "carrying deletion vectors; use TxLog.deleteWhere directly")))
+          }
+          org.apache.spark.sql.catalyst.plans.logical.DeleteFromTableWithFilters(r, filters)
+        case _ => d
+      }
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+      w.withNewQuery(rewriteReads(w.query))
+    case other => rewriteReads(other)
   }
 }
 

@@ -42,8 +42,14 @@ import graft.ops.TxLog
   * [[ResolveDvSnapshots]] analyzer rule (registered via
   * [[GraftExtensions]]) swaps the relation for TxLog.readAt's
   * DV-applying plan during analysis — transparent SQL either way.
-  * Writes go through the TxLog API — the catalog is read-only, like a
-  * warehouse's external-table mount.
+  *
+  * The catalog is also WRITABLE SQL: `CREATE TABLE [PARTITIONED BY]` /
+  * CTAS commit a schema-carrying v0, `INSERT INTO` / `INSERT OVERWRITE`
+  * run TxLog's staged ACID appends (see [[GraftWrites]] — the V1Write
+  * bridge, Spark's own JDBC-catalog write route), `DELETE FROM ...
+  * WHERE` is the predicate copy-on-write delete, and `DROP`/rename
+  * manage the directory. Every SQL write honors the same claim-fenced
+  * commit protocol, OCC validation, and CHECK constraints as the API.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -123,26 +129,55 @@ class GraftCatalog extends TableCatalog {
         dir, snap.version, s)
     }
     val paths = snap.files.map(f => dir.resolve(f.path).toString)
-    ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
+    val parquet = ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
       SparkSession.active,
       new CaseInsensitiveStringMap(Collections.emptyMap()),
       paths, schema, classOf[ParquetFileFormat])
+    val s = schema.getOrElse(parquet.schema)
+    GraftTable(s"$catalogName.${ident.name}@v${snap.version}", dir, s, parquet)
   }
 
-  // The catalog is a read mount; mutations go through the TxLog API,
-  // whose commit protocol (claims, OCC validation) SQL DDL cannot honor.
+  /** SQL `CREATE TABLE` (and the create half of CTAS): version 0 is a
+    * pure-metadata commit carrying the schema and any `PARTITIONED BY`
+    * identity columns — later SQL inserts lay data out by them. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"create tables with TxLog.append; $catalogName is a read-only mount")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"$catalogName supports only identity PARTITIONED BY columns, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    TxLog.create(tableDir(ident), schema, partCols): Unit
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      s"alter tables with TxLog schema evolution; $catalogName is a read-only mount")
+      s"alter tables with TxLog schema evolution (allowEvolution appends)")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** SQL `DROP TABLE`: removes the table directory — data, sidecars,
+    * and log. Destructive by contract, like any warehouse drop. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!tableExists(ident)) false
+    else {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p): Unit)
+      finally s.close()
+      true
+    }
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"$catalogName is a read-only mount; rename the directory instead")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName) ++ newIdent.namespace() :+ newIdent.name)
+    Files.createDirectories(tableDir(newIdent).getParent)
+    Files.move(tableDir(oldIdent), tableDir(newIdent)): Unit
+  }
 }

@@ -593,6 +593,60 @@ object TxLog {
       schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution)))(_ => true)
   }
 
+  /** Create an EMPTY table: version 0 is a pure-metadata commit carrying
+    * the schema (and, when given, the hive partition columns every later
+    * SQL insert must lay data out by). The SQL `CREATE TABLE` surface —
+    * also what CTAS calls before its insert. Fails if the directory
+    * already has a log (Delta's create-if-absent rule). */
+  def create(table: Path, schema: StructType, partCols: Seq[String] = Nil): Long = {
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    Files.createDirectories(table)
+    require(versions(table).isEmpty, s"table $table already has a transaction log")
+    commitRetry(table, "create", Nil, Nil, schema = Some(schema),
+      extra = if (partCols.isEmpty) Map.empty
+        else Map("partitionCols" -> (partCols.asJava: Object)))(_.isEmpty)
+  }
+
+  /** The partition columns declared at [[create]] time (empty for tables
+    * created by a first append, or created unpartitioned). One v0 commit
+    * read — O(1) metadata. */
+  def partitionColsOf(table: Path): Seq[String] =
+    versions(table).headOption.filter(_ == 0L).map { _ =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, 0L).resolve("commit.json")))
+      if (node.get("op").asText != "create") Seq.empty[String]
+      else Option(node.get("partitionCols"))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+    }.getOrElse(Seq.empty)
+
+  /** Atomic REPLACE of the table's contents (SQL `INSERT OVERWRITE`):
+    * new data staged and promoted exactly like [[append]], then ONE
+    * commit removes every currently-live file and adds the new set.
+    * Readers pinned at older versions keep their files (nothing is
+    * deleted until vacuum); OCC is strict — any concurrent commit
+    * invalidates the captured live set and the overwrite retries its
+    * commit against the fresh snapshot's file list via the validator
+    * failing (the caller re-runs). The change feed treats an overwrite
+    * like a sidecar-less COW commit: not row-replayable, fail fast or
+    * skip — the Delta CDF position for replaced-table commits. */
+  def overwrite(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
+      nParts: Int = 0): Long = {
+    Files.createDirectories(table)
+    validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    val out = if (nParts > 0) df.repartition(nParts) else df
+    out.write.mode("overwrite").parquet(stage.toString)
+    enforceConstraintsStaged(spark, table, stage)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    val base = snapshotAt(table)
+    commitRetry(table, "overwrite", adds, base.files.map(_.path),
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false))) {
+      case Some(s) => s.version == base.version
+      case None => base.version == -1L
+    }
+  }
+
   /** Clustered append: ONE distributed write producing one data file per
     * cluster of `clusterCol` (repartition on the cluster key + a
     * partitionBy split keeps co-hashed clusters in separate files), all
@@ -1024,6 +1078,44 @@ object TxLog {
     val v = commitRetry(table, "delete", adds, affected,
       extra = Map("cdcFile" -> cdcName))(
       rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
+    (v, affected.size, snap.files.size)
+  }
+
+  /** Predicate copy-on-write delete (SQL `DELETE FROM t WHERE p`):
+    * ONE distributed pass finds the files containing a matching row
+    * (predicate pushed into the parquet scan), then ONLY those files
+    * are rewritten without their matches — a selective delete against a
+    * 100 TB table rewrites the affected files, never the table. Rows
+    * where the predicate is NULL are KEPT (SQL semantics). The removed
+    * rows land as a CDC sidecar, so the change feed replays it. OCC is
+    * strict (snapshot unchanged): an arbitrary predicate has no key
+    * range to scope a finer conflict rule. Returns
+    * (version, filesRewritten, filesTotal); no matches = no commit. */
+  def deleteWhere(spark: SparkSession, table: Path, pred: Column, statsCol: String,
+      nParts: Int = 1): (Long, Int, Int) = {
+    val snap = snapshotAt(table)
+    if (snap.files.isEmpty) return (snap.version, 0, 0)
+    val hit = coalesce(pred, lit(false))
+    val all = applyDvs(spark, table, snap.files, schemaReader(spark, table)
+      .parquet(snap.files.map(f => table.resolve(f.path).toString): _*))
+    val affected = all.filter(hit)
+      .select(element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .distinct().collect().map(_.getString(0)).toVector.sorted
+    if (affected.isEmpty) return (snap.version, 0, snap.files.size)
+    val affectedAdds = snap.files.filter(f => affected.contains(f.path))
+    val affectedScan = applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
+      .parquet(affected.map(table.resolve(_).toString): _*))
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    affectedScan.filter(!hit).repartition(nParts)
+      .write.mode("overwrite").parquet(stage.toString)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    val cdcName = writeCdc(spark, table,
+      affectedScan.filter(hit).withColumn("_change_type", lit("delete")))
+    val v = commitRetry(table, "delete", adds, affected,
+      extra = Map("cdcFile" -> cdcName)) {
+      case Some(s) => s.version == snap.version
+      case None => false
+    }
     (v, affected.size, snap.files.size)
   }
 

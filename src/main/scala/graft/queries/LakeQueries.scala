@@ -705,6 +705,104 @@ object LakeQueries {
            |ORDER BY metric""".stripMargin)
     }),
 
+    // ---- sql04: the WRITE half of the SQL catalog — CREATE TABLE,
+    // INSERT INTO, and INSERT OVERWRITE are ACID commits through the
+    // same claim-fenced protocol as the API surface (V1Write bridge,
+    // the route Spark's own JDBC catalog writes through): the create is
+    // a schema-carrying v0, each insert stages + footer-stats + commits,
+    // the overwrite replaces the live set in ONE commit, and time
+    // travel still reads the pre-overwrite state. history_ok pins the
+    // exact op sequence.
+    "sql04_sql_writes" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val view = s"docs_$cat"
+      d.createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE $cat.tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars FROM $view " +
+        "WHERE doc_id % 3 = 0")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars FROM $view " +
+        "WHERE doc_id % 3 = 1")
+      val vPre = TxLog.latestVersion(table)
+      spark.sql(s"INSERT OVERWRITE $cat.tbl SELECT doc_id, lang, n_chars FROM $view " +
+        "WHERE doc_id % 5 = 0")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars FROM $view " +
+        "WHERE doc_id % 5 = 2")
+      val ops = TxLog.history(table).map(_._2)
+      spark.sql(
+        s"""SELECT
+           |  (SELECT COUNT(*) FROM $cat.tbl) AS rows_live,
+           |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM $cat.tbl)
+           |    AS sum_chars_live,
+           |  (SELECT COUNT(*) FROM $cat.tbl VERSION AS OF $vPre) AS rows_pre_overwrite
+           |""".stripMargin)
+        .select(col("rows_live"), col("sum_chars_live"), col("rows_pre_overwrite"),
+          lit(if (ops == Seq("create", "append", "append", "overwrite", "append")) 1L
+              else 0L).as("history_ok"))
+    }),
+
+    // ---- sql05: SQL DELETE — the predicate copy-on-write delete
+    // (TxLog.deleteWhere behind SupportsDelete): only files containing
+    // a match are rewritten, each delete records a CDC sidecar (the
+    // change feed replays it), and a predicate matching nothing commits
+    // nothing. CTAS creates + fills the table in SQL too.
+    "sql05_sql_delete" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val view = s"docs5_$cat"
+      d.createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE $cat.tbl AS SELECT doc_id, lang, n_chars FROM $view")
+      spark.sql(s"DELETE FROM $cat.tbl WHERE lang = 'en'")
+      // filter-translatable predicates only — the documented boundary of
+      // filter-based SupportsDelete (arbitrary predicates go through
+      // TxLog.deleteWhere, which takes any Column)
+      spark.sql(s"DELETE FROM $cat.tbl WHERE n_chars >= 200 AND n_chars <= 800")
+      val dels = TxLog.history(table).count(_._2 == "delete").toLong
+      val cdcs = TxLog.versions(table)
+        .flatMap(v => TxLog.commitCdcFile(table, v)).size.toLong
+      spark.sql(
+        s"""SELECT COUNT(*) AS rows_live,
+           |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars_live,
+           |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids_live
+           |FROM $cat.tbl""".stripMargin)
+        .select(col("rows_live"), col("sum_chars_live"), col("sum_ids_live"),
+          lit(dels).as("n_deletes"), lit(cdcs).as("n_cdc_sidecars"))
+    }),
+
+    // ---- sql06: `CREATE TABLE ... PARTITIONED BY` routes SQL inserts
+    // through the hive-partitioned append — one file per partition
+    // value (the log records partitionValues), and an equality read
+    // touches exactly one file's worth of metadata before the residual
+    // filter. files_total is the oracle's COUNT(DISTINCT lang).
+    "sql06_sql_partitioned" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val view = s"docs6_$cat"
+      d.createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE $cat.tbl (doc_id BIGINT, n_chars BIGINT, lang STRING) " +
+        "PARTITIONED BY (lang)")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, n_chars, lang FROM $view")
+      val snap = TxLog.snapshotAt(table)
+      val partKept = TxLog.pruneFilesPart(snap.files, Map("lang" -> "en"))
+      spark.sql(s"SELECT COUNT(*) AS n_rows, CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) " +
+          s"AS sum_chars FROM $cat.tbl WHERE lang = 'en'")
+        .select(lit(snap.files.size.toLong).as("files_total"),
+          lit(partKept.size.toLong).as("files_scanned"),
+          col("n_rows"), col("sum_chars"))
+    }),
+
     // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
     // commit: `set-constraint` is ordered with every other commit
     // (time travel sees the constraints of its era, checkpoints fold
@@ -1058,6 +1156,54 @@ object LakeQueries {
         |UNION ALL SELECT 'rows_changed_by_reject', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'rows_live', (SELECT COUNT(*) FROM documents)
         |ORDER BY metric""".stripMargin,
+
+    // SQL writes: live = the final overwrite (%5=0) plus the last
+    // append (%5=2); pre-overwrite = the two first appends (%3 in 0,1).
+    "sql04_sql_writes" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 5 IN (0, 2)) AS rows_live,
+        |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
+        |   WHERE doc_id % 5 IN (0, 2)) AS sum_chars_live,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 IN (0, 1))
+        |    AS rows_pre_overwrite,
+        |  CAST(1 AS BIGINT) AS history_ok""".stripMargin,
+
+    // SQL DELETE: NULL predicates keep the row (SQL semantics); each
+    // matching delete is one commit with one CDC sidecar, and a
+    // no-match delete commits nothing — all data-derived.
+    "sql05_sql_delete" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE NOT COALESCE(lang = 'en', FALSE)
+        |     AND NOT COALESCE(n_chars >= 200 AND n_chars <= 800, FALSE)) AS rows_live,
+        |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
+        |   WHERE NOT COALESCE(lang = 'en', FALSE)
+        |     AND NOT COALESCE(n_chars >= 200 AND n_chars <= 800, FALSE)) AS sum_chars_live,
+        |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents
+        |   WHERE NOT COALESCE(lang = 'en', FALSE)
+        |     AND NOT COALESCE(n_chars >= 200 AND n_chars <= 800, FALSE)) AS sum_ids_live,
+        |  CAST((CASE WHEN EXISTS (SELECT 1 FROM documents
+        |          WHERE COALESCE(lang = 'en', FALSE)) THEN 1 ELSE 0 END)
+        |     + (CASE WHEN EXISTS (SELECT 1 FROM documents
+        |          WHERE NOT COALESCE(lang = 'en', FALSE)
+        |            AND COALESCE(n_chars >= 200 AND n_chars <= 800, FALSE))
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        |  CAST((CASE WHEN EXISTS (SELECT 1 FROM documents
+        |          WHERE COALESCE(lang = 'en', FALSE)) THEN 1 ELSE 0 END)
+        |     + (CASE WHEN EXISTS (SELECT 1 FROM documents
+        |          WHERE NOT COALESCE(lang = 'en', FALSE)
+        |            AND COALESCE(n_chars >= 200 AND n_chars <= 800, FALSE))
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_cdc_sidecars""".stripMargin,
+
+    // Partitioned SQL insert: one file per partition value, an equality
+    // read scans exactly one file's metadata.
+    "sql06_sql_partitioned" ->
+      """SELECT
+        |  (SELECT COUNT(DISTINCT lang) FROM documents) AS files_total,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows,
+        |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
+        |   WHERE lang = 'en') AS sum_chars""".stripMargin,
 
     // The metadata tables replay the KNOWN commit sequence: two
     // appends, one merge-on-read delete, one compaction folding the

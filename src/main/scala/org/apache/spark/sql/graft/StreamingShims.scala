@@ -39,4 +39,17 @@ object StreamingShims {
       cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       schema, isStreaming = true)
   }
+
+  /** Bridge to the `protected[sql]` catalyst-to-source filter
+    * translation (DataSourceStrategy.translateFilter) — used by the
+    * catalog's early DELETE-to-filters conversion on deletion-vector
+    * snapshots. Pure delegation, no logic. */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** Bridge to the `private[sql]` V1-filter → V2-predicate conversion. */
+  def filterToV2(f: org.apache.spark.sql.sources.Filter):
+      org.apache.spark.sql.connector.expressions.filter.Predicate = f.toV2
 }
