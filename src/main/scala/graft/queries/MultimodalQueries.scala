@@ -527,6 +527,68 @@ object MultimodalQueries {
         .withColumn("is_kept", col("media_id") === col("keeper_id"))
         .orderBy("media_id")
     }),
+
+    // ---- mm17: image NEAR-dup at scale — banded hamming join over the
+    // perceptual dHash. mm05 catches EXACT dHash equality; real corpora
+    // need distance <= k (a re-encode or slight retouch flips a few
+    // gradient bits). All-pairs hamming is O(n^2); splitting the 64
+    // bits into FOUR 16-bit bands turns candidates into an EQUI-join on
+    // (band, value): any pair within hamming 3 shares a band
+    // (pigeonhole), so the <= 3 gate has NO false negatives and the
+    // candidate set is collision-sized — at 100 TB the 16-bit band
+    // keyspace keeps per-bucket counts tiny where 8-bit bands would
+    // degenerate toward all-pairs. Fixture: each document contributes
+    // its mm05 gradient image (media 2*id) and a one-pixel-perturbed
+    // twin (media 2*id + 1) whose dHash differs by <= 2 bits.
+    "mm17_hamming_neardups" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val header = "P6\n9 8\n255\n"
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = header.getBytes("US-ASCII")
+          it.flatMap { id =>
+            // p^2 cross-term: the GRADIENT varies with p and id, so the
+            // hash population spreads over ~25k patterns instead of the
+            // mm05 linear ramp's ~256 — with a skewed population the
+            // band buckets would degenerate toward all-pairs at scale
+            def lum(p: Long): Long = (id * 7 + p * 13 + p * p * (1 + id % 97)) % 256
+            val base = Array.tabulate(216)(i => lum(i / 3).toByte)
+            val pp = (id % 72).toInt
+            val tw = base.clone()
+            val v2 = ((lum(pp) + 128) % 256).toByte
+            tw(pp * 3) = v2; tw(pp * 3 + 1) = v2; tw(pp * 3 + 2) = v2
+            Seq((id * 2, head ++ base), (id * 2 + 1, head ++ tw))
+          }
+        }
+        .toDF("media_id", "payload")
+      val h = graft.ops.Multimodal.dhash64(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PpmDecoder).toDF()
+        .select(col("mediaId").as("media_id"),
+          col("dhashHi").as("hi"), col("dhashLo").as("lo"))
+        .localCheckpoint(true) // ONE decode pass feeds bands + verify
+      val bands = h.select(col("media_id"),
+          explode(expr("array(" +
+            "struct(0 as band, hi & 65535 as bval), " +
+            "struct(1 as band, shiftright(hi, 16) & 65535 as bval), " +
+            "struct(2 as band, lo & 65535 as bval), " +
+            "struct(3 as band, shiftright(lo, 16) & 65535 as bval))")).as("b"))
+        .select(col("media_id"), col("b.band").as("band"), col("b.bval").as("bval"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+        .distinct()
+      cand
+        .join(h.select(col("media_id").as("a_id"),
+          col("hi").as("a_hi"), col("lo").as("a_lo")), "a_id")
+        .join(h.select(col("media_id").as("b_id"),
+          col("hi").as("b_hi"), col("lo").as("b_lo")), "b_id")
+        .withColumn("hamming",
+          expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)").cast("bigint"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -581,6 +643,44 @@ object MultimodalQueries {
         |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same,
         |  media_id <> MIN(media_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // Same closed form as mm05, with the perturbed twin (v = 1) flipping
+    // one grid cell by +128 mod 256; banding and the hamming verify are
+    // restated in SQL exactly (4 x 16-bit bands, <= 3 gate).
+    "mm17_hamming_neardups" ->
+      """WITH px AS (
+        |  SELECT doc_id, v, p,
+        |    CASE WHEN v = 1 AND p = doc_id % 72
+        |         THEN ((doc_id * 7 + p * 13 + p * p * (1 + doc_id % 97)) % 256 + 128) % 256
+        |         ELSE (doc_id * 7 + p * 13 + p * p * (1 + doc_id % 97)) % 256 END AS luma
+        |  FROM documents, unnest(range(0, 2)) AS uv(v), unnest(range(0, 72)) AS up(p)),
+        |b AS (
+        |  SELECT l.doc_id, l.v, (l.p // 9) AS y, (l.p % 9) AS x,
+        |    CASE WHEN r.luma > l.luma THEN 1 ELSE 0 END AS bit
+        |  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.v = l.v AND r.p = l.p + 1
+        |  WHERE l.p % 9 < 8),
+        |h AS (
+        |  SELECT doc_id * 2 + v AS media_id,
+        |    CAST(SUM(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y * 8 + x)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id, v),
+        |bands AS (
+        |  SELECT media_id, band,
+        |    CASE band WHEN 0 THEN hi & 65535 WHEN 1 THEN (hi >> 16) & 65535
+        |              WHEN 2 THEN lo & 65535 ELSE (lo >> 16) & 65535 END AS bval
+        |  FROM h, unnest(range(0, 4)) AS ub(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS a_id, b2.media_id AS b_id
+        |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bval = b2.bval
+        |    AND a.media_id < b2.media_id)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
+        |    AS hamming
+        |FROM cand c JOIN h ha ON ha.media_id = c.a_id JOIN h hb ON hb.media_id = c.b_id
+        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // The sawtooth's closed form: v(id, i) = ((id*31 + i*57) % 4096) -
     // 2048 over i = 0..63 at 8 kHz mono; duration = 64*1000/8000 = 8 ms.

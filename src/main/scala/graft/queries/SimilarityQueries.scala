@@ -29,6 +29,20 @@ object SimilarityQueries {
   private def cosExpr(a: String, b: String): String =
     s"round(vector_cosine($a, $b), 6)"
 
+  // sim07's lake tables live in fresh temp dirs, reclaimed by one JVM
+  // shutdown hook (same discipline as LakeQueries)
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tmpDirs.forEach { p =>
+      try graft.ops.TxLog.deleteTree(p) catch { case _: Throwable => () }
+    }))
+  private def freshTable(): java.nio.file.Path = {
+    cleanupHook
+    val d = java.nio.file.Files.createTempDirectory("graft_sim")
+    tmpDirs.add(d)
+    d.resolve("tbl")
+  }
+
   private def reg(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.registerAll(spark)
 
@@ -399,6 +413,68 @@ object SimilarityQueries {
         .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
     }),
+
+    // ---- sim07: the PERSISTED ANN index — IVF as two lake tables
+    // (centroids + a cent_id-CLUSTERED assignments table), built ONCE,
+    // INCREMENTALLY maintained, and queried from disk. The build
+    // assigns the initial corpus (vec_id % 10 != 9) and commits;
+    // the growth batch (% 10 = 9) is assigned against the PERSISTED
+    // centroids and lands as one more ACID append — no rebuild. The
+    // query path reads both tables back from the log. At 100 TB this
+    // is the only viable ANN shape: the index build is amortized
+    // across every query batch, a probe's candidate scan is confined
+    // to the probed lists (the assignments table is clustered by
+    // cent_id, so footer [min,max] stats ARE the list boundaries and
+    // pushdown skips the rest), and the index itself is versioned —
+    // time travel queries yesterday's index during a reindex.
+    "sim07_lake_ann" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val c0 = emb.filter(col("vec_id") % 10 =!= 9)
+      val growth = emb.filter(col("vec_id") % 10 === 9)
+      val nc = c0.agg(greatest(lit(16L),
+        expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
+      val cent = c0.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val centTable = freshTable()
+      val assignTable = freshTable()
+      graft.ops.TxLog.append(spark, cent, centTable, "cent_id", nParts = 1)
+      // nearest-centroid assignment — the ONE rule shared by the build
+      // and the incremental append, so the index cannot drift
+      def assignTo(vecs: DataFrame, centDf: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("a_cos").desc, col("cent_id").asc)
+        vecs.join(broadcast(centDf), lit(true))
+          .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
+            expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
+          .withColumn("ark", row_number().over(w)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cent_id"), col("label"), col("embedding"))
+      }
+      graft.ops.TxLog.appendClustered(spark, assignTo(c0, cent), assignTable,
+        "cent_id", clusterCol = col("cent_id"), nClusters = 8)
+      val centLake = graft.ops.TxLog.readAt(spark, centTable)
+      graft.ops.TxLog.appendClustered(spark, assignTo(growth, centLake), assignTable,
+        "cent_id", clusterCol = col("cent_id"), nClusters = 2)
+      // query purely from the persisted index
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("p_cos").desc, col("cent_id").asc)
+      val probes = q.join(broadcast(centLake.select(col("cent_id"), col("cent_emb"))), lit(true))
+        .select(col("q_id"), col("q_emb"), col("cent_id"),
+          expr(cosExpr("q_emb", "cent_emb")).as("p_cos"))
+        .withColumn("prk", row_number().over(probeW)).filter(col("prk") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cent_id"))
+      val assignLake = graft.ops.TxLog.readAt(spark, assignTable)
+      val scored = probes.join(assignLake, Seq("cent_id"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("label"),
+          expr(cosExpr("q_emb", "embedding")).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
+        .orderBy("q_id", "rk")
+    }),
   )
 
   private def dotSql(a: String, b: String): String =
@@ -575,6 +651,39 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim06_pq_ann" -> sim06Sql,
+
+    // The persisted index is semantically sim02 with centroids drawn
+    // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —
+    // initial at build time, growth at the incremental append — assigned
+    // by the same nearest-centroid rule; the oracle states exactly that.
+    "sim07_lake_ann" ->
+      s"""WITH c0 AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 9),
+        |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM c0
+        |  WHERE vec_id < (SELECT GREATEST(16,
+        |    (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM c0)),
+        |assigned AS (
+        |  SELECT vec_id, embedding, label, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, e.label, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+        |    FROM embeddings e CROSS JOIN cent)
+        |  WHERE ark = 1),
+        |probes AS (
+        |  SELECT q_id, q_emb, cent_id FROM (
+        |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS prk
+        |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 8)
+        |  WHERE prk <= 2),
+        |scored AS (
+        |  SELECT q_id, a.vec_id AS c_id, a.label, ${cosSql("q_emb", "a.embedding")} AS cosine
+        |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.q_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
 
     "sim01_cosine_topk" -> sim01Sql,
 

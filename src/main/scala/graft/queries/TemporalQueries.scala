@@ -86,6 +86,41 @@ object TemporalQueries {
           sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_nearby_views"))
         .orderBy("user_id", "purchase_id")
     }),
+
+    // ---- ij01: VARIABLE-WIDTH interval containment — "which views fall
+    // inside each error's follow-up window", where the window length
+    // differs per interval (1 h .. 5 h here). rj01's fixed band can't
+    // express this; the scalable shape is interval BINNING: each
+    // interval explodes into the time bins it covers (<= ceil(maxWidth/
+    // bin) + 1 = 2 bins at these widths), points carry one bin, and the
+    // join is a pure equi-join on (user, bin) with the exact containment
+    // predicate as residual. Candidates are O(rows per bin), never
+    // O(intervals x points); at 100 TB wider intervals just split into
+    // more bins — cost tracks total interval LENGTH, not the cross
+    // product. Intervals with no contained view drop out (inner-join
+    // semantics, same as the oracle's).
+    "ij01_interval_views" -> ((spark: SparkSession, dir: String) => {
+      val binUs = 18000L * 1000000L // >= the max interval width (5 h)
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(ts).as("t_us"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("i_user"), col("event_id").as("err_id"),
+          col("t_us").as("s_us"))
+        .withColumn("e_us",
+          col("s_us") + (lit(3600L) + (col("err_id") % 240) * 60L) * lit(1000000L))
+        .withColumn("bin",
+          explode(sequence(expr(s"s_us div ${binUs}L"), expr(s"e_us div ${binUs}L"))))
+      val pts = ev.filter(col("event_type") === "view")
+        .withColumn("bin", expr(s"t_us div ${binUs}L"))
+      intervals.join(pts,
+          col("i_user") === col("user_id") && intervals("bin") === pts("bin"))
+        .filter(col("t_us") >= col("s_us") && col("t_us") <= col("e_us"))
+        .groupBy(col("i_user").as("user_id"), col("err_id"))
+        .agg(count(lit(1)).as("n_views"),
+          min(col("event_id")).as("first_view_id"),
+          max(col("t_us") - col("s_us")).as("max_lag_us"))
+        .orderBy("user_id", "err_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +166,20 @@ object TemporalQueries {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.user_id, p.event_id
         |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    // the oracle is the plain theta join; the Spark plan realizes it
+    // with interval binning — same rows, linear candidates
+    "ij01_interval_views" ->
+      """SELECT i.user_id, i.event_id AS err_id, COUNT(*) AS n_views,
+        |  MIN(p.event_id) AS first_view_id,
+        |  CAST(MAX(epoch_us(p.ts) - epoch_us(i.ts)) AS BIGINT) AS max_lag_us
+        |FROM events i JOIN events p
+        |  ON p.user_id = i.user_id AND p.event_type = 'view'
+        |  AND epoch_us(p.ts) >= epoch_us(i.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(i.ts)
+        |      + (3600 + (i.event_id % 240) * 60) * CAST(1000000 AS BIGINT)
+        |WHERE i.event_type = 'error'
+        |GROUP BY i.user_id, i.event_id
+        |ORDER BY i.user_id, err_id""".stripMargin,
   )
 }
