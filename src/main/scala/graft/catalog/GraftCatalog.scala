@@ -51,7 +51,8 @@ import graft.ops.TxLog
   * manage the directory. Every SQL write honors the same claim-fenced
   * commit protocol, OCC validation, and CHECK constraints as the API.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: Path = _
@@ -171,6 +172,15 @@ class GraftCatalog extends TableCatalog {
       true
     }
   }
+
+  /** Maintenance procedures: `CALL lake.compact('t')` etc. (see
+    * [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(base, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.All.map(n => Identifier.of(namespace, n)).toArray
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

@@ -1,0 +1,110 @@
+package graft.catalog
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.TxLog
+
+/** Table-MAINTENANCE surface as SQL stored procedures (the Spark 4
+  * ProcedureCatalog API — `CALL lake.compact('t')` — the same shape
+  * Iceberg ships its maintenance under). Each procedure runs the
+  * corresponding TxLog operation and returns a one-row summary as a
+  * LocalScan, so maintenance is scriptable from pure SQL alongside the
+  * DDL/DML the catalog already serves:
+  *
+  *  - `compact(table, n_parts)` — rewrite the live set (DVs folded in)
+  *  - `vacuum(table, keep_versions, min_age_ms)` — reclaim dead files
+  *  - `restore(table, version)` — metadata-only rollback commit
+  *  - `set_constraint(table, name, expr)` — CHECK constraint commit
+  *
+  * Procedures bind by position or by name (`CALL lake.compact(
+  * "table" => 't')` — Spark's BindProcedures handles both).
+  */
+private[catalog] object GraftProcedures {
+
+  val All: Seq[String] = Seq("compact", "vacuum", "restore", "set_constraint")
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def paramWithDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private abstract class GraftProc(procName: String,
+      params: Array[ProcedureParameter], resultSchema: StructType)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft lake maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // commits mutate the log
+    protected def run(input: InternalRow): InternalRow
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = run(input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** Resolve a procedure by identifier against a catalog base dir. */
+  def load(base: Path, ident: Identifier): UnboundProcedure = {
+    def table(input: InternalRow): Path = {
+      val t = input.getUTF8String(0).toString
+      val dir = base.resolve(t)
+      require(java.nio.file.Files.isDirectory(dir.resolve("_graft_log")),
+        s"no TxLog table '$t' under $base")
+      dir
+    }
+    def spark: SparkSession = SparkSession.active
+
+    ident.name() match {
+      case "compact" => new GraftProc("compact",
+        Array(param("table", StringType),
+          paramWithDefault("n_parts", IntegerType, "1")),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val statsCol = GraftWrites.defaultStatsCol(
+            TxLog.readAt(spark, dir).schema)
+          InternalRow(TxLog.compact(spark, dir, statsCol, math.max(1, input.getInt(1))))
+        }
+      }
+      case "vacuum" => new GraftProc("vacuum",
+        Array(param("table", StringType),
+          paramWithDefault("keep_versions", IntegerType, "1"),
+          paramWithDefault("min_age_ms", LongType, "86400000")),
+        StructType(Seq(StructField("files_reclaimed", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow =
+          InternalRow(TxLog.vacuum(table(input),
+            keepVersions = math.max(1, input.getInt(1)),
+            minAgeMs = input.getLong(2)).size.toLong)
+      }
+      case "restore" => new GraftProc("restore",
+        Array(param("table", StringType), param("version", LongType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow =
+          InternalRow(TxLog.restore(spark, table(input), input.getLong(1)))
+      }
+      case "set_constraint" => new GraftProc("set_constraint",
+        Array(param("table", StringType), param("name", StringType),
+          param("expr", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow =
+          InternalRow(TxLog.setConstraint(spark, table(input),
+            input.getUTF8String(1).toString, input.getUTF8String(2).toString))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure '$other' (have: ${All.mkString(", ")})")
+    }
+  }
+}

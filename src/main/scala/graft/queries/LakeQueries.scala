@@ -803,6 +803,38 @@ object LakeQueries {
           col("n_rows"), col("sum_chars"))
     }),
 
+    // ---- sql07: MAINTENANCE as SQL stored procedures (the Spark 4
+    // ProcedureCatalog API, the shape Iceberg ships its maintenance
+    // under): CALL lake.compact folds the deletion vectors into one
+    // file, CALL lake.set_constraint commits a CHECK constraint, CALL
+    // lake.restore rolls back to the DV-carrying version, and CALL
+    // lake.vacuum reclaims exactly the dropped rewrite — the whole
+    // lifecycle scriptable from SQL with each step an audited commit.
+    "sql07_procedures" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d, table, "doc_id", nParts = 4)                  // v0
+      TxLog.deleteMor(spark, table,                                        // v1: DVs
+        d.filter(col("doc_id") % 10 === 5).select("doc_id"), "doc_id")
+      spark.sql(s"CALL $cat.compact('tbl')").collect(): Unit               // v2
+      val filesAfterCompact = TxLog.snapshotAt(table).files.size
+      spark.sql(s"CALL $cat.set_constraint('tbl', 'nonneg', 'doc_id >= 0')")
+        .collect(): Unit                                                   // v3
+      spark.sql(s"CALL $cat.restore('tbl', 1)").collect(): Unit            // v4
+      val reclaimed = spark.sql(s"CALL $cat.vacuum('tbl', 1, 0)").head.getLong(0)
+      TxLog.readAt(spark, table)
+        .agg(count(lit(1)).as("rows_live"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(filesAfterCompact.toLong).as("files_after_compact"),
+          lit(reclaimed).as("files_reclaimed"),
+          lit(TxLog.constraints(table).size.toLong).as("n_constraints"),
+          lit(TxLog.versions(table).size.toLong).as("n_commits"),
+          col("rows_live"), col("sum_chars"))
+    }),
+
     // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
     // commit: `set-constraint` is ordered with every other commit
     // (time travel sees the constraints of its era, checkpoints fold
@@ -1204,6 +1236,19 @@ object LakeQueries {
         |  (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows,
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE lang = 'en') AS sum_chars""".stripMargin,
+
+    // The procedure lifecycle replays the known sequence: compact to 1
+    // file, one constraint, restore to the DV state, vacuum reclaiming
+    // exactly the dropped single-file rewrite, 5 commits total; live
+    // rows are the MOR-deleted residue.
+    "sql07_procedures" ->
+      """SELECT CAST(1 AS BIGINT) AS files_after_compact,
+        |  CAST(1 AS BIGINT) AS files_reclaimed,
+        |  CAST(1 AS BIGINT) AS n_constraints,
+        |  CAST(5 AS BIGINT) AS n_commits,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 5) AS rows_live,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 <> 5) AS sum_chars""".stripMargin,
 
     // The metadata tables replay the KNOWN commit sequence: two
     // appends, one merge-on-read delete, one compaction folding the

@@ -139,6 +139,40 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 2L)
   }
 
+  test("catalog: CALL procedures run maintenance from SQL (compact, constraint, restore, vacuum)") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("mt")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 4)   // v0: 4 files
+    TxLog.deleteMor(spark, table, idsDf(Seq(3L)).select("doc_id"), "doc_id") // v1: DV
+    // compact folds the DV and rewrites to one file
+    val vCompact = spark.sql(s"CALL $cat.compact('mt')").head.getLong(0)
+    assert(vCompact == 2L)
+    val snap = TxLog.snapshotAt(table)
+    assert(snap.files.size == 1 && snap.files.forall(_.dv.isEmpty))
+    assert(TxLog.readAt(spark, table).count() == 9L)
+    // named-argument binding + constraint commit
+    val vCon = spark.sql(
+      s"CALL $cat.set_constraint(`table` => 'mt', name => 'cap', expr => 'doc_id < 100')")
+      .head.getLong(0)
+    assert(vCon == 3L)
+    intercept[Exception] {
+      TxLog.append(spark, idsDf(Seq(500L)), table, "doc_id", nParts = 1)
+    }
+    // restore back to the pre-compaction DV state
+    assert(spark.sql(s"CALL $cat.restore('mt', 1)").head.getLong(0) == 4L)
+    assert(TxLog.readAt(spark, table).count() == 9L)
+    assert(TxLog.snapshotAt(table).files.count(_.dv.isDefined) == 1)
+    // vacuum with an explicit age-0 window reclaims the dropped rewrite
+    val reclaimed = spark.sql(
+      s"CALL $cat.vacuum('mt', keep_versions => 1, min_age_ms => ${0L})")
+      .head.getLong(0)
+    assert(reclaimed >= 1L, s"expected the compacted file reclaimed, got $reclaimed")
+    assert(TxLog.readAt(spark, table).count() == 9L)
+    // unknown procedure: a clear error
+    val e = intercept[Exception] { spark.sql(s"CALL $cat.bogus('mt')").collect() }
+    assert(e.getMessage.contains("bogus"), e.getMessage)
+  }
+
   test("catalog: TIMESTAMP AS OF resolves to the latest commit at or before t") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("tt")
