@@ -23,13 +23,18 @@ import graft.ops.TxLog
   *  - `vacuum(table, keep_versions, min_age_ms)` — reclaim dead files
   *  - `restore(table, version)` — metadata-only rollback commit
   *  - `set_constraint(table, name, expr)` — CHECK constraint commit
+  *  - `merge_into(table, source, key_col, mor)` — upsert a registered
+  *    view/table (copy-on-write, or merge-on-read under mor => true)
+  *  - `update_where(table, key_col, predicate, set_col, set_expr)` —
+  *    arbitrary-predicate UPDATE as a churn-sized COW merge
   *
   * Procedures bind by position or by name (`CALL lake.compact(
   * "table" => 't')` — Spark's BindProcedures handles both).
   */
 private[catalog] object GraftProcedures {
 
-  val All: Seq[String] = Seq("compact", "vacuum", "restore", "set_constraint")
+  val All: Seq[String] =
+    Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -102,6 +107,66 @@ private[catalog] object GraftProcedures {
         override protected def run(input: InternalRow): InternalRow =
           InternalRow(TxLog.setConstraint(spark, table(input),
             input.getUTF8String(1).toString, input.getUTF8String(2).toString))
+      }
+      // the DML pair SQL's filter-based DSv2 cannot express: MERGE
+      // (upsert from any registered view/table) and UPDATE (arbitrary
+      // predicate + SET expression). Both run the copy-on-write merge —
+      // only files whose stats range can contain an affected key
+      // rewrite — or the merge-on-read form under mor => true (zero
+      // files rewritten, deletion-vector sidecars; the Delta/Iceberg
+      // split). The source argument is a table/view NAME resolved
+      // through the session catalog, so `CALL lake.merge_into('t',
+      // 'updates_view', 'doc_id')` composes with temp views, other
+      // catalogs, or lake tables themselves.
+      case "merge_into" => new GraftProc("merge_into",
+        Array(param("table", StringType), param("source", StringType),
+          param("key_col", StringType),
+          paramWithDefault("mor", BooleanType, "false")),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("files_rewritten", LongType, nullable = false),
+          StructField("dv_files", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val src = spark.table(input.getUTF8String(1).toString)
+          val keyCol = input.getUTF8String(2).toString
+          val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)
+          if (input.getBoolean(3)) {
+            val (v, rw, dv, _) = TxLog.mergeMor(spark, dir, src, keyCol, statsCol)
+            InternalRow(v, rw.toLong, dv.toLong)
+          } else {
+            val (v, rw, _) = TxLog.mergeCow(spark, dir, src, keyCol, statsCol)
+            InternalRow(v, rw.toLong, 0L)
+          }
+        }
+      }
+      case "update_where" => new GraftProc("update_where",
+        Array(param("table", StringType), param("key_col", StringType),
+          param("predicate", StringType), param("set_col", StringType),
+          param("set_expr", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("rows_updated", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val keyCol = input.getUTF8String(1).toString
+          val pred = org.apache.spark.sql.functions.expr(
+            input.getUTF8String(2).toString)
+          val setCol = input.getUTF8String(3).toString
+          val setExpr = org.apache.spark.sql.functions.expr(
+            input.getUTF8String(4).toString)
+          val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)
+          // the update delta: matching rows with the assignment applied —
+          // churn-sized by contract, rewritten into the table by key
+          val updates = TxLog.readAt(spark, dir)
+            .filter(org.apache.spark.sql.functions.coalesce(pred,
+              org.apache.spark.sql.functions.lit(false)))
+            .withColumn(setCol, setExpr)
+          val n = updates.count()
+          if (n == 0L) InternalRow(TxLog.latestVersion(dir), 0L)
+          else {
+            val (v, _, _) = TxLog.mergeCow(spark, dir, updates, keyCol, statsCol)
+            InternalRow(v, n)
+          }
+        }
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${All.mkString(", ")})")

@@ -835,6 +835,45 @@ object LakeQueries {
           col("rows_live"), col("sum_chars"))
     }),
 
+    // ---- sql08: the DML escape hatch — MERGE and arbitrary-predicate
+    // UPDATE as stored procedures (`CALL lake.merge_into` /
+    // `update_where`), the statements SQL's filter-based DSv2 delete
+    // cannot express. merge_into upserts a registered view through the
+    // copy-on-write merge (only stats-intersecting files rewrite) or
+    // the merge-on-read form (zero rewrites, DV sidecars); update_where
+    // applies a SET expression to the rows matching any predicate as a
+    // churn-sized COW merge. history_ok pins the exact commit sequence.
+    "sql08_sql_dml" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark,
+        d.select(col("doc_id"), col("lang"), col("n_chars")), table, "doc_id", nParts = 4)
+      d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000L).as("n_chars"))
+        .createOrReplaceTempView(s"src_$cat")
+      spark.sql(s"CALL $cat.merge_into('tbl', 'src_$cat', 'doc_id')").collect(): Unit
+      spark.sql(s"CALL $cat.update_where('tbl', 'doc_id', " +
+        s"'lang = ''en'' AND doc_id % 2 = 0', 'n_chars', 'n_chars * 2')").collect(): Unit
+      d.filter(col("doc_id") % 11 === 5)
+        .select(col("doc_id"), col("lang"), lit(0L).as("n_chars"))
+        .createOrReplaceTempView(s"src2_$cat")
+      spark.sql(s"CALL $cat.merge_into('tbl', 'src2_$cat', 'doc_id', mor => true)")
+        .collect(): Unit
+      val ops = TxLog.history(table).map(_._2)
+      spark.sql(
+        s"""SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed
+           |FROM $cat.tbl""".stripMargin)
+        .select(col("n_docs"), col("sum_chars"), col("n_zeroed"),
+          lit(if (ops == Seq("append", "merge", "merge", "merge-mor")) 1L else 0L)
+            .as("history_ok"))
+    }),
+
     // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
     // commit: `set-constraint` is ordered with every other commit
     // (time travel sees the constraints of its era, checkpoints fold
@@ -1236,6 +1275,22 @@ object LakeQueries {
         |  (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows,
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE lang = 'en') AS sum_chars""".stripMargin,
+
+    // The DML recompute in commit order: +1000 on the %7 merge keys,
+    // then x2 on even en-docs, then 0 on the %11=5 MOR-merge keys.
+    "sql08_sql_dml" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 5 THEN 0
+        |         ELSE (CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END)
+        |           * (CASE WHEN lang = 'en' AND doc_id % 2 = 0 THEN 2 ELSE 1 END)
+        |    END AS n_chars
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed,
+        |  CAST(1 AS BIGINT) AS history_ok
+        |FROM s""".stripMargin,
 
     // The procedure lifecycle replays the known sequence: compact to 1
     // file, one constraint, restore to the DV state, vacuum reclaiming

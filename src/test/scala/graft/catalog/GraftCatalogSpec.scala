@@ -173,6 +173,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("bogus"), e.getMessage)
   }
 
+  test("catalog: CALL merge_into / update_where are the SQL DML escape hatch") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("dml")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 2)
+    // MERGE from a temp view: updates replace same-key rows, new keys insert
+    idsDf(Seq(3L, 42L)).withColumn("payload", lit("merged"))
+      .createOrReplaceTempView("dml_src")
+    val m = spark.sql(s"CALL $cat.merge_into('dml', 'dml_src', 'doc_id')").head
+    assert(m.getLong(0) == 1L && m.getLong(2) == 0L) // version, dv_files
+    val after = TxLog.readAt(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(3L) == "merged" && after(42L) == "merged" && after(5L) == "v5")
+    assert(after.size == 11)
+    // merge-on-read form: zero files rewritten, sidecars instead
+    idsDf(Seq(4L)).withColumn("payload", lit("mor"))
+      .createOrReplaceTempView("dml_src2")
+    val m2 = spark.sql(
+      s"CALL $cat.merge_into('dml', 'dml_src2', 'doc_id', mor => true)").head
+    assert(m2.getLong(1) == 0L && m2.getLong(2) >= 1L, s"$m2") // rewritten, dv
+    assert(TxLog.readAt(spark, table).filter(col("doc_id") === 4L)
+      .head.getString(1) == "mor")
+    // UPDATE with an arbitrary (non-filter-translatable) predicate
+    val u = spark.sql(s"CALL $cat.update_where('dml', 'doc_id', " +
+      "'doc_id % 2 = 1 AND doc_id < 6', 'payload', 'upper(payload)')").head
+    assert(u.getLong(1) == 3L, s"rows_updated: $u") // 1, 3, 5
+    val after2 = TxLog.readAt(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2(1L) == "V1" && after2(3L) == "MERGED" && after2(5L) == "V5")
+    assert(after2(7L) == "v7" && after2(2L) == "v2") // untouched
+    // a no-match update commits nothing
+    val v0 = TxLog.latestVersion(table)
+    val u2 = spark.sql(s"CALL $cat.update_where('dml', 'doc_id', " +
+      "'doc_id > 1000', 'payload', 'payload')").head
+    assert(u2.getLong(1) == 0L && TxLog.latestVersion(table) == v0)
+  }
+
   test("catalog: TIMESTAMP AS OF resolves to the latest commit at or before t") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("tt")
