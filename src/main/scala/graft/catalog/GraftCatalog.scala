@@ -155,9 +155,24 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"alter tables with TxLog schema evolution (allowEvolution appends)")
+  /** SQL `ALTER TABLE ADD COLUMN(S)`: additive evolution as one
+    * pure-metadata `set-schema` commit per column — pre-evolution files
+    * null-fill on read (the log's schema wins, no footer merge). Other
+    * changes (drop/rename/retype) are refused: they would make old
+    * files unreadable without a rewrite. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"nested ADD COLUMN is not supported: ${add.fieldNames.mkString(".")}")
+        TxLog.addColumn(tableDir(ident), add.fieldNames()(0), add.dataType): Unit
+      case other => throw new UnsupportedOperationException(
+        s"only ADD COLUMN is supported (got $other); drop/rename/retype " +
+        "would make pre-evolution files unreadable without a rewrite")
+    }
+    loadTable(ident)
+  }
 
   /** SQL `DROP TABLE`: removes the table directory — data, sidecars,
     * and log. Destructive by contract, like any warehouse drop. */

@@ -10,7 +10,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal ACID table format on parquet — the transaction-log pattern of
   * Delta Lake (Armbrust et al., "Delta Lake: High-Performance ACID Table
@@ -619,6 +619,22 @@ object TxLog {
       else Option(node.get("partitionCols"))
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
     }.getOrElse(Seq.empty)
+
+  /** Additive schema evolution as a PURE-METADATA commit (SQL `ALTER
+    * TABLE ADD COLUMN`): the evolved schema is recorded in one
+    * `set-schema` commit touching no data files. Readers resolve
+    * against the log's schema, so every pre-evolution file null-fills
+    * the new column — exactly the append-time evolution path
+    * ([[validateSchema]]), made reachable without a write. The column
+    * must be new and is always nullable (old rows have no value). */
+  def addColumn(table: Path, name: String, dataType: DataType): Long = {
+    val cur = tableSchema(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no recorded schema to evolve"))
+    require(!cur.fieldNames.contains(name), s"column '$name' already exists")
+    commitRetry(table, "set-schema", Nil, Nil,
+      schema = Some(StructType(cur.fields :+ StructField(name, dataType, nullable = true))))(
+      _ => true)
+  }
 
   /** Atomic REPLACE of the table's contents (SQL `INSERT OVERWRITE`):
     * new data staged and promoted exactly like [[append]], then ONE

@@ -874,6 +874,37 @@ object LakeQueries {
             .as("history_ok"))
     }),
 
+    // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
+    // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
+    // on read (the log's schema wins, no footer-merge pass), new
+    // inserts carry the column, and time travel still reads the
+    // pre-evolution schema of its era.
+    "sql09_sql_evolution" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      d.createOrReplaceTempView(s"docs9_$cat")
+      spark.sql(s"CREATE TABLE $cat.tbl AS SELECT doc_id, n_chars FROM docs9_$cat " +
+        "WHERE doc_id % 2 = 0")
+      spark.sql(s"ALTER TABLE $cat.tbl ADD COLUMN lang STRING")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, n_chars, lang FROM docs9_$cat " +
+        "WHERE doc_id % 2 = 1")
+      val preEvolutionCols = spark.sql(s"SELECT * FROM $cat.tbl VERSION AS OF 1")
+        .columns.length.toLong
+      spark.sql(
+        s"""SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nullfilled,
+           |  CAST(SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT)
+           |    AS sum_chars_en
+           |FROM $cat.tbl""".stripMargin)
+        .select(col("n_docs"), col("n_nullfilled"), col("sum_chars_en"),
+          lit(preEvolutionCols).as("cols_pre_evolution"))
+    }),
+
     // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
     // commit: `set-constraint` is ordered with every other commit
     // (time travel sees the constraints of its era, checkpoints fold
@@ -1275,6 +1306,15 @@ object LakeQueries {
         |  (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows,
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE lang = 'en') AS sum_chars""".stripMargin,
+
+    // Evens predate the column (NULL lang); odds carry it; the pinned
+    // pre-evolution arity is (doc_id, n_chars) = 2.
+    "sql09_sql_evolution" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_nullfilled,
+        |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 1 AND lang = 'en') AS sum_chars_en,
+        |  CAST(2 AS BIGINT) AS cols_pre_evolution""".stripMargin,
 
     // The DML recompute in commit order: +1000 on the %7 merge keys,
     // then x2 on even en-docs, then 0 on the %11=5 MOR-merge keys.

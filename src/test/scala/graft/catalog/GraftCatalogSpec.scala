@@ -209,6 +209,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(u2.getLong(1) == 0L && TxLog.latestVersion(table) == v0)
   }
 
+  test("catalog: ALTER TABLE ADD COLUMN is a metadata commit; old files null-fill") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("ev")
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)   // v0
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score BIGINT")           // v1, no data
+    assert(TxLog.history(table).map(_._2) == Seq("append", "set-schema"))
+    // pre-evolution rows null-fill; the new column is insertable
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.ev WHERE score IS NULL")
+      .head.getLong(0) == 5L)
+    spark.sql(s"INSERT INTO $cat.ev VALUES (9, 'v9', 7)")
+    assert(spark.sql(s"SELECT SUM(score) AS s FROM $cat.ev").head.getLong(0) == 7L)
+    // time travel still reads the pre-evolution schema
+    assert(!spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 0").columns.contains("score"))
+    // duplicate column and non-additive changes are refused
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score BIGINT") }
+    val e = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN payload") }
+    assert(e.getMessage.contains("ADD COLUMN") || e.getMessage.contains("unreadable"),
+      e.getMessage)
+  }
+
   test("catalog: TIMESTAMP AS OF resolves to the latest commit at or before t") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("tt")

@@ -514,6 +514,25 @@ class PlanSpec extends SparkSpec {
       s"a Sort + GlobalLimit would materialize a table-sized ordering:\n$p")
   }
 
+  test("mm17/ij01: banded hamming and interval binning are equi-joins, never all-pairs") {
+    val p17 = plan("mm17_hamming_neardups")
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must be a (band, value) equi-join:\n$p17")
+    val pij = plan("ij01_interval_views")
+    assert(!pij.contains("CartesianProduct") && !pij.contains("BroadcastNestedLoopJoin"),
+      s"interval containment must be the (user, bin) equi-join:\n$pij")
+  }
+
+  test("sim07: probes and centroid attach broadcast; candidates equi-join on cent_id") {
+    val p = plan("sim07_lake_ann")
+    // the only nested-loop is the deliberate query x centroid attach
+    // (centroid-sized broadcast); the corpus-side candidate join must
+    // stay keyed
+    assert(!p.contains("CartesianProduct"), s"sim07 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"probe->assignments must be a keyed join:\n$p")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
