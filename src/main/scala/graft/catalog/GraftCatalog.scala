@@ -100,12 +100,21 @@ class GraftCatalog extends TableCatalog
     snapshotTable(ident, None)
   }
 
-  /** SQL `VERSION AS OF <v>` lands here (Spark passes the literal). */
+  /** SQL `VERSION AS OF <v>` lands here (Spark passes the literal).
+    * A non-numeric literal resolves as a TAG ref (`VERSION AS OF
+    * 'release-1'` — Iceberg's tag semantics, set via
+    * `CALL <cat>.tag(...)` or TxLog.setTag). */
   override def loadTable(ident: Identifier, version: String): Table =
     snapshotTable(ident, Some(
       try version.toLong
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName catalog versions are commit numbers, got '$version'") }))
+      catch {
+        case _: NumberFormatException =>
+          if (!tableExists(ident)) throw new NoSuchTableException(ident)
+          val tags = TxLog.tags(tableDir(ident))
+          tags.getOrElse(version, throw new IllegalArgumentException(
+            s"'$version' is neither a commit number nor a tag of " +
+            s"$catalogName.${ident.name} (tags: ${tags.keys.toSeq.sorted.mkString(", ")})"))
+      }))
 
   /** SQL `TIMESTAMP AS OF <t>` lands here; Spark passes MICROSECONDS
     * since epoch. Resolution is Delta's rule: the latest commit whose

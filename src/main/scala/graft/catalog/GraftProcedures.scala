@@ -34,7 +34,8 @@ import graft.ops.TxLog
 private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
-    Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where")
+    Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
+      "tag")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -167,6 +168,14 @@ private[catalog] object GraftProcedures {
             InternalRow(v, n)
           }
         }
+      }
+      case "tag" => new GraftProc("tag",
+        Array(param("table", StringType), param("name", StringType),
+          param("version", LongType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow =
+          InternalRow(TxLog.setTag(table(input),
+            input.getUTF8String(1).toString, input.getLong(2)))
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${All.mkString(", ")})")

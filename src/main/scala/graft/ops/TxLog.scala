@@ -218,6 +218,8 @@ object TxLog {
       // ...and the accumulated CHECK constraints, so constraint replay
       // (like state replay) reads <= CheckpointEvery commits
       val cons = constraintsUpTo(table, v)
+      // ...and the tag refs, same replay-bound discipline
+      val tgs = tags(table, Some(v))
       // batchMax is ALWAYS written (-1 = "no batch commits below"), so
       // an absent field unambiguously means a pre-upgrade checkpoint
       // and readers know to fall back to scanning the commits below it
@@ -225,7 +227,10 @@ object TxLog {
         "files" -> snap.files.map(addToNode).asJava,
         "batchMax" -> java.lang.Long.valueOf(maxBatchIdUpTo(table, v).getOrElse(-1L)))
         ++ (if (cons.isEmpty) Map.empty[String, Object]
-            else Map("constraints" -> (cons.asJava: Object)))).asJava
+            else Map("constraints" -> (cons.asJava: Object)))
+        ++ (if (tgs.isEmpty) Map.empty[String, Object]
+            else Map("tags" -> (tgs.view.mapValues(java.lang.Long.valueOf(_): Object)
+              .toMap.asJava: Object)))).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
     ok
@@ -434,6 +439,50 @@ object TxLog {
     }
     commitRetry(table, "set-constraint", Nil, Nil,
       extra = Map("constraintName" -> name, "constraintExpr" -> sqlExpr))(_ => true)
+  }
+
+  /** Named TAGS over versions (Iceberg's tag refs): `set-tag` is a
+    * COMMIT (ordered with every other commit, audited, checkpoint-
+    * folded), so the tag table is itself time-travel-consistent and
+    * repointing a tag is one more commit — never an in-place mutation.
+    * `VERSION AS OF 'release-1'` in the SQL catalog resolves through
+    * [[tags]]. A numeric name is refused (it would shadow version
+    * numbers in the SQL surface). */
+  def setTag(table: Path, name: String, version: Long): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must not be numeric (it would shadow a version number)")
+    require(versions(table).contains(version),
+      s"cannot tag unknown version $version of $table")
+    commitRetry(table, "set-tag", Nil, Nil,
+      extra = Map("tagName" -> name,
+        "tagVersion" -> (java.lang.Long.valueOf(version): Object)))(_ => true)
+  }
+
+  /** The tags in force at `version` (latest when None): checkpoint map
+    * + the set-tag commits after it — <= CheckpointEvery reads. */
+  def tags(table: Path, version: Option[Long] = None): Map[String, Long] = {
+    val vs = versions(table)
+    if (vs.isEmpty) return Map.empty
+    val target = version.getOrElse(vs.last)
+    val upTo = vs.filter(_ <= target)
+    val ckpt = upTo.reverse.find(v =>
+      Files.exists(versionDir(table, v).resolve("checkpoint.json")))
+    val seed = ckpt.map { v =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, v).resolve("checkpoint.json")))
+      Option(node.get("tags")).map { c =>
+        c.fields().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+      }.getOrElse(Map.empty[String, Long])
+    }.getOrElse(Map.empty[String, Long])
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    upTo.filter(_ >= from).foldLeft(seed) { (acc, v) =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      Option(node.get("tagName")) match {
+        case Some(n) => acc + (n.asText -> node.get("tagVersion").asLong)
+        case None => acc
+      }
+    }
   }
 
   /** The constraints in force at `version` (latest when None):

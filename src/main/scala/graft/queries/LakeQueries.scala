@@ -905,6 +905,32 @@ object LakeQueries {
           lit(preEvolutionCols).as("cols_pre_evolution"))
     }),
 
+    // ---- sql10: named TAGS over versions (Iceberg tag refs) —
+    // `CALL lake.tag` is one more audited commit (repointing included),
+    // the checkpoint folds the tag table, and the SQL surface resolves
+    // `VERSION AS OF 'name'` through the log. The release-pin
+    // workflow: tag the validated snapshot, keep writing, every reader
+    // of the tag sees the pinned state.
+    "sql10_sql_tags" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.tag('tbl', 'release', 0)").collect(): Unit  // v1
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      spark.sql(
+        s"""SELECT 'release' AS ref, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM $cat.tbl VERSION AS OF 'release'
+           |UNION ALL
+           |SELECT 'latest', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+           |FROM $cat.tbl
+           |ORDER BY ref""".stripMargin)
+    }),
+
     // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
     // commit: `set-constraint` is ordered with every other commit
     // (time travel sees the constraints of its era, checkpoints fold
@@ -1306,6 +1332,15 @@ object LakeQueries {
         |  (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows,
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE lang = 'en') AS sum_chars""".stripMargin,
+
+    // The tag pins the evens-only snapshot; latest sees everything.
+    "sql10_sql_tags" ->
+      """SELECT 'latest' AS ref, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |UNION ALL
+        |SELECT 'release', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY ref""".stripMargin,
 
     // Evens predate the column (NULL lang); odds carry it; the pinned
     // pre-evolution arity is (doc_id, n_chars) = 2.

@@ -229,6 +229,34 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("catalog: tags are commits; VERSION AS OF 'name' resolves them; checkpoints fold them") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("tg")
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)   // v0
+    TxLog.append(spark, idsDf(5L to 9L), table, "doc_id", nParts = 1)   // v1
+    spark.sql(s"CALL $cat.tag('tg', 'stable', 0)")                      // v2
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.tg VERSION AS OF 'stable'")
+      .head.getLong(0) == 5L)
+    // repointing is one more commit; the old resolution is history
+    spark.sql(s"CALL $cat.tag('tg', 'stable', 1)")                      // v3
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.tg VERSION AS OF 'stable'")
+      .head.getLong(0) == 10L)
+    assert(TxLog.tags(table, Some(2L)) == Map("stable" -> 0L), "tags time-travel")
+    // tags survive a checkpoint boundary (v10 folds them)
+    (0 until 8).foreach { i =>
+      TxLog.append(spark, idsDf(Seq(20L + i)), table, "doc_id", nParts = 1)
+    }
+    assert(TxLog.latestVersion(table) >= 10L)
+    assert(TxLog.tags(table) == Map("stable" -> 1L))
+    // numeric tag names and unknown-version targets are refused
+    intercept[Exception] { TxLog.setTag(table, "7", 0L) }
+    intercept[Exception] { spark.sql(s"CALL $cat.tag('tg', 'x', 999)").collect() }
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.tg VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("stable"), s"error should list tags: ${e.getMessage}")
+  }
+
   test("catalog: TIMESTAMP AS OF resolves to the latest commit at or before t") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("tt")
