@@ -634,6 +634,47 @@ object Multimodal {
       })
   }
 
+  /** 63-bit energy-gradient AUDIO fingerprint — the PCM analogue of the
+    * image dHash: the sample stream is cut into 2-sample windows, each
+    * window's integer energy (sum of squares, exact int64) computed,
+    * and one bit per adjacent-window comparison (right > left). Small
+    * amplitude edits or re-encodes flip only the bits whose windows
+    * they touch, so near-copies land within a few bits while unrelated
+    * audio differs in ~half. The 63 bits ship as two halves (bits 0-31
+    * / 32-62) for the same cross-engine int64 sign/shift reasons as
+    * [[DHash]]. Partition-local decode; only skinny rows leave. */
+  final case class AudioFingerprint(mediaId: Long, nWindows: Int, fpHi: Long, fpLo: Long)
+
+  def audioFingerprint(df: DataFrame, idCol: String, payloadCol: String):
+      Dataset[AudioFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val a = WavDecoder.decodeAudio(MediaItem(id, bytes))
+        val nw = a.samples.length / 2
+        val e = new Array[Long](nw)
+        var w = 0
+        while (w < nw) {
+          val s0 = a.samples(2 * w).toLong
+          val s1 = a.samples(2 * w + 1).toLong
+          e(w) = s0 * s0 + s1 * s1
+          w += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var b = 0
+        while (b < nw - 1 && b < 63) {
+          if (e(b + 1) > e(b)) {
+            if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        AudioFingerprint(id, nw, hi, lo)
+      })
+  }
+
   /** Thumbnail pipeline stage: decode -> nearest-neighbor resize -> luma
     * stats of the thumbnail, all partition-local inside one
     * mapPartitions pass; only the small stat rows leave the executor

@@ -528,6 +528,70 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm18: AUDIO near-dup — the WAV twin of mm17: a 63-bit
+    // energy-gradient fingerprint (2-sample window energies, one bit
+    // per adjacent comparison — ops.Multimodal.audioFingerprint) over
+    // REAL RIFF/PCM decodes, then the same 16-bit banding makes
+    // hamming<=3 search an equi-join with an exact popcount verify.
+    // Fixture: each document contributes a 128-sample sawtooth (i^2
+    // cross-term for fingerprint diversity) and a one-sample-perturbed
+    // twin whose fingerprint differs by <= 2 bits.
+    "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            def wav(v: Int): Array[Byte] = {
+              val n = 128
+              val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+                .put("WAVE".getBytes("US-ASCII"))
+                .put("fmt ".getBytes("US-ASCII")).putInt(16)
+                .putShort(1).putShort(1).putInt(8000).putInt(16000)
+                .putShort(2).putShort(16)
+                .put("data".getBytes("US-ASCII")).putInt(n * 2)
+              var i = 0
+              while (i < n) {
+                val bump = if (v == 1 && i == (id % 128).toInt) 1000L else 0L
+                bb.putShort((((id * 31 + i * 57 + i.toLong * i * (1 + id % 89)
+                  + bump) % 4096) - 2048).toShort)
+                i += 1
+              }
+              bb.array()
+            }
+            Seq((id * 2, wav(0)), (id * 2 + 1, wav(1)))
+          }
+        }
+        .toDF("media_id", "payload")
+      val h = graft.ops.Multimodal.audioFingerprint(payloads, "media_id", "payload")
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("fpHi").as("hi"), col("fpLo").as("lo"))
+        .localCheckpoint(true) // ONE decode pass feeds bands + verify
+      val bands = h.select(col("media_id"),
+          explode(expr("array(" +
+            "struct(0 as band, hi & 65535 as bval), " +
+            "struct(1 as band, shiftright(hi, 16) & 65535 as bval), " +
+            "struct(2 as band, lo & 65535 as bval), " +
+            "struct(3 as band, shiftright(lo, 16) & 65535 as bval))")).as("b"))
+        .select(col("media_id"), col("b.band").as("band"), col("b.bval").as("bval"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+        .distinct()
+      cand
+        .join(h.select(col("media_id").as("a_id"),
+          col("hi").as("a_hi"), col("lo").as("a_lo")), "a_id")
+        .join(h.select(col("media_id").as("b_id"),
+          col("hi").as("b_hi"), col("lo").as("b_lo")), "b_id")
+        .withColumn("hamming",
+          expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)").cast("bigint"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- mm17: image NEAR-dup at scale — banded hamming join over the
     // perceptual dHash. mm05 catches EXACT dHash equality; real corpora
     // need distance <= k (a re-encode or slight retouch flips a few
@@ -643,6 +707,47 @@ object MultimodalQueries {
         |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same,
         |  media_id <> MIN(media_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS is_dup
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // The sawtooth's closed form with the i^2 diversity term and the
+    // one-sample bump; window energies, gradient bits, banding, and the
+    // hamming verify restated exactly.
+    "mm18_audio_neardups" ->
+      """WITH sm AS (
+        |  SELECT doc_id, v, i,
+        |    ((doc_id * 31 + i * 57 + i * i * (1 + doc_id % 89)
+        |      + CASE WHEN v = 1 AND i = doc_id % 128 THEN 1000 ELSE 0 END)
+        |     % 4096) - 2048 AS s
+        |  FROM documents, unnest(range(0, 2)) AS uv(v), unnest(range(0, 128)) AS ui(i)),
+        |en AS (
+        |  SELECT doc_id, v, i // 2 AS w, SUM(s * s) AS e
+        |  FROM sm GROUP BY doc_id, v, i // 2),
+        |b AS (
+        |  SELECT l.doc_id, l.v, l.w AS b,
+        |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        |  FROM en l JOIN en r ON r.doc_id = l.doc_id AND r.v = l.v AND r.w = l.w + 1
+        |  WHERE l.w < 63),
+        |h AS (
+        |  SELECT doc_id * 2 + v AS media_id,
+        |    CAST(SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id, v),
+        |bands AS (
+        |  SELECT media_id, band,
+        |    CASE band WHEN 0 THEN hi & 65535 WHEN 1 THEN (hi >> 16) & 65535
+        |              WHEN 2 THEN lo & 65535 ELSE (lo >> 16) & 65535 END AS bval
+        |  FROM h, unnest(range(0, 4)) AS ub(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS a_id, b2.media_id AS b_id
+        |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bval = b2.bval
+        |    AND a.media_id < b2.media_id)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
+        |    AS hamming
+        |FROM cand c JOIN h ha ON ha.media_id = c.a_id JOIN h hb ON hb.media_id = c.b_id
+        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Same closed form as mm05, with the perturbed twin (v = 1) flipping
     // one grid cell by +128 mod 256; banding and the hamming verify are
