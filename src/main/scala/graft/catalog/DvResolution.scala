@@ -95,11 +95,16 @@ private[catalog] object GraftMetaTable {
     StructField("max_key", LongType, nullable = false),
     StructField("has_dv", BooleanType, nullable = false)))
 
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
   def schemaFor(kind: String): StructType = kind match {
     case "history" => HistorySchema
     case "files" => FilesSchema
+    case "tags" => TagsSchema
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$$$other' (have: $$history, $$files)")
+      s"unknown metadata table '$$$other' (have: $$history, $$files, $$tags)")
   }
 
   /** The rows, computed from log metadata only. */
@@ -115,6 +120,10 @@ private[catalog] object GraftMetaTable {
         TxLog.snapshotAt(t.dir).files.sortBy(_.path).map { f =>
           InternalRow(UTF8String.fromString(f.path), f.rows, f.minKey, f.maxKey,
             f.dv.isDefined)
+        }
+      case "tags" =>
+        TxLog.tags(t.dir).toSeq.sortBy(_._1).map { case (n, v) =>
+          InternalRow(UTF8String.fromString(n), v)
         }
     }
   }

@@ -27,6 +27,9 @@ import graft.ops.TxLog
   *    view/table (copy-on-write, or merge-on-read under mor => true)
   *  - `update_where(table, key_col, predicate, set_col, set_expr)` —
   *    arbitrary-predicate UPDATE as a churn-sized COW merge
+  *  - `tag(table, name, version)` — named tag ref, one audited commit
+  *  - `cluster_by(table, cluster_expr, n_clusters)` — the
+  *    OPTIMIZE/Z-ORDER rewrite restoring footer-pruning power
   *
   * Procedures bind by position or by name (`CALL lake.compact(
   * "table" => 't')` — Spark's BindProcedures handles both).
@@ -35,7 +38,7 @@ private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
-      "tag")
+      "tag", "cluster_by")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -167,6 +170,25 @@ private[catalog] object GraftProcedures {
             val (v, _, _) = TxLog.mergeCow(spark, dir, updates, keyCol, statsCol)
             InternalRow(v, n)
           }
+        }
+      }
+      // the OPTIMIZE/Z-ORDER maintenance shape from SQL: one
+      // distributed rewrite of the live set (deletion vectors folded
+      // in) into one file per cluster of the given expression — a
+      // range- or Morton-derived cluster key restores footer-pruning
+      // power to an arrival-order table (tx08/tx15's math)
+      case "cluster_by" => new GraftProc("cluster_by",
+        Array(param("table", StringType), param("cluster_expr", StringType),
+          paramWithDefault("n_clusters", IntegerType, "8")),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("files_total", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)
+          val v = TxLog.compactClustered(spark, dir, statsCol,
+            org.apache.spark.sql.functions.expr(input.getUTF8String(1).toString),
+            math.max(1, input.getInt(2)))
+          InternalRow(v, TxLog.snapshotAt(dir).files.size.toLong)
         }
       }
       case "tag" => new GraftProc("tag",

@@ -931,6 +931,37 @@ object LakeQueries {
            |ORDER BY ref""".stripMargin)
     }),
 
+    // ---- sql11: the OPTIMIZE shape from SQL — `CALL lake.cluster_by`
+    // rewrites four arrival-order appends into range-clustered files in
+    // one distributed pass; the middle-quarter range read that had to
+    // touch every file before touches only the intersecting buckets
+    // after (tx15's math through the procedure surface).
+    "sql11_sql_cluster_by" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val span = idSpan(d)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 1)
+      }
+      val (lo, hi) = (span / 4, span / 2 - 1)
+      val preScan = TxLog.pruneFiles(TxLog.snapshotAt(table), lo, hi).size
+      spark.sql(s"CALL $cat.cluster_by('tbl', '(doc_id * 8) div ${span}L', 8)")
+        .collect(): Unit
+      val snap = TxLog.snapshotAt(table)
+      val scanned = TxLog.pruneFiles(snap, lo, hi).size
+      TxLog.readAt(spark, table, range = Some(("doc_id", lo, hi)))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(preScan).cast("bigint").as("files_before_scanned"),
+          lit(snap.files.size).cast("bigint").as("files_total"),
+          lit(scanned).cast("bigint").as("files_scanned"),
+          col("n_rows"), col("sum_chars"))
+    }),
+
     // ---- tx19: CHECK constraints — Delta's ADD CONSTRAINT as a
     // commit: `set-constraint` is ordered with every other commit
     // (time travel sees the constraints of its era, checkpoints fold
@@ -1332,6 +1363,30 @@ object LakeQueries {
         |  (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n_rows,
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE lang = 'en') AS sum_chars""".stripMargin,
+
+    // tx15's bucket arithmetic through the procedure surface (no DVs
+    // in this sequence).
+    "sql11_sql_cluster_by" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |rng AS (SELECT n // 4 AS lo, n // 2 - 1 AS hi, n FROM span),
+        |pre AS (
+        |  SELECT doc_id % 4 AS r, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents GROUP BY 1),
+        |boxes AS (
+        |  SELECT (doc_id * 8) // rng.n AS b, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |  FROM documents, rng GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM pre, rng
+        |        WHERE pre.mx >= rng.lo AND pre.mn <= rng.hi) AS BIGINT)
+        |    AS files_before_scanned,
+        |  CAST((SELECT COUNT(*) FROM boxes) AS BIGINT) AS files_total,
+        |  CAST((SELECT COUNT(*) FROM boxes, rng
+        |        WHERE boxes.mx >= rng.lo AND boxes.mn <= rng.hi) AS BIGINT)
+        |    AS files_scanned,
+        |  (SELECT COUNT(*) FROM documents, rng
+        |   WHERE doc_id BETWEEN rng.lo AND rng.hi) AS n_rows,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents, rng
+        |        WHERE doc_id BETWEEN rng.lo AND rng.hi) AS BIGINT) AS sum_chars""".stripMargin,
 
     // The tag pins the evens-only snapshot; latest sees everything.
     "sql10_sql_tags" ->

@@ -248,6 +248,10 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(TxLog.latestVersion(table) >= 10L)
     assert(TxLog.tags(table) == Map("stable" -> 1L))
+    // the $tags metadata table serves the current refs
+    val tagRows = spark.sql(s"SELECT name, version FROM $cat.`tg$$tags`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tagRows == Seq(("stable", 1L)))
     // numeric tag names and unknown-version targets are refused
     intercept[Exception] { TxLog.setTag(table, "7", 0L) }
     intercept[Exception] { spark.sql(s"CALL $cat.tag('tg', 'x', 999)").collect() }
