@@ -47,17 +47,19 @@ private[catalog] object GraftWrites {
   def insert(dir: Path, data: DataFrame, overwrite: Boolean): Unit = {
     val spark = data.sparkSession
     val statsCol = defaultStatsCol(data.schema)
-    if (overwrite) TxLog.overwrite(spark, data, dir, statsCol): Unit
-    else {
-      val partCols = TxLog.partitionColsOf(dir)
-      if (partCols.nonEmpty)
-        // hash-partitioned on the partition tuple across the cluster's
-        // parallelism: tasks run in parallel, yet each partition VALUE
-        // still lands in one task → one file per value, so equality
-        // reads stay one-file metadata lookups
-        TxLog.appendPartitioned(spark, data, dir, partCols, statsCol,
-          nParts = spark.sparkContext.defaultParallelism): Unit
-      else TxLog.append(spark, data, dir, statsCol): Unit
+    // hash-partitioned on the partition tuple across the cluster's
+    // parallelism: tasks run in parallel, yet each partition VALUE
+    // still lands in one task → one file per value, so equality
+    // reads stay one-file metadata lookups
+    val partCols = TxLog.partitionColsOf(dir)
+    val par = spark.sparkContext.defaultParallelism
+    (overwrite, partCols.nonEmpty) match {
+      case (true, true) =>
+        TxLog.overwritePartitioned(spark, data, dir, partCols, statsCol, nParts = par): Unit
+      case (true, false) => TxLog.overwrite(spark, data, dir, statsCol): Unit
+      case (false, true) =>
+        TxLog.appendPartitioned(spark, data, dir, partCols, statsCol, nParts = par): Unit
+      case (false, false) => TxLog.append(spark, data, dir, statsCol): Unit
     }
   }
 

@@ -759,6 +759,39 @@ object TxLog {
     require(partCols.nonEmpty, "appendPartitioned needs at least one partition column")
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
+    val adds = stagePartitioned(spark, df, table, partCols, statsCol, clusterCol, nParts)
+    commitRetry(table, "append", adds, Nil,
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false)))(
+      _ => true)
+  }
+
+  /** Partitioned `INSERT OVERWRITE`: the same one-file-per-partition
+    * staging as [[appendPartitioned]], committed as ONE `overwrite`
+    * replacing the live set — so a partitioned table keeps its
+    * partitionValues (and partition-pruned reads) through an overwrite
+    * instead of degrading to unpartitioned files. */
+  def overwritePartitioned(spark: SparkSession, df: DataFrame, table: Path,
+      partCols: Seq[String], statsCol: String,
+      clusterCol: Option[Column] = None, nParts: Int = 1): Long = {
+    require(partCols.nonEmpty, "overwritePartitioned needs at least one partition column")
+    Files.createDirectories(table)
+    validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit
+    val adds = stagePartitioned(spark, df, table, partCols, statsCol, clusterCol, nParts)
+    val base = snapshotAt(table)
+    commitRetry(table, "overwrite", adds, base.files.map(_.path),
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false))) {
+      case Some(s) => s.version == base.version
+      case None => base.version == -1L
+    }
+  }
+
+  /** Shared partitioned staging: one distributed write under a private
+    * dir, the hive layout walked into per-file partitionValues, files
+    * promoted under fresh UUID names. Constraints validate the staged
+    * bytes. */
+  private def stagePartitioned(spark: SparkSession, df: DataFrame, table: Path,
+      partCols: Seq[String], statsCol: String,
+      clusterCol: Option[Column], nParts: Int): Vector[AddFile] = {
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val dup = partCols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
     val pKeys = partCols.map(c => col(s"__p_$c"))
@@ -788,9 +821,7 @@ object TxLog {
       promoteParts(spark, Vector(file), table, statsCol).map(_.copy(part = vals))
     }
     deleteRecursively(stage)
-    commitRetry(table, "append", adds, Nil,
-      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false)))(
-      _ => true)
+    adds
   }
 
   /** Files of `snap` whose designated-column [min,max] can intersect

@@ -137,6 +137,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(TxLog.readAt(spark, table, partitions = Map("tag" -> "a")).count() == 2L)
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.pt WHERE tag = 'a'")
       .head.getLong(0) == 2L)
+    // INSERT OVERWRITE keeps the partition layout (partitionValues in
+    // the log survive the overwrite; pruning still works)
+    spark.sql(s"INSERT OVERWRITE $cat.pt VALUES (7, 'c'), (8, 'a')")
+    val snap2 = TxLog.snapshotAt(table)
+    assert(snap2.files.size == 2 &&
+      snap2.files.flatMap(_.part.get("tag")).toSet == Set("a", "c"),
+      s"overwrite must stay partitioned: ${snap2.files.map(f => (f.path, f.part))}")
+    assert(TxLog.readAt(spark, table, partitions = Map("tag" -> "a"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(8L))
+    assert(TxLog.history(table).map(_._2).last == "overwrite")
   }
 
   test("catalog: CALL procedures run maintenance from SQL (compact, constraint, restore, vacuum)") {
