@@ -155,6 +155,11 @@ private[catalog] object GraftProcedures {
           val pred = org.apache.spark.sql.functions.expr(
             input.getUTF8String(2).toString)
           val setCol = input.getUTF8String(3).toString
+          // mutating the merge key would leave the OLD-keyed rows in
+          // place and insert the new ones — duplication, not an update
+          require(setCol != keyCol,
+            s"update_where cannot assign the key column '$keyCol' itself; " +
+            "delete + insert for key rewrites")
           val setExpr = org.apache.spark.sql.functions.expr(
             input.getUTF8String(4).toString)
           val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)

@@ -200,7 +200,8 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     import org.apache.spark.sql.functions.{col, lit}
     val (op, adds, _) = TxLog.commitActions(table, v)
     op match {
-      case "compact" | "set-constraint" => None // no row-level change
+      // metadata-only commits: no row-level change to emit
+      case "compact" | "set-constraint" | "create" | "set-schema" | "set-tag" => None
       case "append" | "streaming-append" | "abandoned" =>
         if (adds.isEmpty) None
         else Some(scanFiles(adds)

@@ -292,6 +292,34 @@ class LakeStreamSpec extends SparkSpec {
     assert(got.map(_._1).sorted == (0L to 9L) && got.forall(_._2 == "insert"))
   }
 
+  test("metadata-only commits (create, set-schema, set-tag, constraint) emit nothing " +
+      "in the change feed") {
+    val table = Files.createTempDirectory("graft_lakestream").resolve("t")
+    TxLog.create(table, idsDf(Seq(0L)).schema)                            // v0
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)     // v1
+    TxLog.setConstraint(spark, table, "cap", "doc_id < 100")              // v2
+    TxLog.setTag(table, "stable", 1L)                                     // v3
+    TxLog.addColumn(table, "extra", org.apache.spark.sql.types.LongType)  // v4
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .load(table.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("_change_type")))): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_lakestream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq
+    assert(got.map(_._1).sorted == (0L to 4L) && got.forall(_._2 == "insert"),
+      s"only the append's inserts should replay, got $got")
+  }
+
   test("compaction is a data-unchanged rewrite: skipped tail still sees every row once") {
     val table = Files.createTempDirectory("graft_lakestream").resolve("t")
     val ckpt = Files.createTempDirectory("graft_lakestream_ckpt").toString
