@@ -133,6 +133,33 @@ object QualityQueries {
         .withColumn("psi_term",
           (col("p_base") - col("p_curr")) * log(col("p_base") / col("p_curr")))
         .orderBy("bin")
+    }),
+
+    // ---- dq04: TOTAL-VARIATION distance between two cohorts'
+    // categorical distributions — the sibling of dq03's per-bin PSI
+    // with a bounded, threshold-friendly statistic: TV = (1/2) sum_c
+    // |p_a(c) - p_b(c)| in [0,1]. Computed HASH-SAFE: the per-category
+    // cross term |n_a*t_b - n_b*t_a| is exact int64 (counts x totals),
+    // and the ONLY floating-point op is one final division — no
+    // accumulation-order hazard, unlike a chi-squared sum of per-
+    // category doubles. One narrow shuffle (category grain); totals
+    // broadcast. At 100 TB this is the nightly split-health monitor:
+    // category-sized state regardless of corpus size.
+    "dq04_tv_drift" -> ((spark: SparkSession, dir: String) => {
+      val d = t(spark, dir, "documents")
+        .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"))
+      val cats = d.groupBy(col("lang")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      val totals = cats.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      val withT = cats.crossJoin(broadcast(totals))
+        .withColumn("abs_cross", abs(col("n_a") * col("t_b") - col("n_b") * col("t_a")))
+      val tv = withT
+        .agg(sum(col("abs_cross")).as("s"), max(col("t_a")).as("ta"), max(col("t_b")).as("tb"))
+        .select((col("s").cast("double") / (col("ta") * col("tb") * lit(2.0))).as("tv"))
+      withT.crossJoin(broadcast(tv))
+        .select(col("lang"), col("n_a"), col("n_b"), col("abs_cross"), col("tv"))
+        .orderBy("lang")
     }))
 
   private def dqEdgeSql(fact: String, fk: String, dim: String, pk: String,
@@ -156,6 +183,24 @@ object QualityQueries {
              dqEdgeSql("nation", "n_regionkey", "region", "r_regionkey", "nation_regionkey"))
            .mkString("\nUNION ALL\n")}
          |) ORDER BY fk_edge""".stripMargin),
+
+    // exact integer cross terms; the single division is the only
+    // floating-point op, restated identically
+    "dq04_tv_drift" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+        |      FROM c),
+        |x AS (SELECT lang, n_a, n_b,
+        |        CAST(abs(n_a * t_b - n_b * t_a) AS BIGINT) AS abs_cross, t_a, t_b
+        |      FROM c, t),
+        |tv AS (SELECT CAST(SUM(abs_cross) AS DOUBLE)
+        |         / (CAST(MAX(t_a) * MAX(t_b) AS DOUBLE) * 2.0) AS tv FROM x)
+        |SELECT lang, n_a, n_b, abs_cross, tv.tv AS tv
+        |FROM x, tv ORDER BY lang""".stripMargin,
 
     "dq03_distribution_drift" ->
       """WITH binned AS (
