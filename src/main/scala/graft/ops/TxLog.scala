@@ -1625,7 +1625,12 @@ object TxLog {
   def vacuum(table: Path, keepVersions: Int = 1,
       minAgeMs: Long = 24 * 60 * 60 * 1000L): Vector[String] = {
     val vs = versions(table)
-    val retained = vs.takeRight(math.max(1, keepVersions))
+    // TAGGED versions are retention roots (Iceberg's rule): a named ref
+    // is a promise that `VERSION AS OF 'name'` stays readable, so its
+    // snapshot survives any keepVersions window until the tag is
+    // repointed or the version drops out of the tag table
+    val retained = (vs.takeRight(math.max(1, keepVersions)) ++
+      tags(table).values.filter(vs.contains)).distinct.sorted
     // a retained snapshot references its data files AND their DV
     // sidecars; a retained COMMIT additionally references its CDC
     // sidecar (the change feed must stay replayable over the window)

@@ -262,6 +262,13 @@ class GraftCatalogSpec extends SparkSpec {
     val tagRows = spark.sql(s"SELECT name, version FROM $cat.`tg$$tags`")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(tagRows == Seq(("stable", 1L)))
+    // a TAGGED version is a vacuum retention root: its files survive a
+    // keep-only-latest vacuum, so the tag stays readable; repointing
+    // releases them
+    TxLog.compact(spark, table, "doc_id", nParts = 1) // rewrites the live set
+    TxLog.vacuum(table, keepVersions = 1, minAgeMs = 0L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.tg VERSION AS OF 'stable'")
+      .head.getLong(0) == 10L, "tagged snapshot must survive vacuum")
     // numeric tag names and unknown-version targets are refused
     intercept[Exception] { TxLog.setTag(table, "7", 0L) }
     intercept[Exception] { spark.sql(s"CALL $cat.tag('tg', 'x', 999)").collect() }
