@@ -475,6 +475,83 @@ object SimilarityQueries {
         .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
         .orderBy("q_id", "rk")
     }),
+
+    // ---- sim08: STREAMING maintenance of the persisted index — the
+    // production shape sim07's batch increment approximates: new
+    // vectors land in a bronze lake table, a graft-lake TAIL assigns
+    // each micro-batch against the PERSISTED centroids and appends it
+    // into the index with a batch-id-tagged exactly-once commit. The
+    // index stays queryable and consistent through the whole drain
+    // (every intermediate state is a committed snapshot), and a
+    // restarted stream cannot double-index a batch. The probe query —
+    // identical semantics to sim07's — must return the same rows, so
+    // the two maintenance paths (batch increment, streaming tail) are
+    // cross-gated against each other through one oracle.
+    "sim08_streaming_index" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val c0 = emb.filter(col("vec_id") % 10 =!= 9)
+      val growth = emb.filter(col("vec_id") % 10 === 9)
+      val nc = c0.agg(greatest(lit(16L),
+        expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
+      val cent = c0.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val centTable = freshTable()
+      val assignTable = freshTable()
+      val bronze = freshTable()
+      graft.ops.TxLog.append(spark, cent, centTable, "cent_id", nParts = 1)
+      def assignTo(vecs: DataFrame, centDf: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("a_cos").desc, col("cent_id").asc)
+        vecs.join(broadcast(centDf), lit(true))
+          .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
+            expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
+          .withColumn("ark", row_number().over(w)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cent_id"), col("label"), col("embedding"))
+      }
+      graft.ops.TxLog.appendClustered(spark, assignTo(c0, cent), assignTable,
+        "cent_id", clusterCol = col("cent_id"), nClusters = 8)
+      val centLake = graft.ops.TxLog.readAt(spark, centTable)
+      // arrivals: two bronze commits, one graft-lake micro-batch each
+      graft.ops.TxLog.append(spark, growth.filter(col("vec_id") % 2 === 0),
+        bronze, "vec_id", nParts = 1)
+      graft.ops.TxLog.append(spark, growth.filter(col("vec_id") % 2 === 1),
+        bronze, "vec_id", nParts = 1)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sim8_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1")
+        .load(bronze.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.ops.TxLog.streamingAppend(spark, assignTo(b, centLake),
+            bid, assignTable, "cent_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // probe purely from the persisted, stream-maintained index
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("p_cos").desc, col("cent_id").asc)
+      val probes = qs.join(broadcast(centLake.select(col("cent_id"), col("cent_emb"))),
+          lit(true))
+        .select(col("q_id"), col("q_emb"), col("cent_id"),
+          expr(cosExpr("q_emb", "cent_emb")).as("p_cos"))
+        .withColumn("prk", row_number().over(probeW)).filter(col("prk") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cent_id"))
+      val assignLake = graft.ops.TxLog.readAt(spark, assignTable)
+      val scored = probes.join(assignLake, Seq("cent_id"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("label"),
+          expr(cosExpr("q_emb", "embedding")).as("cosine"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
+        .orderBy("q_id", "rk")
+    }),
   )
 
   private def dotSql(a: String, b: String): String =
@@ -649,14 +726,10 @@ object SimilarityQueries {
          |FROM top ORDER BY rank""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "sim06_pq_ann" -> sim06Sql,
-
-    // The persisted index is semantically sim02 with centroids drawn
-    // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —
-    // initial at build time, growth at the incremental append — assigned
-    // by the same nearest-centroid rule; the oracle states exactly that.
-    "sim07_lake_ann" ->
+  /** Shared by sim07 (batch increment) and sim08 (streaming tail):
+    * both maintenance paths must produce the SAME index, so one
+    * oracle cross-gates them. */
+  private val sim07Sql: String =
       s"""WITH c0 AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 9),
         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM c0
         |  WHERE vec_id < (SELECT GREATEST(16,
@@ -683,7 +756,20 @@ object SimilarityQueries {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
         |  FROM scored)
         |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10
-        |ORDER BY q_id, rk""".stripMargin,
+        |ORDER BY q_id, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim06_pq_ann" -> sim06Sql,
+
+    // The persisted index is semantically sim02 with centroids drawn
+    // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —
+    // initial at build time, growth at the incremental append (sim07)
+    // or the streaming tail (sim08) — assigned by the same
+    // nearest-centroid rule; ONE oracle cross-gates both maintenance
+    // paths.
+    "sim07_lake_ann" -> sim07Sql,
+    "sim08_streaming_index" -> sim07Sql,
+
 
     "sim01_cosine_topk" -> sim01Sql,
 
