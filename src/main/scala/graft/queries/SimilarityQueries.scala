@@ -207,7 +207,9 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
   }
 
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val defs: Map[String, (SparkSession, String) => DataFrame] = baseDefs ++ streamingDefs
+
+  private val baseDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim01_cosine_topk" -> ((spark: SparkSession, dir: String) =>
       bruteForceTopK(spark, dir)),
 
@@ -427,7 +429,31 @@ object SimilarityQueries {
     // cent_id, so footer [min,max] stats ARE the list boundaries and
     // pushdown skips the rest), and the index itself is versioned —
     // time travel queries yesterday's index during a reindex.
-    "sim07_lake_ann" -> ((spark: SparkSession, dir: String) => {
+    "sim07_lake_ann" -> ((spark: SparkSession, dir: String) =>
+      lakeAnnTopK(spark, dir)),
+
+    // ---- sim09: the recall audit for the PERSISTED index — what sim05
+    // is to sim02: per query, the fraction of the exact brute-force
+    // top-10 the lake-backed probe recovered. This is the continuous
+    // quality gauge a production index service runs against its OWN
+    // serving path (build + incremental appends + disk round-trip
+    // included), not against an in-memory re-derivation.
+    "sim09_lake_ann_recall" -> ((spark: SparkSession, dir: String) => {
+      val exact = bruteForceTopK(spark, dir).select(col("q_id"), col("c_id"))
+      val approx = lakeAnnTopK(spark, dir).select(col("q_id"), col("c_id"))
+        .withColumn("__hit", lit(1))
+      exact.join(approx, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .orderBy("q_id")
+    }),
+  )
+
+  /** sim07's body as a named builder so sim09 can audit the SERVED
+    * index (lake round-trip included) against brute force. */
+  private def lakeAnnTopK(spark: SparkSession, dir: String): DataFrame = {
       reg(spark)
       val emb = t(spark, dir, "embeddings")
       val c0 = emb.filter(col("vec_id") % 10 =!= 9)
@@ -474,8 +500,9 @@ object SimilarityQueries {
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
         .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
         .orderBy("q_id", "rk")
-    }),
+  }
 
+  val streamingDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sim08: STREAMING maintenance of the persisted index — the
     // production shape sim07's batch increment approximates: new
     // vectors land in a bronze lake table, a graft-lake TAIL assigns
@@ -769,6 +796,16 @@ object SimilarityQueries {
     // paths.
     "sim07_lake_ann" -> sim07Sql,
     "sim08_streaming_index" -> sim07Sql,
+
+    // recall of the served index vs brute force: both rankings nested
+    // verbatim, same shape as sim05's audit of sim02
+    "sim09_lake_ann_recall" ->
+      s"""SELECT e.q_id AS q_id, COUNT(*) AS k,
+        |  COUNT(a.c_id) AS n_hits,
+        |  CAST(COUNT(a.c_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM ($sim01Sql) e
+        |LEFT JOIN ($sim07Sql) a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        |GROUP BY e.q_id ORDER BY q_id""".stripMargin,
 
 
     "sim01_cosine_topk" -> sim01Sql,
