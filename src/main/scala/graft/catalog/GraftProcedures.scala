@@ -69,7 +69,15 @@ private[catalog] object GraftProcedures {
   def load(base: Path, ident: Identifier): UnboundProcedure = {
     def table(input: InternalRow): Path = {
       val t = input.getUTF8String(0).toString
-      val dir = base.resolve(t)
+      // the argument is DATA, not a path: refuse separators/'..' so
+      // `CALL lake.vacuum('../x')` cannot address (or destroy) anything
+      // outside the catalog base — same fence as GraftCatalog.tableDir
+      require(t.nonEmpty && t != "." && t != ".." &&
+        !t.contains('/') && !t.contains('\\'),
+        s"illegal table name '$t': must be a plain child name of the catalog base")
+      val dir = base.resolve(t).normalize()
+      require(dir.getParent == base.normalize(),
+        s"table name '$t' escapes catalog base $base")
       require(java.nio.file.Files.isDirectory(dir.resolve("_graft_log")),
         s"no TxLog table '$t' under $base")
       dir
@@ -164,11 +172,18 @@ private[catalog] object GraftProcedures {
             input.getUTF8String(4).toString)
           val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)
           // the update delta: matching rows with the assignment applied —
-          // churn-sized by contract, rewritten into the table by key
+          // churn-sized by contract, rewritten into the table by key.
+          // MATERIALIZED ONCE (localCheckpoint) before both the count and
+          // the merge: re-evaluating the plan twice would let a
+          // nondeterministic predicate/SET expression (or a concurrent
+          // commit between the two runs) merge a different row set than
+          // the one reported — the same re-evaluation hazard constraints
+          // solve by validating the staged bytes.
           val updates = TxLog.readAt(spark, dir)
             .filter(org.apache.spark.sql.functions.coalesce(pred,
               org.apache.spark.sql.functions.lit(false)))
             .withColumn(setCol, setExpr)
+            .localCheckpoint(true)
           val n = updates.count()
           if (n == 0L) InternalRow(TxLog.latestVersion(dir), 0L)
           else {

@@ -146,3 +146,40 @@ private[catalog] case class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
 }
+
+/** The CTAS staging shape (see [[GraftCatalog.stageCreate]]): the v0 log
+  * and all CTAS data land in the hidden `tmp` dir through the normal
+  * [[TxLogWriteSupport]] staged-commit path, and `commitStagedChanges`
+  * publishes the whole table with ONE atomic directory rename — so a
+  * failed CTAS aborts to nothing and readers never see a partial table. */
+private[catalog] case class GraftStagedTable(
+    tableName: String, tmp: Path, target: Path, tableSchema: StructType)
+  extends org.apache.spark.sql.connector.catalog.StagedTable with TxLogWriteSupport {
+
+  override def dir: Path = tmp
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def commitStagedChanges(): Unit = {
+    java.nio.file.Files.createDirectories(target.getParent)
+    // create-exclusive semantics: if a concurrent CTAS won the race, the
+    // move fails and this staging dir is torn down by abortStagedChanges
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  override def abortStagedChanges(): Unit = {
+    if (java.nio.file.Files.isDirectory(tmp)) {
+      val s = java.nio.file.Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally s.close()
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -139,12 +139,15 @@ object QualityQueries {
     // categorical distributions — the sibling of dq03's per-bin PSI
     // with a bounded, threshold-friendly statistic: TV = (1/2) sum_c
     // |p_a(c) - p_b(c)| in [0,1]. Computed HASH-SAFE: the per-category
-    // cross term |n_a*t_b - n_b*t_a| is exact int64 (counts x totals),
-    // and the ONLY floating-point op is one final division — no
-    // accumulation-order hazard, unlike a chi-squared sum of per-
-    // category doubles. One narrow shuffle (category grain); totals
-    // broadcast. At 100 TB this is the nightly split-health monitor:
-    // category-sized state regardless of corpus size.
+    // cross term |n_a*t_b - n_b*t_a| is EXACT DECIMAL(38,0) — int64
+    // counts widened to decimal(19,0) before the products, so the cross
+    // term stays exact up to ~1e38 (cohorts of ~3e9 rows overflow an
+    // int64 product; 100 TB corpora don't get near 1e19 rows, the
+    // decimal bound) — and the ONLY floating-point op is one final
+    // division: no accumulation-order hazard, unlike a chi-squared sum
+    // of per-category doubles. One narrow shuffle (category grain);
+    // totals broadcast. At 100 TB this is the nightly split-health
+    // monitor: category-sized state regardless of corpus size.
     "dq04_tv_drift" -> ((spark: SparkSession, dir: String) => {
       val d = t(spark, dir, "documents")
         .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"))
@@ -152,11 +155,15 @@ object QualityQueries {
         sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
       val totals = cats.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      val dec = (c: Column) => c.cast("decimal(19,0)")
       val withT = cats.crossJoin(broadcast(totals))
-        .withColumn("abs_cross", abs(col("n_a") * col("t_b") - col("n_b") * col("t_a")))
+        .withColumn("abs_cross",
+          abs(dec(col("n_a")) * dec(col("t_b")) - dec(col("n_b")) * dec(col("t_a")))
+            .cast("decimal(38,0)"))
       val tv = withT
         .agg(sum(col("abs_cross")).as("s"), max(col("t_a")).as("ta"), max(col("t_b")).as("tb"))
-        .select((col("s").cast("double") / (col("ta") * col("tb") * lit(2.0))).as("tv"))
+        .select((col("s").cast("double") /
+          ((dec(col("ta")) * dec(col("tb"))).cast("double") * lit(2.0))).as("tv"))
       withT.crossJoin(broadcast(tv))
         .select(col("lang"), col("n_a"), col("n_b"), col("abs_cross"), col("tv"))
         .orderBy("lang")
@@ -184,8 +191,9 @@ object QualityQueries {
            .mkString("\nUNION ALL\n")}
          |) ORDER BY fk_edge""".stripMargin),
 
-    // exact integer cross terms; the single division is the only
-    // floating-point op, restated identically
+    // exact DECIMAL(38,0) cross terms (HUGEINT products, int64-overflow
+    // safe); the single division is the only floating-point op,
+    // restated identically
     "dq04_tv_drift" ->
       """WITH c AS (
         |  SELECT lang,
@@ -195,10 +203,12 @@ object QualityQueries {
         |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
         |      FROM c),
         |x AS (SELECT lang, n_a, n_b,
-        |        CAST(abs(n_a * t_b - n_b * t_a) AS BIGINT) AS abs_cross, t_a, t_b
+        |        CAST(abs(CAST(n_a AS HUGEINT) * t_b - CAST(n_b AS HUGEINT) * t_a)
+        |             AS DECIMAL(38,0)) AS abs_cross, t_a, t_b
         |      FROM c, t),
         |tv AS (SELECT CAST(SUM(abs_cross) AS DOUBLE)
-        |         / (CAST(MAX(t_a) * MAX(t_b) AS DOUBLE) * 2.0) AS tv FROM x)
+        |         / (CAST(CAST(MAX(t_a) AS HUGEINT) * MAX(t_b) AS DOUBLE) * 2.0) AS tv
+        |       FROM x)
         |SELECT lang, n_a, n_b, abs_cross, tv.tv AS tv
         |FROM x, tv ORDER BY lang""".stripMargin,
 

@@ -337,4 +337,72 @@ class GraftCatalogSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThanOrEqual(doc_id,90)"), plan)
   }
+
+  test("catalog: CTAS is atomic — a failed query publishes nothing") {
+    val (cat, base) = freshCatalog()
+    TxLog.append(spark, idsDf(0L to 9L), base.resolve("src2"), "doc_id", nParts = 1)
+    // the SELECT fails at RUNTIME (assert_true trips on doc_id >= 5), so
+    // the create must roll back: no table dir, no empty-v0 orphan, no
+    // listing entry, and the staging area is torn down
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ghost AS " +
+        s"SELECT doc_id, assert_true(doc_id < 5) AS ok FROM $cat.src2")
+    }
+    assert(!Files.exists(base.resolve("ghost")))
+    val listed = spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSet
+    assert(listed == Set("src2"))
+    val staging = base.resolve(".staging")
+    if (Files.isDirectory(staging)) {
+      val s = Files.list(staging)
+      try assert(!s.iterator().hasNext, "staging dir not cleaned up")
+      finally s.close()
+    }
+    // ...and a SUCCESSFUL CTAS through the same staged path still lands
+    spark.sql(s"CREATE TABLE $cat.ok2 AS SELECT doc_id FROM $cat.src2 WHERE doc_id < 3")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.ok2").head.getLong(0) == 3L)
+  }
+
+  test("catalog: identifiers and procedure args are names, never paths") {
+    val (cat, base) = freshCatalog()
+    TxLog.append(spark, idsDf(0L to 4L), base.resolve("vic"), "doc_id", nParts = 1)
+    // a sibling table OUTSIDE the catalog base that traversal would reach
+    val outside = Files.createTempDirectory("graft_outside")
+    val escapee = outside.resolve("loot")
+    TxLog.append(spark, idsDf(0L to 4L), escapee, "doc_id", nParts = 1)
+    val rel = base.relativize(escapee).toString // ../graft_outside.../loot
+    // backticked identifier traversal → refused, nothing read or dropped
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`$rel`").collect()
+    }
+    assert(e1.getMessage.contains("illegal identifier segment") ||
+      e1.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql(s"DROP TABLE $cat.`$rel`") }
+    assert(Files.isDirectory(escapee.resolve("_graft_log")), "traversal deleted data!")
+    assert(e2 != null)
+    // procedure args take the same fence: vacuum cannot address '../'
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $cat.vacuum('$rel', 1, 0)").collect()
+    }
+    assert(e3.getMessage.contains("illegal table name"), e3.getMessage)
+    assert(Files.isDirectory(escapee.resolve("_graft_log")))
+    // plain names still work
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.vic").head.getLong(0) == 5L)
+  }
+
+  test("catalog: ALTER TABLE ADD COLUMN FIRST/AFTER is refused, not silently appended") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ac (doc_id BIGINT, payload STRING)")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ac ADD COLUMN flag INT FIRST")
+    }
+    assert(e.getMessage.contains("FIRST/AFTER is not supported"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ac ADD COLUMN flag INT AFTER doc_id")
+    }
+    assert(e2.getMessage.contains("FIRST/AFTER is not supported"), e2.getMessage)
+    // schema unchanged by the refused DDL; positionless ADD still works
+    assert(spark.table(s"$cat.ac").columns.toSeq == Seq("doc_id", "payload"))
+    spark.sql(s"ALTER TABLE $cat.ac ADD COLUMN flag INT")
+    assert(spark.table(s"$cat.ac").columns.toSeq == Seq("doc_id", "payload", "flag"))
+  }
 }
