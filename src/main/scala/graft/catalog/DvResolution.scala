@@ -39,6 +39,7 @@ private[catalog] case class GraftDvTable(
     val s = new java.util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.BATCH_WRITE) // row-level rewrites are real V2 writes
     s.add(TableCapability.TRUNCATE)
     s
   }
@@ -48,11 +49,35 @@ private[catalog] case class GraftDvTable(
     * target of a DELETE command, which never builds a scan (the delete
     * executes through [[TxLogWriteSupport.deleteWhere]], itself
     * DV-aware). Only actually BUILDING a scan — a read that would
-    * resurrect deleted rows — throws. */
+    * resurrect deleted rows — throws.
+    *
+    * EXCEPTION: a projection requesting the `_graft_file` group-id
+    * column is the runtime group-filtering subquery of a row-level DML
+    * rewrite (built in the OPTIMIZER, after ResolveDvSnapshots can
+    * rewrite anything) — served by the DV-aware [[GraftRowLevelScan]]. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var wantsFile = false
+      private var requested: StructType = tableSchema
+      private var kept: Vector[graft.ops.TxLog.AddFile] =
+        TxLog.snapshotAt(dir, Some(snapVersion)).files
+
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        kept = kept.filter(f => filters.forall(GraftRowLevel.mayMatch(f, _)))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+      override def pruneColumns(s: StructType): Unit = {
+        wantsFile = s.fieldNames.contains(GraftRowLevel.FileCol)
+        requested = s
+      }
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        throw new UnsupportedOperationException(
+        if (wantsFile) new GraftRowLevelScan(dir, tableSchema, requested, kept)
+        else throw new UnsupportedOperationException(
           s"$tableName@v$snapVersion carries merge-on-read deletion vectors; add " +
           "graft.GraftExtensions to spark.sql.extensions (or compact " +
           "the table / read via TxLog.readAt) to serve it")
@@ -200,6 +225,14 @@ case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => d
       }
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    // row-level DML targets must ALSO stay raw relations: Spark's
+    // RewriteUpdateTable/RewriteMergeIntoTable match on the target
+    // DataSourceV2Relation to build the group-based COW plan (the
+    // row-level scan is itself DV-aware); only a MERGE's SOURCE side is
+    // an ordinary read to rewrite
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      m.copy(sourceTable = rewriteReads(m.sourceTable))
     case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
       w.withNewQuery(rewriteReads(w.query))
     case other => rewriteReads(other)

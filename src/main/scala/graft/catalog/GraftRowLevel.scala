@@ -1,0 +1,529 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.column.ParquetProperties
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Expression => V2Expression}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.TxLog
+import graft.ops.TxLog.AddFile
+
+/** Native SQL row-level DML for TxLog tables — `UPDATE lake.t SET ...
+  * WHERE ...` and `MERGE INTO lake.t USING src ON ...` as first-class
+  * statements through Spark 4's DSv2 row-level-operation API
+  * (SupportsRowLevelOperations), the same surface Iceberg/Delta expose.
+  * The reference has no DML (or SQL) at all — its data plane is the
+  * port list in /root/reference/src/domain/ports.rs:5-30.
+  *
+  * The shape is GROUP-BASED copy-on-write, the Iceberg COW design:
+  *
+  *  - the operation's SCAN serves the affected "groups" = data FILES.
+  *    Filters Spark pushes (the UPDATE/DELETE condition) are treated as
+  *    group-selection hints ONLY: they prune the candidate file list
+  *    through the log's footer stats and partition values (never rows —
+  *    carried-over rows of an affected file must flow to the rewrite),
+  *    and every pushed filter is returned as residual.
+  *  - each candidate file is ONE input partition whose reader is
+  *    Spark's own parquet row reader (vectorized batches unwrapped),
+  *    with the file's deletion-vector keys dropped file-locally and a
+  *    `_graft_file` metadata column appended — the group id.
+  *  - [[SupportsRuntimeV2Filtering]] on `_graft_file` gives RUNTIME
+  *    group filtering: Spark plans a matching-rows subquery (for MERGE,
+  *    a join against the source) and the main scan shrinks to the files
+  *    that actually contain matches before any rewrite is paid — the
+  *    dynamic-pruning analog of mergeCow's key-probe. At 100 TB this is
+  *    the difference between rewriting stat-candidates and rewriting
+  *    true matches.
+  *  - the WRITE is a real distributed BatchWrite: each task streams its
+  *    rows through a parquet writer into a staging dir under the table
+  *    (Spark's own ParquetWriteSupport — same bytes as every other
+  *    staged write), and the driver-side commit turns staged files plus
+  *    the scan's final group list into ONE claim-fenced ACID commit via
+  *    [[TxLog.replaceStaged]] — CHECK constraints on staged bytes,
+  *    footer-stat promotion, a derived CDC sidecar, and DV-identity OCC
+  *    validation included.
+  *
+  * Plain translatable DELETEs keep their metadata-only path: Spark's
+  * OptimizeMetadataOnlyDeleteFromTable converts the rewritten plan back
+  * to [[TxLogWriteSupport.deleteWhere]] whenever the predicate is fully
+  * pushable, so `DELETE FROM t WHERE k < 10` still rewrites only via
+  * the churn-sized COW delete; only non-translatable predicates pay the
+  * group-based rewrite (and previously just failed).
+  */
+object GraftRowLevel {
+  /** The group-id metadata column: relative path of the file serving a
+    * row. Resolvable only through the row-level operation scan (the
+    * plain read path stays on Spark's vectorized parquet scan). */
+  val FileCol = "_graft_file"
+
+  val MetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data file serving this row (row-level DML group id)"
+    }
+
+  private[catalog] def opName(cmd: Command): String = cmd match {
+    case Command.DELETE => "delete"
+    case Command.UPDATE => "update"
+    case Command.MERGE => "merge"
+  }
+
+  /** Conservative may-match of one file against one source filter using
+    * the AddFile's recorded integer-column ranges and partition values.
+    * Anything not provably disjoint stays a candidate — pushed filters
+    * prune the FILE list only, never rows. */
+  private[catalog] def mayMatch(f: AddFile, filter: sources.Filter): Boolean = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def range(col: String): Option[(Long, Long)] = f.cols.get(col)
+    filter match {
+      case sources.EqualTo(c, v) if f.part.contains(c) =>
+        f.part.get(c).contains(String.valueOf(v))
+      case sources.EqualTo(c, v) =>
+        (range(c), longOf(v)) match {
+          case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi
+          case _ => true
+        }
+      case sources.In(c, vs) if f.part.contains(c) =>
+        vs.exists(v => f.part.get(c).contains(String.valueOf(v)))
+      case sources.In(c, vs) =>
+        range(c) match {
+          case Some((lo, hi)) =>
+            val xs = vs.flatMap(longOf)
+            xs.length != vs.length || xs.exists(x => lo <= x && x <= hi)
+          case None => true
+        }
+      case sources.GreaterThan(c, v) =>
+        (range(c), longOf(v)) match {
+          case (Some((_, hi)), Some(x)) => hi > x
+          case _ => true
+        }
+      case sources.GreaterThanOrEqual(c, v) =>
+        (range(c), longOf(v)) match {
+          case (Some((_, hi)), Some(x)) => hi >= x
+          case _ => true
+        }
+      case sources.LessThan(c, v) =>
+        (range(c), longOf(v)) match {
+          case (Some((lo, _)), Some(x)) => lo < x
+          case _ => true
+        }
+      case sources.LessThanOrEqual(c, v) =>
+        (range(c), longOf(v)) match {
+          case (Some((lo, _)), Some(x)) => lo <= x
+          case _ => true
+        }
+      case sources.And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+      case sources.Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+      // Not/IsNull/strings/unknown: no recorded evidence — keep
+      case _ => true
+    }
+  }
+}
+
+private[catalog] case class GraftRowLevelBuilder(dir: Path, tableSchema: StructType,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(dir, tableSchema, info.command())
+}
+
+private[catalog] class GraftRowLevelOperation(val dir: Path,
+    val tableSchema: StructType, cmd: Command) extends RowLevelOperation {
+
+  // every scan built for this operation (main rewrite scan + the
+  // runtime group-filtering matching-rows scan); the commit needs the
+  // MAIN one's final file list — see scanForCommit
+  private val scans = new java.util.concurrent.CopyOnWriteArrayList[GraftRowLevelScan]()
+  private[catalog] def registerScan(s: GraftRowLevelScan): Unit = { scans.add(s): Unit }
+
+  /** The scan whose groups the commit replaces. With runtime group
+    * filtering Spark builds TWO scans from this operation — the main
+    * rewrite scan (the only one that receives `filter()`) and the
+    * matching-rows scan; without it there is exactly one. Taking the
+    * unfiltered list when a filtered one exists would REMOVE files
+    * whose rows were never carried over — data loss — so the
+    * runtime-filtered scan always wins. */
+  private[catalog] def scanForCommit: GraftRowLevelScan = {
+    val all = scans.asScala.toVector
+    require(all.nonEmpty, s"row-level $cmd on $dir committed without a configured scan")
+    all.filter(_.wasRuntimeFiltered) match {
+      case Vector(one) => one
+      case Vector() =>
+        require(all.size == 1,
+          s"row-level $cmd on $dir built ${all.size} scans but none was " +
+          "runtime-filtered; cannot identify the rewrite scan")
+        all.head
+      case more => throw new IllegalStateException(
+        s"row-level $cmd on $dir runtime-filtered ${more.size} scans")
+    }
+  }
+
+  override def command(): Command = cmd
+  override def description(): String = s"GraftRowLevel[$cmd, $dir]"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftReplaceDataWrite(this, info.schema())
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileCol))
+}
+
+/** Group-selection scan builder: pushed filters prune the candidate
+  * FILE list via the log's per-column footer stats and hive partition
+  * values — conservatively, and rows are never filtered (all residual). */
+private[catalog] class GraftRowLevelScanBuilder(op: GraftRowLevelOperation)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var candidates: Vector[AddFile] = TxLog.snapshotAt(op.dir).files
+  private var requested: StructType = op.tableSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    candidates = candidates.filter(f => filters.forall(GraftRowLevel.mayMatch(f, _)))
+    filters // ALL residual: pushed filters are group hints, never row filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requested = requiredSchema
+  }
+
+  override def build(): Scan = {
+    val s = new GraftRowLevelScan(op.dir, op.tableSchema, requested, candidates)
+    op.registerScan(s)
+    s
+  }
+}
+
+/** The base table's scan builder: delegates EVERYTHING to Spark's own
+  * parquet V2 builder (pushdown, pruning, aggregate pushdown,
+  * vectorization unchanged) — unless the projection requests the
+  * `_graft_file` metadata column, which only the log-aware reader can
+  * serve. That request comes from Spark's runtime group filtering: its
+  * matching-rows subquery deliberately scans the ORIGINAL table (so
+  * connectors serve it with their normal scan), projecting the group id
+  * plus the DML condition's columns. Parquet's data filters are always
+  * re-applied above the scan by Spark (file-source pushdown is
+  * best-effort row-group skipping), so switching serveware is safe: the
+  * Filter node survives either way, and the log-aware path uses the
+  * same filters for footer-stats FILE pruning. */
+private[catalog] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
+    dir: Path, tableSchema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private var wantsFile = false
+  private var aggPushed = false
+  private var requested: StructType = tableSchema
+  private var exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    exprs = filters
+    delegate match {
+      case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        d.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters: Array[Predicate] = delegate match {
+    case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        if !wantsFile => d.pushedFilters
+    case _ => Array.empty
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = delegate match {
+      case d: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        d.pushAggregation(agg)
+      case _ => false
+    }
+    aggPushed ||= ok
+    ok
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantsFile = requiredSchema.fieldNames.contains(GraftRowLevel.FileCol)
+    requested = requiredSchema
+    if (!wantsFile) delegate match {
+      case d: SupportsPushDownRequiredColumns => d.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+  }
+
+  override def build(): Scan =
+    if (!wantsFile) delegate.build()
+    else {
+      require(!aggPushed,
+        s"cannot serve a pushed aggregation together with ${GraftRowLevel.FileCol}")
+      val v1 = exprs.flatMap(e =>
+        org.apache.spark.sql.graft.StreamingShims.translateFilter(e))
+      val snap = TxLog.snapshotAt(dir)
+      val candidates = snap.files.filter(f => v1.forall(GraftRowLevel.mayMatch(f, _)))
+      new GraftRowLevelScan(dir, tableSchema, requested, candidates)
+    }
+}
+
+/** One input partition per candidate file: the rewrite's unit of work
+  * IS the group, so partition boundaries and group boundaries coincide
+  * (a ~128 MB file per task — the same grain a 1000-executor cluster
+  * schedules). DV keys ride along churn-sized. */
+private[catalog] case class GraftFilePartition(relPath: String, absPath: String,
+    length: Long, dvKeyCol: String, dvKeys: Array[Long]) extends InputPartition
+
+private[catalog] class GraftRowLevelScan(dir: Path, tableSchema: StructType,
+    requested: StructType, initial: Vector[AddFile])
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Vector[AddFile] = initial
+  @volatile private[catalog] var wasRuntimeFiltered: Boolean = false
+  private[catalog] def currentFiles: Vector[AddFile] = files
+
+  override def readSchema(): StructType = requested
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRowLevelScan[$dir, ${files.size} candidate files]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileCol))
+
+  /** Runtime group filtering: Spark hands the DISTINCT `_graft_file`
+    * values of the matching-rows subquery as an IN (or =) predicate —
+    * the candidate list shrinks to files that truly contain matches. */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def strings(es: Seq[V2Expression]): Seq[String] = es.collect {
+      case l: V2Literal[_] if l.value != null => l.value.toString
+    }
+    predicates.foreach { p =>
+      val children = p.children().toSeq
+      val onFileCol = children.headOption.exists {
+        case r: NamedReference => r.fieldNames().mkString(".") == GraftRowLevel.FileCol
+        case _ => false
+      }
+      if (onFileCol && (p.name() == "IN" || p.name() == "=")) {
+        val keep = strings(children.tail).toSet
+        files = files.filter(f => keep.contains(f.path))
+        wasRuntimeFiltered = true
+      }
+      // unrecognized predicates: ignore (filtering is an optimization;
+      // an unshrunk candidate list stays correct, just larger)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { f =>
+      val (kc, keys) = TxLog.dvKeysFor(dir, f).getOrElse(("", Vector.empty[Long]))
+      val abs = dir.resolve(f.path)
+      GraftFilePartition(f.path, abs.toString, Files.size(abs), kc, keys.toArray)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSessionActive.get
+    val dataCols = requested.fields.filter(_.name != GraftRowLevel.FileCol)
+    val wantFile = requested.fields.exists(_.name == GraftRowLevel.FileCol)
+    // DV key columns must be read even when pruned out (the matching
+    // scan prunes to condition columns) so deleted rows can drop
+    val dvKeyCols = files.flatMap(f => TxLog.dvKeysFor(dir, f).map(_._1)).distinct
+      .filterNot(c => dataCols.exists(_.name == c))
+      .map(c => tableSchema.fields.find(_.name == c).getOrElse(
+        StructField(c, LongType)))
+    val readerSchema = StructType(dataCols ++ dvKeyCols)
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, tableSchema, StructType(Nil), readerSchema, Nil,
+      // row output, not ColumnarBatch: the rewrite appends per-row
+      // metadata and DV-filters, so the vectorized wrapping buys nothing
+      Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    GraftRowLevelReaderFactory(readFunc, readerSchema.json, requested.json, wantFile)
+  }
+}
+
+/** Executor-side readers: Spark's parquet row reader per file
+  * (vectorized batches unwrapped to rows), DV'd keys dropped
+  * file-locally, `_graft_file` appended when requested. */
+private[catalog] case class GraftRowLevelReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    readerSchemaJson: String, requestedJson: String, wantFile: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val readerSchema = DataType.fromJson(readerSchemaJson).asInstanceOf[StructType]
+    val requested = DataType.fromJson(requestedJson).asInstanceOf[StructType]
+    val pf = PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(p.absPath), 0L, p.length,
+      Array.empty[String], 0L, p.length, Map.empty)
+    // the returned iterator's ELEMENTS may be ColumnarBatch objects in
+    // vectorized mode (Spark's own erasure trick) — unwrap either way
+    val raw: Iterator[InternalRow] = readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+    val dvSet = if (p.dvKeys.isEmpty) null else {
+      val s = new java.util.HashSet[Long](p.dvKeys.length * 2)
+      p.dvKeys.foreach(k => s.add(k): Unit)
+      s
+    }
+    val dvIdx = if (dvSet == null) -1 else readerSchema.fieldIndex(p.dvKeyCol)
+    val dvType = if (dvIdx < 0) null else readerSchema.fields(dvIdx).dataType
+    val live = if (dvSet == null) raw else raw.filter { row =>
+      if (row.isNullAt(dvIdx)) true
+      else {
+        val k = dvType match {
+          case LongType => row.getLong(dvIdx)
+          case IntegerType => row.getInt(dvIdx).toLong
+          case _ => Long.MinValue // non-integral DV key: never written
+        }
+        !dvSet.contains(k)
+      }
+    }
+    // project readerSchema rows to the REQUESTED layout (+ file col)
+    val outIdx: Array[Int] = requested.fields.collect {
+      case f if f.name != GraftRowLevel.FileCol => readerSchema.fieldIndex(f.name)
+    }
+    val outTypes: Array[DataType] = outIdx.map(readerSchema.fields(_).dataType)
+    val fileVal = UTF8String.fromString(p.relPath)
+    val identity = !wantFile && outIdx.sameElements(readerSchema.fields.indices)
+    val out: Iterator[InternalRow] =
+      if (identity) live
+      else live.map { row =>
+        val n = outIdx.length + (if (wantFile) 1 else 0)
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < outIdx.length) {
+          vals(i) = if (row.isNullAt(outIdx(i))) null else row.get(outIdx(i), outTypes(i))
+          i += 1
+        }
+        if (wantFile) vals(n - 1) = fileVal
+        new GenericInternalRow(vals)
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = out.hasNext; if (h) cur = out.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The distributed REWRITE write: per-task parquet staging + one
+  * driver-side [[TxLog.replaceStaged]] commit. */
+private[catalog] class GraftReplaceDataWrite(op: GraftRowLevelOperation,
+    rowSchema: StructType) extends WriteBuilder with Write with BatchWrite {
+
+  private val stage = op.dir.resolve(s".stage-dml-${UUID.randomUUID()}")
+
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftReplaceDataWrite[${op.description()}]"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(stage)
+    val conf = SparkSessionActive.get.sessionState.conf
+    import org.apache.spark.sql.internal.SQLConf
+    // pin the session's parquet-write semantics into the task confs so
+    // staged DML bytes match every other staged write of this session
+    val kvs = Map(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> conf.writeLegacyParquetFormat.toString,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key -> conf.parquetOutputTimestampType.toString,
+      SQLConf.SESSION_LOCAL_TIMEZONE.key -> conf.sessionLocalTimeZone,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key -> conf.parquetFieldIdWriteEnabled.toString,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
+        conf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key ->
+        conf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
+        conf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    GraftParquetWriterFactory(stage.toString, rowSchema.json,
+      conf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT), kvs)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSessionActive.get
+    val removes = op.scanForCommit.currentFiles.map(_.path)
+    TxLog.replaceStaged(spark, op.dir, stage, removes,
+      GraftRowLevel.opName(op.command()),
+      GraftWrites.defaultStatsCol(op.tableSchema)): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    if (Files.isDirectory(stage)) {
+      val s = Files.walk(stage)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(pp => Files.deleteIfExists(pp): Unit)
+      finally s.close()
+    }
+  }
+}
+
+private[catalog] case class GraftWriteMessage(path: String, rows: Long)
+  extends WriterCommitMessage
+
+/** Executor-side parquet writer: Spark's own ParquetWriteSupport over
+  * parquet-hadoop, one file per task under the staging dir. Zero-row
+  * tasks produce a file the promote step drops. */
+private[catalog] case class GraftParquetWriterFactory(stageDir: String,
+    schemaJson: String, codec: String, confKvs: Map[String, String])
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val conf = new Configuration()
+    confKvs.foreach { case (k, v) => conf.set(k, v) }
+    ParquetWriteSupport.setSchema(schema, conf)
+    val file = s"$stageDir/part-$partitionId-$taskId.parquet"
+    new DataWriter[InternalRow] {
+      @SuppressWarnings(Array("deprecation"))
+      private val writer = new ParquetWriter[InternalRow](new HPath(file),
+        new ParquetWriteSupport(), CompressionCodecName.valueOf(codec),
+        ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
+        ParquetWriter.DEFAULT_PAGE_SIZE, true, false,
+        ParquetProperties.WriterVersion.PARQUET_1_0, conf)
+      private var n = 0L
+      override def write(row: InternalRow): Unit = { writer.write(row); n += 1 }
+      // group-based metadata variant: the group id is commit-side state
+      override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+      override def commit(): WriterCommitMessage = { writer.close(); GraftWriteMessage(file, n) }
+      override def abort(): Unit = {
+        try writer.close() catch { case _: Throwable => () }
+        Files.deleteIfExists(java.nio.file.Paths.get(file)): Unit
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

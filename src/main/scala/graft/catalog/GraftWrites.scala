@@ -93,9 +93,29 @@ private[catalog] object GraftWrites {
   * always target the table DIRECTORY's latest state (appends commit on
   * top of whatever the claim-fenced retry sees) — Spark's analyzer
   * already rejects inserts into time-travel relations, so a pinned
-  * `snapVersion` never receives one. */
-private[catalog] trait TxLogWriteSupport extends SupportsWrite with SupportsDelete {
+  * `snapVersion` never receives one.
+  *
+  * Also the row-level DML surface: implementing
+  * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
+  * lets Spark's analyzer rewrite `UPDATE`/`MERGE INTO`/non-translatable
+  * `DELETE` into group-based copy-on-write plans served by
+  * [[GraftRowLevelOperation]]; translatable DELETEs are converted BACK
+  * to the metadata-only [[deleteWhere]] path by Spark's own
+  * OptimizeMetadataOnlyDeleteFromTable. The `_graft_file` metadata
+  * column (the rewrite's group id) resolves only through the row-level
+  * scan — plain reads stay on the vectorized delegate. */
+private[catalog] trait TxLogWriteSupport extends SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   def dir: Path
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftRowLevel.MetaCol)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    GraftRowLevelBuilder(dir, schema(), info)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -139,12 +159,13 @@ private[catalog] case class GraftTable(
     val s = new java.util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.BATCH_WRITE) // row-level rewrites are real V2 writes
     s.add(TableCapability.TRUNCATE)
     s
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    new GraftDelegatingScanBuilder(delegate.newScanBuilder(options), dir, tableSchema)
 }
 
 /** The CTAS staging shape (see [[GraftCatalog.stageCreate]]): the v0 log

@@ -886,6 +886,12 @@ object TxLog {
     (n.get("keyCol").asText, n.get("keys").elements().asScala.map(_.asLong).toVector)
   }
 
+  /** A file's deletion-vector content, if it carries one — (keyCol,
+    * deleted keys). Churn-sized by the MOR contract; the SQL row-level
+    * scan uses it to drop DV'd rows file-locally while rewriting. */
+  def dvKeysFor(table: Path, f: AddFile): Option[(String, Vector[Long])] =
+    f.dv.map(readDv(table, _))
+
   /** Apply the files' deletion vectors to their scan: rows whose (file,
     * key) pair is DV'd drop out via ONE broadcast anti-join per DV key
     * column (in practice one). Per-file pairing — not a global key
@@ -1133,6 +1139,70 @@ object TxLog {
       extra = Map("cdcFile" -> cdcName))(
       rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
+  }
+
+  /** Commit a GROUP-REPLACING rewrite whose new files were already
+    * staged by an external distributed write — the SQL row-level DML
+    * path (`UPDATE` / `MERGE INTO` / non-translatable `DELETE` through
+    * [[graft.catalog.GraftRowLevelOperation]]): Spark's group-based
+    * ReplaceData exec stages the rewritten rows of the affected files
+    * under `stage` via executor-parallel parquet DataWriters, and this
+    * turns them into ONE claim-fenced ACID commit:
+    *
+    *  - CHECK constraints validate the staged bytes (single pass, the
+    *    same gate every other staged write pays);
+    *  - files promote under fresh UUID names with footer stats;
+    *  - a CDC sidecar is derived as the multiset delta old-vs-new
+    *    (replaced files' live rows exceptAll new rows = deletes, the
+    *    reverse = inserts — churn-sized: COW rewrites only affected
+    *    files), so the change feed replays SQL DML like any other COW;
+    *  - the commit validates DV-IDENTITY of every replaced file (a
+    *    concurrent merge-on-read delete on a file we rewrote must fail
+    *    this commit, not be silently resurrected).
+    *
+    * Returns (version, filesReplaced). An empty rewrite (no groups
+    * matched) is a no-op: nothing commits, the current version returns. */
+  def replaceStaged(spark: SparkSession, table: Path, stage: Path,
+      removes: Seq[String], op: String, statsCol: String): (Long, Int) = {
+    val base = snapshotAt(table)
+    val baseDv = base.files.map(f => f.path -> f.dv).toMap
+    require(removes.forall(baseDv.contains),
+      s"replaceStaged: not live in v${base.version} of $table: " +
+      removes.filterNot(baseDv.contains).mkString(", "))
+    enforceConstraintsStaged(spark, table, stage)
+    val adds = promoteStaged(spark, stage, table, statsCol)
+    if (removes.isEmpty && adds.isEmpty) return (base.version, 0)
+    val removedAdds = base.files.filter(f => removes.contains(f.path))
+    val reader = schemaReader(spark, table)
+    val oldRows: Option[DataFrame] =
+      if (removedAdds.isEmpty) None
+      else Some(applyDvs(spark, table, removedAdds,
+        reader.parquet(removedAdds.map(f => table.resolve(f.path).toString): _*)))
+    val newRows: Option[DataFrame] =
+      if (adds.isEmpty) None
+      else Some(reader.parquet(adds.map(f => table.resolve(f.path).toString): _*))
+    val deletes = (oldRows, newRows) match {
+      case (Some(o), Some(n)) => Some(o.exceptAll(n))
+      case (Some(o), None) => Some(o)
+      case (None, _) => None
+    }
+    val inserts = (oldRows, newRows) match {
+      case (Some(o), Some(n)) => Some(n.exceptAll(o))
+      case (None, Some(n)) => Some(n)
+      case (_, None) => None
+    }
+    val cdcParts =
+      deletes.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
+      inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq
+    val cdcName = writeCdc(spark, table, cdcParts.reduce(_ unionByName _))
+    val v = commitRetry(table, op, adds, removes,
+      extra = Map("cdcFile" -> cdcName)) {
+      case None => false
+      case Some(s) =>
+        val liveDv = s.files.map(f => f.path -> f.dv).toMap
+        removes.forall(p => liveDv.get(p).contains(baseDv.getOrElse(p, None)))
+    }
+    (v, removes.size)
   }
 
   /** Copy-on-write DELETE of keys (the GDPR / right-to-be-forgotten

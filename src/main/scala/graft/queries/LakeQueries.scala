@@ -874,6 +874,62 @@ object LakeQueries {
             .as("history_ok"))
     }),
 
+    // ---- sql12: NATIVE row-level DML statements — `MERGE INTO`,
+    // `UPDATE ... WHERE`, and non-translatable `DELETE ... WHERE` as
+    // first-class SQL through Spark 4's DSv2 row-level-operation API
+    // (SupportsRowLevelOperations → group-based copy-on-write; see
+    // graft.catalog.GraftRowLevelOperation). The gate runs the SAME
+    // mutation sequence twice — statements on table `a`, the sql08
+    // procedure path (+ API deleteWhere) on table `b` — and proves the
+    // two paths produce CONTENT-IDENTICAL tables; history_ok pins a's
+    // commit sequence (append, merge, update, delete), cdc_ok that
+    // every statement recorded a replayable CDC sidecar.
+    "sql12_row_level_dml" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val tableA = freshTable()
+      val base = tableA.getParent
+      val tableB = base.resolve("tblb")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d, tableA, "doc_id", nParts = 4)
+      TxLog.append(spark, d, tableB, "doc_id", nParts = 4)
+      // upsert source: +1000 on the %7 keys (matched) plus brand-new
+      // ids above the current max (not matched → inserts)
+      val m = idSpan(d)
+      d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(d.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + m).as("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars")))
+        .createOrReplaceTempView(s"src12_$cat")
+      // statement path on a
+      spark.sql(
+        s"""MERGE INTO $cat.tbl t USING src12_$cat s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(s"UPDATE $cat.tbl SET n_chars = n_chars * 2 " +
+        "WHERE lang = 'en' AND doc_id % 2 = 0")
+      spark.sql(s"DELETE FROM $cat.tbl WHERE doc_id % 13 = 3") // non-translatable
+      // procedure/API path on b — the pre-existing semantics
+      spark.sql(s"CALL $cat.merge_into('tblb', 'src12_$cat', 'doc_id')").collect(): Unit
+      spark.sql(s"CALL $cat.update_where('tblb', 'doc_id', " +
+        s"'lang = ''en'' AND doc_id % 2 = 0', 'n_chars', 'n_chars * 2')").collect(): Unit
+      TxLog.deleteWhere(spark, tableB, expr("doc_id % 13 = 3"), "doc_id"): Unit
+      val a = spark.sql(s"SELECT * FROM $cat.tbl")
+      val b = spark.sql(s"SELECT * FROM $cat.tblb")
+      val identical = a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L
+      val ops = TxLog.history(tableA).map(_._2)
+      val cdcOk = (1L to 3L).forall(v => TxLog.commitCdcFile(tableA, v).isDefined)
+      a.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .select(col("n_docs"), col("sum_chars"),
+          lit(if (ops == Seq("append", "merge", "update", "delete")) 1L else 0L)
+            .as("history_ok"),
+          lit(if (cdcOk) 1L else 0L).as("cdc_ok"),
+          lit(if (identical) 1L else 0L).as("paths_identical"))
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -1405,6 +1461,38 @@ object LakeQueries {
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE doc_id % 2 = 1 AND lang = 'en') AS sum_chars_en,
         |  CAST(2 AS BIGINT) AS cols_pre_evolution""".stripMargin,
+
+    // The statement-path recompute in commit order: the %7 keys merge
+    // to +1000 and the %31 keys insert shifted above the id span (both
+    // from the upsert source), then even en-docs double, then the
+    // %13=3 rows delete. The three flags are engine-side invariants
+    // (commit sequence, CDC sidecars, statement-vs-procedure equality)
+    // asserted as literals.
+    "sql12_row_level_dml" ->
+      """WITH m AS (SELECT MAX(doc_id) + 1 AS span FROM documents),
+        |src AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + m.span, lang, n_chars + 1000
+        |  FROM documents, m WHERE doc_id % 31 = 0),
+        |merged AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(s.n_chars, d.n_chars) AS n_chars
+        |  FROM documents d LEFT JOIN src s ON d.doc_id = s.doc_id
+        |  UNION ALL
+        |  SELECT s.doc_id, s.lang, s.n_chars
+        |  FROM src s LEFT JOIN documents d ON s.doc_id = d.doc_id
+        |  WHERE d.doc_id IS NULL),
+        |updated AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' AND doc_id % 2 = 0 THEN n_chars * 2
+        |         ELSE n_chars END AS n_chars
+        |  FROM merged),
+        |final AS (SELECT * FROM updated WHERE doc_id % 13 <> 3)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS history_ok, CAST(1 AS BIGINT) AS cdc_ok,
+        |  CAST(1 AS BIGINT) AS paths_identical
+        |FROM final""".stripMargin,
 
     // The DML recompute in commit order: +1000 on the %7 merge keys,
     // then x2 on even en-docs, then 0 on the %11=5 MOR-merge keys.

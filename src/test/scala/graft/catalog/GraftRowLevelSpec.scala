@@ -1,0 +1,160 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.TxLog
+
+/** Contracts of the native SQL row-level DML path (DSv2
+  * SupportsRowLevelOperations, group-based copy-on-write): UPDATE and
+  * MERGE INTO as first-class statements, group pruning (only affected
+  * files rewrite), DV safety, CDC sidecars, and the preserved
+  * metadata-only DELETE fast path. */
+class GraftRowLevelSpec extends SparkSpec {
+
+  private def idsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("doc_id").withColumn("payload", concat(lit("v"), col("doc_id")))
+  }
+
+  private def freshCatalog(): (String, java.nio.file.Path) = {
+    val base = Files.createTempDirectory("graft_rl")
+    val name = s"rl${math.abs(base.hashCode()).toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.base", base.toString)
+    (name, base)
+  }
+
+  test("UPDATE ... WHERE is a native statement: group-pruned COW commit") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("u")
+    // 4 files of 25 rows each, doc_id ranges disjoint per file
+    (0 until 4).foreach { i =>
+      TxLog.append(spark, idsDf((i * 25L) until (i * 25L + 25L)), table, "doc_id", nParts = 1)
+    }
+    val filesBefore = TxLog.snapshotAt(table).files.size
+    assert(filesBefore == 4)
+    spark.sql(s"UPDATE $cat.u SET payload = concat(payload, '!') WHERE doc_id BETWEEN 30 AND 40")
+    // changed rows updated, everything else intact
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.u WHERE payload LIKE '%!'")
+      .head.getLong(0) == 11L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.u").head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT payload FROM $cat.u WHERE doc_id = 35").head.getString(0) == "v35!")
+    assert(spark.sql(s"SELECT payload FROM $cat.u WHERE doc_id = 5").head.getString(0) == "v5")
+    // ONE commit, op 'update', and ONLY the file covering [25,50) rewrote
+    val (v, op, _, nRemoves) = TxLog.history(table).last
+    assert(op == "update", op)
+    assert(nRemoves == 1L, s"expected 1 group replaced, got $nRemoves")
+    // CDC sidecar recorded: the change feed can replay SQL DML
+    assert(TxLog.commitCdcFile(table, v).isDefined)
+    val cdc = spark.read.parquet(
+      table.resolve(TxLog.commitCdcFile(table, v).get).toString)
+    assert(cdc.filter(col("_change_type") === "delete").count() == 11L)
+    assert(cdc.filter(col("_change_type") === "insert").count() == 11L)
+  }
+
+  test("UPDATE without WHERE rewrites every live file") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("ua")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 2)
+    spark.sql(s"UPDATE $cat.ua SET payload = upper(payload)")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.ua WHERE payload LIKE 'V%'")
+      .head.getLong(0) == 10L)
+    val (_, op, _, nRemoves) = TxLog.history(table).last
+    assert(op == "update" && nRemoves == 2L)
+  }
+
+  test("MERGE INTO updates matched rows and inserts unmatched ones") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("m")
+    (0 until 4).foreach { i =>
+      TxLog.append(spark, idsDf((i * 25L) until (i * 25L + 25L)), table, "doc_id", nParts = 1)
+    }
+    idsDf(Seq(7L, 42L, 200L)).withColumn("payload", concat(lit("new"), col("doc_id")))
+      .createOrReplaceTempView("rl_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.m t USING rl_merge_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET t.payload = s.payload
+         |WHEN NOT MATCHED THEN INSERT (doc_id, payload) VALUES (s.doc_id, s.payload)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.m").head.getLong(0) == 101L)
+    assert(spark.sql(s"SELECT payload FROM $cat.m WHERE doc_id = 7").head.getString(0) == "new7")
+    assert(spark.sql(s"SELECT payload FROM $cat.m WHERE doc_id = 42").head.getString(0) == "new42")
+    assert(spark.sql(s"SELECT payload FROM $cat.m WHERE doc_id = 200").head.getString(0) == "new200")
+    assert(spark.sql(s"SELECT payload FROM $cat.m WHERE doc_id = 8").head.getString(0) == "v8")
+    val (v, op, _, nRemoves) = TxLog.history(table).last
+    assert(op == "merge", op)
+    // runtime group filtering: only the two files containing 7 and 42
+    // are replaced — files [50,75) and [75,100) are untouched
+    assert(nRemoves == 2L, s"expected 2 groups replaced, got $nRemoves")
+    assert(TxLog.commitCdcFile(table, v).isDefined)
+  }
+
+  test("row-level UPDATE applies deletion vectors instead of resurrecting rows") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("dv")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    TxLog.deleteMor(spark, table, idsDf(Seq(3L)).select("doc_id"), "doc_id")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.dv").head.getLong(0) == 9L)
+    spark.sql(s"UPDATE $cat.dv SET payload = 'x' WHERE doc_id >= 0")
+    // the DV'd row must NOT come back; everything live is updated
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.dv").head.getLong(0) == 9L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.dv WHERE payload = 'x'")
+      .head.getLong(0) == 9L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.dv WHERE doc_id = 3")
+      .head.getLong(0) == 0L)
+    // the rewrite folded the vector in: no DV sidecars remain live
+    assert(TxLog.snapshotAt(table).files.forall(_.dv.isEmpty))
+  }
+
+  test("translatable DELETE keeps the metadata-only path; others go row-level") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("d")
+    (0 until 2).foreach { i =>
+      TxLog.append(spark, idsDf((i * 50L) until (i * 50L + 50L)), table, "doc_id", nParts = 1)
+    }
+    // fully-pushable predicate: OptimizeMetadataOnlyDeleteFromTable must
+    // convert the rewritten plan back to the deleteWhere fast path —
+    // visible as a plan WITHOUT ReplaceData
+    val plan = spark.sql(s"EXPLAIN DELETE FROM $cat.d WHERE doc_id < 10")
+      .head.getString(0)
+    assert(!plan.contains("ReplaceData"), plan)
+    spark.sql(s"DELETE FROM $cat.d WHERE doc_id < 10")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.d").head.getLong(0) == 90L)
+    assert(TxLog.history(table).last._2 == "delete")
+    // non-translatable predicate (modulo): previously unsupported, now a
+    // group-based COW delete
+    spark.sql(s"DELETE FROM $cat.d WHERE doc_id % 2 = 1")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.d").head.getLong(0) == 45L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.d WHERE doc_id % 2 = 1")
+      .head.getLong(0) == 0L)
+    assert(TxLog.history(table).last._2 == "delete")
+  }
+
+  test("SQL UPDATE/MERGE produce the same table as the procedure path") {
+    val (cat, base) = freshCatalog()
+    TxLog.append(spark, idsDf(0L to 59L), base.resolve("a"), "doc_id", nParts = 3)
+    TxLog.append(spark, idsDf(0L to 59L), base.resolve("b"), "doc_id", nParts = 3)
+    // statement path on a
+    spark.sql(s"UPDATE $cat.a SET payload = concat(payload, '+') WHERE doc_id >= 40")
+    // procedure path on b (same semantics through mergeCow)
+    spark.sql(
+      s"CALL $cat.update_where('b', 'doc_id', 'doc_id >= 40', 'payload', " +
+      "\"concat(payload, '+')\")").collect()
+    val a = spark.sql(s"SELECT * FROM $cat.a ORDER BY doc_id").collect().toSeq
+    val b = spark.sql(s"SELECT * FROM $cat.b ORDER BY doc_id").collect().toSeq
+    assert(a == b)
+    // MERGE vs merge_into procedure
+    idsDf(Seq(5L, 100L)).withColumn("payload", lit("zz"))
+      .createOrReplaceTempView("rl_eq_src")
+    spark.sql(
+      s"""MERGE INTO $cat.a t USING rl_eq_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    spark.sql(s"CALL $cat.merge_into('b', 'rl_eq_src', 'doc_id')").collect()
+    val a2 = spark.sql(s"SELECT * FROM $cat.a ORDER BY doc_id").collect().toSeq
+    val b2 = spark.sql(s"SELECT * FROM $cat.b ORDER BY doc_id").collect().toSeq
+    assert(a2 == b2)
+  }
+}
