@@ -1,8 +1,12 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
+
+import graft.ops.TxLog
 
 /** Deduplication operators over `documents` — exact, n-gram Jaccard,
   * MinHash, and SimHash. Everything is engine-portable-deterministic: the
@@ -447,6 +451,72 @@ object DedupQueries {
             .as("pairs_completeness"))
     }),
 
+    // ---- er05: the PERSISTED-LINKS lifecycle gate (the sim07 move
+    // applied to entity resolution — VERDICT r9 item 2). Builds the
+    // candidate/links relation as a TxLog lake table from the BASE
+    // corpus (doc_id % 10 != 7), then INCREMENTALLY maintains it when
+    // the remaining docs arrive: only the new-side trigram joins run —
+    // dirty(new) x clean(all) plus dirty(old) x clean(new), a disjoint
+    // cover of every new pair — never an old x old rescoring. The STOP
+    // set is PINNED at build time over the base registry (the same
+    // frozen-artifact property as sim07's centroids: an index's
+    // vocabulary doesn't drift under appends, it is rebuilt
+    // deliberately), which is what makes incremental maintenance exact:
+    // persisted(v0 ∪ increment) is proven multiset-EQUAL to the full
+    // rebuild in-engine (incr_matches_full), and the DuckDB oracle
+    // recomputes the same pinned-stop scoring independently. The
+    // reported relation is read from DISK (the served path), so the
+    // gate covers build + incremental append + parquet round-trip.
+    // At 100 TB this is the production ER shape: new crawls append
+    // churn-sized link deltas, audits and clustering read the artifact.
+    "er05_persisted_links" -> ((spark: SparkSession, dir: String) => {
+      // the lifecycle gate runs THREE scoring passes by design (build,
+      // increment, independent full rebuild), so it takes a fixed
+      // sub-corpus (doc_id % 3 = 0 — dd02's subset pattern): every
+      // gated property (pinned stop set, disjoint incremental cover,
+      // multiset equality, disk round-trip) is corpus-size-free
+      val base = erBase(spark, dir).filter(col("doc_id") % 3 === 0)
+      val dirty = erDirty(base)
+      val cleanOld = base.filter(col("doc_id") % 10 =!= 7)
+      val cleanNew = base.filter(col("doc_id") % 10 === 7)
+      val dirtyOld = dirty.filter(col("dirty_id") % 10 =!= 7)
+      val dirtyNew = dirty.filter(col("dirty_id") % 10 === 7)
+      val ctOld = erTris(cleanOld.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
+      val ctNew = erTris(cleanNew.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
+      val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
+      val dtOld = erTris(dirtyOld, "dirty_id", "dname")
+      val dtNew = erTris(dirtyNew, "dirty_id", "dname")
+      val dtAll = erTris(dirty, "dirty_id", "dname")
+      // stop set pinned over the BASE registry at build time
+      val stop = erStop(ctOld, cleanOld.agg(count(lit(1)).as("n_clean")))
+      erCleanupHook
+      val table = Files.createTempDirectory("graft_er").resolve("links05")
+      erLinksTables.put(s"er05:$dir:${table.getParent}", table): Unit
+      val par = spark.sparkContext.defaultParallelism
+      TxLog.append(spark, erScore(dtOld, ctOld, stop), table, "dirty_id", nParts = par): Unit
+      // incremental delta: disjoint cover of every pair touching a new doc
+      TxLog.append(spark,
+        erScore(dtNew, ctAll, stop).unionByName(erScore(dtOld, ctNew, stop)),
+        table, "dirty_id", nParts = par): Unit
+      val persisted = TxLog.readAt(spark, table)
+      // localCheckpoint: the rebuild feeds both exceptAll directions —
+      // without it the full scoring pass runs twice (persisted is
+      // already parquet-backed, it re-reads cheaply)
+      val full = erScore(dtAll, ctAll, stop).localCheckpoint(true)
+      val incrOk = persisted.exceptAll(full).count() == 0L &&
+        full.exceptAll(persisted).count() == 0L
+      persisted.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("dirty_id") === col("clean_id"), 1L).otherwise(0L))
+            .as("n_true_found"),
+          sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_links_05"),
+          sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_links_03"))
+        .select(col("n_pairs"), col("n_true_found"), col("n_links_05"),
+          col("n_links_03"),
+          lit(if (incrOk) 1L else 0L).as("incr_matches_full"),
+          lit(TxLog.history(table).size.toLong).as("n_commits"))
+    }),
+
     // ---- er03: exact edit-distance VERIFY — the third stage of the
     // canonical block -> cheap-match -> exact-verify ER pipeline
     // (er01 blocks on trigrams and scores Jaccard; er02 clusters
@@ -536,41 +606,88 @@ object DedupQueries {
     * scale shape: broadcast trigram join, one exchange for the pair
     * aggregate, broadcast size attaches. On a real-language corpus the
     * band becomes a standard blocking component worth re-measuring. */
+  /** Explode a name relation into its distinct trigrams.
+    * Dedup.shinglesExpr carries the short-input guard (a name under 4
+    * chars yields one whole-name shingle instead of a descending
+    * sequence emitting position-0 windows the oracle never sees). */
+  private def erTris(df: DataFrame, idCol: String, nameCol: String): DataFrame =
+    df.select(col(idCol), explode(expr(Dedup.shinglesExpr(nameCol, 3))).as("tri"))
+
+  /** The vocabulary-sized stop-trigram relation: trigrams present in
+    * more than 15% of the given CLEAN registry's names (see er01's
+    * scaladoc for the skew argument). localCheckpoint: the relation
+    * feeds both anti-joins of every consumer — without it each re-runs
+    * the registry scan + DF aggregation. */
+  private def erStop(cleanTris: DataFrame, nClean: DataFrame): DataFrame =
+    cleanTris.groupBy("tri").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nClean))
+      .filter(col("df").cast("double") > lit(0.15) * col("n_clean").cast("double"))
+      .select("tri")
+      .localCheckpoint(true)
+
+  /** Score one (dirty x clean) trigram-blocked candidate relation with
+    * a GIVEN stop set: inverted-index equi-join on non-stop trigrams,
+    * 2-phase pair-count aggregate, sizes joined back onto the (much
+    * smaller) pair relation. A/B'd against a sizes-ride-along +
+    * max(struct) variant: the struct max planned as SortAggregate and
+    * the wider grouping key cost ~40% more than this shape (round 5). */
+  private def erScore(dtAll: DataFrame, ctAll: DataFrame, stop: DataFrame): DataFrame = {
+    val ct = ctAll.join(broadcast(stop), Seq("tri"), "left_anti")
+    val dt = dtAll.join(broadcast(stop), Seq("tri"), "left_anti")
+    val csz = ct.groupBy("clean_id").agg(count(lit(1)).as("n_c"))
+    val dsz = dt.groupBy("dirty_id").agg(count(lit(1)).as("n_d"))
+    val shared = dt.join(ct, "tri").groupBy("dirty_id", "clean_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared").cast("double") /
+      (col("n_d") + col("n_c") - col("n_shared")).cast("double")
+    shared.join(dsz, "dirty_id").join(csz, "clean_id")
+      .select(col("dirty_id"), col("clean_id"), jac.as("jaccard"))
+  }
+
+  /** The full self-contained links derivation over one corpus dir. */
+  private def erPairsDerive(spark: SparkSession, dir: String): DataFrame = {
+    val base = erBase(spark, dir)
+    val dirty = erDirty(base)
+    val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
+    val dtAll = erTris(dirty, "dirty_id", "dname")
+    erScore(dtAll, ctAll, erStop(ctAll, base.agg(count(lit(1)).as("n_clean"))))
+  }
+
+  // one persisted links table per corpus dir, built on first use and
+  // reclaimed by a JVM shutdown hook
+  private val erLinksTables = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val erCleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => erLinksTables.values.forEach { p =>
+      try TxLog.deleteTree(p.getParent) catch { case _: Throwable => () }
+    }))
+
+  /** The scored ER candidate pairs (dirty_id, clean_id, jaccard) —
+    * shared by er01 (best-per-dirty pair report), er02 (entity
+    * clustering over every accepted link), er03 (exact edit-distance
+    * verification), er04 (blocking audit), and c04 (the composed
+    * pipeline).
+    *
+    * PERSISTED LINKS TABLE (round 10, VERDICT r9 item 2): the relation
+    * is no longer re-derived by every consumer — the first caller per
+    * corpus builds it ONCE as a TxLog lake table (one distributed
+    * staged write, footer stats on dirty_id) and every ER stage READS
+    * the persisted links, the production shape: a 100 TB match/cluster/
+    * audit pipeline scores candidates once and serves every downstream
+    * consumer from the artifact. Content is identical to the inline
+    * derivation (the build IS the derivation, deterministic), so every
+    * consumer's results are unchanged; the lifecycle — build,
+    * INCREMENTAL maintenance on corpus growth (new-side joins only,
+    * never old-x-old rescoring), disk round-trip — is gated end-to-end
+    * by er05 against both the full rebuild and the DuckDB oracle. */
   private def erPairs(spark: SparkSession, dir: String): DataFrame = {
-      val base = erBase(spark, dir)
-      val dirty = erDirty(base)
-      // Pair counting is a 2-phase hash aggregate over the inverted-index
-      // join; sizes join back onto the (much smaller) pair relation, and
-      // top-1 is a window over per-dirty candidates. A/B'd against a
-      // sizes-ride-along + max(struct) variant: the struct max planned as
-      // SortAggregate and the wider grouping key cost ~40% more than this
-      // window — measured, not guessed (round 5).
-      // Dedup.shinglesExpr carries the short-input guard (a name under 4
-      // chars yields one whole-name shingle instead of a descending
-      // sequence emitting position-0 windows the oracle never sees).
-      def tris(df: DataFrame, idCol: String, nameCol: String) = df.select(
-        col(idCol), explode(expr(Dedup.shinglesExpr(nameCol, 3))).as("tri"))
-      val ctAll = tris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
-      val dtAll = tris(dirty, "dirty_id", "dname")
-      // localCheckpoint: the stop relation feeds BOTH anti-joins — without
-      // it each consumer re-runs the registry scan + DF aggregation (and
-      // its 1-row scalar attach re-plans under every consumer). It is
-      // vocabulary-sized, so materializing is control-plane cheap.
-      val stop = ctAll.groupBy("tri").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_clean"))))
-        .filter(col("df").cast("double") > lit(0.15) * col("n_clean").cast("double"))
-        .select("tri")
-        .localCheckpoint(true)
-      val ct = ctAll.join(broadcast(stop), Seq("tri"), "left_anti")
-      val dt = dtAll.join(broadcast(stop), Seq("tri"), "left_anti")
-      val csz = ct.groupBy("clean_id").agg(count(lit(1)).as("n_c"))
-      val dsz = dt.groupBy("dirty_id").agg(count(lit(1)).as("n_d"))
-      val shared = dt.join(ct, "tri").groupBy("dirty_id", "clean_id")
-        .agg(count(lit(1)).as("n_shared"))
-      val jac = col("n_shared").cast("double") /
-        (col("n_d") + col("n_c") - col("n_shared")).cast("double")
-      shared.join(dsz, "dirty_id").join(csz, "clean_id")
-        .select(col("dirty_id"), col("clean_id"), jac.as("jaccard"))
+    val table = erLinksTables.computeIfAbsent(dir, _ => {
+      erCleanupHook
+      val t = Files.createTempDirectory("graft_er").resolve("links")
+      TxLog.append(spark, erPairsDerive(spark, dir), t, "dirty_id",
+        nParts = spark.sparkContext.defaultParallelism): Unit
+      t
+    })
+    TxLog.readAt(spark, table)
   }
 
   // lazy: referenced from `defs`, which is declared earlier in this object
@@ -985,6 +1102,52 @@ object DedupQueries {
           |SELECT dirty_id, clean_id, jaccard, dirty_id = clean_id AS is_self
           |FROM scored WHERE rk = 1 AND jaccard >= 0.5
           |ORDER BY dirty_id""".stripMargin),
+
+    // er05: the same scoring chain with the stop set PINNED over the
+    // BASE registry (doc_id % 10 <> 7) — the build-time artifact
+    // property the incremental path relies on. The two flags are
+    // engine-side invariants (incremental == full rebuild; exactly two
+    // commits) asserted as literals.
+    "er05_persisted_links" ->
+      """WITH base AS (
+        |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS name
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(name, 1, CAST(doc_id % length(name) AS INT))
+        |      || substr(name, CAST(doc_id % length(name) AS INT) + 2) AS dname
+        |  FROM base),
+        |ct0 AS (
+        |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(name) - 2, 1) + 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
+        |  FROM base),
+        |dt0 AS (
+        |  SELECT dirty_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(dname) - 2, 1) + 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
+        |  FROM dirty),
+        |stop AS (
+        |  SELECT tri FROM (
+        |    SELECT tri, count(*) AS df FROM ct0 WHERE clean_id % 10 <> 7 GROUP BY tri)
+        |  WHERE CAST(df AS DOUBLE) >
+        |    0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM base WHERE doc_id % 10 <> 7)),
+        |ct AS (SELECT * FROM ct0 ANTI JOIN stop USING (tri)),
+        |dt AS (SELECT * FROM dt0 ANTI JOIN stop USING (tri)),
+        |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
+        |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),
+        |shared AS (
+        |  SELECT dirty_id, clean_id, count(*) AS n_shared
+        |  FROM dt JOIN ct USING (tri) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT dirty_id, clean_id,
+        |    CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) AS jaccard
+        |  FROM shared JOIN dsz USING (dirty_id) JOIN csz USING (clean_id))
+        |SELECT count(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN dirty_id = clean_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found,
+        |  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_links_05,
+        |  CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_links_03,
+        |  CAST(1 AS BIGINT) AS incr_matches_full,
+        |  CAST(2 AS BIGINT) AS n_commits
+        |FROM pairs""".stripMargin,
 
     "er04_blocking_metrics" ->
       ("WITH " + erPairsCte + ",\n" +
