@@ -644,8 +644,9 @@ object DedupQueries {
       .select(col("dirty_id"), col("clean_id"), jac.as("jaccard"))
   }
 
-  /** The full self-contained links derivation over one corpus dir. */
-  private def erPairsDerive(spark: SparkSession, dir: String): DataFrame = {
+  /** The full self-contained links derivation over one corpus dir
+    * (package-visible: PlanSpec asserts the BUILD's join shape). */
+  private[queries] def erPairsDerive(spark: SparkSession, dir: String): DataFrame = {
     val base = erBase(spark, dir)
     val dirty = erDirty(base)
     val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")

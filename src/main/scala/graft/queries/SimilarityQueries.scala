@@ -466,20 +466,16 @@ object SimilarityQueries {
       val assignTable = freshTable()
       graft.ops.TxLog.append(spark, cent, centTable, "cent_id", nParts = 1)
       // nearest-centroid assignment — the ONE rule shared by the build
-      // and the incremental append, so the index cannot drift
-      def assignTo(vecs: DataFrame, centDf: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("a_cos").desc, col("cent_id").asc)
-        vecs.join(broadcast(centDf), lit(true))
-          .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
-            expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
-          .withColumn("ark", row_number().over(w)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cent_id"), col("label"), col("embedding"))
-      }
-      graft.ops.TxLog.appendClustered(spark, assignTo(c0, cent), assignTable,
+      // and the incremental append, so the index cannot drift. Flat
+      // exact at test-scale centroid counts; two-level (coarse -> fine,
+      // bounded sqrt(C) broadcast) beyond Ann.TwoLevelMinCentroids —
+      // the round-9 `weak` watch closed (see graft.ops.Ann).
+      graft.ops.TxLog.appendClustered(spark,
+        graft.ops.Ann.assignToCentroids(c0, cent), assignTable,
         "cent_id", clusterCol = col("cent_id"), nClusters = 8)
       val centLake = graft.ops.TxLog.readAt(spark, centTable)
-      graft.ops.TxLog.appendClustered(spark, assignTo(growth, centLake), assignTable,
+      graft.ops.TxLog.appendClustered(spark,
+        graft.ops.Ann.assignToCentroids(growth, centLake), assignTable,
         "cent_id", clusterCol = col("cent_id"), nClusters = 2)
       // query purely from the persisted index
       val q = emb.filter(col("vec_id") < 8)
@@ -527,15 +523,11 @@ object SimilarityQueries {
       val assignTable = freshTable()
       val bronze = freshTable()
       graft.ops.TxLog.append(spark, cent, centTable, "cent_id", nParts = 1)
-      def assignTo(vecs: DataFrame, centDf: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("a_cos").desc, col("cent_id").asc)
-        vecs.join(broadcast(centDf), lit(true))
-          .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
-            expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
-          .withColumn("ark", row_number().over(w)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cent_id"), col("label"), col("embedding"))
-      }
+      // the shared assignment kernel (flat at test scale, two-level
+      // beyond Ann.TwoLevelMinCentroids) — identical to sim07's, so the
+      // batch and streaming maintenance paths cannot drift
+      def assignTo(vecs: DataFrame, centDf: DataFrame): DataFrame =
+        graft.ops.Ann.assignToCentroids(vecs, centDf)
       graft.ops.TxLog.appendClustered(spark, assignTo(c0, cent), assignTable,
         "cent_id", clusterCol = col("cent_id"), nClusters = 8)
       val centLake = graft.ops.TxLog.readAt(spark, centTable)

@@ -157,13 +157,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("er01: fuzzy-match candidates come from a trigram equi-join, never all-pairs") {
-    val p = plan("er01_fuzzy_entity_match")
-    assert(!p.contains("CartesianProduct"))
+    // er01 now READS the persisted links table (round 10); the
+    // candidate-generation shape lives in the BUILD's derivation plan
+    val pd = DedupQueries.erPairsDerive(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pd.contains("CartesianProduct"))
     // The stop-trigram cap's scalar attach is computed once behind a
-    // localCheckpoint, so the final plan must stay nested-loop-free.
-    assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
-      p.contains("ShuffledHashJoin"), "trigram candidate join must be an equi-join")
+    // localCheckpoint, so the build plan must stay nested-loop-free.
+    assert(!pd.contains("BroadcastNestedLoopJoin"))
+    assert(pd.contains("SortMergeJoin") || pd.contains("BroadcastHashJoin") ||
+      pd.contains("ShuffledHashJoin"), "trigram candidate join must be an equi-join")
+    // ...and the consumer itself stays a parquet read + bounded window,
+    // never re-deriving candidates
+    val p = plan("er01_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Scan parquet"), "er01 must read the persisted links table:\n" + p)
     // er03: the exact verify runs on the blocked pairs only — the
     // levenshtein filter must sit above equi-joins, never a cartesian
     val p3 = plan("er03_edit_verify")
