@@ -6,8 +6,11 @@ import graft.ports.RecordParser
 /** File-type dispatch (reference: src/application/ingestion_service.rs:149-158
   * extension extraction; src/infrastructure/parser_adapter.rs:32-58 routing):
   * the extension is the last '.'-segment, lowercased; unsupported types are
-  * a ParseError. `.pdf` is intentionally unsupported, matching the
-  * reference (parser_adapter.rs:54-57 — advertised but never implemented).
+  * a ParseError. `.pdf` — advertised by the reference but never implemented
+  * there (parser_adapter.rs:54-57 errors) — routes to the pure-JVM
+  * [[PdfParser]] (round 10, a documented improvement over the reference's
+  * error path); malformed/encrypted/out-of-subset PDFs still ParseError,
+  * so the failure audit trail (ing09) is unchanged for bad drops.
   */
 object ParserDispatch {
 
@@ -28,6 +31,7 @@ object ParserDispatch {
     case "orc"              => OrcParser // beyond-reference columnar source
     case "avro"             => AvroParser // beyond-reference row format
     case "parquet"          => ParquetPassthroughParser // beyond-reference
+    case "pdf"              => PdfParser // beyond-reference (see scaladoc)
     case other              => throw ParseError(s"unsupported file type: $other")
   }
 

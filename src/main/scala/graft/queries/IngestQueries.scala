@@ -425,6 +425,25 @@ object IngestQueries {
       } finally server.stop()
     }),
 
+    // ing22: PDF ingestion — the reference ADVERTISES .pdf
+    // (instructions.md:8, dev-test.sh:109-168) but its adapter errors
+    // (parser_adapter.rs:54-57); this routes it through the pure-JVM
+    // extractor (graft.ops.Pdf: classic xref, FlateDecode, Tj/TJ/quote
+    // show ops) — a documented improvement, with malformed/encrypted
+    // PDFs still failing into the audit trail exactly as before
+    // (ing09's bad.pdf path is unchanged). The fixture is synthesized
+    // by the matching deterministic writer with FlateDecode ON, so the
+    // gate covers the compressed path end-to-end through the pipeline.
+    "ing22_pdf" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "docs/report.pdf",
+        RuleMatcher.seedRules :+ IngestionConfigRule(".*\\.pdf$", "pdf_docs"))(
+        p => Files.write(p, graft.ops.Pdf.synthesize(Seq(
+          "Quarterly ingestion report",
+          "Revenue 1234\nCosts 567",
+          "Appendix: notes (v2)"), compress = true)): Unit)
+        .orderBy("page")
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -587,6 +606,15 @@ object IngestQueries {
         |FROM (VALUES ('Alice', 100, CAST(NULL AS VARCHAR)), ('Bob', 200, 'eu-west'))
         |  t(name, value, region)
         |ORDER BY name""".stripMargin,
+
+    "ing22_pdf" ->
+      s"""SELECT page, text, ${fn}'docs/report.pdf' AS file_name,
+        |  md5(${fn}'docs/report.pdf') AS log_id
+        |FROM (VALUES
+        |  (1, 'Quarterly ingestion report'),
+        |  (2, 'Revenue 1234' || chr(10) || 'Costs 567'),
+        |  (3, 'Appendix: notes (v2)')) t(page, text)
+        |ORDER BY page""".stripMargin,
 
     "ing09_audit_log" ->
       """SELECT md5(file_name) AS log_id, file_name, status, has_end_time

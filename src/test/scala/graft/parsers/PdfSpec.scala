@@ -1,0 +1,82 @@
+package graft.parsers
+
+import graft.SparkSpec
+import graft.domain.IngestionError.ParseError
+import graft.ops.Pdf
+
+/** Contracts of the pure-JVM PDF extractor: writer/reader round-trips
+  * (uncompressed AND FlateDecode), string-escape handling, page order,
+  * and the instructive refusals for everything outside the subset. */
+class PdfSpec extends SparkSpec {
+
+  test("round-trip: synthesize then extract, uncompressed and FlateDecode") {
+    val pages = Seq("hello pdf world", "line one\nline two\nline three", "")
+    for (compress <- Seq(false, true)) {
+      val got = Pdf.extract(Pdf.synthesize(pages, compress))
+      assert(got.map(_.page) == Seq(1, 2, 3))
+      assert(got.map(_.text) == pages, s"compress=$compress")
+    }
+  }
+
+  test("string escapes and parentheses survive") {
+    val tricky = Seq("parens (nested (deep)) and \\ backslash", "tab\there")
+    // \t is written via the octal/escape machinery of literal strings
+    val got = Pdf.extract(Pdf.synthesize(tricky))
+    assert(got.map(_.text) == tricky)
+  }
+
+  test("multi-page order is the /Kids order") {
+    val pages = (1 to 7).map(i => s"page $i body")
+    val got = Pdf.extract(Pdf.synthesize(pages))
+    assert(got.map(_.text) == pages)
+  }
+
+  test("refusals: garbage, encrypted, xref streams, exotic filters") {
+    val garbage = intercept[ParseError] {
+      Pdf.extract("%PDF-1.4 not supported".getBytes("ISO-8859-1"))
+    }
+    assert(garbage.getMessage.contains("startxref"), garbage.getMessage)
+    assert(intercept[ParseError] {
+      Pdf.extract("not a pdf at all".getBytes("ISO-8859-1"))
+    }.getMessage.contains("%PDF-"))
+    // encrypted: splice /Encrypt into the trailer of a valid fixture
+    val ok = new String(Pdf.synthesize(Seq("secret")), "ISO-8859-1")
+    val enc = ok.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    val e = intercept[ParseError] { Pdf.extract(enc.getBytes("ISO-8859-1")) }
+    assert(e.getMessage.contains("encrypted"), e.getMessage)
+    // compressed xref: point startxref at an object instead of a table
+    val objOff = ok.indexOf("1 0 obj")
+    val xs = ok.replaceAll("startxref\\n\\d+", s"startxref\n$objOff")
+    val x = intercept[ParseError] { Pdf.extract(xs.getBytes("ISO-8859-1")) }
+    assert(x.getMessage.contains("cross-reference streams"), x.getMessage)
+    // exotic filter: same-length name swap keeps every xref offset valid
+    val flated = new String(Pdf.synthesize(Seq("secret"), compress = true), "ISO-8859-1")
+    val lzw = flated.replace("/Filter /FlateDecode", "/Filter /LZWDecode  ")
+    val f = intercept[ParseError] { Pdf.extract(lzw.getBytes("ISO-8859-1")) }
+    assert(f.getMessage.contains("unsupported stream filter"), f.getMessage)
+  }
+
+  test("dispatch routes .pdf to the parser; the parse serves {page, text} rows") {
+    assert(ParserDispatch.parserFor("pdf") == PdfParser)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf")
+    val f = dir.resolve("doc.pdf")
+    java.nio.file.Files.write(f, Pdf.synthesize(Seq("alpha", "beta\ngamma"), compress = true))
+    val df = PdfParser.parse(spark, f.toString, None)
+    val rows = df.orderBy("page").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "alpha"), (2, "beta\ngamma")))
+  }
+
+  test("TJ arrays, quote operators, and hex strings extract") {
+    // hand-assembled content stream exercising operators the writer
+    // doesn't emit: TJ with kerning numbers, ' and " line-shows, hex
+    val content = "BT [(ab) -120 (cd)] TJ (next)' <20776F57> Tj ET"
+    val base = new String(Pdf.synthesize(Seq("placeholder-0123456789")), "ISO-8859-1")
+    val old = "BT /F1 12 Tf 72 720 Td (placeholder-0123456789) Tj ET"
+    assert(base.contains(old))
+    // same length keeps every xref offset and /Length valid
+    val padded = content + (" " * (old.length - content.length))
+    val doc = base.replace(old, padded)
+    val got = Pdf.extract(doc.getBytes("ISO-8859-1"))
+    assert(got.map(_.text) == Seq("abcd\nnext woW"))
+  }
+}
