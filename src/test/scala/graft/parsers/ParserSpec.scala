@@ -168,8 +168,13 @@ class ParserSpec extends SparkSpec {
     assert(ParserDispatch.extractFileType("noext") == "")
   }
 
-  test("dispatch: pdf unsupported (parser_adapter.rs:54-57)") {
-    assertThrows[ParseError](ParserDispatch.parserFor("pdf"))
+  test("dispatch: pdf routes to the pure-JVM extractor (beyond the reference's error path)") {
+    // the reference advertises .pdf but errors (parser_adapter.rs:54-57);
+    // round 10 implements it — dispatch now routes, and a MALFORMED pdf
+    // still fails into the audit trail at parse time (ing09's contract)
+    assert(ParserDispatch.parserFor("pdf") == PdfParser)
+    assertThrows[ParseError](
+      graft.ops.Pdf.extract("%PDF-1.4 not supported".getBytes("ISO-8859-1")))
   }
 
   test("dispatch: compound compressed extensions route the inner text format") {
