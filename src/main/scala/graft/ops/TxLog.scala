@@ -1166,9 +1166,15 @@ object TxLog {
       removes: Seq[String], op: String, statsCol: String): (Long, Int) = {
     val base = snapshotAt(table)
     val baseDv = base.files.map(f => f.path -> f.dv).toMap
-    require(removes.forall(baseDv.contains),
-      s"replaceStaged: not live in v${base.version} of $table: " +
-      removes.filterNot(baseDv.contains).mkString(", "))
+    // a replaced file no longer live = a concurrent rewrite (compact,
+    // merge, another DML) superseded the scanned snapshot — the same
+    // OCC conflict the commit validator would catch, surfaced before
+    // any staging I/O is paid and with the same abort contract
+    val missing = removes.filterNot(baseDv.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"commit '$op' no longer valid: replaced files not live in " +
+      s"v${base.version} of $table (concurrent rewrite): " +
+      missing.take(3).mkString(", "))
     enforceConstraintsStaged(spark, table, stage)
     val adds = promoteStaged(spark, stage, table, statsCol)
     if (removes.isEmpty && adds.isEmpty) return (base.version, 0)
