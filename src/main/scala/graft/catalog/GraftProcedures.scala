@@ -30,6 +30,10 @@ import graft.ops.TxLog
   *  - `tag(table, name, version)` — named tag ref, one audited commit
   *  - `cluster_by(table, cluster_expr, n_clusters)` — the
   *    OPTIMIZE/Z-ORDER rewrite restoring footer-pruning power
+  *  - `maintain(table, max_files, target_files, vacuum_keep,
+  *    vacuum_min_age_ms)` — the self-driving hook: reads the log's file
+  *    metadata, picks compact / cluster_by / none from file-count and
+  *    stats-overlap thresholds, runs it plus a retention vacuum
   *
   * Procedures bind by position or by name (`CALL lake.compact(
   * "table" => 't')` — Spark's BindProcedures handles both).
@@ -38,7 +42,7 @@ private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
-      "tag", "cluster_by")
+      "tag", "cluster_by", "maintain")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -209,6 +213,70 @@ private[catalog] object GraftProcedures {
             org.apache.spark.sql.functions.expr(input.getUTF8String(1).toString),
             math.max(1, input.getInt(2)))
           InternalRow(v, TxLog.snapshotAt(dir).files.size.toLong)
+        }
+      }
+      // the SELF-DRIVING-TABLE hook: one call reads the log's file
+      // metadata, DECIDES the maintenance, and commits it —
+      //   - more live files than max_files AND overlapping stats ranges
+      //     (>= 30% of adjacent sorted ranges intersect on the
+      //     designated column => footer pruning is degraded) =>
+      //     cluster_by into target_files range-disjoint files;
+      //   - too many files but already-disjoint ranges (or no usable
+      //     stats) => plain compact into target_files;
+      //   - otherwise no rewrite ('none');
+      // then a vacuum pass under the given retention reclaims dead
+      // files either way. Every decision input is O(files) log
+      // metadata — no data is read to decide — and the chosen action
+      // is the same audited commit the explicit procedures make.
+      case "maintain" => new GraftProc("maintain",
+        Array(param("table", StringType),
+          paramWithDefault("max_files", IntegerType, "8"),
+          paramWithDefault("target_files", IntegerType, "4"),
+          paramWithDefault("vacuum_keep", IntegerType, "1"),
+          paramWithDefault("vacuum_min_age_ms", LongType, "86400000")),
+        StructType(Seq(
+          StructField("action", StringType, nullable = false),
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false),
+          StructField("files_reclaimed", LongType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val maxFiles = math.max(1, input.getInt(1))
+          val target = math.max(1, input.getInt(2))
+          val snap = TxLog.snapshotAt(dir)
+          val before = snap.files.size
+          val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)
+          val action =
+            if (before <= maxFiles) "none"
+            else {
+              val sorted = snap.files.sortBy(f => (f.minKey, f.maxKey))
+              val statsUsable = sorted.forall(f =>
+                f.minKey != Long.MinValue && f.maxKey != Long.MaxValue)
+              val overlaps =
+                if (!statsUsable) 0
+                else sorted.sliding(2).count {
+                  case Seq(a, b) => b.minKey <= a.maxKey
+                  case _ => false
+                }
+              if (statsUsable && before > 1 &&
+                  overlaps.toDouble >= 0.3 * (before - 1)) {
+                val span = math.max(1L, sorted.map(_.maxKey).max + 1L)
+                TxLog.compactClustered(spark, dir, statsCol,
+                  org.apache.spark.sql.functions.expr(
+                    s"(`$statsCol` * $target) div ${span}L"), target): Unit
+                "cluster_by"
+              } else {
+                TxLog.compact(spark, dir, statsCol, nParts = target): Unit
+                "compact"
+              }
+            }
+          val reclaimed = TxLog.vacuum(dir,
+            keepVersions = math.max(1, input.getInt(3)),
+            minAgeMs = input.getLong(4)).size.toLong
+          InternalRow(UTF8String.fromString(action), before.toLong,
+            TxLog.snapshotAt(dir).files.size.toLong, reclaimed,
+            TxLog.latestVersion(dir))
         }
       }
       case "tag" => new GraftProc("tag",

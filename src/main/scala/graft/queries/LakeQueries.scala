@@ -930,6 +930,44 @@ object LakeQueries {
           lit(if (identical) 1L else 0L).as("paths_identical"))
     }),
 
+    // ---- sql13: the AUTO-OPTIMIZE policy hook — `CALL lake.maintain`
+    // reads the log's file metadata, DECIDES the maintenance, and
+    // commits it (the self-driving-table shape). The fixture is 12
+    // arrival-order appends, each spanning the whole id range (every
+    // adjacent sorted stats range overlaps => footer pruning degraded),
+    // so call 1 must choose cluster_by into 4 range-disjoint files; its
+    // default 24h retention reclaims nothing. Call 2 sees 4 disjoint
+    // files under the max_files threshold => 'none', and with
+    // retention 0 its vacuum pass reclaims exactly the 12 replaced
+    // arrival files — the tx15-style files-before/after arithmetic,
+    // decided by the policy instead of the operator. Row content is
+    // proven untouched through both calls.
+    "sql13_auto_maintain" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      (0 until 12).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 12 === i), table, "doc_id", nParts = 1)
+      }
+      val r1 = spark.sql(s"CALL $cat.maintain('tbl')").collect().head
+      val r2 = spark.sql(
+        s"CALL $cat.maintain('tbl', vacuum_min_age_ms => 0)").collect().head
+      spark.sql(
+        s"""SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM $cat.tbl""".stripMargin)
+        .select(
+          lit(r1.getString(0)).as("action1"),
+          lit(r1.getLong(1)).as("files_before1"),
+          lit(r1.getLong(2)).as("files_after1"),
+          lit(r1.getLong(3)).as("reclaimed1"),
+          lit(r2.getString(0)).as("action2"),
+          lit(r2.getLong(3)).as("reclaimed2"),
+          col("n_docs"), col("sum_chars"))
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -1461,6 +1499,17 @@ object LakeQueries {
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE doc_id % 2 = 1 AND lang = 'en') AS sum_chars_en,
         |  CAST(2 AS BIGINT) AS cols_pre_evolution""".stripMargin,
+
+    // The policy's decisions are engine-side invariants asserted as
+    // literals (12 overlapping arrival files -> cluster_by into 4;
+    // second call 'none' + reclaims the 12); row content from documents.
+    "sql13_auto_maintain" ->
+      """SELECT 'cluster_by' AS action1,
+        |  CAST(12 AS BIGINT) AS files_before1, CAST(4 AS BIGINT) AS files_after1,
+        |  CAST(0 AS BIGINT) AS reclaimed1,
+        |  'none' AS action2, CAST(12 AS BIGINT) AS reclaimed2,
+        |  (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS sum_chars""".stripMargin,
 
     // The statement-path recompute in commit order: the %7 keys merge
     // to +1000 and the %31 keys insert shifted above the id span (both

@@ -338,6 +338,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(doc_id,90)"), plan)
   }
 
+  test("catalog: maintain picks compact for disjoint small files, none below threshold") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("mt")
+    // 10 files with DISJOINT doc_id ranges: too many files, but footer
+    // pruning is intact -> the policy must pick plain compact, not the
+    // clustered rewrite
+    (0 until 10).foreach { i =>
+      TxLog.append(spark, idsDf((i * 10L) until (i * 10L + 10L)), table, "doc_id", nParts = 1)
+    }
+    val r = spark.sql(s"CALL $cat.maintain('mt', max_files => 8, target_files => 2)")
+      .collect().head
+    assert(r.getString(0) == "compact", r.toString)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 2L, r.toString)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.mt").head.getLong(0) == 100L)
+    // under the threshold: no rewrite, vacuum-with-zero-retention
+    // reclaims the 10 replaced arrival files
+    val r2 = spark.sql(s"CALL $cat.maintain('mt', vacuum_min_age_ms => 0)")
+      .collect().head
+    assert(r2.getString(0) == "none" && r2.getLong(3) == 10L, r2.toString)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.mt").head.getLong(0) == 100L)
+  }
+
   test("catalog: CTAS is atomic — a failed query publishes nothing") {
     val (cat, base) = freshCatalog()
     TxLog.append(spark, idsDf(0L to 9L), base.resolve("src2"), "doc_id", nParts = 1)
