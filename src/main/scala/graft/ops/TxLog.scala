@@ -52,6 +52,42 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    range can contain an affected key (then an exact membership probe
   *    narrows further) — at scale an upsert of a small delta touches a
   *    small fraction of files, never the whole table.
+  *
+  * == Transaction boundary: single-table atomicity, by design ==
+  *
+  * The supported unit of atomicity is ONE COMMIT ON ONE TABLE — the same
+  * position the published Delta protocol takes (Armbrust et al. §3.2:
+  * "transactions can only be performed within a single table"). A
+  * BEGIN/COMMIT spanning N tables was evaluated for round 10 and
+  * deliberately NOT built, because every sound design taxes the READ
+  * path to pay for a rare write pattern:
+  *
+  *  - a coordinator object (each table's commit references a shared
+  *    txn id; the txn is visible only once the coordinator flips to
+  *    COMMITTED) makes every `snapshotAt` — the hottest metadata path,
+  *    run per query — check coordinator state for every pending commit
+  *    in the replayed window, adding a cross-directory read and a
+  *    failure mode (orphaned coordinators) to all readers forever;
+  *  - publish-in-order with compensating RESTOREs is not atomicity: a
+  *    reader can observe table A new + table B old between publishes,
+  *    and the compensation itself can lose the race.
+  *
+  * What the log DOES guarantee composes into every multi-table pattern
+  * the pipelines here need, without reader overhead:
+  *
+  *  - IDEMPOTENT BATCH TAGS (`batchId` on streamingCommit): a fan-out
+  *    job writing N tables retries each table's commit independently;
+  *    replays cannot double-apply, so the fan-out converges to
+  *    exactly-once per table (sim08 gates this through a restart);
+  *  - the MEDALLION chain (tx17): downstream tables derive from
+  *    upstream SNAPSHOTS, so cross-table consistency is by construction
+  *    "table B as of table A's version V" — pin V, not a 2PC;
+  *  - TAGS as cross-table release points (sql10): tag each table after
+  *    its commit lands and readers address the consistent set by name.
+  *
+  * If a true multi-table transaction becomes a requirement, the right
+  * shape is Delta/Iceberg's answer too: a CATALOG-level commit service
+  * (one log above the tables), not per-table coordinator files.
   */
 object TxLog {
 
