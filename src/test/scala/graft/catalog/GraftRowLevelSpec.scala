@@ -132,6 +132,27 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(TxLog.history(table).last._2 == "delete")
   }
 
+  test("UPDATE on a partitioned table stays correct under partition-pruned reads") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pt (doc_id BIGINT, tag STRING) PARTITIONED BY (tag)")
+    spark.sql(s"INSERT INTO $cat.pt SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END " +
+      "FROM range(100)")
+    spark.sql(s"UPDATE $cat.pt SET doc_id = doc_id + 1000 WHERE doc_id < 10")
+    // data files always CARRY the partition column (stagePartitioned
+    // duplicates it), and a rewritten file with no recorded
+    // partitionValues is kept CONSERVATIVELY by partition pruning — so
+    // equality reads stay exact after the rewrite, they just prune less
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.pt").head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.pt WHERE tag = 'a'")
+      .head.getLong(0) == 50L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.pt WHERE tag = 'a' AND doc_id >= 1000")
+      .head.getLong(0) == 5L)
+    val table = base.resolve("pt")
+    assert(TxLog.readAt(spark, table, partitions = Map("tag" -> "b")).count() == 50L)
+    assert(TxLog.readAt(spark, table, partitions = Map("tag" -> "b"))
+      .filter(col("doc_id") >= 1000).count() == 5L)
+  }
+
   test("SQL UPDATE/MERGE produce the same table as the procedure path") {
     val (cat, base) = freshCatalog()
     TxLog.append(spark, idsDf(0L to 59L), base.resolve("a"), "doc_id", nParts = 3)
