@@ -517,6 +517,88 @@ object DedupQueries {
           lit(TxLog.history(table).size.toLong).as("n_commits"))
     }),
 
+    // ---- er06: STREAMING maintenance of the persisted links table —
+    // the sim08 move applied to entity resolution, closing the loop
+    // er05 opened: new documents land in a BRONZE lake table, a
+    // graft-lake tail drains it one commit per micro-batch, and each
+    // batch appends its link delta into the links table with a
+    // batch-id-tagged EXACTLY-ONCE commit. The delta algebra is er05's
+    // disjoint cover computed against a SEEN-docs silver table the
+    // stream itself maintains: delta(batch) = score(dirty(batch),
+    // clean(seen ∪ batch)) ∪ score(dirty(seen), clean(batch)), then the
+    // batch joins `seen` — both appends tagged with the SAME batch id,
+    // so a replay after a crash between them recomputes the identical
+    // delta (seen is unchanged until the second append lands) and each
+    // commit is applied at most once. The stop set stays PINNED at
+    // build time (the index-artifact property er05 establishes), so
+    // the drained table is proven multiset-EQUAL to the full rebuild
+    // in-engine, and the content gate is the SAME pinned-stop oracle
+    // as er05 — cross-gating the batch and streaming maintenance paths
+    // against each other through one recompute.
+    "er06_streaming_links" -> ((spark: SparkSession, dir: String) => {
+      val base = erBase(spark, dir).filter(col("doc_id") % 3 === 0)
+      val isNew = col("doc_id") % 10 === 7
+      val cleanOld = base.filter(!isNew)
+      val ctOld = erTris(cleanOld.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
+      val stop = erStop(ctOld, cleanOld.agg(count(lit(1)).as("n_clean")))
+      erCleanupHook
+      val work = Files.createTempDirectory("graft_er")
+      val links = work.resolve("links06")
+      val bronze = work.resolve("bronze06")
+      val seen = work.resolve("seen06")
+      erLinksTables.put(s"er06:$dir:$work", links): Unit
+      val par = spark.sparkContext.defaultParallelism
+      def dtOf(names: DataFrame) = erTris(
+        names.select(col("doc_id").as("dirty_id"), col("dname")), "dirty_id", "dname")
+      def ctOf(names: DataFrame) = erTris(
+        names.select(col("doc_id").as("clean_id"), col("name")), "clean_id", "name")
+      val named = base.select(col("doc_id"), col("name"), expr(
+        """concat(substr(name, 1, cast(doc_id % length(name) as int)),
+          |       substr(name, cast(doc_id % length(name) as int) + 2))""".stripMargin)
+        .as("dname"))
+      val namedOld = named.filter(!isNew)
+      // v0: build from the base corpus; silver `seen` starts as base
+      TxLog.append(spark, erScore(dtOf(namedOld), ctOf(namedOld), stop),
+        links, "dirty_id", nParts = par): Unit
+      TxLog.append(spark, namedOld, seen, "doc_id", nParts = par): Unit
+      // arrivals: two bronze commits -> two micro-batches
+      val growth = named.filter(isNew)
+      TxLog.append(spark, growth.filter(col("doc_id") % 2 === 0), bronze, "doc_id", nParts = 1)
+      TxLog.append(spark, growth.filter(col("doc_id") % 2 === 1), bronze, "doc_id", nParts = 1)
+      val ckpt = Files.createTempDirectory("graft_er06_ckpt")
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1")
+        .load(bronze.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val batch = b.localCheckpoint(true)
+          val seenNow = TxLog.readAt(spark, seen).localCheckpoint(true)
+          val delta = erScore(dtOf(batch), ctOf(seenNow.unionByName(batch)), stop)
+            .unionByName(erScore(dtOf(seenNow), ctOf(batch), stop))
+          TxLog.streamingAppend(spark, delta, bid, links, "dirty_id", nParts = par): Unit
+          TxLog.streamingAppend(spark, batch, bid, seen, "doc_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val persisted = TxLog.readAt(spark, links)
+      val full = erScore(dtOf(named), ctOf(named), stop).localCheckpoint(true)
+      val streamOk = persisted.exceptAll(full).count() == 0L &&
+        full.exceptAll(persisted).count() == 0L &&
+        TxLog.committedBatchIds(links) == Set(0L, 1L)
+      persisted.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("dirty_id") === col("clean_id"), 1L).otherwise(0L))
+            .as("n_true_found"),
+          sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_links_05"),
+          sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_links_03"))
+        .select(col("n_pairs"), col("n_true_found"), col("n_links_05"),
+          col("n_links_03"),
+          lit(if (streamOk) 1L else 0L).as("stream_matches_full"),
+          lit(TxLog.history(links).size.toLong).as("n_commits"))
+    }),
+
     // ---- er03: exact edit-distance VERIFY — the third stage of the
     // canonical block -> cheap-match -> exact-verify ER pipeline
     // (er01 blocks on trigrams and scores Jaccard; er02 clusters
@@ -1148,6 +1230,52 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_links_03,
         |  CAST(1 AS BIGINT) AS incr_matches_full,
         |  CAST(2 AS BIGINT) AS n_commits
+        |FROM pairs""".stripMargin,
+
+    // er06: the SAME pinned-stop recompute as er05 — one oracle
+    // cross-gates the batch (er05) and streaming (er06) maintenance
+    // paths; only the engine-side invariants differ (two exactly-once
+    // streaming commits on top of the build = 3; drained table equals
+    // the full rebuild).
+    "er06_streaming_links" ->
+      """WITH base AS (
+        |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS name
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dirty AS (
+        |  SELECT doc_id AS dirty_id,
+        |    substr(name, 1, CAST(doc_id % length(name) AS INT))
+        |      || substr(name, CAST(doc_id % length(name) AS INT) + 2) AS dname
+        |  FROM base),
+        |ct0 AS (
+        |  SELECT doc_id AS clean_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(name) - 2, 1) + 1), i -> substr(name, CAST(i AS INT), 3)))) AS tri
+        |  FROM base),
+        |dt0 AS (
+        |  SELECT dirty_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(dname) - 2, 1) + 1), i -> substr(dname, CAST(i AS INT), 3)))) AS tri
+        |  FROM dirty),
+        |stop AS (
+        |  SELECT tri FROM (
+        |    SELECT tri, count(*) AS df FROM ct0 WHERE clean_id % 10 <> 7 GROUP BY tri)
+        |  WHERE CAST(df AS DOUBLE) >
+        |    0.15 * (SELECT CAST(count(*) AS DOUBLE) FROM base WHERE doc_id % 10 <> 7)),
+        |ct AS (SELECT * FROM ct0 ANTI JOIN stop USING (tri)),
+        |dt AS (SELECT * FROM dt0 ANTI JOIN stop USING (tri)),
+        |csz AS (SELECT clean_id, count(*) AS n_c FROM ct GROUP BY 1),
+        |dsz AS (SELECT dirty_id, count(*) AS n_d FROM dt GROUP BY 1),
+        |shared AS (
+        |  SELECT dirty_id, clean_id, count(*) AS n_shared
+        |  FROM dt JOIN ct USING (tri) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT dirty_id, clean_id,
+        |    CAST(n_shared AS DOUBLE) / CAST(n_d + n_c - n_shared AS DOUBLE) AS jaccard
+        |  FROM shared JOIN dsz USING (dirty_id) JOIN csz USING (clean_id))
+        |SELECT count(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN dirty_id = clean_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found,
+        |  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_links_05,
+        |  CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_links_03,
+        |  CAST(1 AS BIGINT) AS stream_matches_full,
+        |  CAST(3 AS BIGINT) AS n_commits
         |FROM pairs""".stripMargin,
 
     "er04_blocking_metrics" ->
