@@ -132,6 +132,53 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(TxLog.history(table).last._2 == "delete")
   }
 
+  test("MERGE with conditional clauses and NOT MATCHED BY SOURCE") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("mb")
+    TxLog.append(spark, idsDf(0L to 9L), table, "doc_id", nParts = 1)
+    idsDf(Seq(2L, 5L, 20L)).createOrReplaceTempView("rl_mbs_src")
+    // matched-with-condition update, conditional insert, and the
+    // full-sync clause: target rows absent from the source DELETE
+    spark.sql(
+      s"""MERGE INTO $cat.mb t USING rl_mbs_src s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.doc_id = 5 THEN UPDATE SET t.payload = 'five'
+         |WHEN NOT MATCHED AND s.doc_id < 100 THEN INSERT (doc_id, payload) VALUES (s.doc_id, 'new')
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    val rows = spark.sql(s"SELECT doc_id, payload FROM $cat.mb ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // kept: matched 2 (payload untouched) and 5 (updated); inserted 20;
+    // every other target row deleted by the BY SOURCE clause
+    assert(rows == Seq((2L, "v2"), (5L, "five"), (20L, "new")), rows.toString)
+    assert(TxLog.history(table).last._2 == "merge")
+  }
+
+  test("UPDATE with an IN-subquery predicate routes through the rewrite") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("sq")
+    TxLog.append(spark, idsDf(0L to 19L), table, "doc_id", nParts = 2)
+    idsDf(Seq(3L, 7L, 11L)).createOrReplaceTempView("rl_sq_keys")
+    spark.sql(s"UPDATE $cat.sq SET payload = 'picked' " +
+      "WHERE doc_id IN (SELECT doc_id FROM rl_sq_keys)")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.sq WHERE payload = 'picked'")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.sq").head.getLong(0) == 20L)
+  }
+
+  test("DML against a time-travel relation is rejected at analysis") {
+    val (cat, base) = freshCatalog()
+    TxLog.append(spark, idsDf(0L to 4L), base.resolve("tt"), "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(5L to 9L), base.resolve("tt"), "doc_id", nParts = 1)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.tt VERSION AS OF 0 SET payload = 'x'")
+    }
+    assert(e.getMessage != null)
+    // the real table is untouched and still serves both versions
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.tt").head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.tt WHERE payload LIKE 'v%'")
+      .head.getLong(0) == 10L)
+  }
+
   test("UPDATE on a partitioned table stays correct under partition-pruned reads") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.pt (doc_id BIGINT, tag STRING) PARTITIONED BY (tag)")
