@@ -247,8 +247,17 @@ private[catalog] object GraftProcedures {
           val snap = TxLog.snapshotAt(dir)
           val before = snap.files.size
           val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dir).schema)
+          // merge-on-read debt: every read of a DV'd file pays the
+          // anti-join; once a quarter of the live set carries vectors,
+          // folding them beats the read tax even under the file cap
+          val dvFrac =
+            if (before == 0) 0.0
+            else snap.files.count(_.dv.isDefined).toDouble / before
           val action =
-            if (before <= maxFiles) "none"
+            if (before <= maxFiles && dvFrac >= 0.25) {
+              TxLog.compact(spark, dir, statsCol, nParts = math.min(before, target)): Unit
+              "compact"
+            } else if (before <= maxFiles) "none"
             else {
               val sorted = snap.files.sortBy(f => (f.minKey, f.maxKey))
               val statsUsable = sorted.forall(f =>

@@ -358,6 +358,13 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head
     assert(r2.getString(0) == "none" && r2.getLong(3) == 10L, r2.toString)
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.mt").head.getLong(0) == 100L)
+    // merge-on-read debt: DV half the live set -> the policy folds
+    // (compact) even under the file-count threshold
+    TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    val r3 = spark.sql(s"CALL $cat.maintain('mt')").collect().head
+    assert(r3.getString(0) == "compact", r3.toString)
+    assert(TxLog.snapshotAt(table).files.forall(_.dv.isEmpty), "vectors not folded")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.mt").head.getLong(0) == 99L)
   }
 
   test("catalog: CTAS is atomic — a failed query publishes nothing") {
