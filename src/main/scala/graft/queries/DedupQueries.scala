@@ -565,7 +565,8 @@ object DedupQueries {
       val growth = named.filter(isNew)
       TxLog.append(spark, growth.filter(col("doc_id") % 2 === 0), bronze, "doc_id", nParts = 1)
       TxLog.append(spark, growth.filter(col("doc_id") % 2 === 1), bronze, "doc_id", nParts = 1)
-      val ckpt = Files.createTempDirectory("graft_er06_ckpt")
+      // under `work` so the shutdown hook reclaims it with the tables
+      val ckpt = Files.createDirectories(work.resolve("ckpt"))
       val q = spark.readStream.format("graft-lake")
         .option("maxVersionsPerBatch", "1")
         .load(bronze.toString)
