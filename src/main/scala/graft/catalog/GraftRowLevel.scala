@@ -470,7 +470,9 @@ private[catalog] class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
         conf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
     GraftParquetWriterFactory(stage.toString, rowSchema.json,
-      conf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT), kvs)
+      conf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT), kvs,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSessionActive.get.sessionState.newHadoopConf()))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -496,14 +498,19 @@ private[catalog] case class GraftWriteMessage(path: String, rows: Long)
 
 /** Executor-side parquet writer: Spark's own ParquetWriteSupport over
   * parquet-hadoop, one file per task under the staging dir. Zero-row
-  * tasks produce a file the promote step drops. */
+  * tasks produce a file the promote step drops. The session's full
+  * hadoop conf ships with the factory (SerializableConfiguration) so a
+  * real cluster's filesystem settings — s3a credentials/endpoints, the
+  * committer knobs — reach the task-side writers; the SQL parquet-write
+  * keys are layered on top. */
 private[catalog] case class GraftParquetWriterFactory(stageDir: String,
-    schemaJson: String, codec: String, confKvs: Map[String, String])
+    schemaJson: String, codec: String, confKvs: Map[String, String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val conf = new Configuration()
+    val conf = new Configuration(hadoopConf.value)
     confKvs.foreach { case (k, v) => conf.set(k, v) }
     ParquetWriteSupport.setSchema(schema, conf)
     val file = s"$stageDir/part-$partitionId-$taskId.parquet"
