@@ -168,10 +168,19 @@ private[catalog] object GraftMetaTable {
   * Versions were pinned when the catalog resolved the table, so the
   * rewrite is deterministic under concurrent commits. */
 case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
+  private def ready(p: LogicalPlan): Boolean =
+    p.resolved && !p.exists(n => n.missingInput.nonEmpty)
+
   private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDvTable] =>
       val t = r.table.asInstanceOf[GraftDvTable]
-      val resolved = TxLog.readAt(spark, t.dir, Some(t.snapVersion))
+      // a relation extended with the `_graft_file` metadata column
+      // (AddMetadataColumns ran because the query referenced it) is
+      // served by the TAGGED read — the serving-file name computed at
+      // the scan, before the DV anti-join
+      val wantsFile = r.output.exists(_.name == GraftRowLevel.FileCol)
+      val resolved = TxLog.readAt(spark, t.dir, Some(t.snapVersion),
+          fileCol = if (wantsFile) Some(GraftRowLevel.FileCol) else None)
         .queryExecution.analyzed
       require(resolved.output.length == r.output.length,
         s"DV snapshot plan arity ${resolved.output.length} != relation ${r.output.length}")
@@ -233,9 +242,18 @@ case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
     case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
       m.copy(sourceTable = rewriteReads(m.sourceTable))
-    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
+        if ready(w.query) =>
       w.withNewQuery(rewriteReads(w.query))
-    case other => rewriteReads(other)
+    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => w
+    // swap only once the plan is SETTLED: a reference to the
+    // `_graft_file` metadata column is 'resolved' (typed, bound to the
+    // relation's metadataOutput) while still MISSING from the
+    // relation's output until AddMetadataColumns extends it — swapping
+    // in that window strands the reference, so wait for the iteration
+    // where no operator has missing input
+    case other if ready(other) => rewriteReads(other)
+    case other => other
   }
 }
 

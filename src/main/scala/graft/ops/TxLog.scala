@@ -960,7 +960,8 @@ object TxLog {
     * applied automatically (merge-on-read). */
   def readAt(spark: SparkSession, table: Path, version: Option[Long] = None,
       range: Option[(String, Long, Long)] = None,
-      partitions: Map[String, String] = Map.empty): DataFrame = {
+      partitions: Map[String, String] = Map.empty,
+      fileCol: Option[String] = None): DataFrame = {
     val snap = snapshotAt(table, version)
     // prune with the NAMED column's own stats — the designated-column
     // ranges would be wrong (non-conservative) for any other column
@@ -981,7 +982,7 @@ object TxLog {
       // schema-preserving empty relation: from the log schema if
       // recorded, else off any live file; a zero-file snapshot with no
       // recorded schema has no schema to offer
-      return tableSchema(table, Some(snap.version)) match {
+      val empty = tableSchema(table, Some(snap.version)) match {
         case Some(s) =>
           spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
         case None if snap.files.nonEmpty =>
@@ -990,9 +991,15 @@ object TxLog {
           throw new IllegalStateException(
             s"snapshot v${snap.version} of $table has no files and no recorded schema")
       }
+      return fileCol.fold(empty)(c => empty.withColumn(c, lit(null).cast("string")))
     }
-    val df0 = applyDvs(spark, table, kept,
-      reader.parquet(kept.map(f => table.resolve(f.path).toString): _*))
+    val raw0 = reader.parquet(kept.map(f => table.resolve(f.path).toString): _*)
+    // optional serving-file tag (the `_graft_file` metadata column):
+    // computed AT THE SCAN, before the DV anti-join, same name rule as
+    // the log (file name, flat under the table root)
+    val raw = fileCol.fold(raw0)(c =>
+      raw0.withColumn(c, element_at(split(input_file_name(), "/"), -1)))
+    val df0 = applyDvs(spark, table, kept, raw)
     val df = range match {
       case Some((c, lo, hi)) => df0.filter(col(c) >= lo && col(c) <= hi)
       case None => df0

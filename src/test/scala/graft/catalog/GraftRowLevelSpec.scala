@@ -132,6 +132,29 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(TxLog.history(table).last._2 == "delete")
   }
 
+  test("_graft_file is a user-queryable metadata column (plain and DV tables)") {
+    val (cat, base) = freshCatalog()
+    val table = base.resolve("mf")
+    (0 until 3).foreach { i =>
+      TxLog.append(spark, idsDf((i * 10L) until (i * 10L + 10L)), table, "doc_id", nParts = 1)
+    }
+    // the skew/debug query every lake ships: rows per serving file
+    val perFile = spark.sql(
+      s"SELECT _graft_file, COUNT(*) AS n FROM $cat.mf GROUP BY _graft_file")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(perFile.length == 3 && perFile.forall(_._2 == 10L), perFile.toSeq.toString)
+    assert(perFile.map(_._1).toSet ==
+      TxLog.snapshotAt(table).files.map(_.path).toSet)
+    // ...and it composes with predicates (group scan is stat-pruned)
+    assert(spark.sql(
+      s"SELECT DISTINCT _graft_file FROM $cat.mf WHERE doc_id BETWEEN 12 AND 18")
+      .count() == 1L)
+    // DV tables serve it too, with deleted rows already dropped
+    TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
+    val n = spark.sql(s"SELECT _graft_file FROM $cat.mf").count()
+    assert(n == 29L, s"expected 29 live rows, got $n")
+  }
+
   test("MERGE with conditional clauses and NOT MATCHED BY SOURCE") {
     val (cat, base) = freshCatalog()
     val table = base.resolve("mb")
