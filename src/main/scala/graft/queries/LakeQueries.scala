@@ -968,6 +968,71 @@ object LakeQueries {
           col("n_docs"), col("sum_chars"))
     }),
 
+    // ---- sql14: STATEMENT-DRIVEN replication — the composition proof
+    // tying round 10 together: a source table mutated ONLY by SQL
+    // statements (INSERT INTO, MERGE INTO, UPDATE, DELETE — the
+    // row-level DML path end to end) replicates into a second table
+    // through the STREAMING change feed (every statement's commit
+    // carries a CDC sidecar, so the tail replays each as churn-sized
+    // insert/delete rows) applied exactly-once via streamingApply. The
+    // gate: the replica's full content aggregate equals the source's —
+    // which equals the DuckDB recompute of the statement sequence — so
+    // SQL DML, CDC derivation, the streaming feed, and the MOR apply
+    // path are all cross-checked through one oracle.
+    "sql14_dml_replication" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val src = freshTable()
+      val replica = freshTable()
+      val base = src.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), src, "doc_id", nParts = 2)
+      d.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(s"odds14_$cat")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT * FROM odds14_$cat")
+      d.filter(col("doc_id") % 9 === 2)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 500L).as("n_chars"))
+        .createOrReplaceTempView(s"src14_$cat")
+      spark.sql(
+        s"""MERGE INTO $cat.tbl t USING src14_$cat s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(s"UPDATE $cat.tbl SET n_chars = n_chars * 3 WHERE lang = 'de'")
+      spark.sql(s"DELETE FROM $cat.tbl WHERE doc_id % 17 = 6") // non-translatable: row-level
+      val ckpt = Files.createTempDirectory("graft_sql14_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(src.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          val delOnly = b.filter(col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+            .join(ins, Seq("doc_id"), "left_anti")
+          val changes = ins.withColumn("op", lit("upsert"))
+            .unionByName(delOnly.withColumn("op", lit("delete")))
+          TxLog.streamingApply(spark, changes, bid, replica, "op", "doc_id", "doc_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val srcAgg = TxLog.readAt(spark, src)
+        .agg(count(lit(1)), sum(col("n_chars")).cast("bigint")).head
+      val rep = TxLog.readAt(spark, replica)
+        .agg(count(lit(1)), sum(col("doc_id")).cast("bigint"),
+          sum(col("n_chars")).cast("bigint")).head
+      val matches = rep.getLong(0) == srcAgg.getLong(0) &&
+        rep.getLong(2) == srcAgg.getLong(1)
+      spark.range(1).select(
+        lit(rep.getLong(0)).as("n_docs"),
+        lit(rep.getLong(1)).as("sum_ids"),
+        lit(rep.getLong(2)).as("sum_chars"),
+        lit(if (matches) 1L else 0L).as("replica_matches_source"))
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -1499,6 +1564,22 @@ object LakeQueries {
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE doc_id % 2 = 1 AND lang = 'en') AS sum_chars_en,
         |  CAST(2 AS BIGINT) AS cols_pre_evolution""".stripMargin,
+
+    // The statement sequence recomputed: +500 on the %9=2 merge keys
+    // (all matched — the ids exist), x3 on 'de' docs AFTER the merge,
+    // then the %17=6 rows delete; the replica-equality flag is the
+    // engine-side invariant asserted as a literal.
+    "sql14_dml_replication" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN doc_id % 9 = 2 THEN n_chars + 500 ELSE n_chars END)
+        |      * (CASE WHEN lang = 'de' THEN 3 ELSE 1 END) AS n_chars
+        |  FROM documents WHERE doc_id % 17 <> 6)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS replica_matches_source
+        |FROM s""".stripMargin,
 
     // The policy's decisions are engine-side invariants asserted as
     // literals (12 overlapping arrival files -> cluster_by into 4;
