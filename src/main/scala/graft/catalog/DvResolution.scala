@@ -223,14 +223,17 @@ case class ResolveDvSnapshots(spark: SparkSession) extends Rule[LogicalPlan] {
                 org.apache.spark.sql.catalyst.expressions.Literal
                   .create(f.eval(org.apache.spark.sql.catalyst.InternalRow.empty), f.dataType)
             }
-          val filters = split(d.condition).map(fold).map { e =>
-            org.apache.spark.sql.graft.StreamingShims.filterToV2(
-              org.apache.spark.sql.graft.StreamingShims.translateFilter(e)
-                .getOrElse(throw new UnsupportedOperationException(
-                  s"DELETE condition $e is not filter-translatable on a snapshot " +
-                  "carrying deletion vectors; use TxLog.deleteWhere directly")))
-          }
-          org.apache.spark.sql.catalyst.plans.logical.DeleteFromTableWithFilters(r, filters)
+          val translated = split(d.condition).map(fold)
+            .map(org.apache.spark.sql.graft.StreamingShims.translateFilter)
+          if (translated.forall(_.isDefined))
+            org.apache.spark.sql.catalyst.plans.logical.DeleteFromTableWithFilters(r,
+              translated.map(f =>
+                org.apache.spark.sql.graft.StreamingShims.filterToV2(f.get)))
+          else
+            // non-translatable predicate: leave the command for Spark's
+            // RewriteDeleteFromTable — the group-based row-level rewrite
+            // (GraftRowLevelOperation) is DV-aware and handles it
+            d
         case _ => d
       }
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d

@@ -42,7 +42,7 @@ private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
-      "tag", "cluster_by", "maintain")
+      "tag", "cluster_by", "maintain", "clone")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -286,6 +286,27 @@ private[catalog] object GraftProcedures {
           InternalRow(UTF8String.fromString(action), before.toLong,
             TxLog.snapshotAt(dir).files.size.toLong, reclaimed,
             TxLog.latestVersion(dir))
+        }
+      }
+      // zero-copy CLONE: the target's v0 hardlinks the source
+      // snapshot's live files (TxLog.cloneTable — no bytes move), then
+      // the two tables diverge independently. The target name takes
+      // the same path fence as every other argument.
+      case "clone" => new GraftProc("clone",
+        Array(param("table", StringType), param("target", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("files_linked", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val srcDir = table(input)
+          val t = input.getUTF8String(1).toString
+          require(t.nonEmpty && t != "." && t != ".." &&
+            !t.contains('/') && !t.contains('\\'),
+            s"illegal clone target '$t': must be a plain child name of the catalog base")
+          val dst = base.resolve(t).normalize()
+          require(dst.getParent == base.normalize(),
+            s"clone target '$t' escapes catalog base $base")
+          val v = TxLog.cloneTable(spark, srcDir, dst)
+          InternalRow(v, TxLog.snapshotAt(dst).files.size.toLong)
         }
       }
       case "tag" => new GraftProc("tag",

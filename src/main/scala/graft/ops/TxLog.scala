@@ -1184,6 +1184,36 @@ object TxLog {
     (v, affected.size, snap.files.size)
   }
 
+  /** ZERO-COPY table clone (the Delta CLONE shape, hardlink edition):
+    * the target's v0 references the source snapshot's live files — and
+    * because this log stores table-relative paths, the files are
+    * HARDLINKED under the same names (same filesystem: one inode, no
+    * bytes moved; DV sidecars included). The clone is immediately
+    * independent: each table's later commits, compactions, and vacuums
+    * touch only its own links (unlink decrements the refcount, the
+    * other table's link keeps the inode alive). Schema and partition
+    * columns carry over; CHECK constraints and tags are table-local
+    * history and deliberately do NOT copy (set them on the clone if
+    * wanted — the Delta position for properties is the same). On an
+    * object store the analog is server-side copy or a manifest-level
+    * shallow clone. Returns the clone's version (0). */
+  def cloneTable(spark: SparkSession, src: Path, dst: Path): Long = {
+    val snap = snapshotAt(src)
+    require(versions(dst).isEmpty, s"clone target $dst already has a transaction log")
+    Files.createDirectories(dst)
+    snap.files.foreach { f =>
+      Files.createLink(dst.resolve(f.path), src.resolve(f.path)): Unit
+      f.dv.foreach(d =>
+        if (!Files.exists(dst.resolve(d)))
+          Files.createLink(dst.resolve(d), src.resolve(d)): Unit)
+    }
+    val partCols = partitionColsOf(src)
+    commitRetry(dst, "clone", snap.files, Nil,
+      schema = tableSchema(src, Some(snap.version)),
+      extra = if (partCols.isEmpty) Map.empty
+        else Map("partitionCols" -> (partCols.asJava: Object)))(_.isEmpty)
+  }
+
   /** Commit a GROUP-REPLACING rewrite whose new files were already
     * staged by an external distributed write — the SQL row-level DML
     * path (`UPDATE` / `MERGE INTO` / non-translatable `DELETE` through

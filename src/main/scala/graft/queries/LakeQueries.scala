@@ -1033,6 +1033,49 @@ object LakeQueries {
         lit(if (matches) 1L else 0L).as("replica_matches_source"))
     }),
 
+    // ---- sql15: ZERO-COPY CLONE — `CALL lake.clone` gives the target
+    // a v0 that HARDLINKS the source snapshot's live files (DV sidecars
+    // included; no bytes move), then the two tables diverge
+    // independently: an UPDATE statement on the clone and a DELETE on
+    // the source must not see each other, the clone must still serve
+    // the source's clone-time content (DV'd rows stay deleted), and
+    // the zero-copy property itself is asserted via the link count of
+    // a shared file (two names, one inode). The dev/test-sandbox
+    // workflow Delta ships as CLONE, on the log's own terms.
+    "sql15_zero_copy_clone" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val src = freshTable()
+      val base = src.getParent
+      val dst = base.resolve("tblclone")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), src, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), src, "doc_id", nParts = 2)
+      TxLog.deleteMor(spark, src,
+        d.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      val linked = spark.sql(s"CALL $cat.clone('tbl', 'tblclone')")
+        .collect().head.getLong(1)
+      // zero-copy: a data file shared by both tables is ONE inode
+      val shared = TxLog.snapshotAt(dst).files.head.path
+      val nlink = Files.getAttribute(dst.resolve(shared), "unix:nlink")
+        .asInstanceOf[Number].longValue
+      // diverge both sides through SQL statements
+      spark.sql(s"UPDATE $cat.tblclone SET n_chars = n_chars + 10000 WHERE lang = 'en'")
+      spark.sql(s"DELETE FROM $cat.tbl WHERE doc_id % 7 = 1")
+      val srcAgg = spark.sql(
+        s"SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s FROM $cat.tbl").head
+      val cloneAgg = spark.sql(
+        s"SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s FROM $cat.tblclone").head
+      spark.range(1).select(
+        lit(srcAgg.getLong(0)).as("src_docs"),
+        lit(srcAgg.getLong(1)).as("src_chars"),
+        lit(cloneAgg.getLong(0)).as("clone_docs"),
+        lit(cloneAgg.getLong(1)).as("clone_chars"),
+        lit(linked).as("files_linked"),
+        lit(if (nlink >= 2L) 1L else 0L).as("zero_copy"))
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -1564,6 +1607,23 @@ object LakeQueries {
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE doc_id % 2 = 1 AND lang = 'en') AS sum_chars_en,
         |  CAST(2 AS BIGINT) AS cols_pre_evolution""".stripMargin,
+
+    // Divergence recomputed from documents: the source lost the MOR'd
+    // %10=3 rows and the SQL-deleted %7=1 rows; the clone lost only
+    // the %10=3 rows (clone-time state) and doubled down on 'en' docs.
+    // files_linked (2 appends x 2 parts) and the one-inode flag are
+    // engine-side invariants asserted as literals.
+    "sql15_zero_copy_clone" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id % 10 <> 3 AND doc_id % 7 <> 1) AS src_docs,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |   WHERE doc_id % 10 <> 3 AND doc_id % 7 <> 1) AS src_chars,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 3) AS clone_docs,
+        |  (SELECT CAST(SUM(n_chars + CASE WHEN lang = 'en' THEN 10000 ELSE 0 END)
+        |     AS BIGINT) FROM documents WHERE doc_id % 10 <> 3) AS clone_chars,
+        |  CAST(4 AS BIGINT) AS files_linked,
+        |  CAST(1 AS BIGINT) AS zero_copy""".stripMargin,
 
     // The statement sequence recomputed: +500 on the %9=2 merge keys
     // (all matched — the ids exist), x3 on 'de' docs AFTER the merge,

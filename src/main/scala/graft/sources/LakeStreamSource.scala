@@ -202,7 +202,9 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     op match {
       // metadata-only commits: no row-level change to emit
       case "compact" | "set-constraint" | "create" | "set-schema" | "set-tag" => None
-      case "append" | "streaming-append" | "abandoned" =>
+      // a clone's v0 is the target's initial load: its adds ARE the
+      // table's first rows, append-class for the feed
+      case "append" | "streaming-append" | "abandoned" | "clone" =>
         if (adds.isEmpty) None
         else Some(scanFiles(adds)
           .withColumn("_change_type", lit("insert"))
