@@ -66,6 +66,33 @@ class PdfSpec extends SparkSpec {
     assert(rows == Seq((1, "alpha"), (2, "beta\ngamma")))
   }
 
+  test("incremental update: /Prev xref chain resolves, newest entry wins") {
+    // a real-world save-in-place: the base document plus an APPENDED
+    // revision that re-declares the page-1 content object and chains
+    // its xref to the original via /Prev — the extractor must read the
+    // NEW content while resolving every untouched object through the
+    // old table
+    val base = Pdf.synthesize(Seq("original text"))
+    val baseStr = new String(base, "ISO-8859-1")
+    val oldXref = baseStr.substring(baseStr.lastIndexOf("startxref") + 9)
+      .trim.takeWhile(_.isDigit).toLong
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    // object 4 is the synthesized single page's content stream
+    val newBody = "BT /F1 12 Tf 72 720 Td (revised text) Tj ET"
+    val objOff = out.size()
+    out.write((s"4 0 obj << /Length ${newBody.length} >>\nstream\n" +
+      newBody + "\nendstream endobj\n").getBytes("ISO-8859-1"))
+    val xrefOff = out.size()
+    out.write((s"xref\n4 1\n" + f"$objOff%010d ${0}%05d n\r\n" +
+      s"trailer << /Size 5 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n").getBytes("ISO-8859-1"))
+    val got = Pdf.extract(out.toByteArray)
+    assert(got.map(_.text) == Seq("revised text"), got.toString)
+    // and the untouched base still extracts the original
+    assert(Pdf.extract(base).map(_.text) == Seq("original text"))
+  }
+
   test("TJ arrays, quote operators, and hex strings extract") {
     // hand-assembled content stream exercising operators the writer
     // doesn't emit: TJ with kerning numbers, ' and " line-shows, hex
