@@ -163,7 +163,8 @@ class GraftCatalog extends TableCatalog
       new CaseInsensitiveStringMap(Collections.emptyMap()),
       paths, schema, classOf[ParquetFileFormat])
     val s = schema.getOrElse(parquet.schema)
-    GraftTable(s"$catalogName.${ident.name}@v${snap.version}", dir, s, parquet)
+    GraftTable(s"$catalogName.${ident.name}@v${snap.version}", dir, snap.version,
+      s, parquet)
   }
 
   /** SQL `CREATE TABLE` (and the create half of CTAS): version 0 is a

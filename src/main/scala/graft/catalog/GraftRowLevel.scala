@@ -239,7 +239,7 @@ private[catalog] class GraftRowLevelScanBuilder(op: GraftRowLevelOperation)
   * Filter node survives either way, and the log-aware path uses the
   * same filters for footer-stats FILE pruning. */
 private[catalog] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
-    dir: Path, tableSchema: StructType)
+    dir: Path, snapVersion: Long, tableSchema: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -293,7 +293,9 @@ private[catalog] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
         s"cannot serve a pushed aggregation together with ${GraftRowLevel.FileCol}")
       val v1 = exprs.flatMap(e =>
         org.apache.spark.sql.graft.StreamingShims.translateFilter(e))
-      val snap = TxLog.snapshotAt(dir)
+      // the PINNED snapshot: a time-travel relation's file-tagged read
+      // must serve its own era's files, not the latest commit's
+      val snap = TxLog.snapshotAt(dir, Some(snapVersion))
       val candidates = snap.files.filter(f => v1.forall(GraftRowLevel.mayMatch(f, _)))
       new GraftRowLevelScan(dir, tableSchema, requested, candidates)
     }

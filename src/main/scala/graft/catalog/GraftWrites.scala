@@ -150,7 +150,8 @@ private[catalog] object SparkSessionActive {
   * vectorization unchanged); writes and deletes go through
   * [[TxLogWriteSupport]] into the transaction log. */
 private[catalog] case class GraftTable(
-    tableName: String, dir: Path, tableSchema: StructType, delegate: SupportsRead)
+    tableName: String, dir: Path, snapVersion: Long, tableSchema: StructType,
+    delegate: SupportsRead)
   extends SupportsRead with TxLogWriteSupport {
 
   override def name(): String = tableName
@@ -165,7 +166,8 @@ private[catalog] case class GraftTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDelegatingScanBuilder(delegate.newScanBuilder(options), dir, tableSchema)
+    new GraftDelegatingScanBuilder(delegate.newScanBuilder(options), dir,
+      snapVersion, tableSchema)
 }
 
 /** The CTAS staging shape (see [[GraftCatalog.stageCreate]]): the v0 log

@@ -153,6 +153,14 @@ class GraftRowLevelSpec extends SparkSpec {
     TxLog.deleteMor(spark, table, idsDf(Seq(5L)).select("doc_id"), "doc_id")
     val n = spark.sql(s"SELECT _graft_file FROM $cat.mf").count()
     assert(n == 29L, s"expected 29 live rows, got $n")
+    // ...and a time-travel read serves ITS OWN era's files: after a
+    // compact, VERSION AS OF 2 (the 3-file pre-DV era) must still
+    // report the original 3 files, not the compacted latest
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    val v2Files = spark.sql(
+      s"SELECT DISTINCT _graft_file FROM $cat.mf VERSION AS OF 2").count()
+    assert(v2Files == 3L, s"time-travel file tag served $v2Files files")
+    assert(spark.sql(s"SELECT DISTINCT _graft_file FROM $cat.mf").count() == 1L)
   }
 
   test("MERGE with conditional clauses and NOT MATCHED BY SOURCE") {
