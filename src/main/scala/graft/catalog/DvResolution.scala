@@ -35,6 +35,7 @@ private[catalog] case class GraftDvTable(
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override protected def pinnedSnapVersion: Option[Long] = Some(snapVersion)
   override def capabilities(): java.util.Set[TableCapability] = {
     val s = new java.util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)

@@ -151,13 +151,15 @@ object GraftRowLevel {
 }
 
 private[catalog] case class GraftRowLevelBuilder(dir: Path, tableSchema: StructType,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    snapVersion: Option[Long], info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(dir, tableSchema, info.command())
+    new GraftRowLevelOperation(dir, tableSchema, snapVersion, info.command())
 }
 
 private[catalog] class GraftRowLevelOperation(val dir: Path,
-    val tableSchema: StructType, cmd: Command) extends RowLevelOperation {
+    val tableSchema: StructType, val snapVersion: Option[Long], cmd: Command)
+  extends RowLevelOperation {
 
   // every scan built for this operation (main rewrite scan + the
   // runtime group-filtering matching-rows scan); the commit needs the
@@ -206,11 +208,23 @@ private[catalog] class GraftRowLevelOperation(val dir: Path,
 private[catalog] class GraftRowLevelScanBuilder(op: GraftRowLevelOperation)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var candidates: Vector[AddFile] = TxLog.snapshotAt(op.dir).files
+  // the RELATION's pinned snapshot, not latest-at-scan-building: the
+  // runtime group-filtering matching scan pins the same version, so a
+  // commit landing between table resolution and scan building (e.g. a
+  // concurrent compact) can't make the two file sets disjoint — which
+  // would empty the candidate list and silently no-op the DML instead
+  // of letting replaceStaged's OCC abort it cleanly
+  private var candidates: Vector[AddFile] =
+    TxLog.snapshotAt(op.dir, op.snapVersion).files
   private var requested: StructType = op.tableSchema
+
+  // kept for the commit's write-serializable append check: a file
+  // appended after the scan conflicts only if these may match it
+  private var groupFilters: Array[sources.Filter] = Array.empty
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     candidates = candidates.filter(f => filters.forall(GraftRowLevel.mayMatch(f, _)))
+    groupFilters = filters
     filters // ALL residual: pushed filters are group hints, never row filters
   }
   override def pushedFilters(): Array[sources.Filter] = Array.empty
@@ -220,7 +234,8 @@ private[catalog] class GraftRowLevelScanBuilder(op: GraftRowLevelOperation)
   }
 
   override def build(): Scan = {
-    val s = new GraftRowLevelScan(op.dir, op.tableSchema, requested, candidates)
+    val s = new GraftRowLevelScan(op.dir, op.tableSchema, requested, candidates,
+      groupFilters)
     op.registerScan(s)
     s
   }
@@ -309,7 +324,8 @@ private[catalog] case class GraftFilePartition(relPath: String, absPath: String,
     length: Long, dvKeyCol: String, dvKeys: Array[Long]) extends InputPartition
 
 private[catalog] class GraftRowLevelScan(dir: Path, tableSchema: StructType,
-    requested: StructType, initial: Vector[AddFile])
+    requested: StructType, initial: Vector[AddFile],
+    private[catalog] val groupFilters: Array[sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Vector[AddFile] = initial
@@ -479,10 +495,20 @@ private[catalog] class GraftReplaceDataWrite(op: GraftRowLevelOperation,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSessionActive.get
-    val removes = op.scanForCommit.currentFiles.map(_.path)
+    val scan = op.scanForCommit
+    val removes = scan.currentFiles.map(_.path)
+    // WRITE-SERIALIZABLE commit (Delta's row-level contract): abort if
+    // the scan-to-commit window appended a file whose stats ranges may
+    // match the operation's pushed predicate — rows this rewrite should
+    // have seen. mayMatch is conservative-keep, so a filterless MERGE
+    // treats EVERY concurrent append as a conflict, exactly Delta's
+    // position when no condition can prove disjointness.
+    val filters = scan.groupFilters
     TxLog.replaceStaged(spark, op.dir, stage, removes,
       GraftRowLevel.opName(op.command()),
-      GraftWrites.defaultStatsCol(op.tableSchema)): Unit
+      GraftWrites.defaultStatsCol(op.tableSchema),
+      scanVersion = op.snapVersion,
+      conflictsWith = f => filters.forall(GraftRowLevel.mayMatch(f, _))): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

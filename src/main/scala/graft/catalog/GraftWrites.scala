@@ -112,10 +112,17 @@ private[catalog] trait TxLogWriteSupport extends SupportsWrite with SupportsDele
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(GraftRowLevel.MetaCol)
 
+  /** The relation's pinned snapshot version, when the table shape has
+    * one — row-level DML scans read THIS version so the main rewrite
+    * scan and the runtime matching scan agree on the file set, and any
+    * concurrent commit surfaces as a clean OCC abort in replaceStaged
+    * rather than an empty-candidate silent no-op. */
+  protected def pinnedSnapVersion: Option[Long] = None
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    GraftRowLevelBuilder(dir, schema(), info)
+    GraftRowLevelBuilder(dir, schema(), pinnedSnapVersion, info)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -164,6 +171,8 @@ private[catalog] case class GraftTable(
     s.add(TableCapability.TRUNCATE)
     s
   }
+
+  override protected def pinnedSnapVersion: Option[Long] = Some(snapVersion)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDelegatingScanBuilder(delegate.newScanBuilder(options), dir,

@@ -145,6 +145,9 @@ object Pdf {
         c match {
           case '\\' =>
             pos += 1
+            // a backslash as the FINAL byte would read past the buffer —
+            // same malformed-input class as an unclosed paren
+            if (pos >= len) throw ParseError("PDF: unterminated literal string")
             val e = bytes(pos)
             e match {
               case 'n' => out += '\n'; pos += 1
@@ -233,6 +236,8 @@ object Pdf {
 
     /** Parses one classic xref table (+ its trailer); returns /Prev or -1. */
     private def readXrefTable(off: Int, acc: mutable.Map[Int, Long]): Long = {
+      if (off < 0 || off >= bytes.length)
+        throw ParseError(s"PDF: xref offset $off outside file (${bytes.length} bytes)")
       val lx = new Lexer(bytes, off)
       lx.skipWs()
       if (!lx.matches("xref")) {
@@ -256,11 +261,20 @@ object Pdf {
         }
         lx.skipWs()
         (0 until count).foreach { k =>
+          // a truncated file can end mid-section: the fixed 20-byte
+          // entry read must not overrun the buffer
+          if (lx.pos + 20 > bytes.length)
+            throw ParseError(s"PDF: truncated xref table (entry ${start + k} " +
+              s"runs past end of file)")
           val entry = new String(bytes, lx.pos, 20, "ISO-8859-1")
           // newest xref wins: earlier tables in the /Prev chain must not
           // overwrite entries already recorded
-          if (entry.charAt(17) == 'n' && !acc.contains(start + k))
-            acc(start + k) = entry.substring(0, 10).toLong
+          if (entry.charAt(17) == 'n' && !acc.contains(start + k)) {
+            val offStr = entry.substring(0, 10).trim
+            if (!offStr.forall(_.isDigit) || offStr.isEmpty)
+              throw ParseError(s"PDF: malformed xref entry for object ${start + k}")
+            acc(start + k) = offStr.toLong
+          }
           lx.pos += 20
         }
         lx.skipWs()

@@ -1233,10 +1233,23 @@ object TxLog {
     *    concurrent merge-on-read delete on a file we rewrote must fail
     *    this commit, not be silently resurrected).
     *
+    * ISOLATION: with the default arguments this is SNAPSHOT isolation —
+    * DV-identity OCC catches concurrent rewrites of the files we
+    * replace, but files APPENDED between the operation's scan and its
+    * commit are not examined. Callers wanting Delta's WRITE-SERIALIZABLE
+    * contract for row-level DML pass `scanVersion` (the snapshot the
+    * operation scanned) and `conflictsWith` (conservative stats-range
+    * test against the operation's predicate): the commit then ABORTS
+    * when the scan-to-commit window appended any file whose recorded
+    * stats ranges may contain matching rows — rows the operation should
+    * have seen but didn't. The SQL row-level DML path does exactly this.
+    *
     * Returns (version, filesReplaced). An empty rewrite (no groups
     * matched) is a no-op: nothing commits, the current version returns. */
   def replaceStaged(spark: SparkSession, table: Path, stage: Path,
-      removes: Seq[String], op: String, statsCol: String): (Long, Int) = {
+      removes: Seq[String], op: String, statsCol: String,
+      scanVersion: Option[Long] = None,
+      conflictsWith: AddFile => Boolean = _ => false): (Long, Int) = {
     val base = snapshotAt(table)
     val baseDv = base.files.map(f => f.path -> f.dv).toMap
     // a replaced file no longer live = a concurrent rewrite (compact,
@@ -1274,12 +1287,24 @@ object TxLog {
       deletes.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
       inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq
     val cdcName = writeCdc(spark, table, cdcParts.reduce(_ unionByName _))
+    // paths live at the operation's SCANNED snapshot: anything in the
+    // commit-time snapshot outside this set appeared after the scan
+    val scannedPaths: Option[Set[String]] =
+      scanVersion.map(sv => snapshotAt(table, Some(sv)).files.map(_.path).toSet)
     val v = commitRetry(table, op, adds, removes,
       extra = Map("cdcFile" -> cdcName)) {
       case None => false
       case Some(s) =>
         val liveDv = s.files.map(f => f.path -> f.dv).toMap
-        removes.forall(p => liveDv.get(p).contains(baseDv.getOrElse(p, None)))
+        val dvIdentity =
+          removes.forall(p => liveDv.get(p).contains(baseDv.getOrElse(p, None)))
+        // write-serializable append check (see scaladoc): a file added
+        // in the scan-to-commit window whose stats may match the
+        // operation's predicate means the rewrite missed rows — abort
+        val appendConflict = scannedPaths.exists { sp =>
+          s.files.exists(f => !sp(f.path) && conflictsWith(f))
+        }
+        dvIdentity && !appendConflict
     }
     (v, removes.size)
   }

@@ -145,9 +145,13 @@ object QualityQueries {
     // int64 product; 100 TB corpora don't get near 1e19 rows, the
     // decimal bound) — and the ONLY floating-point op is one final
     // division: no accumulation-order hazard, unlike a chi-squared sum
-    // of per-category doubles. One narrow shuffle (category grain);
-    // totals broadcast. At 100 TB this is the nightly split-health
-    // monitor: category-sized state regardless of corpus size.
+    // of per-category doubles. The wide math stays INTERNAL: the
+    // surfaced diagnostic column is int64 (driver-gate ground truth:
+    // int128-backed output columns — HUGEINT / DECIMAL(38,0) — fail the
+    // hash even with identical values, r10's dq04 vs r9's). One narrow
+    // shuffle (category grain); totals broadcast. At 100 TB this is the
+    // nightly split-health monitor: category-sized state regardless of
+    // corpus size.
     "dq04_tv_drift" -> ((spark: SparkSession, dir: String) => {
       val d = t(spark, dir, "documents")
         .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"))
@@ -165,7 +169,8 @@ object QualityQueries {
         .select((col("s").cast("double") /
           ((dec(col("ta")) * dec(col("tb"))).cast("double") * lit(2.0))).as("tv"))
       withT.crossJoin(broadcast(tv))
-        .select(col("lang"), col("n_a"), col("n_b"), col("abs_cross"), col("tv"))
+        .select(col("lang"), col("n_a"), col("n_b"),
+          col("abs_cross").cast("long").as("abs_cross"), col("tv"))
         .orderBy("lang")
     }))
 
@@ -191,9 +196,9 @@ object QualityQueries {
            .mkString("\nUNION ALL\n")}
          |) ORDER BY fk_edge""".stripMargin),
 
-    // exact DECIMAL(38,0) cross terms (HUGEINT products, int64-overflow
-    // safe); the single division is the only floating-point op,
-    // restated identically
+    // exact HUGEINT cross terms internally (int64-overflow safe); the
+    // SURFACED column is BIGINT (int128-backed outputs fail the driver
+    // hash); the single division is the only floating-point op
     "dq04_tv_drift" ->
       """WITH c AS (
         |  SELECT lang,
@@ -203,13 +208,13 @@ object QualityQueries {
         |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
         |      FROM c),
         |x AS (SELECT lang, n_a, n_b,
-        |        CAST(abs(CAST(n_a AS HUGEINT) * t_b - CAST(n_b AS HUGEINT) * t_a)
-        |             AS DECIMAL(38,0)) AS abs_cross, t_a, t_b
+        |        abs(CAST(n_a AS HUGEINT) * t_b - CAST(n_b AS HUGEINT) * t_a)
+        |          AS abs_cross_w, t_a, t_b
         |      FROM c, t),
-        |tv AS (SELECT CAST(SUM(abs_cross) AS DOUBLE)
+        |tv AS (SELECT CAST(SUM(abs_cross_w) AS DOUBLE)
         |         / (CAST(CAST(MAX(t_a) AS HUGEINT) * MAX(t_b) AS DOUBLE) * 2.0) AS tv
         |       FROM x)
-        |SELECT lang, n_a, n_b, abs_cross, tv.tv AS tv
+        |SELECT lang, n_a, n_b, CAST(abs_cross_w AS BIGINT) AS abs_cross, tv.tv AS tv
         |FROM x, tv ORDER BY lang""".stripMargin,
 
     "dq03_distribution_drift" ->

@@ -203,12 +203,27 @@ class LakeStreamSource(spark: SparkSession, table: Path,
       // metadata-only commits: no row-level change to emit
       case "compact" | "set-constraint" | "create" | "set-schema" | "set-tag" => None
       // a clone's v0 is the target's initial load: its adds ARE the
-      // table's first rows, append-class for the feed
+      // table's first rows, append-class for the feed. Cloned adds KEEP
+      // the source's deletion vectors (cloneTable hardlinks the DV
+      // sidecars), so each dv-carrying file is scanned with its DV'd
+      // keys filtered OUT (NOT-IN over the churn-sized sidecar — same
+      // scan-shaped, join-free contract as the MOR branch below);
+      // emitting them raw would resurrect deleted rows in any replica
+      // built from the clone's feed. Plain appends never carry DVs.
       case "append" | "streaming-append" | "abandoned" | "clone" =>
         if (adds.isEmpty) None
-        else Some(scanFiles(adds)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
+        else {
+          val (dvd, plain) = adds.partition(_.dv.isDefined)
+          val parts =
+            (if (plain.isEmpty) Seq.empty else Seq(scanFiles(plain))) ++
+            dvd.map { f =>
+              val (kc, keys) = TxLog.dvKeysFor(table, f).get
+              scanFiles(Seq(f)).filter(!col(kc).cast("long").isin(keys: _*))
+            }
+          Some(parts.reduce(_ unionByName _)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        }
       case "delete-mor" | "merge-mor" | "streaming-merge" =>
         val inserts = adds.filter(_.dv.isEmpty)
         val ins = if (inserts.isEmpty) Seq.empty else Seq(

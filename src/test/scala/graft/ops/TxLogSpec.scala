@@ -861,4 +861,48 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.constraints(table, Some(vCap - 1)).isEmpty)
     assert(TxLog.constraints(table, Some(vCap)) == Map("cap" -> "doc_id < 100"))
   }
+
+  test("replaceStaged write-serializable check: a scan-to-commit append " +
+      "whose stats may match the predicate aborts; a disjoint one commits") {
+    // the row-level DML path's isolation contract: scanVersion pins the
+    // snapshot the operation scanned, conflictsWith is the conservative
+    // stats-range test against its predicate (see replaceStaged scaladoc)
+    def stageRewrite(table: Path): Path = {
+      val stage = table.resolve(s".stage-${java.util.UUID.randomUUID()}")
+      idsDf(Seq(0L, 1L, 2L)).withColumn("payload", lit("rewritten"))
+        .coalesce(1).write.parquet(stage.toString)
+      stage
+    }
+    // matches files whose doc_id range intersects [0, 9] — the shape
+    // GraftRowLevel.mayMatch produces for `WHERE doc_id <= 9`
+    val predMatches = (f: TxLog.AddFile) => f.minKey <= 9L && f.maxKey >= 0L
+
+    val t1 = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), t1, "doc_id", nParts = 1) // v0
+    val scanV1 = TxLog.latestVersion(t1)
+    val target1 = TxLog.snapshotAt(t1).files.map(_.path)
+    // concurrent append lands AFTER the scan, with rows the predicate
+    // would have matched (doc_id 5 in [0,9]) — must abort
+    TxLog.append(spark, idsDf(Seq(5L)), t1, "doc_id", nParts = 1)
+    val e = intercept[IllegalStateException] {
+      TxLog.replaceStaged(spark, t1, stageRewrite(t1), target1, "update",
+        "doc_id", scanVersion = Some(scanV1), conflictsWith = predMatches)
+    }
+    assert(e.getMessage.contains("no longer valid"), e.getMessage)
+
+    val t2 = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), t2, "doc_id", nParts = 1) // v0
+    val scanV2 = TxLog.latestVersion(t2)
+    val target2 = TxLog.snapshotAt(t2).files.map(_.path)
+    // concurrent append DISJOINT from the predicate (doc_id 100 > 9):
+    // footer stats prove no missed rows — the rewrite commits
+    TxLog.append(spark, idsDf(Seq(100L)), t2, "doc_id", nParts = 1)
+    val (v, nRepl) = TxLog.replaceStaged(spark, t2, stageRewrite(t2), target2,
+      "update", "doc_id", scanVersion = Some(scanV2), conflictsWith = predMatches)
+    assert(nRepl == target2.size)
+    val after = TxLog.readAt(spark, t2).collect()
+    assert(after.count(_.getAs[String]("payload") == "rewritten") == 3)
+    assert(after.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 1L, 2L, 100L))
+    assert(v == TxLog.latestVersion(t2))
+  }
 }

@@ -106,4 +106,25 @@ class PdfSpec extends SparkSpec {
     val got = Pdf.extract(doc.getBytes("ISO-8859-1"))
     assert(got.map(_.text) == Seq("abcd\nnext woW"))
   }
+
+  test("malformed inputs stay inside the ParseError contract: trailing " +
+      "backslash, truncated xref, out-of-range xref offset") {
+    val ok = new String(Pdf.synthesize(Seq("body")), "ISO-8859-1")
+    // a literal string whose FINAL content-stream byte is a backslash
+    // must refuse, not read past the buffer (AIOOBE): same-length swap
+    // of the trailing " ET" keeps the stream /Length and xref valid
+    val backslash = ok.replace(" ET", "(a\\")
+    val b = intercept[ParseError] { Pdf.extract(backslash.getBytes("ISO-8859-1")) }
+    assert(b.getMessage.contains("unterminated literal string"), b.getMessage)
+    // a lying xref section header (claims 5 entries, has none before
+    // EOF): the fixed 20-byte entry read must refuse, not overrun
+    val body = ok.substring(0, ok.lastIndexOf("startxref"))
+    val lying = body + s"xref\n0 5\nstartxref\n${body.length}\n%%EOF"
+    val t = intercept[ParseError] { Pdf.extract(lying.getBytes("ISO-8859-1")) }
+    assert(t.getMessage.contains("truncated xref"), t.getMessage)
+    // startxref pointing past the end of the file
+    val past = ok.replaceAll("startxref\\n\\d+", s"startxref\n${ok.length + 999}")
+    val p = intercept[ParseError] { Pdf.extract(past.getBytes("ISO-8859-1")) }
+    assert(p.getMessage.contains("outside file"), p.getMessage)
+  }
 }

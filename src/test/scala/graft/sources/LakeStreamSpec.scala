@@ -328,4 +328,37 @@ class LakeStreamSpec extends SparkSpec {
     TxLog.append(spark, idsDf(5L to 7L), table, "doc_id", nParts = 1)
     assert(drain(table, ckpt, skipChanges = true) == (0L to 7L))
   }
+
+  test("a clone's CDF applies the cloned deletion vectors: MOR-deleted " +
+      "rows are not resurrected in a replica built from the clone") {
+    val src = Files.createTempDirectory("graft_lakestream").resolve("src")
+    TxLog.append(spark, idsDf(0L to 9L), src, "doc_id", nParts = 2)
+    // merge-on-read delete: the files KEEP rows 3 and 7, masked by DVs —
+    // and cloneTable hardlinks those DV sidecars into the clone
+    TxLog.deleteMor(spark, src, idsDf(Seq(3L, 7L)).select("doc_id"), "doc_id")
+    val dst = Files.createTempDirectory("graft_lakestream").resolve("clone")
+    TxLog.cloneTable(spark, src, dst)
+    assert(TxLog.snapshotAt(dst).files.exists(_.dv.isDefined),
+      "precondition: the clone's v0 must carry deletion vectors")
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .load(dst.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("_change_type")))): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_lakestream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq
+    assert(got.forall(_._2 == "insert"))
+    // rows 3 and 7 were deleted in the SOURCE before the clone: its
+    // feed must emit exactly the live rows, never the DV-masked ones
+    assert(got.map(_._1).sorted == Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L))
+  }
 }
