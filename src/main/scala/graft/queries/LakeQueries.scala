@@ -1266,6 +1266,40 @@ object LakeQueries {
       aggAt(2L).unionByName(aggAt(3L)).orderBy("version")
     }),
 
+    // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
+    // per-table pattern can express: short 'en' docs leave the hot
+    // table and land in the cold one in ONE transaction (merge-on-read
+    // delete + append, commit-marker 2PC: TxLog.transact). Readers can
+    // never observe the in-between (docs in both tables or neither) —
+    // TxnSpec proves the crash matrix; this gates the committed path's
+    // data: both tables' post-transfer aggregates replayed by the
+    // oracle, plus the per-table versions (exactly one commit each).
+    // At 100 TB the expensive part — staging the moved rows — happens
+    // BEFORE any claim is held; the fenced window is metadata-only
+    // (DV sidecars + two commit publishes), so lock hold time is
+    // independent of data size.
+    "tx22_multi_table_txn" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val hot = freshTable()
+      val cold = freshTable()
+      TxLog.append(spark, d.filter(col("lang") === "en"), hot, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("lang") =!= "en"), cold, "doc_id", nParts = 2)
+      val moving = TxLog.readAt(spark, hot).filter(col("n_chars") < 200L)
+      val vs = TxLog.transact(spark, Seq(
+        TxLog.TxnDeleteMor(hot, moving.select("doc_id"), "doc_id"),
+        TxLog.TxnAppend(cold, moving, "doc_id", nParts = 1)))
+      val h = TxLog.readAt(spark, hot).agg(
+        count(lit(1)).as("hot_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("hot_chars"))
+      val c = TxLog.readAt(spark, cold).agg(
+        count(lit(1)).as("cold_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("cold_chars"))
+      h.crossJoin(c).select(
+        col("hot_docs"), col("hot_chars"), col("cold_docs"), col("cold_chars"),
+        lit(vs(hot)).cast("bigint").as("hot_txn_version"),
+        lit(vs(cold)).cast("bigint").as("cold_txn_version"))
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -1736,6 +1770,22 @@ object LakeQueries {
         |SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4
         |ORDER BY version""".stripMargin,
+
+    // The committed transfer: short 'en' docs moved hot -> cold; each
+    // table advanced exactly one version (v0 seed append, v1 the txn).
+    "tx22_multi_table_txn" ->
+      """WITH mv AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+        |            FROM documents WHERE lang = 'en' AND n_chars < 200),
+        |h AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+        |      FROM documents WHERE lang = 'en' AND n_chars >= 200),
+        |cd AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+        |       FROM documents WHERE lang <> 'en')
+        |SELECT CAST(h.n AS BIGINT) AS hot_docs, CAST(h.c AS BIGINT) AS hot_chars,
+        |  CAST(cd.n + mv.n AS BIGINT) AS cold_docs,
+        |  CAST(cd.c + mv.c AS BIGINT) AS cold_chars,
+        |  CAST(1 AS BIGINT) AS hot_txn_version,
+        |  CAST(1 AS BIGINT) AS cold_txn_version
+        |FROM mv, h, cd""".stripMargin,
 
     // Same recompute family as tx18, driven through the COW writers:
     // evens, minus the %10=4 COW-deletes, plus odds, with %10=8

@@ -210,7 +210,7 @@ class LakeStreamSource(spark: SparkSession, table: Path,
       // scan-shaped, join-free contract as the MOR branch below);
       // emitting them raw would resurrect deleted rows in any replica
       // built from the clone's feed. Plain appends never carry DVs.
-      case "append" | "streaming-append" | "abandoned" | "clone" =>
+      case "append" | "streaming-append" | "abandoned" | "txn-aborted" | "clone" =>
         if (adds.isEmpty) None
         else {
           val (dvd, plain) = adds.partition(_.dv.isDefined)

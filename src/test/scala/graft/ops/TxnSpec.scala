@@ -1,0 +1,135 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts of the multi-table transaction (TxLog.transact): the
+  * committed transfer, the crash matrix (all-or-nothing across every
+  * interruption point), in-doubt resolution through the lease, and the
+  * fencing of concurrent single-table writers. LakeQueries/tx22 gates
+  * the committed path's data against the DuckDB oracle; this spec
+  * covers what SQL cannot see. */
+class TxnSpec extends SparkSpec {
+
+  private def freshTable(): Path =
+    Files.createTempDirectory("graft_txnspec").resolve("tbl")
+
+  private def idsDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("doc_id").withColumn("payload", concat(lit("v"), col("doc_id")))
+  }
+
+  private def ids(table: Path): Seq[Long] =
+    TxLog.readAt(spark, table).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+
+  test("the transfer commits atomically: rows leave one table and land " +
+      "in the other, one version per table") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), a, "doc_id", nParts = 2)
+    TxLog.append(spark, idsDf(100L to 104L), b, "doc_id", nParts = 1)
+    val moving = idsDf(Seq(2L, 5L, 7L))
+    val vs = TxLog.transact(spark, Seq(
+      TxLog.TxnDeleteMor(a, moving.select("doc_id"), "doc_id"),
+      TxLog.TxnAppend(b, moving, "doc_id")))
+    assert(vs == Map(a -> 1L, b -> 1L))
+    assert(ids(a) == Seq(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    assert(ids(b) == (Seq(100L, 101L, 102L, 103L, 104L) ++ Seq(2L, 5L, 7L)).sorted)
+    // history shows the real ops, txn-resolved
+    assert(TxLog.history(a).map(_._2) == Seq("append", "delete-mor"))
+    assert(TxLog.history(b).map(_._2) == Seq("append", "append"))
+  }
+
+  test("a crashed coordinator mid-publish aborts atomically: the " +
+      "published participant commit reads as a no-op after the lease") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 102L), b, "doc_id", nParts = 1)
+    // simulate the crash window: a pending marker exists, table a's
+    // txn-flagged commit is published, table b's never lands, outcome
+    // is never decided — the coordinator died between publishes
+    val marker = a.getParent.resolve("marker")
+    Files.createDirectories(marker)
+    Files.write(marker.resolve("pending"), "{}".getBytes): Unit
+    // the published half of the dead transaction REMOVES table a's only
+    // file — if the abort path failed, the table would read empty
+    val removes = TxLog.snapshotAt(a).files.map(_.path)
+    assert(TxLog.tryCommit(a, 1L, "delete", Nil, removes,
+      extra = Map("txn" -> marker.toString)))
+    // backdate the pending marker past the staleness window: the
+    // coordinator is long dead (same pattern as stale claim reclaim)
+    Files.setLastModifiedTime(marker.resolve("pending"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxLog.StaleClaimMs - 1000))
+    // first read resolves the orphaned txn as aborted; the commit is
+    // a no-op and the table's data is exactly its pre-txn state
+    assert(ids(a) == (0L to 4L))
+    assert(TxLog.history(a).map(_._2) == Seq("append", "txn-aborted"))
+    assert(new String(Files.readAllBytes(marker.resolve("outcome"))) == "aborted")
+  }
+
+  test("a decided transaction is effective immediately and forever: " +
+      "outcome=committed flips the published commit to live") {
+    val a = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), a, "doc_id", nParts = 1)
+    val marker = a.getParent.resolve("marker")
+    Files.createDirectories(marker)
+    Files.write(marker.resolve("pending"), "{}".getBytes): Unit
+    Files.write(marker.resolve("outcome"), "committed".getBytes): Unit
+    // a txn-flagged commit whose marker is already decided: effective.
+    // The commit REMOVES the seed file — visible only if committed.
+    val removes = TxLog.snapshotAt(a).files.map(_.path)
+    assert(TxLog.tryCommit(a, 1L, "delete", Nil, removes,
+      extra = Map("txn" -> marker.toString)))
+    assert(ids(a) == Seq.empty)
+    assert(TxLog.history(a).map(_._2) == Seq("append", "delete"))
+  }
+
+  test("an aborting prepare (constraint violation) leaves every " +
+      "participant untouched — no claims, no versions, no files") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 102L), b, "doc_id", nParts = 1)
+    TxLog.setConstraint(spark, b, "cap", "doc_id < 50")
+    val vA = TxLog.latestVersion(a); val vB = TxLog.latestVersion(b)
+    intercept[Exception] {
+      TxLog.transact(spark, Seq(
+        TxLog.TxnDeleteMor(a, idsDf(Seq(1L)).select("doc_id"), "doc_id"),
+        TxLog.TxnAppend(b, idsDf(Seq(999L)), "doc_id"))) // violates cap
+    }
+    assert(TxLog.latestVersion(a) == vA, "table a must not advance")
+    assert(TxLog.latestVersion(b) == vB, "table b must not advance")
+    assert(ids(a) == (0L to 4L))
+    assert(ids(b) == (100L to 102L))
+  }
+
+  test("one op per table is enforced; a single-table transaction works") {
+    val a = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), a, "doc_id", nParts = 1)
+    intercept[IllegalArgumentException] {
+      TxLog.transact(spark, Seq(
+        TxLog.TxnAppend(a, idsDf(Seq(9L)), "doc_id"),
+        TxLog.TxnDeleteMor(a, idsDf(Seq(0L)).select("doc_id"), "doc_id")))
+    }
+    val vs = TxLog.transact(spark, Seq(TxLog.TxnAppend(a, idsDf(Seq(9L)), "doc_id")))
+    assert(vs == Map(a -> 1L))
+    assert(ids(a) == Seq(0L, 1L, 2L, 9L))
+  }
+
+  test("single-table writers are fenced during the transaction and " +
+      "compose after it: a post-txn append sees the committed transfer") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 101L), b, "doc_id", nParts = 1)
+    val moving = idsDf(Seq(3L))
+    TxLog.transact(spark, Seq(
+      TxLog.TxnDeleteMor(a, moving.select("doc_id"), "doc_id"),
+      TxLog.TxnAppend(b, moving, "doc_id")))
+    // ordinary commits proceed on top of the txn versions
+    TxLog.append(spark, idsDf(Seq(200L)), b, "doc_id", nParts = 1)
+    assert(ids(b) == Seq(3L, 100L, 101L, 200L))
+    assert(TxLog.latestVersion(b) == 2L)
+  }
+}
