@@ -1,0 +1,165 @@
+package graft.ops
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PER-FILE BLOOM-FILTER INDEX — Delta's bloom filter index re-expressed
+  * as a persisted, versioned, incrementally-maintained lake artifact
+  * (the sim07 "index is a table" move applied to point lookups).
+  *
+  * Footer [min,max] stats prune RANGE predicates on clustered columns;
+  * they are useless for point lookups on a column the layout was not
+  * clustered by (every file's range covers the probe). A bloom filter
+  * per data file answers "can this file contain value v?" with no false
+  * negatives and ~fpp false positives, so a needle-in-100TB lookup
+  * scans the one file holding the needle instead of all of them.
+  *
+  * Design, scale-first:
+  *  - the index IS a TxLog table: one row per indexed data file
+  *    (data_file, n_rows, m_bits, k, bits BINARY) — committed, versioned
+  *    and time-travelable like any other table; ~2 bytes/row indexed at
+  *    the default 16 bits/key, i.e. file-count-sized rows with KB-sized
+  *    payloads, the same metadata class as the log itself;
+  *  - BUILD is one distributed scan: values hash ONCE in codegen'd SQL
+  *    (xxhash64 twice — the Kirsch-Mitzenmacher double-hashing trick
+  *    derives all k probes from two hashes), bitsets assemble per
+  *    partition in mapPartitions (genuine per-partition imperative
+  *    work) and OR-merge per file — bit-OR is commutative, so the
+  *    result is deterministic under any partitioning;
+  *  - INCREMENTAL maintenance: [[ensureIndexed]] diffs the index
+  *    against the table snapshot and indexes only NEW files (an append
+  *    indexes the appended files, never rebuilds); rows for compacted-
+  *    away files go stale harmlessly — pruning intersects candidates
+  *    with the LIVE snapshot;
+  *  - LOOKUP is control-plane: the index rows are file-count-sized (the
+  *    same size class as the snapshot metadata every query already
+  *    reads), membership tests run driver-side, and only surviving
+  *    files are scanned — with the exact residual filter re-applied, so
+  *    a false positive costs one extra file scan, never a wrong answer.
+  */
+object BloomIndex {
+
+  private val Seed = 0x6210f5L // second-hash salt (arbitrary, fixed)
+
+  /** The k probe positions for a value hashed to (h1, h2) — shared by
+    * the executor-side build and the driver-side membership test, so
+    * the two can never disagree. */
+  private[ops] def bitPositions(h1: Long, h2: Long, m: Int, k: Int): Array[Int] = {
+    val out = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      val h = h1 + i.toLong * h2
+      out(i) = (((h % m) + m) % m).toInt
+      i += 1
+    }
+    out
+  }
+
+  private def nextPow2(x: Long): Int = {
+    var m = 64L
+    while (m < x) m <<= 1
+    math.min(m, 1L << 24).toInt // cap a single file's filter at 2 MiB
+  }
+
+  /** Build bloom rows for `files` of `table` over string column
+    * `valueCol`: one output row per file. One scan of exactly those
+    * files; hashing in codegen, bitsets in mapPartitions. */
+  private def bloomRows(spark: SparkSession, table: Path, files: Seq[TxLog.AddFile],
+      valueCol: String, bitsPerKey: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    // m per file from the LOG's row counts (no extra counting pass)
+    val mByFile: Map[String, Int] =
+      files.map(f => f.path -> nextPow2(f.rows.max(1L) * bitsPerKey)).toMap
+    val bc = spark.sparkContext.broadcast(mByFile)
+    val kk = k
+    val tagged = spark.read
+      .parquet(files.map(f => table.resolve(f.path).toString): _*)
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("data_file"),
+        xxhash64(col(valueCol)).as("h1"),
+        xxhash64(col(valueCol), lit(Seed)).as("h2"))
+      .as[(String, Long, Long)]
+    val partial: Dataset[(String, Array[Byte])] = tagged.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
+      it.foreach { case (f, h1, h2) =>
+        val m = bc.value(f)
+        val bits = local.getOrElseUpdate(f, new Array[Byte](m / 8))
+        bitPositions(h1, h2, m, kk).foreach { p =>
+          bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+        }
+      }
+      local.iterator
+    }
+    partial.groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val merged = a._2.clone()
+        var i = 0
+        while (i < merged.length) { merged(i) = (merged(i) | b._2(i)).toByte; i += 1 }
+        (a._1, merged)
+      }
+      .map(_._2)
+      .toDF("data_file", "bits")
+      .join(broadcast(files.map(f =>
+          (f.path, f.rows, mByFile(f.path), kk)).toDF("data_file", "n_rows", "m_bits", "k")),
+        "data_file")
+      .select(col("data_file"), col("n_rows"), col("m_bits"), col("k"),
+        xxhash64(col("data_file")).as("file_hash"), col("bits"))
+  }
+
+  /** Bring `index` up to date with `table`'s CURRENT snapshot: bloom
+    * rows are appended for live data files not yet indexed (first call
+    * = full build). Returns the number of files newly indexed. */
+  def ensureIndexed(spark: SparkSession, table: Path, index: Path,
+      valueCol: String, bitsPerKey: Int = 16, k: Int = 7): Int = {
+    val live = TxLog.snapshotAt(table).files
+    val indexed: Set[String] =
+      if (TxLog.versions(index).isEmpty) Set.empty
+      else TxLog.readAt(spark, index).select("data_file")
+        .collect().map(_.getString(0)).toSet // file-count-sized metadata
+    val fresh = live.filterNot(f => indexed.contains(f.path))
+    if (fresh.isEmpty) return 0
+    TxLog.append(spark, bloomRows(spark, table, fresh, valueCol, bitsPerKey, k),
+      index, "file_hash", nParts = 1)
+    fresh.size
+  }
+
+  /** Point-lookup file pruning: the LIVE data files of `table` that may
+    * contain `probe` according to the index (no false negatives; a file
+    * with no index row — e.g. appended since the last ensureIndexed —
+    * is conservatively kept). Control-plane: index rows and snapshot
+    * metadata only. Returns (candidate files, total live files). */
+  def candidateFiles(spark: SparkSession, table: Path, index: Path,
+      probe: String): (Vector[TxLog.AddFile], Int) = {
+    // the probe hashes through SPARK's xxhash64 (one control-plane row)
+    // so driver membership tests bit-match the executor-built filters
+    val hr = spark.range(1)
+      .select(xxhash64(lit(probe)), xxhash64(lit(probe), lit(Seed))).head
+    val (h1, h2) = (hr.getLong(0), hr.getLong(1))
+    val rows = TxLog.readAt(spark, index)
+      .select("data_file", "m_bits", "k", "bits").collect()
+    val mayContain: Map[String, Boolean] = rows.map { r =>
+      val m = r.getInt(1); val k = r.getInt(2)
+      val bits = r.getAs[Array[Byte]](3)
+      r.getString(0) -> bitPositions(h1, h2, m, k)
+        .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+    }.toMap
+    val live = TxLog.snapshotAt(table).files
+    (live.filter(f => mayContain.getOrElse(f.path, true)).toVector, live.size)
+  }
+
+  /** The point lookup itself: scan only the index's candidate files,
+    * re-apply the exact predicate (false positives cost one file scan,
+    * never a wrong row). */
+  def lookup(spark: SparkSession, table: Path, index: Path, valueCol: String,
+      probe: String): (DataFrame, Int, Int) = {
+    val (cands, total) = candidateFiles(spark, table, index, probe)
+    val df =
+      if (cands.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          TxLog.tableSchema(table).get)
+      else spark.read.parquet(cands.map(f => table.resolve(f.path).toString): _*)
+    (df.filter(col(valueCol) === lit(probe)), cands.size, total)
+  }
+}

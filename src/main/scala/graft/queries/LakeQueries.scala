@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
-import graft.ops.TxLog
+import graft.ops.{BloomIndex, TxLog}
 
 /** Transaction-log (lakehouse) operators as gated queries — ACID commits,
   * snapshot isolation, time travel, compaction, stats-based file
@@ -1266,6 +1266,71 @@ object LakeQueries {
       aggAt(2L).unionByName(aggAt(3L)).orderBy("version")
     }),
 
+    // ---- blix01: PER-FILE BLOOM-FILTER INDEX (Delta's bloom index as
+    // a persisted lake artifact — ops/BloomIndex). The table is laid
+    // out in arrival order, so footer [min,max] stats are useless for a
+    // point probe on md5(text): every file's range covers it. The index
+    // answers "can this file contain the key?" per file; the lookup
+    // scans only surviving candidates with the exact predicate
+    // re-applied (a false positive costs one file scan, never a wrong
+    // row — and the gate asserts strictly-fewer files were read). At
+    // 100 TB this is the needle lookup that reads one ~128 MB file
+    // instead of the corpus; the index rows are file-count-sized
+    // metadata, the same class as the snapshot itself.
+    "blix01_bloom_point_lookup" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val span = idSpan(d)
+      val table = freshTable()
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 2)
+      }
+      val index = freshTable()
+      val nIndexed = BloomIndex.ensureIndexed(spark, table, index, "text_key")
+      val probe = d.filter(col("doc_id") === lit(span / 2))
+        .select("text_key").head.getString(0)
+      val (rows, scanned, total) = BloomIndex.lookup(spark, table, index, "text_key", probe)
+      rows.agg(count(lit(1)).as("n_found"),
+          sum(col("doc_id")).as("sum_found_ids"),
+          sum(col("n_chars")).as("sum_found_chars"))
+        .select(col("n_found"), col("sum_found_ids"), col("sum_found_chars"),
+          lit(nIndexed).cast("bigint").as("files_indexed"),
+          lit(total).cast("bigint").as("files_total"),
+          lit(scanned < total).as("bloom_pruned"))
+    }),
+
+    // ---- blix02: the index maintains INCREMENTALLY — an append indexes
+    // only the appended files (never a rebuild), and a probe for a row
+    // that exists only in the new files finds it through the updated
+    // index. The first ensureIndexed call covers the 8 seed files; the
+    // second covers exactly the 2 new ones.
+    "blix02_bloom_incremental" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val span = idSpan(d)
+      val table = freshTable()
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 2)
+      }
+      val index = freshTable()
+      val first = BloomIndex.ensureIndexed(spark, table, index, "text_key")
+      // new arrivals: a transformed slice whose keys exist nowhere else
+      val fresh = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(span))
+        .withColumn("text", concat(lit("new-"), col("text")))
+        .withColumn("text_key", md5(col("text")))
+      TxLog.append(spark, fresh, table, "doc_id", nParts = 2)
+      val incr = BloomIndex.ensureIndexed(spark, table, index, "text_key")
+      val probe = fresh.filter(col("doc_id") === lit(span)) // transformed doc 0
+        .select("text_key").head.getString(0)
+      val (rows, scanned, total) = BloomIndex.lookup(spark, table, index, "text_key", probe)
+      rows.agg(count(lit(1)).as("n_found"),
+          sum(col("doc_id")).as("sum_found_ids"))
+        .select(col("n_found"), col("sum_found_ids"),
+          lit(first).cast("bigint").as("first_indexed"),
+          lit(incr).cast("bigint").as("incr_indexed"),
+          lit(total).cast("bigint").as("files_total"),
+          lit(scanned < total).as("bloom_pruned"))
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -1770,6 +1835,33 @@ object LakeQueries {
         |SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4
         |ORDER BY version""".stripMargin,
+
+    // The probe doc's text may be duplicated (the corpus carries exact
+    // dups by design); every doc sharing it is found, and the bloom
+    // scan reads strictly fewer than all files.
+    "blix01_bloom_point_lookup" ->
+      """WITH p AS (SELECT md5(text) AS k FROM documents
+        |           WHERE doc_id = (SELECT (MAX(doc_id) + 1) // 2 FROM documents)),
+        |f AS (SELECT d.doc_id, d.n_chars FROM documents d, p WHERE md5(d.text) = p.k)
+        |SELECT COUNT(*) AS n_found,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_found_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_found_chars,
+        |  CAST(8 AS BIGINT) AS files_indexed,
+        |  CAST(8 AS BIGINT) AS files_total,
+        |  TRUE AS bloom_pruned
+        |FROM f""".stripMargin,
+
+    // Incremental maintenance arithmetic (8 seed files, then exactly
+    // the 2 appended ones) + the new-row probe replayed on text equality.
+    "blix02_bloom_incremental" ->
+      """WITH t0 AS (SELECT text FROM documents WHERE doc_id = 0),
+        |span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |f AS (SELECT d.doc_id + span.s AS new_id FROM documents d, t0, span
+        |      WHERE d.doc_id % 5 = 0 AND d.text = t0.text)
+        |SELECT COUNT(*) AS n_found, CAST(SUM(new_id) AS BIGINT) AS sum_found_ids,
+        |  CAST(8 AS BIGINT) AS first_indexed, CAST(2 AS BIGINT) AS incr_indexed,
+        |  CAST(10 AS BIGINT) AS files_total, TRUE AS bloom_pruned
+        |FROM f""".stripMargin,
 
     // The committed transfer: short 'en' docs moved hot -> cold; each
     // table advanced exactly one version (v0 seed append, v1 the txn).

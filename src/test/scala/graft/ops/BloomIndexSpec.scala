@@ -1,0 +1,104 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts of the per-file bloom index: NO FALSE NEGATIVES for every
+  * key in the corpus, conservative handling of unindexed files, stale
+  * rows harmless after compaction, and the exact residual filter making
+  * false positives invisible in results. blix01/blix02 gate the lookup
+  * data against DuckDB; this spec covers the filter mechanics. */
+class BloomIndexSpec extends SparkSpec {
+
+  private def freshDir(): Path = Files.createTempDirectory("graft_blix")
+
+  private def kvDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("doc_id").withColumn("key", md5(concat(lit("k"), col("doc_id"))))
+  }
+
+  test("no false negatives: every key's lookup includes its file and " +
+      "returns exactly its row") {
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    (0 until 4).foreach { i =>
+      TxLog.append(spark, kvDf((i * 25L) until (i * 25L + 25L)), table, "doc_id", nParts = 1)
+    }
+    assert(BloomIndex.ensureIndexed(spark, table, index, "key") == 4)
+    // exhaustive: all 100 keys must be found through the index
+    val keys = kvDf(0L until 100L).select("doc_id", "key").collect()
+    var prunedSomething = false
+    keys.foreach { r =>
+      val (rows, scanned, total) = BloomIndex.lookup(spark, table, index, "key", r.getString(1))
+      val got = rows.select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(r.getLong(0)), s"key of doc ${r.getLong(0)}")
+      if (scanned < total) prunedSomething = true
+    }
+    assert(prunedSomething, "the index never pruned a single lookup")
+  }
+
+  test("a file appended after indexing is conservatively kept (no " +
+      "index row = may contain) so results stay exact") {
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    TxLog.append(spark, kvDf(0L until 50L), table, "doc_id", nParts = 1)
+    BloomIndex.ensureIndexed(spark, table, index, "key"): Unit
+    TxLog.append(spark, kvDf(100L until 110L), table, "doc_id", nParts = 1) // NOT indexed
+    val probe = kvDf(Seq(105L)).select("key").head.getString(0)
+    val (rows, scanned, _) = BloomIndex.lookup(spark, table, index, "key", probe)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(105L))
+    assert(scanned >= 1)
+  }
+
+  test("stale index rows after compaction are harmless: pruning " +
+      "intersects with the live snapshot; re-indexing covers the new file") {
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    (0 until 3).foreach { i =>
+      TxLog.append(spark, kvDf((i * 10L) until (i * 10L + 10L)), table, "doc_id", nParts = 1)
+    }
+    BloomIndex.ensureIndexed(spark, table, index, "key"): Unit
+    TxLog.compact(spark, table, "doc_id", nParts = 1) // all 3 files fold into 1
+    val probe = kvDf(Seq(15L)).select("key").head.getString(0)
+    // the compacted file has no index row yet: conservatively scanned
+    val (rows, _, total) = BloomIndex.lookup(spark, table, index, "key", probe)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(15L))
+    assert(total == 1)
+    // re-index: only the compacted file is new
+    assert(BloomIndex.ensureIndexed(spark, table, index, "key") == 1)
+    val (rows2, scanned2, total2) = BloomIndex.lookup(spark, table, index, "key", probe)
+    assert(rows2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(15L))
+    assert(scanned2 == 1 && total2 == 1)
+  }
+
+  test("an absent key returns empty — usually without scanning any file") {
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    (0 until 4).foreach { i =>
+      TxLog.append(spark, kvDf((i * 25L) until (i * 25L + 25L)), table, "doc_id", nParts = 1)
+    }
+    BloomIndex.ensureIndexed(spark, table, index, "key"): Unit
+    // 20 absent probes: none may return rows; with 16 bits/key nearly
+    // all prune to zero candidate files (false positives allowed but
+    // must stay rare — the assertion tolerates 2/80 file-tests firing)
+    var extraScans = 0
+    (1000L until 1020L).foreach { i =>
+      val probe = kvDf(Seq(i)).select("key").head.getString(0)
+      val (rows, scanned, _) = BloomIndex.lookup(spark, table, index, "key", probe)
+      assert(rows.count() == 0L)
+      extraScans += scanned
+    }
+    assert(extraScans <= 2, s"false-positive file scans: $extraScans")
+  }
+
+  test("the build is deterministic: rebuilding the index yields " +
+      "bit-identical filters") {
+    val table = freshDir().resolve("t")
+    TxLog.append(spark, kvDf(0L until 40L), table, "doc_id", nParts = 2)
+    val ix1 = freshDir().resolve("a"); val ix2 = freshDir().resolve("b")
+    BloomIndex.ensureIndexed(spark, table, ix1, "key"): Unit
+    BloomIndex.ensureIndexed(spark, table, ix2, "key"): Unit
+    def bits(ix: Path): Map[String, Seq[Byte]] =
+      TxLog.readAt(spark, ix).select("data_file", "bits").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(bits(ix1) == bits(ix2))
+  }
+}
