@@ -42,7 +42,7 @@ private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
-      "tag", "cluster_by", "maintain", "clone")
+      "tag", "cluster_by", "maintain", "clone", "move_where")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -71,8 +71,9 @@ private[catalog] object GraftProcedures {
 
   /** Resolve a procedure by identifier against a catalog base dir. */
   def load(base: Path, ident: Identifier): UnboundProcedure = {
-    def table(input: InternalRow): Path = {
-      val t = input.getUTF8String(0).toString
+    def table(input: InternalRow): Path = tableAt(input, 0)
+    def tableAt(input: InternalRow, idx: Int): Path = {
+      val t = input.getUTF8String(idx).toString
       // the argument is DATA, not a path: refuse separators/'..' so
       // `CALL lake.vacuum('../x')` cannot address (or destroy) anything
       // outside the catalog base — same fence as GraftCatalog.tableDir
@@ -152,6 +153,42 @@ private[catalog] object GraftProcedures {
           } else {
             val (v, rw, _) = TxLog.mergeCow(spark, dir, src, keyCol, statsCol)
             InternalRow(v, rw.toLong, 0L)
+          }
+        }
+      }
+      // the ATOMIC TRANSFER from SQL: matching rows leave `source` and
+      // land in `target` in ONE multi-table transaction (TxLog.transact,
+      // commit-marker 2PC) — readers can never observe the rows in both
+      // tables or neither. The moved set materializes ONCE
+      // (localCheckpoint) so the delete keys and the appended rows are
+      // the same row set by construction.
+      case "move_where" => new GraftProc("move_where",
+        Array(param("source", StringType), param("target", StringType),
+          param("key_col", StringType), param("predicate", StringType)),
+        StructType(Seq(
+          StructField("source_version", LongType, nullable = false),
+          StructField("target_version", LongType, nullable = false),
+          StructField("rows_moved", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val src = table(input)
+          val dst = tableAt(input, 1)
+          require(src != dst, "move_where: source and target must differ")
+          val keyCol = input.getUTF8String(2).toString
+          val pred = org.apache.spark.sql.functions.expr(
+            input.getUTF8String(3).toString)
+          val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, dst).schema)
+          val moving = TxLog.readAt(spark, src)
+            .filter(org.apache.spark.sql.functions.coalesce(pred,
+              org.apache.spark.sql.functions.lit(false)))
+            .localCheckpoint(true)
+          val n = moving.count()
+          if (n == 0L)
+            InternalRow(TxLog.latestVersion(src), TxLog.latestVersion(dst), 0L)
+          else {
+            val vs = TxLog.transact(spark, Seq(
+              TxLog.TxnDeleteMor(src, moving.select(keyCol), keyCol),
+              TxLog.TxnAppend(dst, moving, statsCol)))
+            InternalRow(vs(src), vs(dst), n)
           }
         }
       }

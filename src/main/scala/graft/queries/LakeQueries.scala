@@ -1076,6 +1076,37 @@ object LakeQueries {
         lit(if (nlink >= 2L) 1L else 0L).as("zero_copy"))
     }),
 
+    // ---- sql16: the ATOMIC TRANSFER from SQL — CALL lake.move_where
+    // runs the multi-table transaction (tx22's commit-marker 2PC)
+    // end-to-end through the catalog: matching rows leave the hot table
+    // and land in the cold one in one transaction, with the moved count
+    // and both committed versions returned by the procedure and the
+    // post-state read back through SQL (the hot side is a DV table
+    // after the MOR delete — the DV-aware read path serves it).
+    "sql16_txn_move" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val hot = freshTable()
+      val base = hot.getParent
+      val cold = base.resolve("tblcold")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("lang") === "en"), hot, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("lang") =!= "en"), cold, "doc_id", nParts = 2)
+      val res = spark.sql(
+        s"CALL $cat.move_where('tbl', 'tblcold', 'doc_id', 'n_chars < 200')").head
+      val h = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.tbl").head
+      val c = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.tblcold").head
+      spark.range(1).select(
+        lit(h.getLong(0)).as("hot_docs"), lit(h.getLong(1)).as("hot_chars"),
+        lit(c.getLong(0)).as("cold_docs"), lit(c.getLong(1)).as("cold_chars"),
+        lit(res.getLong(2)).as("rows_moved"),
+        lit(res.getLong(0)).as("source_version"),
+        lit(res.getLong(1)).as("target_version"))
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -1862,6 +1893,23 @@ object LakeQueries {
         |  CAST(8 AS BIGINT) AS first_indexed, CAST(2 AS BIGINT) AS incr_indexed,
         |  CAST(10 AS BIGINT) AS files_total, TRUE AS bloom_pruned
         |FROM f""".stripMargin,
+
+    // tx22's transfer driven through CALL move_where: same recompute,
+    // plus the procedure's moved count and per-table versions.
+    "sql16_txn_move" ->
+      """WITH mv AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+        |            FROM documents WHERE lang = 'en' AND n_chars < 200),
+        |h AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+        |      FROM documents WHERE lang = 'en' AND n_chars >= 200),
+        |cd AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+        |       FROM documents WHERE lang <> 'en')
+        |SELECT CAST(h.n AS BIGINT) AS hot_docs, CAST(h.c AS BIGINT) AS hot_chars,
+        |  CAST(cd.n + mv.n AS BIGINT) AS cold_docs,
+        |  CAST(cd.c + mv.c AS BIGINT) AS cold_chars,
+        |  CAST(mv.n AS BIGINT) AS rows_moved,
+        |  CAST(1 AS BIGINT) AS source_version,
+        |  CAST(1 AS BIGINT) AS target_version
+        |FROM mv, h, cd""".stripMargin,
 
     // The committed transfer: short 'en' docs moved hot -> cold; each
     // table advanced exactly one version (v0 seed append, v1 the txn).

@@ -322,6 +322,51 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- knn04: HARD-NEGATIVE MINING — the contrastive-training data
+    // op: for each anchor of a training batch (vec_id < 32) find the
+    // hardest POSITIVE (same label, max cosine), the hardest NEGATIVE
+    // (different label, max cosine), and the SEMI-HARD negative
+    // (FaceNet's rule: the most-similar negative still farther than the
+    // positive), plus the triplet margin the loss will see. One
+    // batch-x-corpus broadcast join scores everything (|batch| x n,
+    // never n^2 — the corpus side streams through a single scan, the
+    // per-anchor top-1s are map-side-combinable window ranks); at 100 TB
+    // this is exactly the per-batch miner a trainer runs, so the shape
+    // scales with batch size, not corpus size. Anchors whose label has
+    // no second member have no positive and drop (inner join) — same
+    // rule both engines.
+    "knn04_hard_negatives" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val scored = emb
+        .select(col("vec_id").as("nbr"), col("embedding").as("c_emb"),
+          col("label").as("c_label"))
+        .join(broadcast(q), col("src") =!= col("nbr"))
+        .select(col("src"), col("q_label"), col("nbr"), col("c_label"),
+          expr(cosExpr("q_emb", "c_emb")).as("cosine"))
+        .localCheckpoint(true) // one scoring pass feeds all three miners
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr").asc)
+      val pos = scored.filter(col("q_label") === col("c_label"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("src"), col("nbr").as("pos_nbr"), col("cosine").as("pos_cos"))
+      val neg = scored.filter(col("q_label") =!= col("c_label"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("src"), col("nbr").as("neg_nbr"), col("cosine").as("neg_cos"))
+      val semi = scored.filter(col("q_label") =!= col("c_label"))
+        .join(pos.select(col("src"), col("pos_cos")), Seq("src"))
+        .filter(col("cosine") < col("pos_cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("src"), col("nbr").as("semi_nbr"), col("cosine").as("semi_cos"))
+      pos.join(neg, Seq("src")).join(semi, Seq("src"), "left")
+        .select(col("src"), col("pos_nbr"), col("pos_cos"),
+          col("neg_nbr"), col("neg_cos"), col("semi_nbr"), col("semi_cos"),
+          (col("pos_cos") - col("neg_cos")).as("margin"))
+        .orderBy("src")
+    }),
+
     // ---- sim03: pairwise label-centroid similarity — mean vector per
     // label (exact elementwise mean via posexplode + group), then cosine
     // between label centroids. Demonstrates vector aggregation.
@@ -928,6 +973,33 @@ object SimilarityQueries {
         |SELECT id AS vec_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         |FROM comp ORDER BY vec_id""".stripMargin),
+
+    "knn04_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS src, embedding AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 32),
+        |scored AS (
+        |  SELECT src, q_label, c.vec_id AS nbr, c.label AS c_label,
+        |    ${cosSql("q_emb", "c.embedding")} AS cosine
+        |  FROM embeddings c JOIN q ON src <> c.vec_id),
+        |pos AS (SELECT src, nbr AS pos_nbr, cosine AS pos_cos FROM (
+        |  SELECT src, nbr, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+        |  FROM scored WHERE q_label = c_label) WHERE rk = 1),
+        |neg AS (SELECT src, nbr AS neg_nbr, cosine AS neg_cos FROM (
+        |  SELECT src, nbr, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+        |  FROM scored WHERE q_label <> c_label) WHERE rk = 1),
+        |sh AS (SELECT src, nbr AS semi_nbr, cosine AS semi_cos FROM (
+        |  SELECT s.src, s.nbr, s.cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY s.src
+        |      ORDER BY s.cosine DESC, s.nbr) AS rk
+        |  FROM scored s JOIN pos p ON s.src = p.src
+        |  WHERE s.q_label <> s.c_label AND s.cosine < p.pos_cos) WHERE rk = 1)
+        |SELECT pos.src, pos_nbr, pos_cos, neg_nbr, neg_cos, semi_nbr, semi_cos,
+        |  pos_cos - neg_cos AS margin
+        |FROM pos JOIN neg ON pos.src = neg.src
+        |LEFT JOIN sh ON pos.src = sh.src
+        |ORDER BY pos.src""".stripMargin,
 
     "sim03_label_centroids" ->
       """WITH by_dim AS (

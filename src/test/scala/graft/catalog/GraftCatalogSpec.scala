@@ -434,4 +434,38 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $cat.ac ADD COLUMN flag INT")
     assert(spark.table(s"$cat.ac").columns.toSeq == Seq("doc_id", "payload", "flag"))
   }
+
+  test("catalog: CALL move_where transfers atomically; empty match is a " +
+      "no-op; same-table and traversal args are refused") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src (doc_id BIGINT, payload STRING)")
+    spark.sql(s"CREATE TABLE $cat.dst (doc_id BIGINT, payload STRING)")
+    spark.sql(s"INSERT INTO $cat.src SELECT id, concat('p', id) FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.dst SELECT id, concat('p', id) FROM range(100, 103)")
+    val r = spark.sql(
+      s"CALL $cat.move_where('src', 'dst', 'doc_id', 'doc_id % 3 = 0')").head
+    assert(r.getLong(2) == 4L, s"rows_moved: ${r.getLong(2)}") // 0,3,6,9
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.src").head.getLong(0) == 6L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dst").head.getLong(0) == 7L)
+    // conservation: every id exists in exactly one of the two tables
+    val all = spark.sql(
+      s"SELECT doc_id FROM $cat.src UNION ALL SELECT doc_id FROM $cat.dst")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == ((0L to 9L) ++ (100L to 102L)).sorted)
+    // empty match: versions unchanged, nothing moves
+    val before = r.getLong(0)
+    val r2 = spark.sql(
+      s"CALL $cat.move_where('src', 'dst', 'doc_id', 'doc_id > 1000')").head
+    assert(r2.getLong(2) == 0L)
+    assert(r2.getLong(0) == before, "no-op must not advance the source")
+    // fences: same table refused, traversal refused
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.move_where('src', 'src', 'doc_id', 'true')").collect()
+    }
+    assert(e.getMessage.contains("must differ"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.move_where('src', '../x', 'doc_id', 'true')").collect()
+    }
+    assert(e2.getMessage.contains("illegal table name"), e2.getMessage)
+  }
 }
