@@ -1362,6 +1362,48 @@ object LakeQueries {
           lit(scanned < total).as("bloom_pruned"))
     }),
 
+    // ---- blix03: STREAMING maintenance of the bloom index — the sim08/
+    // er06 lifecycle move applied to the point-lookup artifact. A
+    // graft-lake tail of the data table triggers ensureIndexed per
+    // micro-batch; the maintenance itself is DIFF-BASED (index rows vs
+    // live snapshot), so a crash-redelivered batch indexes nothing
+    // twice — idempotent by construction, no batch-id machinery needed.
+    // The probe resolves a row that exists only in the LAST streamed
+    // commit, purely through the stream-maintained index.
+    "blix03_streaming_bloom" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val table = freshTable()
+      val index = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      val first = BloomIndex.ensureIndexed(spark, table, index, "text_key")
+      // two arrival commits, one micro-batch each
+      TxLog.append(spark, d.filter(col("doc_id") % 4 === 1), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 4 === 3), table, "doc_id", nParts = 2)
+      val ckpt = Files.createTempDirectory("graft_blix3_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1")
+        .load(table.toString)
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          BloomIndex.ensureIndexed(spark, table, index, "text_key"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nIndexed = TxLog.readAt(spark, index).count()
+      // probe a doc that arrived in the LAST streamed commit (doc 3)
+      val probe = d.filter(col("doc_id") === 3).select("text_key").head.getString(0)
+      val (rows, scanned, total) = BloomIndex.lookup(spark, table, index, "text_key", probe)
+      rows.agg(count(lit(1)).as("n_found"), sum(col("doc_id")).as("sum_found_ids"))
+        .select(col("n_found"), col("sum_found_ids"),
+          lit(first).cast("bigint").as("first_indexed"),
+          lit(nIndexed).cast("bigint").as("indexed_total"),
+          lit(total).cast("bigint").as("files_total"),
+          lit(scanned < total).as("bloom_pruned"))
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -1892,6 +1934,17 @@ object LakeQueries {
         |SELECT COUNT(*) AS n_found, CAST(SUM(new_id) AS BIGINT) AS sum_found_ids,
         |  CAST(8 AS BIGINT) AS first_indexed, CAST(2 AS BIGINT) AS incr_indexed,
         |  CAST(10 AS BIGINT) AS files_total, TRUE AS bloom_pruned
+        |FROM f""".stripMargin,
+
+    // Stream-maintained index: 2 seed files indexed up front, 4 more
+    // through the tail (6 total); the probe doc's text may be shared
+    // with docs in ANY slice — every holder is found.
+    "blix03_streaming_bloom" ->
+      """WITH t3 AS (SELECT text FROM documents WHERE doc_id = 3),
+        |f AS (SELECT d.doc_id FROM documents d, t3 WHERE d.text = t3.text)
+        |SELECT COUNT(*) AS n_found, CAST(SUM(doc_id) AS BIGINT) AS sum_found_ids,
+        |  CAST(2 AS BIGINT) AS first_indexed, CAST(6 AS BIGINT) AS indexed_total,
+        |  CAST(6 AS BIGINT) AS files_total, TRUE AS bloom_pruned
         |FROM f""".stripMargin,
 
     // tx22's transfer driven through CALL move_where: same recompute,

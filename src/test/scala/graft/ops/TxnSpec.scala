@@ -118,6 +118,50 @@ class TxnSpec extends SparkSpec {
     assert(ids(a) == Seq(0L, 1L, 2L, 9L))
   }
 
+  test("the transaction composes with the streaming change feed: the " +
+      "delete side emits deletes, the append side inserts, an aborted " +
+      "txn commit emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 101L), b, "doc_id", nParts = 1)
+    val moving = idsDf(Seq(4L, 8L))
+    TxLog.transact(spark, Seq(
+      TxLog.TxnDeleteMor(a, moving.select("doc_id"), "doc_id"),
+      TxLog.TxnAppend(b, moving, "doc_id")))
+    def drainCdf(table: Path): Seq[(Long, String)] = {
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(table.toString)
+        .writeStream
+        .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+          bd.collect().foreach(r => rows.add((r.getAs[Long]("doc_id"),
+            r.getAs[String]("_change_type")))): Unit
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_txnspec_ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq
+    }
+    val aFeed = drainCdf(a)
+    assert(aFeed.filter(_._2 == "delete").map(_._1).sorted == Seq(4L, 8L))
+    assert(aFeed.count(_._2 == "insert") == 10) // the seed append
+    val bFeed = drainCdf(b)
+    assert(bFeed.forall(_._2 == "insert"))
+    assert(bFeed.map(_._1).sorted == Seq(4L, 8L, 100L, 101L))
+    // an ABORTED txn commit is invisible to the feed
+    val marker = a.getParent.resolve("dead")
+    Files.createDirectories(marker)
+    Files.write(marker.resolve("pending"), "{}".getBytes): Unit
+    Files.write(marker.resolve("outcome"), "aborted".getBytes): Unit
+    val removes = TxLog.snapshotAt(a).files.map(_.path)
+    assert(TxLog.tryCommit(a, TxLog.latestVersion(a) + 1, "delete", Nil, removes,
+      extra = Map("txn" -> marker.toString)))
+    assert(drainCdf(a) == aFeed, "aborted txn changed the feed")
+  }
+
   test("single-table writers are fenced during the transaction and " +
       "compose after it: a post-txn append sees the committed transfer") {
     val a = freshTable(); val b = freshTable()
