@@ -105,6 +105,37 @@ class TxnSpec extends SparkSpec {
     assert(ids(b) == (100L to 102L))
   }
 
+  test("an aborted transaction's promoted files are unreferenced " +
+      "orphans and vacuum reclaims them") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 102L), b, "doc_id", nParts = 1)
+    def filesOnDisk(t: Path): Set[String] = {
+      val s = Files.list(t)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+    val before = filesOnDisk(b)
+    // the append side stages AND promotes in prepare; the delete side
+    // then fails under the fence (bad key column) — transaction aborts
+    intercept[Exception] {
+      TxLog.transact(spark, Seq(
+        TxLog.TxnDeleteMor(a, idsDf(Seq(1L)).select(col("doc_id").as("nope")), "nope"),
+        TxLog.TxnAppend(b, idsDf(Seq(999L)), "doc_id")))
+    }
+    assert(ids(b) == (100L to 102L), "no partial transfer")
+    assert(ids(a) == (0L to 4L))
+    val orphans = filesOnDisk(b) -- before
+    assert(orphans.nonEmpty, "the aborted append left promoted files")
+    // unreferenced by any snapshot: retention vacuum reclaims them
+    val reclaimed = TxLog.vacuum(b, keepVersions = 10, minAgeMs = 0L).toSet
+    assert(orphans.subsetOf(reclaimed), s"orphans=$orphans reclaimed=$reclaimed")
+    assert(ids(b) == (100L to 102L))
+  }
+
   test("one op per table is enforced; a single-table transaction works") {
     val a = freshTable()
     TxLog.append(spark, idsDf(0L to 2L), a, "doc_id", nParts = 1)
