@@ -42,7 +42,7 @@ private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
-      "tag", "cluster_by", "maintain", "clone", "move_where")
+      "tag", "cluster_by", "maintain", "clone", "move_where", "bloom_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -190,6 +190,30 @@ private[catalog] object GraftProcedures {
               TxLog.TxnAppend(dst, moving, statsCol)))
             InternalRow(vs(src), vs(dst), n)
           }
+        }
+      }
+      // bloom-index maintenance from SQL: the index lands as a SIBLING
+      // CATALOG TABLE `<table>_bloom_<column>` (queryable like any
+      // other — one row per indexed data file), created on first call
+      // and incrementally extended on every later one (diff-based, so
+      // re-calls after appends index only the new files).
+      case "bloom_index" => new GraftProc("bloom_index",
+        Array(param("table", StringType), param("column", StringType)),
+        StructType(Seq(
+          StructField("index_table", StringType, nullable = false),
+          StructField("files_indexed", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val colName = input.getUTF8String(1).toString
+          require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"illegal column name '$colName'")
+          require(TxLog.tableSchema(dir).exists(_.fieldNames.contains(colName)),
+            s"no column '$colName' in table ${dir.getFileName}")
+          val ixName = s"${dir.getFileName}_bloom_$colName"
+          val ix = dir.getParent.resolve(ixName)
+          val n = graft.ops.BloomIndex.ensureIndexed(spark, dir, ix, colName)
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ixName),
+            n.toLong)
         }
       }
       case "update_where" => new GraftProc("update_where",

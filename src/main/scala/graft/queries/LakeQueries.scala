@@ -1107,6 +1107,36 @@ object LakeQueries {
         lit(res.getLong(1)).as("target_version"))
     }),
 
+    // ---- sql17: bloom-index maintenance from SQL — CALL
+    // lake.bloom_index('t', 'col') materializes the per-file bloom
+    // index as a SIBLING CATALOG TABLE t_bloom_col (one row per indexed
+    // data file, queryable like any table), and re-calling after an
+    // append indexes only the new files. The index row count and its
+    // covered-row sum are replayed by the oracle from the corpus.
+    "sql17_bloom_procedure" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      val r1 = spark.sql(s"CALL $cat.bloom_index('tbl', 'text')").head
+      val span = idSpan(d)
+      TxLog.append(spark,
+        d.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + lit(span)),
+        table, "doc_id", nParts = 2)
+      val r2 = spark.sql(s"CALL $cat.bloom_index('tbl', 'text')").head
+      val ix = spark.sql(s"SELECT COUNT(*) AS files, " +
+        s"CAST(SUM(n_rows) AS BIGINT) AS rows_covered FROM $cat.${r1.getString(0)}").head
+      spark.range(1).select(
+        lit(r1.getLong(1)).as("first_indexed"),
+        lit(r2.getLong(1)).as("incr_indexed"),
+        lit(ix.getLong(0)).as("index_files"),
+        lit(ix.getLong(1)).as("rows_covered"))
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -1935,6 +1965,16 @@ object LakeQueries {
         |  CAST(8 AS BIGINT) AS first_indexed, CAST(2 AS BIGINT) AS incr_indexed,
         |  CAST(10 AS BIGINT) AS files_total, TRUE AS bloom_pruned
         |FROM f""".stripMargin,
+
+    // 4 seed files indexed by the first CALL, exactly the 2 appended
+    // ones by the second; the index covers every row of the table.
+    "sql17_bloom_procedure" ->
+      """SELECT CAST(4 AS BIGINT) AS first_indexed,
+        |  CAST(2 AS BIGINT) AS incr_indexed,
+        |  CAST(6 AS BIGINT) AS index_files,
+        |  CAST((SELECT COUNT(*) FROM documents)
+        |     + (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT)
+        |    AS rows_covered""".stripMargin,
 
     // Stream-maintained index: 2 seed files indexed up front, 4 more
     // through the tail (6 total); the probe doc's text may be shared
