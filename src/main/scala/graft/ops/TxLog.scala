@@ -454,11 +454,19 @@ object TxLog {
       case a: TxnAppend =>
         Files.createDirectories(a.table)
         validateSchema(tableSchema(a.table), a.df.schema, allowEvolution = false): Unit
-        val stage = a.table.resolve(s".stage-${UUID.randomUUID()}")
-        (if (a.nParts > 0) a.df.repartition(a.nParts) else a.df)
-          .write.mode("overwrite").parquet(stage.toString)
-        enforceConstraintsStaged(spark, a.table, stage)
-        (a, promoteStaged(spark, stage, a.table, a.statsCol))
+        val partCols = partitionColsOf(a.table)
+        if (partCols.nonEmpty)
+          // a hive-partitioned participant keeps its layout (and its
+          // partition-pruned reads) through the transaction
+          (a, stagePartitioned(spark, a.df, a.table, partCols, a.statsCol,
+            clusterCol = None, nParts = a.nParts))
+        else {
+          val stage = a.table.resolve(s".stage-${UUID.randomUUID()}")
+          (if (a.nParts > 0) a.df.repartition(a.nParts) else a.df)
+            .write.mode("overwrite").parquet(stage.toString)
+          enforceConstraintsStaged(spark, a.table, stage)
+          (a, promoteStaged(spark, stage, a.table, a.statsCol))
+        }
       case d: TxnDeleteMor =>
         require(versions(d.table).nonEmpty, s"transact: no committed versions in ${d.table}")
         (d, Nil)

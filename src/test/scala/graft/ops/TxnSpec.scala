@@ -136,6 +136,29 @@ class TxnSpec extends SparkSpec {
     assert(ids(b) == (100L to 102L))
   }
 
+  test("a hive-partitioned append participant keeps its layout through " +
+      "the transaction: partition values land in the log and prune") {
+    import org.apache.spark.sql.types._
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), a, "doc_id", nParts = 1)
+    TxLog.create(b, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", StringType),
+      StructField("bucket", StringType))), partCols = Seq("bucket"))
+    val moving = idsDf(Seq(2L, 5L))
+      .withColumn("bucket", when(col("doc_id") < 4L, "lo").otherwise("hi"))
+    TxLog.transact(spark, Seq(
+      TxLog.TxnDeleteMor(a, moving.select("doc_id"), "doc_id"),
+      TxLog.TxnAppend(b, moving, "doc_id")))
+    val files = TxLog.snapshotAt(b).files
+    assert(files.nonEmpty && files.forall(_.part.get("bucket").isDefined),
+      s"partition values missing: $files")
+    assert(files.map(_.part("bucket")).toSet == Set("lo", "hi"))
+    // partition-pruned read serves only the matching partition
+    val lo = TxLog.readAt(spark, b, partitions = Map("bucket" -> "lo"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(lo == Seq(2L))
+  }
+
   test("one op per table is enforced; a single-table transaction works") {
     val a = freshTable()
     TxLog.append(spark, idsDf(0L to 2L), a, "doc_id", nParts = 1)
