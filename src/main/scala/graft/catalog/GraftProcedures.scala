@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -344,6 +344,24 @@ private[catalog] object GraftProcedures {
           val reclaimed = TxLog.vacuum(dir,
             keepVersions = math.max(1, input.getInt(3)),
             minAgeMs = input.getLong(4)).size.toLong
+          // derived-artifact upkeep: sibling bloom indexes
+          // (<table>_bloom_<col>, the CALL bloom_index convention) are
+          // refreshed so a compact/cluster_by rewrite doesn't leave the
+          // new files unindexed (lookups stay correct either way —
+          // unindexed files are conservatively scanned — this restores
+          // their pruning power as part of the same maintenance pass)
+          val prefix = s"${dir.getFileName}_bloom_"
+          val siblings = Files.list(base)
+          try {
+            import scala.jdk.CollectionConverters._
+            siblings.iterator().asScala
+              .filter(p => p.getFileName.toString.startsWith(prefix) &&
+                Files.isDirectory(p.resolve("_graft_log")))
+              .foreach { ix =>
+                val colName = ix.getFileName.toString.drop(prefix.length)
+                graft.ops.BloomIndex.ensureIndexed(spark, dir, ix, colName): Unit
+              }
+          } finally siblings.close()
           InternalRow(UTF8String.fromString(action), before.toLong,
             TxLog.snapshotAt(dir).files.size.toLong, reclaimed,
             TxLog.latestVersion(dir))

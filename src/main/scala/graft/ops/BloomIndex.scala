@@ -149,6 +149,32 @@ object BloomIndex {
     (live.filter(f => mayContain.getOrElse(f.path, true)).toVector, live.size)
   }
 
+  /** Measured false-positive rate: for `probes` (values known to be
+    * ABSENT from the indexed column), the fraction of (probe, file)
+    * membership tests that fire. All probes hash in ONE control-plane
+    * job (so the audit pays one job, not one per probe); the bit tests
+    * run driver-side against the file-count-sized index rows. Returns
+    * (firedTests, totalTests). The theoretical bound at the default
+    * 16 bits/key, k=7 is ~6e-4 per test — the audit's gate claim. */
+  def measureFpp(spark: SparkSession, index: Path, probes: Seq[String]): (Long, Long) = {
+    import spark.implicits._
+    val hashes = probes.toDF("p")
+      .select(xxhash64(col("p")), xxhash64(col("p"), lit(Seed)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = TxLog.readAt(spark, index)
+      .select("m_bits", "k", "bits").collect()
+    var fired = 0L
+    rows.foreach { r =>
+      val m = r.getInt(0); val k = r.getInt(1)
+      val bits = r.getAs[Array[Byte]](2)
+      hashes.foreach { case (h1, h2) =>
+        if (bitPositions(h1, h2, m, k)
+            .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)) fired += 1
+      }
+    }
+    (fired, rows.length.toLong * probes.size)
+  }
+
   /** The point lookup itself: scan only the index's candidate files,
     * re-apply the exact predicate (false positives cost one file scan,
     * never a wrong row). */

@@ -1434,6 +1434,34 @@ object LakeQueries {
           lit(scanned < total).as("bloom_pruned"))
     }),
 
+    // ---- blix04: bloom-index QUALITY AUDIT — the in-engine measured
+    // false-positive rate (the dd17/sim05/knn03 discipline applied to
+    // the point-lookup artifact): 512 keys known absent from the corpus
+    // (namespaced so no text can collide) probe every file's filter;
+    // fired tests / total tests is the measured fpp, gated against 25x
+    // the ~6e-4 theoretical bound of 16 bits/key, k=7 — a broken hash
+    // or bitset would fire orders of magnitude above it. All probes
+    // hash in ONE job; the bit tests run against file-count-sized
+    // index metadata.
+    "blix04_bloom_fpp_audit" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val table = freshTable()
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 2)
+      }
+      val index = freshTable()
+      val nIndexed = BloomIndex.ensureIndexed(spark, table, index, "text_key")
+      // keys structurally absent: md5 of a namespaced counter can never
+      // equal md5(text) of any document (text is hashed, probe is hex)
+      val probes = (0 until 512).map(i => s"absent-$i")
+      val (fired, totalTests) = BloomIndex.measureFpp(spark, index, probes)
+      spark.range(1).select(
+        lit(nIndexed).cast("bigint").as("files_indexed"),
+        lit(512L).as("n_probes"),
+        lit(totalTests).as("total_tests"),
+        lit(fired <= (totalTests * 15L) / 1000L).as("fpp_within_bound"))
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -1965,6 +1993,15 @@ object LakeQueries {
         |  CAST(8 AS BIGINT) AS first_indexed, CAST(2 AS BIGINT) AS incr_indexed,
         |  CAST(10 AS BIGINT) AS files_total, TRUE AS bloom_pruned
         |FROM f""".stripMargin,
+
+    // 8 files indexed; 512 absent probes x 8 filters; the measured fpp
+    // must sit within 25x the theoretical bound (boolean claim — the
+    // exact fired count is deterministic but engine-internal).
+    "blix04_bloom_fpp_audit" ->
+      """SELECT CAST(8 AS BIGINT) AS files_indexed,
+        |  CAST(512 AS BIGINT) AS n_probes,
+        |  CAST(4096 AS BIGINT) AS total_tests,
+        |  TRUE AS fpp_within_bound""".stripMargin,
 
     // 4 seed files indexed by the first CALL, exactly the 2 appended
     // ones by the second; the index covers every row of the table.

@@ -435,6 +435,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.ac").columns.toSeq == Seq("doc_id", "payload", "flag"))
   }
 
+  test("catalog: maintain refreshes sibling bloom indexes so rewrites " +
+      "don't strand an unindexed live set") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.bt (doc_id BIGINT, key STRING)")
+    (0 until 10).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.bt SELECT id, concat('k', id) " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val r1 = spark.sql(s"CALL $cat.bloom_index('bt', 'key')").head
+    val nLive = graft.ops.TxLog.snapshotAt(base.resolve("bt")).files.size.toLong
+    assert(r1.getLong(1) == nLive, s"indexed ${r1.getLong(1)} of $nLive")
+    // many files > max_files=8 -> maintain rewrites the layout; the
+    // refresh must index the rewritten files in the same pass
+    val m = spark.sql(s"CALL $cat.maintain('bt', 8, 2, 1, 0)").head
+    assert(m.getString(0) != "none", m.toString)
+    val live = graft.ops.TxLog.snapshotAt(base.resolve("bt")).files.map(_.path).toSet
+    val indexed = spark.sql(s"SELECT data_file FROM $cat.bt_bloom_key")
+      .collect().map(_.getString(0)).toSet
+    assert(live.subsetOf(indexed),
+      s"live files not indexed after maintain: ${live -- indexed}")
+    // and a re-call indexes nothing further
+    assert(spark.sql(s"CALL $cat.bloom_index('bt', 'key')").head.getLong(1) == 0L)
+  }
+
   test("catalog: CALL move_where transfers atomically; empty match is a " +
       "no-op; same-table and traversal args are refused") {
     val (cat, base) = freshCatalog()
