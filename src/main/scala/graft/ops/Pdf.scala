@@ -82,8 +82,15 @@ object Pdf {
         case '/' =>
           pos += 1
           val sb = new StringBuilder
+          def isHex(b: Byte): Boolean = {
+            val c = (b & 0xff).toChar
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+          }
           while (pos < len && !ws(bytes(pos)) && !delim(bytes(pos))) {
-            if (bytes(pos) == '#' && pos + 2 < len) {
+            // a '#' NOT followed by two hex digits is kept literal (the
+            // lenient reading most viewers apply) instead of crashing
+            if (bytes(pos) == '#' && pos + 2 < len &&
+                isHex(bytes(pos + 1)) && isHex(bytes(pos + 2))) {
               sb.append(Integer.parseInt(
                 new String(bytes, pos + 1, 2, "ISO-8859-1"), 16).toChar)
               pos += 3
@@ -105,14 +112,23 @@ object Pdf {
           val start = pos
           pos += 1
           while (pos < len && ((bytes(pos) >= '0' && bytes(pos) <= '9') || bytes(pos) == '.')) pos += 1
-          val n = new String(bytes, start, pos - start, "ISO-8859-1").toDouble
+          val numStr = new String(bytes, start, pos - start, "ISO-8859-1")
+          val n = try numStr.toDouble catch {
+            // a bare sign / '.' / multi-dot run ("1.2.3") is malformed
+            case _: NumberFormatException =>
+              throw ParseError(s"PDF: malformed number '$numStr' at byte $start")
+          }
           // `num gen R` lookahead → indirect reference
           val save = pos
           skipWs()
           if (pos < len && bytes(pos) >= '0' && bytes(pos) <= '9' && n == math.floor(n) && n >= 0) {
             val gs = pos
             while (pos < len && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
-            val gen = new String(bytes, gs, pos - gs, "ISO-8859-1").toInt
+            val genStr = new String(bytes, gs, pos - gs, "ISO-8859-1")
+            val gen = try genStr.toInt catch {
+              case _: NumberFormatException =>
+                throw ParseError(s"PDF: generation number '$genStr' out of range")
+            }
             skipWs()
             if (pos < len && bytes(pos) == 'R' &&
                 (pos + 1 >= len || ws(bytes(pos + 1)) || delim(bytes(pos + 1)))) {
@@ -189,7 +205,11 @@ object Pdf {
       }
       pos += 1
       if (hex.length % 2 == 1) hex.append('0')
-      PStr(hex.toString.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      val s = hex.toString
+      if (!s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')
+          || (c >= 'A' && c <= 'F')))
+        throw ParseError("PDF: non-hex character in hex string")
+      PStr(s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
     }
 
     private def dict(): PDict = {
@@ -222,6 +242,7 @@ object Pdf {
       if (i < 0) throw ParseError("PDF: no startxref")
       val off = tail.substring(i + 9).trim.takeWhile(_.isDigit) match {
         case "" => throw ParseError("PDF: malformed startxref")
+        case d if d.length > 18 => throw ParseError("PDF: startxref out of range")
         case d => d.toLong
       }
       val acc = mutable.Map.empty[Int, Long]

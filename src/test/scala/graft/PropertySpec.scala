@@ -117,6 +117,34 @@ class PropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bson.encodeDocument(nul))
   }
 
+  test("pdf extractor: random truncations and byte mutations never " +
+      "escape the ParseError contract") {
+    import graft.domain.IngestionError.ParseError
+    import graft.ops.Pdf
+    val base = Pdf.synthesize(Seq("fuzz target body", "second (page)"))
+    val mutGen: Gen[Array[Byte]] = Gen.oneOf(
+      // truncation at any point
+      Gen.choose(0, base.length - 1).map(base.take),
+      // single-byte corruption anywhere
+      for { i <- Gen.choose(0, base.length - 1); b <- Gen.choose(0, 255) }
+        yield { val c = base.clone(); c(i) = b.toByte; c },
+      // splice garbage into the middle
+      for { i <- Gen.choose(0, base.length - 1); s <- Gen.alphaStr }
+        yield base.take(i) ++ s.getBytes("ISO-8859-1") ++ base.drop(i))
+    samples(mutGen, n = 400).foreach { bytes =>
+      // either parses (mutation hit slack space) or refuses instructively;
+      // any OTHER throwable (bounds, number-format, negative-size) is the
+      // escape class the round-10 advisory flagged
+      try { Pdf.extract(bytes): Unit }
+      catch {
+        case _: ParseError => ()
+        case e: Throwable =>
+          fail(s"non-ParseError ${e.getClass.getName}: ${e.getMessage} " +
+            s"(len=${bytes.length})")
+      }
+    }
+  }
+
   test("excel column refs: index is monotone in column letters") {
     val refGen = for {
       n <- Gen.choose(1, 3)
