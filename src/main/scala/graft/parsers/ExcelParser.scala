@@ -74,21 +74,44 @@ object ExcelParser extends RecordParser {
       }
     } catch {
       case e: java.util.zip.ZipException => throw ParseError(s"not an XLSX (zip) container: $path", e)
+      // a truncated zip stream surfaces as EOF/IO, same refusal class
+      case e: java.io.IOException => throw ParseError(s"corrupt XLSX container: $path", e)
+      // the JDK's ZipCoder throws IllegalArgumentException ("malformed
+      // input") for entry names that aren't valid UTF-8 — same class
+      case e: IllegalArgumentException => throw ParseError(s"corrupt XLSX container: $path", e)
     } finally zin.close()
 
-    val sheetKeys = sheets.keys.toVector.sortBy(n => n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt)
+    // sheet numbers are bounded (a crafted 'sheet99999999999999999.xml'
+    // must refuse, not crash the integer sort key)
+    val sheetKeys = sheets.keys.toVector.sortBy { n =>
+      val digits = n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml")
+      if (digits.length > 9) throw ParseError(s"implausible worksheet name $n")
+      digits.toInt
+    }
     if (sheetIndex >= sheetKeys.size)
       throw ParseError(s"worksheet $sheetIndex not found in $path (${sheetKeys.size} sheets)")
     parseSheetXml(sheets(sheetKeys(sheetIndex)), shared)
   }
 
+  /** scala-xml's SAX errors are malformed-input refusals, not crashes. */
+  private def loadXml(bytes: Array[Byte]): scala.xml.Elem =
+    try XML.load(new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: org.xml.sax.SAXException => throw ParseError("malformed XML inside XLSX", e)
+      case e: java.io.IOException => throw ParseError("unreadable XML inside XLSX", e)
+    }
+
   private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
-    val xml = XML.load(new java.io.ByteArrayInputStream(bytes))
+    val xml = loadXml(bytes)
     (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toVector
   }
 
+  /** Excel's own column cap (XFD): a crafted reference like r="ZZZZZZ1"
+    * must refuse instead of allocating a multi-gigabyte row. */
+  private val MaxCol = 16383
+
   private def parseSheetXml(bytes: Array[Byte], shared: Vector[String]): List[List[String]] = {
-    val xml = XML.load(new java.io.ByteArrayInputStream(bytes))
+    val xml = loadXml(bytes)
     (xml \ "sheetData" \ "row").map { row =>
       // The r= attribute is optional in OOXML: a cell without one sits
       // immediately after the previously placed cell (calamine reads such
@@ -98,12 +121,18 @@ object ExcelParser extends RecordParser {
         val ref = (c \ "@r").text // e.g. "B3"
         val explicit = columnIndex(ref)
         val colIdx = if (explicit >= 0) explicit else lastIdx + 1
+        if (colIdx > MaxCol)
+          throw ParseError(s"cell reference '$ref' beyond Excel's column cap")
         lastIdx = colIdx
         val t = (c \ "@t").text
         val text = t match {
           case "s" =>
-            val i = (c \ "v").text.trim.toInt
-            if (i < shared.size) shared(i) else ""
+            val raw = (c \ "v").text.trim
+            val i = try raw.toInt catch {
+              case _: NumberFormatException =>
+                throw ParseError(s"malformed sharedStrings index '$raw'")
+            }
+            if (i >= 0 && i < shared.size) shared(i) else ""
           case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
           case _ => (c \ "v").text
         }

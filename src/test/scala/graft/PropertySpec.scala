@@ -145,6 +145,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("xlsx reader: random truncations and byte mutations never " +
+      "escape the ParseError contract") {
+    import graft.domain.IngestionError.ParseError
+    val baos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(baos)
+    def entry(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8")); zout.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      "<sst><si><t>alpha</t></si><si><t>beta</t></si></sst>")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c>""" +
+      """<c r="B1"><v>30.0</v></c></row><row r="2"><c t="s"><v>1</v></c>""" +
+      """</row></sheetData></worksheet>""")
+    zout.close()
+    val base = baos.toByteArray
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_fuzz")
+    val mutGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.choose(0, base.length - 1).map(base.take),
+      for { i <- Gen.choose(0, base.length - 1); b <- Gen.choose(0, 255) }
+        yield { val c = base.clone(); c(i) = b.toByte; c },
+      for { i <- Gen.choose(0, base.length - 1); s <- Gen.alphaStr }
+        yield base.take(i) ++ s.getBytes("UTF-8") ++ base.drop(i))
+    samples(mutGen, n = 300).zipWithIndex.foreach { case (bytes, i) =>
+      val p = dir.resolve(s"f$i.xlsx")
+      java.nio.file.Files.write(p, bytes)
+      try { ExcelParser.readSheet(p.toString, 0): Unit }
+      catch {
+        case _: ParseError => ()
+        case e: Throwable =>
+          fail(s"non-ParseError ${e.getClass.getName}: ${e.getMessage} " +
+            s"(mutation $i, len=${bytes.length})")
+      }
+    }
+  }
+
   test("excel column refs: index is monotone in column letters") {
     val refGen = for {
       n <- Gen.choose(1, 3)
