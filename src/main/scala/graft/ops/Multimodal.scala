@@ -786,6 +786,42 @@ object Multimodal {
       })
   }
 
+  /** One profile row per payload with DECODE QUARANTINE — the
+    * PERMISSIVE bad-record discipline (ing14's text-format contract)
+    * applied to media: a corrupt blob yields an `ok=false` row carrying
+    * the refusal class instead of failing the task and with it the
+    * whole 100 TB job. Good rows carry the same single-decode feature
+    * set as [[mediaProfile]]; zeroed fields on quarantined rows keep
+    * the schema flat (no nullable structs to split downstream). */
+  final case class MediaProfileSafe(
+      mediaId: Long, ok: Boolean, err: String,
+      width: Int, height: Int, meanLuma: Double,
+      dhashHi: Long, dhashLo: Long, thumbMeanLuma: Double)
+
+  def mediaProfileQuarantine(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: PixelDecoder, thumbW: Int, thumbH: Int): Dataset[MediaProfileSafe] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val src = decoder.decodePixels(MediaItem(id, bytes))
+          val (sum, _, _) = lumaStats(src)
+          val (hi, lo) = dhashBits(src)
+          val thumb = resize(src, thumbW, thumbH)
+          val (tSum, _, _) = lumaStats(thumb)
+          MediaProfileSafe(id, ok = true, err = "",
+            src.width, src.height, sum.toDouble / (src.width.toLong * src.height),
+            hi, lo, tSum.toDouble / (thumbW.toLong * thumbH))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaProfileSafe(id, ok = false, err = e.getClass.getSimpleName,
+              0, 0, 0.0, 0L, 0L, 0.0)
+        }
+      })
+  }
+
   /** Batch decode: binary payload column -> typed metadata Dataset.
     * Partition-parallel, streaming, no collect. */
   def decodeMeta(

@@ -536,6 +536,34 @@ object MultimodalQueries {
     // Fixture: each document contributes a 128-sample sawtooth (i^2
     // cross-term for fingerprint diversity) and a one-sample-perturbed
     // twin whose fingerprint differs by <= 2 bits.
+    // ---- mm19: DECODE QUARANTINE — the permissive bad-record contract
+    // (ing14) applied to media: every 7th payload is truncated mid-pixel
+    // data, and the corpus profile must still complete with the corrupt
+    // blobs surfaced as ok=false rows (zeroed features) instead of one
+    // bad blob failing the task and the 100 TB job with it. Good rows
+    // reuse mm03's closed-form gray-ramp fixture so the oracle states
+    // every value exactly.
+    "mm19_decode_quarantine" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val header = "P6\n4 2\n255\n"
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = header.getBytes("US-ASCII")
+          it.map { id =>
+            val px = Array.tabulate(24)(i => ((id * 7 + (i / 3) * 13) % 256).toByte)
+            val full = head ++ px
+            (id, if (id % 7 == 3) full.take(head.length + 5) else full)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.mediaProfileQuarantine(payloads, "media_id", "payload",
+          graft.ops.Multimodal.PpmDecoder, thumbW = 2, thumbH = 1)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("ok"),
+          col("width"), col("meanLuma").as("mean_luma"))
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -709,6 +737,20 @@ object MultimodalQueries {
         |FROM h ORDER BY media_id""".stripMargin,
 
     // The sawtooth's closed form with the i^2 diversity term and the
+    // closed-form replay: quarantined ids zero out; good ids carry the
+    // gray-ramp mean (sum of 8 values / 8 — exact in doubles)
+    "mm19_decode_quarantine" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 8)) AS u(j)),
+        |m AS (SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS mean_luma
+        |      FROM px GROUP BY doc_id)
+        |SELECT doc_id AS media_id,
+        |  doc_id % 7 <> 3 AS ok,
+        |  CASE WHEN doc_id % 7 <> 3 THEN 4 ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 7 <> 3 THEN mean_luma ELSE 0.0 END AS mean_luma
+        |FROM m ORDER BY media_id""".stripMargin,
+
     // one-sample bump; window energies, gradient bits, banding, and the
     // hamming verify restated exactly.
     "mm18_audio_neardups" ->
