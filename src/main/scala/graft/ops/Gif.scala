@@ -78,6 +78,7 @@ object Gif {
           case 0x2C => // image descriptor
             u16(); u16() // left, top
             val w = u16(); val h = u16()
+            Multimodal.checkDims(id, w, h)
             val ip = u8()
             var table = gct
             if ((ip & 0x80) != 0) {

@@ -351,6 +351,7 @@ object Jpeg {
             u16()
             require(u8() == 8, s"media $id: only 8-bit precision supported")
             height = u16(); width = u16()
+            Multimodal.checkDims(id, width, height)
             val nf = u8()
             require(nf == 1 || nf == 3,
               s"media $id: $nf components unsupported (1=gray, 3=YCbCr)")

@@ -66,6 +66,19 @@ object Multimodal {
   /** A decoded raster: row-major, top-down, 3 bytes per pixel (RGB). */
   final case class PixelImage(width: Int, height: Int, rgb: Array[Byte])
 
+  /** Refuse implausible header dimensions BEFORE any allocation: a
+    * crafted 65535x65535 frame header would otherwise allocate
+    * gigabytes and kill the executor with an Error — beyond even the
+    * quarantine's NonFatal reach. 64 Mpixel (~192 MB RGB) is far above
+    * any real training-corpus source and also rules out the int
+    * overflows of width*height*3 arithmetic. */
+  private[ops] def checkDims(mediaId: Long, width: Int, height: Int): Unit = {
+    require(width > 0 && height > 0,
+      s"media $mediaId: non-positive dimensions ${width}x$height")
+    require(width.toLong * height <= (64L << 20),
+      s"media $mediaId: implausible dimensions ${width}x$height")
+  }
+
   /** A decoder that yields real pixels, not just metadata. PPM, BMP,
     * PNG and baseline JPEG (graft.ops.Jpeg) implement it for real;
     * video codecs stay behind the stub. */
@@ -101,9 +114,17 @@ object Multimodal {
         while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
         new String(bytes, start, pos - start, "US-ASCII")
       }
-      val width = nextToken().toInt
-      val height = nextToken().toInt
-      val maxval = nextToken().toInt
+      def intToken(what: String): Int = {
+        val t = nextToken()
+        try t.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"media ${item.mediaId}: malformed PPM $what '$t'")
+        }
+      }
+      val width = intToken("width")
+      val height = intToken("height")
+      val maxval = intToken("maxval")
+      checkDims(item.mediaId, width, height)
       require(maxval > 0 && maxval <= 255, s"media ${item.mediaId}: unsupported maxval $maxval")
       pos += 1 // exactly ONE whitespace byte separates header from raster
       val n = width * height * 3
@@ -132,6 +153,7 @@ object Multimodal {
       require(bpp == 24 && compression == 0,
         s"media ${item.mediaId}: only uncompressed 24-bit BMP supported (bpp=$bpp, compression=$compression)")
       val height = math.abs(rawHeight)
+      checkDims(item.mediaId, width, height)
       val topDown = rawHeight < 0
       val rowSize = ((width * 3) + 3) & ~3 // rows pad to 4-byte multiples
       require(item.payload.length >= pixelOffset + rowSize * height,
@@ -207,8 +229,7 @@ object Multimodal {
             width = be32(p, pos + 8); height = be32(p, pos + 12)
             val bitDepth = p(pos + 16) & 0xff; colorType = p(pos + 17) & 0xff
             val interlace = p(pos + 20) & 0xff
-            require(width > 0 && height > 0,
-              s"media ${item.mediaId}: bad dimensions ${width}x$height")
+            checkDims(item.mediaId, width, height)
             require(bitDepth == 8,
               s"media ${item.mediaId}: only bit depth 8 supported, got $bitDepth")
             require(interlace == 0,

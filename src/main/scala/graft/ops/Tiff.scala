@@ -92,6 +92,7 @@ object Tiff {
       }
 
       require(width > 0 && height > 0, s"media $id: missing TIFF dimensions")
+      Multimodal.checkDims(id, width, height)
       require(compression == 1,
         s"media $id: only uncompressed TIFF supported (compression=$compression)")
       require(planar == 1, s"media $id: only chunky planar layout supported")

@@ -672,4 +672,31 @@ class OpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) <= 8)
     assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
   }
+
+  test("multimodal: implausible header dimensions refuse BEFORE " +
+      "allocating; the quarantine turns them into ok=false rows") {
+    import graft.ops.Multimodal._
+    // a crafted PPM claiming 60000x60000 would allocate ~10 GB RGB —
+    // the dims guard must refuse without touching the raster
+    val huge = "P6\n60000 60000\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val e = intercept[IllegalArgumentException] {
+      PpmDecoder.decodePixels(MediaItem(7L, huge))
+    }
+    assert(e.getMessage.contains("implausible dimensions"), e.getMessage)
+    // a malformed width token refuses instructively, not NumberFormat
+    val bad = "P6\nxyz 2\n255\n".getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException] {
+      PpmDecoder.decodePixels(MediaItem(8L, bad))
+    }
+    assert(e2.getMessage.contains("malformed PPM width"), e2.getMessage)
+    // through the quarantine both become rows, and good payloads decode
+    import spark.implicits._
+    val ok = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 10, 10)
+    val df = Seq((1L, ok), (2L, huge), (3L, bad)).toDF("media_id", "payload")
+    val rows = mediaProfileQuarantine(df, "media_id", "payload",
+        PpmDecoder, 1, 1).collect().sortBy(_.mediaId)
+    assert(rows.map(_.ok).toSeq == Seq(true, false, false))
+    assert(rows.head.width == 1 && rows.head.meanLuma == 10.0)
+    assert(rows(1).err == "IllegalArgumentException")
+  }
 }
