@@ -302,7 +302,7 @@ private[catalog] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
   }
 
   override def build(): Scan =
-    if (!wantsFile) delegate.build()
+    if (!wantsFile) bloomPruned().getOrElse(delegate.build())
     else {
       require(!aggPushed,
         s"cannot serve a pushed aggregation together with ${GraftRowLevel.FileCol}")
@@ -314,6 +314,56 @@ private[catalog] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
       val candidates = snap.files.filter(f => v1.forall(GraftRowLevel.mayMatch(f, _)))
       new GraftRowLevelScan(dir, tableSchema, requested, candidates)
     }
+
+  /** TRANSPARENT index-backed file pruning: when the query carries an
+    * equality predicate on a string column whose sibling bloom index
+    * exists (`<table>_bloom_<col>`, the CALL bloom_index convention),
+    * the scan narrows to the index's candidate files — footer [min,max]
+    * stats can't prune a point probe on a non-clustered column, the
+    * bloom filter can. The residual predicate is re-applied above the
+    * scan by Spark either way (file-source pushdown is best-effort), so
+    * a false positive costs one extra file, never a wrong row. Skipped
+    * when a pushed aggregate already bound to the delegate's scan, when
+    * nothing would be pruned, or when no indexed column is probed. */
+  private def bloomPruned(): Option[Scan] = {
+    if (aggPushed || exprs.isEmpty) return None
+    val eqs = exprs
+      .flatMap(e => org.apache.spark.sql.graft.StreamingShims.translateFilter(e))
+      .collect { case sources.EqualTo(c, v: String) => (c, v) }
+    val base = dir.getParent
+    val hit = eqs.collectFirst {
+      case (c, v) if tableSchema.fields.exists(f =>
+          f.name == c && f.dataType == StringType) &&
+        Files.isDirectory(base.resolve(s"${dir.getFileName}_bloom_$c")
+          .resolve("_graft_log")) =>
+        (v, base.resolve(s"${dir.getFileName}_bloom_$c"))
+    }
+    hit.flatMap { case (probe, ix) =>
+      val spark = SparkSessionActive.get
+      val (cands, total) = graft.ops.BloomIndex.candidateFiles(
+        spark, dir, ix, probe, Some(snapVersion))
+      if (cands.size >= total) None // nothing pruned: keep the delegate
+      else {
+        val paths = cands.map(f => dir.resolve(f.path).toString)
+        val pt = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          s"bloom-pruned:$dir@v$snapVersion", spark,
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+          paths, Some(tableSchema), classOf[ParquetFileFormat])
+        val nb = pt.newScanBuilder(
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        nb match {
+          case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+            d.pushFilters(exprs): Unit
+          case _ => ()
+        }
+        nb match {
+          case d: SupportsPushDownRequiredColumns => d.pruneColumns(requested)
+          case _ => ()
+        }
+        Some(nb.build())
+      }
+    }
+  }
 }
 
 /** One input partition per candidate file: the rewrite's unit of work

@@ -131,7 +131,7 @@ object BloomIndex {
     * is conservatively kept). Control-plane: index rows and snapshot
     * metadata only. Returns (candidate files, total live files). */
   def candidateFiles(spark: SparkSession, table: Path, index: Path,
-      probe: String): (Vector[TxLog.AddFile], Int) = {
+      probe: String, version: Option[Long] = None): (Vector[TxLog.AddFile], Int) = {
     // the probe hashes through SPARK's xxhash64 (one control-plane row)
     // so driver membership tests bit-match the executor-built filters
     val hr = spark.range(1)
@@ -145,7 +145,7 @@ object BloomIndex {
       r.getString(0) -> bitPositions(h1, h2, m, k)
         .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
     }.toMap
-    val live = TxLog.snapshotAt(table).files
+    val live = TxLog.snapshotAt(table, version).files
     (live.filter(f => mayContain.getOrElse(f.path, true)).toVector, live.size)
   }
 

@@ -459,6 +459,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"CALL $cat.bloom_index('bt', 'key')").head.getLong(1) == 0L)
   }
 
+  test("catalog: a point query prunes through the sibling bloom index " +
+      "transparently — fewer files scanned, same rows") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pt (doc_id BIGINT, key STRING)")
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.pt SELECT id, concat('k', id) " +
+        s"FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val nLive = graft.ops.TxLog.snapshotAt(base.resolve("pt")).files.size
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect(): Unit // finalize AQE before reading the executed plan
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.fileIndex.inputFiles.length
+            case _ => -1
+          }
+      }.head
+    }
+    // WITHOUT an index: the point probe reads every live file
+    val q = s"SELECT doc_id FROM $cat.pt WHERE key = 'k37'"
+    assert(scannedFiles(spark.sql(q)) == nLive)
+    // WITH the index: strictly fewer files, identical rows
+    spark.sql(s"CALL $cat.bloom_index('pt', 'key')").collect(): Unit
+    val df = spark.sql(q)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(37L))
+    val pruned = scannedFiles(spark.sql(q))
+    assert(pruned < nLive, s"scanned $pruned of $nLive")
+    // an absent key returns empty, still through the pruned scan
+    assert(spark.sql(s"SELECT doc_id FROM $cat.pt WHERE key = 'nope'").count() == 0L)
+    // a non-equality predicate keeps the delegate's full scan (correct,
+    // just unpruned) and a pushed aggregate is never hijacked
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pt WHERE key > 'k'").head.getLong(0) == 60L)
+  }
+
   test("catalog: CALL move_where transfers atomically; empty match is a " +
       "no-op; same-table and traversal args are refused") {
     val (cat, base) = freshCatalog()
