@@ -61,16 +61,26 @@ object Flac {
           pcmMd5 = (0 until 16).map(i => f"${p(body + 18 + i) & 0xFF}%02x").mkString
           sawStreamInfo = true
         case 4 => // VORBIS_COMMENT (little-endian lengths)
-          def le32(off: Int): Int =
+          // every read is bounds-checked and every length sign-checked:
+          // a corrupt/hostile comment block must refuse, not walk
+          // backwards (negative length) or read past the buffer
+          def le32(off: Int): Int = {
+            require(off >= body && off + 4 <= body + len,
+              s"media $id: vorbis comment overruns block")
             (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
               ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+          }
           var cp = body
-          val vendorLen = le32(cp); cp += 4 + vendorLen
+          val vendorLen = le32(cp)
+          require(vendorLen >= 0, s"media $id: negative vorbis vendor length")
+          cp += 4 + vendorLen
           val n = le32(cp); cp += 4
+          require(n >= 0, s"media $id: negative vorbis comment count")
           var j = 0
           while (j < n) {
             val cl = le32(cp); cp += 4
-            require(cp + cl <= body + len, s"media $id: vorbis comment overruns block")
+            require(cl >= 0 && cp + cl <= body + len,
+              s"media $id: vorbis comment overruns block")
             val s = new String(p, cp, cl, "UTF-8")
             val eq = s.indexOf('=')
             if (eq > 0) {

@@ -30,11 +30,19 @@ object Mp4 {
       brand: String, timescale: Long, durationMs: Long, tracks: Seq[TrackMeta])
 
   private final class Reader(p: Array[Byte]) {
-    def u8(at: Int): Int = p(at) & 0xFF
+    // every read bounds-checks: a truncated/corrupt file refuses (the
+    // require contract) instead of escaping with a raw bounds exception
+    def u8(at: Int): Int = {
+      require(at >= 0 && at < p.length, s"read past end of file (byte $at)")
+      p(at) & 0xFF
+    }
     def u16(at: Int): Int = (u8(at) << 8) | u8(at + 1)
     def u32(at: Int): Long = (u16(at).toLong << 16) | u16(at + 2)
     def u64(at: Int): Long = (u32(at) << 32) | u32(at + 4)
-    def fourcc(at: Int): String = new String(p, at, 4, "US-ASCII")
+    def fourcc(at: Int): String = {
+      require(at >= 0 && at + 4 <= p.length, s"read past end of file (byte $at)")
+      new String(p, at, 4, "US-ASCII")
+    }
     def len: Int = p.length
   }
 

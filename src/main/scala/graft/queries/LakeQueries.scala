@@ -1137,6 +1137,33 @@ object LakeQueries {
         lit(ix.getLong(1)).as("rows_covered"))
     }),
 
+    // ---- sql18: the TRANSPARENT index-backed point query — a plain
+    // SELECT with an equality predicate on the indexed column serves
+    // through the bloom-pruned scan (GraftCatalogSpec pins the
+    // plan-level file reduction; this gates the VALUES the pruned path
+    // returns against the oracle, including a dup-text probe whose
+    // holders span several files).
+    "sql18_bloom_sql_lookup" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val span = idSpan(d)
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 2)
+      }
+      spark.sql(s"CALL $cat.bloom_index('tbl', 'text_key')").collect(): Unit
+      val probe = d.filter(col("doc_id") === lit(span / 2))
+        .select("text_key").head.getString(0)
+      spark.sql(
+        s"""SELECT COUNT(*) AS n_found,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_found_ids,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_found_chars
+           |FROM $cat.tbl WHERE text_key = '$probe'""".stripMargin)
+    }),
+
     // ---- sql09: SQL schema evolution — ALTER TABLE ADD COLUMN is one
     // pure-metadata `set-schema` commit; pre-evolution files NULL-fill
     // on read (the log's schema wins, no footer-merge pass), new
@@ -2002,6 +2029,16 @@ object LakeQueries {
         |  CAST(512 AS BIGINT) AS n_probes,
         |  CAST(4096 AS BIGINT) AS total_tests,
         |  TRUE AS fpp_within_bound""".stripMargin,
+
+    // blix01's probe recompute, served through the SQL catalog's
+    // transparently bloom-pruned scan.
+    "sql18_bloom_sql_lookup" ->
+      """WITH p AS (SELECT md5(text) AS k FROM documents
+        |           WHERE doc_id = (SELECT (MAX(doc_id) + 1) // 2 FROM documents))
+        |SELECT COUNT(*) AS n_found,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_found_ids,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_found_chars
+        |FROM documents d, p WHERE md5(d.text) = p.k""".stripMargin,
 
     // 4 seed files indexed by the first CALL, exactly the 2 appended
     // ones by the second; the index covers every row of the table.

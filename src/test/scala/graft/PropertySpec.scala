@@ -182,6 +182,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("audio/container metadata parsers: mutations never escape the " +
+      "refusal contract (require -> IllegalArgumentException)") {
+    import graft.ops.{Flac, Mp3, Mp4}
+    import graft.ops.Multimodal.MediaItem
+    val targets: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("mp4", Mp4.Mp4Encoder.minimal(1000L, 7500L, 320, 240,
+        videoSamples = 90L, audioSamples = 300L),
+        b => Mp4.parse(MediaItem(1L, b))),
+      ("mp3", Mp3.Mp3Encoder.encode("fuzz title", "fuzz artist", nFrames = 4),
+        b => Mp3.parse(MediaItem(1L, b))),
+      ("flac", Flac.FlacEncoder.encode(44100, 2, 16, 44100L, "t", "a"),
+        b => Flac.parse(MediaItem(1L, b))))
+    targets.foreach { case (name, base, parse) =>
+      val mutGen: Gen[Array[Byte]] = Gen.oneOf(
+        Gen.choose(0, base.length - 1).map(base.take),
+        for { i <- Gen.choose(0, base.length - 1); b <- Gen.choose(0, 255) }
+          yield { val c = base.clone(); c(i) = b.toByte; c },
+        for { i <- Gen.choose(0, base.length - 1); s <- Gen.alphaStr }
+          yield base.take(i) ++ s.getBytes("ISO-8859-1") ++ base.drop(i))
+      samples(mutGen, n = 250).foreach { bytes =>
+        try { parse(bytes): Unit }
+        catch {
+          case _: IllegalArgumentException => () // the require contract
+          case e: Throwable =>
+            fail(s"$name: non-refusal ${e.getClass.getName}: ${e.getMessage} " +
+              s"(len=${bytes.length})")
+        }
+      }
+    }
+  }
+
   test("excel column refs: index is monotone in column letters") {
     val refGen = for {
       n <- Gen.choose(1, 3)
