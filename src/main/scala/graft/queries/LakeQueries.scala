@@ -309,6 +309,42 @@ object LakeQueries {
     // 100 TB shape: gate + fingerprint are scan-local, dedup is one
     // fp-keyed shuffle, the lake write is one clustered shuffle, the
     // serve is a footer-pruned snapshot scan.
+    // ---- c06: the round-11 features composed into one curation
+    // pipeline — quality-gate the corpus, ATOMICALLY quarantine the
+    // rejects into a second table (CALL move_where: the multi-table
+    // transaction, no observable in-between), bloom-index the keepers,
+    // and resolve a point probe through the transparently pruned SQL
+    // read. Every aggregate, the moved counts, and the probe's dup set
+    // are replayed by the oracle.
+    "c06_transfer_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val hot = freshTable()
+      val base = hot.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d, hot, "doc_id", nParts = 4)
+      TxLog.create(base.resolve("rejects"), d.schema): Unit
+      val mv = spark.sql(s"CALL $cat.move_where('tbl', 'rejects', 'doc_id', " +
+        s"'n_chars < 120 OR n_chars > 500')").head
+      spark.sql(s"CALL $cat.bloom_index('tbl', 'text_key')").collect(): Unit
+      // probe: the smallest-id KEPT doc; its text dups are all kept too
+      // (same text => same n_chars => same side of the quality gate)
+      val probe = spark.sql(s"SELECT text_key FROM $cat.tbl " +
+        "ORDER BY doc_id LIMIT 1").head.getString(0)
+      val f = spark.sql(s"SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s " +
+        s"FROM $cat.tbl WHERE text_key = '$probe'").head
+      val h = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.tbl").head
+      val r = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.rejects").head
+      spark.range(1).select(
+        lit(h.getLong(0)).as("kept_docs"), lit(h.getLong(1)).as("kept_chars"),
+        lit(r.getLong(0)).as("rejected_docs"), lit(r.getLong(1)).as("rejected_chars"),
+        lit(mv.getLong(2)).as("rows_moved"),
+        lit(f.getLong(0)).as("n_found"), lit(f.getLong(1)).as("sum_found_ids"))
+    }),
+
     "c05_lake_pipeline" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
       val span = idSpan(d)
@@ -1636,6 +1672,21 @@ object LakeQueries {
         |        WHERE doc_id % 2 = 1) AS BIGINT) AS sum_quality,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+
+    // quality gate + atomic quarantine + keeper probe, recomputed
+    "c06_transfer_pipeline" ->
+      """WITH keep AS (SELECT * FROM documents WHERE n_chars >= 120 AND n_chars <= 500),
+        |rej AS (SELECT * FROM documents WHERE n_chars < 120 OR n_chars > 500),
+        |p AS (SELECT text FROM keep WHERE doc_id = (SELECT MIN(doc_id) FROM keep)),
+        |f AS (SELECT k.doc_id FROM keep k, p WHERE k.text = p.text)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS kept_docs,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM keep) AS BIGINT) AS kept_chars,
+        |  CAST((SELECT COUNT(*) FROM rej) AS BIGINT) AS rejected_docs,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM rej) AS BIGINT) AS rejected_chars,
+        |  CAST((SELECT COUNT(*) FROM rej) AS BIGINT) AS rows_moved,
+        |  CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_found,
+        |  CAST((SELECT SUM(doc_id) FROM f) AS BIGINT) AS sum_found_ids""".stripMargin,
 
     "tx07_change_feed" ->
       """SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
