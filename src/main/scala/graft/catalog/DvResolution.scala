@@ -125,12 +125,19 @@ private[catalog] object GraftMetaTable {
     StructField("name", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
 
+  val TxnsSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("outcome", StringType, nullable = false),
+    StructField("marker", StringType, nullable = false)))
+
   def schemaFor(kind: String): StructType = kind match {
     case "history" => HistorySchema
     case "files" => FilesSchema
     case "tags" => TagsSchema
+    case "txns" => TxnsSchema
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$$$other' (have: $$history, $$files, $$tags)")
+      s"unknown metadata table '$$$other' (have: $$history, $$files, $$tags, $$txns)")
   }
 
   /** The rows, computed from log metadata only. */
@@ -150,6 +157,11 @@ private[catalog] object GraftMetaTable {
       case "tags" =>
         TxLog.tags(t.dir).toSeq.sortBy(_._1).map { case (n, v) =>
           InternalRow(UTF8String.fromString(n), v)
+        }
+      case "txns" =>
+        TxLog.txnCommits(t.dir).map { case (v, op, marker, outcome) =>
+          InternalRow(v, UTF8String.fromString(op),
+            UTF8String.fromString(outcome), UTF8String.fromString(marker))
         }
     }
   }

@@ -1786,6 +1786,23 @@ object TxLog {
     }
   }
 
+  /** Multi-table-transaction visibility (the `$txns` metadata table):
+    * every commit of this table that carries a txn marker reference,
+    * with its ORIGINAL op (before no-op resolution), the marker path,
+    * and the transaction's resolved outcome. Resolution uses the same
+    * lease discipline as reads, so listing a table with an orphaned
+    * in-flight txn resolves (aborts) it rather than blocking forever. */
+  def txnCommits(table: Path): Seq[(Long, String, String, String)] =
+    versions(table).flatMap { v =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      Option(node.get("txn")).map { m =>
+        val marker = m.asText
+        (v, node.get("op").asText, marker,
+          resolveTxn(java.nio.file.Paths.get(marker)))
+      }
+    }
+
   /** Commit history (DESCRIBE HISTORY): one (version, op, n_adds,
     * n_removes) tuple per committed version, metadata-only. */
   def history(table: Path): Seq[(Long, String, Long, Long)] =

@@ -518,6 +518,14 @@ class GraftCatalogSpec extends SparkSpec {
       s"CALL $cat.move_where('src', 'dst', 'doc_id', 'doc_id > 1000')").head
     assert(r2.getLong(2) == 0L)
     assert(r2.getLong(0) == before, "no-op must not advance the source")
+    // transaction visibility: both participants list their committed
+    // txn commit in the $txns metadata table
+    val srcTxns = spark.sql(s"SELECT version, op, outcome FROM $cat.`src$$txns`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(srcTxns.map(t => (t._2, t._3)) == Seq(("delete-mor", "committed")), srcTxns)
+    val dstTxns = spark.sql(s"SELECT op, outcome FROM $cat.`dst$$txns`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dstTxns == Seq(("append", "committed")), dstTxns)
     // fences: same table refused, traversal refused
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.move_where('src', 'src', 'doc_id', 'true')").collect()
