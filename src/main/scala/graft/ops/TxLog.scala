@@ -444,7 +444,14 @@ object TxLog {
     * decision makes them all effective at once. */
   def transact(spark: SparkSession, ops: Seq[TxnOp]): Map[Path, Long] = {
     require(ops.nonEmpty, "transact: no operations")
-    val keyed = ops.map(o => o.table.toAbsolutePath.normalize -> o)
+    // canonicalize through symlinks where possible: two spellings of
+    // ONE table must collapse to one key (the distinct check) and one
+    // claim-order position (deadlock freedom depends on every
+    // transaction sorting the same directory identically)
+    def canon(p: Path): Path =
+      try { if (Files.exists(p)) p.toRealPath() else p.toAbsolutePath.normalize }
+      catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
+    val keyed = ops.map(o => canon(o.table) -> o)
     require(keyed.map(_._1).distinct.size == ops.size,
       "transact: one operation per table per transaction")
     val ordered = keyed.sortBy(_._1.toString).map(_._2)
