@@ -172,6 +172,35 @@ object QualityQueries {
         .select(col("lang"), col("n_a"), col("n_b"),
           col("abs_cross").cast("long").as("abs_cross"), col("tv"))
         .orderBy("lang")
+    }),
+
+    // ---- dq05: EMBEDDING drift between two cohorts — the ML sibling
+    // of dq04's categorical TV: per label, the L2 distance between the
+    // cohorts' mean vectors (exact elementwise means via posexplode +
+    // group, sim03's proven mechanics). At 100 TB this is the nightly
+    // "did the embedding distribution move" monitor: state is
+    // label x dim sized (grid of a few thousand cells), one shuffle at
+    // that grain, corpus streams through once.
+    "dq05_embedding_drift" -> ((spark: SparkSession, dir: String) => {
+      val emb = t(spark, dir, "embeddings")
+      val byDim = emb
+        .select(col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          (sum(when(col("is_a"), col("v").cast("double")).otherwise(0.0)) /
+            sum(when(col("is_a"), 1L).otherwise(0L))).as("mean_a"),
+          (sum(when(!col("is_a"), col("v").cast("double")).otherwise(0.0)) /
+            sum(when(!col("is_a"), 1L).otherwise(0L))).as("mean_b"))
+      val counts = emb.groupBy(col("label")).agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      byDim.groupBy(col("label"))
+        .agg(round(sqrt(sum((col("mean_a") - col("mean_b")) *
+          (col("mean_a") - col("mean_b")))), 6).as("drift_l2"))
+        .join(counts, "label")
+        .select(col("label"), col("n_a"), col("n_b"), col("drift_l2"))
+        .orderBy("label")
     }))
 
   private def dqEdgeSql(fact: String, fk: String, dim: String, pk: String,
@@ -216,6 +245,29 @@ object QualityQueries {
         |       FROM x)
         |SELECT lang, n_a, n_b, CAST(abs_cross_w AS BIGINT) AS abs_cross, tv.tv AS tv
         |FROM x, tv ORDER BY lang""".stripMargin,
+
+    // exact per-(label,dim) cohort means, L2 over the 64-dim deltas
+    "dq05_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 = 0 AS a,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |by_dim AS (
+        |  SELECT label, dim,
+        |    SUM(CASE WHEN a THEN v ELSE 0 END)
+        |      / SUM(CASE WHEN a THEN 1 ELSE 0 END) AS mean_a,
+        |    SUM(CASE WHEN a THEN 0 ELSE v END)
+        |      / SUM(CASE WHEN a THEN 0 ELSE 1 END) AS mean_b
+        |  FROM ex GROUP BY label, dim),
+        |cnt AS (SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY label)
+        |SELECT c.label, n_a, n_b,
+        |  round(sqrt(SUM((mean_a - mean_b) * (mean_a - mean_b))), 6) AS drift_l2
+        |FROM by_dim b JOIN cnt c ON b.label = c.label
+        |GROUP BY c.label, n_a, n_b ORDER BY c.label""".stripMargin,
 
     "dq03_distribution_drift" ->
       """WITH binned AS (
