@@ -260,7 +260,13 @@ object Multimodal {
       var off = 0
       try {
         while (off < raw.length && !inf.finished()) {
-          val n = inf.inflate(raw, off, raw.length - off)
+          val n = try inf.inflate(raw, off, raw.length - off) catch {
+            // corrupt DEFLATE data is a malformed-input refusal, not a
+            // checked-exception escape from the decode contract
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"media ${item.mediaId}: corrupt IDAT DEFLATE stream", e)
+          }
           require(n > 0, s"media ${item.mediaId}: truncated IDAT stream " +
             s"($off of ${raw.length} raster bytes)")
           off += n

@@ -213,6 +213,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pixel decoders (PNG/BMP/GIF/TIFF): mutations never escape the " +
+      "refusal contract") {
+    import graft.ops.Multimodal._
+    import graft.ops.{Gif, Tiff}
+    val img = PixelImage(5, 4, Array.tabulate(60)(i => (i * 7).toByte))
+    val gifIdx = Array.tabulate(20)(i => (i % 16).toByte)
+    val targets: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("png", PngEncoder.encode(img),
+        b => PngDecoder.decodePixels(MediaItem(1L, b))),
+      ("bmp", BmpEncoder.encode(img),
+        b => BmpDecoder.decodePixels(MediaItem(1L, b))),
+      ("gif", Gif.GifEncoder.encode(5, 4, gifIdx),
+        b => Gif.GifDecoder.decodePixels(MediaItem(1L, b))),
+      ("tiff", Tiff.TiffEncoder.encode(img),
+        b => Tiff.TiffDecoder.decodePixels(MediaItem(1L, b))))
+    targets.foreach { case (name, base, decode) =>
+      val mutGen: Gen[Array[Byte]] = Gen.oneOf(
+        Gen.choose(0, base.length - 1).map(base.take),
+        for { i <- Gen.choose(0, base.length - 1); b <- Gen.choose(0, 255) }
+          yield { val c = base.clone(); c(i) = b.toByte; c },
+        for { i <- Gen.choose(0, base.length - 1); s <- Gen.alphaStr }
+          yield base.take(i) ++ s.getBytes("ISO-8859-1") ++ base.drop(i))
+      samples(mutGen, n = 250).foreach { bytes =>
+        try { decode(bytes): Unit }
+        catch {
+          case _: IllegalArgumentException => () // the require contract
+          case e: Throwable =>
+            fail(s"$name: non-refusal ${e.getClass.getName}: ${e.getMessage} " +
+              s"(len=${bytes.length})")
+        }
+      }
+    }
+  }
+
   test("excel column refs: index is monotone in column letters") {
     val refGen = for {
       n <- Gen.choose(1, 3)
