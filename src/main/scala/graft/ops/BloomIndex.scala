@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   *    indexes the appended files, never rebuilds); rows for compacted-
   *    away files go stale harmlessly — pruning intersects candidates
   *    with the LIVE snapshot;
-  *  - LOOKUP is control-plane: the index rows are file-count-sized (the
-  *    same size class as the snapshot metadata every query already
-  *    reads), membership tests run driver-side, and only surviving
-  *    files are scanned — with the exact residual filter re-applied, so
-  *    a false positive costs one extra file scan, never a wrong answer.
+  *  - LOOKUP is distributed-then-control-plane: membership tests run
+  *    IN the index scan's executors (the bitsets never leave them —
+  *    collecting 2 MiB/file bitsets driver-side would be fatal at
+  *    100k-file scale), only file-count-sized (name, verdict) pairs
+  *    reach the driver, and only surviving files are scanned — with
+  *    deletion vectors applied and the exact residual filter
+  *    re-applied, so a false positive costs one extra file scan, never
+  *    a wrong answer.
   */
 object BloomIndex {
 
@@ -128,25 +131,32 @@ object BloomIndex {
   /** Point-lookup file pruning: the LIVE data files of `table` that may
     * contain `probe` according to the index (no false negatives; a file
     * with no index row — e.g. appended since the last ensureIndexed —
-    * is conservatively kept). Control-plane: index rows and snapshot
-    * metadata only. Returns (candidate files, total live files). */
+    * is conservatively kept). The membership tests run DISTRIBUTED: the
+    * bitsets (up to 2 MiB/file — driver-fatal at 100k-file scale if
+    * collected) stay in the executors' index scan, and only the
+    * file-count-sized (data_file, mayContain) verdict pairs come back —
+    * the same size class as the snapshot metadata every query already
+    * reads. Returns (candidate files, total live files). */
   def candidateFiles(spark: SparkSession, table: Path, index: Path,
       probe: String, version: Option[Long] = None): (Vector[TxLog.AddFile], Int) = {
+    import spark.implicits._
     // the probe hashes through SPARK's xxhash64 (one control-plane row)
-    // so driver membership tests bit-match the executor-built filters
+    // so the membership tests bit-match the executor-built filters
     val hr = spark.range(1)
       .select(xxhash64(lit(probe)), xxhash64(lit(probe), lit(Seed))).head
     val (h1, h2) = (hr.getLong(0), hr.getLong(1))
-    val rows = TxLog.readAt(spark, index)
-      .select("data_file", "m_bits", "k", "bits").collect()
-    val mayContain: Map[String, Boolean] = rows.map { r =>
-      val m = r.getInt(1); val k = r.getInt(2)
-      val bits = r.getAs[Array[Byte]](3)
-      r.getString(0) -> bitPositions(h1, h2, m, k)
-        .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
-    }.toMap
+    val verdicts: Map[String, Boolean] = TxLog.readAt(spark, index)
+      .select("data_file", "m_bits", "k", "bits")
+      .as[(String, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (f, m, k, bits) =>
+          (f, bitPositions(h1, h2, m, k)
+            .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0))
+        }
+      }
+      .collect().toMap // names + booleans only, never the bitsets
     val live = TxLog.snapshotAt(table, version).files
-    (live.filter(f => mayContain.getOrElse(f.path, true)).toVector, live.size)
+    (live.filter(f => verdicts.getOrElse(f.path, true)).toVector, live.size)
   }
 
   /** Measured false-positive rate: for `probes` (values known to be
@@ -161,31 +171,34 @@ object BloomIndex {
     val hashes = probes.toDF("p")
       .select(xxhash64(col("p")), xxhash64(col("p"), lit(Seed)))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val rows = TxLog.readAt(spark, index)
-      .select("m_bits", "k", "bits").collect()
-    var fired = 0L
-    rows.foreach { r =>
-      val m = r.getInt(0); val k = r.getInt(1)
-      val bits = r.getAs[Array[Byte]](2)
-      hashes.foreach { case (h1, h2) =>
-        if (bitPositions(h1, h2, m, k)
-            .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)) fired += 1
+    // probe hashes broadcast (probe-count-sized); the bitsets stay in
+    // the executors — each index row reduces to its fired-test count
+    val bc = spark.sparkContext.broadcast(hashes)
+    val perRow = TxLog.readAt(spark, index)
+      .select("m_bits", "k", "bits")
+      .as[(Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (m, k, bits) =>
+          bc.value.count { case (h1, h2) =>
+            bitPositions(h1, h2, m, k)
+              .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+          }.toLong
+        }
       }
-    }
-    (fired, rows.length.toLong * probes.size)
+    val r = perRow.agg(coalesce(sum(col("value")), lit(0L)), count(lit(1))).head
+    (r.getLong(0), r.getLong(1) * probes.size)
   }
 
   /** The point lookup itself: scan only the index's candidate files,
     * re-apply the exact predicate (false positives cost one file scan,
-    * never a wrong row). */
+    * never a wrong row). Candidates read through [[TxLog.readFiles]],
+    * which applies their deletion-vector sidecars — so on a
+    * merge-on-read table the lookup honors row-level deletes instead of
+    * resurrecting DV'd rows. */
   def lookup(spark: SparkSession, table: Path, index: Path, valueCol: String,
       probe: String): (DataFrame, Int, Int) = {
     val (cands, total) = candidateFiles(spark, table, index, probe)
-    val df =
-      if (cands.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          TxLog.tableSchema(table).get)
-      else spark.read.parquet(cands.map(f => table.resolve(f.path).toString): _*)
+    val df = TxLog.readFiles(spark, table, cands)
     (df.filter(col(valueCol) === lit(probe)), cands.size, total)
   }
 }

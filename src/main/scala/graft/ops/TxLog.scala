@@ -166,6 +166,10 @@ object TxLog {
     * a txn commit costs readers a map lookup, nothing more. */
   private val txnOutcomes = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: drop the per-JVM outcome cache so a spec can exercise
+    * cold resolution (e.g. after the marker-hosting table is dropped). */
+  private[ops] def forgetTxnOutcomesForTest(): Unit = txnOutcomes.clear()
+
   /** The transaction's outcome ("committed" | "aborted"), resolving the
     * in-doubt window exactly like stale commit claims: a PENDING marker
     * younger than [[StaleClaimMs]] is an in-flight coordinator — wait
@@ -188,8 +192,13 @@ object TxLog {
         return o
       }
       val pendingF = markerDir.resolve("pending")
-      val stale = !Files.exists(pendingF) || (System.currentTimeMillis() -
-        Files.getLastModifiedTime(pendingF).toMillis > StaleClaimMs)
+      // exists-then-mtime is a TOCTOU pair: pending may vanish between
+      // the two calls (coordinator cleanup / table drop) — a vanished
+      // marker is STALE, same as the !exists branch, never an error
+      val stale = try {
+        !Files.exists(pendingF) || (System.currentTimeMillis() -
+          Files.getLastModifiedTime(pendingF).toMillis > StaleClaimMs)
+      } catch { case _: java.nio.file.NoSuchFileException => true }
       if (stale) {
         Files.createDirectories(markerDir)
         publishExclusive(outcomeF, "aborted".getBytes(
@@ -202,18 +211,58 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The reading table's OWN durable replica of a txn outcome:
+    * `_graft_log/_txnout/<txnId>`. The coordinator writes one per
+    * participant at decision time, and any reader that resolves through
+    * the marker replicates the answer here — so once a transaction is
+    * decided AND observed, resolution never again depends on the
+    * sibling table that happens to host the marker directory (which
+    * could be dropped, moved or renamed out from under us, retroactively
+    * voiding a committed transfer). */
+  private def txnOutLocal(table: Path, txnId: String): Path =
+    logDir(table).resolve("_txnout").resolve(txnId)
+
+  private[ops] def replicateOutcome(table: Path, txnId: String, outcome: String): Unit =
+    try {
+      val f = txnOutLocal(table, txnId)
+      Files.createDirectories(f.getParent)
+      publishExclusive(f, outcome.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort: marker still decides
+
   /** Read commit `v` with multi-table-transaction resolution applied: a
     * commit carrying a `txn` marker reference is effective only once its
     * transaction committed; an aborted one reads as an empty no-op
     * (op "txn-aborted" — the multi-table sibling of "abandoned").
     * Ordinary commits pay a single null field check, nothing else —
-    * the reader tax the design doc above requires to be zero. */
+    * the reader tax the design doc above requires to be zero.
+    * Resolution order: (1) once-per-JVM cache, (2) THIS table's own
+    * `_txnout` replica, (3) the marker directory — and a marker-resolved
+    * outcome is replicated into (2) so the sibling-table dependency is
+    * paid at most once per table per transaction. */
   private def commitNode(table: Path, v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
     Option(node.get("txn")) match {
       case None => node
       case Some(m) =>
-        if (resolveTxn(java.nio.file.Paths.get(m.asText)) == "committed") node
+        val markerDir = java.nio.file.Paths.get(m.asText)
+        val txnId = markerDir.getFileName.toString
+        val cached = txnOutcomes.get(markerDir.toString)
+        val outcome =
+          if (cached != null) cached
+          else {
+            val localF = txnOutLocal(table, txnId)
+            val o =
+              if (Files.exists(localF))
+                new String(Files.readAllBytes(localF), java.nio.charset.StandardCharsets.UTF_8)
+              else {
+                val r = resolveTxn(markerDir)
+                replicateOutcome(table, txnId, r)
+                r
+              }
+            txnOutcomes.put(markerDir.toString, o)
+            o
+          }
+        if (outcome == "committed") node
         else mapper.readTree(commitBytes(v, "txn-aborted", Nil, Nil, None, None, Map.empty))
     }
   }
@@ -529,6 +578,12 @@ object TxLog {
       if (outcome != "committed") throw new IllegalStateException(
         "transact: aborted by a lease-expiry resolver before the decision landed")
       txnOutcomes.put(markerDir.toString, "committed")
+      // replicate the decision into EVERY participant's own log before
+      // returning: a transaction that completed can then never be
+      // retroactively voided by the marker-hosting table being dropped,
+      // moved or renamed — each survivor resolves from its own _txnout
+      val txnId = markerDir.getFileName.toString
+      actions.foreach(x => replicateOutcome(x._1.table, txnId, "committed"))
       actions.map(x => (x._1.table, x._2)).toMap
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -537,6 +592,15 @@ object TxLog {
         if (markerDir != null && !Files.exists(markerDir.resolve("outcome")))
           publishExclusive(markerDir.resolve("outcome"), "aborted".getBytes(
             java.nio.charset.StandardCharsets.UTF_8)): Unit
+        if (markerDir != null) {
+          // replicate whatever the marker now says (ours or a racing
+          // resolver's) so abort resolution is also sibling-independent
+          val decided = try new String(Files.readAllBytes(markerDir.resolve("outcome")),
+            java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => null }
+          if (decided != null)
+            claimed.foreach(x => replicateOutcome(x._1.table,
+              markerDir.getFileName.toString, decided))
+        }
         claimed.foreach { case (op, v, vd) =>
           if (!Files.exists(vd.resolve("commit.json")))
             publishAbandoned(op.table, vd, v)
@@ -637,7 +701,10 @@ object TxLog {
     val vs = versions(table)
     val upTo = version.getOrElse(if (vs.isEmpty) -1L else vs.last)
     vs.filter(_ <= upTo).reverse.iterator.flatMap { v =>
-      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      // through commitNode, NOT a raw commit.json read: an ABORTED
+      // multi-table transaction's append must not establish or advance
+      // the table schema (its txn-aborted replay carries no schema)
+      val node = commitNode(table, v)
       Option(node.get("schema")).map(s => DataType.fromJson(s.asText).asInstanceOf[StructType])
     }.nextOption()
   }
@@ -1234,6 +1301,31 @@ object TxLog {
     partitions.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
   }
 
+  /** Read exactly `files` of `table` — a caller-pruned subset of a live
+    * snapshot (e.g. a bloom index's candidate files) — with their
+    * deletion vectors applied. The file-pruned sibling of [[readAt]]:
+    * same log-schema resolution, same merge-on-read semantics, so a
+    * point lookup over a DV-carrying table can never resurrect deleted
+    * rows. `files` must come from a snapshot of `table` (their `dv`
+    * fields are what gets applied). */
+  def readFiles(spark: SparkSession, table: Path, files: Seq[AddFile],
+      version: Option[Long] = None): DataFrame = {
+    val reader = tableSchema(table, version) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+    if (files.isEmpty) {
+      return tableSchema(table, version) match {
+        case Some(s) =>
+          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+        case None => throw new IllegalStateException(
+          s"readFiles: empty file set and no recorded schema for $table")
+      }
+    }
+    applyDvs(spark, table, files,
+      reader.parquet(files.map(f => table.resolve(f.path).toString): _*))
+  }
+
   /** Rewrite the current live set as `nParts` files in one commit.
     * Readers pinned at any older version still resolve their own file
     * list — compaction never mutates data files in place. Deletion
@@ -1805,8 +1897,15 @@ object TxLog {
         Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
       Option(node.get("txn")).map { m =>
         val marker = m.asText
-        (v, node.get("op").asText, marker,
-          resolveTxn(java.nio.file.Paths.get(marker)))
+        val markerDir = java.nio.file.Paths.get(marker)
+        // this table's own _txnout replica first — same sibling-
+        // independent resolution order as commitNode
+        val localF = txnOutLocal(table, markerDir.getFileName.toString)
+        val outcome =
+          if (Files.exists(localF))
+            new String(Files.readAllBytes(localF), java.nio.charset.StandardCharsets.UTF_8)
+          else resolveTxn(markerDir)
+        (v, node.get("op").asText, marker, outcome)
       }
     }
 

@@ -327,6 +327,13 @@ object LakeQueries {
       TxLog.create(base.resolve("rejects"), d.schema): Unit
       val mv = spark.sql(s"CALL $cat.move_where('tbl', 'rejects', 'doc_id', " +
         s"'n_chars < 120 OR n_chars > 500')").head
+      // move_where leaves merge-on-read deletion vectors on the hot
+      // table, and DV snapshots serve through GraftDvTable — which the
+      // bloom-pruned scan path does not cover. Compact FIRST (folds the
+      // DVs into plain files) so the probe below genuinely resolves
+      // through GraftDelegatingScanBuilder.bloomPruned, then index the
+      // compacted files.
+      TxLog.compact(spark, hot, "doc_id", nParts = 4): Unit
       spark.sql(s"CALL $cat.bloom_index('tbl', 'text_key')").collect(): Unit
       // probe: the smallest-id KEPT doc; its text dups are all kept too
       // (same text => same n_chars => same side of the quality gate)

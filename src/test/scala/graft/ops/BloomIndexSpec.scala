@@ -101,4 +101,22 @@ class BloomIndexSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(bits(ix1) == bits(ix2))
   }
+
+  test("a merge-on-read delete is honored by the point lookup: DV'd " +
+      "rows are never resurrected, survivors still resolve") {
+    import spark.implicits._
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    TxLog.append(spark, kvDf(0L until 50L), table, "doc_id", nParts = 2)
+    BloomIndex.ensureIndexed(spark, table, index, "key"): Unit
+    val gone = kvDf(Seq(7L)).select("key").head.getString(0)
+    val kept = kvDf(Seq(8L)).select("key").head.getString(0)
+    TxLog.deleteMor(spark, table, Seq(7L).toDF("doc_id"), "doc_id"): Unit
+    // the deleted row's file is still the bloom candidate — the DV
+    // sidecar must drop the row in the scan, not the index
+    val (rows, scanned, _) = BloomIndex.lookup(spark, table, index, "key", gone)
+    assert(scanned >= 1, "the candidate file itself is still live")
+    assert(rows.count() == 0L, "lookup resurrected a DV-deleted row")
+    val (rows2, _, _) = BloomIndex.lookup(spark, table, index, "key", kept)
+    assert(rows2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(8L))
+  }
 }

@@ -230,4 +230,57 @@ class TxnSpec extends SparkSpec {
     assert(ids(b) == Seq(3L, 100L, 101L, 200L))
     assert(TxLog.latestVersion(b) == 2L)
   }
+
+  private def deleteRec(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  test("a committed transfer survives the marker-hosting table being " +
+      "DROPPED: the survivor resolves from its own _txnout replica") {
+    val base = Files.createTempDirectory("graft_txnspec")
+    // 'a' sorts first canonically, so the txn marker lives in a's log
+    val a = base.resolve("a"); val b = base.resolve("b")
+    TxLog.append(spark, idsDf(0L to 9L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 102L), b, "doc_id", nParts = 1)
+    val moving = idsDf(Seq(2L, 5L))
+    TxLog.transact(spark, Seq(
+      TxLog.TxnDeleteMor(a, moving.select("doc_id"), "doc_id"),
+      TxLog.TxnAppend(b, moving, "doc_id")))
+    assert(Files.isDirectory(a.resolve("_graft_log").resolve("_txn")),
+      "precondition: the marker must live in the first participant's log")
+    // drop the marker-hosting table entirely, then force COLD resolution
+    deleteRec(a)
+    TxLog.forgetTxnOutcomesForTest()
+    // before the outcome-replication fix, resolution fell back to the
+    // vanished marker, decided 'aborted', and the transferred rows
+    // silently vanished from the surviving table
+    assert(ids(b) == Seq(2L, 5L, 100L, 101L, 102L))
+    assert(TxLog.history(b).map(_._2) == Seq("append", "append"))
+  }
+
+  test("an ABORTED transaction's append cannot establish or advance " +
+      "the table schema") {
+    val c = freshTable()
+    val marker = c.getParent.resolve("marker")
+    Files.createDirectories(marker)
+    Files.write(marker.resolve("pending"), "{}".getBytes): Unit
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    // a txn-flagged schema-bearing append from a coordinator that died
+    // before deciding; the lease then resolves the txn as aborted
+    assert(TxLog.tryCommit(c, 0L, "append", Nil, Nil,
+      schema = Some(schema), extra = Map("txn" -> marker.toString)))
+    Files.setLastModifiedTime(marker.resolve("pending"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxLog.StaleClaimMs - 1000))
+    assert(TxLog.tableSchema(c).isEmpty,
+      "aborted txn append must not establish the table schema")
+    assert(TxLog.history(c).map(_._2) == Seq("txn-aborted"))
+  }
 }
