@@ -360,6 +360,10 @@ private[catalog] object GraftProcedures {
               .foreach { ix =>
                 val colName = ix.getFileName.toString.drop(prefix.length)
                 graft.ops.BloomIndex.ensureIndexed(spark, dir, ix, colName): Unit
+                // ...and the dead-row tail for compacted-away files is
+                // dropped in the same pass, so the index stays
+                // file-count-sized instead of history-sized
+                graft.ops.BloomIndex.pruneStale(spark, dir, ix): Unit
               }
           } finally siblings.close()
           InternalRow(UTF8String.fromString(action), before.toLong,

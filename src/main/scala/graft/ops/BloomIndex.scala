@@ -159,6 +159,35 @@ object BloomIndex {
     (live.filter(f => verdicts.getOrElse(f.path, true)).toVector, live.size)
   }
 
+  /** Drop index rows for data files no longer LIVE in `table` (rows go
+    * stale when compaction/clustering rewrites files — harmless for
+    * correctness since pruning intersects with the live snapshot, but
+    * at 100 TB a weekly-compacted table would otherwise accrete an
+    * unbounded dead-row tail that every lookup scan pays for). The
+    * delete is merge-on-read keyed by `file_hash` (the index's integer
+    * stats column): O(stale) sidecar bytes, zero files rewritten, and
+    * the index table's own next compact folds them in. A (vanishingly
+    * unlikely) xxhash64 collision between a stale and a live file name
+    * would make the delete overreach onto the live row, so colliding
+    * hashes are conservatively skipped — a stale row is harmless, a
+    * missing live row is only a lost prune, but the guard keeps even
+    * that from silently changing pruning power. Returns the number of
+    * stale rows dropped. */
+  def pruneStale(spark: SparkSession, table: Path, index: Path): Int = {
+    if (TxLog.versions(index).isEmpty) return 0
+    val live = TxLog.snapshotAt(table).files.map(_.path).toSet
+    // file-count-sized metadata: names + hashes only, never the bitsets
+    val rows = TxLog.readAt(spark, index).select("data_file", "file_hash")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val liveHashes = rows.filter(r => live.contains(r._1)).map(_._2).toSet
+    val stale = rows.filter(r => !live.contains(r._1))
+      .map(_._2).distinct.filterNot(liveHashes.contains)
+    if (stale.isEmpty) return 0
+    import spark.implicits._
+    TxLog.deleteMor(spark, index, stale.toSeq.toDF("file_hash"), "file_hash"): Unit
+    stale.length
+  }
+
   /** Measured false-positive rate: for `probes` (values known to be
     * ABSENT from the indexed column), the fraction of (probe, file)
     * membership tests that fire. All probes hash in ONE control-plane

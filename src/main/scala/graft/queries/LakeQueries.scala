@@ -1532,6 +1532,49 @@ object LakeQueries {
         lit(fired <= (totalTests * 15L) / 1000L).as("fpp_within_bound"))
     }),
 
+    // ---- blix05: INDEX VACUUM — the lifecycle gap blix01-04 leave
+    // open: compaction rewrites the data files, so the index accretes
+    // rows for files that no longer exist (harmless for correctness —
+    // pruning intersects with the live snapshot — but at 100 TB a
+    // weekly-compacted table would pay an unbounded dead-row tail in
+    // every lookup's index scan). CALL maintain's sibling-index pass
+    // now both re-indexes the rewritten files AND drops the stale rows
+    // (BloomIndex.pruneStale: a merge-on-read delete keyed on the
+    // index's own file_hash stats column — O(stale) sidecar bytes).
+    // Gated: 8 seeded rows -> cluster_by to 4 files -> exactly 4 index
+    // rows, and the probe still resolves exactly through the
+    // vacuumed index.
+    "blix05_index_vacuum" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val span = idSpan(d)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      (0 until 4).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 4 === i), table, "doc_id", nParts = 2)
+      }
+      spark.sql(s"CALL $cat.bloom_index('tbl', 'text_key')").collect(): Unit
+      val index = base.resolve("tbl_bloom_text_key")
+      val seeded = TxLog.readAt(spark, index).count() // 8 per-file rows
+      // 8 live files with fully-overlapping doc_id ranges > max_files=4
+      // => maintain cluster_by's into 4 range-disjoint files, then its
+      // sibling pass indexes the 4 new files and vacuums the 8 stale rows
+      spark.sql(s"CALL $cat.maintain('tbl', 4, 4)").collect(): Unit
+      val after = TxLog.readAt(spark, index).count()
+      val liveFiles = TxLog.snapshotAt(table).files.size
+      val probe = d.filter(col("doc_id") === lit(span / 2))
+        .select("text_key").head.getString(0)
+      val (rows, _, _) = BloomIndex.lookup(spark, table, index, "text_key", probe)
+      rows.agg(count(lit(1)).as("n_found"), sum(col("doc_id")).as("sum_found_ids"))
+        .select(col("n_found"), col("sum_found_ids"),
+          lit(seeded).cast("bigint").as("index_rows_seeded"),
+          lit(after).cast("bigint").as("index_rows_after"),
+          lit(liveFiles.toLong).as("files_live"),
+          lit(after == liveFiles).as("index_matches_live"))
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -2118,6 +2161,20 @@ object LakeQueries {
         |  CAST(2 AS BIGINT) AS first_indexed, CAST(6 AS BIGINT) AS indexed_total,
         |  CAST(6 AS BIGINT) AS files_total, TRUE AS bloom_pruned
         |FROM f""".stripMargin,
+
+    // Index vacuum: 8 seeded per-file rows, cluster_by to 4 files,
+    // maintenance leaves exactly one index row per live file; the
+    // probe's dup-text holders all resolve through the vacuumed index.
+    "blix05_index_vacuum" ->
+      """WITH p AS (SELECT md5(text) AS k FROM documents
+        |           WHERE doc_id = (SELECT (MAX(doc_id) + 1) // 2 FROM documents))
+        |SELECT COUNT(*) AS n_found,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_found_ids,
+        |  CAST(8 AS BIGINT) AS index_rows_seeded,
+        |  CAST(4 AS BIGINT) AS index_rows_after,
+        |  CAST(4 AS BIGINT) AS files_live,
+        |  TRUE AS index_matches_live
+        |FROM documents d, p WHERE md5(d.text) = p.k""".stripMargin,
 
     // tx22's transfer driven through CALL move_where: same recompute,
     // plus the procedure's moved count and per-table versions.

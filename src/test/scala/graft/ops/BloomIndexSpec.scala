@@ -102,6 +102,28 @@ class BloomIndexSpec extends SparkSpec {
     assert(bits(ix1) == bits(ix2))
   }
 
+  test("pruneStale drops index rows for compacted-away files and " +
+      "leaves live coverage intact") {
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    (0 until 3).foreach { i =>
+      TxLog.append(spark, kvDf((i * 10L) until (i * 10L + 10L)), table, "doc_id", nParts = 1)
+    }
+    BloomIndex.ensureIndexed(spark, table, index, "key"): Unit
+    TxLog.compact(spark, table, "doc_id", nParts = 1)
+    // nothing stale-pruned before re-indexing would drop live coverage;
+    // the maintenance order is ensureIndexed THEN pruneStale
+    assert(BloomIndex.ensureIndexed(spark, table, index, "key") == 1)
+    assert(BloomIndex.pruneStale(spark, table, index) == 3)
+    assert(TxLog.readAt(spark, index).count() == 1L)
+    // idempotent: a second pass finds nothing stale
+    assert(BloomIndex.pruneStale(spark, table, index) == 0)
+    // every key still resolves exactly through the vacuumed index
+    val probe = kvDf(Seq(17L)).select("key").head.getString(0)
+    val (rows, _, total) = BloomIndex.lookup(spark, table, index, "key", probe)
+    assert(total == 1)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(17L))
+  }
+
   test("a merge-on-read delete is honored by the point lookup: DV'd " +
       "rows are never resurrected, survivors still resolve") {
     import spark.implicits._
