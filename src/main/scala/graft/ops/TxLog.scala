@@ -443,6 +443,17 @@ object TxLog {
     * no file rewrite — the same pipeline as [[deleteMor]]). */
   final case class TxnDeleteMor(table: Path, keys: DataFrame, keyCol: String)
     extends TxnOp
+  /** Atomic MERGE (upsert) of `df` into `table` as a transaction
+    * participant: rows whose `keyCol` already exists are replaced
+    * (merge-on-read — the old versions are DV'd out, zero files
+    * rewritten) and new keys are inserted, in ONE commit of this
+    * table. Delete-then-insert-all semantics: every row of `df` lands;
+    * every pre-existing row sharing a key with `df` is removed. The
+    * expensive half (staging `df`) happens in PREPARE before any claim
+    * is held; only the churn-sized DV computation runs under the
+    * fence. */
+  final case class TxnMerge(table: Path, df: DataFrame, keyCol: String,
+      statsCol: String, nParts: Int = 1) extends TxnOp
 
   /** Claim `table`'s next version, resolving stale squatters, until
     * `deadline`. The caller holds the claim on return. */
@@ -505,24 +516,30 @@ object TxLog {
       "transact: one operation per table per transaction")
     val ordered = keyed.sortBy(_._1.toString).map(_._2)
 
-    // ---- 1. PREPARE: stage append data before holding any claim
+    // ---- 1. PREPARE: stage append/merge data before holding any claim
+    def stageFor(table: Path, df: DataFrame, statsCol: String,
+        nParts: Int): Seq[AddFile] = {
+      Files.createDirectories(table)
+      validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit
+      val partCols = partitionColsOf(table)
+      if (partCols.nonEmpty)
+        // a hive-partitioned participant keeps its layout (and its
+        // partition-pruned reads) through the transaction
+        stagePartitioned(spark, df, table, partCols, statsCol,
+          clusterCol = None, nParts = nParts)
+      else {
+        val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+        (if (nParts > 0) df.repartition(nParts) else df)
+          .write.mode("overwrite").parquet(stage.toString)
+        enforceConstraintsStaged(spark, table, stage)
+        promoteStaged(spark, stage, table, statsCol)
+      }
+    }
     val prepared: Seq[(TxnOp, Seq[AddFile])] = ordered.map {
-      case a: TxnAppend =>
-        Files.createDirectories(a.table)
-        validateSchema(tableSchema(a.table), a.df.schema, allowEvolution = false): Unit
-        val partCols = partitionColsOf(a.table)
-        if (partCols.nonEmpty)
-          // a hive-partitioned participant keeps its layout (and its
-          // partition-pruned reads) through the transaction
-          (a, stagePartitioned(spark, a.df, a.table, partCols, a.statsCol,
-            clusterCol = None, nParts = a.nParts))
-        else {
-          val stage = a.table.resolve(s".stage-${UUID.randomUUID()}")
-          (if (a.nParts > 0) a.df.repartition(a.nParts) else a.df)
-            .write.mode("overwrite").parquet(stage.toString)
-          enforceConstraintsStaged(spark, a.table, stage)
-          (a, promoteStaged(spark, stage, a.table, a.statsCol))
-        }
+      case a: TxnAppend => (a, stageFor(a.table, a.df, a.statsCol, a.nParts))
+      case m: TxnMerge =>
+        require(versions(m.table).nonEmpty, s"transact: no committed versions in ${m.table}")
+        (m, stageFor(m.table, m.df, m.statsCol, m.nParts))
       case d: TxnDeleteMor =>
         require(versions(d.table).nonEmpty, s"transact: no committed versions in ${d.table}")
         (d, Nil)
@@ -544,6 +561,18 @@ object TxLog {
           val schemaNow = validateSchema(tableSchema(a.table), a.df.schema,
             allowEvolution = false)
           (a: TxnOp, v, vd, staged(a), "append", Some(schemaNow))
+        case (m: TxnMerge, v, vd) =>
+          val schemaNow = validateSchema(tableSchema(m.table), m.df.schema,
+            allowEvolution = false)
+          // the frozen snapshot lists only COMMITTED files — the staged
+          // new rows are invisible to it, so the DVs cover exactly the
+          // pre-merge holders of the merged keys
+          val snap = snapshotAt(m.table)
+          val matches = morMatches(spark, m.table, snap,
+            m.df.select(col(m.keyCol)), m.keyCol)
+          (m: TxnOp, v, vd,
+            extendDvs(m.table, snap, matches, m.keyCol) ++ staged(m),
+            "merge-mor", Some(schemaNow))
         case (d: TxnDeleteMor, v, vd) =>
           val snap = snapshotAt(d.table) // frozen: we hold the next-version claim
           val matches = morMatches(spark, d.table, snap,

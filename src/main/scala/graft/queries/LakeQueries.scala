@@ -1609,6 +1609,42 @@ object LakeQueries {
         lit(vs(cold)).cast("bigint").as("cold_txn_version"))
     }),
 
+    // ---- tx23: MERGE as a TRANSACTION PARTICIPANT (TxLog.TxnMerge) —
+    // the SCD-style reconciliation shape: a corrections batch UPSERTS
+    // into the current table (existing keys replaced merge-on-read,
+    // new keys inserted) AND the same batch lands in an audit table,
+    // atomically — a reader can never see the correction applied but
+    // unlogged, or logged but unapplied. The merge is delete-then-
+    // insert-all in ONE commit of the current table: DV sidecars void
+    // the old versions of updated keys (zero files rewritten), the
+    // staged new rows were written BEFORE any claim was held. Gated:
+    // both tables' post-txn aggregates replayed by the oracle, one
+    // commit per table.
+    "tx23_txn_merge" -> ((spark: SparkSession, dir: String) => {
+      val d0 = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      val span = idSpan(d0)
+      val cur = freshTable()
+      val audit = freshTable()
+      TxLog.append(spark, d0, cur, "doc_id", nParts = 4) // v0
+      val changes = d0.filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") + 1000L) // the update cohort
+        .unionByName(d0.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(span))) // the insert cohort
+      val vs = TxLog.transact(spark, Seq(
+        TxLog.TxnMerge(cur, changes, "doc_id", "doc_id", nParts = 2),
+        TxLog.TxnAppend(audit, changes, "doc_id", nParts = 1)))
+      val c = TxLog.readAt(spark, cur).agg(
+        count(lit(1)).as("cur_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("cur_chars"))
+      val a = TxLog.readAt(spark, audit).agg(
+        count(lit(1)).as("audit_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("audit_chars"))
+      c.crossJoin(a).select(
+        col("cur_docs"), col("cur_chars"), col("audit_docs"), col("audit_chars"),
+        lit(vs(cur)).cast("bigint").as("cur_txn_version"),
+        lit(vs(audit)).cast("bigint").as("audit_txn_version"))
+    }),
+
     // ---- tx15: CLUSTERED compaction (OPTIMIZE) — the layout
     // maintenance a streaming table needs: four arrival-order appends
     // (every file spans the whole id range — zero pruning power, gated
@@ -2192,6 +2228,27 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS source_version,
         |  CAST(1 AS BIGINT) AS target_version
         |FROM mv, h, cd""".stripMargin,
+
+    // The atomic upsert + audit: %10=3 docs replaced with +1000 chars,
+    // %5=0 docs re-inserted above the id span; the audit table holds
+    // exactly the changes batch. cur advanced to v1 (seed append was
+    // v0); audit's txn append IS its v0.
+    "tx23_txn_merge" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars
+        |        FROM documents WHERE doc_id % 10 = 3),
+        |ins AS (SELECT d.doc_id + span.s AS doc_id, d.n_chars
+        |        FROM documents d, span WHERE d.doc_id % 5 = 0),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |cur AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 3
+        |        UNION ALL SELECT * FROM ch)
+        |SELECT
+        |  (SELECT COUNT(*) FROM cur) AS cur_docs,
+        |  CAST((SELECT SUM(n_chars) FROM cur) AS BIGINT) AS cur_chars,
+        |  (SELECT COUNT(*) FROM ch) AS audit_docs,
+        |  CAST((SELECT SUM(n_chars) FROM ch) AS BIGINT) AS audit_chars,
+        |  CAST(1 AS BIGINT) AS cur_txn_version,
+        |  CAST(0 AS BIGINT) AS audit_txn_version""".stripMargin,
 
     // The committed transfer: short 'en' docs moved hot -> cold; each
     // table advanced exactly one version (v0 seed append, v1 the txn).

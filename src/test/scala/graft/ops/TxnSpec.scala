@@ -231,6 +231,68 @@ class TxnSpec extends SparkSpec {
     assert(TxLog.latestVersion(b) == 2L)
   }
 
+  test("TxnMerge upserts atomically: existing keys replaced via DV, " +
+      "new keys inserted, one commit — and time travel still reads " +
+      "the pre-merge rows") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), a, "doc_id", nParts = 2)
+    import spark.implicits._
+    // keys 3,7 exist (update), 100,101 are new (insert)
+    val changes = Seq(3L, 7L, 100L, 101L).toDF("doc_id")
+      .withColumn("payload", concat(lit("NEW"), col("doc_id")))
+    val vs = TxLog.transact(spark, Seq(
+      TxLog.TxnMerge(a, changes, "doc_id", "doc_id", nParts = 1),
+      TxLog.TxnAppend(b, changes, "doc_id", nParts = 1)))
+    assert(vs == Map(a -> 1L, b -> 0L))
+    assert(ids(a) == (0L to 9L) ++ Seq(100L, 101L))
+    // updated keys carry the NEW payload exactly once
+    val payloads = TxLog.readAt(spark, a)
+      .filter(col("doc_id").isin(3L, 7L, 100L, 101L))
+      .select("payload").collect().map(_.getString(0)).sorted
+    assert(payloads.toSeq == Seq("NEW100", "NEW101", "NEW3", "NEW7"))
+    // merge-on-read: zero data files of v0 were rewritten; the old
+    // rows are DV'd out, so v0 still reads the pre-merge payloads
+    val v0 = TxLog.readAt(spark, a, version = Some(0L))
+      .filter(col("doc_id") === 3L).select("payload").head.getString(0)
+    assert(v0 == "v3")
+    assert(TxLog.history(a).map(_._2) == Seq("append", "merge-mor"))
+    assert(ids(b) == Seq(3L, 7L, 100L, 101L))
+  }
+
+  test("TxnMerge is delete-then-insert-all: a batch with duplicate " +
+      "keys lands wholly, old versions of those keys are gone") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), a, "doc_id", nParts = 1)
+    import spark.implicits._
+    val changes = Seq((2L, "x"), (2L, "y")).toDF("doc_id", "payload")
+    TxLog.transact(spark, Seq(
+      TxLog.TxnMerge(a, changes, "doc_id", "doc_id", nParts = 1),
+      TxLog.TxnAppend(b, changes, "doc_id", nParts = 1)))
+    val got = TxLog.readAt(spark, a).filter(col("doc_id") === 2L)
+      .select("payload").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("x", "y"))
+    assert(TxLog.readAt(spark, a).count() == 6L) // 4 untouched + 2 merged
+  }
+
+  test("TxnMerge refuses a table with no committed versions (merge " +
+      "into nothing is an append — say so)") {
+    val a = freshTable(); val b = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), b, "doc_id", nParts = 1)
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      TxLog.transact(spark, Seq(
+        TxLog.TxnMerge(a, Seq(1L).toDF("doc_id")
+          .withColumn("payload", lit("p")), "doc_id", "doc_id"),
+        TxLog.TxnAppend(b, Seq(1L).toDF("doc_id")
+          .withColumn("payload", lit("p")), "doc_id")))
+    }
+    assert(e.getMessage.contains("no committed versions"))
+    // nothing landed anywhere: the refusal happened in PREPARE,
+    // before any claim was held
+    assert(ids(b) == Seq(0L, 1L, 2L))
+    assert(TxLog.latestVersion(b) == 0L)
+  }
+
   private def deleteRec(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
