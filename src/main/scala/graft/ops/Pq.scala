@@ -39,30 +39,53 @@ object Pq {
     * corpus is scanned exactly once (the checkpoint below). Numerically
     * identical to independent per-subspace training: every (sub) group
     * sees the same seeds, distances, and tie-breaks. */
-  def model(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-      m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  /** The (id, sub, quantized-subvector) relation every PQ pass starts
+    * from — one corpus scan, m rows per vector. */
+  private def quantizedSubs(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val dsub = dims / m
-    val q = df.select(col(idCol), posexplode(array((0 until m).map(s =>
+    df.select(col(idCol), posexplode(array((0 until m).map(s =>
         expr(s"transform(slice($vecCol, ${s * dsub + 1}, $dsub), " +
           "x -> floor(cast(x as double) * 1000000.0))")): _*))
       .as(Seq("sub", "q")))
+  }
+
+  /** Nearest-codeword assignment of a quantized (id, sub, q) relation
+    * against a `(sub, cid, m)` codebook — the ONE rule shared by
+    * training, the incremental encode of new vectors against a
+    * PERSISTED codebook, and the oracle, so the three can never
+    * drift. Broadcast-sized: m x k codewords. */
+  private def assignAgainst(q: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
+    val cents = codebook.groupBy("sub")
+      .agg(collect_list(struct(col("cid"), col("m"))).as("cs"))
+    q.join(broadcast(cents), "sub")
+      .select(col(idCol), col("sub"), col("q"),
+        expr( // Clustering.assign's argmin, per subspace group
+          """array_min(transform(cs, c -> struct(
+            |  aggregate(zip_with(q, c.m, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+            |            0D, (acc, x) -> acc + x) as d,
+            |  c.cid as cid))).cid""".stripMargin).as("code"))
+  }
+
+  /** Encode vectors against an EXISTING codebook (e.g. one read back
+    * from a lake table): (id, sub, code) — the incremental-maintenance
+    * path of a persisted PQ index, where new arrivals are coded by the
+    * codebook trained at build time, never a retrain. */
+  def encode(df: DataFrame, codebook: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int): DataFrame =
+    assignAgainst(quantizedSubs(df, idCol, vecCol, dims, m), codebook, idCol)
+      .select(col(idCol), col("sub"), col("code"))
+
+  def model(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val q = quantizedSubs(df, idCol, vecCol, dims, m)
       .localCheckpoint(true) // the one corpus scan ends here
     val init = q.filter(col(idCol) < k)
       .select(col("sub"), col(idCol).as("cid"),
         expr("transform(q, x -> cast(x as double))").as("m"))
-    def assignAll(means: DataFrame): DataFrame = {
-      val cents = means.groupBy("sub")
-        .agg(collect_list(struct(col("cid"), col("m"))).as("cs"))
-      q.join(broadcast(cents), "sub")
-        .select(col(idCol), col("sub"), col("q"),
-          expr( // Clustering.assign's argmin, per subspace group
-            """array_min(transform(cs, c -> struct(
-              |  aggregate(zip_with(q, c.m, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
-              |            0D, (acc, x) -> acc + x) as d,
-              |  c.cid as cid))).cid""".stripMargin).as("code"))
-    }
+    def assignAll(means: DataFrame): DataFrame = assignAgainst(q, means, idCol)
     def recompute(assigned: DataFrame): DataFrame =
       assigned
         .select(col("sub"), col("code").as("cid"), posexplode(col("q")).as(Seq("dim", "val")))

@@ -494,6 +494,44 @@ object SimilarityQueries {
           col("n_hits").cast("double") / col("k").cast("double"))
         .orderBy("q_id")
     }),
+
+    // ---- sim10: the PERSISTED PQ index — sim07's "index is a table"
+    // lifecycle applied to sim06's memory-compression path. The
+    // codebook trains ONCE on the initial corpus (vec_id % 10 != 9)
+    // and both artifacts — the m x k codebook and the sub-CLUSTERED
+    // skinny code relation — commit as versioned lake tables. The
+    // growth batch is encoded against the PERSISTED codebook
+    // (Pq.encode: nearest-codeword assignment, NEVER a retrain — the
+    // production contract that keeps old codes valid) and lands as one
+    // more ACID append. The ADC query reads codes + codebook purely
+    // from disk and reranks only its shortlist from the vector
+    // relation. At 100 TB this is the only viable PQ shape: training
+    // cost amortizes across every arrival batch, the corpus-wide pass
+    // reads m bytes/vector from the code table, and the index is
+    // versioned — a reindex can't break in-flight queries.
+    "sim10_lake_pq" -> ((spark: SparkSession, dir: String) => {
+      val emb = t(spark, dir, "embeddings")
+      val c0 = emb.filter(col("vec_id") % 10 =!= 9)
+      val growth = emb.filter(col("vec_id") % 10 === 9)
+      val n = c0.count() // TRAIN-corpus-scaled knobs (1-row agg)
+      val (codes0, codebook) = graft.ops.Pq.model(
+        c0, "vec_id", "embedding", dims = 64, m = 8, k = pqK(n), iters = 2)
+      val cbTable = freshTable()
+      val codeTable = freshTable()
+      graft.ops.TxLog.append(spark, codebook, cbTable, "cid", nParts = 1)
+      graft.ops.TxLog.appendClustered(spark, codes0, codeTable,
+        "vec_id", clusterCol = col("sub"), nClusters = 4)
+      val cbLake = graft.ops.TxLog.readAt(spark, cbTable)
+      graft.ops.TxLog.appendClustered(spark,
+        graft.ops.Pq.encode(growth, cbLake, "vec_id", "embedding", dims = 64, m = 8),
+        codeTable, "vec_id", clusterCol = col("sub"), nClusters = 2)
+      val codesLake = graft.ops.TxLog.readAt(spark, codeTable)
+      graft.ops.Pq.adcRerankTopK(emb, codesLake, cbLake,
+          emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", dims = 64, m = 8,
+          shortlistK = pqShortlist(n), topK = 10)
+        .orderBy("rank")
+    }),
   )
 
   /** sim07's body as a named builder so sim09 can audit the SERVED
@@ -707,8 +745,14 @@ object SimilarityQueries {
 
   /** km01-style unrolled 2-round Lloyd over ONE PQ subspace (corpus-
     * scaled k, seeds = the k lowest vec_ids), on the 1-based-inclusive
-    * embedding slice [lo+1 .. lo+dsub]; all CTE names suffixed _s. */
-  private def pqSubCtes(s: Int, lo: Int, dsub: Int): String = {
+    * embedding slice [lo+1 .. lo+dsub]; all CTE names suffixed _s.
+    * `trainCond` restricts which vectors TRAIN the codebook (seeds,
+    * assignment rounds, centroid recompute); the FINAL assignment
+    * (a2_s) always covers every vector — exactly the engine's split,
+    * where growth vectors are encoded against the persisted codebook
+    * by the same nearest-codeword rule but never move a centroid. */
+  private def pqSubCtes(s: Int, lo: Int, dsub: Int,
+      trainCond: String = "TRUE", kSql: String = pqKSql): String = {
     def dist(qRel: String, cRel: String) =
       s"""SELECT e.vec_id, c.cid,
          |    list_sum(list_transform(list_zip(e.q, c.m),
@@ -718,18 +762,20 @@ object SimilarityQueries {
        |  SELECT vec_id, list_transform(embedding[${lo + 1}:${lo + dsub}],
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
        |  FROM embeddings),
+       |tr_$s AS (
+       |  SELECT * FROM q_$s WHERE $trainCond),
        |c0_$s AS (
        |  SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS m
-       |  FROM q_$s WHERE vec_id < $pqKSql),
+       |  FROM tr_$s WHERE vec_id < $kSql),
        |d1_$s AS (
-       |  ${dist(s"q_$s", s"c0_$s")}),
+       |  ${dist(s"tr_$s", s"c0_$s")}),
        |a1_$s AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d1_$s) WHERE rn = 1),
        |x1_$s AS (
        |  SELECT a.cid, generate_subscripts(q.q, 1) AS dim, unnest(q.q) AS val
-       |  FROM a1_$s a JOIN q_$s q USING (vec_id)),
+       |  FROM a1_$s a JOIN tr_$s q USING (vec_id)),
        |s1_$s AS (
        |  SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv, COUNT(*) AS cnt
        |  FROM x1_$s GROUP BY cid, dim),
@@ -744,9 +790,12 @@ object SimilarityQueries {
        |    FROM d2_$s) WHERE rn = 1)""".stripMargin
   }
 
-  private val sim06Sql: String = {
+  /** The full PQ ADC + rerank oracle, parameterized by the training
+    * split — sim06 trains on everything, sim10 on the initial corpus
+    * only (with knobs scaled to the TRAIN count). */
+  private def pqAnnSql(trainCond: String, kSql: String, shortlistSql: String): String = {
     val subs = 0 until 8
-    "WITH " + subs.map(s => pqSubCtes(s, s * 8, 8)).mkString(",\n") + ",\n" +
+    "WITH " + subs.map(s => pqSubCtes(s, s * 8, 8, trainCond, kSql)).mkString(",\n") + ",\n" +
       s"""codes AS (
          |  ${subs.map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a2_$s")
               .mkString("\n  UNION ALL\n  ")}),
@@ -767,7 +816,7 @@ object SimilarityQueries {
          |  WHERE c.vec_id <> 0
          |  GROUP BY c.vec_id),
          |shortlist AS (SELECT vec_id, approx_dist FROM approx
-         |  ORDER BY approx_dist, vec_id LIMIT $pqShortlistSql),
+         |  ORDER BY approx_dist, vec_id LIMIT $shortlistSql),
          |qfull AS (
          |  SELECT list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
@@ -789,6 +838,17 @@ object SimilarityQueries {
          |  vec_id, exact_dist, approx_dist
          |FROM top ORDER BY rank""".stripMargin
   }
+
+  private val sim06Sql: String = pqAnnSql("TRUE", pqKSql, pqShortlistSql)
+
+  // sim10: codebook trained on the initial corpus only; knobs scale to
+  // the TRAIN count (what the engine's c0.count() measures); the final
+  // encode covers every vector — growth coded by the persisted book.
+  private val sim10Sql: String = pqAnnSql("vec_id % 10 <> 9",
+    "(SELECT GREATEST(16, LEAST(256, (COUNT(*) + 31) // 32)) " +
+      "FROM embeddings WHERE vec_id % 10 <> 9)",
+    "(SELECT GREATEST(100, LEAST(4096, (COUNT(*) + 4) // 5)) " +
+      "FROM embeddings WHERE vec_id % 10 <> 9)")
 
   /** Shared by sim07 (batch increment) and sim08 (streaming tail):
     * both maintenance paths must produce the SAME index, so one
@@ -824,6 +884,11 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim06_pq_ann" -> sim06Sql,
+
+    // the persisted PQ index: one codebook trained on the initial
+    // corpus, every vector (growth included) coded by it, same ADC +
+    // rerank readout — the lake round-trip must change nothing
+    "sim10_lake_pq" -> sim10Sql,
 
     // The persisted index is semantically sim02 with centroids drawn
     // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —

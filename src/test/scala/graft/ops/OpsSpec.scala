@@ -295,6 +295,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall@10 = $recall (pq=$pq exact=$exact)")
   }
 
+  test("pq: encode against the trained codebook reproduces model's own " +
+      "codes — the persisted-index incremental path cannot drift") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (codes, codebook) = Pq.model(emb, "vec_id", "embedding",
+      dims = 64, m = 8, k = 16, iters = 2)
+    // round-trip the codebook through parquet, as a lake table would
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqenc")
+    codebook.write.parquet(dir.resolve("cb").toString)
+    val cbBack = spark.read.parquet(dir.resolve("cb").toString)
+    val re = Pq.encode(emb, cbBack, "vec_id", "embedding", dims = 64, m = 8)
+    val mismatch = codes.withColumnRenamed("code", "c1")
+      .join(re.withColumnRenamed("code", "c2"), Seq("vec_id", "sub"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(mismatch == 0L, s"$mismatch (vec, sub) codes drifted")
+    assert(re.count() == codes.count())
+  }
+
   test("dedup: LSH candidates achieve full recall over high-Jaccard pairs") {
     // Exact 8-gram Jaccard on all pairs of a small doc set vs the banded
     // MinHash candidates: every pair with J >= 0.5 must be a candidate
