@@ -564,6 +564,45 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm20: MIXED-FORMAT quarantine — the crawl-corpus reality
+    // mm19 idealizes away: ONE binary column holding whatever formats
+    // arrived (PPM, BMP, PNG rotating by id), signature-dispatched to
+    // the right REAL decoder (SniffPixelDecoder), with blobs nobody can
+    // decode — an unknown signature (id%4=3) or a BMP truncated below
+    // its own header (id%8=1) — quarantined as ok=false rows instead of
+    // failing the job. All three real formats encode the SAME
+    // closed-form gray raster, so the oracle states one luma for all of
+    // them: format must not leak into features. Encoders run
+    // partition-local in the fixture; payloads never shuffle.
+    "mm20_mixed_format_quarantine" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val head = "P6\n4 2\n255\n".getBytes("US-ASCII")
+          it.map { id =>
+            val px = Array.tabulate(24)(i => ((id * 7 + (i / 3) * 13) % 256).toByte)
+            val img = graft.ops.Multimodal.PixelImage(4, 2, px)
+            val full = (id % 4) match {
+              case 0 => head ++ px
+              case 1 => graft.ops.Multimodal.BmpEncoder.encode(img)
+              case 2 => graft.ops.Multimodal.PngEncoder.encode(img)
+              case _ => Array.tabulate(32)(i => ((id + i * 17) % 251).toByte match {
+                case b if b == 'P'.toByte || b == 'B'.toByte => (b + 1).toByte
+                case b => b
+              }) // no known signature
+            }
+            (id, if (id % 8 == 1) full.take(30) else full)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.mediaProfileQuarantine(payloads, "media_id", "payload",
+          graft.ops.Multimodal.SniffPixelDecoder, thumbW = 2, thumbH = 1)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("ok"),
+          col("width"), col("meanLuma").as("mean_luma"))
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -739,6 +778,22 @@ object MultimodalQueries {
     // The sawtooth's closed form with the i^2 diversity term and the
     // closed-form replay: quarantined ids zero out; good ids carry the
     // gray-ramp mean (sum of 8 values / 8 — exact in doubles)
+    // same gray raster whatever the container: PPM/BMP/PNG holders all
+    // decode to one closed-form luma; unknown signatures (id%4=3) and
+    // the below-header truncation (id%8=1) are quarantined zero-rows.
+    "mm20_mixed_format_quarantine" ->
+      """WITH px AS (
+        |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
+        |  FROM documents, unnest(range(0, 8)) AS u(j)),
+        |m AS (SELECT doc_id, AVG(CAST(v AS DOUBLE)) AS mean_luma
+        |      FROM px GROUP BY doc_id)
+        |SELECT doc_id AS media_id,
+        |  (doc_id % 4 <> 3 AND doc_id % 8 <> 1) AS ok,
+        |  CASE WHEN doc_id % 4 <> 3 AND doc_id % 8 <> 1 THEN 4 ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 4 <> 3 AND doc_id % 8 <> 1 THEN mean_luma ELSE 0.0 END
+        |    AS mean_luma
+        |FROM m ORDER BY media_id""".stripMargin,
+
     "mm19_decode_quarantine" ->
       """WITH px AS (
         |  SELECT doc_id, (doc_id * 7 + j * 13) % 256 AS v
