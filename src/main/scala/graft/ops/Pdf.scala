@@ -14,6 +14,11 @@ import graft.domain.IngestionError.ParseError
   *
   *  - classic cross-reference TABLES (`xref` sections, `/Prev` chains
   *    from incremental updates — newest entry wins);
+  *  - PDF 1.5+ cross-reference STREAMS (`/Type /XRef`: binary [W]-field
+  *    rows, `/Index` subsections, PNG-predictor `/DecodeParms`) and
+  *    OBJECT STREAMS (`/Type /ObjStm`: the compressed-object containers
+  *    most modern writers emit), including hybrid files (`/XRefStm` in
+  *    a classic trailer);
   *  - uncompressed and `/FlateDecode` content streams (java.util.zip);
   *  - text shown via `Tj`, `'`, `"`, and `TJ` inside `BT`/`ET`, with
   *    `Td`/`TD`/`T*`/quote-show ops treated as line breaks — the deterministic
@@ -23,8 +28,8 @@ import graft.domain.IngestionError.ParseError
   *    Latin-1 (PDFDocEncoding's printable range).
   *
   * Everything outside the subset REFUSES with an instructive error
-  * instead of extracting wrong text: encrypted documents (`/Encrypt`),
-  * PDF 1.5+ compressed xref/object streams, and non-Flate filters.
+  * instead of extracting wrong text: encrypted documents (`/Encrypt`)
+  * and non-Flate filters.
   *
   * [[synthesize]] is the matching deterministic writer (fixtures for
   * ing22/ParserSpec) — the round-trip is part of the test surface.
@@ -234,7 +239,13 @@ object Pdf {
 
     private var trailerDict: Map[String, PObj] = Map.empty
 
-    private val objOffsets: Map[Int, Long] = {
+    /** Where an object lives: at a byte offset of the file, or at an
+      * index inside a /Type /ObjStm container (PDF 1.5+). */
+    private sealed trait XEntry
+    private case class InFile(off: Long) extends XEntry
+    private case class InStm(stm: Int, idx: Int) extends XEntry
+
+    private val objIndex: Map[Int, XEntry] = {
       // startxref from the tail
       val tail = new String(bytes, math.max(0, bytes.length - 2048),
         math.min(2048, bytes.length), "ISO-8859-1")
@@ -245,30 +256,29 @@ object Pdf {
         case d if d.length > 18 => throw ParseError("PDF: startxref out of range")
         case d => d.toLong
       }
-      val acc = mutable.Map.empty[Int, Long]
+      val acc = mutable.Map.empty[Int, XEntry]
       var cur = off
       var guard = 0
       while (cur >= 0 && guard < 64) {
-        cur = readXrefTable(cur.toInt, acc)
+        cur = readXrefAt(cur.toInt, acc)
         guard += 1
       }
       acc.toMap
     }
 
-    /** Parses one classic xref table (+ its trailer); returns /Prev or -1. */
-    private def readXrefTable(off: Int, acc: mutable.Map[Int, Long]): Long = {
+    /** One xref section — classic table or 1.5+ stream — at `off`;
+      * returns /Prev or -1. */
+    private def readXrefAt(off: Int, acc: mutable.Map[Int, XEntry]): Long = {
       if (off < 0 || off >= bytes.length)
         throw ParseError(s"PDF: xref offset $off outside file (${bytes.length} bytes)")
       val lx = new Lexer(bytes, off)
       lx.skipWs()
-      if (!lx.matches("xref")) {
-        // PDF 1.5+ puts a cross-reference STREAM object here
-        if (new String(bytes, off, math.min(32, bytes.length - off), "ISO-8859-1")
-            .matches("(?s)\\d+ \\d+ obj.*"))
-          throw ParseError("PDF: cross-reference streams (PDF 1.5+ compressed " +
-            "xref) are not supported; re-save as classic-xref or extract upstream")
-        throw ParseError(s"PDF: expected xref table at byte $off")
-      }
+      if (lx.matches("xref")) readXrefTable(lx, acc)
+      else readXrefStream(off, acc)
+    }
+
+    /** Parses one classic xref table (+ its trailer); returns /Prev or -1. */
+    private def readXrefTable(lx: Lexer, acc: mutable.Map[Int, XEntry]): Long = {
       lx.pos += 4
       lx.skipWs()
       while (!lx.matches("trailer")) {
@@ -294,7 +304,7 @@ object Pdf {
             val offStr = entry.substring(0, 10).trim
             if (!offStr.forall(_.isDigit) || offStr.isEmpty)
               throw ParseError(s"PDF: malformed xref entry for object ${start + k}")
-            acc(start + k) = offStr.toLong
+            acc(start + k) = InFile(offStr.toLong)
           }
           lx.pos += 20
         }
@@ -307,6 +317,13 @@ object Pdf {
           if (m.contains("Encrypt"))
             throw ParseError("PDF: encrypted documents are not supported; " +
               "decrypt upstream before ingestion")
+          // HYBRID file: the classic trailer points at a supplementary
+          // xref STREAM carrying the compressed-object entries this
+          // table cannot express; it complements, never overrides
+          m.get("XRefStm") match {
+            case Some(PNum(x)) => readXrefStream(x.toInt, acc): Unit
+            case _ => ()
+          }
           m.get("Prev") match {
             case Some(PNum(p)) => p.toLong
             case _ => -1L
@@ -315,38 +332,185 @@ object Pdf {
       }
     }
 
+    /** Parses a PDF 1.5+ cross-reference STREAM at `off` (an ordinary
+      * `N 0 obj` whose dict is /Type /XRef and whose decoded data is
+      * binary [W]-field rows over the /Index subsections); doubles as
+      * the trailer. Returns /Prev or -1. */
+    private def readXrefStream(off: Int, acc: mutable.Map[Int, XEntry]): Long = {
+      if (off < 0 || off >= bytes.length)
+        throw ParseError(s"PDF: xref-stream offset $off outside file")
+      val (_, body) = parseObjAt(off)
+      val stm = body match {
+        case s: PStream => s
+        case o => throw ParseError(s"PDF: expected a cross-reference stream at " +
+          s"byte $off, got $o")
+      }
+      val d = stm.dict.m
+      if (d.contains("Encrypt"))
+        throw ParseError("PDF: encrypted documents are not supported; " +
+          "decrypt upstream before ingestion")
+      val w = d.get("W") match {
+        case Some(PArr(ws)) => ws.map {
+          case PNum(v) if v >= 0 && v <= 8 => v.toInt
+          case o => throw ParseError(s"PDF: bad /W field width $o")
+        }
+        case o => throw ParseError(s"PDF: xref stream missing /W (got $o)")
+      }
+      if (w.size != 3) throw ParseError(s"PDF: /W must have 3 widths, got ${w.size}")
+      val size = d.get("Size") match {
+        case Some(PNum(v)) => v.toInt
+        case o => throw ParseError(s"PDF: xref stream missing /Size (got $o)")
+      }
+      val index: Vector[(Int, Int)] = d.get("Index") match {
+        case None => Vector((0, size))
+        case Some(PArr(items)) =>
+          if (items.size % 2 != 0) throw ParseError("PDF: odd /Index array")
+          items.grouped(2).map {
+            case Vector(PNum(s), PNum(c)) => (s.toInt, c.toInt)
+            case o => throw ParseError(s"PDF: bad /Index pair $o")
+          }.toVector
+        case o => throw ParseError(s"PDF: /Index is not an array: $o")
+      }
+      val data = decode(stm.dict, stm.data)
+      val rowW = w.sum
+      if (rowW == 0) throw ParseError("PDF: /W is all zero")
+      val needed = index.map(_._2.toLong).sum * rowW
+      if (data.length < needed)
+        throw ParseError(s"PDF: xref stream data truncated (${data.length} " +
+          s"bytes for $needed expected)")
+      var p = 0
+      def field(width: Int, default: Long): Long = {
+        if (width == 0) return default
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(p + i) & 0xffL); i += 1 }
+        p += width
+        v
+      }
+      index.foreach { case (start, count) =>
+        (0 until count).foreach { k =>
+          val tpe = field(w(0), 1L) // absent type field defaults to 'in use'
+          val f2 = field(w(1), 0L)
+          val f3 = field(w(2), 0L)
+          val id = start + k
+          if (!acc.contains(id)) tpe match {
+            case 0L => () // free
+            case 1L => acc(id) = InFile(f2)
+            case 2L => acc(id) = InStm(f2.toInt, f3.toInt)
+            case t => throw ParseError(s"PDF: unknown xref entry type $t for object $id")
+          }
+        }
+      }
+      if (trailerDict.isEmpty) trailerDict = d
+      d.get("Prev") match {
+        case Some(PNum(pv)) => pv.toLong
+        case _ => -1L
+      }
+    }
+
     private val cache = mutable.Map.empty[Int, PObj]
 
-    def obj(num: Int): PObj = cache.getOrElseUpdate(num, {
-      val off = objOffsets.getOrElse(num,
-        throw ParseError(s"PDF: object $num not in xref")).toInt
+    /** Parses `num gen obj <body> [stream]` directly at a byte offset.
+      * Used by object loads AND by xref-stream bootstrap (which runs
+      * BEFORE the object index exists — so a stream /Length here must
+      * be a direct number; the spec requires that of xref streams). */
+    private def parseObjAt(off: Int): (Int, PObj) = {
       val lx = new Lexer(bytes, off)
-      lx.next() match {
-        case PNum(n) if n.toInt == num => ()
-        case o => throw ParseError(s"PDF: expected object $num at byte $off, got $o")
+      val num = lx.next() match {
+        case n: PNum => n.toInt
+        case o => throw ParseError(s"PDF: expected an object at byte $off, got $o")
       }
       lx.next() match { case PNum(_) => (); case o => throw ParseError(s"PDF: bad gen: $o") }
       lx.expect("obj")
       val body = lx.next()
       lx.skipWs()
-      body match {
+      val parsed = body match {
         case d: PDict if lx.matches("stream") =>
           lx.pos += 6
           if (lx.peek == '\r') lx.pos += 1
           if (lx.peek == '\n') lx.pos += 1
-          val length = resolve(d.m.getOrElse("Length",
-            throw ParseError("PDF: stream without /Length"))) match {
-            case PNum(v) => v.toInt
+          val length = resolveLen(d) match {
+            case PNum(v) if v >= 0 && lx.pos + v.toLong <= bytes.length => v.toInt
+            case PNum(v) => throw ParseError(
+              s"PDF: /Length $v runs past end of file")
             case o => throw ParseError(s"PDF: bad /Length: $o")
           }
           val data = java.util.Arrays.copyOfRange(bytes, lx.pos, lx.pos + length)
           PStream(d, data)
         case other => other
       }
-    })
+      (num, parsed)
+    }
+
+    /** /Length may be an indirect ref in ordinary streams — but the
+      * xref-stream bootstrap cannot chase refs yet (objIndex is still
+      * being built), and the spec forbids indirect /Length there. */
+    private def resolveLen(d: PDict): PObj =
+      d.m.getOrElse("Length", throw ParseError("PDF: stream without /Length")) match {
+        case r: PRef =>
+          if (objIndex == null) throw ParseError(
+            "PDF: xref stream /Length must be a direct number (ISO 32000-1 7.5.8.2)")
+          resolve(r)
+        case direct => direct
+      }
+
+    def obj(num: Int): PObj = cache.getOrElseUpdate(num,
+      objIndex.getOrElse(num, throw ParseError(s"PDF: object $num not in xref")) match {
+        case InFile(off) =>
+          val (got, body) = parseObjAt(off.toInt)
+          if (got != num) throw ParseError(
+            s"PDF: expected object $num at byte $off, got object $got")
+          body
+        case InStm(stmNum, idx) =>
+          if (stmNum == num) throw ParseError(
+            s"PDF: object $num claims to live inside itself")
+          val stm = resolve(obj(stmNum)) match {
+            case s: PStream => s
+            case o => throw ParseError(s"PDF: object stream $stmNum is not a stream: $o")
+          }
+          val data = decode(stm.dict, stm.data)
+          val n = stm.dict.m.get("N").map(resolve) match {
+            case Some(PNum(v)) if v >= 0 => v.toInt
+            case o => throw ParseError(s"PDF: object stream missing /N (got $o)")
+          }
+          val first = stm.dict.m.get("First").map(resolve) match {
+            case Some(PNum(v)) if v >= 0 && v <= data.length => v.toInt
+            case o => throw ParseError(s"PDF: object stream bad /First (got $o)")
+          }
+          // header: n (objnum, relative-offset) pairs before /First
+          val hx = new Lexer(data, 0)
+          val pairs = (0 until n).map { _ =>
+            val on = hx.next() match {
+              case v: PNum => v.toInt
+              case o => throw ParseError(s"PDF: bad ObjStm header entry $o")
+            }
+            val ro = hx.next() match {
+              case v: PNum => v.toInt
+              case o => throw ParseError(s"PDF: bad ObjStm header offset $o")
+            }
+            if (hx.pos > first) throw ParseError(
+              "PDF: ObjStm header overruns /First")
+            (on, ro)
+          }
+          // the xref's index is authoritative, but verify it names us —
+          // a mismatched container must not silently yield a wrong object
+          val (objNum, rel) =
+            if (idx >= 0 && idx < pairs.size && pairs(idx)._1 == num) pairs(idx)
+            else pairs.find(_._1 == num).getOrElse(throw ParseError(
+              s"PDF: object $num not present in object stream $stmNum"))
+          if (objNum != num) throw ParseError(
+            s"PDF: object stream $stmNum index mismatch for object $num")
+          if (first + rel >= data.length) throw ParseError(
+            s"PDF: ObjStm offset for object $num runs past the stream")
+          new Lexer(data, first + rel).next()
+      })
 
     def resolve(o: PObj): PObj = o match {
-      case PRef(n, _) => resolve(obj(n))
+      case PRef(n, _) =>
+        if (objIndex == null) throw ParseError(
+          "PDF: indirect reference inside an xref stream dictionary (7.5.8.2 " +
+            "requires direct values there)")
+        resolve(obj(n))
       case other => other
     }
 
@@ -395,11 +559,81 @@ object Pdf {
     private def decode(d: PDict, data: Array[Byte]): Array[Byte] =
       resolve(d.m.getOrElse("Filter", PNull)) match {
         case PNull => data
-        case PName("FlateDecode") => inflate(data)
-        case PArr(Vector(PName("FlateDecode"))) => inflate(data)
+        case PName("FlateDecode") => unpredict(d, inflate(data))
+        case PArr(Vector(PName("FlateDecode"))) => unpredict(d, inflate(data))
         case f => throw ParseError(s"PDF: unsupported stream filter $f " +
           "(only FlateDecode and uncompressed streams are supported)")
       }
+
+    /** Reverses the /DecodeParms predictor xref streams routinely carry
+      * (PNG row filters over Columns-wide rows — the layout-compression
+      * trick that makes near-identical xref rows deflate well).
+      * Predictor 1/absent = identity; >= 10 = PNG (each row prefixed by
+      * its filter byte, reversed with the previous ROW as 'up'). */
+    private def unpredict(d: PDict, raw: Array[Byte]): Array[Byte] = {
+      val parms = resolve(d.m.getOrElse("DecodeParms",
+        d.m.getOrElse("DP", PNull))) match {
+        case p: PDict => p.m
+        case PNull => return raw
+        case o => throw ParseError(s"PDF: bad /DecodeParms: $o")
+      }
+      val pred = parms.get("Predictor").map(resolve) match {
+        case Some(PNum(v)) => v.toInt
+        case None => 1
+        case o => throw ParseError(s"PDF: bad /Predictor: $o")
+      }
+      if (pred == 1) return raw
+      if (pred < 10) throw ParseError(
+        s"PDF: TIFF predictor $pred is not supported (PNG predictors >= 10 are)")
+      val cols = parms.get("Columns").map(resolve) match {
+        case Some(PNum(v)) if v >= 1 && v <= (1 << 20) => v.toInt
+        case None => 1
+        case o => throw ParseError(s"PDF: bad /Columns: $o")
+      }
+      val bpc = parms.get("BitsPerComponent").map(resolve) match {
+        case Some(PNum(v)) => v.toInt; case None => 8
+        case o => throw ParseError(s"PDF: bad /BitsPerComponent: $o")
+      }
+      val colors = parms.get("Colors").map(resolve) match {
+        case Some(PNum(v)) => v.toInt; case None => 1
+        case o => throw ParseError(s"PDF: bad /Colors: $o")
+      }
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowLen = (cols.toLong * colors * bpc + 7).toInt / 8
+      if (rowLen <= 0 || (raw.length % (rowLen + 1)) != 0)
+        throw ParseError(s"PDF: predicted data length ${raw.length} is not a " +
+          s"multiple of row length ${rowLen + 1}")
+      val nRows = raw.length / (rowLen + 1)
+      val out = new Array[Byte](nRows * rowLen)
+      var r = 0
+      while (r < nRows) {
+        val ft = raw(r * (rowLen + 1)) & 0xff
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val x = raw(src + i) & 0xff
+          val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0 // left
+          val b = if (r > 0) out(dst - rowLen + i) & 0xff else 0 // up
+          val c = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case 4 => // Paeth
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => throw ParseError(s"PDF: unknown PNG filter type $other in row $r")
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -508,6 +742,102 @@ object Pdf {
     write(f"${0}%010d ${65535}%05d f\r\n")
     offsets.foreach(o => write(f"$o%010d ${0}%05d n\r\n"))
     write(s"trailer << /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflateBytes(body: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(body); d.finish()
+    val out = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** The PDF 1.5+ twin of [[synthesize]]: the layout modern writers
+    * emit — document-structure objects (catalog, page tree, page
+    * dicts) packed into ONE Flate-compressed /Type /ObjStm container,
+    * content streams as ordinary file objects, and a /Type /XRef
+    * cross-reference STREAM (W=[1 4 2] binary rows under the PNG 'up'
+    * predictor, the row-delta trick that makes near-identical xref
+    * rows deflate well) instead of a classic table. Deterministic; the
+    * extract(synthesize15(p)) == extract(synthesize(p)) round-trip is
+    * part of the test surface (PdfSpec, ing23). */
+  def synthesize15(pages: Seq[String]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val n = pages.size
+    val pageNum = (i: Int) => 3 + i           // inside the ObjStm
+    val contNum = (i: Int) => 3 + n + i       // file objects
+    val objStmNum = 3 + 2 * n
+    val xrefNum = 4 + 2 * n
+    val out = new java.io.ByteArrayOutputStream()
+    def write(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    write("%PDF-1.5\n")
+    // content streams (FlateDecode, like any modern writer)
+    val contOffsets = (0 until n).map { i =>
+      val off = out.size().toLong
+      val lines = pages(i).split("\n", -1)
+      val body = ("BT /F1 12 Tf 72 720 Td " +
+        lines.map(l => s"(${esc(l)}) Tj").mkString(" T* ") + " ET").getBytes("ISO-8859-1")
+      val data = deflateBytes(body)
+      write(s"${contNum(i)} 0 obj << /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      write("\nendstream endobj\n")
+      off
+    }
+    // the object stream: catalog, pages root, page dicts
+    val kids = (0 until n).map(i => s"${pageNum(i)} 0 R").mkString(" ")
+    val bodies = Vector(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+      (0 until n).map(i => s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${contNum(i)} 0 R >>")
+    val stmIds = Vector(1, 2) ++ (0 until n).map(pageNum)
+    val rel = bodies.scanLeft(0)((acc, b) => acc + b.length + 1)
+    val header = stmIds.zip(rel).map { case (id, r) => s"$id $r" }.mkString(" ") + "\n"
+    val objStmPlain = (header + bodies.mkString("\n") + "\n").getBytes("ISO-8859-1")
+    val objStmData = deflateBytes(objStmPlain)
+    val objStmOff = out.size().toLong
+    write(s"$objStmNum 0 obj << /Type /ObjStm /N ${stmIds.size} " +
+      s"/First ${header.length} /Length ${objStmData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmData)
+    write("\nendstream endobj\n")
+    // the xref stream: W=[1 4 2] rows for every object 0..xrefNum,
+    // PNG 'up' predictor then Flate
+    val xrefOff = out.size().toLong
+    val size = xrefNum + 1
+    def row(tpe: Int, f2: Long, f3: Int): Array[Byte] = Array[Byte](
+      tpe.toByte,
+      ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+      ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+      ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    val rows: Vector[Array[Byte]] =
+      Vector(row(0, 0L, 65535)) ++                         // 0: free head
+      Vector(row(2, objStmNum.toLong, 0),                  // 1: catalog in ObjStm
+        row(2, objStmNum.toLong, 1)) ++                    // 2: pages root
+      (0 until n).map(i => row(2, objStmNum.toLong, 2 + i)) ++ // page dicts
+      (0 until n).map(i => row(1, contOffsets(i), 0)) ++   // content streams
+      Vector(row(1, objStmOff, 0), row(1, xrefOff, 0))     // ObjStm, XRef itself
+    val rowLen = 7
+    val predicted = new Array[Byte](rows.size * (rowLen + 1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      predicted(i * (rowLen + 1)) = 2 // PNG 'up'
+      var j = 0
+      while (j < rowLen) {
+        val prev = if (i == 0) 0 else rows(i - 1)(j) & 0xff
+        predicted(i * (rowLen + 1) + 1 + j) = (((r(j) & 0xff) - prev) & 0xff).toByte
+        j += 1
+      }
+    }
+    val xrefData = deflateBytes(predicted)
+    write(s"$xrefNum 0 obj << /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    write("\nendstream endobj\n")
+    write(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 }

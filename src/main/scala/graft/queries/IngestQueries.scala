@@ -444,6 +444,23 @@ object IngestQueries {
         .orderBy("page")
     }),
 
+    // ing23: PDF 1.5+ ingestion — the layout MODERN writers emit (and
+    // the one round 11 still refused): document structure packed into
+    // a compressed /Type /ObjStm container, addressed by a /Type /XRef
+    // cross-reference STREAM whose binary rows sit under the PNG 'up'
+    // predictor. Same pipeline, same page texts as ing22, so one
+    // oracle cross-gates the classic and modern layouts — a reader
+    // must not be able to tell which container the text came from.
+    "ing23_pdf_objstm" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "docs/report15.pdf",
+        RuleMatcher.seedRules :+ IngestionConfigRule(".*\\.pdf$", "pdf_docs"))(
+        p => Files.write(p, graft.ops.Pdf.synthesize15(Seq(
+          "Quarterly ingestion report",
+          "Revenue 1234\nCosts 567",
+          "Appendix: notes (v2)"))): Unit)
+        .orderBy("page")
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -610,6 +627,17 @@ object IngestQueries {
     "ing22_pdf" ->
       s"""SELECT page, text, ${fn}'docs/report.pdf' AS file_name,
         |  md5(${fn}'docs/report.pdf') AS log_id
+        |FROM (VALUES
+        |  (1, 'Quarterly ingestion report'),
+        |  (2, 'Revenue 1234' || chr(10) || 'Costs 567'),
+        |  (3, 'Appendix: notes (v2)')) t(page, text)
+        |ORDER BY page""".stripMargin,
+
+    // same texts through the PDF 1.5 container: the layout must not
+    // leak into the extraction
+    "ing23_pdf_objstm" ->
+      s"""SELECT page, text, ${fn}'docs/report15.pdf' AS file_name,
+        |  md5(${fn}'docs/report15.pdf') AS log_id
         |FROM (VALUES
         |  (1, 'Quarterly ingestion report'),
         |  (2, 'Revenue 1234' || chr(10) || 'Costs 567'),

@@ -121,8 +121,13 @@ class PropertySpec extends AnyFunSuite {
       "escape the ParseError contract") {
     import graft.domain.IngestionError.ParseError
     import graft.ops.Pdf
-    val base = Pdf.synthesize(Seq("fuzz target body", "second (page)"))
-    val mutGen: Gen[Array[Byte]] = Gen.oneOf(
+    // both container generations: classic table AND 1.5 xref/object
+    // streams (binary rows + predictor + ObjStm header arithmetic are
+    // fresh bounds-error surface)
+    val bases = Seq(
+      Pdf.synthesize(Seq("fuzz target body", "second (page)")),
+      Pdf.synthesize15(Seq("fuzz target body", "second (page)")))
+    def mutOf(base: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
       // truncation at any point
       Gen.choose(0, base.length - 1).map(base.take),
       // single-byte corruption anywhere
@@ -131,6 +136,8 @@ class PropertySpec extends AnyFunSuite {
       // splice garbage into the middle
       for { i <- Gen.choose(0, base.length - 1); s <- Gen.alphaStr }
         yield base.take(i) ++ s.getBytes("ISO-8859-1") ++ base.drop(i))
+    val mutGen: Gen[Array[Byte]] =
+      Gen.oneOf(bases.map(mutOf)).flatMap(identity)
     samples(mutGen, n = 400).foreach { bytes =>
       // either parses (mutation hit slack space) or refuses instructively;
       // any OTHER throwable (bounds, number-format, negative-size) is the
