@@ -1609,6 +1609,64 @@ object LakeQueries {
         lit(vs(cold)).cast("bigint").as("cold_txn_version"))
     }),
 
+    // ---- c07: the round-12 features composed into one RECONCILIATION
+    // pipeline — what a production corrections run looks like end to
+    // end: bloom-index the current table, apply a corrections batch as
+    // an ATOMIC MERGE + AUDIT transaction (TxnMerge: updated keys
+    // replaced merge-on-read, new keys inserted, the same batch logged
+    // to a second table — no observable in-between), then ONE
+    // maintenance CALL folds the merge's deletion vectors, re-indexes
+    // the rewritten files AND vacuums the index's dead-row tail, and
+    // the corrected document resolves through the transparently
+    // bloom-pruned SQL point query. Aggregates of both tables, the
+    // index-matches-live invariant, and the probe's dup set are all
+    // replayed by the oracle.
+    "c07_reconcile_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
+      val span = idSpan(d)
+      val cur = freshTable()
+      val base = cur.getParent
+      val audit = base.resolve("audit")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d, cur, "doc_id", nParts = 4)
+      spark.sql(s"CALL $cat.bloom_index('tbl', 'text_key')").collect(): Unit
+      val changes = d.filter(col("doc_id") % 10 === 3)
+        .withColumn("text", concat(lit("corrected-"), col("text")))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("text_key", md5(col("text")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(span)))
+      TxLog.transact(spark, Seq(
+        TxLog.TxnMerge(cur, changes, "doc_id", "doc_id", nParts = 2),
+        TxLog.TxnAppend(audit, changes, "doc_id", nParts = 1))): Unit
+      // one maintenance pass: folds the merge's DVs (compact), then
+      // re-indexes the rewritten files and vacuums the stale rows
+      spark.sql(s"CALL $cat.maintain('tbl', 8, 4)").collect(): Unit
+      val index = base.resolve("tbl_bloom_text_key")
+      val ixRows = TxLog.readAt(spark, index).count()
+      val liveFiles = TxLog.snapshotAt(cur).files.size
+      // probe: the smallest corrected doc's NEW text key, served by the
+      // bloom-pruned scan (the table carries no DVs after maintain)
+      val probe = spark.sql(s"SELECT text_key FROM $cat.tbl " +
+        s"WHERE doc_id = (SELECT MIN(doc_id) FROM $cat.tbl WHERE doc_id % 10 = 3 " +
+        s"AND doc_id < $span)").head.getString(0)
+      val f = spark.sql(s"SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS s " +
+        s"FROM $cat.tbl WHERE text_key = '$probe'").head
+      val c = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.tbl").head
+      val a = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.audit").head
+      spark.range(1).select(
+        lit(c.getLong(0)).as("cur_docs"), lit(c.getLong(1)).as("cur_chars"),
+        lit(a.getLong(0)).as("audit_docs"), lit(a.getLong(1)).as("audit_chars"),
+        lit(ixRows).cast("bigint").as("index_rows"),
+        lit(liveFiles.toLong).as("files_live"),
+        lit(ixRows == liveFiles).as("index_matches_live"),
+        lit(f.getLong(0)).as("n_found"), lit(f.getLong(1)).as("sum_found_ids"))
+    }),
+
     // ---- tx23: MERGE as a TRANSACTION PARTICIPANT (TxLog.TxnMerge) —
     // the SCD-style reconciliation shape: a corrections batch UPSERTS
     // into the current table (existing keys replaced merge-on-read,
@@ -2228,6 +2286,33 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS source_version,
         |  CAST(1 AS BIGINT) AS target_version
         |FROM mv, h, cd""".stripMargin,
+
+    // The reconciliation capstone: corrected cohort replaced (+1000
+    // chars, 'corrected-' text), insert cohort above the span, audit =
+    // the changes batch; maintenance leaves 4 files and one index row
+    // per file; the probe finds every holder of the corrected text.
+    "c07_reconcile_pipeline" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |corr AS (SELECT doc_id, 'corrected-' || text AS text,
+        |               n_chars + 1000 AS n_chars
+        |         FROM documents WHERE doc_id % 10 = 3),
+        |ins AS (SELECT d.doc_id + span.s AS doc_id, d.text, d.n_chars
+        |        FROM documents d, span WHERE d.doc_id % 5 = 0),
+        |keep AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 10 <> 3),
+        |cur AS (SELECT * FROM keep UNION ALL SELECT * FROM corr
+        |        UNION ALL SELECT * FROM ins),
+        |ch AS (SELECT * FROM corr UNION ALL SELECT * FROM ins),
+        |p AS (SELECT text FROM corr WHERE doc_id = (SELECT MIN(doc_id) FROM corr)),
+        |f AS (SELECT c.doc_id FROM cur c, p WHERE c.text = p.text)
+        |SELECT (SELECT COUNT(*) FROM cur) AS cur_docs,
+        |  CAST((SELECT SUM(n_chars) FROM cur) AS BIGINT) AS cur_chars,
+        |  (SELECT COUNT(*) FROM ch) AS audit_docs,
+        |  CAST((SELECT SUM(n_chars) FROM ch) AS BIGINT) AS audit_chars,
+        |  CAST(4 AS BIGINT) AS index_rows,
+        |  CAST(4 AS BIGINT) AS files_live,
+        |  TRUE AS index_matches_live,
+        |  (SELECT COUNT(*) FROM f) AS n_found,
+        |  CAST((SELECT SUM(doc_id) FROM f) AS BIGINT) AS sum_found_ids""".stripMargin,
 
     // The atomic upsert + audit: %10=3 docs replaced with +1000 chars,
     // %5=0 docs re-inserted above the id span; the audit table holds
