@@ -42,7 +42,8 @@ private[catalog] object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
-      "tag", "cluster_by", "maintain", "clone", "move_where", "bloom_index")
+      "tag", "cluster_by", "maintain", "clone", "move_where", "merge_audit",
+      "bloom_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -189,6 +190,40 @@ private[catalog] object GraftProcedures {
               TxLog.TxnDeleteMor(src, moving.select(keyCol), keyCol),
               TxLog.TxnAppend(dst, moving, statsCol)))
             InternalRow(vs(src), vs(dst), n)
+          }
+        }
+      }
+      // the ATOMIC UPSERT + AUDIT from SQL: the SCD reconciliation
+      // shape (TxLog.TxnMerge) — the source view MERGES into `target`
+      // (existing keys replaced merge-on-read, new keys inserted) and
+      // the SAME batch appends to `audit`, one multi-table transaction:
+      // a reader can never see the correction applied but unlogged, or
+      // logged but unapplied. The source materializes ONCE
+      // (localCheckpoint) so the merged and audited rows are the same
+      // row set by construction.
+      case "merge_audit" => new GraftProc("merge_audit",
+        Array(param("target", StringType), param("audit", StringType),
+          param("source", StringType), param("key_col", StringType)),
+        StructType(Seq(
+          StructField("target_version", LongType, nullable = false),
+          StructField("audit_version", LongType, nullable = false),
+          StructField("rows_merged", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val tgt = table(input)
+          val aud = tableAt(input, 1)
+          require(tgt != aud, "merge_audit: target and audit must differ")
+          val src = spark.table(input.getUTF8String(2).toString)
+            .localCheckpoint(true)
+          val keyCol = input.getUTF8String(3).toString
+          val statsCol = GraftWrites.defaultStatsCol(TxLog.readAt(spark, tgt).schema)
+          val n = src.count()
+          if (n == 0L)
+            InternalRow(TxLog.latestVersion(tgt), TxLog.latestVersion(aud), 0L)
+          else {
+            val vs = TxLog.transact(spark, Seq(
+              TxLog.TxnMerge(tgt, src, keyCol, statsCol),
+              TxLog.TxnAppend(aud, src, statsCol)))
+            InternalRow(vs(tgt), vs(aud), n)
           }
         }
       }

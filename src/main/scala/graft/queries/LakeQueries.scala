@@ -1609,6 +1609,41 @@ object LakeQueries {
         lit(vs(cold)).cast("bigint").as("cold_txn_version"))
     }),
 
+    // ---- sql19: tx23's reconciliation driven from SQL — `CALL
+    // lake.merge_audit(target, audit, source_view, key)` runs the
+    // atomic MERGE + audit-append transaction from a registered view,
+    // the same surface discipline as move_where for the transfer.
+    // One oracle cross-gates the API (tx23) and SQL (sql19) bindings.
+    "sql19_merge_audit" -> ((spark: SparkSession, dir: String) => {
+      val d0 = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      val span = idSpan(d0)
+      val cur = freshTable()
+      val base = cur.getParent
+      val audit = base.resolve("audit")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d0, cur, "doc_id", nParts = 4)
+      TxLog.create(audit, d0.schema): Unit
+      d0.filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(d0.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(span)))
+        .createOrReplaceTempView(s"changes19_$cat")
+      val r = spark.sql(s"CALL $cat.merge_audit('tbl', 'audit', " +
+        s"'changes19_$cat', 'doc_id')").head
+      val c = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.tbl").head
+      val a = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM $cat.audit").head
+      spark.range(1).select(
+        lit(c.getLong(0)).as("cur_docs"), lit(c.getLong(1)).as("cur_chars"),
+        lit(a.getLong(0)).as("audit_docs"), lit(a.getLong(1)).as("audit_chars"),
+        lit(r.getLong(0)).as("target_version"),
+        lit(r.getLong(1)).as("audit_version"),
+        lit(r.getLong(2)).as("rows_merged"))
+    }),
+
     // ---- c07: the round-12 features composed into one RECONCILIATION
     // pipeline — what a production corrections run looks like end to
     // end: bloom-index the current table, apply a corrections batch as
@@ -2286,6 +2321,27 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS source_version,
         |  CAST(1 AS BIGINT) AS target_version
         |FROM mv, h, cd""".stripMargin,
+
+    // tx23's recompute with the SQL binding's report columns: target
+    // advanced to v1 (seed append = v0), audit to v1 (its CREATE TABLE
+    // was v0), rows_merged = the changes batch.
+    "sql19_merge_audit" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars
+        |        FROM documents WHERE doc_id % 10 = 3),
+        |ins AS (SELECT d.doc_id + span.s AS doc_id, d.n_chars
+        |        FROM documents d, span WHERE d.doc_id % 5 = 0),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |cur AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 3
+        |        UNION ALL SELECT * FROM ch)
+        |SELECT
+        |  (SELECT COUNT(*) FROM cur) AS cur_docs,
+        |  CAST((SELECT SUM(n_chars) FROM cur) AS BIGINT) AS cur_chars,
+        |  (SELECT COUNT(*) FROM ch) AS audit_docs,
+        |  CAST((SELECT SUM(n_chars) FROM ch) AS BIGINT) AS audit_chars,
+        |  CAST(1 AS BIGINT) AS target_version,
+        |  CAST(1 AS BIGINT) AS audit_version,
+        |  (SELECT COUNT(*) FROM ch) AS rows_merged""".stripMargin,
 
     // The reconciliation capstone: corrected cohort replaced (+1000
     // chars, 'corrected-' text), insert cohort above the span, audit =
