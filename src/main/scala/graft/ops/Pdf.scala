@@ -591,15 +591,19 @@ object Pdf {
         case o => throw ParseError(s"PDF: bad /Columns: $o")
       }
       val bpc = parms.get("BitsPerComponent").map(resolve) match {
-        case Some(PNum(v)) => v.toInt; case None => 8
+        case Some(PNum(v)) if Seq(1, 2, 4, 8, 16).contains(v.toInt) => v.toInt
+        case None => 8
         case o => throw ParseError(s"PDF: bad /BitsPerComponent: $o")
       }
       val colors = parms.get("Colors").map(resolve) match {
-        case Some(PNum(v)) => v.toInt; case None => 1
+        case Some(PNum(v)) if v >= 1 && v <= 64 => v.toInt
+        case None => 1
         case o => throw ParseError(s"PDF: bad /Colors: $o")
       }
       val bpp = math.max(1, colors * bpc / 8)
-      val rowLen = (cols.toLong * colors * bpc + 7).toInt / 8
+      // bounded factors (cols <= 2^20, colors <= 64, bpc <= 16) keep
+      // this product well inside Int — no truncation surprises
+      val rowLen = ((cols.toLong * colors * bpc + 7) / 8).toInt
       if (rowLen <= 0 || (raw.length % (rowLen + 1)) != 0)
         throw ParseError(s"PDF: predicted data length ${raw.length} is not a " +
           s"multiple of row length ${rowLen + 1}")

@@ -218,7 +218,11 @@ object TxLog {
     * decided AND observed, resolution never again depends on the
     * sibling table that happens to host the marker directory (which
     * could be dropped, moved or renamed out from under us, retroactively
-    * voiding a committed transfer). */
+    * voiding a committed transfer). Replicas are retained for the life
+    * of the log — they are what keeps TIME TRAVEL to pre-checkpoint txn
+    * commits sibling-independent too, and at bytes per transaction they
+    * are strictly smaller metadata than the commits themselves, so
+    * vacuum never touches them. */
   private def txnOutLocal(table: Path, txnId: String): Path =
     logDir(table).resolve("_txnout").resolve(txnId)
 
