@@ -495,6 +495,34 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    // ---- knn05: IVF + PQ — the production ANN architecture (FAISS's
+    // IVFADC, Jégou et al. 2011 §V): the coarse quantizer prunes the
+    // corpus to the query's nProbes=2 nearest inverted lists, the ADC
+    // pass scores ONLY those candidates from their m-byte codes, and
+    // the exact rerank touches shortlist vectors alone. sim02 (IVF over
+    // full vectors) and sim06 (PQ over the whole corpus) each solve
+    // half the 100 TB problem; composed, the corpus-wide work is
+    // |probed lists| * m bytes per candidate — neither the full vectors
+    // nor the full code relation. Assignment, codebook training, and
+    // the ADC arithmetic reuse the exact shared rules (ivfProbes,
+    // Pq.model), so the oracle restates both halves verbatim.
+    "knn05_ivf_pq" -> ((spark: SparkSession, dir: String) => {
+      val emb = t(spark, dir, "embeddings")
+      val n = emb.count()
+      val home = ivfAssign(spark, dir).select(col("vec_id"), col("list_id"))
+      val qProbes = ivfProbes(spark, dir, nProbes = 2)
+        .filter(col("vec_id") === 0).select(col("list_id"))
+      val cand = home.join(broadcast(qProbes), Seq("list_id")).select("vec_id")
+      val (codes, codebook) = graft.ops.Pq.model(
+        emb, "vec_id", "embedding", dims = 64, m = 8, k = pqK(n), iters = 2)
+      val codesCand = codes.join(cand, Seq("vec_id"))
+      graft.ops.Pq.adcRerankTopK(emb, codesCand, codebook,
+          emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", dims = 64, m = 8,
+          shortlistK = pqShortlist(n), topK = 10)
+        .orderBy("rank")
+    }),
+
     // ---- sim10: the PERSISTED PQ index — sim07's "index is a table"
     // lifecycle applied to sim06's memory-compression path. The
     // codebook trains ONCE on the initial corpus (vec_id % 10 != 9)
@@ -850,6 +878,71 @@ object SimilarityQueries {
     "(SELECT GREATEST(100, LEAST(4096, (COUNT(*) + 4) // 5)) " +
       "FROM embeddings WHERE vec_id % 10 <> 9)")
 
+  // knn05: sim06's PQ CTEs verbatim, with the ADC pass restricted to
+  // the candidates of the query's 2 nearest IVF lists (sim02's
+  // assignment rule verbatim) — IVFADC.
+  private val knn05Sql: String = {
+    val subs = 0 until 8
+    "WITH " + subs.map(s => pqSubCtes(s, s * 8, 8)).mkString(",\n") + ",\n" +
+      s"""codes AS (
+         |  ${subs.map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a2_$s")
+              .mkString("\n  UNION ALL\n  ")}),
+         |qt AS (
+         |  ${subs.map(s => s"SELECT $s AS sub, q FROM q_$s WHERE vec_id = 0")
+              .mkString("\n  UNION ALL\n  ")}),
+         |cb AS (
+         |  ${subs.map(s => s"SELECT $s AS sub, cid, m FROM c1_$s")
+              .mkString("\n  UNION ALL\n  ")}),
+         |dt AS (
+         |  SELECT qt.sub, cb.cid AS code,
+         |    CAST(floor(list_sum(list_transform(list_zip(qt.q, cb.m),
+         |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))) AS BIGINT) AS d
+         |  FROM qt JOIN cb ON qt.sub = cb.sub),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |         FROM embeddings WHERE vec_id < $ivfCentSql),
+         |home AS (
+         |  SELECT vec_id, cent_id AS list_id FROM (
+         |    SELECT e.vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+         |    FROM embeddings e CROSS JOIN cent) WHERE ark = 1),
+         |qprobe AS (
+         |  SELECT cent_id AS list_id FROM (
+         |    SELECT cent_id,
+         |      ROW_NUMBER() OVER (ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS prk
+         |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id = 0) WHERE prk <= 2),
+         |cand AS (SELECT h.vec_id FROM home h JOIN qprobe p ON h.list_id = p.list_id),
+         |approx AS (
+         |  SELECT c.vec_id, CAST(sum(dt.d) AS BIGINT) AS approx_dist
+         |  FROM codes c
+         |  JOIN cand ON cand.vec_id = c.vec_id
+         |  JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+         |  WHERE c.vec_id <> 0
+         |  GROUP BY c.vec_id),
+         |shortlist AS (SELECT vec_id, approx_dist FROM approx
+         |  ORDER BY approx_dist, vec_id LIMIT $pqShortlistSql),
+         |qfull AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |rerank AS (
+         |  SELECT s.vec_id, s.approx_dist,
+         |    CAST(floor(list_sum(list_transform(
+         |      list_zip(list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), qf.q),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS BIGINT)
+         |      AS exact_dist
+         |  FROM shortlist s
+         |  JOIN embeddings e ON s.vec_id = e.vec_id
+         |  CROSS JOIN qfull qf),
+         |top AS (SELECT vec_id, exact_dist, approx_dist FROM rerank
+         |  ORDER BY exact_dist, vec_id LIMIT 10)
+         |SELECT row_number() OVER (ORDER BY exact_dist, vec_id) AS rank,
+         |  vec_id, exact_dist, approx_dist
+         |FROM top ORDER BY rank""".stripMargin
+  }
+
   /** Shared by sim07 (batch increment) and sim08 (streaming tail):
     * both maintenance paths must produce the SAME index, so one
     * oracle cross-gates them. */
@@ -889,6 +982,10 @@ object SimilarityQueries {
     // corpus, every vector (growth included) coded by it, same ADC +
     // rerank readout — the lake round-trip must change nothing
     "sim10_lake_pq" -> sim10Sql,
+
+    // IVFADC: sim02's list pruning composed with sim06's ADC — the
+    // candidates of the two probed lists scored from codes, reranked
+    "knn05_ivf_pq" -> knn05Sql,
 
     // The persisted index is semantically sim02 with centroids drawn
     // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —

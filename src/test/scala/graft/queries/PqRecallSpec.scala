@@ -48,4 +48,17 @@ class PqRecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
   }
+
+  test("ivfadc (knn05): coarse pruning stacked on PQ still holds " +
+      "recall@10 >= 0.5 at sf0.1 for the gated query") {
+    val emb = Tables.t(spark, dir, "embeddings").cache()
+    val approx = graft.SparkEntry.queries("knn05_ivf_pq")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (approx intersect exactTop10(emb, 0L)).size / 10.0
+    // two stacked approximations (nProbes=2 list pruning x ADC codes):
+    // the compound floor is necessarily below either alone — measured
+    // 1.0 on this corpus; pinned with margin for corpus regeneration
+    assert(recall >= 0.5, s"IVFADC recall@10 = $recall")
+    info(s"IVFADC recall@10 = $recall")
+  }
 }
