@@ -411,8 +411,10 @@ object TxLog {
     val from = if (ckpt.isDefined && ckptField.isEmpty) 0L
       else ckpt.map(_ + 1).getOrElse(0L)
     val tail = vs.filter(_ >= from).flatMap { cv =>
-      val node = mapper.readTree(
-        Files.readAllBytes(versionDir(table, cv).resolve("commit.json")))
+      // txn-resolved: an ABORTED multi-table transaction's batch tag
+      // must not advance the watermark (the batch would be skipped on
+      // redelivery and silently lost); ordinary commits pay a null check
+      val node = commitNode(table, cv)
       Option(node.get("batchId")).map(_.asLong)
     }
     (fromCkpt.toVector ++ tail).maxOption
@@ -440,9 +442,14 @@ object TxLog {
   sealed trait TxnOp { def table: Path }
   /** Atomic append of `df` to `table` (schema-enforced, constraint-
     * checked on the staged bytes, footer stats promoted — the same
-    * pipeline as [[append]]). */
+    * pipeline as [[append]]). `batchId` tags the commit with a
+    * streaming batch id so a transaction driven per micro-batch can be
+    * made exactly-once: the driver checks [[isBatchCommitted]] on the
+    * tagged participant before staging, and a redelivered batch skips
+    * the WHOLE transaction (the tag resolves with the txn — an aborted
+    * transaction's tag never advances the watermark). */
   final case class TxnAppend(table: Path, df: DataFrame, statsCol: String,
-      nParts: Int = 1) extends TxnOp
+      nParts: Int = 1, batchId: Option[Long] = None) extends TxnOp
   /** Atomic merge-on-read delete of `keys` from `table` (DV sidecars,
     * no file rewrite — the same pipeline as [[deleteMor]]). */
   final case class TxnDeleteMor(table: Path, keys: DataFrame, keyCol: String)
@@ -597,7 +604,8 @@ object TxLog {
       // ---- 5. publish every participant commit, txn-flagged
       val markerRef = markerDir.toAbsolutePath.normalize.toString
       actions.foreach { case (op, v, vd, adds, opName, schemaNow) =>
-        val ok = publishCommit(op.table, vd, v, opName, adds, Nil, None, schemaNow,
+        val bid = op match { case a: TxnAppend => a.batchId; case _ => None }
+        val ok = publishCommit(op.table, vd, v, opName, adds, Nil, bid, schemaNow,
           extra = Map("txn" -> markerRef), checkpoint = false)
         if (!ok) throw new IllegalStateException(
           s"transact: publish lost its claim on ${op.table} v$v (stalled past the lease)")
@@ -1958,7 +1966,7 @@ object TxLog {
     * form exists for audits and tests. */
   def committedBatchIds(table: Path): Set[Long] =
     versions(table).flatMap { v =>
-      val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+      val node = commitNode(table, v) // txn-resolved, like the watermark
       Option(node.get("batchId")).map(_.asLong)
     }.toSet
 

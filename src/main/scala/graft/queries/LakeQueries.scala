@@ -1644,6 +1644,65 @@ object LakeQueries {
         lit(r.getLong(2)).as("rows_merged"))
     }),
 
+    // ---- tx24: STREAMING reconciliation — the merge+audit transaction
+    // driven per micro-batch by a graft-lake tail of a corrections
+    // table, EXACTLY-ONCE: the audit append carries the batch id, the
+    // driver checks the watermark BEFORE staging, and a redelivered
+    // batch skips the whole transaction. The watermark resolves with
+    // the transaction (an aborted txn's tag never advances it — the
+    // maxBatchIdUpTo fix this round), so the skip can never lose a
+    // batch. Proven through a full REDELIVERY: the stream re-runs with
+    // a wiped engine checkpoint and both tables' versions and contents
+    // are unchanged. The oracle replays the net state.
+    "tx24_streaming_reconcile" -> ((spark: SparkSession, dir: String) => {
+      val d0 = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      val span = idSpan(d0)
+      val cur = freshTable()
+      val audit = cur.getParent.resolve("audit")
+      val corr = cur.getParent.resolve("corr")
+      TxLog.append(spark, d0, cur, "doc_id", nParts = 4)
+      TxLog.create(audit, d0.schema): Unit
+      // the corrections arrive as two commits = two micro-batches
+      TxLog.append(spark, d0.filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") + 1000L), corr, "doc_id", nParts = 1)
+      TxLog.append(spark, d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(span)), corr, "doc_id", nParts = 1)
+      def drain(): Unit = {
+        val ckpt = Files.createTempDirectory("graft_tx24_ckpt")
+        tmpDirs.add(ckpt)
+        val q = spark.readStream.format("graft-lake")
+          .option("maxVersionsPerBatch", "1")
+          .load(corr.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            if (!TxLog.isBatchCommitted(audit, id)) {
+              val batch = df.localCheckpoint(true)
+              TxLog.transact(spark, Seq(
+                TxLog.TxnMerge(cur, batch, "doc_id", "doc_id", nParts = 1),
+                TxLog.TxnAppend(audit, batch, "doc_id", nParts = 1,
+                  batchId = Some(id)))): Unit
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      // full redelivery: fresh checkpoint, same batches, same ids —
+      // the watermark skips both transactions
+      drain()
+      val c = TxLog.readAt(spark, cur).agg(
+        count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("s")).head
+      val a = TxLog.readAt(spark, audit).agg(
+        count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("s")).head
+      spark.range(1).select(
+        lit(c.getLong(0)).as("cur_docs"), lit(c.getLong(1)).as("cur_chars"),
+        lit(a.getLong(0)).as("audit_docs"), lit(a.getLong(1)).as("audit_chars"),
+        lit(TxLog.latestVersion(cur)).as("cur_version"),
+        lit(TxLog.latestVersion(audit)).as("audit_version"))
+    }),
+
     // ---- c07: the round-12 features composed into one RECONCILIATION
     // pipeline — what a production corrections run looks like end to
     // end: bloom-index the current table, apply a corrections batch as
@@ -2321,6 +2380,26 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS source_version,
         |  CAST(1 AS BIGINT) AS target_version
         |FROM mv, h, cd""".stripMargin,
+
+    // the streaming reconciliation nets to tx23's state; cur = seed +
+    // two merge commits (v2), audit = create + two tagged appends (v2);
+    // the redelivered run changed nothing.
+    "tx24_streaming_reconcile" ->
+      """WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars
+        |        FROM documents WHERE doc_id % 10 = 3),
+        |ins AS (SELECT d.doc_id + span.s AS doc_id, d.n_chars
+        |        FROM documents d, span WHERE d.doc_id % 5 = 0),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |cur AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 3
+        |        UNION ALL SELECT * FROM ch)
+        |SELECT
+        |  (SELECT COUNT(*) FROM cur) AS cur_docs,
+        |  CAST((SELECT SUM(n_chars) FROM cur) AS BIGINT) AS cur_chars,
+        |  (SELECT COUNT(*) FROM ch) AS audit_docs,
+        |  CAST((SELECT SUM(n_chars) FROM ch) AS BIGINT) AS audit_chars,
+        |  CAST(2 AS BIGINT) AS cur_version,
+        |  CAST(2 AS BIGINT) AS audit_version""".stripMargin,
 
     // tx23's recompute with the SQL binding's report columns: target
     // advanced to v1 (seed append = v0), audit to v1 (its CREATE TABLE

@@ -293,6 +293,24 @@ class TxnSpec extends SparkSpec {
     assert(TxLog.latestVersion(b) == 0L)
   }
 
+  test("an ABORTED transaction's batch tag does not advance the " +
+      "exactly-once watermark: the batch stays eligible for redelivery") {
+    val t = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), t, "doc_id", nParts = 1)
+    val marker = t.getParent.resolve("marker")
+    Files.createDirectories(marker)
+    Files.write(marker.resolve("pending"), "{}".getBytes): Unit
+    assert(TxLog.tryCommit(t, 1L, "append", Nil, Nil, batchId = Some(7L),
+      extra = Map("txn" -> marker.toString)))
+    Files.setLastModifiedTime(marker.resolve("pending"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TxLog.StaleClaimMs - 1000))
+    // before the watermark fix, the raw commit read counted the tag and
+    // a redelivered batch 7 would be skipped — silently lost
+    assert(!TxLog.isBatchCommitted(t, 7L))
+    assert(TxLog.committedBatchIds(t).isEmpty)
+  }
+
   private def deleteRec(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
