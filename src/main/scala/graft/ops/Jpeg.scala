@@ -287,8 +287,14 @@ object Jpeg {
       var usedBH: Array[Int] = null // non-interleaved scans walk these
       var sawScan = false
 
-      def u8(): Int = { val v = p(pos) & 0xFF; pos += 1; v }
-      def u16(): Int = { val v = ((p(pos) & 0xFF) << 8) | (p(pos + 1) & 0xFF); pos += 2; v }
+      // bounds-checked: a truncated file refuses (the require contract
+      // every decoder here shares), never a raw bounds escape — marker
+      // SEGMENT bodies routinely run past the end of a cut-off payload
+      def u8(): Int = {
+        require(pos < p.length, s"media $id: truncated JPEG (read past byte $pos)")
+        val v = p(pos) & 0xFF; pos += 1; v
+      }
+      def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
 
       var done = false
       while (!done) {
@@ -327,6 +333,8 @@ object Jpeg {
               val pqTq = u8()
               require(pqTq >> 4 == 0,
                 s"media $id: 16-bit quantization tables not supported")
+              require((pqTq & 15) <= 3,
+                s"media $id: quantization table id ${pqTq & 15} out of range")
               val t = new Array[Int](64)
               var k = 0
               while (k < 64) { t(k) = u8(); k += 1 }
@@ -343,6 +351,8 @@ object Jpeg {
               val vals = new Array[Int](n)
               i = 0
               while (i < n) { vals(i) = u8(); i += 1 }
+              require((tcTh & 15) <= 3 && (tcTh >> 4) <= 1,
+                s"media $id: Huffman table spec ${tcTh} out of range")
               val h = new Huff(bits, vals)
               if (tcTh >> 4 == 0) dcTab(tcTh & 15) = h else acTab(tcTh & 15) = h
             }
@@ -360,6 +370,7 @@ object Jpeg {
               val comp = Component(cid, hv >> 4, hv & 15, tq)
               require(comp.h >= 1 && comp.h <= 4 && comp.v >= 1 && comp.v <= 4,
                 s"media $id: sampling factors ${comp.h}x${comp.v} out of range")
+              require(tq <= 3, s"media $id: quantization table id $tq out of range")
               comp
             }
           case m if m >= 0xC3 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
@@ -383,6 +394,8 @@ object Jpeg {
               require(j >= 0, s"media $id: scan names unknown component $cs")
               scanComp(i) = j
               val tdTa = u8()
+              require((tdTa >> 4) <= 3 && (tdTa & 15) <= 3,
+                s"media $id: scan Huffman table ids $tdTa out of range")
               useDc(i) = tdTa >> 4
               useAc(i) = tdTa & 15
               i += 1

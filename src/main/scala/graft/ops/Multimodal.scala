@@ -432,6 +432,7 @@ object Multimodal {
       else if (PngDecoder.isPng(p)) PngDecoder.decode(item)
       else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decode(item)
       else if (Mp4.isMp4(p)) Mp4.Mp4MetaDecoder.decode(item)
+      else if (Avi.isAvi(p)) Avi.AviMetaDecoder.decode(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
       else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)

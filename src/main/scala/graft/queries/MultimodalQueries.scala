@@ -603,6 +603,43 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm21: REAL VIDEO FRAME DECODE — MJPEG in AVI. The "video
+    // codecs stay stubbed" boundary is for inter-frame codecs; Motion
+    // JPEG's frames are independent baseline JPEGs, which this repo
+    // decodes for real (ops.Jpeg), and the AVI container is public
+    // RIFF layout (ops.Avi). Each document contributes a 3-frame
+    // 16x16 MJPEG AVI of exactly-encodable solid grays; the query
+    // extracts container metadata AND pixel-decodes frame 0 through
+    // the same JPEG decoder the image corpus uses — the oracle states
+    // every field including the frame's mean luma in closed form.
+    // 100 TB shape: metadata is a header walk; frame decode is
+    // partition-local on the payload column, payloads never shuffle.
+    "mm21_mjpeg_video" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val frames = (0 until 3).map { k =>
+              graft.ops.Jpeg.JpegEncoder.solidGray(16, 16,
+                2 * (((id * 7 + k * 13) % 128).toInt))
+            }
+            val bytes = graft.ops.Avi.AviMjpegEncoder.encode(
+              frames, 16, 16, usPerFrame = 40000)
+            val item = graft.ops.Multimodal.MediaItem(id, bytes)
+            val m = graft.ops.Avi.decodeMeta(item)
+            val f0 = graft.ops.Avi.decodeFrame(item, 0)
+            val n = f0.width * f0.height
+            var s = 0L; var i = 0
+            while (i < n) { s += (f0.rgb(i * 3) & 0xff); i += 1 }
+            (id, m.frameCount.toLong, m.width.toLong, m.height.toLong,
+              m.codec, m.durationUs, s.toDouble / n)
+          }
+        }
+        .toDF("media_id", "frame_count", "width", "height",
+          "codec", "duration_us", "frame0_luma")
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -778,6 +815,15 @@ object MultimodalQueries {
     // The sawtooth's closed form with the i^2 diversity term and the
     // closed-form replay: quarantined ids zero out; good ids carry the
     // gray-ramp mean (sum of 8 values / 8 — exact in doubles)
+    // MJPEG/AVI: every container field and frame 0's byte-exact DCT
+    // round-trip luma stated in closed form.
+    "mm21_mjpeg_video" ->
+      """SELECT doc_id AS media_id, CAST(3 AS BIGINT) AS frame_count,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  'MJPG' AS codec, CAST(120000 AS BIGINT) AS duration_us,
+        |  CAST(2 * ((doc_id * 7) % 128) AS DOUBLE) AS frame0_luma
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // same gray raster whatever the container: PPM/BMP/PNG holders all
     // decode to one closed-form luma; unknown signatures (id%4=3) and
     // the below-header truncation (id%8=1) are quarantined zero-rows.

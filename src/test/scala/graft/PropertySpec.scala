@@ -234,7 +234,12 @@ class PropertySpec extends AnyFunSuite {
       ("gif", Gif.GifEncoder.encode(5, 4, gifIdx),
         b => Gif.GifDecoder.decodePixels(MediaItem(1L, b))),
       ("tiff", Tiff.TiffEncoder.encode(img),
-        b => Tiff.TiffDecoder.decodePixels(MediaItem(1L, b))))
+        b => Tiff.TiffDecoder.decodePixels(MediaItem(1L, b))),
+      ("avi", graft.ops.Avi.AviMjpegEncoder.encode(
+          Seq(graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, 100)), 16, 16, 40000),
+        b => { val it = MediaItem(1L, b)
+          graft.ops.Avi.decodeMeta(it): Unit
+          graft.ops.Avi.decodeFrame(it, 0) }))
     targets.foreach { case (name, base, decode) =>
       val mutGen: Gen[Array[Byte]] = Gen.oneOf(
         Gen.choose(0, base.length - 1).map(base.take),
