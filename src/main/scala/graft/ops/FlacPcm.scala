@@ -1,0 +1,362 @@
+package graft.ops
+
+import Multimodal.MediaItem
+
+/** REAL FLAC AUDIO DECODE, pure JVM — the fixed-predictor subset of the
+  * xiph FLAC format (the lossless archival codec of curated audio
+  * sets). [[Flac]] already walks the container metadata; this decodes
+  * the FRAMES: sync + CRC-8-verified headers, subframes of type
+  * CONSTANT, VERBATIM and FIXED (polynomial predictor orders 0-4),
+  * Rice-coded residual partitions (4- and 5-bit parameter methods,
+  * escaped raw partitions), wasted-bits shifts, and the CRC-16 frame
+  * footer — all of it public integer arithmetic, no codec library.
+  * Supported stream shape: MONO, 16-bit, fixed blocking. LPC subframes
+  * (the encoder-tuned general predictor) are REFUSED instructively —
+  * fixed predictors are what "flac --fast" emits and enough to prove
+  * the sample path end to end; corpus stragglers transcode upstream.
+  *
+  * Decode restores the samples EXACTLY (lossless), so every gate is
+  * closed-form: the oracle states the PCM, and the decoded FLAC must
+  * reproduce it bit-for-bit — the mm20/ing23 "container must not leak
+  * into the data" discipline applied to audio samples.
+  *
+  * [[FlacPcmEncoder]] is the matching deterministic fixture writer
+  * (STREAMINFO + frames; per-frame subframe type, Rice parameters
+  * chosen by exhaustive 0..14 scan, configurable partition order).
+  */
+object FlacPcm {
+
+  // ------------------------------------------------------------- CRCs
+  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — the frame-header CRC. */
+  private[ops] def crc8(p: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= p(i) & 0xFF
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — the frame CRC. */
+  private[ops] def crc16(p: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (p(i) & 0xFF) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------- bit reader
+  private final class Bits(p: Array[Byte], var bytePos: Int) {
+    var bitPos = 0
+    def bit(): Int = {
+      require(bytePos < p.length, s"FLAC: bitstream truncated at byte $bytePos")
+      val v = (p(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def signedBits(n: Int): Int = {
+      val v = bits(n)
+      if (n > 0 && (v & (1 << (n - 1))) != 0) v - (1 << n) else v
+    }
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) {
+        q += 1
+        require(q <= (1 << 20), "FLAC: runaway unary code (corrupt stream)")
+      }
+      q
+    }
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  /** The fixed polynomial predictors, T = s[i-1..i-4] (order 0-4). */
+  private def predict(order: Int, s: Array[Int], i: Int): Int = order match {
+    case 0 => 0
+    case 1 => s(i - 1)
+    case 2 => 2 * s(i - 1) - s(i - 2)
+    case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+    case 4 => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+    case o => throw new IllegalArgumentException(s"FLAC: fixed order $o out of range")
+  }
+
+  /** Decode every frame; returns the PCM samples (exactly
+    * STREAMINFO.totalSamples of them). Mono 16-bit fixed-blocking
+    * fixed-predictor streams; everything else refuses instructively. */
+  def decode(item: MediaItem): Array[Int] = {
+    val p = item.payload
+    val id = item.mediaId
+    val meta = Flac.parse(item)
+    require(meta.channels == 1,
+      s"media $id: only mono FLAC decode is supported (${meta.channels} channels)")
+    require(meta.bitsPerSample == 16,
+      s"media $id: only 16-bit FLAC decode is supported (${meta.bitsPerSample})")
+    require(meta.totalSamples <= (1 << 26),
+      s"media $id: stream too large for in-memory decode")
+    // frames start after the last metadata block
+    var pos = 4
+    var last = false
+    while (!last) {
+      last = (p(pos) & 0x80) != 0
+      val len = ((p(pos + 1) & 0xFF) << 16) | ((p(pos + 2) & 0xFF) << 8) | (p(pos + 3) & 0xFF)
+      pos = pos + 4 + len
+    }
+    val total = meta.totalSamples.toInt
+    val out = new Array[Int](total)
+    var got = 0
+    while (got < total) {
+      val frameStart = pos
+      val in = new Bits(p, pos)
+      require(in.bits(14) == 0x3FFE, s"media $id: lost FLAC frame sync at byte $frameStart")
+      require(in.bit() == 0, s"media $id: reserved frame-header bit set")
+      in.bit(): Unit // blocking strategy (frame vs sample number coding)
+      val bsCode = in.bits(4)
+      val srCode = in.bits(4)
+      val chan = in.bits(4)
+      val ssCode = in.bits(3)
+      require(in.bit() == 0, s"media $id: reserved frame-header bit set")
+      require(chan == 0, s"media $id: only mono frames supported (channel code $chan)")
+      require(ssCode == 4, s"media $id: only 16-bit frames supported (size code $ssCode)")
+      // coded frame/sample number: UTF-8-style variable length
+      val first = in.bits(8)
+      var cont = 0
+      var m = first
+      while ((m & 0x80) != 0 && cont < 7) { cont += 1; m <<= 1; m &= 0xFF }
+      var ci = 0
+      while (ci < (if (cont > 0) cont - 1 else 0)) {
+        require((in.bits(8) & 0xC0) == 0x80, s"media $id: bad coded frame number")
+        ci += 1
+      }
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => in.bits(8) + 1
+        case 7 => in.bits(16) + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case c => throw new IllegalArgumentException(
+          s"media $id: reserved block-size code $c")
+      }
+      srCode match {
+        case 12 => in.bits(8): Unit   // kHz in header
+        case 13 | 14 => in.bits(16): Unit
+        case 15 => throw new IllegalArgumentException(s"media $id: invalid sample-rate code")
+        case _ => ()
+      }
+      // CRC-8 covers the header bytes up to here (reader is byte-aligned:
+      // every field so far is a whole number of bits summing to bytes)
+      require(in.bitPos == 0, s"media $id: frame header not byte-aligned")
+      val wantCrc8 = crc8(p, frameStart, in.bytePos)
+      require(in.bits(8) == wantCrc8, s"media $id: frame header CRC-8 mismatch")
+      // ---- the (single, mono) subframe
+      require(in.bit() == 0, s"media $id: subframe padding bit set")
+      val sfType = in.bits(6)
+      var wasted = 0
+      if (in.bit() == 1) { wasted = in.unary() + 1 }
+      require(wasted < 16, s"media $id: wasted-bits count $wasted exceeds sample size")
+      val eff = 16 - wasted
+      val n = math.min(blockSize, total - got)
+      require(n > 0, s"media $id: frame beyond total sample count")
+      val block = new Array[Int](blockSize)
+      def readResiduals(order: Int): Unit = {
+        val method = in.bits(2)
+        require(method <= 1, s"media $id: reserved residual method $method")
+        val pbits = if (method == 0) 4 else 5
+        val escape = (1 << pbits) - 1
+        val pOrder = in.bits(4)
+        require((blockSize & ((1 << pOrder) - 1)) == 0,
+          s"media $id: partition order $pOrder does not divide block size $blockSize")
+        var idx = order
+        var part = 0
+        val nParts = 1 << pOrder
+        while (part < nParts) {
+          val cnt = (blockSize >> pOrder) - (if (part == 0) order else 0)
+          require(cnt >= 0, s"media $id: predictor order exceeds first partition")
+          val param = in.bits(pbits)
+          var k = 0
+          if (param == escape) {
+            val raw = in.bits(5)
+            while (k < cnt) { block(idx) = in.signedBits(raw); idx += 1; k += 1 }
+          } else {
+            while (k < cnt) {
+              val q = in.unary()
+              val r = in.bits(param)
+              val u = (q << param) | r
+              block(idx) = (u >>> 1) ^ -(u & 1) // zigzag -> signed
+              idx += 1; k += 1
+            }
+          }
+          part += 1
+        }
+      }
+      sfType match {
+        case 0 => // CONSTANT
+          val v = in.signedBits(eff)
+          java.util.Arrays.fill(block, v)
+        case 1 => // VERBATIM
+          var i = 0
+          while (i < blockSize) { block(i) = in.signedBits(eff); i += 1 }
+        case t if (t & 0x38) == 0x08 && (t & 7) <= 4 => // FIXED order 0-4
+          val order = t & 7
+          var i = 0
+          while (i < order) { block(i) = in.signedBits(eff); i += 1 }
+          readResiduals(order)
+          i = order
+          while (i < blockSize) { block(i) += predict(order, block, i); i += 1 }
+        case t if (t & 0x20) != 0 =>
+          throw new IllegalArgumentException(s"media $id: LPC subframes not " +
+            "supported (fixed-predictor subset); transcode with a fixed-" +
+            "predictor encoder upstream")
+        case t => throw new IllegalArgumentException(
+          s"media $id: reserved subframe type $t")
+      }
+      in.align()
+      val wantCrc16 = crc16(p, frameStart, in.bytePos)
+      require(in.bits(16) == wantCrc16, s"media $id: frame CRC-16 mismatch")
+      var i = 0
+      while (i < n) { out(got + i) = block(i) << wasted; i += 1 }
+      got += n
+      pos = in.bytePos
+    }
+    out
+  }
+
+  // ---------------------------------------------------------- encoder
+  /** Deterministic fixture writer: mono 16-bit samples as STREAMINFO +
+    * frames of `blockSize`. `orderFor(frameIdx)` picks the subframe per
+    * frame: 0-4 = FIXED of that order, -1 = VERBATIM, -2 = CONSTANT
+    * (frame samples must all be equal). Rice parameters by exhaustive
+    * scan; `partitionOrder` exercises the partition loop. */
+  object FlacPcmEncoder extends Serializable {
+
+    private final class BitW(out: java.io.ByteArrayOutputStream) {
+      private var buf = 0
+      private var cnt = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          buf = (buf << 1) | ((v >> i) & 1)
+          cnt += 1
+          if (cnt == 8) { out.write(buf); buf = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+      def align(): Unit = if (cnt > 0) put(0, 8 - cnt)
+    }
+
+    private def riceCost(res: Seq[Int], param: Int): Long =
+      res.foldLeft(0L) { (acc, v) =>
+        val u = (v << 1) ^ (v >> 31)
+        acc + (u >>> param) + 1 + param
+      }
+
+    def encode(samples: Array[Int], sampleRate: Int, blockSize: Int,
+        orderFor: Int => Int, partitionOrder: Int = 0): Array[Byte] = {
+      require(samples.nonEmpty, "FLAC fixture needs samples")
+      require(samples.forall(s => s >= -32768 && s <= 32767), "16-bit range")
+      require((blockSize & ((1 << partitionOrder) - 1)) == 0,
+        "partition order must divide block size")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      // STREAMINFO (last metadata block)
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val si = new java.io.ByteArrayOutputStream()
+      val sb = new BitW(si)
+      sb.put(blockSize, 16); sb.put(blockSize, 16) // min/max block size
+      sb.put(0, 24); sb.put(0, 24) // frame size bounds unknown
+      sb.put(sampleRate, 20); sb.put(0, 3) /* channels-1 */ ; sb.put(15, 5) /* bps-1 */
+      sb.put(0, 4); sb.put(samples.length, 32) // totalSamples (36 bits)
+      sb.align()
+      out.write(si.toByteArray)
+      out.write(new Array[Byte](16)) // PCM MD5: zero (metadata-only field here)
+      // ---- frames
+      var off = 0
+      var frameIdx = 0
+      while (off < samples.length) {
+        val n = math.min(blockSize, samples.length - off)
+        val fb = new java.io.ByteArrayOutputStream()
+        val w = new BitW(fb)
+        w.put(0x3FFE, 14); w.put(0, 1); w.put(0, 1) // sync, reserved, fixed blocking
+        w.put(6, 4)       // block size: 8-bit value-1 at header end
+        w.put(0, 4)       // sample rate: from STREAMINFO
+        w.put(0, 4)       // mono
+        w.put(4, 3); w.put(0, 1) // 16-bit, reserved
+        require(frameIdx < 128, "fixture frame number exceeds 1-byte UTF-8 coding")
+        w.put(frameIdx, 8) // coded frame number (single byte)
+        w.put(n - 1, 8)    // 8-bit block size - 1
+        w.align()
+        val headBytes = fb.toByteArray
+        fb.write(crc8(headBytes, 0, headBytes.length))
+        val w2 = new BitW(fb)
+        val order0 = orderFor(frameIdx)
+        val frame = java.util.Arrays.copyOfRange(samples, off, off + n)
+        order0 match {
+          case -2 =>
+            require(frame.forall(_ == frame(0)), "CONSTANT frame must be constant")
+            w2.put(0, 1); w2.put(0, 6); w2.put(0, 1)
+            w2.put(frame(0) & 0xFFFF, 16)
+          case -1 =>
+            w2.put(0, 1); w2.put(1, 6); w2.put(0, 1)
+            frame.foreach(s => w2.put(s & 0xFFFF, 16))
+          case o =>
+            require(o >= 0 && o <= 4 && o < n, s"fixed order $o invalid for $n samples")
+            w2.put(0, 1); w2.put(0x08 | o, 6); w2.put(0, 1)
+            (0 until o).foreach(i => w2.put(frame(i) & 0xFFFF, 16))
+            val res = (o until n).map { i =>
+              frame(i) - (o match {
+                case 0 => 0
+                case 1 => frame(i - 1)
+                case 2 => 2 * frame(i - 1) - frame(i - 2)
+                case 3 => 3 * frame(i - 1) - 3 * frame(i - 2) + frame(i - 3)
+                case _ => 4 * frame(i - 1) - 6 * frame(i - 2) + 4 * frame(i - 3) - frame(i - 4)
+              })
+            }
+            val pOrd = if (n == blockSize) partitionOrder else 0
+            w2.put(0, 2)    // method: 4-bit rice
+            w2.put(pOrd, 4) // partition order
+            var idx = 0
+            (0 until (1 << pOrd)).foreach { part =>
+              val cnt = (n >> pOrd) - (if (part == 0) o else 0)
+              val slice = res.slice(idx, idx + cnt)
+              idx += cnt
+              val param = (0 to 14).minBy(k => riceCost(slice, k))
+              w2.put(param, 4)
+              slice.foreach { v =>
+                val u = (v << 1) ^ (v >> 31)
+                w2.putUnary(u >>> param)
+                w2.put(u & ((1 << param) - 1), param)
+              }
+            }
+        }
+        w2.align()
+        val frameBytes = fb.toByteArray
+        val c16 = crc16(frameBytes, 0, frameBytes.length)
+        fb.write((c16 >> 8) & 0xFF); fb.write(c16 & 0xFF)
+        out.write(fb.toByteArray)
+        off += n
+        frameIdx += 1
+      }
+      out.toByteArray
+    }
+  }
+}

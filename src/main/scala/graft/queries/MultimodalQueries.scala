@@ -640,6 +640,42 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm22: REAL FLAC SAMPLE DECODE — compressed audio leaves the
+    // stub (ops.FlacPcm): CRC-verified frames, CONSTANT/VERBATIM/FIXED
+    // subframes, Rice-partitioned residuals. FLAC is lossless, so the
+    // gate is exact: each document's sawtooth PCM (mm18's formula)
+    // encodes with a per-id subframe mix (all five fixed orders + the
+    // verbatim path across the corpus, two Rice partitions per frame),
+    // decodes back, and the decoded sample count / sum / energy must
+    // equal the oracle's closed-form statement of the ORIGINAL signal —
+    // one wrong residual anywhere breaks the hash. Decode is
+    // partition-local; payloads never shuffle.
+    "mm22_flac_pcm" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val s = Array.tabulate(128)(i =>
+              (((id * 31 + i * 57 + i.toLong * i * (1 + id % 89)) % 4096) - 2048).toInt)
+            val order = (id % 7) match {
+              case 5 | 6 => -1 // verbatim arm (mixed with fixed-2 frames)
+              case k => k.toInt
+            }
+            val bytes = graft.ops.FlacPcm.FlacPcmEncoder.encode(
+              s, 8000, blockSize = 64,
+              orderFor = f => if (order == -1 && f % 2 == 1) 2 else order,
+              partitionOrder = 1)
+            val dec = graft.ops.FlacPcm.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            var sum = 0L; var energy = 0L
+            dec.foreach { v => sum += v; energy += v.toLong * v }
+            (id, dec.length.toLong, sum, energy)
+          }
+        }
+        .toDF("media_id", "n_samples", "sum_samples", "sum_energy")
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -815,6 +851,19 @@ object MultimodalQueries {
     // The sawtooth's closed form with the i^2 diversity term and the
     // closed-form replay: quarantined ids zero out; good ids carry the
     // gray-ramp mean (sum of 8 values / 8 — exact in doubles)
+    // FLAC is lossless: the decoded stream's count/sum/energy must
+    // equal the ORIGINAL signal's closed form, whatever subframe mix
+    // the id selected.
+    "mm22_flac_pcm" ->
+      """WITH sm AS (
+        |  SELECT doc_id, ((doc_id * 31 + i * 57 + i * i * (1 + doc_id % 89))
+        |    % 4096) - 2048 AS s
+        |  FROM documents, unnest(range(0, 128)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
     // MJPEG/AVI: every container field and frame 0's byte-exact DCT
     // round-trip luma stated in closed form.
     "mm21_mjpeg_video" ->

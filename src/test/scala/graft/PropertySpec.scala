@@ -239,7 +239,11 @@ class PropertySpec extends AnyFunSuite {
           Seq(graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, 100)), 16, 16, 40000),
         b => { val it = MediaItem(1L, b)
           graft.ops.Avi.decodeMeta(it): Unit
-          graft.ops.Avi.decodeFrame(it, 0) }))
+          graft.ops.Avi.decodeFrame(it, 0) }),
+      ("flac-pcm", graft.ops.FlacPcm.FlacPcmEncoder.encode(
+          Array.tabulate(128)(i => ((i * 37) % 4000) - 2000), 8000,
+          blockSize = 64, orderFor = _ => 2, partitionOrder = 1),
+        b => graft.ops.FlacPcm.decode(MediaItem(1L, b))))
     targets.foreach { case (name, base, decode) =>
       val mutGen: Gen[Array[Byte]] = Gen.oneOf(
         Gen.choose(0, base.length - 1).map(base.take),
