@@ -1644,6 +1644,41 @@ object LakeQueries {
         lit(r.getLong(2)).as("rows_merged"))
     }),
 
+    // ---- dq06: TRANSACTION CONSERVATION AUDIT — the data-quality
+    // monitor a lake running multi-table transfers needs: after a
+    // move_where, the `t$txns` metadata tables must show exactly one
+    // COMMITTED txn commit per participant with the expected ops, and
+    // the union of both tables must conserve the original corpus
+    // exactly (no row lost in the delete side, none doubled in the
+    // append side). Everything is O(log metadata) except the two
+    // conservation aggregates. The oracle states the invariants in
+    // closed form — any atomicity bug surfaces as a hash break here.
+    "dq06_txn_conservation" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val hot = freshTable()
+      val base = hot.getParent
+      val cold = base.resolve("cold")
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("lang") === "en"), hot, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("lang") =!= "en"), cold, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.move_where('tbl', 'cold', 'doc_id', " +
+        "'n_chars < 200')").collect(): Unit
+      val u = spark.sql(s"SELECT COUNT(*) AS n, " +
+        s"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s FROM " +
+        s"(SELECT n_chars FROM $cat.tbl UNION ALL SELECT n_chars FROM $cat.cold)").head
+      val ht = spark.sql(s"SELECT op, outcome FROM $cat.`tbl$$txns`").collect()
+      val ct = spark.sql(s"SELECT op, outcome FROM $cat.`cold$$txns`").collect()
+      spark.range(1).select(
+        lit(u.getLong(0)).as("total_docs"), lit(u.getLong(1)).as("total_chars"),
+        lit(ht.length.toLong).as("hot_txns"), lit(ct.length.toLong).as("cold_txns"),
+        lit(ht.head.getString(0)).as("hot_txn_op"),
+        lit(ct.head.getString(0)).as("cold_txn_op"),
+        lit(ht.head.getString(1)).as("hot_outcome"),
+        lit(ct.head.getString(1)).as("cold_outcome"))
+    }),
+
     // ---- tx24: STREAMING reconciliation — the merge+audit transaction
     // driven per micro-batch by a graft-lake tail of a corrections
     // table, EXACTLY-ONCE: the audit append carries the batch id, the
@@ -2380,6 +2415,17 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS source_version,
         |  CAST(1 AS BIGINT) AS target_version
         |FROM mv, h, cd""".stripMargin,
+
+    // conservation + txn-visibility invariants in closed form: one
+    // committed delete-mor on the hot side, one committed append on
+    // the cold side, the corpus conserved exactly across both.
+    "dq06_txn_conservation" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(1 AS BIGINT) AS hot_txns, CAST(1 AS BIGINT) AS cold_txns,
+        |  'delete-mor' AS hot_txn_op, 'append' AS cold_txn_op,
+        |  'committed' AS hot_outcome, 'committed' AS cold_outcome""".stripMargin,
 
     // the streaming reconciliation nets to tx23's state; cur = seed +
     // two merge commits (v2), audit = create + two tagged appends (v2);
