@@ -181,7 +181,7 @@ object Avi {
             w32(usPerFrame.toLong); w32(1000000L) // scale, rate
             w32(0); w32(frames.size.toLong)
             w32(frames.map(_.length).max.toLong); w32(0xffffffffL); w32(0)
-            w32(0) // rcFrame (8 shorts folded into 2 u32s is fine for fixtures)
+            w32(0); w32(0) // rcFrame: 4 shorts = 2 u32s, making strh the spec's 56 bytes
           }
           chunk("strf") {
             w32(40); w32(width.toLong); w32(height.toLong)

@@ -10,10 +10,15 @@ import Multimodal.MediaItem
   * Rice-coded residual partitions (4- and 5-bit parameter methods,
   * escaped raw partitions), wasted-bits shifts, and the CRC-16 frame
   * footer — all of it public integer arithmetic, no codec library.
-  * Supported stream shape: MONO, 16-bit, fixed blocking. LPC subframes
-  * (the encoder-tuned general predictor) are REFUSED instructively —
-  * fixed predictors are what "flac --fast" emits and enough to prove
-  * the sample path end to end; corpus stragglers transcode upstream.
+  * Supported stream shape: MONO, 16-bit, fixed blocking. Subframe
+  * types: CONSTANT, VERBATIM, FIXED (orders 0-4) and — since round 13
+  * — LPC (orders 1-32): QLP precision/shift header, signed quantized
+  * coefficients, and the integer fixed-point predictor
+  * s[i] = res[i] + ((sum qlp[j]*s[i-1-j]) >> shift) in a 64-bit
+  * accumulator. Wild FLAC is overwhelmingly LPC-encoded, so this is
+  * the real-world coverage arm; the remaining refusals are genuinely
+  * non-subset shapes (stereo, non-16-bit, variable blocking, negative
+  * QLP shift — spec-reserved).
   *
   * Decode restores the samples EXACTLY (lossless), so every gate is
   * closed-form: the oracle states the PCM, and the decoded FLAC must
@@ -200,8 +205,15 @@ object FlacPcm {
             while (k < cnt) {
               val q = in.unary()
               val r = in.bits(param)
-              val u = (q << param) | r
-              block(idx) = (u >>> 1) ^ -(u & 1) // zigzag -> signed
+              // Accumulate in Long: the 5-bit method allows param up to 30
+              // and unary() allows q up to 2^20, so (q << param) overflows
+              // Int on crafted streams (the CRC is attacker-controlled) and
+              // would yield silently wrong samples instead of a refusal.
+              val u = (q.toLong << param) | (r.toLong & 0xFFFFFFFFL)
+              val s = (u >>> 1) ^ -(u & 1L) // zigzag -> signed
+              require(s >= Int.MinValue && s <= Int.MaxValue,
+                s"media $id: Rice residual overflows 32 bits (corrupt stream)")
+              block(idx) = s.toInt
               idx += 1; k += 1
             }
           }
@@ -217,15 +229,46 @@ object FlacPcm {
           while (i < blockSize) { block(i) = in.signedBits(eff); i += 1 }
         case t if (t & 0x38) == 0x08 && (t & 7) <= 4 => // FIXED order 0-4
           val order = t & 7
+          require(order <= blockSize,
+            s"media $id: fixed order $order exceeds block size $blockSize")
           var i = 0
           while (i < order) { block(i) = in.signedBits(eff); i += 1 }
           readResiduals(order)
           i = order
           while (i < blockSize) { block(i) += predict(order, block, i); i += 1 }
-        case t if (t & 0x20) != 0 =>
-          throw new IllegalArgumentException(s"media $id: LPC subframes not " +
-            "supported (fixed-predictor subset); transcode with a fixed-" +
-            "predictor encoder upstream")
+        case t if (t & 0x20) != 0 => // LPC, order 1-32 (type = 1ooooo)
+          val order = (t & 0x1F) + 1
+          require(order <= blockSize,
+            s"media $id: LPC order $order exceeds block size $blockSize")
+          var i = 0
+          while (i < order) { block(i) = in.signedBits(eff); i += 1 }
+          val precM1 = in.bits(4)
+          require(precM1 != 15, s"media $id: invalid QLP precision code 15")
+          val precision = precM1 + 1
+          val shift = in.signedBits(5)
+          // The 5-bit shift field is two's complement in the spec, but a
+          // negative shift is spec-reserved ("which is i guess possible"
+          // wording aside, libFLAC refuses it) — refuse instructively
+          // rather than guess a semantics.
+          require(shift >= 0,
+            s"media $id: negative QLP shift $shift is spec-reserved")
+          val qlp = new Array[Int](order)
+          i = 0
+          while (i < order) { qlp(i) = in.signedBits(precision); i += 1 }
+          readResiduals(order)
+          // Integer fixed-point prediction: 64-bit accumulator (order<=32,
+          // |coef|<2^14, |sample|<2^31 -> |acc|<2^50, never wraps).
+          i = order
+          while (i < blockSize) {
+            var acc = 0L
+            var j = 0
+            while (j < order) { acc += qlp(j).toLong * block(i - 1 - j); j += 1 }
+            val v = block(i).toLong + (acc >> shift)
+            require(v >= Int.MinValue && v <= Int.MaxValue,
+              s"media $id: LPC prediction overflows 32 bits (corrupt stream)")
+            block(i) = v.toInt
+            i += 1
+          }
         case t => throw new IllegalArgumentException(
           s"media $id: reserved subframe type $t")
       }
@@ -270,12 +313,24 @@ object FlacPcm {
         acc + (u >>> param) + 1 + param
       }
 
+    /** Per-frame subframe selection: `orderFor` returns 0-4 for FIXED,
+      * -1 VERBATIM, -2 CONSTANT; `lpcFor`, when it returns
+      * Some((coefs, shift)), overrides with an LPC subframe of order
+      * coefs.length — residuals are computed with the same 64-bit
+      * integer predictor the decoder applies, so round-trips are exact.
+      * QLP precision is derived from the widest coefficient. */
     def encode(samples: Array[Int], sampleRate: Int, blockSize: Int,
-        orderFor: Int => Int, partitionOrder: Int = 0): Array[Byte] = {
+        orderFor: Int => Int, partitionOrder: Int = 0,
+        lpcFor: Int => Option[(Array[Int], Int)] = _ => None): Array[Byte] = {
       require(samples.nonEmpty, "FLAC fixture needs samples")
       require(samples.forall(s => s >= -32768 && s <= 32767), "16-bit range")
       require((blockSize & ((1 << partitionOrder) - 1)) == 0,
         "partition order must divide block size")
+      // The frame header below uses block-size code 6 (8-bit value-1), so
+      // blockSize > 256 would silently truncate in put(n - 1, 8) and emit
+      // an undecodable stream — refuse at encode time like frameIdx < 128.
+      require(blockSize >= 1 && blockSize <= 256,
+        "fixture block size exceeds 8-bit header coding (code 6)")
       val out = new java.io.ByteArrayOutputStream()
       out.write("fLaC".getBytes("US-ASCII"))
       // STREAMINFO (last metadata block)
@@ -310,43 +365,70 @@ object FlacPcm {
         val w2 = new BitW(fb)
         val order0 = orderFor(frameIdx)
         val frame = java.util.Arrays.copyOfRange(samples, off, off + n)
-        order0 match {
-          case -2 =>
-            require(frame.forall(_ == frame(0)), "CONSTANT frame must be constant")
-            w2.put(0, 1); w2.put(0, 6); w2.put(0, 1)
-            w2.put(frame(0) & 0xFFFF, 16)
-          case -1 =>
-            w2.put(0, 1); w2.put(1, 6); w2.put(0, 1)
-            frame.foreach(s => w2.put(s & 0xFFFF, 16))
-          case o =>
-            require(o >= 0 && o <= 4 && o < n, s"fixed order $o invalid for $n samples")
-            w2.put(0, 1); w2.put(0x08 | o, 6); w2.put(0, 1)
+        def writeRice(res: IndexedSeq[Int], o: Int): Unit = {
+          val pOrd = if (n == blockSize) partitionOrder else 0
+          w2.put(0, 2)    // method: 4-bit rice
+          w2.put(pOrd, 4) // partition order
+          var idx = 0
+          (0 until (1 << pOrd)).foreach { part =>
+            val cnt = (n >> pOrd) - (if (part == 0) o else 0)
+            val slice = res.slice(idx, idx + cnt)
+            idx += cnt
+            val param = (0 to 14).minBy(k => riceCost(slice, k))
+            w2.put(param, 4)
+            slice.foreach { v =>
+              val u = (v << 1) ^ (v >> 31)
+              w2.putUnary(u >>> param)
+              w2.put(u & ((1 << param) - 1), param)
+            }
+          }
+        }
+        lpcFor(frameIdx) match {
+          case Some((coefs, shift)) =>
+            val o = coefs.length
+            require(o >= 1 && o <= 32 && o < n, s"LPC order $o invalid for $n samples")
+            require(shift >= 0 && shift <= 15, s"QLP shift $shift out of range")
+            // smallest signed width holding every coefficient, min 2 bits
+            val precision = math.max(2, coefs.map(c =>
+              33 - java.lang.Integer.numberOfLeadingZeros(if (c < 0) ~c else c)).max)
+            require(precision <= 15, s"QLP coefficients need $precision bits (>15)")
+            w2.put(0, 1); w2.put(0x20 | (o - 1), 6); w2.put(0, 1)
             (0 until o).foreach(i => w2.put(frame(i) & 0xFFFF, 16))
+            w2.put(precision - 1, 4)
+            w2.put(shift & 0x1F, 5)
+            coefs.foreach(c => w2.put(c & ((1 << precision) - 1), precision))
             val res = (o until n).map { i =>
-              frame(i) - (o match {
-                case 0 => 0
-                case 1 => frame(i - 1)
-                case 2 => 2 * frame(i - 1) - frame(i - 2)
-                case 3 => 3 * frame(i - 1) - 3 * frame(i - 2) + frame(i - 3)
-                case _ => 4 * frame(i - 1) - 6 * frame(i - 2) + 4 * frame(i - 3) - frame(i - 4)
-              })
+              var acc = 0L; var j = 0
+              while (j < o) { acc += coefs(j).toLong * frame(i - 1 - j); j += 1 }
+              val r = frame(i).toLong - (acc >> shift)
+              require(r >= -(1L << 29) && r < (1L << 29),
+                "fixture LPC residual too wide for zigzag coding — rescale coefs/shift")
+              r.toInt
             }
-            val pOrd = if (n == blockSize) partitionOrder else 0
-            w2.put(0, 2)    // method: 4-bit rice
-            w2.put(pOrd, 4) // partition order
-            var idx = 0
-            (0 until (1 << pOrd)).foreach { part =>
-              val cnt = (n >> pOrd) - (if (part == 0) o else 0)
-              val slice = res.slice(idx, idx + cnt)
-              idx += cnt
-              val param = (0 to 14).minBy(k => riceCost(slice, k))
-              w2.put(param, 4)
-              slice.foreach { v =>
-                val u = (v << 1) ^ (v >> 31)
-                w2.putUnary(u >>> param)
-                w2.put(u & ((1 << param) - 1), param)
+            writeRice(res, o)
+          case None => order0 match {
+            case -2 =>
+              require(frame.forall(_ == frame(0)), "CONSTANT frame must be constant")
+              w2.put(0, 1); w2.put(0, 6); w2.put(0, 1)
+              w2.put(frame(0) & 0xFFFF, 16)
+            case -1 =>
+              w2.put(0, 1); w2.put(1, 6); w2.put(0, 1)
+              frame.foreach(s => w2.put(s & 0xFFFF, 16))
+            case o =>
+              require(o >= 0 && o <= 4 && o < n, s"fixed order $o invalid for $n samples")
+              w2.put(0, 1); w2.put(0x08 | o, 6); w2.put(0, 1)
+              (0 until o).foreach(i => w2.put(frame(i) & 0xFFFF, 16))
+              val res = (o until n).map { i =>
+                frame(i) - (o match {
+                  case 0 => 0
+                  case 1 => frame(i - 1)
+                  case 2 => 2 * frame(i - 1) - frame(i - 2)
+                  case 3 => 3 * frame(i - 1) - 3 * frame(i - 2) + frame(i - 3)
+                  case _ => 4 * frame(i - 1) - 6 * frame(i - 2) + 4 * frame(i - 3) - frame(i - 4)
+                })
               }
-            }
+              writeRice(res, o)
+          }
         }
         w2.align()
         val frameBytes = fb.toByteArray

@@ -409,6 +409,13 @@ object Pdf {
     }
 
     private val cache = mutable.Map.empty[Int, PObj]
+    /** Objects currently being materialized. A well-formed file never
+      * re-enters obj() for a number still on the resolution stack; a
+      * crafted one can (two ObjStm type-2 xref entries naming each other
+      * as containers, or a PRef reference cycle) and without this guard
+      * that recursion is unbounded — a StackOverflowError, an Error that
+      * would escape the ParseError/NonFatal quarantine contract. */
+    private val resolving = mutable.Set.empty[Int]
 
     /** Parses `num gen obj <body> [stream]` directly at a byte offset.
       * Used by object loads AND by xref-stream bootstrap (which runs
@@ -454,7 +461,17 @@ object Pdf {
         case direct => direct
       }
 
-    def obj(num: Int): PObj = cache.getOrElseUpdate(num,
+    def obj(num: Int): PObj = cache.get(num) match {
+      case Some(v) => v
+      case None =>
+        if (!resolving.add(num)) throw ParseError(
+          s"PDF: reference cycle while resolving object $num")
+        val v = try objBody(num) finally resolving -= num
+        cache(num) = v
+        v
+    }
+
+    private def objBody(num: Int): PObj =
       objIndex.getOrElse(num, throw ParseError(s"PDF: object $num not in xref")) match {
         case InFile(off) =>
           val (got, body) = parseObjAt(off.toInt)
@@ -503,7 +520,7 @@ object Pdf {
           if (first + rel >= data.length) throw ParseError(
             s"PDF: ObjStm offset for object $num runs past the stream")
           new Lexer(data, first + rel).next()
-      })
+      }
 
     def resolve(o: PObj): PObj = o match {
       case PRef(n, _) =>

@@ -58,23 +58,147 @@ class FlacPcmSpec extends SparkSpec {
       e.getMessage.contains("media"), e.getMessage)
   }
 
-  test("LPC subframes and truncation refuse instructively") {
+  test("a retyped subframe byte and truncation refuse, never return " +
+      "wrong samples") {
     val s = saw(64, 5L)
     val base = FlacPcm.FlacPcmEncoder.encode(s, 8000, blockSize = 64,
       orderFor = _ => 0)
     // subframe type byte sits at a fixed offset in the fixture:
-    // 42 bytes of container metadata + 7 frame-header bytes; an LPC
-    // type (1xxxxx) refuses at subframe dispatch, before the CRC-16
+    // 42 bytes of container metadata + 7 frame-header bytes. Retyping
+    // the FIXED-0 subframe as LPC order 1 now DECODES as LPC (r13) —
+    // but reinterprets the bitstream, so either a QLP-header require or
+    // the CRC-16 must refuse; silence or wrong samples would fail here.
     val lpc = base.clone()
     lpc(49) = 0x40.toByte // pad=0, type=100000 (LPC order 1), wasted=0
     val e = intercept[IllegalArgumentException] {
       FlacPcm.decode(MediaItem(4L, lpc)): Unit
     }
-    assert(e.getMessage.contains("LPC"), e.getMessage)
+    assert(e.getMessage.contains("media 4") || e.getMessage.contains("FLAC"),
+      e.getMessage)
     val t = intercept[IllegalArgumentException] {
       FlacPcm.decode(MediaItem(5L, base.take(base.length - 3))): Unit
     }
     assert(t.getMessage.contains("truncated") || t.getMessage.contains("CRC"),
       t.getMessage)
+  }
+
+  // ------------------------------------------------------------- LPC
+
+  /** Deterministic quantized-predictor tables for orders 1-8: plausible
+    * smooth-signal predictors (quantized around the fixed polynomials
+    * plus a decaying tail), shift 5 → coefficients fit well under the
+    * 15-bit QLP precision cap. */
+  private def qlpFor(order: Int): (Array[Int], Int) = {
+    val shift = 5
+    val base = Array(32, -14, 9, -6, 4, -3, 2, -1) // x/32 fixed-point taps
+    (Array.tabulate(order)(j => base(j) + order - j), shift)
+  }
+
+  test("LPC round-trip: orders 1-8, partitioned residuals, multi-frame, " +
+      "short tail, mixed with FIXED frames") {
+    val s = saw(300, 13L) // 4 full 64-frames + a 44-sample tail
+    (1 to 8).foreach { o =>
+      val bytes = FlacPcm.FlacPcmEncoder.encode(s, 8000, blockSize = 64,
+        orderFor = _ => 0, partitionOrder = 2, lpcFor = _ => Some(qlpFor(o)))
+      assert(FlacPcm.decode(MediaItem(100L + o, bytes)).toSeq == s.toSeq,
+        s"LPC order $o")
+    }
+    // alternate LPC / FIXED / VERBATIM frames in one stream
+    val mixed = FlacPcm.FlacPcmEncoder.encode(s, 8000, blockSize = 64,
+      orderFor = f => if (f % 3 == 1) 2 else -1,
+      lpcFor = f => if (f % 3 == 0) Some(qlpFor(1 + f % 8)) else None)
+    assert(FlacPcm.decode(MediaItem(110L, mixed)).toSeq == s.toSeq)
+  }
+
+  test("LPC with negative coefficients and a zero shift round-trips") {
+    val s = saw(128, 29L)
+    val bytes = FlacPcm.FlacPcmEncoder.encode(s, 8000, blockSize = 64,
+      orderFor = _ => 0, lpcFor = _ => Some((Array(2, -1), 0)))
+    assert(FlacPcm.decode(MediaItem(120L, bytes)).toSeq == s.toSeq)
+  }
+
+  test("corrupt QLP headers refuse: precision code 15, negative shift, " +
+      "flipped coefficient") {
+    val s = saw(64, 17L)
+    val base = FlacPcm.FlacPcmEncoder.encode(s, 8000, blockSize = 64,
+      orderFor = _ => 0, lpcFor = _ => Some(qlpFor(2)))
+    // subframe layout after byte 49: type byte, 2x16-bit warmup, then
+    // the 4-bit precision field starts at bit 0 of byte 54
+    val precBad = base.clone()
+    precBad(54) = (precBad(54) | 0xF0).toByte // precision code 15
+    val e1 = intercept[IllegalArgumentException] {
+      FlacPcm.decode(MediaItem(130L, precBad)): Unit
+    }
+    assert(e1.getMessage.contains("precision") || e1.getMessage.contains("CRC"),
+      e1.getMessage)
+    // negative shift: the 5-bit field spans byte 54 bit 4 .. byte 55 bit 0;
+    // setting its sign bit (byte 54 bit 4) makes it two's-complement negative
+    val shiftBad = base.clone()
+    shiftBad(54) = (shiftBad(54) | 0x08).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      FlacPcm.decode(MediaItem(131L, shiftBad)): Unit
+    }
+    assert(e2.getMessage.contains("shift") || e2.getMessage.contains("CRC"),
+      e2.getMessage)
+    // a flipped coefficient byte must be caught by the CRC-16, never
+    // silently decode to different samples
+    val coefBad = base.clone()
+    coefBad(56) = (coefBad(56) ^ 0x10).toByte
+    val e3 = intercept[IllegalArgumentException] {
+      FlacPcm.decode(MediaItem(132L, coefBad)): Unit
+    }
+    assert(e3.getMessage.contains("CRC") || e3.getMessage.contains("media 132"),
+      e3.getMessage)
+  }
+
+  test("encoder refuses block sizes beyond the 8-bit header coding") {
+    val s = saw(600, 3L)
+    val e = intercept[IllegalArgumentException] {
+      FlacPcm.FlacPcmEncoder.encode(s, 8000, blockSize = 512,
+        orderFor = _ => 0): Unit
+    }
+    assert(e.getMessage.contains("8-bit"), e.getMessage)
+  }
+
+  test("a crafted Rice code that overflows 32 bits refuses instead of " +
+      "returning silently wrong samples") {
+    // Hand-build a stream whose first residual is unary q=300000 with
+    // param=14: u = q<<14 ~ 4.9e9 > 2^32, so the old Int math wrapped
+    // and produced a wrong sample with a VALID CRC-8 header. The fixed
+    // decoder must refuse at the residual, before any sample escapes.
+    val container = FlacPcm.FlacPcmEncoder.encode(Array.fill(16)(0), 8000,
+      blockSize = 16, orderFor = _ => 0).take(42) // fLaC + STREAMINFO
+    val fb = new java.io.ByteArrayOutputStream()
+    fb.write(container, 0, 42)
+    val frame = new java.io.ByteArrayOutputStream()
+    var buf = 0; var cnt = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >> i) & 1); cnt += 1
+        if (cnt == 8) { frame.write(buf); buf = 0; cnt = 0 }
+        i -= 1
+      }
+    }
+    put(0x3FFE, 14); put(0, 1); put(0, 1) // sync
+    put(6, 4); put(0, 4)                  // bs code 6, rate from STREAMINFO
+    put(0, 4); put(4, 3); put(0, 1)       // mono, 16-bit
+    put(0, 8)                             // frame number 0
+    put(16 - 1, 8)                        // 8-bit block size - 1
+    val head = frame.toByteArray
+    frame.write(FlacPcm.crc8(head, 0, head.length))
+    put(0, 1); put(0x08, 6); put(0, 1)    // FIXED order 0
+    put(0, 2); put(0, 4)                  // method 0, partition order 0
+    put(14, 4)                            // rice param 14
+    (0 until 300000).foreach(_ => put(0, 1)) // unary quotient q=300000
+    put(1, 1)
+    put(0, 14)                            // remainder 0
+    put(0, 8); put(0, 8); put(0, 8)       // slack so bit reads don't hit EOF
+    if (cnt > 0) put(0, 8 - cnt)
+    fb.write(frame.toByteArray)
+    val e = intercept[IllegalArgumentException] {
+      FlacPcm.decode(MediaItem(140L, fb.toByteArray)): Unit
+    }
+    assert(e.getMessage.contains("overflows 32 bits"), e.getMessage)
   }
 }

@@ -174,4 +174,36 @@ class PdfSpec extends SparkSpec {
     val m = intercept[ParseError] { Pdf.extract(missing.getBytes("ISO-8859-1")) }
     assert(m.getMessage.startsWith("PDF:"), m.getMessage)
   }
+
+  test("PDF 1.5: mutually-containing object-stream entries refuse as a " +
+      "cycle instead of overflowing the stack") {
+    // Hand-built minimal 1.5 file whose xref stream carries two type-2
+    // entries naming each other as containers: obj 1 "lives in" ObjStm 2
+    // and obj 2 "lives in" ObjStm 1. Resolving /Root 1 0 R then recurses
+    // obj(1)->obj(2)->obj(1); without the in-progress guard that is an
+    // unbounded recursion -> StackOverflowError, an Error that escapes
+    // the ParseError/NonFatal quarantine the ingestion path relies on.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val xrefOff = out.size()
+    def row(tpe: Int, f2: Long, f3: Int): Array[Byte] = Array[Byte](
+      tpe.toByte,
+      ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+      ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+      ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    val rows = Array(
+      row(0, 0L, 65535),        // 0: free head
+      row(2, 2L, 0),            // 1: claims to live in ObjStm 2
+      row(2, 1L, 0),            // 2: claims to live in ObjStm 1
+      row(1, xrefOff.toLong, 0) // 3: the xref stream itself
+    ).flatten
+    w(s"3 0 obj << /Type /XRef /Size 4 /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${rows.length} >>\nstream\n")
+    out.write(rows)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF")
+    val e = intercept[ParseError] { Pdf.extract(out.toByteArray) }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
 }
