@@ -676,6 +676,42 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm23: REAL LPC DECODE — the general-predictor subframes wild
+    // FLAC is overwhelmingly encoded with (r12 refused them; r13 decodes
+    // them). Each document's sawtooth encodes with LPC order 1+id%8
+    // (quantized smooth-signal taps, shift 5), alternating with FIXED-2
+    // frames so LPC and polynomial predictors interleave in one stream,
+    // two Rice partitions per frame. FLAC is lossless, so the gate stays
+    // exact: decoded count / sum / energy must equal the oracle's
+    // closed-form statement of the ORIGINAL signal — one wrong QLP
+    // coefficient, shift, or residual anywhere breaks the hash. Decode
+    // is partition-local; payloads never shuffle.
+    "mm23_flac_lpc" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val s = Array.tabulate(192)(i =>
+              (((id * 31 + i * 57 + i.toLong * i * (1 + id % 89)) % 4096) - 2048).toInt)
+            val order = 1 + (id % 8).toInt
+            val taps = Array(32, -14, 9, -6, 4, -3, 2, -1)
+            val coefs = Array.tabulate(order)(j => taps(j) + order - j)
+            val bytes = graft.ops.FlacPcm.FlacPcmEncoder.encode(
+              s, 8000, blockSize = 64,
+              orderFor = _ => 2,
+              partitionOrder = 1,
+              lpcFor = f => if (f % 2 == 0) Some((coefs, 5)) else None)
+            val dec = graft.ops.FlacPcm.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            var sum = 0L; var energy = 0L
+            dec.foreach { v => sum += v; energy += v.toLong * v }
+            (id, order.toLong, dec.length.toLong, sum, energy)
+          }
+        }
+        .toDF("media_id", "lpc_order", "n_samples", "sum_samples", "sum_energy")
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -860,6 +896,19 @@ object MultimodalQueries {
         |    % 4096) - 2048 AS s
         |  FROM documents, unnest(range(0, 128)) AS u(i))
         |SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // LPC subframes are lossless too: the decoded stream must restate
+    // the original sawtooth exactly, whatever predictor encoded it.
+    "mm23_flac_lpc" ->
+      """WITH sm AS (
+        |  SELECT doc_id, ((doc_id * 31 + i * 57 + i * i * (1 + doc_id % 89))
+        |    % 4096) - 2048 AS s
+        |  FROM documents, unnest(range(0, 192)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(1 + doc_id % 8 AS BIGINT) AS lpc_order,
+        |  CAST(192 AS BIGINT) AS n_samples,
         |  CAST(SUM(s) AS BIGINT) AS sum_samples,
         |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,

@@ -560,7 +560,133 @@ object SimilarityQueries {
           shortlistK = pqShortlist(n), topK = 10)
         .orderBy("rank")
     }),
+
+    // ---- knn06: IVFADC SERVED FROM THE PERSISTED INDEX — knn05 proves
+    // the composition (Jégou et al. IVF pruning x PQ codes) but trains
+    // its codebook and assigns lists in-gate; sim07 and sim10 prove the
+    // artifacts persist. This composes them the way a production index
+    // service runs: the BUILD commits all four artifacts (coarse
+    // centroids, cent_id-clustered assignments, PQ codebook,
+    // sub-clustered codes) as versioned lake tables; GROWTH advances
+    // BOTH index halves in ONE multi-table ACID transaction (the tx23
+    // machinery applied to index maintenance — a crash can never leave
+    // a vector coarse-listed but code-less, which would silently drop
+    // it from every ADC pass); and SERVING reads lake tables only — no
+    // Lloyd iteration anywhere in the query plan (PlanSpec pins this).
+    // The gate is the sim09 discipline: recall@10 of the served path
+    // against the exact quantized-L2 top-10 for 4 queries. At 100 TB
+    // this is the only viable shape — training amortizes across every
+    // arrival batch, a probe reads |2 lists| * m bytes per candidate,
+    // and both tables version together because they commit together.
+    "knn06_lake_ivfadc" -> ((spark: SparkSession, dir: String) => {
+      val (centT, assignT, cbT, codeT) = buildLakeIvfPq(spark, dir)
+      val approx = serveLakeIvfAdc(spark, dir, centT, assignT, cbT, codeT)
+        .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+      val exact = exactQuantizedTopK(spark, dir)
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .orderBy("q_id")
+    }),
   )
+
+  /** knn06's BUILD: all four IVFADC artifacts as lake tables. The
+    * initial corpus (vec_id % 10 != 9) trains both quantizers; the
+    * growth batch (% 10 = 9) is assigned against the PERSISTED
+    * centroids and encoded against the PERSISTED codebook, and both
+    * appends commit in ONE multi-table transaction. */
+  private[queries] def buildLakeIvfPq(spark: SparkSession, dir: String):
+      (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    reg(spark)
+    val emb = t(spark, dir, "embeddings")
+    val c0 = emb.filter(col("vec_id") % 10 =!= 9)
+    val growth = emb.filter(col("vec_id") % 10 === 9)
+    val n0 = c0.count() // TRAIN-corpus-scaled knobs (1-row agg)
+    // coarse quantizer: sim07's centroid rule on the TRAIN corpus
+    val nc = c0.agg(greatest(lit(16L),
+      expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
+    val cent = c0.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val centT = freshTable(); val assignT = freshTable()
+    val cbT = freshTable(); val codeT = freshTable()
+    graft.ops.TxLog.append(spark, cent, centT, "cent_id", nParts = 1)
+    graft.ops.TxLog.appendClustered(spark,
+      graft.ops.Ann.assignToCentroids(c0, cent), assignT,
+      "cent_id", clusterCol = col("cent_id"), nClusters = 8)
+    val (codes0, codebook) = graft.ops.Pq.model(
+      c0, "vec_id", "embedding", dims = 64, m = 8, k = pqK(n0), iters = 2)
+    graft.ops.TxLog.append(spark, codebook, cbT, "cid", nParts = 1)
+    graft.ops.TxLog.appendClustered(spark, codes0, codeT,
+      "vec_id", clusterCol = col("sub"), nClusters = 4)
+    // GROWTH: one transaction, two participants — the assignments and
+    // codes tables advance atomically (all-or-nothing across crashes)
+    val centLake = graft.ops.TxLog.readAt(spark, centT)
+    val cbLake = graft.ops.TxLog.readAt(spark, cbT)
+    graft.ops.TxLog.transact(spark, Seq(
+      graft.ops.TxLog.TxnAppend(assignT,
+        graft.ops.Ann.assignToCentroids(growth, centLake), "cent_id", nParts = 1),
+      graft.ops.TxLog.TxnAppend(codeT,
+        graft.ops.Pq.encode(growth, cbLake, "vec_id", "embedding", dims = 64, m = 8),
+        "vec_id", nParts = 1))): Unit
+    (centT, assignT, cbT, codeT)
+  }
+
+  /** knn06's SERVING path — reads ONLY committed lake tables (plus the
+    * base vector relation for the query rows and the shortlist rerank):
+    * probe 2 lists from the persisted centroids, candidates from the
+    * persisted assignments, ADC from the persisted codes + codebook.
+    * No Lloyd iteration, no assignment, no training in this plan. */
+  private[queries] def serveLakeIvfAdc(spark: SparkSession, dir: String,
+      centT: java.nio.file.Path, assignT: java.nio.file.Path,
+      cbT: java.nio.file.Path, codeT: java.nio.file.Path): DataFrame = {
+    reg(spark)
+    val emb = t(spark, dir, "embeddings")
+    val n0 = emb.filter(col("vec_id") % 10 =!= 9).count() // knob only
+    val centLake = graft.ops.TxLog.readAt(spark, centT)
+    val assignLake = graft.ops.TxLog.readAt(spark, assignT)
+    val cbLake = graft.ops.TxLog.readAt(spark, cbT)
+    val codesLake = graft.ops.TxLog.readAt(spark, codeT)
+    (0 until 4).map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+      val probeW = Window.orderBy(col("p_cos").desc, col("cent_id").asc)
+      val probeLists = centLake
+        .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
+        .select(col("cent_id"), expr(cosExpr("q_emb", "cent_emb")).as("p_cos"))
+        .withColumn("prk", row_number().over(probeW)).filter(col("prk") <= 2)
+        .select(col("cent_id"))
+      val cand = assignLake.join(broadcast(probeLists), Seq("cent_id"))
+        .select("vec_id")
+      val codesCand = codesLake.join(cand, Seq("vec_id"))
+      graft.ops.Pq.adcRerankTopK(emb, codesCand, cbLake, q,
+          "vec_id", "embedding", dims = 64, m = 8,
+          shortlistK = pqShortlist(n0), topK = 10)
+        .withColumn("q_id", lit(qid.toLong))
+    }.reduce(_ unionAll _)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("exact_dist"), col("approx_dist"))
+  }
+
+  /** The exact ground truth in the SAME metric the ADC rerank ranks by
+    * (quantized squared L2), full-corpus, per query 0..3 — so knn06's
+    * recall isolates exactly the IVF-pruning + shortlist loss. */
+  private def exactQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qz = graft.ops.Clustering.quantize(emb, "vec_id", "embedding")
+    val q = qz.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val scored = qz.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cast(floor(aggregate(zip_with(q, qq, (a, b) -> " +
+          "(cast(a as double) - cast(b as double)) * " +
+          "(cast(a as double) - cast(b as double))), 0D, " +
+          "(acc, x) -> acc + x)) as long)").as("exact_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact_dist").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"))
+  }
 
   /** sim07's body as a named builder so sim09 can audit the SERVED
     * index (lake round-trip included) against brute force. */
@@ -943,6 +1069,104 @@ object SimilarityQueries {
          |FROM top ORDER BY rank""".stripMargin
   }
 
+  // knn06: the persisted-serving recall gate — the same IVFADC math as
+  // knn05 but with sim10's training split (both quantizers train on the
+  // initial corpus only; growth is assigned/coded by the SAME nearest
+  // rules against the persisted artifacts, which is exactly what the
+  // final a2/home assignments restate), for 4 queries, scored as
+  // recall@10 against the exact quantized-L2 top-10 in the rerank's
+  // own metric.
+  private val knn06Sql: String = {
+    val subs = 0 until 8
+    val trainCond = "vec_id % 10 <> 9"
+    val kSql = "(SELECT GREATEST(16, LEAST(256, (COUNT(*) + 31) // 32)) " +
+      "FROM embeddings WHERE vec_id % 10 <> 9)"
+    val shortSql = "(SELECT GREATEST(100, LEAST(4096, (COUNT(*) + 4) // 5)) " +
+      "FROM embeddings WHERE vec_id % 10 <> 9)"
+    val centSql = s"(SELECT GREATEST(16, (COUNT(*) + ${IvfTargetListSize - 1}) " +
+      s"// $IvfTargetListSize) FROM embeddings WHERE vec_id % 10 <> 9)"
+    "WITH " + subs.map(s => pqSubCtes(s, s * 8, 8, trainCond, kSql)).mkString(",\n") + ",\n" +
+      s"""codes AS (
+         |  ${subs.map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a2_$s")
+              .mkString("\n  UNION ALL\n  ")}),
+         |qt AS (
+         |  ${subs.map(s => s"SELECT vec_id AS q_id, $s AS sub, q FROM q_$s WHERE vec_id < 4")
+              .mkString("\n  UNION ALL\n  ")}),
+         |cb AS (
+         |  ${subs.map(s => s"SELECT $s AS sub, cid, m FROM c1_$s")
+              .mkString("\n  UNION ALL\n  ")}),
+         |dt AS (
+         |  SELECT qt.q_id, qt.sub, cb.cid AS code,
+         |    CAST(floor(list_sum(list_transform(list_zip(qt.q, cb.m),
+         |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))) AS BIGINT) AS d
+         |  FROM qt JOIN cb ON qt.sub = cb.sub),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |         FROM embeddings WHERE vec_id % 10 <> 9 AND vec_id < $centSql),
+         |home AS (
+         |  SELECT vec_id, cent_id AS list_id FROM (
+         |    SELECT e.vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "cent_emb")} DESC, cent_id) AS ark
+         |    FROM embeddings e CROSS JOIN cent) WHERE ark = 1),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 4),
+         |qprobe AS (
+         |  SELECT q_id, cent_id AS list_id FROM (
+         |    SELECT q_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY ${cosSql("q_emb", "cent_emb")} DESC, cent_id) AS prk
+         |    FROM qv CROSS JOIN cent) WHERE prk <= 2),
+         |cand AS (SELECT p.q_id, h.vec_id FROM home h JOIN qprobe p ON h.list_id = p.list_id),
+         |approx AS (
+         |  SELECT cd.q_id, c.vec_id, CAST(sum(dt.d) AS BIGINT) AS approx_dist
+         |  FROM codes c
+         |  JOIN cand cd ON cd.vec_id = c.vec_id
+         |  JOIN dt ON dt.q_id = cd.q_id AND c.sub = dt.sub AND c.code = dt.code
+         |  WHERE c.vec_id <> cd.q_id
+         |  GROUP BY cd.q_id, c.vec_id),
+         |shortlist AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS srk
+         |    FROM approx) WHERE srk <= $shortSql),
+         |qfull AS (
+         |  SELECT vec_id AS q_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id < 4),
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |rerank AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(e.v, qf.q),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS BIGINT) AS exact_dist
+         |  FROM shortlist s
+         |  JOIN ev e ON s.vec_id = e.vec_id
+         |  JOIN qfull qf ON qf.q_id = s.q_id),
+         |approxtop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY exact_dist, vec_id) AS rk
+         |    FROM rerank) WHERE rk <= 10),
+         |exactall AS (
+         |  SELECT qf.q_id, e.vec_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(e.v, qf.q),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS BIGINT) AS exact_dist
+         |  FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id),
+         |exacttop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY exact_dist, vec_id) AS rk
+         |    FROM exactall) WHERE rk <= 10)
+         |SELECT e.q_id AS q_id, COUNT(*) AS k, COUNT(a.vec_id) AS n_hits,
+         |  CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM exacttop e
+         |LEFT JOIN approxtop a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   /** Shared by sim07 (batch increment) and sim08 (streaming tail):
     * both maintenance paths must produce the SAME index, so one
     * oracle cross-gates them. */
@@ -986,6 +1210,8 @@ object SimilarityQueries {
     // IVFADC: sim02's list pruning composed with sim06's ADC — the
     // candidates of the two probed lists scored from codes, reranked
     "knn05_ivf_pq" -> knn05Sql,
+
+    "knn06_lake_ivfadc" -> knn06Sql,
 
     // The persisted index is semantically sim02 with centroids drawn
     // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —

@@ -541,6 +541,29 @@ class PlanSpec extends SparkSpec {
       s"probe->assignments must be a keyed join:\n$p")
   }
 
+  test("knn06: the persisted-index SERVING plan reads only lake tables " +
+      "plus the base vectors — no Lloyd iteration, no training") {
+    val (centT, assignT, cbT, codeT) =
+      SimilarityQueries.buildLakeIvfPq(spark, sf0001)
+    val df = SimilarityQueries.serveLakeIvfAdc(spark, sf0001,
+      centT, assignT, cbT, codeT)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val locs = p.linesIterator.filter(_.trim.startsWith("Location")).toSeq
+    assert(locs.nonEmpty, s"expected file scans in the serving plan:\n$p")
+    val allowed = Seq(centT, assignT, cbT, codeT).map(_.toString) :+
+      "embeddings.parquet"
+    locs.foreach { l =>
+      assert(allowed.exists(a => l.contains(a)),
+        s"serving must scan only the four index tables + base vectors, got: $l")
+    }
+    // Lloyd's recompute signature (posexplode over subvector dims) and
+    // any checkpointed training intermediate must be absent: training
+    // happened at BUILD time, never per query
+    assert(!p.contains("posexplode"),
+      s"Lloyd iteration leaked into the serving plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"knn06 serving plan:\n$p")
+  }
+
   test("driver smoke contract: entry() returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
