@@ -60,21 +60,28 @@ object BloomIndex {
     out
   }
 
-  private def nextPow2(x: Long): Int = {
+  /** Default single-file bitset cap: 2 MiB. Files with ≫1M keys
+    * saturate it — bits/key degrades SILENTLY below the requested
+    * budget, so the index records `n_keys` per row and blix06 audits
+    * the degraded regime explicitly. */
+  val DefaultCapBits: Int = 1 << 24
+
+  private def nextPow2(x: Long, capBits: Int): Int = {
     var m = 64L
     while (m < x) m <<= 1
-    math.min(m, 1L << 24).toInt // cap a single file's filter at 2 MiB
+    math.min(m, capBits.toLong).toInt
   }
 
   /** Build bloom rows for `files` of `table` over string column
     * `valueCol`: one output row per file. One scan of exactly those
     * files; hashing in codegen, bitsets in mapPartitions. */
   private def bloomRows(spark: SparkSession, table: Path, files: Seq[TxLog.AddFile],
-      valueCol: String, bitsPerKey: Int, k: Int): DataFrame = {
+      valueCol: String, bitsPerKey: Int, k: Int,
+      capBits: Int = DefaultCapBits): DataFrame = {
     import spark.implicits._
     // m per file from the LOG's row counts (no extra counting pass)
     val mByFile: Map[String, Int] =
-      files.map(f => f.path -> nextPow2(f.rows.max(1L) * bitsPerKey)).toMap
+      files.map(f => f.path -> nextPow2(f.rows.max(1L) * bitsPerKey, capBits)).toMap
     val bc = spark.sparkContext.broadcast(mByFile)
     val kk = k
     val tagged = spark.read
@@ -95,6 +102,13 @@ object BloomIndex {
       }
       local.iterator
     }
+    // exact distinct-key count per file — recorded so the EFFECTIVE
+    // bits/key (m / n_keys) is auditable where the cap saturates a
+    // filter: requested bits/key is a lie there, and blix06 gates the
+    // degraded regime against the (1 - e^(-k n/m))^k bound it implies
+    val keyCounts = tagged.toDF("data_file", "h1", "h2")
+      .groupBy("data_file")
+      .agg(countDistinct(struct(col("h1"), col("h2"))).as("n_keys"))
     partial.groupByKey(_._1)
       .reduceGroups { (a, b) =>
         val merged = a._2.clone()
@@ -107,7 +121,8 @@ object BloomIndex {
       .join(broadcast(files.map(f =>
           (f.path, f.rows, mByFile(f.path), kk)).toDF("data_file", "n_rows", "m_bits", "k")),
         "data_file")
-      .select(col("data_file"), col("n_rows"), col("m_bits"), col("k"),
+      .join(broadcast(keyCounts), "data_file")
+      .select(col("data_file"), col("n_rows"), col("n_keys"), col("m_bits"), col("k"),
         xxhash64(col("data_file")).as("file_hash"), col("bits"))
   }
 
@@ -115,7 +130,8 @@ object BloomIndex {
     * rows are appended for live data files not yet indexed (first call
     * = full build). Returns the number of files newly indexed. */
   def ensureIndexed(spark: SparkSession, table: Path, index: Path,
-      valueCol: String, bitsPerKey: Int = 16, k: Int = 7): Int = {
+      valueCol: String, bitsPerKey: Int = 16, k: Int = 7,
+      capBits: Int = DefaultCapBits): Int = {
     val live = TxLog.snapshotAt(table).files
     val indexed: Set[String] =
       if (TxLog.versions(index).isEmpty) Set.empty
@@ -123,7 +139,7 @@ object BloomIndex {
         .collect().map(_.getString(0)).toSet // file-count-sized metadata
     val fresh = live.filterNot(f => indexed.contains(f.path))
     if (fresh.isEmpty) return 0
-    TxLog.append(spark, bloomRows(spark, table, fresh, valueCol, bitsPerKey, k),
+    TxLog.append(spark, bloomRows(spark, table, fresh, valueCol, bitsPerKey, k, capBits),
       index, "file_hash", nParts = 1)
     fresh.size
   }
@@ -216,6 +232,34 @@ object BloomIndex {
       }
     val r = perRow.agg(coalesce(sum(col("value")), lit(0L)), count(lit(1))).head
     (r.getLong(0), r.getLong(1) * probes.size)
+  }
+
+  /** PER-FILE fpp audit rows: for `probes` (values known absent), each
+    * index row's fired-test count plus the row's recorded n_keys/m_bits
+    * — the saturated-regime audit needs the per-file rate, because an
+    * aggregate average hides one cap-degraded file among healthy ones.
+    * Bitsets stay in the executors; one KB-sized row per indexed file
+    * returns. */
+  def measureFppPerFile(spark: SparkSession, index: Path,
+      probes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val hashes = probes.toDF("p")
+      .select(xxhash64(col("p")), xxhash64(col("p"), lit(Seed)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bc = spark.sparkContext.broadcast(hashes)
+    TxLog.readAt(spark, index)
+      .select("data_file", "n_keys", "m_bits", "k", "bits")
+      .as[(String, Long, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (f, nk, m, k, bits) =>
+          val fired = bc.value.count { case (h1, h2) =>
+            bitPositions(h1, h2, m, k)
+              .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+          }
+          (f, nk, m, k, fired.toLong, bc.value.length.toLong)
+        }
+      }
+      .toDF("data_file", "n_keys", "m_bits", "k", "fired", "total")
   }
 
   /** The point lookup itself: scan only the index's candidate files,

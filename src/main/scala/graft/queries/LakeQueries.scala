@@ -1532,6 +1532,54 @@ object LakeQueries {
         lit(fired <= (totalTests * 15L) / 1000L).as("fpp_within_bound"))
     }),
 
+    // ---- blix06: the SATURATED-regime audit blix04 leaves open — the
+    // per-file bitset cap (2 MiB in prod) silently degrades bits/key
+    // for files with far more keys than the cap budgets, so "16
+    // bits/key, fpp ~6e-4" becomes a lie exactly on the biggest files.
+    // The index now records n_keys per row; this gate builds a
+    // two-file fixture under a scaled-down cap (same code path, same
+    // math): a 500-key file the cap leaves alone and a 4000-key file
+    // whose requested 64k bits collapse to the 8192-bit cap (~2
+    // effective bits/key). 2048 absent probes measure each file's fpp;
+    // the saturated row must sit VISIBLY ABOVE the unsaturated 25x
+    // theoretical bound AND WITHIN ±20% of the degraded bound its own
+    // (n_keys, m_bits) imply — (1 - e^(-k n/m))^k — while the
+    // unsaturated row stays under the blix04 bound. An unrecorded
+    // n_keys, a mis-capped m, or a broken hash breaks one of the
+    // booleans.
+    "blix06_bloom_saturation" -> ((spark: SparkSession, dir: String) => {
+      val mk = (lo: Long, n: Long) => spark.range(lo, lo + n)
+        .select(col("id").as("doc_id"),
+          md5(concat(lit("k-"), col("id"))).as("text_key"))
+      val table = freshTable()
+      TxLog.append(spark, mk(0, 500), table, "doc_id", nParts = 1)
+      TxLog.append(spark, mk(1000, 4000), table, "doc_id", nParts = 1)
+      val index = freshTable()
+      BloomIndex.ensureIndexed(spark, table, index, "text_key",
+        bitsPerKey = 16, k = 7, capBits = 1 << 13): Unit
+      val probes = (0 until 2048).map(i => s"absent-$i")
+      val rows = BloomIndex.measureFppPerFile(spark, index, probes)
+        .select("n_keys", "m_bits", "k", "fired", "total")
+        .collect() // 2 file-count-sized audit rows
+      val out = rows.map { r =>
+        val (nk, m, k) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        val (fired, total) = (r.getLong(3), r.getLong(4))
+        val measured = fired.toDouble / total
+        val implied = math.pow(1.0 - math.exp(-k.toDouble * nk / m), k)
+        val saturated = m.toLong < nk * 16L
+        val aboveUnsat = measured > 0.015 // blix04's 25x-theory bound
+        val withinDegraded =
+          if (saturated) measured >= implied * 0.8 && measured <= implied * 1.2
+          else measured <= 0.015
+        (if (saturated) "saturated" else "unsaturated",
+          nk, m.toLong, m.toLong * 100L / nk, saturated,
+          aboveUnsat == saturated, withinDegraded)
+      }.sortBy(_._1)
+      import spark.implicits._
+      out.toSeq.toDF("regime", "n_keys", "m_bits", "eff_bpk_x100",
+        "saturated", "above_unsat_iff_saturated", "within_degraded_bound")
+    }),
+
     // ---- blix05: INDEX VACUUM — the lifecycle gap blix01-04 leave
     // open: compaction rewrites the data files, so the index accretes
     // rows for files that no longer exist (harmless for correctness —
@@ -2353,6 +2401,20 @@ object LakeQueries {
         |  CAST(512 AS BIGINT) AS n_probes,
         |  CAST(4096 AS BIGINT) AS total_tests,
         |  TRUE AS fpp_within_bound""".stripMargin,
+
+    // The cap-saturated file (4000 keys into 8192 bits = 2.04 effective
+    // bits/key vs the 16 requested) must measure far above the healthy
+    // bound and inside its own degraded (1-e^(-kn/m))^k prediction; the
+    // 500-key file stays healthy. All structural numbers closed-form.
+    "blix06_bloom_saturation" ->
+      """SELECT * FROM (VALUES
+        |  ('saturated', CAST(4000 AS BIGINT), CAST(8192 AS BIGINT),
+        |   CAST(204 AS BIGINT), TRUE, TRUE, TRUE),
+        |  ('unsaturated', CAST(500 AS BIGINT), CAST(8192 AS BIGINT),
+        |   CAST(1638 AS BIGINT), FALSE, TRUE, TRUE))
+        |AS t(regime, n_keys, m_bits, eff_bpk_x100, saturated,
+        |     above_unsat_iff_saturated, within_degraded_bound)
+        |ORDER BY regime""".stripMargin,
 
     // blix01's probe recompute, served through the SQL catalog's
     // transparently bloom-pruned scan.
