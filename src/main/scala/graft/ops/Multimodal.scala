@@ -441,6 +441,29 @@ object Multimodal {
     }
   }
 
+  /** Strict metadata dispatch for QUARANTINE passes: the same signature
+    * routing as [[SniffDecoder]], but an unknown signature REFUSES
+    * instead of falling back to the deterministic stub — a quarantine
+    * audit that silently fabricated metadata for undecodable blobs
+    * would count garbage as healthy corpus. */
+  object SniffMetaDecoder extends Decoder {
+    override def decode(item: MediaItem): MediaMeta = {
+      val p = item.payload
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') PpmDecoder.decode(item)
+      else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') BmpDecoder.decode(item)
+      else if (PngDecoder.isPng(p)) PngDecoder.decode(item)
+      else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decode(item)
+      else if (Mp4.isMp4(p)) Mp4.Mp4MetaDecoder.decode(item)
+      else if (Avi.isAvi(p)) Avi.AviMetaDecoder.decode(item)
+      else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
+      else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
+      else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
+      else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
+      else throw new IllegalArgumentException(
+        s"media ${item.mediaId}: no metadata decoder for this signature")
+    }
+  }
+
   /** Pixel-level dispatch: the mixed-corpus reality — one binary column
     * holding whatever formats the crawl produced, routed by signature
     * to the right REAL decoder. Formats without a pixel path (MP4/MP3
@@ -846,6 +869,37 @@ object Multimodal {
           case scala.util.control.NonFatal(e) =>
             MediaProfileSafe(id, ok = false, err = e.getClass.getSimpleName,
               0, 0, 0.0, 0L, 0L, 0.0)
+        }
+      })
+  }
+
+  /** [[MediaProfileSafe]]'s metadata twin: one row per payload whatever
+    * arrives — a decodable blob carries its typed metadata, a corrupt
+    * or unknown-signature one lands as ok=false with the refusal class,
+    * zeroed fields keeping the schema flat. */
+  final case class MediaMetaSafe(
+      mediaId: Long, ok: Boolean, err: String,
+      byteLen: Int, width: Int, height: Int, frameCount: Int)
+
+  /** Decode QUARANTINE over the metadata dispatch — the mm20 discipline
+    * applied to the audio/video/container family: corrupt MP4/MP3/FLAC/
+    * AVI (or any sniffed format) blobs land as per-class ok=false rows
+    * in ONE partition-local pass, never failing the task. */
+  def decodeMetaQuarantine(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: Decoder = SniffMetaDecoder): Dataset[MediaMetaSafe] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val m = decoder.decode(MediaItem(id, bytes))
+          MediaMetaSafe(id, ok = true, err = "",
+            m.byteLen, m.width, m.height, m.frameCount)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaMetaSafe(id, ok = false, err = e.getClass.getSimpleName,
+              bytes.length, 0, 0, 0)
         }
       })
   }

@@ -603,6 +603,102 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm24: the FULL pixel-family quarantine — mm20 widened from
+    // PPM/BMP/PNG to every real pixel decoder the sniffer routes:
+    // PPM, BMP, PNG, baseline JPEG, GIF and TIFF rotate by id, all
+    // encoding the SAME exactly-representable solid gray (JPEG's DCT
+    // round-trips solid blocks bit-exactly at even values), so the
+    // oracle states one luma whatever container held it. Two failure
+    // arms cut across every format: a truncation below each format's
+    // own header (id%4=1) and a signature nobody decodes (id%4=2) —
+    // both land as ok=false rows in the same pass. Decode is
+    // partition-local; payloads never shuffle.
+    "mm24_pixel_family_quarantine" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val g = (2 * ((id * 7) % 128)).toInt
+            val px = Array.fill(24)(g.toByte)
+            val img = graft.ops.Multimodal.PixelImage(4, 2, px)
+            val full = (id % 6) match {
+              case 0 => "P6\n4 2\n255\n".getBytes("US-ASCII") ++ px
+              case 1 => graft.ops.Multimodal.BmpEncoder.encode(img)
+              case 2 => graft.ops.Multimodal.PngEncoder.encode(img)
+              case 3 => graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, g)
+              case 4 => graft.ops.Gif.GifEncoder.encode(4, 2,
+                Array.fill(8)(g.toByte))
+              case _ => graft.ops.Tiff.TiffEncoder.encode(img)
+            }
+            val out = (id % 4) match {
+              case 1 => full.take(14) // below every format's header
+              case 2 => Array.tabulate(32)(i => ((id + i * 17) % 251).toByte match {
+                case b if b == 'P'.toByte || b == 'B'.toByte => (b + 1).toByte
+                case b => b
+              }) // no known signature (mm20's collision-free generator)
+              case _ => full
+            }
+            (id, out)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.mediaProfileQuarantine(payloads, "media_id", "payload",
+          graft.ops.Multimodal.SniffPixelDecoder, thumbW = 2, thumbH = 1)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("ok"),
+          col("width"), col("meanLuma").as("mean_luma"))
+        .orderBy("media_id")
+    }),
+
+    // ---- mm25: the AUDIO/VIDEO metadata quarantine twin — the same
+    // good/corrupt/unknown discipline over the container-metadata
+    // family: MP4, MP3, FLAC and MJPEG-AVI rotate by id, each good
+    // blob serving its typed metadata in closed form, while a
+    // truncated header (id%3=1) or an unknown signature (id%3=2)
+    // lands as an ok=false row. The dispatch is the STRICT sniffer
+    // (SniffMetaDecoder): an unknown blob refuses rather than falling
+    // back to the deterministic stub — a quarantine that fabricated
+    // metadata would count garbage as healthy corpus.
+    "mm25_media_meta_quarantine" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val full = (id % 4) match {
+              case 0 => graft.ops.Mp4.Mp4Encoder.minimal(
+                timescale = 1000L, duration = (id % 360) * 100 + 500,
+                w = 320, h = 240,
+                videoSamples = id % 250 + 1, audioSamples = (id % 250 + 1) * 2)
+              case 1 => graft.ops.Mp3.Mp3Encoder.encode(
+                s"doc $id", s"src ${id % 7}", nFrames = (id % 120 + 10).toInt)
+              case 2 => graft.ops.Flac.FlacEncoder.encode(
+                sampleRate = 44100, channels = 1, bitsPerSample = 16,
+                totalSamples = id * 100 + 1000,
+                title = s"doc $id", artist = s"src ${id % 7}")
+              case _ => graft.ops.Avi.AviMjpegEncoder.encode(
+                (0 until 2).map(k => graft.ops.Jpeg.JpegEncoder.solidGray(
+                  16, 16, (2 * ((id * 7 + k * 13) % 128)).toInt)),
+                16, 16, usPerFrame = 40000)
+            }
+            val out = (id % 3) match {
+              case 1 => full.take(16) // mid-header for all four formats
+              case 2 => Array.tabulate(32)(i => ((id + i * 17) % 251).toByte match {
+                case b if b == 'P'.toByte || b == 'B'.toByte => (b + 1).toByte
+                case b => b
+              })
+              case _ => full
+            }
+            (id, out)
+          }
+        }
+        .toDF("media_id", "payload")
+      graft.ops.Multimodal.decodeMetaQuarantine(payloads, "media_id", "payload")
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("ok"),
+          col("width"), col("height"), col("frameCount").as("frame_count"))
+        .orderBy("media_id")
+    }),
+
     // ---- mm21: REAL VIDEO FRAME DECODE — MJPEG in AVI. The "video
     // codecs stay stubbed" boundary is for inter-frame codecs; Motion
     // JPEG's frames are independent baseline JPEGs, which this repo
@@ -912,6 +1008,39 @@ object MultimodalQueries {
         |  CAST(SUM(s) AS BIGINT) AS sum_samples,
         |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // six pixel containers, one closed-form gray; the two failure arms
+    // (below-header truncation, unknown signature) are ok=false zeros.
+    "mm24_pixel_family_quarantine" ->
+      """SELECT doc_id AS media_id,
+        |  (doc_id % 4) NOT IN (1, 2) AS ok,
+        |  CASE WHEN (doc_id % 4) IN (1, 2) THEN 0
+        |       WHEN doc_id % 6 = 3 THEN 16 ELSE 4 END AS width,
+        |  CASE WHEN (doc_id % 4) IN (1, 2) THEN 0.0
+        |       ELSE CAST(2 * ((doc_id * 7) % 128) AS DOUBLE) END AS mean_luma
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // four container-metadata formats, typed fields in closed form;
+    // truncated and unknown blobs land as ok=false zero rows through
+    // the STRICT sniffer (no stub fallback).
+    "mm25_media_meta_quarantine" ->
+      """SELECT doc_id AS media_id,
+        |  doc_id % 3 = 0 AS ok,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 0
+        |       WHEN doc_id % 4 = 0 THEN 320
+        |       WHEN doc_id % 4 IN (1, 2) THEN 441
+        |       ELSE 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 0
+        |       WHEN doc_id % 4 = 0 THEN 240
+        |       WHEN doc_id % 4 = 1 THEN 128
+        |       WHEN doc_id % 4 = 2 THEN 1
+        |       ELSE 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 0
+        |       WHEN doc_id % 4 = 0 THEN doc_id % 250 + 1
+        |       WHEN doc_id % 4 = 1 THEN doc_id % 120 + 10
+        |       WHEN doc_id % 4 = 2 THEN (((doc_id * 100 + 1000) * 1000) // 44100) // 1000
+        |       ELSE 2 END AS INT) AS frame_count
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // MJPEG/AVI: every container field and frame 0's byte-exact DCT
     // round-trip luma stated in closed form.

@@ -276,4 +276,55 @@ class PropertySpec extends AnyFunSuite {
       assert(ExcelParser.columnIndex(s"${letters}A$row") > idx, letters)
     }
   }
+
+  test("quarantine dispatch: mutations of EVERY sniffed format classify " +
+      "as decoded-or-refused — no Error ever escapes the NonFatal net") {
+    // mm24/mm25's contract at the property level: whatever bytes arrive
+    // in the mixed column, the quarantine's try/NonFatal either serves a
+    // row or lands ok=false — a StackOverflowError or OutOfMemoryError
+    // from any routed decoder would instead kill the Spark task.
+    import graft.ops.Multimodal._
+    import graft.ops.{Gif, Tiff, Mp3, Mp4, Flac}
+    val img = PixelImage(5, 4, Array.tabulate(60)(i => (i * 7).toByte))
+    val bases: Seq[(String, Array[Byte])] = Seq(
+      ("ppm", "P6\n5 4\n255\n".getBytes("US-ASCII") ++ img.rgb),
+      ("bmp", BmpEncoder.encode(img)),
+      ("png", PngEncoder.encode(img)),
+      ("jpeg", graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, 100)),
+      ("gif", Gif.GifEncoder.encode(5, 4, Array.tabulate(20)(i => (i % 16).toByte))),
+      ("tiff", Tiff.TiffEncoder.encode(img)),
+      ("mp4", Mp4.Mp4Encoder.minimal(1000L, 7500L, 320, 240,
+        videoSamples = 90L, audioSamples = 300L)),
+      ("mp3", Mp3.Mp3Encoder.encode("fuzz title", "fuzz artist", nFrames = 4)),
+      ("flac", Flac.FlacEncoder.encode(44100, 2, 16, 44100L, "t", "a")),
+      ("avi", graft.ops.Avi.AviMjpegEncoder.encode(
+        Seq(graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, 100)), 16, 16, 40000)))
+    bases.foreach { case (name, base) =>
+      val mutGen: Gen[Array[Byte]] = Gen.oneOf(
+        Gen.choose(0, base.length - 1).map(base.take),
+        for { i <- Gen.choose(0, base.length - 1); b <- Gen.choose(0, 255) }
+          yield { val c = base.clone(); c(i) = b.toByte; c },
+        for { i <- Gen.choose(0, base.length - 1); s <- Gen.alphaStr }
+          yield base.take(i) ++ s.getBytes("ISO-8859-1") ++ base.drop(i))
+      samples(mutGen, n = 150).foreach { bytes =>
+        try { SniffMetaDecoder.decode(MediaItem(1L, bytes)): Unit }
+        catch {
+          case e if scala.util.control.NonFatal(e) => () // quarantined
+          case e: Throwable =>
+            fail(s"$name meta: ${e.getClass.getName} escapes the quarantine " +
+              s"(len=${bytes.length})")
+        }
+        try { SniffPixelDecoder.decodePixels(MediaItem(1L, bytes)): Unit }
+        catch {
+          case e if scala.util.control.NonFatal(e) => () // quarantined
+          case e: Throwable =>
+            fail(s"$name pixel: ${e.getClass.getName} escapes the quarantine " +
+              s"(len=${bytes.length})")
+        }
+      }
+      // the pristine fixture must classify as DECODED through the meta
+      // dispatch (no format regresses into its own quarantine)
+      assert(SniffMetaDecoder.decode(MediaItem(1L, base)).byteLen == base.length)
+    }
+  }
 }
