@@ -218,11 +218,13 @@ object TxLog {
     * decided AND observed, resolution never again depends on the
     * sibling table that happens to host the marker directory (which
     * could be dropped, moved or renamed out from under us, retroactively
-    * voiding a committed transfer). Replicas are retained for the life
-    * of the log — they are what keeps TIME TRAVEL to pre-checkpoint txn
-    * commits sibling-independent too, and at bytes per transaction they
-    * are strictly smaller metadata than the commits themselves, so
-    * vacuum never touches them. */
+    * voiding a committed transfer). A replica lives until the CHECKPOINT
+    * FOLD supersedes it ([[txnOutcomesUpTo]]): once the newest
+    * checkpoint records the outcome, the replica is redundant durable
+    * state and [[vacuum]] reclaims it — time travel to pre-checkpoint
+    * txn commits stays sibling-independent through the folded record,
+    * and `_txnout` stops accreting one file per transaction forever at
+    * streaming-transaction rates. */
   private def txnOutLocal(table: Path, txnId: String): Path =
     logDir(table).resolve("_txnout").resolve(txnId)
 
@@ -232,6 +234,99 @@ object TxLog {
       Files.createDirectories(f.getParent)
       publishExclusive(f, outcome.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort: marker still decides
+
+  /** Non-blocking outcome peek: this table's replica, then the marker's
+    * outcome file; None while the transaction is genuinely undecided.
+    * Used by the CHECKPOINT FOLD, which must never block a commit on an
+    * in-flight sibling transaction. */
+  private def peekOutcome(table: Path, markerDir: Path): Option[String] = {
+    val localF = txnOutLocal(table, markerDir.getFileName.toString)
+    try {
+      if (Files.exists(localF))
+        Some(new String(Files.readAllBytes(localF), java.nio.charset.StandardCharsets.UTF_8))
+      else {
+        val of = markerDir.resolve("outcome")
+        if (Files.exists(of))
+          Some(new String(Files.readAllBytes(of), java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Folded txn outcomes at or below `v` (the batch-id-watermark
+    * precedent applied to `_txnout` growth): the newest checkpoint's
+    * fold + the txn-referenced commits after it, plus a retry of the
+    * markers that were still PENDING at that checkpoint — so a txn
+    * decided between two checkpoints is folded by the later one, and
+    * the replay bound stays O(checkpoint interval) commit reads.
+    * Returns (txnId -> outcome, still-pending marker paths). Once a
+    * txn is folded, its per-table `_txnout` replica file is redundant
+    * durable state and [[vacuum]] reclaims it; time travel to the
+    * pre-checkpoint txn commit stays sibling-independent through the
+    * folded record. */
+  private def txnOutcomesUpTo(table: Path, v: Long): (Map[String, String], Vector[String]) = {
+    val vs = versions(table).filter(_ <= v)
+    val ckpt = vs.reverse.find(cv =>
+      Files.exists(versionDir(table, cv).resolve("checkpoint.json")))
+    val (baseMap, basePending, from) = ckpt match {
+      case Some(cv) =>
+        val node = mapper.readTree(
+          Files.readAllBytes(versionDir(table, cv).resolve("checkpoint.json")))
+        val m = Option(node.get("txnOutcomes")).map { n =>
+          val b = Map.newBuilder[String, String]
+          n.fields().asScala.foreach(e => b += (e.getKey -> e.getValue.asText))
+          b.result()
+        }.getOrElse(Map.empty[String, String])
+        val p = Option(node.get("txnPending"))
+          .map(_.elements().asScala.map(_.asText).toVector)
+          .getOrElse(Vector.empty[String])
+        (m, p, cv + 1)
+      case None => (Map.empty[String, String], Vector.empty[String], 0L)
+    }
+    val fresh = vs.filter(_ >= from).flatMap { cv =>
+      val node = mapper.readTree(
+        Files.readAllBytes(versionDir(table, cv).resolve("commit.json")))
+      Option(node.get("txn")).map(_.asText)
+    }
+    var resolved = baseMap
+    val stillPending = Vector.newBuilder[String]
+    (basePending ++ fresh).distinct.foreach { mp =>
+      val markerDir = java.nio.file.Paths.get(mp)
+      peekOutcome(table, markerDir) match {
+        case Some(o) => resolved += (markerDir.getFileName.toString -> o)
+        case None => stillPending += mp
+      }
+    }
+    (resolved, stillPending.result())
+  }
+
+  /** Per-JVM cache of parsed checkpoint folds, keyed by the checkpoint
+    * file identity — a fold is immutable once written. */
+  private val foldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** `txnId`'s outcome from this table's NEWEST checkpoint fold, if that
+    * checkpoint folded it — the resolution tier between the (possibly
+    * vacuumed) `_txnout` replica and the (possibly dropped) sibling
+    * marker table. */
+  private def foldedOutcome(table: Path, txnId: String): Option[String] = {
+    val ckv = versions(table).reverse.find(cv =>
+      Files.exists(versionDir(table, cv).resolve("checkpoint.json")))
+    ckv.flatMap { cv =>
+      val ckFile = versionDir(table, cv).resolve("checkpoint.json")
+      val key = ckFile.toString
+      var m = foldCache.get(key)
+      if (m == null) {
+        val node = mapper.readTree(Files.readAllBytes(ckFile))
+        val b = Map.newBuilder[String, String]
+        Option(node.get("txnOutcomes")).foreach(
+          _.fields().asScala.foreach(e => b += (e.getKey -> e.getValue.asText)))
+        m = b.result()
+        foldCache.put(key, m)
+      }
+      m.get(txnId)
+    }
+  }
 
   /** Read commit `v` with multi-table-transaction resolution applied: a
     * commit carrying a `txn` marker reference is effective only once its
@@ -258,10 +353,14 @@ object TxLog {
             val o =
               if (Files.exists(localF))
                 new String(Files.readAllBytes(localF), java.nio.charset.StandardCharsets.UTF_8)
-              else {
-                val r = resolveTxn(markerDir)
-                replicateOutcome(table, txnId, r)
-                r
+              else foldedOutcome(table, txnId) match {
+                // replica vacuumed after the checkpoint folded it: the
+                // fold IS the durable sibling-independent record
+                case Some(f) => f
+                case None =>
+                  val r = resolveTxn(markerDir)
+                  replicateOutcome(table, txnId, r)
+                  r
               }
             txnOutcomes.put(markerDir.toString, o)
             o
@@ -375,6 +474,10 @@ object TxLog {
       // batchMax is ALWAYS written (-1 = "no batch commits below"), so
       // an absent field unambiguously means a pre-upgrade checkpoint
       // and readers know to fall back to scanning the commits below it
+      // ...and the RESOLVED multi-table txn outcomes (with the still-
+      // pending markers carried forward for the next checkpoint to
+      // retry), making pre-checkpoint `_txnout` replicas vacuumable
+      val (txo, txp) = txnOutcomesUpTo(table, v)
       val ck = (Map[String, Object]("version" -> java.lang.Long.valueOf(v),
         "files" -> snap.files.map(addToNode).asJava,
         "batchMax" -> java.lang.Long.valueOf(maxBatchIdUpTo(table, v).getOrElse(-1L)))
@@ -382,7 +485,11 @@ object TxLog {
             else Map("constraints" -> (cons.asJava: Object)))
         ++ (if (tgs.isEmpty) Map.empty[String, Object]
             else Map("tags" -> (tgs.view.mapValues(java.lang.Long.valueOf(_): Object)
-              .toMap.asJava: Object)))).asJava
+              .toMap.asJava: Object)))
+        ++ (if (txo.isEmpty) Map.empty[String, Object]
+            else Map("txnOutcomes" -> (txo.asJava: Object)))
+        ++ (if (txp.isEmpty) Map.empty[String, Object]
+            else Map("txnPending" -> (txp.asJava: Object)))).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
     ok
@@ -2204,7 +2311,32 @@ object TxLog {
       .map(_.getFileName.toString)
     val doomed = onDisk.filterNot(referenced).sorted
     doomed.foreach(f => Files.deleteIfExists(table.resolve(f)))
-    doomed
+    // `_txnout` outcome replicas whose transaction the newest checkpoint
+    // has FOLDED are redundant durable state (resolution reads the fold
+    // before ever touching the sibling marker) — without this they
+    // accrete one tiny file per transaction forever at streaming-txn
+    // rates. Same age guard: a replica being written concurrently with
+    // its fold is left for the next pass.
+    val txnOutDir = logDir(table).resolve("_txnout")
+    val reclaimed: Vector[String] =
+      if (!Files.isDirectory(txnOutDir)) Vector.empty
+      else {
+        val folded = versions(table).reverse.find(cv =>
+            Files.exists(versionDir(table, cv).resolve("checkpoint.json")))
+          .map { cv =>
+            val node = mapper.readTree(Files.readAllBytes(
+              versionDir(table, cv).resolve("checkpoint.json")))
+            Option(node.get("txnOutcomes")).map(
+              _.fieldNames().asScala.toSet).getOrElse(Set.empty[String])
+          }.getOrElse(Set.empty[String])
+        listDir(txnOutDir)
+          .filter(p => folded.contains(p.getFileName.toString))
+          .filter(p => (try Files.getLastModifiedTime(p).toMillis
+            catch { case _: Throwable => Long.MaxValue }) <= cutoff)
+          .map { p => Files.deleteIfExists(p); s"_txnout/${p.getFileName}" }
+          .sorted
+      }
+    doomed ++ reclaimed
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -343,6 +343,44 @@ class TxnSpec extends SparkSpec {
     assert(TxLog.history(b).map(_._2) == Seq("append", "append"))
   }
 
+  test("a folded txn outcome outlives its vacuumed replica: the " +
+      "checkpoint fold alone resolves pre-checkpoint time travel") {
+    val base = Files.createTempDirectory("graft_txnspec")
+    // 'a' sorts first canonically, so the txn marker lives in a's log
+    val a = base.resolve("a"); val b = base.resolve("b")
+    TxLog.append(spark, idsDf(0L to 9L), a, "doc_id", nParts = 1)
+    TxLog.append(spark, idsDf(100L to 102L), b, "doc_id", nParts = 1)
+    val moving = idsDf(Seq(2L, 5L))
+    TxLog.transact(spark, Seq(
+      TxLog.TxnDeleteMor(a, moving.select("doc_id"), "doc_id"),
+      TxLog.TxnAppend(b, moving, "doc_id"))) // b's v1 carries the txn ref
+    val outDir = b.resolve("_graft_log").resolve("_txnout")
+    import scala.jdk.CollectionConverters._
+    def replicas(): Seq[String] =
+      if (!Files.isDirectory(outDir)) Seq.empty
+      else { val s = Files.list(outDir)
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally s.close() }
+    assert(replicas().size == 1, "decision time writes b's own replica")
+    // cross a checkpoint (every 10th version) so the fold covers the txn
+    (2L to 10L).foreach(i =>
+      TxLog.append(spark, idsDf(Seq(200L + i)), b, "doc_id", nParts = 1))
+    // vacuum reclaims the now-redundant replica and REPORTS it
+    val reclaimed = TxLog.vacuum(b, minAgeMs = 0L)
+    assert(reclaimed.exists(_.startsWith("_txnout/")), reclaimed.toString)
+    assert(replicas().isEmpty, "the folded replica must be reclaimed")
+    // drop the marker-hosting table AND the JVM outcome cache: the fold
+    // is now the ONLY record of the decision anywhere
+    deleteRec(a)
+    TxLog.forgetTxnOutcomesForTest()
+    // pre-checkpoint time travel: v1 IS the txn commit, replayed from
+    // raw commits (no checkpoint at or below it) — its resolution must
+    // come from the v10 checkpoint's folded outcome
+    assert(TxLog.readAt(spark, b, Some(1L)).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L, 100L, 101L, 102L))
+    assert(TxLog.history(b).map(_._2).take(2) == Seq("append", "append"))
+  }
+
   test("an ABORTED transaction's append cannot establish or advance " +
       "the table schema") {
     val c = freshTable()
