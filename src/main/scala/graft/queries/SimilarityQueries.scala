@@ -808,6 +808,62 @@ object SimilarityQueries {
         .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
         .orderBy("q_id", "rk")
     }),
+
+    // ---- sim11: STREAMING maintenance of the persisted PQ index — the
+    // sim08 discipline applied to sim10's artifact. Growth vectors land
+    // in a bronze lake table; the graft-lake TAIL encodes each
+    // micro-batch against the PERSISTED codebook (Pq.encode — nearest
+    // codeword, NEVER a retrain, so old codes stay valid) and appends
+    // it with a batch-id-tagged exactly-once commit into the codes
+    // table. The ADC query — identical semantics to sim10's — must
+    // return the same rows, so the batch-increment and streaming-tail
+    // maintenance paths are cross-gated against each other through ONE
+    // oracle; LakeStreamSpec's redelivery row proves a restarted
+    // stream cannot double-encode a batch.
+    "sim11_streaming_pq" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val c0 = emb.filter(col("vec_id") % 10 =!= 9)
+      val growth = emb.filter(col("vec_id") % 10 === 9)
+      val n = c0.count() // TRAIN-corpus-scaled knobs (1-row agg)
+      val (codes0, codebook) = graft.ops.Pq.model(
+        c0, "vec_id", "embedding", dims = 64, m = 8, k = pqK(n), iters = 2)
+      val cbTable = freshTable()
+      val codeTable = freshTable()
+      val bronze = freshTable()
+      graft.ops.TxLog.append(spark, codebook, cbTable, "cid", nParts = 1)
+      graft.ops.TxLog.appendClustered(spark, codes0, codeTable,
+        "vec_id", clusterCol = col("sub"), nClusters = 4)
+      val cbLake = graft.ops.TxLog.readAt(spark, cbTable)
+      // arrivals: two bronze commits, one graft-lake micro-batch each
+      graft.ops.TxLog.append(spark, growth.filter(col("vec_id") % 2 === 0),
+        bronze, "vec_id", nParts = 1)
+      graft.ops.TxLog.append(spark, growth.filter(col("vec_id") % 2 === 1),
+        bronze, "vec_id", nParts = 1)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sim11_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1")
+        .load(bronze.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.ops.TxLog.streamingAppend(spark,
+            graft.ops.Pq.encode(b, cbLake, "vec_id", "embedding",
+              dims = 64, m = 8),
+            bid, codeTable, "vec_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // serve purely from the persisted, stream-maintained artifacts
+      val codesLake = graft.ops.TxLog.readAt(spark, codeTable)
+      graft.ops.Pq.adcRerankTopK(emb, codesLake, cbLake,
+          emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", dims = 64, m = 8,
+          shortlistK = pqShortlist(n), topK = 10)
+        .orderBy("rank")
+    }),
   )
 
   private def dotSql(a: String, b: String): String =
@@ -1221,6 +1277,10 @@ object SimilarityQueries {
     // paths.
     "sim07_lake_ann" -> sim07Sql,
     "sim08_streaming_index" -> sim07Sql,
+
+    // the streaming PQ tail must converge to sim10's exact rows: ONE
+    // oracle cross-gates the batch-increment and streaming maintenance
+    "sim11_streaming_pq" -> sim10Sql,
 
     // recall of the served index vs brute force: both rankings nested
     // verbatim, same shape as sim05's audit of sim02

@@ -361,4 +361,33 @@ class LakeStreamSpec extends SparkSpec {
     // feed must emit exactly the live rows, never the DV-masked ones
     assert(got.map(_._1).sorted == Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L))
   }
+
+  test("sim11's redelivery contract: a re-encoded PQ micro-batch with " +
+      "the same batch id is a no-op — the codes table never double-counts") {
+    import spark.implicits._
+    // a tiny persisted codebook (k=2 per subspace) + a codes table
+    val emb = (0L until 20L).map(i =>
+        (i, Array.tabulate(64)(d => ((i * 7 + d * 13) % 97).toFloat / 97f)))
+      .toDF("vec_id", "embedding")
+    val (codes0, codebook) = graft.ops.Pq.model(
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dims = 64, m = 8, k = 2, iters = 1)
+    val base = Files.createTempDirectory("graft_sim11spec")
+    val codeT = base.resolve("codes")
+    TxLog.append(spark, codes0, codeT, "vec_id", nParts = 1)
+    val growth = emb.filter(col("vec_id") >= 10)
+    val enc = graft.ops.Pq.encode(growth, codebook, "vec_id", "embedding",
+      dims = 64, m = 8)
+    val n0 = TxLog.readAt(spark, codeT).count()
+    assert(TxLog.streamingAppend(spark, enc, 7L, codeT, "vec_id").isDefined,
+      "first delivery of batch 7 commits")
+    val n1 = TxLog.readAt(spark, codeT).count()
+    assert(n1 == n0 + 10 * 8, "ten vectors x eight subspace codes land")
+    // a crashed-and-restarted stream re-delivers the SAME batch id:
+    // the batch-id watermark must swallow it whole
+    assert(TxLog.streamingAppend(spark, enc, 7L, codeT, "vec_id").isEmpty,
+      "redelivered batch 7 must be a no-op")
+    assert(TxLog.readAt(spark, codeT).count() == n1,
+      "the codes table must not double-encode a redelivered batch")
+  }
 }
