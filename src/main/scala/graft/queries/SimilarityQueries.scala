@@ -597,7 +597,7 @@ object SimilarityQueries {
     * growth batch (% 10 = 9) is assigned against the PERSISTED
     * centroids and encoded against the PERSISTED codebook, and both
     * appends commit in ONE multi-table transaction. */
-  private[queries] def buildLakeIvfPq(spark: SparkSession, dir: String):
+  private[graft] def buildLakeIvfPq(spark: SparkSession, dir: String):
       (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
     reg(spark)
     val emb = t(spark, dir, "embeddings")
@@ -638,7 +638,7 @@ object SimilarityQueries {
     * probe 2 lists from the persisted centroids, candidates from the
     * persisted assignments, ADC from the persisted codes + codebook.
     * No Lloyd iteration, no assignment, no training in this plan. */
-  private[queries] def serveLakeIvfAdc(spark: SparkSession, dir: String,
+  private[graft] def serveLakeIvfAdc(spark: SparkSession, dir: String,
       centT: java.nio.file.Path, assignT: java.nio.file.Path,
       cbT: java.nio.file.Path, codeT: java.nio.file.Path): DataFrame = {
     reg(spark)
