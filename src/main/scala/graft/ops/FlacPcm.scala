@@ -10,15 +10,18 @@ import Multimodal.MediaItem
   * Rice-coded residual partitions (4- and 5-bit parameter methods,
   * escaped raw partitions), wasted-bits shifts, and the CRC-16 frame
   * footer — all of it public integer arithmetic, no codec library.
-  * Supported stream shape: MONO, 16-bit, fixed blocking. Subframe
-  * types: CONSTANT, VERBATIM, FIXED (orders 0-4) and — since round 13
-  * — LPC (orders 1-32): QLP precision/shift header, signed quantized
-  * coefficients, and the integer fixed-point predictor
+  * Supported stream shape: MONO or STEREO, 16-bit, fixed blocking.
+  * Subframe types: CONSTANT, VERBATIM, FIXED (orders 0-4) and — since
+  * round 13 — LPC (orders 1-32): QLP precision/shift header, signed
+  * quantized coefficients, and the integer fixed-point predictor
   * s[i] = res[i] + ((sum qlp[j]*s[i-1-j]) >> shift) in a 64-bit
   * accumulator. Wild FLAC is overwhelmingly LPC-encoded, so this is
-  * the real-world coverage arm; the remaining refusals are genuinely
-  * non-subset shapes (stereo, non-16-bit, variable blocking, negative
-  * QLP shift — spec-reserved).
+  * the real-world coverage arm. Stereo decodes through all four
+  * channel assignments (independent L/R, left/side, side/right,
+  * mid/side — integer decorrelation with the side channel one bit
+  * wider, the mid's lost LSB restored from the side's parity); the
+  * remaining refusals are genuinely non-subset shapes (>2 channels,
+  * non-16-bit, variable blocking, negative QLP shift — spec-reserved).
   *
   * Decode restores the samples EXACTLY (lossless), so every gate is
   * closed-form: the oracle states the PCM, and the decoded FLAC must
@@ -105,15 +108,19 @@ object FlacPcm {
     case o => throw new IllegalArgumentException(s"FLAC: fixed order $o out of range")
   }
 
-  /** Decode every frame; returns the PCM samples (exactly
-    * STREAMINFO.totalSamples of them). Mono 16-bit fixed-blocking
-    * fixed-predictor streams; everything else refuses instructively. */
+  /** Decode every frame; returns the PCM samples — totalSamples of them
+    * for mono, 2x totalSamples INTERLEAVED (L,R,L,R,...) for stereo.
+    * 16-bit fixed-blocking streams; subframes CONSTANT/VERBATIM/FIXED/
+    * LPC; stereo via all four channel assignments (independent,
+    * left/side, right/side, mid/side — integer decorrelation, lossless
+    * like everything else here). Everything outside the subset refuses
+    * instructively. */
   def decode(item: MediaItem): Array[Int] = {
     val p = item.payload
     val id = item.mediaId
     val meta = Flac.parse(item)
-    require(meta.channels == 1,
-      s"media $id: only mono FLAC decode is supported (${meta.channels} channels)")
+    require(meta.channels == 1 || meta.channels == 2,
+      s"media $id: only mono/stereo FLAC decode is supported (${meta.channels} channels)")
     require(meta.bitsPerSample == 16,
       s"media $id: only 16-bit FLAC decode is supported (${meta.bitsPerSample})")
     require(meta.totalSamples <= (1 << 26),
@@ -126,8 +133,9 @@ object FlacPcm {
       val len = ((p(pos + 1) & 0xFF) << 16) | ((p(pos + 2) & 0xFF) << 8) | (p(pos + 3) & 0xFF)
       pos = pos + 4 + len
     }
+    val nCh = meta.channels
     val total = meta.totalSamples.toInt
-    val out = new Array[Int](total)
+    val out = new Array[Int](total * nCh)
     var got = 0
     while (got < total) {
       val frameStart = pos
@@ -140,7 +148,12 @@ object FlacPcm {
       val chan = in.bits(4)
       val ssCode = in.bits(3)
       require(in.bit() == 0, s"media $id: reserved frame-header bit set")
-      require(chan == 0, s"media $id: only mono frames supported (channel code $chan)")
+      // channel codes: 0 = mono, 1 = independent L/R, 8 = left/side,
+      // 9 = side/right, 10 = mid/side; the rest are >2-channel or reserved
+      if (nCh == 1) require(chan == 0,
+        s"media $id: mono stream carries channel code $chan")
+      else require(chan == 1 || (chan >= 8 && chan <= 10),
+        s"media $id: unsupported stereo channel code $chan")
       require(ssCode == 4, s"media $id: only 16-bit frames supported (size code $ssCode)")
       // coded frame/sample number: UTF-8-style variable length
       val first = in.bits(8)
@@ -172,15 +185,17 @@ object FlacPcm {
       require(in.bitPos == 0, s"media $id: frame header not byte-aligned")
       val wantCrc8 = crc8(p, frameStart, in.bytePos)
       require(in.bits(8) == wantCrc8, s"media $id: frame header CRC-8 mismatch")
-      // ---- the (single, mono) subframe
+      val n = math.min(blockSize, total - got)
+      require(n > 0, s"media $id: frame beyond total sample count")
+      // ---- one subframe, at `bps` effective input bits (17 for the
+      // side channel of a decorrelated stereo pair; 16 otherwise)
+      def readSubframe(bps: Int): Array[Int] = {
       require(in.bit() == 0, s"media $id: subframe padding bit set")
       val sfType = in.bits(6)
       var wasted = 0
       if (in.bit() == 1) { wasted = in.unary() + 1 }
-      require(wasted < 16, s"media $id: wasted-bits count $wasted exceeds sample size")
-      val eff = 16 - wasted
-      val n = math.min(blockSize, total - got)
-      require(n > 0, s"media $id: frame beyond total sample count")
+      require(wasted < bps, s"media $id: wasted-bits count $wasted exceeds sample size")
+      val eff = bps - wasted
       val block = new Array[Int](blockSize)
       def readResiduals(order: Int): Unit = {
         val method = in.bits(2)
@@ -272,11 +287,50 @@ object FlacPcm {
         case t => throw new IllegalArgumentException(
           s"media $id: reserved subframe type $t")
       }
-      in.align()
-      val wantCrc16 = crc16(p, frameStart, in.bytePos)
-      require(in.bits(16) == wantCrc16, s"media $id: frame CRC-16 mismatch")
-      var i = 0
-      while (i < n) { out(got + i) = block(i) << wasted; i += 1 }
+      if (wasted > 0) {
+        var i = 0
+        while (i < blockSize) { block(i) = block(i) << wasted; i += 1 }
+      }
+      block
+      } // readSubframe
+      if (nCh == 1) {
+        val b = readSubframe(16)
+        in.align()
+        val wantCrc16 = crc16(p, frameStart, in.bytePos)
+        require(in.bits(16) == wantCrc16, s"media $id: frame CRC-16 mismatch")
+        var i = 0
+        while (i < n) { out(got + i) = b(i); i += 1 }
+      } else {
+        // the side channel of a decorrelated pair carries one extra bit
+        val (bps0, bps1) = chan match {
+          case 1 => (16, 16) // independent L, R
+          case 8 => (16, 17) // left, side
+          case 9 => (17, 16) // side, right
+          case _ => (16, 17) // mid, side
+        }
+        val c0 = readSubframe(bps0)
+        val c1 = readSubframe(bps1)
+        in.align()
+        val wantCrc16 = crc16(p, frameStart, in.bytePos)
+        require(in.bits(16) == wantCrc16, s"media $id: frame CRC-16 mismatch")
+        var i = 0
+        while (i < n) {
+          var l = 0; var r = 0
+          chan match {
+            case 1 => l = c0(i); r = c1(i)
+            case 8 => l = c0(i); r = c0(i) - c1(i)      // right = left - side
+            case 9 => l = c0(i) + c1(i); r = c1(i)      // left = side + right
+            case _ =>                                    // mid/side
+              // mid lost the sum's LSB at encode; side's parity restores it
+              val sum2 = (c0(i) << 1) | (c1(i) & 1)
+              l = (sum2 + c1(i)) >> 1
+              r = (sum2 - c1(i)) >> 1
+          }
+          out((got + i) * 2) = l
+          out((got + i) * 2 + 1) = r
+          i += 1
+        }
+      }
       got += n
       pos = in.bytePos
     }
@@ -430,6 +484,103 @@ object FlacPcm {
               writeRice(res, o)
           }
         }
+        w2.align()
+        val frameBytes = fb.toByteArray
+        val c16 = crc16(frameBytes, 0, frameBytes.length)
+        fb.write((c16 >> 8) & 0xFF); fb.write(c16 & 0xFF)
+        out.write(fb.toByteArray)
+        off += n
+        frameIdx += 1
+      }
+      out.toByteArray
+    }
+
+    /** Stereo fixture writer: 16-bit L/R, per-frame channel assignment
+      * via `modeFor` (1 = independent L/R, 8 = left/side, 9 =
+      * side/right, 10 = mid/side — the decorrelated side channel coded
+      * one bit wider, exactly the decoder's reconstruction), FIXED
+      * subframes of `orderFor(frameIdx)` order per channel. */
+    def encodeStereo(left: Array[Int], right: Array[Int], sampleRate: Int,
+        blockSize: Int, modeFor: Int => Int, orderFor: Int => Int,
+        partitionOrder: Int = 0): Array[Byte] = {
+      require(left.length == right.length && left.nonEmpty,
+        "stereo fixture needs equal-length L/R")
+      require(left.forall(s => s >= -32768 && s <= 32767) &&
+        right.forall(s => s >= -32768 && s <= 32767), "16-bit range")
+      require((blockSize & ((1 << partitionOrder) - 1)) == 0,
+        "partition order must divide block size")
+      require(blockSize >= 1 && blockSize <= 256,
+        "fixture block size exceeds 8-bit header coding (code 6)")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val si = new java.io.ByteArrayOutputStream()
+      val sb = new BitW(si)
+      sb.put(blockSize, 16); sb.put(blockSize, 16)
+      sb.put(0, 24); sb.put(0, 24)
+      sb.put(sampleRate, 20); sb.put(1, 3) /* channels-1 */ ; sb.put(15, 5)
+      sb.put(0, 4); sb.put(left.length, 32) // totalSamples (36 bits)
+      out.write(si.toByteArray)
+      out.write(new Array[Byte](16)) // PCM MD5: zero (metadata-only here)
+      var off = 0
+      var frameIdx = 0
+      while (off < left.length) {
+        val n = math.min(blockSize, left.length - off)
+        val mode = modeFor(frameIdx)
+        require(mode == 1 || (mode >= 8 && mode <= 10),
+          s"bad stereo channel code $mode")
+        val fb = new java.io.ByteArrayOutputStream()
+        val w = new BitW(fb)
+        w.put(0x3FFE, 14); w.put(0, 1); w.put(0, 1)
+        w.put(6, 4); w.put(0, 4)        // bs code 6, rate from STREAMINFO
+        w.put(mode, 4); w.put(4, 3); w.put(0, 1) // channel code, 16-bit
+        require(frameIdx < 128, "fixture frame number exceeds 1-byte UTF-8 coding")
+        w.put(frameIdx, 8)
+        w.put(n - 1, 8)
+        w.align()
+        val headBytes = fb.toByteArray
+        fb.write(crc8(headBytes, 0, headBytes.length))
+        val w2 = new BitW(fb)
+        val lf = java.util.Arrays.copyOfRange(left, off, off + n)
+        val rf = java.util.Arrays.copyOfRange(right, off, off + n)
+        val (ch0, ch1, e0, e1) = mode match {
+          case 1 => (lf, rf, 16, 16)
+          case 8 => (lf, Array.tabulate(n)(i => lf(i) - rf(i)), 16, 17)
+          case 9 => (Array.tabulate(n)(i => lf(i) - rf(i)), rf, 17, 16)
+          case _ => (Array.tabulate(n)(i => (lf(i) + rf(i)) >> 1),
+                     Array.tabulate(n)(i => lf(i) - rf(i)), 16, 17)
+        }
+        def writeSub(samp: Array[Int], eff: Int): Unit = {
+          val o = orderFor(frameIdx)
+          require(o >= 0 && o <= 4 && o < n, s"fixed order $o invalid for $n samples")
+          w2.put(0, 1); w2.put(0x08 | o, 6); w2.put(0, 1)
+          (0 until o).foreach(i => w2.put(samp(i) & ((1 << eff) - 1), eff))
+          val res = (o until n).map { i =>
+            samp(i) - (o match {
+              case 0 => 0
+              case 1 => samp(i - 1)
+              case 2 => 2 * samp(i - 1) - samp(i - 2)
+              case 3 => 3 * samp(i - 1) - 3 * samp(i - 2) + samp(i - 3)
+              case _ => 4 * samp(i - 1) - 6 * samp(i - 2) + 4 * samp(i - 3) - samp(i - 4)
+            })
+          }
+          val pOrd = if (n == blockSize) partitionOrder else 0
+          w2.put(0, 2); w2.put(pOrd, 4)
+          var idx = 0
+          (0 until (1 << pOrd)).foreach { part =>
+            val cnt = (n >> pOrd) - (if (part == 0) o else 0)
+            val slice = res.slice(idx, idx + cnt)
+            idx += cnt
+            val param = (0 to 14).minBy(k => riceCost(slice, k))
+            w2.put(param, 4)
+            slice.foreach { v =>
+              val u = (v << 1) ^ (v >> 31)
+              w2.putUnary(u >>> param)
+              w2.put(u & ((1 << param) - 1), param)
+            }
+          }
+        }
+        writeSub(ch0, e0); writeSub(ch1, e1)
         w2.align()
         val frameBytes = fb.toByteArray
         val c16 = crc16(frameBytes, 0, frameBytes.length)

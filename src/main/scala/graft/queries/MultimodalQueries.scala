@@ -603,6 +603,47 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm26: REAL STEREO FLAC DECODE — the channel-assignment arm
+    // of the format: independent L/R plus the three decorrelated pairs
+    // (left/side, side/right, mid/side — integer decorrelation, the
+    // side channel one bit wider, the mid's lost LSB restored from the
+    // side's parity). Each document's L and R sawtooths encode with a
+    // per-id assignment alternating with independent frames, decode
+    // back interleaved, and per-channel sums + total energy must equal
+    // the oracle's closed form of the ORIGINAL signals — a broken
+    // reconstruction in any assignment breaks the hash. Decode is
+    // partition-local; payloads never shuffle.
+    "mm26_flac_stereo" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val l = Array.tabulate(192)(i =>
+              (((id * 31 + i * 57 + i.toLong * i * (1 + id % 89)) % 4096) - 2048).toInt)
+            val r = Array.tabulate(192)(i =>
+              (((id * 37 + i * 41 + i.toLong * i * (2 + id % 83)) % 4096) - 2048).toInt)
+            val mode = Seq(1, 8, 9, 10)((id % 4).toInt)
+            val bytes = graft.ops.FlacPcm.FlacPcmEncoder.encodeStereo(
+              l, r, 8000, blockSize = 64,
+              modeFor = f => if (f % 2 == 0) mode else 1,
+              orderFor = f => ((f + id) % 5).toInt,
+              partitionOrder = 1)
+            val dec = graft.ops.FlacPcm.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            var sl = 0L; var sr = 0L; var en = 0L
+            var i = 0
+            while (i < dec.length) {
+              if (i % 2 == 0) sl += dec(i) else sr += dec(i)
+              en += dec(i).toLong * dec(i)
+              i += 1
+            }
+            (id, dec.length.toLong, sl, sr, en)
+          }
+        }
+        .toDF("media_id", "n_samples", "sum_left", "sum_right", "sum_energy")
+        .orderBy("media_id")
+    }),
+
     // ---- mm24: the FULL pixel-family quarantine — mm20 widened from
     // PPM/BMP/PNG to every real pixel decoder the sniffer routes:
     // PPM, BMP, PNG, baseline JPEG, GIF and TIFF rotate by id, all
@@ -1007,6 +1048,20 @@ object MultimodalQueries {
         |  CAST(192 AS BIGINT) AS n_samples,
         |  CAST(SUM(s) AS BIGINT) AS sum_samples,
         |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // stereo is lossless through every channel assignment: per-channel
+    // sums and the combined energy restate the original L/R signals.
+    "mm26_flac_stereo" ->
+      """WITH sm AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 31 + i * 57 + i * i * (1 + doc_id % 89)) % 4096) - 2048 AS l,
+        |    ((doc_id * 37 + i * 41 + i * i * (2 + doc_id % 83)) % 4096) - 2048 AS r
+        |  FROM documents, unnest(range(0, 192)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(384 AS BIGINT) AS n_samples,
+        |  CAST(SUM(l) AS BIGINT) AS sum_left,
+        |  CAST(SUM(r) AS BIGINT) AS sum_right,
+        |  CAST(SUM(l * l + r * r) AS BIGINT) AS sum_energy
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // six pixel containers, one closed-form gray; the two failure arms

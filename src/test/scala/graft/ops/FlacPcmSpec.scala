@@ -160,6 +160,45 @@ class FlacPcmSpec extends SparkSpec {
     assert(e.getMessage.contains("8-bit"), e.getMessage)
   }
 
+  // ---------------------------------------------------------- stereo
+
+  test("stereo round-trip: all four channel assignments decode lossless " +
+      "and interleaved") {
+    val l = saw(300, 21L)
+    val r = saw(300, 22L)
+    Seq(1, 8, 9, 10).foreach { mode =>
+      val bytes = FlacPcm.FlacPcmEncoder.encodeStereo(l, r, 8000,
+        blockSize = 64, modeFor = _ => mode, orderFor = _ => 2,
+        partitionOrder = 1)
+      val dec = FlacPcm.decode(MediaItem(200L + mode, bytes))
+      assert(dec.length == 600, s"mode $mode")
+      (0 until 300).foreach { i =>
+        assert(dec(2 * i) == l(i) && dec(2 * i + 1) == r(i),
+          s"mode $mode sample $i")
+      }
+    }
+  }
+
+  test("stereo: rotating assignments per frame, every fixed order, and " +
+      "17-bit side-channel extremes survive") {
+    val l = saw(300, 21L).updated(0, 32767).updated(1, -32768)
+    val r = saw(300, 22L).updated(0, -32768).updated(1, 32767) // side ±65535
+    val mixed = FlacPcm.FlacPcmEncoder.encodeStereo(l, r, 8000,
+      blockSize = 64, modeFor = f => Seq(1, 8, 9, 10)(f % 4),
+      orderFor = f => f % 5)
+    val dec = FlacPcm.decode(MediaItem(210L, mixed))
+    (0 until 300).foreach { i =>
+      assert(dec(2 * i) == l(i) && dec(2 * i + 1) == r(i), s"sample $i")
+    }
+    // a flipped byte in a decorrelated frame still refuses via CRC
+    val idx = mixed.length - 20
+    val bad = mixed.clone(); bad(idx) = (bad(idx) ^ 0x11).toByte
+    val e = intercept[IllegalArgumentException] {
+      FlacPcm.decode(MediaItem(211L, bad)): Unit
+    }
+    assert(e.getMessage.contains("media 211"), e.getMessage)
+  }
+
   test("a crafted Rice code that overflows 32 bits refuses instead of " +
       "returning silently wrong samples") {
     // Hand-build a stream whose first residual is unary q=300000 with
