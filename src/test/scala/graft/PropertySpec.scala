@@ -243,6 +243,12 @@ class PropertySpec extends AnyFunSuite {
       ("flac-pcm", graft.ops.FlacPcm.FlacPcmEncoder.encode(
           Array.tabulate(128)(i => ((i * 37) % 4000) - 2000), 8000,
           blockSize = 64, orderFor = _ => 2, partitionOrder = 1),
+        b => graft.ops.FlacPcm.decode(MediaItem(1L, b))),
+      ("flac-pcm-stereo", graft.ops.FlacPcm.FlacPcmEncoder.encodeStereo(
+          Array.tabulate(128)(i => ((i * 37) % 4000) - 2000),
+          Array.tabulate(128)(i => ((i * 53) % 4000) - 2000), 8000,
+          blockSize = 64, modeFor = f => Seq(1, 8, 9, 10)(f % 4),
+          orderFor = _ => 2, partitionOrder = 1),
         b => graft.ops.FlacPcm.decode(MediaItem(1L, b))))
     targets.foreach { case (name, base, decode) =>
       val mutGen: Gen[Array[Byte]] = Gen.oneOf(
