@@ -597,12 +597,15 @@ object SimilarityQueries {
     * growth batch (% 10 = 9) is assigned against the PERSISTED
     * centroids and encoded against the PERSISTED codebook, and both
     * appends commit in ONE multi-table transaction. */
-  private[graft] def buildLakeIvfPq(spark: SparkSession, dir: String):
+  /** knn06/knn07's BASE build: the initial corpus (vec_id % 10 != 9)
+    * trains both quantizers and all four artifacts commit as lake
+    * tables; growth is NOT applied here — knn06 adds it as one batch
+    * transaction, knn07 as streaming exactly-once transactions. */
+  private[graft] def buildLakeIvfPqBase(spark: SparkSession, dir: String):
       (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
     reg(spark)
     val emb = t(spark, dir, "embeddings")
     val c0 = emb.filter(col("vec_id") % 10 =!= 9)
-    val growth = emb.filter(col("vec_id") % 10 === 9)
     val n0 = c0.count() // TRAIN-corpus-scaled knobs (1-row agg)
     // coarse quantizer: sim07's centroid rule on the TRAIN corpus
     val nc = c0.agg(greatest(lit(16L),
@@ -620,6 +623,14 @@ object SimilarityQueries {
     graft.ops.TxLog.append(spark, codebook, cbT, "cid", nParts = 1)
     graft.ops.TxLog.appendClustered(spark, codes0, codeT,
       "vec_id", clusterCol = col("sub"), nClusters = 4)
+    (centT, assignT, cbT, codeT)
+  }
+
+  private[graft] def buildLakeIvfPq(spark: SparkSession, dir: String):
+      (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    val (centT, assignT, cbT, codeT) = buildLakeIvfPqBase(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val growth = emb.filter(col("vec_id") % 10 === 9)
     // GROWTH: one transaction, two participants — the assignments and
     // codes tables advance atomically (all-or-nothing across crashes)
     val centLake = graft.ops.TxLog.readAt(spark, centT)
@@ -863,6 +874,66 @@ object SimilarityQueries {
           "vec_id", "embedding", dims = 64, m = 8,
           shortlistK = pqShortlist(n), topK = 10)
         .orderBy("rank")
+    }),
+
+    // ---- knn07: STREAMING IVFADC maintenance — the full production
+    // shape: each arriving micro-batch advances BOTH index halves
+    // (coarse assignments + PQ codes) in ONE multi-table transaction
+    // driven exactly-once from the graft-lake tail (the tx24 machinery
+    // applied to index maintenance). A crash mid-batch can never leave
+    // a vector coarse-listed but code-less — it would silently vanish
+    // from every ADC pass — and a restarted stream's full redelivery
+    // (drained twice here, fresh checkpoint) is swallowed whole by the
+    // txn-resolved batch-id watermark. Serving and the recall gate are
+    // knn06's verbatim, so the batch-transaction and streaming-
+    // transaction growth paths are cross-gated through ONE oracle.
+    "knn07_streaming_ivfadc" -> ((spark: SparkSession, dir: String) => {
+      val (centT, assignT, cbT, codeT) = buildLakeIvfPqBase(spark, dir)
+      val emb = t(spark, dir, "embeddings")
+      val growth = emb.filter(col("vec_id") % 10 === 9)
+      val bronze = freshTable()
+      graft.ops.TxLog.append(spark, growth.filter(col("vec_id") % 2 === 0),
+        bronze, "vec_id", nParts = 1)
+      graft.ops.TxLog.append(spark, growth.filter(col("vec_id") % 2 === 1),
+        bronze, "vec_id", nParts = 1)
+      val centLake = graft.ops.TxLog.readAt(spark, centT)
+      val cbLake = graft.ops.TxLog.readAt(spark, cbT)
+      def drain(): Unit = {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_knn7_ckpt")
+        tmpDirs.add(ckpt)
+        val q = spark.readStream.format("graft-lake")
+          .option("maxVersionsPerBatch", "1")
+          .load(bronze.toString)
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            if (!graft.ops.TxLog.isBatchCommitted(codeT, bid)) {
+              val batch = b.localCheckpoint(true)
+              graft.ops.TxLog.transact(spark, Seq(
+                graft.ops.TxLog.TxnAppend(assignT,
+                  graft.ops.Ann.assignToCentroids(batch, centLake),
+                  "cent_id", nParts = 1),
+                graft.ops.TxLog.TxnAppend(codeT,
+                  graft.ops.Pq.encode(batch, cbLake, "vec_id", "embedding",
+                    dims = 64, m = 8),
+                  "vec_id", nParts = 1, batchId = Some(bid)))): Unit
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      drain() // full redelivery: fresh checkpoint, same batch ids — skipped
+      val approx = serveLakeIvfAdc(spark, dir, centT, assignT, cbT, codeT)
+        .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+      val exact = exactQuantizedTopK(spark, dir)
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .orderBy("q_id")
     }),
   )
 
@@ -1268,6 +1339,10 @@ object SimilarityQueries {
     "knn05_ivf_pq" -> knn05Sql,
 
     "knn06_lake_ivfadc" -> knn06Sql,
+
+    // streaming-transaction growth must converge to the batch-
+    // transaction index exactly: knn06's oracle, verbatim
+    "knn07_streaming_ivfadc" -> knn06Sql,
 
     // The persisted index is semantically sim02 with centroids drawn
     // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —
