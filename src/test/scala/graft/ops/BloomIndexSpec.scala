@@ -141,4 +141,38 @@ class BloomIndexSpec extends SparkSpec {
     val (rows2, _, _) = BloomIndex.lookup(spark, table, index, "key", kept)
     assert(rows2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(8L))
   }
+
+  test("the PRODUCTION 2 MiB cap saturates a 1.2M-key file exactly like " +
+      "blix06's scaled fixture: n_keys recorded, fpp within the degraded " +
+      "bound, still zero false negatives") {
+    // 1.2M distinct keys request 19.2M bits; DefaultCapBits = 2^24 =
+    // 16.78M, so this file degrades to ~14 effective bits/key — the
+    // regime blix06 proves with a scaled-down cap, exercised here once
+    // through the UNMODIFIED production default.
+    import spark.implicits._
+    val n = 1200000L
+    val table = freshDir().resolve("t"); val index = freshDir().resolve("ix")
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      md5(concat(lit("cap-"), col("id"))).as("key"))
+    TxLog.append(spark, df, table, "doc_id", nParts = 1)
+    assert(BloomIndex.ensureIndexed(spark, table, index, "key") == 1)
+    val row = BloomIndex.measureFppPerFile(spark, index,
+      (0 until 4096).map(i => s"absent-$i"))
+      .select("n_keys", "m_bits", "k", "fired", "total").head
+    assert(row.getLong(0) == n, "exact distinct-key count recorded")
+    assert(row.getInt(1) == BloomIndex.DefaultCapBits,
+      "the requested 19.2M bits must collapse to the production cap")
+    val (m, k) = (row.getInt(1).toDouble, row.getInt(2))
+    val implied = math.pow(1.0 - math.exp(-k * n / m), k)
+    val measured = row.getLong(3).toDouble / row.getLong(4)
+    assert(implied > 6e-4, "the fixture must actually degrade past the " +
+      "requested-16-bits/key theoretical bound")
+    assert(measured <= implied * 2 && measured >= implied / 4,
+      f"measured $measured%.2e vs degraded bound $implied%.2e")
+    // saturation degrades fpp, never correctness: a present key still
+    // resolves exactly (no false negatives at any load factor)
+    val probe = df.filter(col("doc_id") === 777777L).select("key").head.getString(0)
+    val (rows, _, _) = BloomIndex.lookup(spark, table, index, "key", probe)
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(777777L))
+  }
 }
