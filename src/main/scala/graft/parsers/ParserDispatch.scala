@@ -32,6 +32,7 @@ object ParserDispatch {
     case "avro"             => AvroParser // beyond-reference row format
     case "parquet"          => ParquetPassthroughParser // beyond-reference
     case "pdf"              => PdfParser // beyond-reference (see scaladoc)
+    case "zip"              => ZipArchiveParser // beyond-reference container
     case other              => throw ParseError(s"unsupported file type: $other")
   }
 

@@ -267,6 +267,29 @@ object IngestQueries {
     // reader streams through the gzip codec by file name — the per-part
     // compression convention of real lake drops. Same header semantics
     // as ing01; the enrich columns carry the full compressed key.
+    // ZIP ARCHIVE ingestion (beyond-reference container sibling of
+    // ing21's codec wrapper): one drop = one zip of homogeneous CSVs,
+    // streamed entry-at-a-time to scratch on the control plane, every
+    // entry scanned by the INNER parser's splittable reader, rows
+    // carrying per-entry lineage (source_entry) through the union and
+    // the full pipeline enrichment. Mixed archives, zip-slip entries
+    // and deflate bombs refuse instructively (ParserSpec).
+    "ing24_zip_archive" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.zip$", "zip_data"))
+      runPipeline(spark, "data/drop.zip", rules) { p =>
+        val zo = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+        def add(name: String, body: String): Unit = {
+          zo.putNextEntry(new java.util.zip.ZipEntry(name))
+          zo.write(body.getBytes("UTF-8"))
+          zo.closeEntry()
+        }
+        add("part1.csv", "name,age,city\nJohn,30,NYC\nJane,25,LA\n")
+        add("part2.csv", "name,age,city\nBob,35,Chicago\n")
+        add("sub/part3.csv", "name,age,city\nEve,28,Boston\nFinn,33,Denver\n")
+        zo.close()
+      }.orderBy("name")
+    }),
+
     "ing21_gzip_csv" -> ((spark: SparkSession, _: String) => {
       val rules = Seq(IngestionConfigRule(".*\\.csv\\.gz$", "gz_data"))
       runPipeline(spark, "data/test.csv.gz", rules) { p =>
@@ -590,6 +613,19 @@ object IngestQueries {
         |  md5(${fn}'data/test.jsonl') AS log_id
         |FROM (VALUES (true, 'Gail', 500), (false, 'Hank', 600), (true, 'Iris', 700))
         |  t(active, name, value)
+        |ORDER BY name""".stripMargin,
+
+    "ing24_zip_archive" ->
+      s"""SELECT name, age, city, source_entry,
+        |  ${fn}'data/drop.zip' AS file_name,
+        |  md5(${fn}'data/drop.zip') AS log_id
+        |FROM (VALUES
+        |  ('Bob','35','Chicago','part2.csv'),
+        |  ('Eve','28','Boston','sub/part3.csv'),
+        |  ('Finn','33','Denver','sub/part3.csv'),
+        |  ('Jane','25','LA','part1.csv'),
+        |  ('John','30','NYC','part1.csv'))
+        |  t(name, age, city, source_entry)
         |ORDER BY name""".stripMargin,
 
     "ing21_gzip_csv" ->

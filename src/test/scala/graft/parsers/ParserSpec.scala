@@ -235,4 +235,61 @@ class ParserSpec extends SparkSpec {
     assert(df.schema("flag").dataType.typeName == "boolean")
     assert(df.count() == 2)
   }
+
+  test("zip archive: refusal contracts — mixed formats, zip-slip entries, " +
+      "empty archives, deflate bombs") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("parser_zip")
+    def zip(name: String)(entries: (String, Array[Byte])*): String = {
+      val p = dir.resolve(name)
+      val zo = new ZipOutputStream(Files.newOutputStream(p))
+      entries.foreach { case (n, b) =>
+        zo.putNextEntry(new ZipEntry(n)); zo.write(b); zo.closeEntry()
+      }
+      zo.close()
+      p.toString
+    }
+    assert(ParserDispatch.parserFor("zip") == ZipArchiveParser)
+    val csv = "a,b\n1,2\n".getBytes("UTF-8")
+    // mixed formats: one archive -> one table -> one schema
+    val mixed = zip("mixed.zip")("x.csv" -> csv, "y.txt" -> "hello".getBytes)
+    val m = intercept[graft.domain.IngestionError.ParseError] {
+      ZipArchiveParser.parse(spark, mixed, None): Unit
+    }
+    assert(m.getMessage.contains("mixed-format"), m.getMessage)
+    // zip-slip: a traversal entry refuses before any byte lands
+    val slip = zip("slip.zip")("../../evil.csv" -> csv)
+    val s = intercept[graft.domain.IngestionError.ParseError] {
+      ZipArchiveParser.parse(spark, slip, None): Unit
+    }
+    assert(s.getMessage.contains("escapes the archive root"), s.getMessage)
+    // empty archive = error, the XmlParser empty=error rule
+    val empty = zip("empty.zip")()
+    val e = intercept[graft.domain.IngestionError.ParseError] {
+      ZipArchiveParser.parse(spark, empty, None): Unit
+    }
+    assert(e.getMessage.contains("no file entries"), e.getMessage)
+    // deflate bomb: a 300 MB all-zero entry compresses to ~300 KB of
+    // archive but must refuse at the per-entry extraction cap — the
+    // local-header size fields are attacker-controlled, so the cap
+    // meters ACTUAL decompressed bytes
+    val bombPath = dir.resolve("bomb.zip")
+    val zo = new ZipOutputStream(Files.newOutputStream(bombPath))
+    zo.putNextEntry(new ZipEntry("zeros.csv"))
+    val chunk = new Array[Byte](1 << 20)
+    (0 until 300).foreach(_ => zo.write(chunk))
+    zo.closeEntry(); zo.close()
+    val b = intercept[graft.domain.IngestionError.ParseError] {
+      ZipArchiveParser.parse(spark, bombPath.toString, None): Unit
+    }
+    assert(b.getMessage.contains("extraction cap"), b.getMessage)
+    // corrupt bytes with a .zip name stay inside the ParseError contract
+    val junk = dir.resolve("junk.zip")
+    Files.write(junk, Array.tabulate[Byte](64)(i => (i * 7).toByte))
+    val j = intercept[graft.domain.IngestionError.ParseError] {
+      ZipArchiveParser.parse(spark, junk.toString, None): Unit
+    }
+    assert(j.getMessage.startsWith("zip archive has no file entries") ||
+      j.getMessage.startsWith("corrupt zip"), j.getMessage)
+  }
 }
