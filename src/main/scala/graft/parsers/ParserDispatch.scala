@@ -33,6 +33,7 @@ object ParserDispatch {
     case "parquet"          => ParquetPassthroughParser // beyond-reference
     case "pdf"              => PdfParser // beyond-reference (see scaladoc)
     case "zip"              => ZipArchiveParser // beyond-reference container
+    case "tar" | "tgz"      => TarArchiveParser // beyond-reference container
     case other              => throw ParseError(s"unsupported file type: $other")
   }
 
@@ -54,7 +55,8 @@ object ParserDispatch {
     val ext = extractFileType(key)
     if (ext == "gz" || ext == "bz2") {
       val inner = extractFileType(key.substring(0, key.length - ext.length - 1))
-      if (CompressibleText(inner)) parserFor(inner)
+      if (inner == "tar" && ext == "gz") TarArchiveParser // handles its own gzip
+      else if (CompressibleText(inner)) parserFor(inner)
       else throw ParseError(
         s"unsupported compressed file type: $inner.$ext (only line-oriented " +
           s"text formats ${CompressibleText.toSeq.sorted.mkString("/")} route through a codec wrapper)")

@@ -290,6 +290,21 @@ object IngestQueries {
       }.orderBy("name")
     }),
 
+    // TAR.GZ archive ingestion — ing24's POSIX-ustar sibling through
+    // the compound-extension dispatch (x.tar.gz), hand-rolled 512-block
+    // header walk, JSONL entries this time so the inner line-splittable
+    // parser differs from ing24's CSV arm.
+    "ing25_tar_archive" -> ((spark: SparkSession, _: String) => {
+      val rules = Seq(IngestionConfigRule(".*\\.tar\\.gz$", "tar_data"))
+      runPipeline(spark, "data/drop.tar.gz", rules) { p =>
+        Files.write(p, graft.parsers.TarArchiveParser.TarFixtureWriter.archive(Seq(
+          "a/rows1.jsonl" ->
+            "{\"name\":\"John\",\"v\":30}\n{\"name\":\"Jane\",\"v\":25}\n".getBytes("UTF-8"),
+          "b/rows2.jsonl" ->
+            "{\"name\":\"Bob\",\"v\":35}\n".getBytes("UTF-8")), gzip = true)): Unit
+      }.orderBy("name")
+    }),
+
     "ing21_gzip_csv" -> ((spark: SparkSession, _: String) => {
       val rules = Seq(IngestionConfigRule(".*\\.csv\\.gz$", "gz_data"))
       runPipeline(spark, "data/test.csv.gz", rules) { p =>
@@ -613,6 +628,17 @@ object IngestQueries {
         |  md5(${fn}'data/test.jsonl') AS log_id
         |FROM (VALUES (true, 'Gail', 500), (false, 'Hank', 600), (true, 'Iris', 700))
         |  t(active, name, value)
+        |ORDER BY name""".stripMargin,
+
+    "ing25_tar_archive" ->
+      s"""SELECT name, CAST(v AS BIGINT) AS v, source_entry,
+        |  ${fn}'data/drop.tar.gz' AS file_name,
+        |  md5(${fn}'data/drop.tar.gz') AS log_id
+        |FROM (VALUES
+        |  ('Bob', 35, 'b/rows2.jsonl'),
+        |  ('Jane', 25, 'a/rows1.jsonl'),
+        |  ('John', 30, 'a/rows1.jsonl'))
+        |  t(name, v, source_entry)
         |ORDER BY name""".stripMargin,
 
     "ing24_zip_archive" ->

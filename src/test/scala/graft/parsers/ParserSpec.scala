@@ -292,4 +292,52 @@ class ParserSpec extends SparkSpec {
     assert(j.getMessage.startsWith("zip archive has no file entries") ||
       j.getMessage.startsWith("corrupt zip"), j.getMessage)
   }
+
+  test("tar archive: dispatch (.tar/.tgz/.tar.gz), round-trip, and the " +
+      "refusal contracts — slip, truncation, mixed, junk") {
+    import graft.parsers.TarArchiveParser.TarFixtureWriter
+    val dir = Files.createTempDirectory("parser_tar")
+    assert(ParserDispatch.parserFor("tar") == TarArchiveParser)
+    assert(ParserDispatch.parserFor("tgz") == TarArchiveParser)
+    assert(ParserDispatch.parserForKey("x.tar.gz") == TarArchiveParser)
+    val csv = "a,b\n1,2\n3,4\n".getBytes("UTF-8")
+    // plain .tar round-trip (ing25 gates the .tar.gz arm end-to-end)
+    val plain = dir.resolve("ok.tar")
+    Files.write(plain, TarFixtureWriter.archive(Seq("d/x.csv" -> csv), gzip = false))
+    val df = TarArchiveParser.parse(spark, plain.toString, None)
+    assert(df.count() == 2)
+    assert(df.select("source_entry").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("d/x.csv"))
+    // slip entry refuses before extraction
+    val slip = dir.resolve("slip.tar")
+    Files.write(slip, TarFixtureWriter.archive(Seq("../evil.csv" -> csv), gzip = false))
+    val s = intercept[graft.domain.IngestionError.ParseError] {
+      TarArchiveParser.parse(spark, slip.toString, None): Unit
+    }
+    assert(s.getMessage.contains("escapes the archive root"), s.getMessage)
+    // truncation mid-payload refuses (size field promises more bytes)
+    val whole = TarFixtureWriter.archive(Seq("x.csv" -> csv), gzip = false)
+    val trunc = dir.resolve("trunc.tar")
+    Files.write(trunc, whole.take(512 + 4)) // header + 4 payload bytes
+    val t = intercept[graft.domain.IngestionError.ParseError] {
+      TarArchiveParser.parse(spark, trunc.toString, None): Unit
+    }
+    assert(t.getMessage.contains("truncated"), t.getMessage)
+    // mixed formats refuse like the zip arm
+    val mixed = dir.resolve("mixed.tar")
+    Files.write(mixed, TarFixtureWriter.archive(Seq(
+      "x.csv" -> csv, "y.txt" -> "hi".getBytes), gzip = false))
+    val m = intercept[graft.domain.IngestionError.ParseError] {
+      TarArchiveParser.parse(spark, mixed.toString, None): Unit
+    }
+    assert(m.getMessage.contains("mixed-format"), m.getMessage)
+    // junk bytes stay inside the ParseError contract
+    val junk = dir.resolve("junk.tar")
+    Files.write(junk, Array.tabulate[Byte](700)(i => (i * 11 + 1).toByte))
+    val j = intercept[graft.domain.IngestionError.ParseError] {
+      TarArchiveParser.parse(spark, junk.toString, None): Unit
+    }
+    assert(j.getMessage.startsWith("tar") || j.getMessage.startsWith("corrupt tar"),
+      j.getMessage)
+  }
 }
