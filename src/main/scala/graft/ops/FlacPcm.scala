@@ -10,7 +10,7 @@ import Multimodal.MediaItem
   * Rice-coded residual partitions (4- and 5-bit parameter methods,
   * escaped raw partitions), wasted-bits shifts, and the CRC-16 frame
   * footer — all of it public integer arithmetic, no codec library.
-  * Supported stream shape: MONO or STEREO, 16-bit, fixed blocking.
+  * Supported stream shape: MONO or STEREO, 8/16/24-bit, fixed blocking.
   * Subframe types: CONSTANT, VERBATIM, FIXED (orders 0-4) and — since
   * round 13 — LPC (orders 1-32): QLP precision/shift header, signed
   * quantized coefficients, and the integer fixed-point predictor
@@ -21,7 +21,8 @@ import Multimodal.MediaItem
   * mid/side — integer decorrelation with the side channel one bit
   * wider, the mid's lost LSB restored from the side's parity); the
   * remaining refusals are genuinely non-subset shapes (>2 channels,
-  * non-16-bit, variable blocking, negative QLP shift — spec-reserved).
+  * 12/20-bit depths, variable blocking, negative QLP shift — all
+  * spec-reserved or vanishingly rare in the wild).
   *
   * Decode restores the samples EXACTLY (lossless), so every gate is
   * closed-form: the oracle states the PCM, and the decoded FLAC must
@@ -110,7 +111,7 @@ object FlacPcm {
 
   /** Decode every frame; returns the PCM samples — totalSamples of them
     * for mono, 2x totalSamples INTERLEAVED (L,R,L,R,...) for stereo.
-    * 16-bit fixed-blocking streams; subframes CONSTANT/VERBATIM/FIXED/
+    * 8/16/24-bit fixed-blocking streams; subframes CONSTANT/VERBATIM/FIXED/
     * LPC; stereo via all four channel assignments (independent,
     * left/side, right/side, mid/side — integer decorrelation, lossless
     * like everything else here). Everything outside the subset refuses
@@ -121,8 +122,9 @@ object FlacPcm {
     val meta = Flac.parse(item)
     require(meta.channels == 1 || meta.channels == 2,
       s"media $id: only mono/stereo FLAC decode is supported (${meta.channels} channels)")
-    require(meta.bitsPerSample == 16,
-      s"media $id: only 16-bit FLAC decode is supported (${meta.bitsPerSample})")
+    val bps = meta.bitsPerSample
+    require(bps == 8 || bps == 16 || bps == 24,
+      s"media $id: only 8/16/24-bit FLAC decode is supported ($bps)")
     require(meta.totalSamples <= (1 << 26),
       s"media $id: stream too large for in-memory decode")
     // frames start after the last metadata block
@@ -154,7 +156,18 @@ object FlacPcm {
         s"media $id: mono stream carries channel code $chan")
       else require(chan == 1 || (chan >= 8 && chan <= 10),
         s"media $id: unsupported stereo channel code $chan")
-      require(ssCode == 4, s"media $id: only 16-bit frames supported (size code $ssCode)")
+      // sample-size codes: 1=8, 2=12, 4=16, 5=20, 6=24 bits
+      val frameBits = ssCode match {
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case c => throw new IllegalArgumentException(
+          s"media $id: unsupported sample-size code $c")
+      }
+      require(frameBits == bps,
+        s"media $id: frame sample size $frameBits contradicts STREAMINFO $bps")
       // coded frame/sample number: UTF-8-style variable length
       val first = in.bits(8)
       var cont = 0
@@ -294,7 +307,7 @@ object FlacPcm {
       block
       } // readSubframe
       if (nCh == 1) {
-        val b = readSubframe(16)
+        val b = readSubframe(bps)
         in.align()
         val wantCrc16 = crc16(p, frameStart, in.bytePos)
         require(in.bits(16) == wantCrc16, s"media $id: frame CRC-16 mismatch")
@@ -303,10 +316,10 @@ object FlacPcm {
       } else {
         // the side channel of a decorrelated pair carries one extra bit
         val (bps0, bps1) = chan match {
-          case 1 => (16, 16) // independent L, R
-          case 8 => (16, 17) // left, side
-          case 9 => (17, 16) // side, right
-          case _ => (16, 17) // mid, side
+          case 1 => (bps, bps)         // independent L, R
+          case 8 => (bps, bps + 1)     // left, side
+          case 9 => (bps + 1, bps)     // side, right
+          case _ => (bps, bps + 1)     // mid, side
         }
         val c0 = readSubframe(bps0)
         val c1 = readSubframe(bps1)
@@ -375,9 +388,14 @@ object FlacPcm {
       * QLP precision is derived from the widest coefficient. */
     def encode(samples: Array[Int], sampleRate: Int, blockSize: Int,
         orderFor: Int => Int, partitionOrder: Int = 0,
-        lpcFor: Int => Option[(Array[Int], Int)] = _ => None): Array[Byte] = {
+        lpcFor: Int => Option[(Array[Int], Int)] = _ => None,
+        bps: Int = 16): Array[Byte] = {
       require(samples.nonEmpty, "FLAC fixture needs samples")
-      require(samples.forall(s => s >= -32768 && s <= 32767), "16-bit range")
+      require(bps == 8 || bps == 16 || bps == 24, s"unsupported bit depth $bps")
+      val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
+      require(samples.forall(s => s >= lo && s <= hi), s"$bps-bit range")
+      val ssCode = bps match { case 8 => 1; case 16 => 4; case _ => 6 }
+      val sMask = (1 << bps) - 1
       require((blockSize & ((1 << partitionOrder) - 1)) == 0,
         "partition order must divide block size")
       // The frame header below uses block-size code 6 (8-bit value-1), so
@@ -393,7 +411,7 @@ object FlacPcm {
       val sb = new BitW(si)
       sb.put(blockSize, 16); sb.put(blockSize, 16) // min/max block size
       sb.put(0, 24); sb.put(0, 24) // frame size bounds unknown
-      sb.put(sampleRate, 20); sb.put(0, 3) /* channels-1 */ ; sb.put(15, 5) /* bps-1 */
+      sb.put(sampleRate, 20); sb.put(0, 3) /* channels-1 */ ; sb.put(bps - 1, 5)
       sb.put(0, 4); sb.put(samples.length, 32) // totalSamples (36 bits)
       sb.align()
       out.write(si.toByteArray)
@@ -409,7 +427,7 @@ object FlacPcm {
         w.put(6, 4)       // block size: 8-bit value-1 at header end
         w.put(0, 4)       // sample rate: from STREAMINFO
         w.put(0, 4)       // mono
-        w.put(4, 3); w.put(0, 1) // 16-bit, reserved
+        w.put(ssCode, 3); w.put(0, 1) // sample-size code, reserved
         require(frameIdx < 128, "fixture frame number exceeds 1-byte UTF-8 coding")
         w.put(frameIdx, 8) // coded frame number (single byte)
         w.put(n - 1, 8)    // 8-bit block size - 1
@@ -447,7 +465,7 @@ object FlacPcm {
               33 - java.lang.Integer.numberOfLeadingZeros(if (c < 0) ~c else c)).max)
             require(precision <= 15, s"QLP coefficients need $precision bits (>15)")
             w2.put(0, 1); w2.put(0x20 | (o - 1), 6); w2.put(0, 1)
-            (0 until o).foreach(i => w2.put(frame(i) & 0xFFFF, 16))
+            (0 until o).foreach(i => w2.put(frame(i) & sMask, bps))
             w2.put(precision - 1, 4)
             w2.put(shift & 0x1F, 5)
             coefs.foreach(c => w2.put(c & ((1 << precision) - 1), precision))
@@ -464,14 +482,14 @@ object FlacPcm {
             case -2 =>
               require(frame.forall(_ == frame(0)), "CONSTANT frame must be constant")
               w2.put(0, 1); w2.put(0, 6); w2.put(0, 1)
-              w2.put(frame(0) & 0xFFFF, 16)
+              w2.put(frame(0) & sMask, bps)
             case -1 =>
               w2.put(0, 1); w2.put(1, 6); w2.put(0, 1)
-              frame.foreach(s => w2.put(s & 0xFFFF, 16))
+              frame.foreach(s => w2.put(s & sMask, bps))
             case o =>
               require(o >= 0 && o <= 4 && o < n, s"fixed order $o invalid for $n samples")
               w2.put(0, 1); w2.put(0x08 | o, 6); w2.put(0, 1)
-              (0 until o).foreach(i => w2.put(frame(i) & 0xFFFF, 16))
+              (0 until o).foreach(i => w2.put(frame(i) & sMask, bps))
               val res = (o until n).map { i =>
                 frame(i) - (o match {
                   case 0 => 0

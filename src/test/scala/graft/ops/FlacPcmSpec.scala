@@ -160,6 +160,29 @@ class FlacPcmSpec extends SparkSpec {
     assert(e.getMessage.contains("8-bit"), e.getMessage)
   }
 
+  test("8-bit and 24-bit mono round-trip losslessly, FIXED and LPC arms") {
+    val s8 = Array.tabulate(200)(i => ((i * 37 + 11) % 200) - 100)
+    (0 to 2).foreach { o =>
+      val b = FlacPcm.FlacPcmEncoder.encode(s8, 8000, blockSize = 64,
+        orderFor = _ => o, partitionOrder = 1, bps = 8)
+      assert(FlacPcm.decode(MediaItem(300L + o, b)).toSeq == s8.toSeq, s"8-bit o$o")
+    }
+    val s24 = Array.tabulate(200)(i =>
+      (((i * 104729L + 7) * (i + 3)) % 16000000L - 8000000L).toInt)
+    assert(s24.forall(v => v >= -(1 << 23) && v < (1 << 23)))
+    val b24 = FlacPcm.FlacPcmEncoder.encode(s24, 8000, blockSize = 64,
+      orderFor = _ => 2, partitionOrder = 1, bps = 24)
+    assert(FlacPcm.decode(MediaItem(310L, b24)).toSeq == s24.toSeq)
+    val lpc24 = FlacPcm.FlacPcmEncoder.encode(s24, 8000, blockSize = 64,
+      orderFor = _ => 0, lpcFor = _ => Some((Array(2, -1), 0)), bps = 24)
+    assert(FlacPcm.decode(MediaItem(311L, lpc24)).toSeq == s24.toSeq)
+    // out-of-range samples refuse at encode time per depth
+    val e = intercept[IllegalArgumentException] {
+      FlacPcm.FlacPcmEncoder.encode(Array(200), 8000, 64, _ => 0, bps = 8): Unit
+    }
+    assert(e.getMessage.contains("8-bit range"), e.getMessage)
+  }
+
   // ---------------------------------------------------------- stereo
 
   test("stereo round-trip: all four channel assignments decode lossless " +
