@@ -106,8 +106,23 @@ object ZipArchiveParser extends RecordParser {
         s"${distinctParsers.size} different parsers " +
         s"(${parsers.map(p => ParserDispatch.extractFileType(p._1)).distinct.sorted.mkString(", ")}); " +
         "one archive ingests into one table — split the drop")
-    entries.zip(parsers).map { case ((name, dst), (_, p)) =>
-      p.parse(spark, dst.toString, config).withColumn("source_entry", lit(name))
-    }.reduce(_ unionByName _)
+    val parsed = entries.zip(parsers).map { case ((name, dst), (_, p)) =>
+      name -> p.parse(spark, dst.toString, config).withColumn("source_entry", lit(name))
+    }
+    // one archive -> one table -> ONE schema: entries of the same format
+    // whose parsed columns disagree (different CSV headers, divergent
+    // JSON fields) refuse instructively rather than surfacing Spark's
+    // analysis error from the union
+    val headCols = parsed.head._2.columns.toSet
+    parsed.find(_._2.columns.toSet != headCols).foreach { case (name, df) =>
+      throw ParseError(s"zip entries disagree on schema: ${parsed.head._1} has " +
+        s"[${headCols.toSeq.sorted.mkString(", ")}] but $name has " +
+        s"[${df.columns.sorted.mkString(", ")}] — one archive ingests into one table")
+    }
+    try parsed.map(_._2).reduce(_ unionByName _)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw ParseError(s"zip entries are not union-compatible: ${e.getMessage}")
+    }
   }
 }

@@ -293,6 +293,55 @@ class ParserSpec extends SparkSpec {
       j.getMessage.startsWith("corrupt zip"), j.getMessage)
   }
 
+  private def archSamples[A](gen: org.scalacheck.Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(42L + i)))
+
+  test("archive containers (zip/tar) fuzz: mutations never escape the " +
+      "ParseError contract during the archive walk") {
+    val dir = java.nio.file.Files.createTempDirectory("prop_arch")
+    val csv = "a,b\n1,2\n3,4\n".getBytes("UTF-8")
+    val zipBase = {
+      val p = dir.resolve("base.zip")
+      val zo = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+      Seq("x.csv", "d/y.csv").foreach { n =>
+        zo.putNextEntry(new java.util.zip.ZipEntry(n)); zo.write(csv); zo.closeEntry()
+      }
+      zo.close()
+      java.nio.file.Files.readAllBytes(p)
+    }
+    val tarBase = TarArchiveParser.TarFixtureWriter.archive(
+      Seq("x.csv" -> csv, "d/y.csv" -> csv), gzip = false)
+    val targets = Seq(
+      ("zip", zipBase, (b: Array[Byte]) => {
+        val p = dir.resolve(s"m${b.length}-${b.hashCode}.zip")
+        java.nio.file.Files.write(p, b)
+        ZipArchiveParser.parse(spark, p.toString, None)
+      }),
+      ("tar", tarBase, (b: Array[Byte]) => {
+        val p = dir.resolve(s"m${b.length}-${b.hashCode}.tar")
+        java.nio.file.Files.write(p, b)
+        TarArchiveParser.parse(spark, p.toString, None)
+      }))
+    targets.foreach { case (name, base, parse) =>
+      val mutGen: org.scalacheck.Gen[Array[Byte]] = org.scalacheck.Gen.oneOf(
+        org.scalacheck.Gen.choose(0, base.length - 1).map(base.take),
+        for { i <- org.scalacheck.Gen.choose(0, base.length - 1); b <- org.scalacheck.Gen.choose(0, 255) }
+          yield { val c = base.clone(); c(i) = b.toByte; c },
+        for { i <- org.scalacheck.Gen.choose(0, base.length - 1); s <- org.scalacheck.Gen.alphaStr }
+          yield base.take(i) ++ s.getBytes("ISO-8859-1") ++ base.drop(i))
+      archSamples(mutGen, 150).foreach { bytes =>
+        try { parse(bytes): Unit } // a returned (lazy) DataFrame is fine
+        catch {
+          case _: graft.domain.IngestionError.ParseError => ()
+          case e: Throwable =>
+            fail(s"$name: non-ParseError ${e.getClass.getName}: " +
+              s"${e.getMessage} (len=${bytes.length})")
+        }
+      }
+    }
+  }
+
   test("tar archive: dispatch (.tar/.tgz/.tar.gz), round-trip, and the " +
       "refusal contracts — slip, truncation, mixed, junk") {
     import graft.parsers.TarArchiveParser.TarFixtureWriter
