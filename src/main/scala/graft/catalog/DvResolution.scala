@@ -67,7 +67,8 @@ private[catalog] case class GraftDvTable(
 
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
-        kept = kept.filter(f => filters.forall(GraftRowLevel.mayMatch(f, _)))
+        kept = kept.filter(f => filters.forall(GraftRowLevel.mayMatch(f, _,
+          graft.ops.ColumnMapping.physicalOf(tableSchema, _))))
         filters
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =

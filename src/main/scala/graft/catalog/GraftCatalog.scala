@@ -149,9 +149,13 @@ class GraftCatalog extends TableCatalog
     val dir = tableDir(ident)
     val snap = TxLog.snapshotAt(dir, version)
     val schema: Option[StructType] = TxLog.tableSchema(dir, Some(snap.version))
-    if (snap.files.exists(_.dv.isDefined)) {
-      // DV-carrying snapshot: schema-only table, served by the
-      // ResolveDvSnapshots analyzer rule (see GraftExtensions)
+    if (snap.files.exists(_.dv.isDefined) ||
+        schema.exists(graft.ops.ColumnMapping.needsMapping)) {
+      // DV-carrying or column-mapped snapshot: a bare parquet scan
+      // cannot serve it (deleted rows would resurface / physical names
+      // would leak), so return the schema-only table and let the
+      // ResolveDvSnapshots analyzer rule swap in TxLog.readAt's plan
+      // (merge-on-read + physical->logical projection, pushdown intact)
       val s = schema.getOrElse(
         TxLog.readAt(SparkSession.active, dir, Some(snap.version)).schema)
       return GraftDvTable(s"$catalogName.${ident.name}@v${snap.version}",
@@ -254,8 +258,19 @@ class GraftCatalog extends TableCatalog
           "evolved columns always append last (pre-evolution files null-fill " +
           "by position-independent name lookup); re-issue without a position")
         TxLog.addColumn(tableDir(ident), add.fieldNames()(0), add.dataType): Unit
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"nested RENAME COLUMN is not supported: ${rn.fieldNames.mkString(".")}")
+        // column mapping (Delta name mode): one metadata commit — the
+        // physical parquet name freezes, only the logical name moves
+        TxLog.renameColumn(SparkSession.active, tableDir(ident),
+          rn.fieldNames()(0), rn.newName()): Unit
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested DROP COLUMN is not supported: ${del.fieldNames.mkString(".")}")
+        TxLog.dropColumn(SparkSession.active, tableDir(ident), del.fieldNames()(0)): Unit
       case other => throw new UnsupportedOperationException(
-        s"only ADD COLUMN is supported (got $other); drop/rename/retype " +
+        s"only ADD/RENAME/DROP COLUMN are supported (got $other); a retype " +
         "would make pre-evolution files unreadable without a rewrite")
     }
     loadTable(ident)

@@ -96,7 +96,8 @@ object GraftRowLevel {
     * the AddFile's recorded integer-column ranges and partition values.
     * Anything not provably disjoint stays a candidate — pushed filters
     * prune the FILE list only, never rows. */
-  private[catalog] def mayMatch(f: AddFile, filter: sources.Filter): Boolean = {
+  private[catalog] def mayMatch(f: AddFile, filter: sources.Filter,
+      phys: String => String = identity): Boolean = {
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -104,7 +105,10 @@ object GraftRowLevel {
       case b: Byte => Some(b.toLong)
       case _ => None
     }
-    def range(col: String): Option[(Long, Long)] = f.cols.get(col)
+    // recorded stats are footer-keyed (PHYSICAL names); filters arrive
+    // logical — map. Partition values stay logical==physical (partition
+    // columns refuse rename), so f.part lookups need no mapping.
+    def range(col: String): Option[(Long, Long)] = f.cols.get(phys(col))
     filter match {
       case sources.EqualTo(c, v) if f.part.contains(c) =>
         f.part.get(c).contains(String.valueOf(v))
@@ -142,8 +146,8 @@ object GraftRowLevel {
           case (Some((lo, _)), Some(x)) => lo <= x
           case _ => true
         }
-      case sources.And(l, r) => mayMatch(f, l) && mayMatch(f, r)
-      case sources.Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+      case sources.And(l, r) => mayMatch(f, l, phys) && mayMatch(f, r, phys)
+      case sources.Or(l, r) => mayMatch(f, l, phys) || mayMatch(f, r, phys)
       // Not/IsNull/strings/unknown: no recorded evidence — keep
       case _ => true
     }
@@ -223,7 +227,8 @@ private[catalog] class GraftRowLevelScanBuilder(op: GraftRowLevelOperation)
   private var groupFilters: Array[sources.Filter] = Array.empty
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    candidates = candidates.filter(f => filters.forall(GraftRowLevel.mayMatch(f, _)))
+    candidates = candidates.filter(f => filters.forall(
+      GraftRowLevel.mayMatch(f, _, graft.ops.ColumnMapping.physicalOf(op.tableSchema, _))))
     groupFilters = filters
     filters // ALL residual: pushed filters are group hints, never row filters
   }
@@ -311,7 +316,8 @@ private[catalog] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
       // the PINNED snapshot: a time-travel relation's file-tagged read
       // must serve its own era's files, not the latest commit's
       val snap = TxLog.snapshotAt(dir, Some(snapVersion))
-      val candidates = snap.files.filter(f => v1.forall(GraftRowLevel.mayMatch(f, _)))
+      val candidates = snap.files.filter(f => v1.forall(
+        GraftRowLevel.mayMatch(f, _, graft.ops.ColumnMapping.physicalOf(tableSchema, _))))
       new GraftRowLevelScan(dir, tableSchema, requested, candidates)
     }
 
@@ -422,22 +428,34 @@ private[catalog] class GraftRowLevelScan(dir: Path, tableSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSessionActive.get
+    // the parquet files know only PHYSICAL names: build the reader
+    // against the physicalized table/projection schemas. The emitted
+    // InternalRows are positional, so the logical `requested` layout
+    // falls out of the projection below for free.
+    val physTable = graft.ops.ColumnMapping.physicalSchema(tableSchema)
     val dataCols = requested.fields.filter(_.name != GraftRowLevel.FileCol)
+      .map(f => StructField(
+        graft.ops.ColumnMapping.physicalOf(tableSchema, f.name), f.dataType, f.nullable))
     val wantFile = requested.fields.exists(_.name == GraftRowLevel.FileCol)
-    // DV key columns must be read even when pruned out (the matching
-    // scan prunes to condition columns) so deleted rows can drop
+    // DV key columns (recorded physical) must be read even when pruned
+    // out (the matching scan prunes to condition columns) so deleted
+    // rows can drop
     val dvKeyCols = files.flatMap(f => TxLog.dvKeysFor(dir, f).map(_._1)).distinct
       .filterNot(c => dataCols.exists(_.name == c))
-      .map(c => tableSchema.fields.find(_.name == c).getOrElse(
+      .map(c => physTable.fields.find(_.name == c).getOrElse(
         StructField(c, LongType)))
     val readerSchema = StructType(dataCols ++ dvKeyCols)
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, tableSchema, StructType(Nil), readerSchema, Nil,
+      spark, physTable, StructType(Nil), readerSchema, Nil,
       // row output, not ColumnarBatch: the rewrite appends per-row
       // metadata and DV-filters, so the vectorized wrapping buys nothing
       Map(org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    GraftRowLevelReaderFactory(readFunc, readerSchema.json, requested.json, wantFile)
+    // physicalized requested layout (names only — types/order identical,
+    // FileCol passes through) so the factory's name-keyed index lookups
+    // resolve against the physical readerSchema
+    val physRequested = graft.ops.ColumnMapping.physicalize(requested, tableSchema)
+    GraftRowLevelReaderFactory(readFunc, readerSchema.json, physRequested.json, wantFile)
   }
 }
 
@@ -537,7 +555,9 @@ private[catalog] class GraftReplaceDataWrite(op: GraftRowLevelOperation,
         conf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString,
       SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key ->
         conf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
-    GraftParquetWriterFactory(stage.toString, rowSchema.json,
+    // staged DML files persist under PHYSICAL names like every data file
+    GraftParquetWriterFactory(stage.toString,
+      graft.ops.ColumnMapping.physicalize(rowSchema, op.tableSchema).json,
       conf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT), kvs,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSessionActive.get.sessionState.newHadoopConf()))
@@ -558,7 +578,8 @@ private[catalog] class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       GraftRowLevel.opName(op.command()),
       GraftWrites.defaultStatsCol(op.tableSchema),
       scanVersion = op.snapVersion,
-      conflictsWith = f => filters.forall(GraftRowLevel.mayMatch(f, _))): Unit
+      conflictsWith = f => filters.forall(GraftRowLevel.mayMatch(f, _,
+        graft.ops.ColumnMapping.physicalOf(op.tableSchema, _)))): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -84,12 +84,17 @@ object BloomIndex {
       files.map(f => f.path -> nextPow2(f.rows.max(1L) * bitsPerKey, capBits)).toMap
     val bc = spark.sparkContext.broadcast(mByFile)
     val kk = k
+    // raw (footer-named) read: a column-mapped table's files carry the
+    // PHYSICAL name; the index rows themselves are column-name-free
+    // (hashes of VALUES), so a later rename needs no index rebuild
+    val physCol = TxLog.tableSchema(table)
+      .map(ColumnMapping.physicalOf(_, valueCol)).getOrElse(valueCol)
     val tagged = spark.read
       .parquet(files.map(f => table.resolve(f.path).toString): _*)
       .select(
         element_at(split(input_file_name(), "/"), -1).as("data_file"),
-        xxhash64(col(valueCol)).as("h1"),
-        xxhash64(col(valueCol), lit(Seed)).as("h2"))
+        xxhash64(col(physCol)).as("h1"),
+        xxhash64(col(physCol), lit(Seed)).as("h2"))
       .as[(String, Long, Long)]
     val partial: Dataset[(String, Array[Byte])] = tagged.mapPartitions { it =>
       val local = scala.collection.mutable.HashMap.empty[String, Array[Byte]]

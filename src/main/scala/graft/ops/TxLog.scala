@@ -647,7 +647,7 @@ object TxLog {
           clusterCol = None, nParts = nParts)
       else {
         val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-        (if (nParts > 0) df.repartition(nParts) else df)
+        phys(if (nParts > 0) df.repartition(nParts) else df, table)
           .write.mode("overwrite").parquet(stage.toString)
         enforceConstraintsStaged(spark, table, stage)
         promoteStaged(spark, stage, table, statsCol)
@@ -879,21 +879,46 @@ object TxLog {
         throw new IllegalArgumentException(
           s"write adds fields ${newFields.map(_.name).mkString(", ")} " +
           "not in the table schema; pass allowEvolution=true to evolve")
+      // a column-mapped table's new fields need FRESH physical names
+      // minted under a single commit — write-time evolution would mint
+      // one per validation call; route through ALTER TABLE ADD COLUMN
+      if (newFields.nonEmpty && ColumnMapping.stamped(cur))
+        throw new IllegalArgumentException(
+          s"table uses column mapping: evolve with ALTER TABLE ADD COLUMN / " +
+          s"TxLog.addColumn, then write (write adds ${newFields.map(_.name).mkString(", ")})")
       StructType(cur.fields ++ newFields.map(_.copy(nullable = true)))
   }
 
-  /** Reader resolved against the log's schema (latest when version is
-    * None) — every internal read of live data files MUST go through
-    * this: a bare spark.read.parquet over mixed-schema files infers the
-    * schema from one file and would silently DROP later-evolved columns
-    * from a compaction/merge rewrite. Falls back to footer inference
-    * for tables written before schema tracking. */
-  private def schemaReader(spark: SparkSession, table: Path,
-      version: Option[Long] = None): org.apache.spark.sql.DataFrameReader =
-    tableSchema(table, version) match {
-      case Some(s) => spark.read.schema(s)
+  /** Canonical LOGICAL merge-on-read scan of exactly `files` — every
+    * internal read of live data files MUST go through this:
+    *
+    *  - the parquet read resolves against the log's schema as of
+    *    `version` (latest when None), under its PHYSICAL column names —
+    *    a bare spark.read.parquet over mixed-schema files would infer
+    *    from one file and silently DROP later-evolved columns, and a
+    *    column-mapped table's files only know physical names;
+    *  - deletion vectors apply on the raw physical frame (DV key
+    *    columns are recorded physical for exactly this reason);
+    *  - the result projects to the LOGICAL names of the schema at
+    *    `version` (identity for unmapped tables — the historical plan,
+    *    byte for byte).
+    *
+    * `fileCol` optionally tags each row with its serving file name,
+    * computed AT THE SCAN (before the DV anti-join). Falls back to
+    * footer inference for tables written before schema tracking. */
+  private def scanFiles(spark: SparkSession, table: Path, files: Seq[AddFile],
+      version: Option[Long] = None, fileCol: Option[String] = None): DataFrame = {
+    val schemaOpt = tableSchema(table, version)
+    val reader = schemaOpt match {
+      case Some(s) => spark.read.schema(ColumnMapping.physicalSchema(s))
       case None => spark.read
     }
+    val raw0 = reader.parquet(files.map(f => table.resolve(f.path).toString): _*)
+    val raw = fileCol.fold(raw0)(c =>
+      raw0.withColumn(c, element_at(split(input_file_name(), "/"), -1)))
+    val dvApplied = applyDvs(spark, table, files, raw)
+    schemaOpt.fold(dvApplied)(s => ColumnMapping.toLogical(dvApplied, s))
+  }
 
   // ------------------------------------------------------- CHECK constraints
 
@@ -1020,9 +1045,27 @@ object TxLog {
     * was committed. */
   private def enforceConstraintsStaged(spark: SparkSession, table: Path, stage: Path): Unit =
     if (constraints(table).nonEmpty) {
-      try enforceConstraints(table, spark.read.parquet(stage.toString))
+      // staged files carry PHYSICAL names; constraint expressions are
+      // written against logical names — project before validating
+      try enforceConstraints(table, {
+        val raw = spark.read.parquet(stage.toString)
+        tableSchema(table).fold(raw)(s => ColumnMapping.toLogical(raw, s))
+      })
       catch { case e: Throwable => deleteRecursively(stage); throw e }
     }
+
+  // --------------------------------------------------------- column mapping
+
+  /** Convert a LOGICAL-named frame to the table's physical column names
+    * at the parquet write boundary (identity for unmapped tables —
+    * every staged write funnels through this). */
+  private def phys(df: DataFrame, table: Path): DataFrame =
+    tableSchema(table).fold(df)(s => ColumnMapping.toPhysical(df, s))
+
+  /** Physical name of the table's logical column `name` (identity for
+    * unmapped tables / unknown names). */
+  private def physName(table: Path, name: String): String =
+    tableSchema(table).fold(name)(ColumnMapping.physicalOf(_, name))
 
   // ------------------------------------------------------------- file stats
 
@@ -1077,20 +1120,24 @@ object TxLog {
     * staged Spark write can itself run longer than the window, and
     * ATOMIC_MOVE preserves the stage-write mtime. */
   private def promoteParts(spark: SparkSession, parts: Vector[Path], table: Path,
-      statsCol: String): Vector[AddFile] =
+      statsCol: String): Vector[AddFile] = {
+    // footer stats are keyed by the names IN the file — physical names;
+    // the caller's designated stats column is logical
+    val physStats = physName(table, statsCol)
     parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       val dest = table.resolve(name)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
       Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      footerStats(spark, dest, statsCol).copy(path = name)
+      footerStats(spark, dest, physStats).copy(path = name)
     }.filter { a =>
       // zero-row part files (empty partitions/filters) carry no data and
       // would pollute the live set and file-count gates — drop them
       if (a.rows == 0L) { Files.deleteIfExists(table.resolve(a.path)); false }
       else true
     }
+  }
 
   private def promoteStaged(spark: SparkSession, stage: Path, table: Path,
       statsCol: String): Vector[AddFile] = {
@@ -1112,7 +1159,7 @@ object TxLog {
     validateSchema(tableSchema(table), df.schema, allowEvolution): Unit // fail fast pre-stage
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) df.repartition(nParts) else df
-    out.write.mode("overwrite").parquet(stage.toString)
+    phys(out, table).write.mode("overwrite").parquet(stage.toString)
     enforceConstraintsStaged(spark, table, stage)
     val adds = promoteStaged(spark, stage, table, statsCol)
     // schema is a BY-NAME argument, re-validated under the claim fence
@@ -1158,10 +1205,91 @@ object TxLog {
     val cur = tableSchema(table).getOrElse(throw new IllegalStateException(
       s"table $table has no recorded schema to evolve"))
     require(!cur.fieldNames.contains(name), s"column '$name' already exists")
+    // once mapping is active the new column gets a FRESH physical name:
+    // re-adding a renamed-away or dropped logical name must NOT read the
+    // old physical column's values back out of pre-evolution files
     commitRetry(table, "set-schema", Nil, Nil,
-      schema = Some(StructType(cur.fields :+ StructField(name, dataType, nullable = true))))(
+      schema = Some(StructType(cur.fields :+ ColumnMapping.newField(cur, name, dataType))))(
       _ => true)
   }
+
+  /** SQL `ALTER TABLE RENAME COLUMN old TO new` — a ONE-COMMIT metadata
+    * change under column mapping (the published Delta column-mapping
+    * design, name mode): the first rename STAMPS every column's current
+    * name as its frozen PHYSICAL name (what the parquet files already
+    * carry), then only the LOGICAL name moves. No data file, deletion
+    * vector, CDC sidecar, or stats entry is rewritten — they are all
+    * keyed by physical names, which never change. Time travel reads
+    * each version under ITS schema's logical names.
+    *
+    * Refused for partition columns (their values are directory-level
+    * layout, [[pruneFilesPart]] keys on them) and when a CHECK
+    * constraint still references the old name (drop or re-set the
+    * constraint first — the Delta rule). */
+  def renameColumn(spark: SparkSession, table: Path, oldName: String,
+      newName: String): Long = {
+    val cur = tableSchema(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no recorded schema"))
+    require(cur.fieldNames.contains(oldName), s"column '$oldName' does not exist")
+    require(!cur.fieldNames.contains(newName), s"column '$newName' already exists")
+    require(!newName.startsWith("__graft") && !newName.startsWith("_graft") &&
+      newName != "_change_type" && !newName.startsWith("__"),
+      s"'$newName' collides with reserved metadata column names")
+    require(!partitionColsOf(table).contains(oldName),
+      s"'$oldName' is a partition column: its values are directory-level " +
+      "layout; rewrite the table to re-partition instead")
+    val stamped = ColumnMapping.stamp(cur)
+    val next = StructType(stamped.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    validateConstraintsUnder(spark, table, next,
+      s"rename column '$oldName' to '$newName'")
+    commitRetry(table, "set-schema", Nil, Nil, schema = Some(next))(_ => true)
+  }
+
+  /** SQL `ALTER TABLE DROP COLUMN` — one metadata commit: the logical
+    * field disappears, old files keep the physical column (readers stop
+    * projecting it), and a later re-ADD of the same name gets a fresh
+    * physical name so dropped values never resurrect. Time travel to a
+    * pre-drop version still serves the column.
+    *
+    * Refused for partition columns, for the last remaining column, when
+    * a CHECK constraint references it, and while any LIVE deletion
+    * vector keys on it (the DV anti-join must be able to read its key
+    * column; `CALL compact` folds the vectors in, then drop). */
+  def dropColumn(spark: SparkSession, table: Path, name: String): Long = {
+    val cur = tableSchema(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no recorded schema"))
+    require(cur.fieldNames.contains(name), s"column '$name' does not exist")
+    require(cur.fields.length > 1, s"cannot drop '$name': it is the only column")
+    require(!partitionColsOf(table).contains(name),
+      s"'$name' is a partition column: rewrite the table to re-partition instead")
+    val physDropped = ColumnMapping.physicalOf(cur, name)
+    val dvKeyed = snapshotAt(table).files.flatMap(_.dv)
+      .map(d => readDv(table, d)._1).distinct
+    require(!dvKeyed.contains(physDropped),
+      s"live deletion vectors key on '$name'; CALL compact to fold them " +
+      "in, then drop the column")
+    val next = StructType(ColumnMapping.stamp(cur).fields.filterNot(_.name == name))
+    validateConstraintsUnder(spark, table, next, s"drop column '$name'")
+    commitRetry(table, "set-schema", Nil, Nil, schema = Some(next))(_ => true)
+  }
+
+  /** Refuse a schema change that would break a recorded CHECK
+    * constraint: every constraint expression must still resolve against
+    * the candidate schema (the Delta rule — drop or re-set the
+    * constraint first). */
+  private def validateConstraintsUnder(spark: SparkSession, table: Path,
+      next: StructType, what: String): Unit =
+    constraints(table).foreach { case (n, ex) =>
+      try spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), next)
+        .filter(expr(ex)).queryExecution.analyzed: Unit
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot $what: CHECK constraint '$n' ($ex) would no longer " +
+          s"resolve — drop or re-set the constraint first (${e.getMessage})")
+      }
+    }
 
   /** Atomic REPLACE of the table's contents (SQL `INSERT OVERWRITE`):
     * new data staged and promoted exactly like [[append]], then ONE
@@ -1179,7 +1307,7 @@ object TxLog {
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) df.repartition(nParts) else df
-    out.write.mode("overwrite").parquet(stage.toString)
+    phys(out, table).write.mode("overwrite").parquet(stage.toString)
     enforceConstraintsStaged(spark, table, stage)
     val adds = promoteStaged(spark, stage, table, statsCol)
     val base = snapshotAt(table)
@@ -1204,7 +1332,7 @@ object TxLog {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    df.withColumn("__cluster", clusterCol)
+    phys(df.withColumn("__cluster", clusterCol), table)
       .repartition(nClusters, col("__cluster"))
       .write.partitionBy("__cluster").mode("overwrite").parquet(stage.toString)
     enforceConstraintsStaged(spark, table, stage)
@@ -1279,7 +1407,7 @@ object TxLog {
       case None => dup.repartition(math.max(nParts, 1), pKeys: _*)
     }
     val dirCols = partCols.map(c => s"__p_$c") ++ clusterCol.map(_ => "__cluster").toSeq
-    clustered.write.partitionBy(dirCols: _*).mode("overwrite").parquet(stage.toString)
+    phys(clustered, table).write.partitionBy(dirCols: _*).mode("overwrite").parquet(stage.toString)
     enforceConstraintsStaged(spark, table, stage)
     // walk the hive layout: each __p_ directory level fixes one
     // partition value; a __cluster level is layout-only metadata
@@ -1405,43 +1533,34 @@ object TxLog {
       partitions: Map[String, String] = Map.empty,
       fileCol: Option[String] = None): DataFrame = {
     val snap = snapshotAt(table, version)
+    val schemaOpt = tableSchema(table, Some(snap.version))
     // prune with the NAMED column's own stats — the designated-column
-    // ranges would be wrong (non-conservative) for any other column
+    // ranges would be wrong (non-conservative) for any other column.
+    // Recorded stats are keyed by the footer's (physical) names.
     val keptR = range match {
-      case Some((c, lo, hi)) => pruneFilesOn(snap, c, lo, hi)
+      case Some((c, lo, hi)) =>
+        pruneFilesOn(snap, schemaOpt.fold(c)(ColumnMapping.physicalOf(_, c)), lo, hi)
       case None => snap.files
     }
     val kept = pruneFilesPart(keptR, partitions)
-    // resolve against the LOG's schema as of the read version: old files
-    // missing later-evolved columns null-fill, and no footer-merge pass
-    // (mergeSchema) is ever paid. Fall back to footer schema for tables
-    // written before schema tracking.
-    val reader = tableSchema(table, Some(snap.version)) match {
-      case Some(s) => spark.read.schema(s)
-      case None => spark.read
-    }
     if (kept.isEmpty) {
       // schema-preserving empty relation: from the log schema if
       // recorded, else off any live file; a zero-file snapshot with no
       // recorded schema has no schema to offer
-      val empty = tableSchema(table, Some(snap.version)) match {
+      val empty = schemaOpt match {
         case Some(s) =>
           spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
         case None if snap.files.nonEmpty =>
-          reader.parquet(table.resolve(snap.files.head.path).toString).filter(lit(false))
+          spark.read.parquet(table.resolve(snap.files.head.path).toString).filter(lit(false))
         case None =>
           throw new IllegalStateException(
             s"snapshot v${snap.version} of $table has no files and no recorded schema")
       }
       return fileCol.fold(empty)(c => empty.withColumn(c, lit(null).cast("string")))
     }
-    val raw0 = reader.parquet(kept.map(f => table.resolve(f.path).toString): _*)
-    // optional serving-file tag (the `_graft_file` metadata column):
-    // computed AT THE SCAN, before the DV anti-join, same name rule as
-    // the log (file name, flat under the table root)
-    val raw = fileCol.fold(raw0)(c =>
-      raw0.withColumn(c, element_at(split(input_file_name(), "/"), -1)))
-    val df0 = applyDvs(spark, table, kept, raw)
+    // LOGICAL merge-on-read scan (serving-file tag computed at the scan,
+    // before the DV anti-join, same name rule as the log)
+    val df0 = scanFiles(spark, table, kept, Some(snap.version), fileCol)
     val df = range match {
       case Some((c, lo, hi)) => df0.filter(col(c) >= lo && col(c) <= hi)
       case None => df0
@@ -1458,10 +1577,6 @@ object TxLog {
     * fields are what gets applied). */
   def readFiles(spark: SparkSession, table: Path, files: Seq[AddFile],
       version: Option[Long] = None): DataFrame = {
-    val reader = tableSchema(table, version) match {
-      case Some(s) => spark.read.schema(s)
-      case None => spark.read
-    }
     if (files.isEmpty) {
       return tableSchema(table, version) match {
         case Some(s) =>
@@ -1470,8 +1585,7 @@ object TxLog {
           s"readFiles: empty file set and no recorded schema for $table")
       }
     }
-    applyDvs(spark, table, files,
-      reader.parquet(files.map(f => table.resolve(f.path).toString): _*))
+    scanFiles(spark, table, files, version)
   }
 
   /** Rewrite the current live set as `nParts` files in one commit.
@@ -1486,9 +1600,7 @@ object TxLog {
     val snap = snapshotAt(table)
     val removes = snap.files.map(_.path)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    applyDvs(spark, table, snap.files,
-      schemaReader(spark, table)
-        .parquet(snap.files.map(f => table.resolve(f.path).toString): _*))
+    phys(scanFiles(spark, table, snap.files), table)
       .repartition(nParts)
       .write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
@@ -1514,10 +1626,8 @@ object TxLog {
     val snap = snapshotAt(table)
     val removes = snap.files.map(_.path)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    applyDvs(spark, table, snap.files,
-      schemaReader(spark, table)
-        .parquet(snap.files.map(f => table.resolve(f.path).toString): _*))
-      .withColumn("__cluster", clusterCol)
+    phys(scanFiles(spark, table, snap.files)
+        .withColumn("__cluster", clusterCol), table)
       .repartition(nClusters, col("__cluster"))
       .write.partitionBy("__cluster").mode("overwrite").parquet(stage.toString)
     val parts = listDir(stage).filter(p => p.getFileName.toString.startsWith("__cluster="))
@@ -1580,7 +1690,10 @@ object TxLog {
     * it; vacuum retains it while its commit is retained. */
   private def writeCdc(spark: SparkSession, table: Path, cdc: DataFrame): String = {
     val stage = table.resolve(s".cdc-${UUID.randomUUID()}")
-    cdc.repartition(1).write.mode("overwrite").parquet(stage.toString)
+    // cdc arrives LOGICAL-named (+ `_change_type`, which passes through);
+    // sidecars persist under PHYSICAL names like every data file, so one
+    // change feed read serves sidecars from before and after any rename
+    phys(cdc, table).repartition(1).write.mode("overwrite").parquet(stage.toString)
     val part = listDir(stage).find(_.getFileName.toString.startsWith("part-")).get
     val name = s"${UUID.randomUUID()}.cdc.parquet"
     Files.move(part, table.resolve(name))
@@ -1604,23 +1717,22 @@ object TxLog {
     if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size) // empty delta
     // prune with the KEY column's own recorded stats — the designated
     // column's ranges would be non-conservative whenever keyCol differs
-    val candidates = pruneFilesOn(snap, keyCol, bounds.getLong(0), bounds.getLong(1))
+    val candidates = pruneFilesOn(snap, physName(table, keyCol),
+      bounds.getLong(0), bounds.getLong(1))
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
         // DV-aware probe: a row already deleted by a vector must not
         // flag its file as affected (nor be resurrected by the rewrite)
-        val cand = applyDvs(spark, table, candidates, schemaReader(spark, table)
-          .parquet(candidates.map(f => table.resolve(f.path).toString): _*))
-        cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
+        val cand = scanFiles(spark, table, candidates, fileCol = Some("__file"))
+        cand.select(col(keyCol), col("__file"))
           .join(broadcast(updates.select(col(keyCol)).distinct()), keyCol)
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
     val affectedAdds = snap.files.filter(f => affected.contains(f.path))
     val affectedScan: Option[DataFrame] =
       if (affected.isEmpty) None
-      else Some(applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
-        .parquet(affected.map(table.resolve(_).toString): _*)))
+      else Some(scanFiles(spark, table, affectedAdds))
     val base = affectedScan match {
       case None => updates.filter(lit(false))
       case Some(s) =>
@@ -1631,7 +1743,7 @@ object TxLog {
     // column not in the table schema or with a conflicting type)
     val rewritten = base.unionByName(updates, allowMissingColumns = true)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    rewritten.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+    phys(rewritten, table).repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     // CDC sidecar: replaced old rows as deletes + the update rows as
     // inserts (an update is its delete+insert pair, the CDC-minimal
@@ -1647,7 +1759,8 @@ object TxLog {
           allowMissingColumns = true))
     val v = commitRetry(table, "merge", adds, affected,
       extra = Map("cdcFile" -> cdcName))(
-      rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
+      rewriteValidator(snap, affected, physName(table, keyCol),
+        bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
   }
 
@@ -1732,14 +1845,12 @@ object TxLog {
     val adds = promoteStaged(spark, stage, table, statsCol)
     if (removes.isEmpty && adds.isEmpty) return (base.version, 0)
     val removedAdds = base.files.filter(f => removes.contains(f.path))
-    val reader = schemaReader(spark, table)
     val oldRows: Option[DataFrame] =
       if (removedAdds.isEmpty) None
-      else Some(applyDvs(spark, table, removedAdds,
-        reader.parquet(removedAdds.map(f => table.resolve(f.path).toString): _*)))
+      else Some(scanFiles(spark, table, removedAdds))
     val newRows: Option[DataFrame] =
       if (adds.isEmpty) None
-      else Some(reader.parquet(adds.map(f => table.resolve(f.path).toString): _*))
+      else Some(scanFiles(spark, table, adds))
     val deletes = (oldRows, newRows) match {
       case (Some(o), Some(n)) => Some(o.exceptAll(n))
       case (Some(o), None) => Some(o)
@@ -1788,25 +1899,24 @@ object TxLog {
     if (bounds.isNullAt(0)) return (snap.version, 0, snap.files.size)
     // prune with the KEY column's own recorded stats — the designated
     // column's ranges would be non-conservative whenever keyCol differs
-    val candidates = pruneFilesOn(snap, keyCol, bounds.getLong(0), bounds.getLong(1))
+    val candidates = pruneFilesOn(snap, physName(table, keyCol),
+      bounds.getLong(0), bounds.getLong(1))
     val affected: Vector[String] =
       if (candidates.isEmpty) Vector.empty
       else {
         // DV-aware probe, same reason as mergeCow's
-        val cand = applyDvs(spark, table, candidates, schemaReader(spark, table)
-          .parquet(candidates.map(f => table.resolve(f.path).toString): _*))
-        cand.select(col(keyCol), element_at(split(input_file_name(), "/"), -1).as("__file"))
+        val cand = scanFiles(spark, table, candidates, fileCol = Some("__file"))
+        cand.select(col(keyCol), col("__file"))
           .join(broadcast(keys.select(col(keyCol)).distinct()), keyCol)
           .select("__file").distinct().collect().map(_.getString(0)).toVector.sorted
       }
     if (affected.isEmpty) return (snap.version, 0, snap.files.size)
     val affectedAdds = snap.files.filter(f => affected.contains(f.path))
-    val affectedScan = applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
-      .parquet(affected.map(table.resolve(_).toString): _*))
+    val affectedScan = scanFiles(spark, table, affectedAdds)
     val kept = affectedScan
       .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    kept.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+    phys(kept, table).repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     // CDC sidecar: the removed rows, as deletes
     val cdcName = writeCdc(spark, table, affectedScan
@@ -1814,7 +1924,8 @@ object TxLog {
       .withColumn("_change_type", lit("delete")))
     val v = commitRetry(table, "delete", adds, affected,
       extra = Map("cdcFile" -> cdcName))(
-      rewriteValidator(snap, affected, keyCol, bounds.getLong(0), bounds.getLong(1)))
+      rewriteValidator(snap, affected, physName(table, keyCol),
+        bounds.getLong(0), bounds.getLong(1)))
     (v, affected.size, snap.files.size)
   }
 
@@ -1833,17 +1944,15 @@ object TxLog {
     val snap = snapshotAt(table)
     if (snap.files.isEmpty) return (snap.version, 0, 0)
     val hit = coalesce(pred, lit(false))
-    val all = applyDvs(spark, table, snap.files, schemaReader(spark, table)
-      .parquet(snap.files.map(f => table.resolve(f.path).toString): _*))
+    val all = scanFiles(spark, table, snap.files, fileCol = Some("__file"))
     val affected = all.filter(hit)
-      .select(element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .select(col("__file"))
       .distinct().collect().map(_.getString(0)).toVector.sorted
     if (affected.isEmpty) return (snap.version, 0, snap.files.size)
     val affectedAdds = snap.files.filter(f => affected.contains(f.path))
-    val affectedScan = applyDvs(spark, table, affectedAdds, schemaReader(spark, table)
-      .parquet(affected.map(table.resolve(_).toString): _*))
+    val affectedScan = scanFiles(spark, table, affectedAdds)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    affectedScan.filter(!hit).repartition(nParts)
+    phys(affectedScan.filter(!hit), table).repartition(nParts)
       .write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     val cdcName = writeCdc(spark, table,
@@ -1919,12 +2028,11 @@ object TxLog {
     val bounds = changeKeys.agg(min(col(keyCol)).cast("long"),
       max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return Map.empty
-    val candidates = pruneFilesOn(snap, keyCol, bounds.getLong(0), bounds.getLong(1))
+    val candidates = pruneFilesOn(snap, physName(table, keyCol),
+      bounds.getLong(0), bounds.getLong(1))
     if (candidates.isEmpty) return Map.empty
-    val cand = applyDvs(spark, table, candidates, schemaReader(spark, table)
-      .parquet(candidates.map(f => table.resolve(f.path).toString): _*))
-    cand.select(col(keyCol).cast("long").as("__k"),
-        element_at(split(input_file_name(), "/"), -1).as("__file"))
+    val cand = scanFiles(spark, table, candidates, fileCol = Some("__file"))
+    cand.select(col(keyCol).cast("long").as("__k"), col("__file"))
       .join(broadcast(changeKeys.select(col(keyCol).cast("long").as("__k")).distinct()), "__k")
       .distinct().collect()
       .map(r => (r.getString(1), r.getLong(0)))
@@ -1941,7 +2049,10 @@ object TxLog {
     matches.toVector.sortBy(_._1).map { case (path, newKeys) =>
       val f = byPath(path)
       val existing = f.dv.map(readDv(table, _)._2).getOrElse(Vector.empty)
-      f.copy(dv = Some(writeDv(table, keyCol, (existing ++ newKeys).distinct)))
+      // DVs apply to the RAW physical scan, so the key column is
+      // recorded under its physical name (identity for unmapped tables)
+      f.copy(dv = Some(writeDv(table, physName(table, keyCol),
+        (existing ++ newKeys).distinct)))
     }
   }
 
@@ -1961,7 +2072,8 @@ object TxLog {
     val bounds = keys.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     val dvAdds = extendDvs(table, snap, matches, keyCol)
     val v = commitRetry(table, "delete-mor", dvAdds, Nil)(
-      morValidator(snap, matches.keySet, keyCol, bounds.getLong(0), bounds.getLong(1)))
+      morValidator(snap, matches.keySet, physName(table, keyCol),
+        bounds.getLong(0), bounds.getLong(1)))
     (v, 0, dvAdds.size, snap.files.size)
   }
 
@@ -1981,10 +2093,11 @@ object TxLog {
     val matches = morMatches(spark, table, snap, updates.select(col(keyCol)), keyCol)
     val dvAdds = extendDvs(table, snap, matches, keyCol)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    updates.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+    phys(updates, table).repartition(nParts).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     val v = commitRetry(table, "merge-mor", dvAdds ++ adds, Nil)(
-      morValidator(snap, matches.keySet, keyCol, bounds.getLong(0), bounds.getLong(1)))
+      morValidator(snap, matches.keySet, physName(table, keyCol),
+        bounds.getLong(0), bounds.getLong(1)))
     (v, 0, dvAdds.size, snap.files.size)
   }
 
@@ -2151,7 +2264,7 @@ object TxLog {
     enforceConstraints(table, batch)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     val out = if (nParts > 0) batch.repartition(nParts) else batch
-    out.write.mode("overwrite").parquet(stage.toString)
+    phys(out, table).write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     streamingCommit(table, batchId, "streaming-append", adds,
       validateSchema(tableSchema(table), batch.schema, allowEvolution = false),
@@ -2191,12 +2304,13 @@ object TxLog {
       else morMatches(spark, table, baseSnap, changeKeys, keyCol)
     val dvAdds = extendDvs(table, baseSnap, matches, keyCol)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
-    upserts.repartition(math.max(nParts, 1)).write.mode("overwrite").parquet(stage.toString)
+    phys(upserts, table).repartition(math.max(nParts, 1))
+      .write.mode("overwrite").parquet(stage.toString)
     val adds = promoteStaged(spark, stage, table, statsCol)
     val validator: Option[Snapshot] => Boolean =
       if (bounds.isNullAt(0)) _ => true
       else {
-        val mor = morValidator(baseSnap, matches.keySet, keyCol,
+        val mor = morValidator(baseSnap, matches.keySet, physName(table, keyCol),
           bounds.getLong(0), bounds.getLong(1))
         // claiming v0 over an EMPTY base is the expected first-commit
         // state, not a conflict (morValidator's None=conflict rule is
@@ -2239,14 +2353,9 @@ object TxLog {
     val toBy = toS.files.map(f => f.path -> f.dv).toMap
     val addedFiles = toS.files.filter(f => !fromBy.get(f.path).contains(f.dv)).sortBy(_.path)
     val removedFiles = fromS.files.filter(f => !toBy.get(f.path).contains(f.dv)).sortBy(_.path)
-    val reader = tableSchema(table, Some(toVersion)) match {
-      case Some(s) => spark.read.schema(s)
-      case None => spark.read
-    }
     def rows(files: Vector[AddFile]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(applyDvs(spark, table, files,
-        reader.parquet(files.map(f => table.resolve(f.path).toString): _*)))
+      else Some(scanFiles(spark, table, files, Some(toVersion)))
     (rows(addedFiles), rows(removedFiles)) match {
       case (None, None) =>
         // no churn: an empty feed with the change-typed schema

@@ -1238,6 +1238,73 @@ object LakeQueries {
           lit(preEvolutionCols).as("cols_pre_evolution"))
     }),
 
+    // ---- sql20: ALTER TABLE RENAME COLUMN under column mapping (the
+    // published Delta name-mode design): ONE metadata commit freezes
+    // physical parquet names and moves only the logical name — files
+    // from before and after the rename read uniformly under the new
+    // name, row-level DML targets it, and time travel still serves the
+    // pre-rename era under ITS name (probed as an engine-side literal).
+    "sql20_rename_column" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      d.createOrReplaceTempView(s"docs20_$cat")
+      spark.sql(s"CREATE TABLE $cat.tbl AS SELECT doc_id, lang, n_chars " +
+        s"FROM docs20_$cat WHERE doc_id % 2 = 0")
+      spark.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN n_chars TO char_count")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars " +
+        s"FROM docs20_$cat WHERE doc_id % 2 = 1")
+      spark.sql(s"UPDATE $cat.tbl SET char_count = char_count + 1000 " +
+        "WHERE doc_id % 5 = 0")
+      // the pre-rename era still answers to ITS logical name
+      val preRenameKept =
+        if (spark.sql(s"SELECT * FROM $cat.tbl VERSION AS OF 0")
+          .columns.contains("n_chars")) 1L else 0L
+      spark.sql(
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(char_count) AS BIGINT) AS sum_chars,
+           |  CAST($preRenameKept AS BIGINT) AS prerename_schema_kept
+           |FROM $cat.tbl GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // ---- sql21: ALTER TABLE DROP COLUMN + re-ADD of the same name —
+    // the drop is one metadata commit (old files keep the physical
+    // column, readers stop projecting it), and the re-added column gets
+    // a FRESH physical name, so the dropped values null-fill instead of
+    // resurrecting; time travel to the pre-drop version still serves
+    // them (probed as an engine-side literal).
+    "sql21_drop_column" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      d.createOrReplaceTempView(s"docs21_$cat")
+      spark.sql(s"CREATE TABLE $cat.tbl AS SELECT doc_id, lang, n_chars, text " +
+        s"FROM docs21_$cat WHERE doc_id % 3 <> 0")
+      spark.sql(s"ALTER TABLE $cat.tbl DROP COLUMN text")
+      spark.sql(s"ALTER TABLE $cat.tbl ADD COLUMN text STRING")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars, text " +
+        s"FROM docs21_$cat WHERE doc_id % 3 = 0")
+      // pre-drop era (v1 = the CTAS insert; v0 is the staged create):
+      // the column and its values are still served there
+      val preDropTextRows = spark.sql(
+        s"SELECT COUNT(*) FROM $cat.tbl VERSION AS OF 1 WHERE text IS NOT NULL")
+        .head.getLong(0)
+      spark.sql(
+        s"""SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nullfilled,
+           |  CAST(SUM(CASE WHEN text IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT)
+           |    AS chars_with_text,
+           |  CAST($preDropTextRows AS BIGINT) AS predrop_text_rows
+           |FROM $cat.tbl""".stripMargin)
+    }),
+
     // ---- sql10: named TAGS over versions (Iceberg tag refs) —
     // `CALL lake.tag` is one more audited commit (repointing included),
     // the checkpoint folds the tag table, and the SQL surface resolves
@@ -2236,6 +2303,27 @@ object LakeQueries {
         |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents
         |   WHERE doc_id % 2 = 1 AND lang = 'en') AS sum_chars_en,
         |  CAST(2 AS BIGINT) AS cols_pre_evolution""".stripMargin,
+
+    // Final state recomputed from documents under the NEW column name;
+    // the pre-rename schema probe is an engine-side invariant asserted
+    // as a literal (VERSION AS OF 0 still answers to n_chars).
+    "sql20_rename_column" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS prerename_schema_kept
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Rows that lived through the drop lost their text (null-filled
+    // under the re-added column's fresh physical name); only the
+    // post-re-add insert carries text. The pre-drop probe equals the
+    // CTAS row count (time travel still serves the dropped values).
+    "sql21_drop_column" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS n_nullfilled,
+        |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents WHERE doc_id % 3 = 0)
+        |    AS BIGINT) AS chars_with_text,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS predrop_text_rows""".stripMargin,
 
     // Divergence recomputed from documents: the source lost the MOR'd
     // %10=3 rows and the SQL-deleted %7=1 rows; the clone lost only

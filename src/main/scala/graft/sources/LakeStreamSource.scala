@@ -175,9 +175,17 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     commitSchema.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
-  private def scanFiles(files: Seq[TxLog.AddFile]): DataFrame =
-    spark.read.schema(dataSchema)
+  /** Raw per-file scan under the frozen schema's PHYSICAL names — DV
+    * key columns are recorded physical, so sidecar-driven filters apply
+    * here, before [[logical]] projects to the SQL-visible names. */
+  private def scanRaw(files: Seq[TxLog.AddFile]): DataFrame =
+    spark.read.schema(graft.ops.ColumnMapping.physicalSchema(dataSchema))
       .parquet(files.map(f => table.resolve(f.path).toString): _*)
+
+  private def logical(df: DataFrame): DataFrame =
+    graft.ops.ColumnMapping.toLogical(df, dataSchema)
+
+  private def scanFiles(files: Seq[TxLog.AddFile]): DataFrame = logical(scanRaw(files))
 
   /** Commit v's row-level changes as a SCAN-SHAPED plan (scans,
     * IN-list filters, unions — deliberately no joins and no except
@@ -218,7 +226,7 @@ class LakeStreamSource(spark: SparkSession, table: Path,
             (if (plain.isEmpty) Seq.empty else Seq(scanFiles(plain))) ++
             dvd.map { f =>
               val (kc, keys) = TxLog.dvKeysFor(table, f).get
-              scanFiles(Seq(f)).filter(!col(kc).cast("long").isin(keys: _*))
+              logical(scanRaw(Seq(f)).filter(!col(kc).cast("long").isin(keys: _*)))
             }
           Some(parts.reduce(_ unionByName _)
             .withColumn("_change_type", lit("insert"))
@@ -229,7 +237,7 @@ class LakeStreamSource(spark: SparkSession, table: Path,
         val ins = if (inserts.isEmpty) Seq.empty else Seq(
           scanFiles(inserts).withColumn("_change_type", lit("insert")))
         val dels = TxLog.newlyDvKeys(table, v).map { case (f, kc, keys) =>
-          scanFiles(Seq(f)).filter(col(kc).cast("long").isin(keys: _*))
+          logical(scanRaw(Seq(f)).filter(col(kc).cast("long").isin(keys: _*)))
             .withColumn("_change_type", lit("delete"))
         }
         val parts = ins ++ dels
@@ -253,7 +261,9 @@ class LakeStreamSource(spark: SparkSession, table: Path,
         // writers) still fail fast.
         TxLog.commitCdcFile(table, v) match {
           case Some(name) =>
-            Some(spark.read.parquet(table.resolve(name).toString)
+            // sidecars persist under physical names (+ _change_type,
+            // which passes through the projection)
+            Some(logical(spark.read.parquet(table.resolve(name).toString))
               .withColumn(
                 "_commit_version", org.apache.spark.sql.functions.lit(v)))
           case None if skipChangeCommits => None

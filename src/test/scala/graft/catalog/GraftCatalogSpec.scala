@@ -232,10 +232,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT SUM(score) AS s FROM $cat.ev").head.getLong(0) == 7L)
     // time travel still reads the pre-evolution schema
     assert(!spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 0").columns.contains("score"))
-    // duplicate column and non-additive changes are refused
+    // duplicate columns and retypes are refused (RENAME/DROP are the
+    // column-mapping surface — ColumnMappingSpec covers them)
     intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN score BIGINT") }
-    val e = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN payload") }
-    assert(e.getMessage.contains("ADD COLUMN") || e.getMessage.contains("unreadable"),
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev ALTER COLUMN score TYPE STRING")
+    }
+    assert(e.getMessage.contains("retype") || e.getMessage.contains("unreadable"),
       e.getMessage)
   }
 
