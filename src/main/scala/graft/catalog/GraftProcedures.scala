@@ -43,6 +43,7 @@ private[catalog] object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
       "tag", "cluster_by", "maintain", "clone", "move_where", "merge_audit",
+      "set_partitioning",
       "bloom_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -434,6 +435,19 @@ private[catalog] object GraftProcedures {
         override protected def run(input: InternalRow): InternalRow =
           InternalRow(TxLog.setTag(table(input),
             input.getUTF8String(1).toString, input.getLong(2)))
+      }
+      // PARTITION EVOLUTION: `CALL <cat>.set_partitioning('t', 'a,b')`
+      // re-declares the identity partition columns future writes lay
+      // data out by — one metadata commit, no file rewritten; '' (empty)
+      // un-partitions future writes. Old files prune conservatively.
+      case "set_partitioning" => new GraftProc("set_partitioning",
+        Array(param("table", StringType), param("columns", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val cols = input.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          InternalRow(TxLog.setPartitioning(table(input), cols))
+        }
       }
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' (have: ${All.mkString(", ")})")

@@ -480,7 +480,10 @@ object TxLog {
       val (txo, txp) = txnOutcomesUpTo(table, v)
       val ck = (Map[String, Object]("version" -> java.lang.Long.valueOf(v),
         "files" -> snap.files.map(addToNode).asJava,
-        "batchMax" -> java.lang.Long.valueOf(maxBatchIdUpTo(table, v).getOrElse(-1L)))
+        "batchMax" -> java.lang.Long.valueOf(maxBatchIdUpTo(table, v).getOrElse(-1L)),
+        // ...and the partitioning in force (partition evolution replay
+        // bound; ALWAYS written — absent = pre-upgrade checkpoint)
+        "partitionCols" -> (partitionColsOf(table, Some(v)).asJava: Object))
         ++ (if (cons.isEmpty) Map.empty[String, Object]
             else Map("constraints" -> (cons.asJava: Object)))
         ++ (if (tgs.isEmpty) Map.empty[String, Object]
@@ -1182,17 +1185,77 @@ object TxLog {
         else Map("partitionCols" -> (partCols.asJava: Object)))(_.isEmpty)
   }
 
-  /** The partition columns declared at [[create]] time (empty for tables
-    * created by a first append, or created unpartitioned). One v0 commit
-    * read — O(1) metadata. */
-  def partitionColsOf(table: Path): Seq[String] =
-    versions(table).headOption.filter(_ == 0L).map { _ =>
-      val node = mapper.readTree(
-        Files.readAllBytes(versionDir(table, 0L).resolve("commit.json")))
-      if (node.get("op").asText != "create") Seq.empty[String]
-      else Option(node.get("partitionCols"))
-        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
-    }.getOrElse(Seq.empty)
+  /** The partition columns in force at `version` (latest when None):
+    * the newest `set-partitioning` commit wins, seeded from the
+    * checkpoint's folded field, falling back to the [[create]]-time
+    * declaration — the Iceberg PARTITION EVOLUTION resolution shape.
+    * <= CheckpointEvery reads on post-upgrade tables; a pre-upgrade
+    * checkpoint (field absent) falls back to scanning below it. */
+  def partitionColsOf(table: Path, version: Option[Long] = None): Seq[String] = {
+    val vs = versions(table)
+    if (vs.isEmpty) return Seq.empty
+    val target = version.getOrElse(vs.last)
+    val upTo = vs.filter(_ <= target)
+    val ckpt = upTo.reverse.find(v =>
+      Files.exists(versionDir(table, v).resolve("checkpoint.json")))
+    def setAt(v: Long): Option[Seq[String]] = {
+      val node = commitNode(table, v)
+      if (node.get("op").asText != "set-partitioning") None
+      else Some(Option(node.get("partitionCols"))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty))
+    }
+    def createDecl: Seq[String] =
+      upTo.headOption.filter(_ == 0L).map { _ =>
+        val node = mapper.readTree(
+          Files.readAllBytes(versionDir(table, 0L).resolve("commit.json")))
+        if (node.get("op").asText != "create") Seq.empty[String]
+        else Option(node.get("partitionCols"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+      }.getOrElse(Seq.empty)
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    upTo.filter(_ >= from).reverse.iterator.flatMap(setAt(_)).nextOption()
+      .orElse(ckpt.flatMap { cv =>
+        val node = mapper.readTree(Files.readAllBytes(
+          versionDir(table, cv).resolve("checkpoint.json")))
+        // absent field = pre-upgrade checkpoint: scan below it
+        Option(node.get("partitionCols"))
+          .map(_.elements().asScala.map(_.asText).toSeq)
+          .orElse(upTo.filter(_ < from).reverse.iterator.flatMap(setAt(_)).nextOption())
+      })
+      .getOrElse(createDecl)
+  }
+
+  /** PARTITION EVOLUTION (the Iceberg `ALTER TABLE ... [ADD|DROP]
+    * PARTITION FIELD` capability, identity transforms): re-declare the
+    * partition columns FUTURE writes lay data out by, as one
+    * metadata-only `set-partitioning` commit — no existing file is
+    * rewritten or even touched. Old files keep the partition values of
+    * their era; [[pruneFilesPart]] is conservative for files without a
+    * value recorded for a predicate column, so reads across the
+    * evolution boundary stay exact (old files are scanned, the residual
+    * row filter applies) while new files prune sharply. An empty list
+    * un-partitions future writes. Time travel resolves the partitioning
+    * of its era ([[partitionColsOf]] is versioned).
+    *
+    * Columns must be physical-stable (never renamed under column
+    * mapping): hive directory names and recorded partition values are
+    * logical-keyed, and [[renameColumn]] refuses current partition
+    * columns — evolution must not smuggle a renamed column in. */
+  def setPartitioning(table: Path, partCols: Seq[String]): Long = {
+    val cur = tableSchema(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no recorded schema"))
+    partCols.foreach { c =>
+      require(cur.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema")
+      require(ColumnMapping.physicalOf(cur, c) == c,
+        s"'$c' was renamed under column mapping; partition values are " +
+        "logical-keyed — partition by a physical-stable column")
+    }
+    require(partCols.distinct.size == partCols.size,
+      s"duplicate partition columns: ${partCols.mkString(", ")}")
+    commitRetry(table, "set-partitioning", Nil, Nil,
+      extra = Map("partitionCols" -> (partCols.asJava: Object)))(_ => true)
+  }
 
   /** Additive schema evolution as a PURE-METADATA commit (SQL `ALTER
     * TABLE ADD COLUMN`): the evolved schema is recorded in one

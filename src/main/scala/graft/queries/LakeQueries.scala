@@ -1305,6 +1305,43 @@ object LakeQueries {
            |FROM $cat.tbl""".stripMargin)
     }),
 
+    // ---- sql22: PARTITION EVOLUTION (Iceberg's capability, identity
+    // transforms): `CALL lake.set_partitioning` re-declares the layout
+    // of FUTURE writes as one metadata commit — no file rewritten. Old
+    // (unpartitioned-era) files carry no partition values and prune
+    // conservatively; new files carry them and prune sharply; an
+    // equality read across the boundary stays exact. The engine-side
+    // invariants (both file eras present, partition-pruned read ==
+    // full-filter read) are asserted as a literal flag.
+    "sql22_partition_evolution" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      d.createOrReplaceTempView(s"docs22_$cat")
+      spark.sql(s"CREATE TABLE $cat.tbl AS SELECT doc_id, lang, n_chars " +
+        s"FROM docs22_$cat WHERE doc_id % 2 = 0")                   // unpartitioned era
+      spark.sql(s"CALL $cat.set_partitioning('tbl', 'lang')")       // metadata only
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars " +
+        s"FROM docs22_$cat WHERE doc_id % 2 = 1")                   // per-lang layout
+      val snap = TxLog.snapshotAt(table)
+      val bothEras = snap.files.exists(_.part.contains("lang")) &&
+        snap.files.exists(!_.part.contains("lang"))
+      // partition-pruned equality read must be EXACT across the boundary
+      val pruned = TxLog.readAt(spark, table,
+        partitions = Map("lang" -> "en")).count()
+      val full = spark.sql(s"SELECT COUNT(*) FROM $cat.tbl WHERE lang = 'en'")
+        .head.getLong(0)
+      val ok = if (bothEras && pruned == full) 1L else 0L
+      spark.sql(
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST($ok AS BIGINT) AS evolution_ok
+           |FROM $cat.tbl GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // ---- sql10: named TAGS over versions (Iceberg tag refs) —
     // `CALL lake.tag` is one more audited commit (repointing included),
     // the checkpoint folds the tag table, and the SQL surface resolves
@@ -2324,6 +2361,15 @@ object LakeQueries {
         |  CAST((SELECT COALESCE(SUM(n_chars), 0) FROM documents WHERE doc_id % 3 = 0)
         |    AS BIGINT) AS chars_with_text,
         |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS predrop_text_rows""".stripMargin,
+
+    // Both write eras together hold every document; the mixed-layout
+    // invariants (both eras on disk, partition-pruned == full-filter)
+    // are engine-side, asserted as a literal.
+    "sql22_partition_evolution" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS evolution_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Divergence recomputed from documents: the source lost the MOR'd
     // %10=3 rows and the SQL-deleted %7=1 rows; the clone lost only

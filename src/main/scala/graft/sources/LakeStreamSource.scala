@@ -209,7 +209,8 @@ class LakeStreamSource(spark: SparkSession, table: Path,
     val (op, adds, _) = TxLog.commitActions(table, v)
     op match {
       // metadata-only commits: no row-level change to emit
-      case "compact" | "set-constraint" | "create" | "set-schema" | "set-tag" => None
+      case "compact" | "set-constraint" | "create" | "set-schema" | "set-tag"
+         | "set-partitioning" => None
       // a clone's v0 is the target's initial load: its adds ARE the
       // table's first rows, append-class for the feed. Cloned adds KEEP
       // the source's deletion vectors (cloneTable hardlinks the DV
