@@ -167,12 +167,20 @@ class LakeStreamSource(spark: SparkSession, table: Path,
   }
 
   /** Can this source's frozen schema represent a commit written under
-    * `commitSchema`? Older (subset) schemas are fine — their files
-    * null-fill the later columns; new or type-changed fields are not
-    * (reading them under the frozen schema would silently drop data). */
+    * `commitSchema`? Compared by PHYSICAL column identity (name-mode
+    * column mapping): a RENAME moves only the logical name, so commits
+    * on either side of it carry the same physical columns and stream
+    * seamlessly under the frozen names — while a genuinely new or
+    * type-changed physical field is not representable (reading it under
+    * the frozen schema would silently drop data) and fails the stream
+    * for a restart. Older (physical-subset) schemas are fine — their
+    * files null-fill the later columns. Unmapped tables compare by
+    * name, exactly the historical rule. */
   private def representable(commitSchema: StructType): Boolean = {
-    val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
-    commitSchema.fields.forall(f => byName.get(f.name).contains(f.dataType))
+    val byPhys = dataSchema.fields
+      .map(f => graft.ops.ColumnMapping.physical(f) -> f.dataType).toMap
+    commitSchema.fields.forall(f =>
+      byPhys.get(graft.ops.ColumnMapping.physical(f)).contains(f.dataType))
   }
 
   /** Raw per-file scan under the frozen schema's PHYSICAL names — DV

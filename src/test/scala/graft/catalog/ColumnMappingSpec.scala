@@ -217,6 +217,80 @@ class ColumnMappingSpec extends SparkSpec {
     assert(rows.last.getLong(1) == 7L)
   }
 
+  test("clone and restore travel the mapping: clones stay independent, restore revives the era's schema") {
+    val (_, base) = freshCatalog()
+    val src = base.resolve("src")
+    TxLog.append(spark, idsDf(0L to 4L), src, "doc_id", nParts = 1)    // v0
+    TxLog.renameColumn(spark, src, "doc_id", "document_id")            // v1
+    // clone carries the mapped schema; the hardlinked files stay readable
+    val dst = base.resolve("dst")
+    TxLog.cloneTable(spark, src, dst)
+    assert(TxLog.readAt(spark, dst).schema.fieldNames.toSeq ==
+      Seq("document_id", "payload"))
+    assert(TxLog.readAt(spark, dst).count() == 5L)
+    // evolution stays table-local after the clone
+    TxLog.renameColumn(spark, dst, "document_id", "id2"): Unit
+    assert(TxLog.readAt(spark, src).schema.fieldNames.head == "document_id")
+    // restore to the pre-rename version revives ITS schema (the Delta
+    // RESTORE rule: schema travels with the restored state)
+    TxLog.append(spark, idsDf(5L to 7L).withColumnRenamed("doc_id", "document_id"),
+      src, "document_id", nParts = 1)                                   // v2
+    TxLog.restore(spark, src, 0L)                                       // v3
+    val restored = TxLog.readAt(spark, src)
+    assert(restored.schema.fieldNames.toSeq == Seq("doc_id", "payload"))
+    assert(restored.count() == 5L)
+  }
+
+  test("streaming crosses the rename boundary on physical identity; ADD COLUMN still fails the stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, base) = freshCatalog()
+    val table = base.resolve("stream")
+    val ckpt = Files.createTempDirectory("graft_cmap_ckpt").toString
+    TxLog.append(spark, idsDf(0L to 3L), table, "doc_id", nParts = 1)
+    def drain(selectCol: String, ck: String = ckpt): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft-lake").load(table.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select(selectCol).collect().foreach(r => got.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    assert(drain("doc_id") == (0L to 3L))
+    TxLog.renameColumn(spark, table, "doc_id", "document_id")
+    TxLog.append(spark, idsDf(Seq(9L)).withColumnRenamed("doc_id", "document_id"),
+      table, "document_id", nParts = 1)
+    // a rename moves only the logical name — the same physical columns
+    // stream on: the resumed checkpoint picks up exactly the new commit...
+    assert(drain("document_id") == Seq(9L))
+    // ...and a FRESH stream replays the pre-rename history under the
+    // CURRENT names (the mapped read of the old files)
+    assert(drain("document_id",
+      Files.createTempDirectory("graft_cmap_ckpt2").toString) == Seq(0L, 1L, 2L, 3L, 9L))
+    // a genuinely NEW physical column still fails a RUNNING stream (one
+    // whose schema froze before the evolution — driven directly, since
+    // an AvailableNow re-drain would re-freeze and mask the guard)
+    val running = new graft.sources.LakeStreamSource(spark, table,
+      skipChangeCommits = false, startingVersion = 0L)
+    TxLog.addColumn(table, "score", org.apache.spark.sql.types.LongType)
+    import spark.implicits._
+    TxLog.append(spark,
+      Seq((20L, "v20", 1L)).toDF("document_id", "payload", "score"),
+      table, "document_id", nParts = 1)
+    val last = TxLog.versions(table).last
+    val e = intercept[IllegalStateException] {
+      running.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(last)).collect()
+    }
+    assert(e.getMessage.contains("restart the stream"), e.getMessage)
+    // ...while a rename alone would NOT have failed it: same physical set
+  }
+
   test("SQL surface: ALTER TABLE RENAME/DROP COLUMN routes through the catalog") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.sqlddl (doc_id BIGINT, payload STRING, note STRING)")
