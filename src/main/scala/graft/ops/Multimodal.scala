@@ -459,6 +459,7 @@ object Multimodal {
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
       else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
       else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
+      else if (Adpcm.isWave(p)) Adpcm.WaveMetaDecoder.decode(item)
       else throw new IllegalArgumentException(
         s"media ${item.mediaId}: no metadata decoder for this signature")
     }

@@ -849,6 +849,50 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm27: REAL IMA-ADPCM DECODE (ops.Adpcm) — the second
+    // compressed-audio codec to leave the stub (WAVE format tag 0x11):
+    // a 4-bit adaptive quantizer whose decoder is EXACTLY specified
+    // integer arithmetic. ADPCM is lossy, so the gate splits by what is
+    // closed-form: the sample count, block count, and the ORIGINAL
+    // triangle signal's sum restate in DuckDB; the codec contracts —
+    // every block's first sample decodes EXACTLY (it travels verbatim
+    // in the block header) and the reconstruction MSE stays under 2% of
+    // signal power (the adaptive quantizer tracking a bounded-slope
+    // signal) — are engine-side invariants asserted as literal flags.
+    // Decode is partition-local; payloads never shuffle.
+    "mm27_adpcm_pcm" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 381
+            val blockSamples = 127
+            val st = 40 + (id % 5).toInt * 8
+            val s = Array.tabulate(n)(i =>
+              (math.abs((i * st) % 4000 - 2000) - 1000).toShort)
+            val bytes = graft.ops.Adpcm.encodeWav(s, 8000, blockSamples)
+            val dec = graft.ops.Adpcm.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            val headersExact = (0 until n by blockSamples)
+              .forall(k => dec.samples(k) == s(k))
+            var se = 0.0; var power = 0.0; var sumOrig = 0L
+            var i = 0
+            while (i < n) {
+              val d = (dec.samples(i) - s(i)).toDouble
+              se += d * d; power += s(i).toDouble * s(i); sumOrig += s(i)
+              i += 1
+            }
+            (id, dec.samples.length.toLong,
+              ((n + blockSamples - 1) / blockSamples).toLong,
+              sumOrig, if (headersExact) 1L else 0L,
+              if (se <= 0.02 * power) 1L else 0L)
+          }
+        }
+        .toDF("media_id", "n_samples", "n_blocks", "sum_orig",
+          "headers_exact", "mse_ok")
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -1048,6 +1092,21 @@ object MultimodalQueries {
         |  CAST(192 AS BIGINT) AS n_samples,
         |  CAST(SUM(s) AS BIGINT) AS sum_samples,
         |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // ADPCM is lossy, so only the closed-form columns restate: the
+    // count/geometry and the ORIGINAL triangle signal's sum; the codec
+    // fidelity contracts are engine-side literals.
+    "mm27_adpcm_pcm" ->
+      """WITH sm AS (
+        |  SELECT doc_id, abs((i * (40 + (doc_id % 5) * 8)) % 4000 - 2000)
+        |    - 1000 AS s
+        |  FROM documents, unnest(range(0, 381)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(381 AS BIGINT) AS n_samples,
+        |  CAST(3 AS BIGINT) AS n_blocks,
+        |  CAST(SUM(s) AS BIGINT) AS sum_orig,
+        |  CAST(1 AS BIGINT) AS headers_exact,
+        |  CAST(1 AS BIGINT) AS mse_ok
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // stereo is lossless through every channel assignment: per-channel

@@ -249,7 +249,11 @@ class PropertySpec extends AnyFunSuite {
           Array.tabulate(128)(i => ((i * 53) % 4000) - 2000), 8000,
           blockSize = 64, modeFor = f => Seq(1, 8, 9, 10)(f % 4),
           orderFor = _ => 2, partitionOrder = 1),
-        b => graft.ops.FlacPcm.decode(MediaItem(1L, b))))
+        b => graft.ops.FlacPcm.decode(MediaItem(1L, b))),
+      ("adpcm", graft.ops.Adpcm.encodeWav(
+          Array.tabulate(381)(i => ((i * 40) % 4000 - 2000).toShort), 8000,
+          blockSamples = 127),
+        b => graft.ops.Adpcm.decode(MediaItem(1L, b))))
     targets.foreach { case (name, base, decode) =>
       val mutGen: Gen[Array[Byte]] = Gen.oneOf(
         Gen.choose(0, base.length - 1).map(base.take),
