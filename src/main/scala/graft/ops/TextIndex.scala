@@ -1,0 +1,167 @@
+package graft.ops
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED INVERTED TEXT INDEX over a TxLog corpus table — the
+  * sparse-retrieval (Lucene-shaped) architecture re-expressed as lake
+  * relations, the text twin of [[BloomIndex]]:
+  *
+  *  - `<index>`: the POSTINGS table — one row per (document, term):
+  *    (term_hash, term, doc_id, tf, dl), written range-CLUSTERED by
+  *    term_hash so a query term's postings resolve through the log's
+  *    footer [min,max] pruning to ~one file — the posting-list seek of
+  *    an inverted index, expressed as ordinary stats skipping;
+  *  - `<index>_stats`: one row (n_docs, total_len) — the corpus-global
+  *    scalars BM25 needs (N, avgdl), maintained incrementally;
+  *  - `<index>_files`: the indexed corpus files (names), the
+  *    incremental-maintenance watermark ([[BloomIndex]]'s discipline).
+  *
+  * SERVING never touches the corpus: [[searchBm25]] reads the query
+  * terms' pruned postings + the 1-row stats table and produces EXACTLY
+  * the ranking of the in-query BM25 (t14 — same tokenizer, same
+  * always-positive idf, same k1/b, same round-6 + doc_id tie-break), so
+  * one DuckDB oracle cross-gates the scan path and the index path.
+  * Query cost tracks the query terms' posting lists, not the corpus —
+  * the property that makes retrieval over 100 TB feasible.
+  *
+  * Maintenance: [[ensureIndexed]] indexes corpus files not yet in the
+  * watermark, anti-joined on doc_id against the already-indexed docs so
+  * it is IDEMPOTENT under redelivery and correct across corpus
+  * compaction (a rewritten file re-presents old docs; the guard keeps
+  * their postings single). [[pruneDeleted]] merge-on-read deletes the
+  * postings of removed documents (churn-sized — the caller knows its
+  * deleted keys, the GDPR flow). All document-granular: corpus
+  * compaction never invalidates postings the way it invalidates
+  * file-granular bloom rows.
+  *
+  * The reference has no text indexing (its documents are opaque JSON,
+  * SURVEY §1.1); this exists for the LLM-pipeline pillar's retrieval
+  * primitives (decontamination, hard-negative mining, dedup-by-query).
+  */
+object TextIndex {
+
+  /** Postings of `docs` under the t14 tokenizer (space-split, exact). */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .select(xxhash64(col("term")).as("term_hash"), col("term"),
+        col("doc_id"), col("tf"), col("dl"))
+
+  private def statsDir(index: Path): Path = index.resolveSibling(index.getFileName + "_stats")
+  private def filesDir(index: Path): Path = index.resolveSibling(index.getFileName + "_files")
+
+  /** Index every live corpus file not yet in the watermark: postings
+    * range-clustered by term_hash, stats and watermark advanced, each
+    * step one commit. Returns the number of newly indexed documents.
+    * First call on an empty index IS the build. */
+  def ensureIndexed(spark: SparkSession, corpus: Path, index: Path,
+      idCol: String = "doc_id", textCol: String = "text",
+      nClusters: Int = 8): Long = {
+    import spark.implicits._
+    val snap = TxLog.snapshotAt(corpus)
+    val indexed: Set[String] =
+      if (TxLog.versions(filesDir(index)).isEmpty) Set.empty
+      else TxLog.readAt(spark, filesDir(index))
+        .select("file_name").collect().map(_.getString(0)).toSet
+    val newFiles = snap.files.filterNot(f => indexed(f.path))
+    if (newFiles.isEmpty) return 0L
+    val docs = TxLog.readFiles(spark, corpus, newFiles)
+    val fresh0 = postingsOf(docs, idCol, textCol)
+    // idempotency + compaction correctness: a rewritten file re-presents
+    // docs the index already carries — their postings must stay single
+    val fresh =
+      if (indexed.isEmpty) fresh0
+      else fresh0.join(
+        TxLog.readAt(spark, index).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    // the fresh postings feed the clustered write AND the stats agg
+    val mat = fresh.localCheckpoint(true)
+    val inc = mat.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("len")).head
+    val (nNew, lenNew) = (inc.getLong(0), inc.getLong(1))
+    if (nNew > 0)
+      TxLog.appendClustered(spark, mat, index, "term_hash",
+        col("term_hash"), nClusters): Unit
+    // stats: one-row overwrite (versioned like everything else; the
+    // first increment is the creating append)
+    writeStats(spark, index,
+      if (TxLog.versions(statsDir(index)).isEmpty) (nNew, lenNew)
+      else {
+        val r = TxLog.readAt(spark, statsDir(index)).head
+        (r.getLong(r.fieldIndex("n_docs")) + nNew,
+          r.getLong(r.fieldIndex("total_len")) + lenNew)
+      })
+    TxLog.append(spark,
+      newFiles.map(_.path).toDF("file_name"), filesDir(index), "file_name"): Unit
+    nNew
+  }
+
+  /** BM25 top-k served from the INDEX ALONE — per query term one
+    * footer-pruned point read of the postings (range on term_hash, the
+    * exact term re-checked so a 64-bit hash collision costs nothing),
+    * document frequency from the pruned postings themselves, N/avgdl
+    * from the 1-row stats table. Identical arithmetic, rounding, and
+    * tie-break to the in-query t14 ranking. */
+  def searchBm25(spark: SparkSession, index: Path, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 needs at least one query term")
+    val posts = terms.distinct.map { term =>
+      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(term))
+    }.reduce(_ unionByName _)
+    val dfRel = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = TxLog.readAt(spark, statsDir(index))
+      .select(col("n_docs"),
+        (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    posts.join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf").cast("double") /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(1.0) - 0.75 +
+              lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .as("part"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Remove the postings of deleted documents — churn-sized merge-on-
+    * read deletes keyed on doc_id (the caller supplies the deleted keys;
+    * the right-to-be-forgotten flow has them in hand). Stats shrink by
+    * the removed docs' contribution so avgdl stays honest. */
+  def pruneDeleted(spark: SparkSession, index: Path, deletedKeys: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    import spark.implicits._
+    val keys = deletedKeys.select(col(idCol).cast("long").as("doc_id"))
+    // the removed docs' length contribution, BEFORE the postings go
+    val gone = TxLog.readAt(spark, index)
+      .join(broadcast(keys), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("len")).head
+    val (nGone, lenGone) = (gone.getLong(0), gone.getLong(1))
+    if (nGone == 0) return 0L
+    val (v, _, _, _) = TxLog.deleteMor(spark, index, keys, "doc_id")
+    val r = TxLog.readAt(spark, statsDir(index)).head
+    writeStats(spark, index, (r.getLong(0) - nGone, r.getLong(1) - lenGone))
+    v
+  }
+
+  private def writeStats(spark: SparkSession, index: Path, v: (Long, Long)): Unit = {
+    import spark.implicits._
+    val df = Seq(v).toDF("n_docs", "total_len")
+    if (TxLog.versions(statsDir(index)).isEmpty)
+      TxLog.append(spark, df, statsDir(index), "n_docs"): Unit
+    else TxLog.overwrite(spark, df, statsDir(index), "n_docs"): Unit
+  }
+}

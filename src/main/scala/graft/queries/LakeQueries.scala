@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
-import graft.ops.{BloomIndex, TxLog}
+import graft.ops.{BloomIndex, TextIndex, TxLog}
 
 /** Transaction-log (lakehouse) operators as gated queries — ACID commits,
   * snapshot isolation, time travel, compaction, stats-based file
@@ -1684,6 +1684,45 @@ object LakeQueries {
         "saturated", "above_unsat_iff_saturated", "within_degraded_bound")
     }),
 
+    // ---- tix01: PERSISTED INVERTED TEXT INDEX, served cross-gated
+    // against the in-query BM25 (t14): postings (term_hash, term,
+    // doc_id, tf, dl) live as a term_hash-range-CLUSTERED lake table,
+    // so each query term's posting list resolves through footer
+    // [min,max] pruning — the posting-list seek of an inverted index as
+    // ordinary stats skipping. searchBm25 reads ONLY the pruned
+    // postings + the 1-row stats table (never the corpus text) and must
+    // reproduce t14's exact top-20 — same tokenizer, idf, k1/b,
+    // round-6, tie-break — under t14's own DuckDB oracle. Query cost
+    // tracks the query terms' posting lists, not the corpus: the
+    // retrieval shape that holds at 100 TB.
+    "tix01_bm25_from_index" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      val index = freshTable()
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
+    }),
+
+    // ---- tix02: INCREMENTAL text-index maintenance — the second half
+    // of the corpus arrives after the first build; ensureIndexed
+    // indexes only the new files (watermark diff + doc_id anti-join, so
+    // redelivery and corpus compaction can never double a posting), the
+    // stats row advances incrementally, and the search result is
+    // INDISTINGUISHABLE from a full rebuild: the same t14 oracle gates
+    // both gates.
+    "tix02_incremental_text_index" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val index = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
+    }),
+
     // ---- blix05: INDEX VACUUM — the lifecycle gap blix01-04 leave
     // open: compaction rewrites the data files, so the index accretes
     // rows for files that no longer exist (harmless for correctness —
@@ -2037,6 +2076,34 @@ object LakeQueries {
           lit(scanned).cast("bigint").as("files_scanned"),
           col("n_rows"), col("sum_chars"))
     }))
+
+  /** t14's BM25 oracle, shared by the persisted-index gates: same
+    * tokenizer, always-positive idf, k1=1.2/b=0.75, round-6 + doc_id
+    * tie-break. */
+  private val TextIndexOracle: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(SUM(len(ws)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM docs),
+      |tf AS (
+      |  SELECT doc_id, w, MAX(dl) AS dl, count(*) AS tf
+      |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+      |  WHERE w IN ('spark', 'join', 'filter')
+      |  GROUP BY doc_id, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    round(SUM(
+      |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |      CAST(tf.tf AS DOUBLE) /
+      |      (CAST(tf.tf AS DOUBLE) +
+      |        1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6)
+      |      AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -2540,6 +2607,12 @@ object LakeQueries {
     // bits/key vs the 16 requested) must measure far above the healthy
     // bound and inside its own degraded (1-e^(-kn/m))^k prediction; the
     // 500-key file stays healthy. All structural numbers closed-form.
+    // Both text-index gates share t14's oracle verbatim: the persisted
+    // index must reproduce the in-query ranking exactly, built whole
+    // (tix01) or incrementally (tix02).
+    "tix01_bm25_from_index" -> TextIndexOracle,
+    "tix02_incremental_text_index" -> TextIndexOracle,
+
     "blix06_bloom_saturation" ->
       """SELECT * FROM (VALUES
         |  ('saturated', CAST(4000 AS BIGINT), CAST(8192 AS BIGINT),

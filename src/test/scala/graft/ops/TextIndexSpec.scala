@@ -1,0 +1,107 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Persisted inverted-text-index mechanics (tix01/tix02 gate the BM25
+  * ranking against DuckDB): the serving plan never touches the corpus,
+  * maintenance is idempotent and compaction-proof, deletes prune, and
+  * the incremental build is indistinguishable from a rebuild. */
+class TextIndexSpec extends SparkSpec {
+
+  private def corpusDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("doc_id").withColumn("text",
+      concat(lit("alpha beta"),
+        when(col("doc_id") % 3 === 0, lit(" gamma gamma")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" rareword")).otherwise(lit(""))))
+  }
+
+  test("serving reads ONLY the index tables; the corpus never enters the plan") {
+    val base = Files.createTempDirectory("graft_tix")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 99L), corpus, "doc_id", nParts = 2)
+    assert(TextIndex.ensureIndexed(spark, corpus, index) == 100L)
+    val res = TextIndex.searchBm25(spark, index, Seq("gamma", "rareword"), 10)
+    val files = res.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(f => !f.contains("/corpus/")),
+      s"corpus leaked into the serving plan: $files")
+    // and the ranking is sane: docs with both terms outrank gamma-only
+    val top = res.collect().map(_.getLong(0))
+    assert(top.nonEmpty && top.head % 7 == 0 && top.head % 3 == 0)
+  }
+
+  test("posting-list reads PRUNE: a term's search scans fewer index files than the index has") {
+    val base = Files.createTempDirectory("graft_tix_prune")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 499L), corpus, "doc_id", nParts = 4)
+    TextIndex.ensureIndexed(spark, corpus, index, nClusters = 8): Unit
+    val indexFiles = TxLog.snapshotAt(index).files.size
+    assert(indexFiles >= 4, s"want a multi-file index, got $indexFiles")
+    val scanned = TextIndex.searchBm25(spark, index, Seq("rareword"), 5)
+      .inputFiles.count(_.contains("/ix/"))
+    assert(scanned < indexFiles,
+      s"term_hash clustering should prune: scanned $scanned of $indexFiles")
+  }
+
+  test("ensureIndexed is idempotent and survives corpus compaction without doubling postings") {
+    val base = Files.createTempDirectory("graft_tix2")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 49L), corpus, "doc_id", nParts = 2)
+    assert(TextIndex.ensureIndexed(spark, corpus, index) == 50L)
+    assert(TextIndex.ensureIndexed(spark, corpus, index) == 0L)
+    val before = TxLog.readAt(spark, index).count()
+    // compaction rewrites every corpus file under new names — the
+    // watermark sees "new" files, the doc_id anti-join keeps postings single
+    TxLog.compact(spark, corpus, "doc_id")
+    assert(TextIndex.ensureIndexed(spark, corpus, index) == 0L)
+    assert(TxLog.readAt(spark, index).count() == before)
+  }
+
+  test("incremental build equals rebuild, postings multiset and stats both") {
+    val base = Files.createTempDirectory("graft_tix3")
+    val c1 = base.resolve("c1"); val i1 = base.resolve("i1")
+    val c2 = base.resolve("c2"); val i2 = base.resolve("i2")
+    // incremental: two arrivals
+    TxLog.append(spark, corpusDf(0L to 39L), c1, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, c1, i1): Unit
+    TxLog.append(spark, corpusDf(40L to 79L), c1, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, c1, i1): Unit
+    // rebuild: one arrival
+    TxLog.append(spark, corpusDf(0L to 79L), c2, "doc_id", nParts = 4)
+    TextIndex.ensureIndexed(spark, c2, i2): Unit
+    val a = TxLog.readAt(spark, i1).select("term", "doc_id", "tf", "dl")
+    val b = TxLog.readAt(spark, i2).select("term", "doc_id", "tf", "dl")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "incremental postings differ from rebuild")
+    val sa = TxLog.readAt(spark, base.resolve("i1_stats")).head
+    val sb = TxLog.readAt(spark, base.resolve("i2_stats")).head
+    assert(sa.getLong(0) == sb.getLong(0) && sa.getLong(1) == sb.getLong(1))
+  }
+
+  test("pruneDeleted removes a document from the ranking and shrinks the stats") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix4")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 29L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    val before = TextIndex.searchBm25(spark, index, Seq("rareword"), 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(before.contains(21L)) // 21 % 7 == 0
+    // the GDPR flow: MOR-delete in the corpus, prune the index with the keys
+    TxLog.deleteMor(spark, corpus, Seq(21L).toDF("doc_id"), "doc_id"): Unit
+    TextIndex.pruneDeleted(spark, index, Seq(21L).toDF("doc_id")): Unit
+    val after = TextIndex.searchBm25(spark, index, Seq("rareword"), 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before - 21L)
+    val st = TxLog.readAt(spark, base.resolve("ix_stats")).head
+    assert(st.getLong(0) == 29L)
+  }
+}
