@@ -132,13 +132,26 @@ private[catalog] object GraftMetaTable {
     StructField("outcome", StringType, nullable = false),
     StructField("marker", StringType, nullable = false)))
 
+  /** `` t$schema ``: the schema-change LOG — one row per column per
+    * schema ERA (versions whose recorded schema differs from the
+    * previous recording), with the column-mapping physical name so
+    * renames are auditable from SQL. */
+  val SchemaSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ordinal", IntegerType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("physical", StringType, nullable = false)))
+
   def schemaFor(kind: String): StructType = kind match {
     case "history" => HistorySchema
     case "files" => FilesSchema
     case "tags" => TagsSchema
     case "txns" => TxnsSchema
+    case "schema" => SchemaSchema
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$$$other' (have: $$history, $$files, $$tags, $$txns)")
+      s"unknown metadata table '$$$other' " +
+      "(have: $history, $files, $tags, $txns, $schema)")
   }
 
   /** The rows, computed from log metadata only. */
@@ -163,6 +176,14 @@ private[catalog] object GraftMetaTable {
         TxLog.txnCommits(t.dir).map { case (v, op, marker, outcome) =>
           InternalRow(v, UTF8String.fromString(op),
             UTF8String.fromString(outcome), UTF8String.fromString(marker))
+        }
+      case "schema" =>
+        TxLog.schemaHistory(t.dir).flatMap { case (v, s) =>
+          s.fields.zipWithIndex.map { case (f, i) =>
+            InternalRow(v, i, UTF8String.fromString(f.name),
+              UTF8String.fromString(f.dataType.catalogString),
+              UTF8String.fromString(graft.ops.ColumnMapping.physical(f)))
+          }
         }
     }
   }

@@ -860,6 +860,24 @@ object TxLog {
     }.nextOption()
   }
 
+  /** The SCHEMA CHANGE LOG: every version whose recorded schema DIFFERS
+    * from the previous recording, with its schema — the `` t$schema ``
+    * metadata table's source. One commit read per version (the
+    * [[history]] cost), txn-resolved like [[tableSchema]] so an aborted
+    * transaction's append never shows as a schema era. */
+  def schemaHistory(table: Path): Seq[(Long, StructType)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, StructType)]
+    var last: Option[StructType] = None
+    versions(table).foreach { v =>
+      Option(commitNode(table, v).get("schema"))
+        .map(s => DataType.fromJson(s.asText).asInstanceOf[StructType])
+        .foreach { s =>
+          if (!last.contains(s)) { out += ((v, s)); last = Some(s) }
+        }
+    }
+    out.toSeq
+  }
+
   /** Schema ENFORCEMENT + optional additive EVOLUTION (the Delta write
     * contract): every written field must match the table schema by name
     * and type; brand-new fields are appended to the table schema only

@@ -1342,6 +1342,27 @@ object LakeQueries {
            |FROM $cat.tbl GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // ---- sql23: the `` t$schema `` metadata table — the schema-change
+    // LOG as a first-class SQL relation (completing the $history/$files/
+    // $tags/$txns family): one row per column per schema ERA, with the
+    // column-mapping PHYSICAL name, so a rename/drop is auditable from
+    // SQL alone — the renamed column shows its frozen physical name,
+    // the dropped column simply leaves the final era.
+    "sql23_schema_metadata_table" -> ((spark: SparkSession, dir: String) => {
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      spark.sql(s"CREATE TABLE $cat.tbl (doc_id BIGINT, payload STRING)")      // era v0
+      spark.sql(s"INSERT INTO $cat.tbl VALUES (1, 'a')")                       // same schema
+      spark.sql(s"ALTER TABLE $cat.tbl ADD COLUMN note STRING")                // era v2
+      spark.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN payload TO body")         // era v3
+      spark.sql(s"ALTER TABLE $cat.tbl DROP COLUMN note")                      // era v4
+      spark.sql(s"SELECT version, ordinal, `column`, type, physical " +
+        s"FROM $cat.`tbl$$schema` ORDER BY version, ordinal")
+    }),
+
     // ---- sql10: named TAGS over versions (Iceberg tag refs) —
     // `CALL lake.tag` is one more audited commit (repointing included),
     // the checkpoint folds the tag table, and the SQL surface resolves
@@ -1606,6 +1627,39 @@ object LakeQueries {
           lit(nIndexed).cast("bigint").as("indexed_total"),
           lit(total).cast("bigint").as("files_total"),
           lit(scanned < total).as("bloom_pruned"))
+    }),
+
+    // ---- tix03: the text index's STREAMING TWIN (the blix03
+    // discipline — every persisted derived artifact gets one): a
+    // graft-lake tail of the corpus triggers TextIndex.ensureIndexed
+    // per micro-batch; the watermark diff + doc_id anti-join make the
+    // maintenance idempotent under crash-redelivery by construction, so
+    // the streamed index must serve EXACTLY the t14 ranking again —
+    // the same oracle gates the scan path, the batch build, the
+    // incremental build, and now the streamed build.
+    "tix03_streaming_text_index" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val index = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      // two arrival commits, one micro-batch each
+      TxLog.append(spark, d.filter(col("doc_id") % 4 === 1), corpus, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 4 === 3), corpus, "doc_id", nParts = 2)
+      val ckpt = Files.createTempDirectory("graft_tix3_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1")
+        .load(corpus.toString)
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          TextIndex.ensureIndexed(spark, corpus, index): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
     }),
 
     // ---- blix04: bloom-index QUALITY AUDIT — the in-engine measured
@@ -2610,8 +2664,27 @@ object LakeQueries {
     // Both text-index gates share t14's oracle verbatim: the persisted
     // index must reproduce the in-query ranking exactly, built whole
     // (tix01) or incrementally (tix02).
+    // The change log is fully deterministic DDL arithmetic: era v0 is
+    // the create, the insert re-records the same schema (no era), each
+    // ALTER is one era; the renamed column keeps its frozen physical.
+    "sql23_schema_metadata_table" ->
+      """SELECT version, ordinal, "column", type, physical FROM (VALUES
+        |  (CAST(0 AS BIGINT), 0, 'doc_id',  'bigint', 'doc_id'),
+        |  (CAST(0 AS BIGINT), 1, 'payload', 'string', 'payload'),
+        |  (CAST(2 AS BIGINT), 0, 'doc_id',  'bigint', 'doc_id'),
+        |  (CAST(2 AS BIGINT), 1, 'payload', 'string', 'payload'),
+        |  (CAST(2 AS BIGINT), 2, 'note',    'string', 'note'),
+        |  (CAST(3 AS BIGINT), 0, 'doc_id',  'bigint', 'doc_id'),
+        |  (CAST(3 AS BIGINT), 1, 'body',    'string', 'payload'),
+        |  (CAST(3 AS BIGINT), 2, 'note',    'string', 'note'),
+        |  (CAST(4 AS BIGINT), 0, 'doc_id',  'bigint', 'doc_id'),
+        |  (CAST(4 AS BIGINT), 1, 'body',    'string', 'payload'))
+        |  AS t(version, ordinal, "column", type, physical)
+        |ORDER BY version, ordinal""".stripMargin,
+
     "tix01_bm25_from_index" -> TextIndexOracle,
     "tix02_incremental_text_index" -> TextIndexOracle,
+    "tix03_streaming_text_index" -> TextIndexOracle,
 
     "blix06_bloom_saturation" ->
       """SELECT * FROM (VALUES
