@@ -43,7 +43,7 @@ private[catalog] object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
       "tag", "cluster_by", "maintain", "clone", "move_where", "merge_audit",
-      "set_partitioning",
+      "set_partitioning", "text_index",
       "bloom_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -233,6 +233,30 @@ private[catalog] object GraftProcedures {
       // other — one row per indexed data file), created on first call
       // and incrementally extended on every later one (diff-based, so
       // re-calls after appends index only the new files).
+      // PERSISTED INVERTED TEXT INDEX from SQL: `CALL <cat>.text_index
+      // ('t', 'text')` materializes/refreshes the postings as the
+      // sibling catalog table `t_text_ix` (+ `t_text_ix_stats`,
+      // `t_text_ix_files`) — ordinary SQL relations, so BM25 is
+      // computable in PURE SQL over them (sql24 proves it reproduces
+      // t14's ranking).
+      case "text_index" => new GraftProc("text_index",
+        Array(param("table", StringType), param("column", StringType)),
+        StructType(Seq(
+          StructField("index_table", StringType, nullable = false),
+          StructField("docs_indexed", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val colName = input.getUTF8String(1).toString
+          require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"illegal column name '$colName'")
+          require(TxLog.tableSchema(dir).exists(_.fieldNames.contains(colName)),
+            s"no column '$colName' in table ${dir.getFileName}")
+          val ixName = s"${dir.getFileName}_text_ix"
+          val ix = dir.getParent.resolve(ixName)
+          val n = graft.ops.TextIndex.ensureIndexed(spark, dir, ix, textCol = colName)
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ixName), n)
+        }
+      }
       case "bloom_index" => new GraftProc("bloom_index",
         Array(param("table", StringType), param("column", StringType)),
         StructType(Seq(

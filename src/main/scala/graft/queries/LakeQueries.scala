@@ -1363,6 +1363,45 @@ object LakeQueries {
         s"FROM $cat.`tbl$$schema` ORDER BY version, ordinal")
     }),
 
+    // ---- sql24: BM25 in PURE SQL over the text index's catalog
+    // tables — `CALL lake.text_index('t','text')` materializes the
+    // postings/stats as ordinary SQL relations, and a plain SQL query
+    // (term_hash IN pushes into the parquet scan's row-group stats)
+    // reproduces t14's exact ranking: the index is not a private
+    // artifact but queryable lake state, the sql17/sql18 discipline
+    // applied to retrieval.
+    "sql24_sql_bm25_over_index" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
+      spark.sql(
+        s"""WITH p AS (
+           |  SELECT term, doc_id, tf, dl FROM $cat.tbl_text_ix
+           |  WHERE term_hash IN (xxhash64('spark'), xxhash64('join'),
+           |                      xxhash64('filter'))
+           |    AND term IN ('spark', 'join', 'filter')),
+           |d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+           |s AS (SELECT n_docs,
+           |        CAST(total_len AS DOUBLE) / n_docs AS avgdl
+           |      FROM $cat.tbl_text_ix_stats)
+           |SELECT p.doc_id,
+           |  round(SUM(
+           |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+           |    CAST(p.tf AS DOUBLE) /
+           |    (CAST(p.tf AS DOUBLE) +
+           |      1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))), 6)
+           |    AS score
+           |FROM p JOIN d USING (term) CROSS JOIN s
+           |GROUP BY p.doc_id
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)
+    }),
+
     // ---- sql10: named TAGS over versions (Iceberg tag refs) —
     // `CALL lake.tag` is one more audited commit (repointing included),
     // the checkpoint folds the tag table, and the SQL surface resolves
@@ -2685,6 +2724,7 @@ object LakeQueries {
     "tix01_bm25_from_index" -> TextIndexOracle,
     "tix02_incremental_text_index" -> TextIndexOracle,
     "tix03_streaming_text_index" -> TextIndexOracle,
+    "sql24_sql_bm25_over_index" -> TextIndexOracle,
 
     "blix06_bloom_saturation" ->
       """SELECT * FROM (VALUES
