@@ -2034,6 +2034,42 @@ object LakeQueries {
     // bloom-pruned SQL point query. Aggregates of both tables, the
     // index-matches-live invariant, and the probe's dup set are all
     // replayed by the oracle.
+    // ---- c08: the CURATE -> EVOLVE -> INDEX -> SERVE capstone — one
+    // arc composing this round's features end-to-end on one table:
+    // ingest -> SQL quality DELETE (copy-on-write, CDC sidecar) ->
+    // ALTER TABLE RENAME COLUMN text TO body (column mapping activates;
+    // era-1 files keep physical 'text') -> partition EVOLUTION (future
+    // writes lay out by lang) -> a second partitioned arrival under the
+    // NEW name -> CALL text_index on the RENAMED column (the index build
+    // reads both file eras through the mapping) -> BM25 served from the
+    // index alone. The oracle recomputes the surviving corpus's t14
+    // ranking in DuckDB: any wrong interaction between DML, mapping,
+    // evolution, and the index breaks the hash.
+    "c08_curation_search_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).select("doc_id", "lang", "n_chars", "text")
+      val table = freshTable()
+      val base = table.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
+      spark.sql(s"DELETE FROM $cat.tbl WHERE n_chars < 150")        // quality gate (COW)
+      spark.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN text TO body") // mapping activates
+      spark.sql(s"CALL $cat.set_partitioning('tbl', 'lang')")       // evolution
+      d.filter(col("doc_id") % 2 === 1).createOrReplaceTempView(s"arrivals_$cat")
+      spark.sql(s"INSERT INTO $cat.tbl SELECT doc_id, lang, n_chars, text AS body " +
+        s"FROM arrivals_$cat")                                      // partitioned era
+      spark.sql(s"CALL $cat.text_index('tbl', 'body')").collect(): Unit
+      val snap = TxLog.snapshotAt(table)
+      val composed = snap.files.exists(_.part.get("lang").isDefined) &&
+        snap.files.exists(_.part.isEmpty) &&
+        graft.ops.ColumnMapping.physicalOf(
+          TxLog.tableSchema(table).get, "body") == "text"
+      TextIndex.searchBm25(spark, base.resolve("tbl_text_ix"),
+          Seq("spark", "join", "filter"), 20)
+        .withColumn("composed_ok", lit(if (composed) 1L else 0L))
+    }),
+
     "c07_reconcile_pipeline" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir).withColumn("text_key", md5(col("text")))
       val span = idSpan(d)
@@ -2725,6 +2761,38 @@ object LakeQueries {
     "tix02_incremental_text_index" -> TextIndexOracle,
     "tix03_streaming_text_index" -> TextIndexOracle,
     "sql24_sql_bm25_over_index" -> TextIndexOracle,
+
+    // The surviving corpus's t14 ranking: the quality gate removed the
+    // short even-id docs before the second (odd-id) arrival; rename,
+    // evolution, and the index build must leave the ranking untouched
+    // (their composition invariants ride as the literal flag).
+    "c08_curation_search_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE NOT (doc_id % 2 = 0 AND n_chars < 150)),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, w, MAX(dl) AS dl, count(*) AS tf
+        |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+        |  WHERE w IN ('spark', 'join', 'filter')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(
+        |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      CAST(tf.tf AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) +
+        |        1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score, CAST(1 AS BIGINT) AS composed_ok FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "blix06_bloom_saturation" ->
       """SELECT * FROM (VALUES
