@@ -291,6 +291,42 @@ class ColumnMappingSpec extends SparkSpec {
     // ...while a rename alone would NOT have failed it: same physical set
   }
 
+  test("the STREAMING change feed replays a rename-spanning history under current names") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, base) = freshCatalog()
+    val table = base.resolve("cdfstream")
+    val ckpt = Files.createTempDirectory("graft_cmap_cdf_ckpt").toString
+    TxLog.append(spark, idsDf(0L to 4L), table, "doc_id", nParts = 1)       // v0
+    TxLog.deleteKeys(spark, table, idsDf(Seq(2L)).select("doc_id"),
+      "doc_id", "doc_id")                                                    // v1: COW sidecar, pre-rename
+    TxLog.renameColumn(spark, table, "doc_id", "document_id")                // v2
+    import spark.implicits._
+    TxLog.append(spark,
+      idsDf(Seq(9L)).withColumnRenamed("doc_id", "document_id"),
+      table, "document_id", nParts = 1)                                      // v3: post-rename insert
+    TxLog.deleteMor(spark, table, Seq(4L).toDF("document_id"), "document_id") // v4: MOR, post-rename
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .load(table.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("_change_type", "document_id").collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val events = got.asScala.toSeq
+    // pre-rename sidecars and files all serve the CURRENT logical name;
+    // the replayed multiset is exactly the history's row-level changes
+    assert(events.filter(_._1 == "insert").map(_._2).sorted ==
+      Seq(0L, 1L, 2L, 3L, 4L, 9L))
+    assert(events.filter(_._1 == "delete").map(_._2).sorted == Seq(2L, 4L))
+  }
+
   test("SQL surface: ALTER TABLE RENAME/DROP COLUMN routes through the catalog") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.sqlddl (doc_id BIGINT, payload STRING, note STRING)")
