@@ -135,6 +135,28 @@ object TextIndex {
       .limit(k)
   }
 
+  /** The end-user search shape: BM25 rank from the INDEX, then fetch
+    * the winners' FULL ROWS from the corpus — the top-k ids (k-sized,
+    * driver-held by construction) turn into a stats-pruned corpus read
+    * ([min,max] key range + an isin residual that pushes into the
+    * parquet scan), so the corpus pays a point-fetch, never a scan.
+    * Returns the corpus columns + `score`, ranked. */
+  def fetchTopDocs(spark: SparkSession, corpus: Path, index: Path,
+      terms: Seq[String], k: Int, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    val top = searchBm25(spark, index, terms, k).collect() // k rows, by contract
+    if (top.isEmpty)
+      return TxLog.readAt(spark, corpus).filter(lit(false))
+        .withColumn("score", lit(0.0))
+    val ids = top.map(_.getLong(0))
+    val scores = top.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF(idCol, "score")
+    TxLog.readAt(spark, corpus, range = Some((idCol, ids.min, ids.max)))
+      .filter(col(idCol).isin(ids.map(Long.box).toSeq: _*))
+      .join(broadcast(scores), idCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+  }
+
   /** Remove the postings of deleted documents — churn-sized merge-on-
     * read deletes keyed on doc_id (the caller supplies the deleted keys;
     * the right-to-be-forgotten flow has them in hand). Stats shrink by

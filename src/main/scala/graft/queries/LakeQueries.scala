@@ -1816,6 +1816,24 @@ object LakeQueries {
       TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
     }),
 
+    // ---- tix04: top-k ROW MATERIALIZATION — the end-user search
+    // shape: rank from the index (tix01's serving path), then fetch the
+    // winners' full corpus rows as a stats-pruned point read ([min,max]
+    // key range + isin residual pushed into the parquet scan). The
+    // corpus pays a k-row point-fetch; the oracle joins DuckDB's t14
+    // top-5 back to documents.
+    "tix04_search_fetch_docs" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      val index = freshTable()
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TextIndex.fetchTopDocs(spark, corpus, index,
+          Seq("spark", "join", "filter"), 5)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("score"))
+    }),
+
     // ---- blix05: INDEX VACUUM — the lifecycle gap blix01-04 leave
     // open: compaction rewrites the data files, so the index accretes
     // rows for files that no longer exist (harmless for correctness —
@@ -2761,6 +2779,16 @@ object LakeQueries {
     "tix02_incremental_text_index" -> TextIndexOracle,
     "tix03_streaming_text_index" -> TextIndexOracle,
     "sql24_sql_bm25_over_index" -> TextIndexOracle,
+
+    // t14's top-5 joined back to the documents rows — rank from the
+    // index, rows from the corpus, one hash.
+    "tix04_search_fetch_docs" ->
+      (TextIndexOracle.replace("SELECT doc_id, score FROM scored\nORDER BY score DESC, doc_id LIMIT 20",
+        """SELECT s.doc_id, d.lang, d.n_chars, s.score
+          |FROM (SELECT doc_id, score FROM scored
+          |      ORDER BY score DESC, doc_id LIMIT 5) s
+          |JOIN documents d ON s.doc_id = d.doc_id
+          |ORDER BY s.score DESC, s.doc_id""".stripMargin)),
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,
