@@ -28,8 +28,9 @@ class ColumnMappingModelSpec extends SparkSpec {
   private case class ModelState(schema: Vector[String], key: String,
     rows: Map[Long, Map[String, Option[String]]])
 
-  test("random evolution/write/delete/compact sequences match the model, refusals and all") {
-    val rnd = new Random(20260816L)
+  Seq(20260816L, 4242424242L).foreach { seed =>
+  test(s"random evolution/write/delete/compact sequences match the model (seed $seed)") {
+    val rnd = new Random(seed)
     val base = Files.createTempDirectory("graft_cmodel")
     val table = base.resolve("t")
 
@@ -181,5 +182,6 @@ class ColumnMappingModelSpec extends SparkSpec {
           phys(n) || Set("doc_id", "a", "b")(n) || n.startsWith("col_")),
         s"a logical name leaked into ${f.path}: $names")
     }
+  }
   }
 }
