@@ -426,6 +426,17 @@ private[catalog] object GraftProcedures {
                 graft.ops.BloomIndex.pruneStale(spark, dir, ix): Unit
               }
           } finally siblings.close()
+          // ...and the text-index sibling (<table>_text_ix, the CALL
+          // text_index convention): new corpus files get indexed (the
+          // meta table carries the id/text binding), then the postings
+          // re-cluster into range-disjoint term_hash files with DV
+          // sidecars folded in — without this, a long-lived index pays
+          // one file per increment per term lookup (TextIndex.maintain)
+          val tix = base.resolve(s"${dir.getFileName}_text_ix")
+          if (Files.isDirectory(tix.resolve("_graft_log")))
+            graft.ops.TextIndex.maintain(spark, dir, tix,
+              vacuumKeep = math.max(1, input.getInt(3)),
+              vacuumMinAgeMs = input.getLong(4)): Unit
           InternalRow(UTF8String.fromString(action), before.toLong,
             TxLog.snapshotAt(dir).files.size.toLong, reclaimed,
             TxLog.latestVersion(dir))

@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructFi
   * recorded under physical names for the same reason).
   *
   * The reference has no schema surface at all (its rows are dynamic
-  * maps, /root/reference/src/domain/log_data.rs); this module exists
+  * JSON values, /root/reference/src/domain/ports.rs:12-13 —
+  * `DataParser::parse` returns `Vec<serde_json::Value>`); this module
+  * exists
   * for the lakehouse pillar's SQL DDL parity.
   */
 object ColumnMapping {

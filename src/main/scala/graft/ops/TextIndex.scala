@@ -54,6 +54,28 @@ object TextIndex {
 
   private def statsDir(index: Path): Path = index.resolveSibling(index.getFileName + "_stats")
   private def filesDir(index: Path): Path = index.resolveSibling(index.getFileName + "_files")
+  private def metaDir(index: Path): Path = index.resolveSibling(index.getFileName + "_meta")
+
+  /** Range-MONOTONE cluster bucket of term_hash. Clustering by the raw
+    * column would hash-partition it (repartition's exchange), giving
+    * every file a near-full-range footer [min,max] on a real vocabulary
+    * — pruning power only by accident. The arithmetic shift keeps
+    * bucket order = term_hash order, so each clustered write's files
+    * are DISJOINT slices of the signed-64 term_hash axis and a term
+    * lookup prunes to exactly one file per clustered file-set. */
+  private def clusterBucket(n: Int): org.apache.spark.sql.Column =
+    expr(s"int(((shiftright(term_hash, 32) + 2147483648L) * ${n}L) div 4294967296L)")
+
+  /** The index's self-describing corpus binding (id/text column, cluster
+    * count), written once at creation so lifecycle maintenance can
+    * re-index new corpus files without the caller re-stating them. */
+  private def readMeta(spark: SparkSession, index: Path): (String, String, Int) =
+    if (TxLog.versions(metaDir(index)).isEmpty) ("doc_id", "text", 8)
+    else {
+      val r = TxLog.readAt(spark, metaDir(index)).head
+      (r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("text_col")),
+        r.getInt(r.fieldIndex("n_clusters")))
+    }
 
   /** Index every live corpus file not yet in the watermark: postings
     * range-clustered by term_hash, stats and watermark advanced, each
@@ -87,7 +109,11 @@ object TextIndex {
     val (nNew, lenNew) = (inc.getLong(0), inc.getLong(1))
     if (nNew > 0)
       TxLog.appendClustered(spark, mat, index, "term_hash",
-        col("term_hash"), nClusters): Unit
+        clusterBucket(nClusters), nClusters): Unit
+    if (TxLog.versions(metaDir(index)).isEmpty)
+      TxLog.append(spark,
+        Seq((idCol, textCol, nClusters)).toDF("id_col", "text_col", "n_clusters"),
+        metaDir(index), "n_clusters"): Unit
     // stats: one-row overwrite (versioned like everything else; the
     // first increment is the creating append)
     writeStats(spark, index,
@@ -177,6 +203,60 @@ object TextIndex {
     val r = TxLog.readAt(spark, statsDir(index)).head
     writeStats(spark, index, (r.getLong(0) - nGone, r.getLong(1) - lenGone))
     v
+  }
+
+  /** What [[maintain]] did: docs newly indexed, postings files and DV
+    * sidecars before/after the re-cluster, dead files reclaimed. */
+  final case class MaintainReport(docsIndexed: Long, filesBefore: Long,
+    filesAfter: Long, dvsBefore: Long, dvsAfter: Long, reclaimed: Long)
+
+  /** Index LIFECYCLE maintenance — the bloom index's vacuum discipline
+    * applied to the postings. A long-lived index degrades two ways:
+    * every incremental [[ensureIndexed]] appends its OWN clustered
+    * file-set (term_hash ranges overlap across commits, so a term
+    * lookup pays ~one file per increment), and [[pruneDeleted]] leaves
+    * DV sidecars whose anti-join every read replays. This folds both
+    * back to the freshly-built shape:
+    *   1. index corpus files not yet in the watermark (meta table
+    *      supplies the id/text binding; the doc_id anti-join keeps a
+    *      compaction-rewritten corpus from doubling postings);
+    *   2. re-cluster ALL postings into nClusters range-DISJOINT files
+    *      with DVs folded in (one distributed compactClustered job,
+    *      one atomic commit — readers never block), restoring the
+    *      one-file-per-term seek;
+    *   3. compact the per-increment watermark appends to one file;
+    *   4. vacuum dead versions of every sibling table.
+    * Serving through the rewrite is identical by construction (same
+    * rows, new layout) — TextIndexSpec pins it, gate tix05 proves the
+    * per-term file count returns to the clustered bound. */
+  def maintain(spark: SparkSession, corpus: Path, index: Path,
+      vacuumKeep: Int = 1, vacuumMinAgeMs: Long = 0L): MaintainReport = {
+    val (idCol, textCol, nClusters) = readMeta(spark, index)
+    val indexedNew = ensureIndexed(spark, corpus, index, idCol, textCol, nClusters)
+    val snap0 = TxLog.snapshotAt(index)
+    val dvs0 = snap0.files.count(_.dv.isDefined).toLong
+    if (snap0.files.nonEmpty)
+      TxLog.compactClustered(spark, index, "term_hash",
+        clusterBucket(nClusters), nClusters): Unit
+    if (TxLog.snapshotAt(filesDir(index)).files.size > 1)
+      TxLog.compact(spark, filesDir(index), "file_name", nParts = 1): Unit
+    val reclaimed = Seq(index, statsDir(index), filesDir(index), metaDir(index))
+      .map { t =>
+        if (TxLog.versions(t).isEmpty) 0
+        else TxLog.vacuum(t, keepVersions = math.max(1, vacuumKeep),
+          minAgeMs = vacuumMinAgeMs).size
+      }.sum.toLong
+    val snap1 = TxLog.snapshotAt(index)
+    MaintainReport(indexedNew, snap0.files.size.toLong, snap1.files.size.toLong,
+      dvs0, snap1.files.count(_.dv.isDefined).toLong, reclaimed)
+  }
+
+  /** Files a single term's index scan must touch — the pruning-power
+    * audit, decided from driver metadata alone ([[TxLog.pruneFiles]] on
+    * the designated term_hash stats), no data read. */
+  def filesForTerm(spark: SparkSession, index: Path, term: String): Int = {
+    val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+    TxLog.pruneFiles(TxLog.snapshotAt(index), h, h).size
   }
 
   private def writeStats(spark: SparkSession, index: Path, v: (Long, Long)): Unit = {

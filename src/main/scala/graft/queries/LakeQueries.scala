@@ -1877,6 +1877,49 @@ object LakeQueries {
           lit(after == liveFiles).as("index_matches_live"))
     }),
 
+    // ---- tix05: TEXT-INDEX LIFECYCLE MAINTENANCE — the gap tix01-04
+    // leave open (blix05's discipline applied to the postings): each
+    // incremental build appends its OWN term_hash-clustered file-set,
+    // so ranges overlap across commits and a term lookup pays one file
+    // per increment (measured: exactly 5 after 1 build + 4 increments);
+    // pruneDeleted leaves DV sidecars every read must anti-join. CALL
+    // maintain's text-sibling pass re-clusters ALL postings into
+    // range-DISJOINT files with DVs folded (one atomic commit) and
+    // folds the per-increment watermark appends — the per-term seek
+    // returns to the clustered bound (exactly 1 file) and the ranking
+    // is byte-identical: the same t14 oracle gates serving through the
+    // rewrite, over the surviving (post-GDPR-churn) corpus.
+    "tix05_text_index_maintain" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      // 1 build + 4 increments, each through the SQL procedure
+      (0 until 5).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 5 === i), corpus, "doc_id", nParts = 2)
+        spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
+      }
+      val index = base.resolve("tbl_text_ix")
+      // GDPR churn: one id-residue class leaves corpus AND index (MOR)
+      val delKeys = d.filter(col("doc_id") % 17 === 4).select("doc_id")
+      TxLog.deleteMor(spark, corpus, delKeys, "doc_id"): Unit
+      TextIndex.pruneDeleted(spark, index, delKeys): Unit
+      val filesBefore = TextIndex.filesForTerm(spark, index, "spark")
+      val dvsBefore = TxLog.snapshotAt(index).files.count(_.dv.isDefined)
+      spark.sql(s"CALL $cat.maintain('tbl', 4, 4, vacuum_min_age_ms => 0)").collect(): Unit
+      val filesAfter = TextIndex.filesForTerm(spark, index, "spark")
+      val dvsAfter = TxLog.snapshotAt(index).files.count(_.dv.isDefined)
+      val wmFiles = TxLog.snapshotAt(base.resolve("tbl_text_ix_files")).files.size
+      TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
+        .select(col("doc_id"), col("score"),
+          lit(filesBefore.toLong).as("files_per_term_before"),
+          lit(filesAfter.toLong).as("files_per_term_after"),
+          lit(dvsBefore > 0 && dvsAfter == 0).as("dvs_folded"),
+          lit(wmFiles == 1).as("watermark_folded"))
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -2789,6 +2832,21 @@ object LakeQueries {
           |      ORDER BY score DESC, doc_id LIMIT 5) s
           |JOIN documents d ON s.doc_id = d.doc_id
           |ORDER BY s.score DESC, s.doc_id""".stripMargin)),
+
+    // tix05: t14's ranking over the surviving corpus (the %17 residue
+    // class deleted); the lifecycle numbers are closed-form — 5
+    // clustered file-sets before (1 build + 4 increments, each holding
+    // the term), exactly 1 covering file after the re-cluster, DV
+    // sidecars and watermark appends folded.
+    "tix05_text_index_maintain" ->
+      (TextIndexOracle
+        .replace("FROM documents),", "FROM documents WHERE doc_id % 17 <> 4),")
+        .replace("SELECT doc_id, score FROM scored",
+          """SELECT doc_id, score,
+            |  CAST(5 AS BIGINT) AS files_per_term_before,
+            |  CAST(1 AS BIGINT) AS files_per_term_after,
+            |  TRUE AS dvs_folded, TRUE AS watermark_folded
+            |FROM scored""".stripMargin)),
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,

@@ -39,11 +39,16 @@ class TextIndexSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_tix_prune")
     val corpus = base.resolve("corpus")
     val index = base.resolve("ix")
-    TxLog.append(spark, corpusDf(0L to 499L), corpus, "doc_id", nParts = 4)
+    import spark.implicits._
+    // a real-vocabulary shape (50 distinct terms), so the range-monotone
+    // term_hash clustering has an axis to spread over
+    val d = (0L to 499L).toDF("doc_id").withColumn("text",
+      concat(lit("alpha w"), (col("doc_id") % 50).cast("string")))
+    TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
     TextIndex.ensureIndexed(spark, corpus, index, nClusters = 8): Unit
     val indexFiles = TxLog.snapshotAt(index).files.size
     assert(indexFiles >= 4, s"want a multi-file index, got $indexFiles")
-    val scanned = TextIndex.searchBm25(spark, index, Seq("rareword"), 5)
+    val scanned = TextIndex.searchBm25(spark, index, Seq("w7"), 5)
       .inputFiles.count(_.contains("/ix/"))
     assert(scanned < indexFiles,
       s"term_hash clustering should prune: scanned $scanned of $indexFiles")
@@ -83,6 +88,56 @@ class TextIndexSpec extends SparkSpec {
     val sa = TxLog.readAt(spark, base.resolve("i1_stats")).head
     val sb = TxLog.readAt(spark, base.resolve("i2_stats")).head
     assert(sa.getLong(0) == sb.getLong(0) && sa.getLong(1) == sb.getLong(1))
+  }
+
+  test("maintain folds incremental file-sets back to the clustered per-term bound, serving unchanged") {
+    val base = Files.createTempDirectory("graft_tix5")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    // 1 build + 4 increments: every commit holds alpha/beta docs, so a
+    // term's postings land in one file PER COMMIT — 5 overlapping sets
+    (0L until 5L).foreach { i =>
+      TxLog.append(spark, corpusDf((i * 20L) until (i * 20L + 20L)), corpus,
+        "doc_id", nParts = 1)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+    }
+    val before = TextIndex.filesForTerm(spark, index, "alpha")
+    assert(before == 5, s"expected one file per increment, got $before")
+    val servedBefore = TextIndex.searchBm25(spark, index, Seq("gamma", "rareword"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rep = TextIndex.maintain(spark, corpus, index)
+    assert(rep.docsIndexed == 0L)
+    val after = TextIndex.filesForTerm(spark, index, "alpha")
+    assert(after == 1, s"re-cluster should restore the one-file seek, got $after")
+    val servedAfter = TextIndex.searchBm25(spark, index, Seq("gamma", "rareword"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAfter == servedBefore, "maintenance changed the ranking")
+    // the per-increment watermark appends folded to one file
+    assert(TxLog.snapshotAt(base.resolve("ix_files")).files.size == 1)
+  }
+
+  test("maintain folds pruneDeleted's DV sidecars and indexes corpus files that arrived since") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix6")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 59L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TxLog.deleteMor(spark, corpus, Seq(21L, 42L).toDF("doc_id"), "doc_id"): Unit
+    TextIndex.pruneDeleted(spark, index, Seq(21L, 42L).toDF("doc_id")): Unit
+    assert(TxLog.snapshotAt(index).files.exists(_.dv.isDefined))
+    // new corpus files since the last ensureIndexed: maintain indexes them
+    TxLog.append(spark, corpusDf(60L to 79L), corpus, "doc_id", nParts = 1)
+    val rep = TextIndex.maintain(spark, corpus, index)
+    assert(rep.docsIndexed == 20L)
+    assert(rep.dvsBefore >= 1L && rep.dvsAfter == 0L,
+      s"DVs should fold: before=${rep.dvsBefore} after=${rep.dvsAfter}")
+    val ids = TextIndex.searchBm25(spark, index, Seq("rareword"), 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(21L) && !ids.contains(42L))
+    assert(ids.contains(70L) && ids.contains(63L)) // 70 %7==0, 63 %7==0
+    val st = TxLog.readAt(spark, base.resolve("ix_stats")).head
+    assert(st.getLong(0) == 78L) // 60 - 2 deleted + 20 new
   }
 
   test("pruneDeleted removes a document from the ranking and shrinks the stats") {
