@@ -1920,6 +1920,61 @@ object LakeQueries {
           lit(wmFiles == 1).as("watermark_folded"))
     }),
 
+    // ---- tix06: CHANGE-FEED-DRIVEN DELETE PROPAGATION — the flow
+    // nothing drove before: pruneDeleted existed but the caller had to
+    // hand it keys. Now the corpus's CDF tail (readChangeFeed) IS the
+    // driver: each micro-batch's `_change_type = 'delete'` rows become
+    // the prune keys, so right-to-be-forgotten deletes flow corpus →
+    // index without a rebuild, exactly-once by idempotence (a
+    // redelivered batch's keys have no postings left — pruneDeleted
+    // no-ops and never double-shrinks the stats). Cross-gated two ways:
+    // the t14 oracle restates the surviving corpus's ranking, and an
+    // independent full rebuild must rank identically (literal flag).
+    "tix06_cdf_delete_propagation" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val index = corpus.resolveSibling("ix")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      // GDPR churn lands on the corpus AFTER the index is built: two
+      // merge-on-read delete commits (metadata-sized, the sql05 shape)
+      TxLog.deleteMor(spark, corpus,
+        d.filter(col("doc_id") % 11 === 3).select("doc_id"), "doc_id"): Unit
+      TxLog.deleteMor(spark, corpus,
+        d.filter(col("doc_id") % 13 === 7).select("doc_id"), "doc_id"): Unit
+      val ckpt = Files.createTempDirectory("graft_tix6_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(corpus.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          TextIndex.pruneDeleted(spark, index,
+            b.filter(col("_change_type") === "delete")
+              .select(col("doc_id")).distinct()): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // independent rebuild over the surviving corpus (DVs applied by
+      // the snapshot scan) must produce the identical ranking
+      val rebuilt = corpus.resolveSibling("ix_rebuild")
+      TextIndex.ensureIndexed(spark, corpus, rebuilt): Unit
+      val terms = Seq("spark", "join", "filter")
+      val served = TextIndex.searchBm25(spark, index, terms, 20)
+      val reference = TextIndex.searchBm25(spark, rebuilt, terms, 20)
+      val same = served.exceptAll(reference).isEmpty &&
+        reference.exceptAll(served).isEmpty
+      val nLive = TxLog.readAt(spark, corpus.resolveSibling("ix_stats"))
+        .head.getLong(0)
+      served.select(col("doc_id"), col("score"),
+        lit(nLive).as("n_docs_live"),
+        lit(same).as("matches_rebuild"))
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -2846,6 +2901,20 @@ object LakeQueries {
             |  CAST(5 AS BIGINT) AS files_per_term_before,
             |  CAST(1 AS BIGINT) AS files_per_term_after,
             |  TRUE AS dvs_folded, TRUE AS watermark_folded
+            |FROM scored""".stripMargin)),
+
+    // tix06: t14's ranking over the corpus minus the two deleted
+    // residue classes; the live-doc count is data-derived and the
+    // rebuild-equivalence claim rides as the literal flag.
+    "tix06_cdf_delete_propagation" ->
+      (TextIndexOracle
+        .replace("FROM documents),",
+          "FROM documents WHERE NOT (doc_id % 11 = 3 OR doc_id % 13 = 7)),")
+        .replace("SELECT doc_id, score FROM scored",
+          """SELECT doc_id, score,
+            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            |   WHERE NOT (doc_id % 11 = 3 OR doc_id % 13 = 7)) AS n_docs_live,
+            |  TRUE AS matches_rebuild
             |FROM scored""".stripMargin)),
 
     // The surviving corpus's t14 ranking: the quality gate removed the

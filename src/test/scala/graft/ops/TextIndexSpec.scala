@@ -140,6 +140,22 @@ class TextIndexSpec extends SparkSpec {
     assert(st.getLong(0) == 78L) // 60 - 2 deleted + 20 new
   }
 
+  test("pruneDeleted is idempotent under redelivery: a replayed key set never double-shrinks the stats") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix7")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 29L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    assert(TextIndex.pruneDeleted(spark, index, Seq(7L, 14L).toDF("doc_id")) > 0L)
+    val st1 = TxLog.readAt(spark, base.resolve("ix_stats")).head
+    // the crash-redelivery case a CDF-driven pruner hits: same batch again
+    assert(TextIndex.pruneDeleted(spark, index, Seq(7L, 14L).toDF("doc_id")) == 0L)
+    val st2 = TxLog.readAt(spark, base.resolve("ix_stats")).head
+    assert(st1.getLong(0) == st2.getLong(0) && st1.getLong(1) == st2.getLong(1))
+    assert(st1.getLong(0) == 28L)
+  }
+
   test("pruneDeleted removes a document from the ranking and shrinks the stats") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_tix4")
