@@ -84,6 +84,33 @@ object SimilarityQueries {
   private def ivfCentSql: String =
     s"(SELECT GREATEST(16, (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM embeddings)"
 
+  /** PERSISTED-index coarse centroids, LLOYD-REFINED (round 14): seeds
+    * are still the C lowest-id train vectors (C corpus-scaled above),
+    * but ONE integer-quantized Lloyd update (km01's bit-deterministic
+    * machinery — exact int64 per-dim sums, IEEE-double means, L2
+    * argmin with cid tie-break) replaces each seed with its Voronoi
+    * cell's mean. First-n seeds alone are deterministic but track the
+    * id order, not the data distribution: on skewed real embeddings
+    * list sizes imbalance and the hottest list becomes the serving
+    * straggler at 100x (sim12 measures max/mean dropping on a skewed
+    * fixture). The means live in the quantized (x*1e6) scale; cosine
+    * is scale-invariant in each argument, so downstream assignment and
+    * probing are unchanged. An empty cell simply drops — deterministic
+    * in both engines. In-gate demonstration indexes (sim02, knn01-03,
+    * knn05) keep the plain seed rule: their oracles pin the unrefined
+    * shape and the production path is the persisted one. */
+  private[graft] def refinedIvfCentroids(train: DataFrame): DataFrame = {
+    val q = graft.ops.Clustering.quantize(train, "vec_id", "embedding")
+    val nc = train.agg(greatest(lit(16L),
+      expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
+    val init = q.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+      .select(col("vec_id").as("cid"),
+        expr("transform(q, x -> cast(x as double))").as("m"))
+    graft.ops.Clustering.recomputeMeans(
+        graft.ops.Clustering.assign(q, init, "vec_id"))
+      .select(col("cid").as("cent_id"), col("m").as("cent_emb"))
+  }
+
   /** IVF centroid ranking: every vector joined to its `nProbes` nearest
     * centroid lists (centroids = the C lowest-id vectors, C corpus-
     * scaled above; broadcast C-row attach, round-6 cosine,
@@ -590,6 +617,65 @@ object SimilarityQueries {
           col("n_hits").cast("double") / col("k").cast("double"))
         .orderBy("q_id")
     }),
+
+    // ---- sim12: CENTROID-BALANCE AUDIT — the measured case for the
+    // Lloyd refinement (dd17/sim05's audit discipline applied to the
+    // coarse quantizer): list-size imbalance (max/mean, x100 integer)
+    // under the plain first-C seed rule vs the refined rule, on the
+    // real corpus AND a skewed fixture (80% of vectors replaced by
+    // copies of 10 high-id prototypes — the hot-topic shape real
+    // embedding corpora have). Hot lists are the serving stragglers at
+    // 100x: a probe pays the probed list's length, so max/mean IS the
+    // tail-latency multiplier. All counts are exact integers the
+    // oracle recomputes; the improvement claim rides as a literal
+    // flag, so if refinement ever stops helping, the gate breaks
+    // instead of silently passing.
+    "sim12_centroid_balance" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0)
+      val protos = emb.filter(col("vec_id") >= lit(maxId - 9L))
+        .select((col("vec_id").cast("long") - lit(maxId - 9L)).as("pslot"),
+          col("embedding").as("p_emb"))
+      val skewed = emb
+        .join(broadcast(protos), col("vec_id").cast("long") % 10 === col("pslot"))
+        .select(col("vec_id"),
+          when(col("vec_id") % 5 =!= 0, col("p_emb"))
+            .otherwise(col("embedding")).as("embedding"))
+      def audit(corpus: DataFrame, fixture: String): DataFrame = {
+        val c = corpus.localCheckpoint(true) // feeds seeds, training, both assignments
+        val nc = c.agg(greatest(lit(16L),
+          expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
+        val seedCent = c.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        def listStats(cent: DataFrame, prefix: String): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("a_cos").desc, col("cent_id").asc)
+          c.join(broadcast(cent), lit(true))
+            .select(col("vec_id"), col("cent_id"),
+              expr(cosExpr("embedding", "cent_emb")).as("a_cos"))
+            .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+            .groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+            .agg(count(lit(1)).as("n_lists"), max(col("cnt")).as("max_list"),
+              sum(col("cnt")).as("n"))
+            .select(col("n_lists").as(s"${prefix}_n_lists"),
+              col("max_list").as(s"${prefix}_max_list"),
+              expr("(max_list * 100 * n_lists) div n")
+                .as(s"${prefix}_max_x100_over_mean"))
+        }
+        listStats(seedCent, "seed")
+          .crossJoin(broadcast(listStats(refinedIvfCentroids(c), "refined")))
+          .select(lit(fixture).as("fixture"),
+            col("seed_n_lists"), col("seed_max_list"), col("seed_max_x100_over_mean"),
+            col("refined_n_lists"), col("refined_max_list"),
+            col("refined_max_x100_over_mean"),
+            (col("refined_max_x100_over_mean") < col("seed_max_x100_over_mean"))
+              .as("improved"))
+      }
+      audit(emb.select(col("vec_id"), col("embedding")), "real")
+        .unionByName(audit(skewed, "skew"))
+        .orderBy("fixture")
+    }),
   )
 
   /** knn06's BUILD: all four IVFADC artifacts as lake tables. The
@@ -607,11 +693,10 @@ object SimilarityQueries {
     val emb = t(spark, dir, "embeddings")
     val c0 = emb.filter(col("vec_id") % 10 =!= 9)
     val n0 = c0.count() // TRAIN-corpus-scaled knobs (1-row agg)
-    // coarse quantizer: sim07's centroid rule on the TRAIN corpus
-    val nc = c0.agg(greatest(lit(16L),
-      expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
-    val cent = c0.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // coarse quantizer: sim07's Lloyd-refined centroid rule on the
+    // TRAIN corpus (training runs at BUILD time only; serving still
+    // reads lake tables with no Lloyd in the plan — PlanSpec pins it)
+    val cent = refinedIvfCentroids(c0)
     val centT = freshTable(); val assignT = freshTable()
     val cbT = freshTable(); val codeT = freshTable()
     graft.ops.TxLog.append(spark, cent, centT, "cent_id", nParts = 1)
@@ -706,10 +791,9 @@ object SimilarityQueries {
       val emb = t(spark, dir, "embeddings")
       val c0 = emb.filter(col("vec_id") % 10 =!= 9)
       val growth = emb.filter(col("vec_id") % 10 === 9)
-      val nc = c0.agg(greatest(lit(16L),
-        expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
-      val cent = c0.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // Lloyd-refined coarse centroids (one quantized update over the
+      // train corpus) — the same rule as knn06's persisted build
+      val cent = refinedIvfCentroids(c0)
       val centTable = freshTable()
       val assignTable = freshTable()
       graft.ops.TxLog.append(spark, cent, centTable, "cent_id", nParts = 1)
@@ -763,10 +847,9 @@ object SimilarityQueries {
       val emb = t(spark, dir, "embeddings")
       val c0 = emb.filter(col("vec_id") % 10 =!= 9)
       val growth = emb.filter(col("vec_id") % 10 === 9)
-      val nc = c0.agg(greatest(lit(16L),
-        expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
-      val cent = c0.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // the same Lloyd-refined centroid rule as sim07's batch build —
+      // the streaming twin must serve the identical index
+      val cent = refinedIvfCentroids(c0)
       val centTable = freshTable()
       val assignTable = freshTable()
       val bronze = freshTable()
@@ -936,6 +1019,39 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
   )
+
+  /** DuckDB twin of [[refinedIvfCentroids]]: quantize the train
+    * relation, seed from the C lowest ids, one Lloyd update (km01's
+    * kmeansSql shapes — BIGINT per-dim sums, double means, L2 argmin
+    * with cid tie-break), ending in `cent(cent_id, cent_emb)`.
+    * `fromRel` is the train relation ("embeddings WHERE ..." or a
+    * prior CTE name); CTE names are lv_-prefixed to avoid collisions
+    * when spliced into larger chains. */
+  private def refinedCentCtes(fromRel: String): String =
+    s"""lv_q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qq
+       |  FROM $fromRel),
+       |lv_seed AS (
+       |  SELECT vec_id AS cid, list_transform(qq, x -> CAST(x AS DOUBLE)) AS m
+       |  FROM lv_q WHERE vec_id < (SELECT GREATEST(16,
+       |    (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM lv_q)),
+       |lv_a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT lv_q.vec_id, s.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY lv_q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(lv_q.qq, s.m),
+       |          p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), s.cid) AS rn
+       |    FROM lv_q CROSS JOIN lv_seed s) WHERE rn = 1),
+       |lv_x1 AS (
+       |  SELECT lv_a1.cid, generate_subscripts(lv_q.qq, 1) AS dim, unnest(lv_q.qq) AS val
+       |  FROM lv_a1 JOIN lv_q USING (vec_id)),
+       |cent AS (
+       |  SELECT cid AS cent_id,
+       |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY dim) AS cent_emb
+       |  FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS s, COUNT(*) AS cnt
+       |        FROM lv_x1 GROUP BY cid, dim)
+       |  GROUP BY cid)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -1210,9 +1326,8 @@ object SimilarityQueries {
       "FROM embeddings WHERE vec_id % 10 <> 9)"
     val shortSql = "(SELECT GREATEST(100, LEAST(4096, (COUNT(*) + 4) // 5)) " +
       "FROM embeddings WHERE vec_id % 10 <> 9)"
-    val centSql = s"(SELECT GREATEST(16, (COUNT(*) + ${IvfTargetListSize - 1}) " +
-      s"// $IvfTargetListSize) FROM embeddings WHERE vec_id % 10 <> 9)"
     "WITH " + subs.map(s => pqSubCtes(s, s * 8, 8, trainCond, kSql)).mkString(",\n") + ",\n" +
+      refinedCentCtes(s"embeddings WHERE $trainCond") + ",\n" +
       s"""codes AS (
          |  ${subs.map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a2_$s")
               .mkString("\n  UNION ALL\n  ")}),
@@ -1227,8 +1342,6 @@ object SimilarityQueries {
          |    CAST(floor(list_sum(list_transform(list_zip(qt.q, cb.m),
          |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))) AS BIGINT) AS d
          |  FROM qt JOIN cb ON qt.sub = cb.sub),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-         |         FROM embeddings WHERE vec_id % 10 <> 9 AND vec_id < $centSql),
          |home AS (
          |  SELECT vec_id, cent_id AS list_id FROM (
          |    SELECT e.vec_id, cent_id,
@@ -1298,10 +1411,7 @@ object SimilarityQueries {
     * both maintenance paths must produce the SAME index, so one
     * oracle cross-gates them. */
   private val sim07Sql: String =
-      s"""WITH c0 AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 9),
-        |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM c0
-        |  WHERE vec_id < (SELECT GREATEST(16,
-        |    (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM c0)),
+      s"""WITH ${refinedCentCtes("embeddings WHERE vec_id % 10 <> 9")},
         |assigned AS (
         |  SELECT vec_id, embedding, label, cent_id FROM (
         |    SELECT e.vec_id, e.embedding, e.label, cent_id,
@@ -1326,8 +1436,50 @@ object SimilarityQueries {
         |SELECT q_id, rk, c_id, label, cosine FROM ranked WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin
 
+  /** sim12's per-fixture audit row as a parenthesized subquery: seed
+    * vs refined list-size stats over `fromRel`, improvement as a
+    * LITERAL TRUE (the gate's claim, not a recomputation). */
+  private def balanceAuditSql(fromRel: String, fixture: String): String =
+    s"""(WITH base AS (SELECT vec_id, embedding FROM $fromRel),
+       |${refinedCentCtes("base")},
+       |sc AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM base
+       |  WHERE vec_id < (SELECT GREATEST(16,
+       |    (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM base)),
+       |sa AS (SELECT cent_id, COUNT(*) AS cnt FROM (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT b.vec_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${cosSql("b.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+       |    FROM base b CROSS JOIN sc c) WHERE rk = 1) GROUP BY cent_id),
+       |ra AS (SELECT cent_id, COUNT(*) AS cnt FROM (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT b.vec_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${cosSql("b.embedding", "c.cent_emb")} DESC, c.cent_id) AS rk
+       |    FROM base b CROSS JOIN cent c) WHERE rk = 1) GROUP BY cent_id),
+       |ss AS (SELECT COUNT(*) AS seed_n_lists, MAX(cnt) AS seed_max_list,
+       |  CAST((MAX(cnt) * 100 * COUNT(*)) // SUM(cnt) AS BIGINT)
+       |    AS seed_max_x100_over_mean FROM sa),
+       |rs AS (SELECT COUNT(*) AS refined_n_lists, MAX(cnt) AS refined_max_list,
+       |  CAST((MAX(cnt) * 100 * COUNT(*)) // SUM(cnt) AS BIGINT)
+       |    AS refined_max_x100_over_mean FROM ra)
+       |SELECT '$fixture' AS fixture, ss.*, rs.*, TRUE AS improved
+       |FROM ss CROSS JOIN rs)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim06_pq_ann" -> sim06Sql,
+
+    // seed-vs-refined list stats recomputed exactly per fixture; the
+    // improvement claim is the literal flag.
+    "sim12_centroid_balance" ->
+      s"""WITH skew AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 5 <> 0 THEN h.embedding ELSE e.embedding END
+         |      AS embedding
+         |  FROM embeddings e JOIN embeddings h
+         |    ON h.vec_id = (SELECT MAX(vec_id) - 9 FROM embeddings) + e.vec_id % 10)
+         |SELECT * FROM ${balanceAuditSql("embeddings", "real")}
+         |UNION ALL
+         |SELECT * FROM ${balanceAuditSql("skew", "skew")}
+         |ORDER BY fixture""".stripMargin,
 
     // the persisted PQ index: one codebook trained on the initial
     // corpus, every vector (growth included) coded by it, same ADC +
