@@ -56,6 +56,16 @@ object ExcelParser extends RecordParser {
     * Understands sharedStrings (t="s"), inline strings (t="inlineStr"),
     * and numeric/plain cells; trailing missing cells are absent (ragged). */
   private[graft] def readSheet(path: String, sheetIndex: Int): List[List[String]] = {
+    // container sniff (round 14): a pre-2007 .xls is a CFB compound
+    // file, not a zip — route it to the real BIFF8 reader instead of
+    // failing with "not a zip" the way the reference's calamine Xlsx
+    // type does (parser_adapter.rs:49-52). The magic is read, never
+    // the extension: a mis-named drop still lands in the right parser.
+    val head = new Array[Byte](8)
+    val fin = new FileInputStream(path)
+    val sniffed = try fin.read(head) finally fin.close()
+    if (sniffed >= 8 && BiffXls.looksLikeCfb(head))
+      return BiffXls.readSheet(path, sheetIndex)
     var shared: Vector[String] = Vector.empty
     val sheets = mutable.SortedMap[String, Array[Byte]]()
     val zin = new ZipInputStream(new BufferedInputStream(new FileInputStream(path)))

@@ -153,6 +153,22 @@ object IngestQueries {
         .orderBy("name")
     }),
 
+    // S8, legacy container: a REAL pre-2007 .xls (BIFF8-in-CFB) through
+    // the same pipeline — the reference advertises .xls but its calamine
+    // Xlsx type fails on a real CFB file (parser_adapter.rs:49-52);
+    // the repo reads it for real (parsers/BiffXls.scala), container
+    // sniffed by magic, with typed cells (RK integer, IEEE double,
+    // boolean) stringified under the documented rules and overflow
+    // cells dropped per the Excel contract.
+    "ing26_legacy_xls" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "reports/legacy.xls", RuleMatcher.seedRules)(
+        graft.parsers.BiffXls.writeXls(_, Seq(
+          Seq[Any]("name", "age", "department"),
+          Seq[Any]("Alice", 28, "HR"),
+          Seq[Any]("Bob", 31.0, "Finance", "OVERFLOW-DROPPED"))))
+        .orderBy("name")
+    }),
+
     // P1+P2 as a data-plane query: regex rule match, longest-pattern-wins,
     // via regexp_like join + length-ranked window (broadcast rules).
     "ing08_route_longest_wins" -> ((spark: SparkSession, _: String) => {
@@ -578,6 +594,12 @@ object IngestQueries {
       s"""SELECT name, age, department, ${fn}'reports/test.xlsx' AS file_name,
         |  md5(${fn}'reports/test.xlsx') AS log_id
         |FROM (VALUES ('Alice','28','HR'), ('Charlie','32','Finance')) t(name, age, department)
+        |ORDER BY name""".stripMargin,
+
+    "ing26_legacy_xls" ->
+      s"""SELECT name, age, department, ${fn}'reports/legacy.xls' AS file_name,
+        |  md5(${fn}'reports/legacy.xls') AS log_id
+        |FROM (VALUES ('Alice','28','HR'), ('Bob','31','Finance')) t(name, age, department)
         |ORDER BY name""".stripMargin,
 
     "ing08_route_longest_wins" ->

@@ -1,0 +1,136 @@
+package graft.parsers
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.domain.IngestionError.ParseError
+
+/** BIFF8 .xls mechanics (ing26 gates the pipeline path): CFB container
+  * round-trips through both layouts (mini stream under the 4096-byte
+  * cutoff, regular FAT chains above), typed cells stringify by the
+  * documented rules, SST strings survive Continue splits with the
+  * re-stated compression flag, and malformed containers refuse as
+  * ParseError instead of looping or allocating. */
+class BiffXlsSpec extends SparkSpec {
+
+  private def tmpXls(rows: Seq[Seq[Any]]): java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft_biff").resolve("t.xls")
+    BiffXls.writeXls(p, rows)
+    p
+  }
+
+  test("round-trip, mini-stream layout: strings, RK ints, doubles, booleans stringify") {
+    val p = tmpXls(Seq(
+      Seq[Any]("name", "age", "score", "active"),
+      Seq[Any]("Alice", 28, 91.5, true),
+      Seq[Any]("Bob", -3, 7.0, false)))
+    assert(Files.size(p) < 4096 + 2048) // small enough that the stream went mini
+    val rows = BiffXls.readSheet(p.toString, 0)
+    assert(rows == List(
+      List("name", "age", "score", "active"),
+      List("Alice", "28", "91.5", "true"),
+      List("Bob", "-3", "7", "false")))
+  }
+
+  test("round-trip, regular-chain layout: a >4096-byte workbook stream reads identically") {
+    val big = (0 until 600).map(i => Seq[Any](s"row$i", i, i * 0.5))
+    val p = tmpXls(Seq(Seq[Any]("a", "b", "c")) ++ big)
+    assert(Files.size(p) > 4096)
+    val rows = BiffXls.readSheet(p.toString, 0)
+    assert(rows.size == 601)
+    assert(rows(1) == List("row0", "0", "0"))
+    assert(rows(600) == List("row599", "599", "299.5"))
+  }
+
+  test("interior gaps are null, ragged rows keep their own width, UTF-16 strings survive") {
+    val p = tmpXls(Seq(
+      Seq[Any]("h1", "h2", "h3"),
+      Seq[Any]("solo"),
+      Seq[Any]("a", null, "c"),
+      Seq[Any]("naïve", "日本語")))
+    val rows = BiffXls.readSheet(p.toString, 0)
+    assert(rows(1) == List("solo"))
+    assert(rows(2) == List("a", null, "c"))
+    assert(rows(3) == List("naïve", "日本語"))
+  }
+
+  test("ExcelParser routes .xls by CFB magic: headers projected, overflow dropped") {
+    val p = tmpXls(Seq(
+      Seq[Any]("name", "age"),
+      Seq[Any]("Alice", 28),
+      Seq[Any]("Bob", 31, "OVERFLOW-DROPPED")))
+    val df = ExcelParser.parse(spark, p.toString, None)
+    assert(df.columns.toSeq == Seq("name", "age"))
+    assert(df.orderBy("name").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("Alice", "28"), ("Bob", "31")))
+  }
+
+  test("SST strings split across a Continue record re-read the compression flag") {
+    // hand-crafted workbook stream: SST holds one 4-char string whose
+    // first 2 chars sit in the SST record and last 2 in a Continue
+    // (with its own leading flags byte) — MS-XLS 2.5.293's split rule
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit = { w16(v); w16(v >> 16) }
+    def rec(typ: Int, body: Int*): Unit = { w16(typ); w16(body.size); body.foreach(w8) }
+    rec(0x0809, 0x00, 0x06, 0x05, 0x00, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // BOF globals
+    val bsPatch = out.size() + 4
+    rec(0x0085, 0, 0, 0, 0, 0, 0, 6, 0, 'S', 'h', 'e', 'e', 't', '1') // BoundSheet8
+    // SST: cstTotal=1, cstUnique=1, cch=4, flags=0 (compressed), "ab"
+    rec(0x00FC, 1, 0, 0, 0, 1, 0, 0, 0, 4, 0, 0, 'a', 'b')
+    // Continue: flags=0 (still compressed), "cd"
+    rec(0x003C, 0, 'c', 'd')
+    rec(0x000A) // EOF globals
+    val sheetStart = out.size()
+    rec(0x0809, 0x00, 0x06, 0x10, 0x00, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // BOF sheet
+    rec(0x00FD, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // LabelSst r0 c0 isst=0
+    rec(0x000A)
+    val wb = out.toByteArray
+    wb(bsPatch) = (sheetStart & 0xFF).toByte
+    wb(bsPatch + 1) = ((sheetStart >> 8) & 0xFF).toByte
+    assert(BiffXls.parseWorkbook(wb, 0, "mem") == List(List("abcd")))
+    val _ = w32 _ // keep helper for symmetry with the writer
+  }
+
+  test("refusals: truncation, bad sheet index, FAT cycle, oversized record all ParseError") {
+    val p = tmpXls(Seq(Seq[Any]("h"), Seq[Any]("v")))
+    val bytes = Files.readAllBytes(p)
+    // truncated header
+    val t = Files.createTempDirectory("graft_biff").resolve("t.xls")
+    Files.write(t, bytes.take(200))
+    assertThrows[ParseError](BiffXls.readSheet(t.toString, 0))
+    // sheet index out of range
+    assertThrows[ParseError](BiffXls.readSheet(p.toString, 3))
+    // FAT cycle: point sector 3's FAT entry back at itself
+    val cyc = bytes.clone()
+    val fatOff = 512 + 3 * 4
+    cyc(fatOff) = 3; cyc(fatOff + 1) = 0; cyc(fatOff + 2) = 0; cyc(fatOff + 3) = 0
+    val c = t.resolveSibling("cycle.xls")
+    Files.write(c, cyc)
+    // the cycle is in the mini-stream container chain; either the chain
+    // guard or a downstream structural check must refuse
+    assertThrows[ParseError](BiffXls.readSheet(c.toString, 0))
+    // a record claiming len > 8224 refuses
+    assertThrows[ParseError](
+      BiffXls.parseWorkbook(Array[Byte](0x09, 0x08, 0xFF.toByte, 0x7F), 0, "mem"))
+  }
+
+  test("fuzz: random byte flips refuse or parse, never hang or escape ParseError") {
+    val p = tmpXls(Seq(Seq[Any]("name", "v"), Seq[Any]("Alice", 1), Seq[Any]("Bob", 2.5)))
+    val base = Files.readAllBytes(p)
+    val rnd = new scala.util.Random(14)
+    (0 until 200).foreach { i =>
+      val mut = base.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      }
+      val f = Files.createTempFile("graft_biff_fuzz", ".xls")
+      Files.write(f, mut)
+      try { BiffXls.readSheet(f.toString, 0); () }
+      catch {
+        case _: ParseError => ()
+        case e: Throwable => fail(s"fuzz $i escaped ParseError: $e")
+      } finally Files.delete(f)
+    }
+  }
+}
