@@ -239,6 +239,13 @@ object Pdf {
 
     private var trailerDict: Map[String, PObj] = Map.empty
 
+    /** /Encrypt seen during xref reading — the throw is DEFERRED until
+      * the object index is complete so the refusal can resolve the
+      * encryption dictionary and NAME the algorithm (the class of
+      * refusal a web corpus hits most; "encrypted" alone sends the
+      * operator hunting). */
+    private var encryptObj: Option[PObj] = None
+
     /** Where an object lives: at a byte offset of the file, or at an
       * index inside a /Type /ObjStm container (PDF 1.5+). */
     private sealed trait XEntry
@@ -264,6 +271,44 @@ object Pdf {
         guard += 1
       }
       acc.toMap
+    }
+
+    /** Refuse an encrypted document, naming the algorithm per the
+      * standard security handler's /V (+ /CF crypt-filter CFM for
+      * V4/V5): RC4 40-bit (V1), RC4 /Length-bit (V2), AES-128 (AESV2),
+      * AES-256 (AESV3). Resolution is best-effort — a broken or
+      * unreachable /Encrypt object still refuses, generically. */
+    private def encryptRefusal(e: PObj): Nothing = {
+      val dict =
+        try resolve(e) match { case d: PDict => Some(d.m); case _ => None }
+        catch { case _: ParseError => None }
+      val algo = dict.map { m =>
+        def num(k: String): Int = m.get(k).map(resolve) match {
+          case Some(PNum(v)) => v.toInt
+          case _ => -1
+        }
+        def cfm: String = (for {
+          cf <- m.get("CF").map(resolve).collect { case d: PDict => d.m }
+          std <- cf.get("StdCF").map(resolve).collect { case d: PDict => d.m }
+          n <- std.get("CFM").map(resolve).collect { case PName(n) => n }
+        } yield n).getOrElse("")
+        num("V") match {
+          case 1 => "RC4 40-bit (V1)"
+          case 2 => s"RC4 ${if (num("Length") > 0) num("Length") else 40}-bit (V2)"
+          case 4 => cfm match {
+            case "AESV2" => "AES-128 (V4 AESV2)"
+            case "V2" => "RC4-128 (V4 CFM V2)"
+            case other => s"V4 crypt filter ${if (other.isEmpty) "unknown" else other}"
+          }
+          case 5 => cfm match {
+            case "" | "AESV3" => "AES-256 (V5 AESV3)"
+            case other => s"V5 crypt filter $other"
+          }
+          case v => s"unknown security handler /V $v"
+        }
+      }.getOrElse("unresolvable /Encrypt dictionary")
+      throw ParseError(s"PDF: encrypted document ($algo) and no password " +
+        "available; decrypt upstream before ingestion")
     }
 
     /** One xref section — classic table or 1.5+ stream — at `off`;
@@ -314,9 +359,8 @@ object Pdf {
       lx.next() match {
         case PDict(m) =>
           if (trailerDict.isEmpty) trailerDict = m
-          if (m.contains("Encrypt"))
-            throw ParseError("PDF: encrypted documents are not supported; " +
-              "decrypt upstream before ingestion")
+          if (m.contains("Encrypt") && encryptObj.isEmpty)
+            encryptObj = Some(m("Encrypt")) // refusal deferred + classified
           // HYBRID file: the classic trailer points at a supplementary
           // xref STREAM carrying the compressed-object entries this
           // table cannot express; it complements, never overrides
@@ -346,9 +390,8 @@ object Pdf {
           s"byte $off, got $o")
       }
       val d = stm.dict.m
-      if (d.contains("Encrypt"))
-        throw ParseError("PDF: encrypted documents are not supported; " +
-          "decrypt upstream before ingestion")
+      if (d.contains("Encrypt") && encryptObj.isEmpty)
+        encryptObj = Some(d("Encrypt")) // refusal deferred + classified
       val w = d.get("W") match {
         case Some(PArr(ws)) => ws.map {
           case PNum(v) if v >= 0 && v <= 8 => v.toInt
@@ -416,6 +459,11 @@ object Pdf {
       * that recursion is unbounded — a StackOverflowError, an Error that
       * would escape the ParseError/NonFatal quarantine contract. */
     private val resolving = mutable.Set.empty[Int]
+
+    // the deferred encryption refusal: objIndex and the resolve caches
+    // are all initialized here, so the /Encrypt dictionary (usually an
+    // indirect object) can resolve for classification
+    encryptObj.foreach(encryptRefusal)
 
     /** Parses `num gen obj <body> [stream]` directly at a byte offset.
       * Used by object loads AND by xref-stream bootstrap (which runs
@@ -600,8 +648,8 @@ object Pdf {
         case o => throw ParseError(s"PDF: bad /Predictor: $o")
       }
       if (pred == 1) return raw
-      if (pred < 10) throw ParseError(
-        s"PDF: TIFF predictor $pred is not supported (PNG predictors >= 10 are)")
+      if (pred != 2 && pred < 10) throw ParseError(
+        s"PDF: unknown /Predictor $pred (1, 2/TIFF and PNG >= 10 are supported)")
       val cols = parms.get("Columns").map(resolve) match {
         case Some(PNum(v)) if v >= 1 && v <= (1 << 20) => v.toInt
         case None => 1
@@ -621,6 +669,42 @@ object Pdf {
       // bounded factors (cols <= 2^20, colors <= 64, bpc <= 16) keep
       // this product well inside Int — no truncation surprises
       val rowLen = ((cols.toLong * colors * bpc + 7) / 8).toInt
+      if (pred == 2) {
+        // TIFF horizontal differencing: no per-row filter byte; each
+        // sample is a delta from the previous sample of the SAME
+        // component in its row. Sub-byte sample packing would need a
+        // bit-level walk no xref stream uses — refuse it by name.
+        if (bpc < 8) throw ParseError(
+          s"PDF: TIFF predictor with BitsPerComponent $bpc is not supported (8/16 are)")
+        if (rowLen <= 0 || raw.length % rowLen != 0)
+          throw ParseError(s"PDF: TIFF-predicted data length ${raw.length} is " +
+            s"not a multiple of row length $rowLen")
+        val out = raw.clone()
+        val stride = colors * (bpc / 8)
+        var r = 0
+        while (r < out.length / rowLen) {
+          var i = stride
+          if (bpc == 8) {
+            while (i < rowLen) {
+              out(r * rowLen + i) =
+                ((out(r * rowLen + i) + out(r * rowLen + i - stride)) & 0xff).toByte
+              i += 1
+            }
+          } else { // 16-bit samples, big-endian per TIFF
+            while (i + 1 < rowLen) {
+              val o = r * rowLen + i
+              val prev = ((out(o - stride) & 0xff) << 8) | (out(o - stride + 1) & 0xff)
+              val cur = ((out(o) & 0xff) << 8) | (out(o + 1) & 0xff)
+              val v = (cur + prev) & 0xffff
+              out(o) = (v >> 8).toByte
+              out(o + 1) = v.toByte
+              i += 2
+            }
+          }
+          r += 1
+        }
+        return out
+      }
       if (rowLen <= 0 || (raw.length % (rowLen + 1)) != 0)
         throw ParseError(s"PDF: predicted data length ${raw.length} is not a " +
           s"multiple of row length ${rowLen + 1}")
@@ -785,7 +869,7 @@ object Pdf {
     * rows deflate well) instead of a classic table. Deterministic; the
     * extract(synthesize15(p)) == extract(synthesize(p)) round-trip is
     * part of the test surface (PdfSpec, ing23). */
-  def synthesize15(pages: Seq[String]): Array[Byte] = {
+  def synthesize15(pages: Seq[String], xrefPredictor: Int = 12): Array[Byte] = {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val n = pages.size
@@ -842,19 +926,36 @@ object Pdf {
       (0 until n).map(i => row(1, contOffsets(i), 0)) ++   // content streams
       Vector(row(1, objStmOff, 0), row(1, xrefOff, 0))     // ObjStm, XRef itself
     val rowLen = 7
-    val predicted = new Array[Byte](rows.size * (rowLen + 1))
-    rows.zipWithIndex.foreach { case (r, i) =>
-      predicted(i * (rowLen + 1)) = 2 // PNG 'up'
-      var j = 0
-      while (j < rowLen) {
-        val prev = if (i == 0) 0 else rows(i - 1)(j) & 0xff
-        predicted(i * (rowLen + 1) + 1 + j) = (((r(j) & 0xff) - prev) & 0xff).toByte
-        j += 1
+    val predicted: Array[Byte] =
+      if (xrefPredictor == 2) {
+        // TIFF horizontal differencing: per-row byte deltas, no filter
+        // byte — the other predictor family real writers emit
+        val p = new Array[Byte](rows.size * rowLen)
+        rows.zipWithIndex.foreach { case (r, i) =>
+          var j = 0
+          while (j < rowLen) {
+            val prev = if (j == 0) 0 else r(j - 1) & 0xff
+            p(i * rowLen + j) = (((r(j) & 0xff) - prev) & 0xff).toByte
+            j += 1
+          }
+        }
+        p
+      } else {
+        val p = new Array[Byte](rows.size * (rowLen + 1))
+        rows.zipWithIndex.foreach { case (r, i) =>
+          p(i * (rowLen + 1)) = 2 // PNG 'up'
+          var j = 0
+          while (j < rowLen) {
+            val prev = if (i == 0) 0 else rows(i - 1)(j) & 0xff
+            p(i * (rowLen + 1) + 1 + j) = (((r(j) & 0xff) - prev) & 0xff).toByte
+            j += 1
+          }
+        }
+        p
       }
-    }
     val xrefData = deflateBytes(predicted)
     write(s"$xrefNum 0 obj << /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
-      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor $xrefPredictor /Columns 7 >> " +
       s"/Length ${xrefData.length} >>\nstream\n")
     out.write(xrefData)
     write("\nendstream endobj\n")

@@ -515,6 +515,21 @@ object IngestQueries {
         .orderBy("page")
     }),
 
+    // ing27: the 1.5 container again, with its xref stream under the
+    // TIFF (predictor-2) row coding instead of PNG 'up' — the other
+    // predictor family real writers emit. Same texts, so the one
+    // oracle now cross-gates all three layouts (classic, 1.5+PNG,
+    // 1.5+TIFF): no container or predictor may leak into extraction.
+    "ing27_pdf_tiff_predictor" -> ((spark: SparkSession, _: String) => {
+      runPipeline(spark, "docs/report15t.pdf",
+        RuleMatcher.seedRules :+ IngestionConfigRule(".*\\.pdf$", "pdf_docs"))(
+        p => Files.write(p, graft.ops.Pdf.synthesize15(Seq(
+          "Quarterly ingestion report",
+          "Revenue 1234\nCosts 567",
+          "Appendix: notes (v2)"), xrefPredictor = 2)): Unit)
+        .orderBy("page")
+    }),
+
     // K4: audit log lifecycle — success and failure paths both recorded.
     "ing09_audit_log" -> ((spark: SparkSession, _: String) => {
       import spark.implicits._
@@ -722,6 +737,15 @@ object IngestQueries {
     "ing23_pdf_objstm" ->
       s"""SELECT page, text, ${fn}'docs/report15.pdf' AS file_name,
         |  md5(${fn}'docs/report15.pdf') AS log_id
+        |FROM (VALUES
+        |  (1, 'Quarterly ingestion report'),
+        |  (2, 'Revenue 1234' || chr(10) || 'Costs 567'),
+        |  (3, 'Appendix: notes (v2)')) t(page, text)
+        |ORDER BY page""".stripMargin,
+
+    "ing27_pdf_tiff_predictor" ->
+      s"""SELECT page, text, ${fn}'docs/report15t.pdf' AS file_name,
+        |  md5(${fn}'docs/report15t.pdf') AS log_id
         |FROM (VALUES
         |  (1, 'Quarterly ingestion report'),
         |  (2, 'Revenue 1234' || chr(10) || 'Costs 567'),

@@ -139,6 +139,52 @@ class PdfSpec extends SparkSpec {
     assert(modern == Pdf.extract(Pdf.synthesize(pages, compress = true)))
   }
 
+  test("PDF 1.5: TIFF predictor-2 xref stream round-trips identically to " +
+      "the PNG-predictor and classic layouts") {
+    val pages = Seq("TIFF predicted", "row two\nrow three")
+    val tiff = Pdf.extract(Pdf.synthesize15(pages, xrefPredictor = 2))
+    assert(tiff.map(_.text) == pages)
+    assert(tiff == Pdf.extract(Pdf.synthesize15(pages)))
+    assert(tiff == Pdf.extract(Pdf.synthesize(pages, compress = true)))
+  }
+
+  test("TIFF predictor fuzz: byte flips in a predictor-2 file refuse or " +
+      "parse, never hang or escape ParseError") {
+    val base = Pdf.synthesize15(Seq("alpha", "beta"), xrefPredictor = 2)
+    val rnd = new scala.util.Random(142)
+    (0 until 150).foreach { i =>
+      val mut = base.clone()
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      }
+      try { Pdf.extract(mut); () }
+      catch {
+        case _: ParseError => ()
+        case e: Throwable => fail(s"fuzz $i escaped ParseError: $e")
+      }
+    }
+  }
+
+  test("encryption refusals NAME the algorithm: RC4 V1/V2, AESV2, AESV3, " +
+      "and unresolvable dictionaries stay generic") {
+    val ok = new String(Pdf.synthesize(Seq("secret")), "ISO-8859-1")
+    def refusal(encryptDict: String): String = {
+      val enc = ok.replace("/Root 1 0 R", s"/Root 1 0 R /Encrypt $encryptDict")
+      intercept[ParseError] { Pdf.extract(enc.getBytes("ISO-8859-1")) }.getMessage
+    }
+    assert(refusal("<< /Filter /Standard /V 1 >>").contains("RC4 40-bit (V1)"))
+    assert(refusal("<< /Filter /Standard /V 2 /Length 128 >>")
+      .contains("RC4 128-bit (V2)"))
+    assert(refusal("<< /V 4 /CF << /StdCF << /CFM /AESV2 >> >> >>")
+      .contains("AES-128 (V4 AESV2)"))
+    assert(refusal("<< /V 5 /CF << /StdCF << /CFM /AESV3 >> >> >>")
+      .contains("AES-256 (V5 AESV3)"))
+    assert(refusal("<< /V 5 >>").contains("AES-256 (V5 AESV3)"))
+    // a dangling reference can't classify but still refuses as encrypted
+    assert(refusal("9 0 R").contains("unresolvable"))
+    assert(refusal("9 0 R").contains("encrypted"))
+  }
+
   test("PDF 1.5 refusals: corrupt xref-stream data, truncated rows, " +
       "encryption in the stream dict — all inside the ParseError contract") {
     val bytes = Pdf.synthesize15(Seq("alpha", "beta"))
