@@ -19,10 +19,12 @@ import Multimodal.MediaItem
   * the real-world coverage arm. Stereo decodes through all four
   * channel assignments (independent L/R, left/side, side/right,
   * mid/side — integer decorrelation with the side channel one bit
-  * wider, the mid's lost LSB restored from the side's parity); the
-  * remaining refusals are genuinely non-subset shapes (>2 channels,
-  * 12/20-bit depths, variable blocking, negative QLP shift — all
-  * spec-reserved or vanishingly rare in the wild).
+  * wider, the mid's lost LSB restored from the side's parity); round
+  * 14 completes the depth matrix (8/12/16/20/24 — every sample-size
+  * code the frame header can name besides 32). The remaining refusals
+  * are genuinely non-subset shapes (>2 channels, 32-bit depth,
+  * variable blocking, negative QLP shift — spec-reserved or
+  * vanishingly rare in the wild).
   *
   * Decode restores the samples EXACTLY (lossless), so every gate is
   * closed-form: the oracle states the PCM, and the decoded FLAC must
@@ -123,8 +125,8 @@ object FlacPcm {
     require(meta.channels == 1 || meta.channels == 2,
       s"media $id: only mono/stereo FLAC decode is supported (${meta.channels} channels)")
     val bps = meta.bitsPerSample
-    require(bps == 8 || bps == 16 || bps == 24,
-      s"media $id: only 8/16/24-bit FLAC decode is supported ($bps)")
+    require(bps == 8 || bps == 12 || bps == 16 || bps == 20 || bps == 24,
+      s"media $id: only 8/12/16/20/24-bit FLAC decode is supported ($bps)")
     require(meta.totalSamples <= (1 << 26),
       s"media $id: stream too large for in-memory decode")
     // frames start after the last metadata block
@@ -391,10 +393,12 @@ object FlacPcm {
         lpcFor: Int => Option[(Array[Int], Int)] = _ => None,
         bps: Int = 16): Array[Byte] = {
       require(samples.nonEmpty, "FLAC fixture needs samples")
-      require(bps == 8 || bps == 16 || bps == 24, s"unsupported bit depth $bps")
+      require(bps == 8 || bps == 12 || bps == 16 || bps == 20 || bps == 24,
+        s"unsupported bit depth $bps")
       val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
       require(samples.forall(s => s >= lo && s <= hi), s"$bps-bit range")
-      val ssCode = bps match { case 8 => 1; case 16 => 4; case _ => 6 }
+      val ssCode = bps match {
+        case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case _ => 6 }
       val sMask = (1 << bps) - 1
       require((blockSize & ((1 << partitionOrder) - 1)) == 0,
         "partition order must divide block size")

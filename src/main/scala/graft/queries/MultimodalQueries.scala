@@ -813,6 +813,38 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm29: the FLAC DEPTH MATRIX — every sample size the frame
+    // header can name besides 32 (8/12/16/20/24, codes 1/2/4/5/6)
+    // round-trips through one gate, depth cycling by id and the signal
+    // range-scaled to each depth so every sample exercises the full
+    // coded width. Mixed FIXED orders and two Rice partitions per
+    // frame as in mm22. Lossless, so the oracle restates the original
+    // depth-scaled signal closed-form — one wrong sample-size decode
+    // (sign extension, residual width) anywhere breaks the hash.
+    "mm29_flac_depth_matrix" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bps = Seq(8, 12, 16, 20, 24)((id % 5).toInt)
+            val span = 1L << bps
+            val s = Array.tabulate(128)(i =>
+              (((id * 31 + i * 57 + i.toLong * i * (1 + id % 89)) % span) - span / 2).toInt)
+            val bytes = graft.ops.FlacPcm.FlacPcmEncoder.encode(
+              s, 8000, blockSize = 64,
+              orderFor = f => ((f + id) % 5).toInt,
+              partitionOrder = 1, bps = bps)
+            val dec = graft.ops.FlacPcm.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            var sum = 0L; var energy = 0L
+            dec.foreach { v => sum += v; energy += v.toLong * v }
+            (id, bps.toLong, dec.length.toLong, sum, energy)
+          }
+        }
+        .toDF("media_id", "bits_per_sample", "n_samples", "sum_samples", "sum_energy")
+        .orderBy("media_id")
+    }),
+
     // ---- mm23: REAL LPC DECODE — the general-predictor subframes wild
     // FLAC is overwhelmingly encoded with (r12 refused them; r13 decodes
     // them). Each document's sawtooth encodes with LPC order 1+id%8
@@ -1126,6 +1158,25 @@ object MultimodalQueries {
         |  CAST(SUM(s) AS BIGINT) AS sum_samples,
         |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // the depth-scaled signal restated per id's depth: span = 2^bps
+    "mm29_flac_depth_matrix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 12 WHEN 2 THEN 16
+        |      WHEN 3 THEN 20 ELSE 24 END AS bps
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, bps,
+        |    ((doc_id * 31 + i * 57 + i * i * (1 + doc_id % 89))
+        |      % CAST(POWER(2, bps) AS BIGINT))
+        |      - CAST(POWER(2, bps) AS BIGINT) / 2 AS s
+        |  FROM d, unnest(range(0, 128)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(bps AS BIGINT) AS bits_per_sample,
+        |  CAST(128 AS BIGINT) AS n_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
+        |FROM sm GROUP BY doc_id, bps ORDER BY media_id""".stripMargin,
 
     // LPC subframes are lossless too: the decoded stream must restate
     // the original sawtooth exactly, whatever predictor encoded it.

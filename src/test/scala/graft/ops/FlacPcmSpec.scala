@@ -183,6 +183,33 @@ class FlacPcmSpec extends SparkSpec {
     assert(e.getMessage.contains("8-bit range"), e.getMessage)
   }
 
+  test("12-bit and 20-bit mono complete the depth matrix, FIXED and LPC arms") {
+    val s12 = Array.tabulate(200)(i => ((i * 137 + 19) % 4096) - 2048)
+    (0 to 2).foreach { o =>
+      val b = FlacPcm.FlacPcmEncoder.encode(s12, 8000, blockSize = 64,
+        orderFor = _ => o, partitionOrder = 1, bps = 12)
+      assert(FlacPcm.decode(MediaItem(320L + o, b)).toSeq == s12.toSeq, s"12-bit o$o")
+    }
+    val s20 = Array.tabulate(200)(i =>
+      (((i * 104729L + 7) * (i + 3)) % 1000000L - 500000L).toInt)
+    assert(s20.forall(v => v >= -(1 << 19) && v < (1 << 19)))
+    val b20 = FlacPcm.FlacPcmEncoder.encode(s20, 8000, blockSize = 64,
+      orderFor = _ => 2, partitionOrder = 1, bps = 20)
+    assert(FlacPcm.decode(MediaItem(330L, b20)).toSeq == s20.toSeq)
+    val lpc20 = FlacPcm.FlacPcmEncoder.encode(s20, 8000, blockSize = 64,
+      orderFor = _ => 0, lpcFor = _ => Some((Array(2, -1), 0)), bps = 20)
+    assert(FlacPcm.decode(MediaItem(331L, lpc20)).toSeq == s20.toSeq)
+    // per-depth encode ranges still fence
+    val e12 = intercept[IllegalArgumentException] {
+      FlacPcm.FlacPcmEncoder.encode(Array(2048), 8000, 64, _ => 0, bps = 12): Unit
+    }
+    assert(e12.getMessage.contains("12-bit range"), e12.getMessage)
+    val e20 = intercept[IllegalArgumentException] {
+      FlacPcm.FlacPcmEncoder.encode(Array(1 << 19), 8000, 64, _ => 0, bps = 20): Unit
+    }
+    assert(e20.getMessage.contains("20-bit range"), e20.getMessage)
+  }
+
   // ---------------------------------------------------------- stereo
 
   test("stereo round-trip: all four channel assignments decode lossless " +
