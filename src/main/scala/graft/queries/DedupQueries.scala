@@ -729,7 +729,7 @@ object DedupQueries {
 
   /** The full self-contained links derivation over one corpus dir
     * (package-visible: PlanSpec asserts the BUILD's join shape). */
-  private[queries] def erPairsDerive(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def erPairsDerive(spark: SparkSession, dir: String): DataFrame = {
     val base = erBase(spark, dir)
     val dirty = erDirty(base)
     val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")

@@ -1131,9 +1131,9 @@ object SimilarityQueries {
     *    the broadcast-safe rerank budget; measured recall@10 = 0.99 at
     *    n=2000 under these (0.75 with the old fixed knobs), spec-pinned
     *    >= 0.8 by PqRecallSpec. */
-  private[queries] def pqK(n: Long): Int =
+  private[graft] def pqK(n: Long): Int =
     math.max(16L, math.min(256L, (n + 31) / 32)).toInt
-  private[queries] def pqShortlist(n: Long): Int =
+  private[graft] def pqShortlist(n: Long): Int =
     math.max(100L, math.min(4096L, (n + 4) / 5)).toInt
   private val pqKSql: String =
     "(SELECT GREATEST(16, LEAST(256, (COUNT(*) + 31) // 32)) FROM embeddings)"
