@@ -159,8 +159,9 @@ object Adpcm extends Serializable {
   /** Metadata twin for the sniffing dispatch (the FlacMetaDecoder
     * shape: width = rate/100, height = channels, frameCount = whole
     * seconds): routes WAVE by format tag — 1 (PCM) through WavDecoder,
-    * 0x11 (IMA ADPCM) through [[decode]] — so the mm25 quarantine
-    * family covers both WAV generations with one signature. */
+    * 6/7 (G.711 A-law/µ-law) through [[G711.decode]], 0x11 (IMA ADPCM)
+    * through [[decode]] — so the mm25 quarantine family covers every
+    * WAV generation with one signature. */
   object WaveMetaDecoder extends Multimodal.Decoder {
     override def decode(item: MediaItem): Multimodal.MediaMeta = {
       val p = item.payload
@@ -179,6 +180,7 @@ object Adpcm extends Serializable {
       }
       val a = tag match {
         case 1 => Multimodal.WavDecoder.decodeAudio(item)
+        case 6 | 7 => G711.decode(item) // A-law / µ-law companding
         case 0x11 => Adpcm.decode(item)
         case other => throw new IllegalArgumentException(
           s"media ${item.mediaId}: unsupported WAVE format tag $other")

@@ -845,6 +845,36 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm30: REAL G.711 DECODE (ops.G711) — the telephony corpus
+    // formats (WAVE tags 6/7: A-law and µ-law companding), the third
+    // compressed-audio codec to leave the stub. G.711 expands each
+    // byte by exactly-specified integer arithmetic (sign, segment,
+    // mantissa, bias), so the gate is fully exact: each document's
+    // payload is a quadratic byte series shifted by id (the shift
+    // sweeps every code point across the corpus, and per-doc sums stay
+    // id-dependent), the law alternates by id parity, and the oracle
+    // restates the expansion formula in SQL — one wrong segment shift
+    // or sign anywhere breaks the hash.
+    // Decode is partition-local; payloads never shuffle.
+    "mm30_g711_audio" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val tag = if (id % 2 == 0) 7 else 6 // µ-law / A-law
+            val data = Array.tabulate(256)(i => ((i.toLong * i + id) % 256).toByte)
+            val bytes = graft.ops.G711.encodeWav(tag, 8000, 1, data)
+            val dec = graft.ops.G711.decode(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            var sum = 0L; var energy = 0L
+            dec.samples.foreach { v => sum += v; energy += v.toLong * v }
+            (id, tag.toLong, dec.samples.length.toLong, sum, energy)
+          }
+        }
+        .toDF("media_id", "fmt_tag", "n_samples", "sum_samples", "sum_energy")
+        .orderBy("media_id")
+    }),
+
     // ---- mm23: REAL LPC DECODE — the general-predictor subframes wild
     // FLAC is overwhelmingly encoded with (r12 refused them; r13 decodes
     // them). Each document's sawtooth encodes with LPC order 1+id%8
@@ -1158,6 +1188,36 @@ object MultimodalQueries {
         |  CAST(SUM(s) AS BIGINT) AS sum_samples,
         |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // the full G.711 expansion restated in SQL: µ-law via the biased
+    // segment form on the complemented byte, A-law via the 0x55-toggled
+    // segment table; signs per the spec's conventions (µ: bit7 of ~n
+    // set => negative; A: bit7 of n^0x55 set => positive)
+    "mm30_g711_audio" ->
+      """WITH raw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS tag,
+        |    (i * i + doc_id) % 256 AS n
+        |  FROM documents, unnest(range(0, 256)) AS u(i)),
+        |dec AS (
+        |  SELECT doc_id, tag,
+        |    CASE WHEN tag = 7 THEN
+        |      (CASE WHEN (255 - n) >= 128 THEN -1 ELSE 1 END) *
+        |      (((((255 - n) % 16) * 8 + 132) << (((255 - n) // 16) % 8)) - 132)
+        |    ELSE
+        |      (CASE WHEN xor(n, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN ((xor(n, 85) // 16) % 8) = 0
+        |              THEN (xor(n, 85) % 16) * 16 + 8
+        |            WHEN ((xor(n, 85) // 16) % 8) = 1
+        |              THEN (xor(n, 85) % 16) * 16 + 264
+        |            ELSE ((xor(n, 85) % 16) * 16 + 264)
+        |                   << (((xor(n, 85) // 16) % 8) - 1) END)
+        |    END AS s
+        |  FROM raw)
+        |SELECT doc_id AS media_id, CAST(tag AS BIGINT) AS fmt_tag,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_energy
+        |FROM dec GROUP BY doc_id, tag ORDER BY media_id""".stripMargin,
 
     // the depth-scaled signal restated per id's depth: span = 2^bps
     "mm29_flac_depth_matrix" ->
