@@ -161,6 +161,45 @@ object TextIndex {
       .limit(k)
   }
 
+  /** CONJUNCTIVE (AND) retrieval: only documents containing EVERY query
+    * term rank, scored by the same BM25 arithmetic as [[searchBm25]].
+    * The intersection runs on the pruned posting lists themselves
+    * (group by doc_id, keep count(distinct term) == |terms|) — cost
+    * still tracks the query terms' posting lists, never the corpus,
+    * and the most selective term bounds the candidate set the way a
+    * production conjunctive engine's shortest-list-first walk does. */
+  def searchBm25All(spark: SparkSession, index: Path, terms: Seq[String],
+      k: Int): DataFrame = {
+    val distinct = terms.distinct
+    val posts = distinct.map { term =>
+      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(term))
+    }.reduce(_ unionByName _)
+    val all = posts.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("__nt"))
+      .filter(col("__nt") === distinct.size)
+      .select("doc_id")
+    val dfRel = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = TxLog.readAt(spark, statsDir(index))
+      .select(col("n_docs"),
+        (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    posts.join(broadcast(all), Seq("doc_id"), "left_semi")
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf").cast("double") /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(1.0) - 0.75 +
+              lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .as("part"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** The end-user search shape: BM25 rank from the INDEX, then fetch
     * the winners' FULL ROWS from the corpus — the top-k ids (k-sized,
     * driver-held by construction) turn into a stats-pruned corpus read
@@ -181,6 +220,35 @@ object TextIndex {
       .filter(col(idCol).isin(ids.map(Long.box).toSeq: _*))
       .join(broadcast(scores), idCol)
       .orderBy(col("score").desc, col(idCol).asc)
+  }
+
+  /** Postings of an explicit TERM SET — the decontamination primitive:
+    * the query terms (benchmark-sized by contract, the pruneDeleted
+    * discipline) each resolve to their covering clustered files by a
+    * driver-side stats intersection (sorted-hash binary search per
+    * file), so the scan reads only files that can hold ANY queried
+    * term — |terms| point reads on a 100 TB index, never an index
+    * scan. Exact terms re-checked by semi-join, so 64-bit collisions
+    * cost nothing; the term_hash in-filter pushes into the parquet
+    * scan when the set is small enough to inline. */
+  def postingsForTerms(spark: SparkSession, index: Path, terms: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    val t = terms.select(col(termCol).as("term")).distinct()
+      .withColumn("term_hash", xxhash64(col("term")))
+      .localCheckpoint(true) // hashed once: feeds the prune AND the re-check
+    val hashes = t.select("term_hash").collect().map(_.getLong(0)).sorted
+    val snap = TxLog.snapshotAt(index)
+    val files = snap.files.filter { f =>
+      val i = java.util.Arrays.binarySearch(hashes, f.minKey)
+      val from = if (i >= 0) i else -i - 1
+      from < hashes.length && hashes(from) <= f.maxKey
+    }
+    val base = TxLog.readFiles(spark, index, files)
+    val pushed =
+      if (hashes.length <= 1000)
+        base.filter(col("term_hash").isin(hashes.map(Long.box).toSeq: _*))
+      else base
+    pushed.join(broadcast(t.select("term")), Seq("term"), "left_semi")
   }
 
   /** Remove the postings of deleted documents — churn-sized merge-on-

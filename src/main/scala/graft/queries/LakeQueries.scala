@@ -1975,6 +1975,54 @@ object LakeQueries {
         lit(same).as("matches_rebuild"))
     }),
 
+    // ---- tix07: CONJUNCTIVE (AND) RETRIEVAL from the persisted index
+    // — the other half of the retrieval algebra tix01's OR-of-terms
+    // serves: only documents containing EVERY query term rank, same
+    // BM25 arithmetic. The intersection runs on the pruned posting
+    // lists (group-by + distinct-term count), so cost still tracks the
+    // query terms' lists, never the corpus; the oracle is t14's chain
+    // with the conjunctive HAVING — one shared scoring definition
+    // cross-gates both retrieval modes.
+    "tix07_conjunctive_search" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
+      val index = corpus.resolveSibling("ix")
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TextIndex.searchBm25All(spark, index, Seq("spark", "join", "filter"), 20)
+    }),
+
+    // ---- cont04: INDEX-ACCELERATED DECONTAMINATION — cont01/cont02
+    // screen by scanning the corpus grams per benchmark (broadcast or
+    // bloom prefilter); at 100 TB the corpus is huge and STATIC while
+    // benchmarks arrive repeatedly, so the production shape inverts:
+    // index the corpus's 4-gram fingerprints ONCE as a persisted text
+    // index (grams md5'd to space-free tokens, so the t14 tokenizer is
+    // the gram tokenizer), then each benchmark costs |bench-grams|
+    // point reads — driver-side stats intersection prunes the clustered
+    // postings to the covering files, the exact gram re-checked by
+    // semi-join. Same semantics as cont01, so ITS oracle cross-gates
+    // the scan path and the indexed path.
+    "cont04_indexed_decontamination" -> ((spark: SparkSession, dir: String) => {
+      val gramText = t(spark, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          expr("array_join(transform(sequence(1, size(split(text, ' ')) - 3), " +
+            "i -> md5(array_join(slice(split(text, ' '), i, 4), ' '))), ' ')")
+            .as("text"))
+      val corpus = freshTable()
+      TxLog.append(spark, gramText.filter(col("doc_id") % 97 =!= 0),
+        corpus, "doc_id", nParts = 4)
+      val index = corpus.resolveSibling("ix")
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      val bench = gramText.filter(col("doc_id") % 97 === 0)
+        .select(explode(split(col("text"), " ")).as("term")).distinct()
+      TextIndex.postingsForTerms(spark, index, bench)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("n_hit_grams"))
+        .orderBy("doc_id")
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -2916,6 +2964,24 @@ object LakeQueries {
             |   WHERE NOT (doc_id % 11 = 3 OR doc_id % 13 = 7)) AS n_docs_live,
             |  TRUE AS matches_rebuild
             |FROM scored""".stripMargin)),
+
+    // tix07: the conjunctive variant — t14's scoring chain restricted
+    // to docs carrying all three query terms.
+    "tix07_conjunctive_search" ->
+      TextIndexOracle.replace("GROUP BY tf.doc_id)",
+        "GROUP BY tf.doc_id\n  HAVING COUNT(*) = 3)"),
+
+    // cont04: cont01's exact semantics through the persisted gram
+    // index — one oracle cross-gates the scan and indexed paths.
+    "cont04_indexed_decontamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gram
+        |  FROM documents)
+        |SELECT c.doc_id AS doc_id, COUNT(DISTINCT c.gram) AS n_hit_grams
+        |FROM g c JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b ON c.gram = b.gram
+        |WHERE c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,
