@@ -222,6 +222,71 @@ object TextIndex {
       .orderBy(col("score").desc, col(idCol).asc)
   }
 
+  private def posDir(index: Path): Path = index.resolveSibling(index.getFileName + "_pos")
+  private def posFilesDir(index: Path): Path = index.resolveSibling(index.getFileName + "_pos_files")
+
+  /** POSITIONAL postings — the OPTIONAL sibling table phrase queries
+    * need: one row per term OCCURRENCE (term_hash, term, doc_id, pos),
+    * range-clustered by term_hash like the frequency postings, with
+    * its own watermark under the same diff + doc_id-anti-join
+    * discipline (idempotent under redelivery, compaction-proof).
+    * Kept separate from [[ensureIndexed]]'s table so BM25 serving
+    * never pays the ~dl-times-larger occurrence rows. */
+  def ensurePositional(spark: SparkSession, corpus: Path, index: Path,
+      idCol: String = "doc_id", textCol: String = "text",
+      nClusters: Int = 8): Long = {
+    val pd = posDir(index)
+    val wm = posFilesDir(index)
+    val snap = TxLog.snapshotAt(corpus)
+    val indexed: Set[String] =
+      if (TxLog.versions(wm).isEmpty) Set.empty
+      else TxLog.readAt(spark, wm)
+        .select("file_name").collect().map(_.getString(0)).toSet
+    val newFiles = snap.files.filterNot(f => indexed(f.path))
+    if (newFiles.isEmpty) return 0L
+    val docs = TxLog.readFiles(spark, corpus, newFiles)
+    val fresh0 = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(xxhash64(col("term")).as("term_hash"), col("term"),
+        col("doc_id"), col("pos"))
+    val fresh =
+      if (indexed.isEmpty) fresh0
+      else fresh0.join(
+        TxLog.readAt(spark, pd).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val nNew = fresh.select("doc_id").distinct().count()
+    if (nNew > 0)
+      TxLog.appendClustered(spark, fresh, pd, "term_hash",
+        clusterBucket(nClusters), nClusters): Unit
+    import spark.implicits._
+    TxLog.append(spark,
+      newFiles.map(_.path).toDF("file_name"), wm, "file_name"): Unit
+    nNew
+  }
+
+  /** EXACT-PHRASE search from the positional index: each term's pruned
+    * occurrence list is read as (doc_id, pos - i) — aligning a match's
+    * occurrences to one shared start position — and the |phrase|-way
+    * equi-join keeps exactly the starts where every term sits at its
+    * offset. Cost tracks the phrase terms' occurrence lists (the rarest
+    * term bounds the join), never the corpus: the exact-substring
+    * decontamination primitive served from a lake artifact. Returns
+    * (doc_id, n_occurrences) for matching documents. */
+  def searchPhrase(spark: SparkSession, index: Path, phrase: String): DataFrame = {
+    val terms = phrase.split(" ").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "searchPhrase needs a non-empty phrase")
+    val reads = terms.zipWithIndex.map { case (term, i) =>
+      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      TxLog.readAt(spark, posDir(index), range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(term))
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+    }
+    reads.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Postings of an explicit TERM SET — the decontamination primitive:
     * the query terms (benchmark-sized by contract, the pruneDeleted
     * discipline) each resolve to their covering clustered files by a
@@ -308,7 +373,18 @@ object TextIndex {
         clusterBucket(nClusters), nClusters): Unit
     if (TxLog.snapshotAt(filesDir(index)).files.size > 1)
       TxLog.compact(spark, filesDir(index), "file_name", nParts = 1): Unit
-    val reclaimed = Seq(index, statsDir(index), filesDir(index), metaDir(index))
+    // the positional sibling (if built) degrades the same two ways —
+    // fold its increments and watermark back too
+    if (TxLog.versions(posDir(index)).nonEmpty) {
+      ensurePositional(spark, corpus, index, idCol, textCol, nClusters): Unit
+      if (TxLog.snapshotAt(posDir(index)).files.nonEmpty)
+        TxLog.compactClustered(spark, posDir(index), "term_hash",
+          clusterBucket(nClusters), nClusters): Unit
+      if (TxLog.snapshotAt(posFilesDir(index)).files.size > 1)
+        TxLog.compact(spark, posFilesDir(index), "file_name", nParts = 1): Unit
+    }
+    val reclaimed = Seq(index, statsDir(index), filesDir(index), metaDir(index),
+        posDir(index), posFilesDir(index))
       .map { t =>
         if (TxLog.versions(t).isEmpty) 0
         else TxLog.vacuum(t, keepVersions = math.max(1, vacuumKeep),

@@ -2023,6 +2023,28 @@ object LakeQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- tix08: EXACT-PHRASE SEARCH from POSITIONAL postings — the
+    // retrieval mode frequency postings cannot serve (tix01's BM25 is
+    // a bag-of-words): an optional sibling table records every term
+    // OCCURRENCE (term_hash, term, doc_id, pos), range-clustered and
+    // watermarked like the postings, and a phrase query aligns each
+    // term's pruned occurrence list to a shared start (pos - offset)
+    // so the |phrase|-way equi-join keeps exactly the true matches.
+    // The exact-substring decontamination primitive as a lake
+    // artifact: cost tracks the rarest term's occurrences, never the
+    // corpus. Built incrementally across two arrivals here, so the
+    // watermark discipline is in-gate.
+    "tix08_phrase_search" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val index = corpus.resolveSibling("ix")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      TextIndex.searchPhrase(spark, index, "stream table hash")
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -2982,6 +3004,15 @@ object LakeQueries {
         |FROM g c JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b ON c.gram = b.gram
         |WHERE c.doc_id % 97 <> 0
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // tix08: every 3-token window equal to the phrase, counted per doc
+    "tix08_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |occ AS (
+        |  SELECT doc_id FROM d, unnest(range(1, len(ws) - 1)) AS u(i)
+        |  WHERE array_to_string(ws[i:i+2], ' ') = 'stream table hash')
+        |SELECT doc_id, COUNT(*) AS n_occurrences
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,

@@ -140,6 +140,42 @@ class TextIndexSpec extends SparkSpec {
     assert(st.getLong(0) == 78L) // 60 - 2 deleted + 20 new
   }
 
+  test("positional index: phrase alignment, incremental build, overlapping phrases, maintain re-clusters") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix8")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    val mk = (id: Long, text: String) => Seq((id, text)).toDF("doc_id", "text")
+    TxLog.append(spark, mk(1L, "a b c a b c x"), corpus, "doc_id", nParts = 1)
+    TxLog.append(spark, mk(2L, "b c a b"), corpus, "doc_id", nParts = 1)
+    assert(TextIndex.ensurePositional(spark, corpus, index) == 2L)
+    // doc 1 holds "a b c" at starts 0 and 3; doc 2 holds none ("a b" only)
+    val r1 = TextIndex.searchPhrase(spark, index, "a b c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((1L, 2L)))
+    // cross-boundary phrase: "b c a b" spans the repeat in doc 1
+    // (b1 c2 a3 b4) and is all of doc 2
+    assert(TextIndex.searchPhrase(spark, index, "b c a b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L)))
+    // incremental arrival + redelivery idempotence
+    TxLog.append(spark, mk(3L, "z a b c"), corpus, "doc_id", nParts = 1)
+    assert(TextIndex.ensurePositional(spark, corpus, index) == 1L)
+    assert(TextIndex.ensurePositional(spark, corpus, index) == 0L)
+    val r2 = TextIndex.searchPhrase(spark, index, "a b c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r2 == Seq((1L, 2L), (3L, 1L)))
+    // maintain folds the positional increments too; serving unchanged.
+    // (the frequency index must exist for maintain's meta/read path)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    val filesBefore = TxLog.snapshotAt(base.resolve("ix_pos")).files.size
+    TextIndex.maintain(spark, corpus, index): Unit
+    val filesAfter = TxLog.snapshotAt(base.resolve("ix_pos")).files.size
+    assert(filesAfter <= filesBefore)
+    assert(TextIndex.searchPhrase(spark, index, "a b c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == r2)
+  }
+
   test("pruneDeleted is idempotent under redelivery: a replayed key set never double-shrinks the stats") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_tix7")
