@@ -2045,6 +2045,37 @@ object LakeQueries {
       TextIndex.searchPhrase(spark, index, "stream table hash")
     }),
 
+    // ---- tix09: the positional index's STREAMING TWIN — the tix03
+    // discipline holds for every persisted artifact, including the new
+    // occurrence table: a graft-lake tail of the corpus triggers
+    // ensurePositional per micro-batch (watermark diff + doc_id
+    // anti-join = idempotent under crash-redelivery), and the streamed
+    // index must serve EXACTLY the phrase counts tix08's batch build
+    // serves — one oracle cross-gates both maintenance paths.
+    "tix09_streaming_positional" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val index = corpus.resolveSibling("ix")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      TxLog.append(spark, d.filter(col("doc_id") % 4 === 1), corpus, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 4 === 3), corpus, "doc_id", nParts = 2)
+      val ckpt = Files.createTempDirectory("graft_tix9_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("maxVersionsPerBatch", "1")
+        .load(corpus.toString)
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          TextIndex.ensurePositional(spark, corpus, index): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      TextIndex.searchPhrase(spark, index, "stream table hash")
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -2395,6 +2426,16 @@ object LakeQueries {
   /** t14's BM25 oracle, shared by the persisted-index gates: same
     * tokenizer, always-positive idf, k1=1.2/b=0.75, round-6 + doc_id
     * tie-break. */
+  /** Phrase-count oracle shared by the batch (tix08) and streaming
+    * (tix09) positional builds. */
+  private val PhraseOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |occ AS (
+      |  SELECT doc_id FROM d, unnest(range(1, len(ws) - 1)) AS u(i)
+      |  WHERE array_to_string(ws[i:i+2], ' ') = 'stream table hash')
+      |SELECT doc_id, COUNT(*) AS n_occurrences
+      |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val TextIndexOracle: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |stats AS (
@@ -3006,13 +3047,11 @@ object LakeQueries {
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
 
     // tix08: every 3-token window equal to the phrase, counted per doc
-    "tix08_phrase_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |occ AS (
-        |  SELECT doc_id FROM d, unnest(range(1, len(ws) - 1)) AS u(i)
-        |  WHERE array_to_string(ws[i:i+2], ' ') = 'stream table hash')
-        |SELECT doc_id, COUNT(*) AS n_occurrences
-        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tix08_phrase_search" -> PhraseOracle,
+
+    // tix09: the streamed positional build must serve the identical
+    // phrase counts — tix08's oracle verbatim
+    "tix09_streaming_positional" -> PhraseOracle,
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,

@@ -21,6 +21,22 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("cont04/tix08: index-side serving never scans the corpus lake table") {
+    // cont04's screening must resolve through the persisted gram index
+    // (+ the benchmark's own parquet read) — the corpus lake table
+    // ('tbl') entering the plan would mean the 100 TB story is a scan
+    val c = SparkEntry.queries("cont04_indexed_decontamination")(spark, sf0001)
+    val cf = c.inputFiles.toSeq
+    assert(cf.forall(f => !f.contains("/tbl/")),
+      s"cont04 screening leaked a corpus scan: $cf")
+    assert(cf.exists(_.contains("/ix/")), s"cont04 must read the gram index: $cf")
+    // tix08's phrase serve reads ONLY the positional sibling
+    val p = SparkEntry.queries("tix08_phrase_search")(spark, sf0001)
+    val pf = p.inputFiles.toSeq
+    assert(pf.nonEmpty && pf.forall(_.contains("/ix_pos/")),
+      s"tix08 must serve from the positional postings alone: $pf")
+  }
+
   test("bucket01: bucketed co-located join plans with ZERO exchanges") {
     val p = plan("bucket01_colocated_join")
     // the join must read bucket i of both sides into one task: in the
