@@ -812,6 +812,16 @@ object SimilarityQueries {
         graft.ops.Ann.assignToCentroids(growth, centLake), assignTable,
         "cent_id", clusterCol = col("cent_id"), nClusters = 2)
       // query purely from the persisted index
+      serveLakeAnn(spark, dir, centLake, graft.ops.TxLog.readAt(spark, assignTable))
+  }
+
+  /** sim07's SERVING plan alone (2-probe IVF from lake relations) —
+    * shared by sim07's gate, sim13's delete-propagation gate, and the
+    * serve-only bench lane. */
+  private[graft] def serveLakeAnn(spark: SparkSession, dir: String,
+      centLake: DataFrame, assignLake: DataFrame): DataFrame = {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val probeW = Window.partitionBy(col("q_id"))
@@ -821,7 +831,6 @@ object SimilarityQueries {
           expr(cosExpr("q_emb", "cent_emb")).as("p_cos"))
         .withColumn("prk", row_number().over(probeW)).filter(col("prk") <= 2)
         .select(col("q_id"), col("q_emb"), col("cent_id"))
-      val assignLake = graft.ops.TxLog.readAt(spark, assignTable)
       val scored = probes.join(assignLake, Seq("cent_id"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("c_id"), col("label"),
@@ -883,26 +892,64 @@ object SimilarityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // probe purely from the persisted, stream-maintained index
-      val qs = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(col("p_cos").desc, col("cent_id").asc)
-      val probes = qs.join(broadcast(centLake.select(col("cent_id"), col("cent_emb"))),
-          lit(true))
-        .select(col("q_id"), col("q_emb"), col("cent_id"),
-          expr(cosExpr("q_emb", "cent_emb")).as("p_cos"))
-        .withColumn("prk", row_number().over(probeW)).filter(col("prk") <= 2)
-        .select(col("q_id"), col("q_emb"), col("cent_id"))
-      val assignLake = graft.ops.TxLog.readAt(spark, assignTable)
-      val scored = probes.join(assignLake, Seq("cent_id"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"), col("label"),
-          expr(cosExpr("q_emb", "embedding")).as("cosine"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cosine"))
-        .orderBy("q_id", "rk")
+      // probe purely from the persisted, stream-maintained index —
+      // sim07's serving plan, one shared definition
+      serveLakeAnn(spark, dir, centLake, graft.ops.TxLog.readAt(spark, assignTable))
+    }),
+
+    // ---- sim13: DELETE PROPAGATION into the persisted ANN index — the
+    // tix06 discipline applied to vectors (the GDPR flow a vector lake
+    // owes): vectors leave the bronze corpus AFTER the index is built;
+    // the corpus's CDF tail turns each micro-batch's delete rows into a
+    // merge-on-read delete on the ASSIGNMENTS table (churn-sized DV
+    // commits, exactly-once by idempotence — a redelivered batch's keys
+    // are already DV'd). The trained quantizer (centroids) stays — a
+    // trained artifact never invalidates — but deleted vectors must
+    // vanish from every probe's candidates: the oracle is sim07's chain
+    // with the deleted residue class excluded from `assigned` only.
+    "sim13_index_delete_propagation" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val c0 = emb.filter(col("vec_id") % 10 =!= 9)
+      val growth = emb.filter(col("vec_id") % 10 === 9)
+      val cent = refinedIvfCentroids(c0)
+      val centTable = freshTable()
+      val assignTable = freshTable()
+      val bronze = freshTable()
+      graft.ops.TxLog.append(spark, cent, centTable, "cent_id", nParts = 1)
+      graft.ops.TxLog.appendClustered(spark,
+        graft.ops.Ann.assignToCentroids(c0, cent), assignTable,
+        "cent_id", clusterCol = col("cent_id"), nClusters = 8)
+      val centLake = graft.ops.TxLog.readAt(spark, centTable)
+      graft.ops.TxLog.appendClustered(spark,
+        graft.ops.Ann.assignToCentroids(growth, centLake), assignTable,
+        "cent_id", clusterCol = col("cent_id"), nClusters = 2)
+      // bronze corpus: all vectors; the deletes land after the build
+      graft.ops.TxLog.append(spark,
+        emb.select(col("vec_id").cast("bigint").as("vec_id"),
+          col("embedding"), col("label")),
+        bronze, "vec_id", nParts = 2)
+      graft.ops.TxLog.deleteMor(spark, bronze,
+        emb.filter(col("vec_id") % 9 === 8)
+          .select(col("vec_id").cast("bigint").as("vec_id")), "vec_id"): Unit
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sim13_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(bronze.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val dels = b.filter(col("_change_type") === "delete")
+            .select(col("vec_id")).distinct()
+          if (!dels.isEmpty)
+            graft.ops.TxLog.deleteMor(spark, assignTable, dels, "vec_id"): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      serveLakeAnn(spark, dir, centLake, graft.ops.TxLog.readAt(spark, assignTable))
     }),
 
     // ---- sim11: STREAMING maintenance of the persisted PQ index — the
@@ -1506,6 +1553,12 @@ object SimilarityQueries {
     // paths.
     "sim07_lake_ann" -> sim07Sql,
     "sim08_streaming_index" -> sim07Sql,
+
+    // sim13: sim07's chain with the deleted residue class excluded
+    // from the CANDIDATES only — the trained coarse quantizer stays
+    "sim13_index_delete_propagation" ->
+      sim07Sql.replace("FROM embeddings e CROSS JOIN cent)",
+        "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8)"),
 
     // the streaming PQ tail must converge to sim10's exact rows: ONE
     // oracle cross-gates the batch-increment and streaming maintenance
