@@ -769,12 +769,15 @@ object SimilarityQueries {
   /** The exact ground truth in the SAME metric the ADC rerank ranks by
     * (quantized squared L2), full-corpus, per query 0..3 — so knn06's
     * recall isolates exactly the IVF-pruning + shortlist loss. */
-  private def exactQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+  private def exactQuantizedTopK(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val qz = graft.ops.Clustering.quantize(emb, "vec_id", "embedding")
     val q = qz.filter(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"), col("q").as("qq"))
-    val scored = qz.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    // `keep` restricts the CANDIDATE corpus (knn08's post-delete ground
+    // truth); queries always rank
+    val scored = qz.filter(keep).join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         expr("cast(floor(aggregate(zip_with(q, qq, (a, b) -> " +
           "(cast(a as double) - cast(b as double)) * " +
@@ -895,6 +898,57 @@ object SimilarityQueries {
       // probe purely from the persisted, stream-maintained index —
       // sim07's serving plan, one shared definition
       serveLakeAnn(spark, dir, centLake, graft.ops.TxLog.readAt(spark, assignTable))
+    }),
+
+    // ---- knn08: DELETE PROPAGATION through BOTH IVFADC halves in ONE
+    // TRANSACTION per micro-batch — sim13's flow applied to the
+    // composed index, with knn06's atomicity discipline inverted for
+    // deletes: a crash can never leave a vector coarse-listed but
+    // code-less OR code-listed but unprobeable, because the
+    // assignments' and codes' merge-on-read deletes commit together
+    // (TxLog.transact, churn-sized DV sidecars). The trained quantizers
+    // (centroids, codebook) stay; the recall gate re-baselines the
+    // exact ground truth on the SURVIVING corpus, so a deleted vector
+    // leaking into any ADC pass breaks the hash.
+    "knn08_ivfadc_delete" -> ((spark: SparkSession, dir: String) => {
+      val (centT, assignT, cbT, codeT) = buildLakeIvfPq(spark, dir)
+      val emb = t(spark, dir, "embeddings")
+      val bronze = freshTable()
+      graft.ops.TxLog.append(spark,
+        emb.select(col("vec_id").cast("bigint").as("vec_id"),
+          col("embedding"), col("label")),
+        bronze, "vec_id", nParts = 2)
+      graft.ops.TxLog.deleteMor(spark, bronze,
+        emb.filter(col("vec_id") % 9 === 8)
+          .select(col("vec_id").cast("bigint").as("vec_id")), "vec_id"): Unit
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_knn8_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(bronze.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val dels = b.filter(col("_change_type") === "delete")
+            .select(col("vec_id")).distinct().localCheckpoint(true)
+          if (!dels.isEmpty)
+            graft.ops.TxLog.transact(spark, Seq(
+              graft.ops.TxLog.TxnDeleteMor(assignT, dels, "vec_id"),
+              graft.ops.TxLog.TxnDeleteMor(codeT, dels, "vec_id"))): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val approx = serveLakeIvfAdc(spark, dir, centT, assignT, cbT, codeT)
+        .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+      val exact = exactQuantizedTopK(spark, dir, keep = col("vec_id") % 9 =!= 8)
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .orderBy("q_id")
     }),
 
     // ---- sim13: DELETE PROPAGATION into the persisted ANN index — the
@@ -1544,6 +1598,17 @@ object SimilarityQueries {
     // streaming-transaction growth must converge to the batch-
     // transaction index exactly: knn06's oracle, verbatim
     "knn07_streaming_ivfadc" -> knn06Sql,
+
+    // knn08: knn06's chain with the deleted residue class excluded
+    // from the SERVED relations (codes, home lists) and the exact
+    // ground truth — the trained quantizer CTEs stay untouched
+    "knn08_ivfadc_delete" -> knn06Sql
+      .replaceAll("cid AS code FROM a2_(\\d+)",
+        "cid AS code FROM a2_$1 WHERE vec_id % 9 <> 8")
+      .replace("FROM embeddings e CROSS JOIN cent) WHERE ark = 1)",
+        "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8) WHERE ark = 1)")
+      .replace("FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id)",
+        "FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id AND e.vec_id % 9 <> 8)"),
 
     // The persisted index is semantically sim02 with centroids drawn
     // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —
