@@ -87,6 +87,27 @@ object LifecycleBench {
       TextIndex.fetchTopDocs(spark, corpus, tix, Seq("spark", "join", "filter"), 5).count()
     }
 
+    // ---- ann (sim07/sim08/sim13 serving): 2-probe IVF from lake tables
+    var annState: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+    lane("ann") {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cent = SimilarityQueries.refinedIvfCentroids(emb)
+      val centT = work.resolve("cent"); val assignT = work.resolve("assign")
+      TxLog.append(spark, cent, centT, "cent_id", nParts = 1)
+      TxLog.appendClustered(spark, graft.ops.Ann.assignToCentroids(emb, cent),
+        assignT, "cent_id", clusterCol = col("cent_id"), nClusters = 8)
+      annState = (TxLog.readAt(spark, centT), TxLog.readAt(spark, assignT))
+    } {
+      SimilarityQueries.serveLakeAnn(spark, dir, annState._1, annState._2).count()
+    }
+
+    // ---- phrase (tix08/tix09 serving): positional alignment join
+    lane("phrase") {
+      TextIndex.ensurePositional(spark, corpus, tix): Unit
+    } {
+      TextIndex.searchPhrase(spark, tix, "stream table hash").count()
+    }
+
     // ---- pq (sim10/sim11 serving)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     var pqState: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
