@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   * The reference has no text indexing (its documents are opaque JSON,
   * SURVEY §1.1); this exists for the LLM-pipeline pillar's retrieval
   * primitives (decontamination, hard-negative mining, dedup-by-query).
+  *
+  * CONCURRENCY CONTRACT: maintenance (ensureIndexed / ensurePositional
+  * / pruneDeleted / maintain) assumes a SINGLE maintainer per index —
+  * the standard shape for derived-artifact jobs (one stream, one cron).
+  * Within that contract every entry point is idempotent under crash
+  * and redelivery (watermark diff + doc_id anti-join; prune no-ops on
+  * already-pruned keys). Two maintainers racing the SAME index could
+  * each observe the pre-append watermark and double-index a file —
+  * serialize them upstream (the streaming twins do: one query, ordered
+  * micro-batches). SERVING is lock-free and always consistent: every
+  * read resolves one committed snapshot.
   */
 object TextIndex {
 
@@ -331,6 +342,13 @@ object TextIndex {
       .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("len")).head
     val (nGone, lenGone) = (gone.getLong(0), gone.getLong(1))
+    // the positional sibling (if built) carries the same documents'
+    // occurrence rows — a phrase query must not resurrect deleted docs.
+    // Pruned BEFORE the empty-freq early return: a crash between the two
+    // deletes redelivers with nGone == 0, and the sibling must still
+    // catch up (re-deleting already-DV'd keys is a cheap no-op).
+    if (TxLog.versions(posDir(index)).nonEmpty && !keys.isEmpty)
+      TxLog.deleteMor(spark, posDir(index), keys, "doc_id"): Unit
     if (nGone == 0) return 0L
     val (v, _, _, _) = TxLog.deleteMor(spark, index, keys, "doc_id")
     val r = TxLog.readAt(spark, statsDir(index)).head

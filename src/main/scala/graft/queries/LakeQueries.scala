@@ -2076,6 +2076,66 @@ object LakeQueries {
       TextIndex.searchPhrase(spark, index, "stream table hash")
     }),
 
+    // ---- c09: the RETRIEVAL-LIFECYCLE CAPSTONE (c08's discipline over
+    // the round-14 surface): curate -> index incrementally (frequency
+    // AND positional, through the SQL procedure) -> GDPR deletes flow
+    // through the corpus change feed into BOTH index tables -> CALL
+    // maintain folds the increments and DV sidecars -> serve the
+    // conjunctive BM25 top-10 joined with exact-phrase counts, all
+    // from the maintained index. One oracle states the surviving
+    // corpus's answers; the lifecycle invariants (one-file seek, zero
+    // DVs) ride as literal flags. Every stage is the same code the
+    // standalone gates pin — the capstone proves the COMPOSITION.
+    "c09_retrieval_lifecycle_pipeline" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val kept = d.filter(!(col("doc_id") % 2 === 0 && col("n_chars") < 150))
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val index = base.resolve("tbl_text_ix")
+      TxLog.append(spark, kept.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      TxLog.append(spark, kept.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      // GDPR: one residue class leaves; the change feed drives BOTH
+      // index tables' prunes per micro-batch
+      TxLog.deleteMor(spark, corpus,
+        kept.filter(col("doc_id") % 19 === 3).select("doc_id"), "doc_id"): Unit
+      val ckpt = Files.createTempDirectory("graft_c09_ckpt")
+      tmpDirs.add(ckpt)
+      val q = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(corpus.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          TextIndex.pruneDeleted(spark, index,
+            b.filter(col("_change_type") === "delete")
+              .select(col("doc_id")).distinct()): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.sql(s"CALL $cat.maintain('tbl', 4, 4, vacuum_min_age_ms => 0)").collect(): Unit
+      val oneFile = TextIndex.filesForTerm(spark, index, "spark") == 1
+      val dvs = TxLog.snapshotAt(index).files.count(_.dv.isDefined) +
+        TxLog.snapshotAt(base.resolve("tbl_text_ix_pos")).files.count(_.dv.isDefined)
+      val conj = TextIndex.searchBm25All(spark, index,
+        Seq("spark", "join", "filter"), 10)
+      val ph = TextIndex.searchPhrase(spark, index, "stream table hash")
+      conj.join(ph, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("n_occurrences"), lit(0L)).as("phrase_hits"),
+          lit(oneFile).as("one_file_seek"),
+          lit(dvs == 0).as("dvs_folded"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
     // per-table pattern can express: short 'en' docs leave the hot
     // table and land in the cold one in ONE transaction (merge-on-read
@@ -3052,6 +3112,46 @@ object LakeQueries {
     // tix09: the streamed positional build must serve the identical
     // phrase counts — tix08's oracle verbatim
     "tix09_streaming_positional" -> PhraseOracle,
+
+    // c09: conjunctive BM25 + phrase counts over the corpus that
+    // survives the quality gate AND the GDPR deletes; lifecycle
+    // invariants as literal flags.
+    "c09_retrieval_lifecycle_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE NOT (doc_id % 2 = 0 AND n_chars < 150) AND doc_id % 19 <> 3),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, w, MAX(dl) AS dl, count(*) AS tf
+        |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM docs)
+        |  WHERE w IN ('spark', 'join', 'filter')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(
+        |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      CAST(tf.tf AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) +
+        |        1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN stats
+        |  GROUP BY tf.doc_id
+        |  HAVING COUNT(*) = 3),
+        |conj AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+        |ph AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM (
+        |    SELECT doc_id FROM docs, unnest(range(1, len(ws) - 1)) AS u(i)
+        |    WHERE array_to_string(ws[i:i+2], ' ') = 'stream table hash')
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, c.score, COALESCE(ph.n, 0) AS phrase_hits,
+        |  TRUE AS one_file_seek, TRUE AS dvs_folded
+        |FROM conj c LEFT JOIN ph ON c.doc_id = ph.doc_id
+        |ORDER BY c.score DESC, c.doc_id""".stripMargin,
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,

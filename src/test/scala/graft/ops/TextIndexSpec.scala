@@ -176,6 +176,30 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == r2)
   }
 
+  test("pruneDeleted reaches the positional sibling: a phrase query cannot resurrect a deleted doc") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix9p")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, Seq((1L, "a b c"), (2L, "a b c d")).toDF("doc_id", "text"),
+      corpus, "doc_id", nParts = 1)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TextIndex.ensurePositional(spark, corpus, index): Unit
+    assert(TextIndex.searchPhrase(spark, index, "a b c")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    TxLog.deleteMor(spark, corpus, Seq(1L).toDF("doc_id"), "doc_id"): Unit
+    TextIndex.pruneDeleted(spark, index, Seq(1L).toDF("doc_id")): Unit
+    assert(TextIndex.searchPhrase(spark, index, "a b c")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // redelivery after a hypothetical crash between the two deletes:
+    // the replay must keep both tables consistent and change nothing
+    TextIndex.pruneDeleted(spark, index, Seq(1L).toDF("doc_id")): Unit
+    assert(TextIndex.searchPhrase(spark, index, "a b c")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(TextIndex.searchBm25(spark, index, Seq("a"), 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("pruneDeleted is idempotent under redelivery: a replayed key set never double-shrinks the stats") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_tix7")
