@@ -1881,7 +1881,7 @@ object LakeQueries {
     // leave open (blix05's discipline applied to the postings): each
     // incremental build appends its OWN term_hash-clustered file-set,
     // so ranges overlap across commits and a term lookup pays one file
-    // per increment (measured: exactly 5 after 1 build + 4 increments);
+    // per increment (measured: exactly 3 after 1 build + 2 increments);
     // pruneDeleted leaves DV sidecars every read must anti-join. CALL
     // maintain's text-sibling pass re-clusters ALL postings into
     // range-DISJOINT files with DVs folded (one atomic commit) and
@@ -1896,9 +1896,9 @@ object LakeQueries {
       val cat = s"lake${math.abs(base.hashCode().toLong)}"
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
-      // 1 build + 4 increments, each through the SQL procedure
-      (0 until 5).foreach { i =>
-        TxLog.append(spark, d.filter(col("doc_id") % 5 === i), corpus, "doc_id", nParts = 2)
+      // 1 build + 2 increments, each through the SQL procedure
+      (0 until 3).foreach { i =>
+        TxLog.append(spark, d.filter(col("doc_id") % 3 === i), corpus, "doc_id", nParts = 2)
         spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
       }
       val index = base.resolve("tbl_text_ix")
@@ -2134,6 +2134,47 @@ object LakeQueries {
           lit(oneFile).as("one_file_seek"),
           lit(dvs == 0).as("dvs_folded"))
         .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    // ---- dq07: INDEX-CONSISTENCY AUDIT — the monitor a production
+    // index needs between maintenance runs (dq06's conservation
+    // discipline applied to derived artifacts): after increments AND
+    // deletes, (a) the stats row's n_docs must equal the corpus's live
+    // count, (b) the postings' doc set must equal the corpus's doc set
+    // exactly (anti-joins both ways — a stranded posting OR an
+    // unindexed doc each breaks its own zero), and (c) the positional
+    // sibling must cover the same set. All metadata- or
+    // posting-list-sized except the corpus count.
+    "dq07_index_consistency" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      val index = corpus.resolveSibling("ix")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      TextIndex.ensurePositional(spark, corpus, index): Unit
+      val delKeys = d.filter(col("doc_id") % 13 === 5).select("doc_id")
+      TxLog.deleteMor(spark, corpus, delKeys, "doc_id"): Unit
+      TextIndex.pruneDeleted(spark, index, delKeys): Unit
+      val live = TxLog.readAt(spark, corpus).select("doc_id")
+      val inIx = TxLog.readAt(spark, index).select("doc_id").distinct()
+      val inPos = TxLog.readAt(spark, corpus.resolveSibling("ix_pos"))
+        .select("doc_id").distinct()
+      val stats = TxLog.readAt(spark, corpus.resolveSibling("ix_stats"))
+        .select(col("n_docs"))
+      live.agg(count(lit(1)).as("corpus_docs"))
+        .crossJoin(broadcast(stats))
+        .select(col("corpus_docs"), col("n_docs").as("stats_docs"),
+          lit(inIx.join(live, Seq("doc_id"), "left_anti").count())
+            .as("postings_stranded"),
+          lit(live.join(inIx, Seq("doc_id"), "left_anti").count())
+            .as("docs_unindexed"),
+          lit(inPos.join(live, Seq("doc_id"), "left_anti").count())
+            .as("positional_stranded"),
+          lit(live.join(inPos, Seq("doc_id"), "left_anti").count())
+            .as("docs_unpositioned"))
     }),
 
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
@@ -3061,7 +3102,7 @@ object LakeQueries {
 
     // tix05: t14's ranking over the surviving corpus (the %17 residue
     // class deleted); the lifecycle numbers are closed-form — 5
-    // clustered file-sets before (1 build + 4 increments, each holding
+    // clustered file-sets before (1 build + 2 increments, each holding
     // the term), exactly 1 covering file after the re-cluster, DV
     // sidecars and watermark appends folded.
     "tix05_text_index_maintain" ->
@@ -3069,7 +3110,7 @@ object LakeQueries {
         .replace("FROM documents),", "FROM documents WHERE doc_id % 17 <> 4),")
         .replace("SELECT doc_id, score FROM scored",
           """SELECT doc_id, score,
-            |  CAST(5 AS BIGINT) AS files_per_term_before,
+            |  CAST(3 AS BIGINT) AS files_per_term_before,
             |  CAST(1 AS BIGINT) AS files_per_term_after,
             |  TRUE AS dvs_folded, TRUE AS watermark_folded
             |FROM scored""".stripMargin)),
@@ -3152,6 +3193,18 @@ object LakeQueries {
         |  TRUE AS one_file_seek, TRUE AS dvs_folded
         |FROM conj c LEFT JOIN ph ON c.doc_id = ph.doc_id
         |ORDER BY c.score DESC, c.doc_id""".stripMargin,
+
+    // dq07: both doc sets equal the live corpus exactly; the counts
+    // are data-derived, the zeros are the invariant.
+    "dq07_index_consistency" ->
+      """SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 13 <> 5)
+        |    AS corpus_docs,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 13 <> 5)
+        |    AS stats_docs,
+        |  CAST(0 AS BIGINT) AS postings_stranded,
+        |  CAST(0 AS BIGINT) AS docs_unindexed,
+        |  CAST(0 AS BIGINT) AS positional_stranded,
+        |  CAST(0 AS BIGINT) AS docs_unpositioned""".stripMargin,
 
     // The surviving corpus's t14 ranking: the quality gate removed the
     // short even-id docs before the second (odd-id) arrival; rename,
