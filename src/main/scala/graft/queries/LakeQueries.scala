@@ -2149,10 +2149,9 @@ object LakeQueries {
       val d = docs(spark, dir)
       val corpus = freshTable()
       val index = corpus.resolveSibling("ix")
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
-      TextIndex.ensurePositional(spark, corpus, index): Unit
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      // one build each — incrementality is tix02/tix08's contract; this
+      // gate audits the post-churn CONSISTENCY invariants
+      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
       TextIndex.ensureIndexed(spark, corpus, index): Unit
       TextIndex.ensurePositional(spark, corpus, index): Unit
       val delKeys = d.filter(col("doc_id") % 13 === 5).select("doc_id")
