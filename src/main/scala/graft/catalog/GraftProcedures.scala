@@ -432,8 +432,13 @@ private[catalog] object GraftProcedures {
           // re-cluster into range-disjoint term_hash files with DV
           // sidecars folded in — without this, a long-lived index pays
           // one file per increment per term lookup (TextIndex.maintain)
+          // ...but only when the index is self-describing: a legacy
+          // index without the _meta binding is SKIPPED (maintaining it
+          // under guessed columns would corrupt postings — the owner
+          // backfills _meta via ensureIndexed first)
           val tix = base.resolve(s"${dir.getFileName}_text_ix")
-          if (Files.isDirectory(tix.resolve("_graft_log")))
+          if (Files.isDirectory(tix.resolve("_graft_log")) &&
+              graft.ops.TextIndex.hasMeta(tix))
             graft.ops.TextIndex.maintain(spark, dir, tix,
               vacuumKeep = math.max(1, input.getInt(3)),
               vacuumMinAgeMs = input.getLong(4)): Unit

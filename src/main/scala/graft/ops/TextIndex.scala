@@ -79,14 +79,21 @@ object TextIndex {
 
   /** The index's self-describing corpus binding (id/text column, cluster
     * count), written once at creation so lifecycle maintenance can
-    * re-index new corpus files without the caller re-stating them. */
-  private def readMeta(spark: SparkSession, index: Path): (String, String, Int) =
-    if (TxLog.versions(metaDir(index)).isEmpty) ("doc_id", "text", 8)
+    * re-index new corpus files without the caller re-stating them.
+    * None when the _meta sidecar is absent — maintenance must NOT guess
+    * a binding (a legacy index built with non-default columns would be
+    * silently re-indexed under the wrong one, corrupting postings). */
+  private def readMeta(spark: SparkSession, index: Path): Option[(String, String, Int)] =
+    if (TxLog.versions(metaDir(index)).isEmpty) None
     else {
       val r = TxLog.readAt(spark, metaDir(index)).head
-      (r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("text_col")),
-        r.getInt(r.fieldIndex("n_clusters")))
+      Some((r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("text_col")),
+        r.getInt(r.fieldIndex("n_clusters"))))
     }
+
+  /** Whether the index carries its self-describing binding — the gate
+    * auto-maintenance must check before driving [[maintain]]. */
+  def hasMeta(index: Path): Boolean = TxLog.versions(metaDir(index)).nonEmpty
 
   /** Index every live corpus file not yet in the watermark: postings
     * range-clustered by term_hash, stats and watermark advanced, each
@@ -96,6 +103,20 @@ object TextIndex {
       idCol: String = "doc_id", textCol: String = "text",
       nClusters: Int = 8): Long = {
     import spark.implicits._
+    // args-vs-binding consistency: an index already bound to one
+    // (id, text, clusters) triple must not ingest under another
+    readMeta(spark, index).foreach { case (i0, t0, n0) =>
+      require(i0 == idCol && t0 == textCol && n0 == nClusters,
+        s"index at $index is bound to (id=$i0, text=$t0, clusters=$n0); " +
+          s"ensureIndexed called with ($idCol, $textCol, $nClusters)")
+    }
+    // backfill the binding even on a no-op call, so a legacy
+    // (pre-_meta) index becomes maintainable after one explicit
+    // ensureIndexed with its original arguments
+    if (TxLog.versions(metaDir(index)).isEmpty)
+      TxLog.append(spark,
+        Seq((idCol, textCol, nClusters)).toDF("id_col", "text_col", "n_clusters"),
+        metaDir(index), "n_clusters"): Unit
     val snap = TxLog.snapshotAt(corpus)
     val indexed: Set[String] =
       if (TxLog.versions(filesDir(index)).isEmpty) Set.empty
@@ -121,10 +142,6 @@ object TextIndex {
     if (nNew > 0)
       TxLog.appendClustered(spark, mat, index, "term_hash",
         clusterBucket(nClusters), nClusters): Unit
-    if (TxLog.versions(metaDir(index)).isEmpty)
-      TxLog.append(spark,
-        Seq((idCol, textCol, nClusters)).toDF("id_col", "text_col", "n_clusters"),
-        metaDir(index), "n_clusters"): Unit
     // stats: one-row overwrite (versioned like everything else; the
     // first increment is the creating append)
     writeStats(spark, index,
@@ -181,6 +198,7 @@ object TextIndex {
     * production conjunctive engine's shortest-list-first walk does. */
   def searchBm25All(spark: SparkSession, index: Path, terms: Seq[String],
       k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchBm25All needs at least one query term")
     val distinct = terms.distinct
     val posts = distinct.map { term =>
       val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
@@ -382,7 +400,13 @@ object TextIndex {
     * per-term file count returns to the clustered bound. */
   def maintain(spark: SparkSession, corpus: Path, index: Path,
       vacuumKeep: Int = 1, vacuumMinAgeMs: Long = 0L): MaintainReport = {
-    val (idCol, textCol, nClusters) = readMeta(spark, index)
+    val (idCol, textCol, nClusters) = readMeta(spark, index).getOrElse {
+      if (TxLog.versions(index).isEmpty) ("doc_id", "text", 8) // fresh index: maintain IS the build
+      else throw new IllegalStateException(
+        s"text index at $index predates the _meta sidecar — its id/text binding is " +
+          "unknown and maintenance will not guess one. Run TextIndex.ensureIndexed " +
+          "once with the original idCol/textCol/nClusters to backfill _meta, then maintain.")
+    }
     val indexedNew = ensureIndexed(spark, corpus, index, idCol, textCol, nClusters)
     val snap0 = TxLog.snapshotAt(index)
     val dvs0 = snap0.files.count(_.dv.isDefined).toLong

@@ -441,6 +441,12 @@ object BiffXls {
       val prev = sink
       sink = tmp
       try body finally sink = prev
+      // BIFF8 caps a record body at 8224 bytes (larger payloads need
+      // Continue records, which this fixture writer does not emit) —
+      // fail loudly instead of wrapping the u16 length into a corrupt file
+      require(tmp.size() <= 8224,
+        s"BIFF8 record 0x${typ.toHexString} body ${tmp.size()} bytes exceeds the " +
+          "8224-byte record cap; writeXls does not split Continue records")
       b16(typ); b16(tmp.size()); tmp.writeTo(out)
     }
 
@@ -480,8 +486,28 @@ object BiffXls {
               val bits = java.lang.Double.doubleToLongBits(d)
               b32(bits & 0xFFFFFFFFL); b32(bits >>> 32)
             }
-          case n: Int => rec(RecRk) { b16(r); b16(c); b16(0); b32(((n.toLong << 2) | 0x2L) & 0xFFFFFFFFL) }
-          case n: Long => rec(RecRk) { b16(r); b16(c); b16(0); b32(((n << 2) | 0x2L) & 0xFFFFFFFFL) }
+          // RK integers carry a SIGNED 30-bit payload — anything wider
+          // wraps silently, so out-of-range ints fall back to a full
+          // Number record (IEEE double is exact for all Int and for
+          // Long magnitudes up to 2^53; wider Longs are refused)
+          case n: Int if n >= -(1 << 29) && n < (1 << 29) =>
+            rec(RecRk) { b16(r); b16(c); b16(0); b32(((n.toLong << 2) | 0x2L) & 0xFFFFFFFFL) }
+          case n: Long if n >= -(1L << 29) && n < (1L << 29) =>
+            rec(RecRk) { b16(r); b16(c); b16(0); b32(((n << 2) | 0x2L) & 0xFFFFFFFFL) }
+          case n: Int =>
+            rec(RecNumber) {
+              b16(r); b16(c); b16(0)
+              val bits = java.lang.Double.doubleToLongBits(n.toDouble)
+              b32(bits & 0xFFFFFFFFL); b32(bits >>> 32)
+            }
+          case n: Long =>
+            require(math.abs(n) <= (1L << 53),
+              s"Long cell $n exceeds IEEE-double exactness (2^53); refusing a lossy write")
+            rec(RecNumber) {
+              b16(r); b16(c); b16(0)
+              val bits = java.lang.Double.doubleToLongBits(n.toDouble)
+              b32(bits & 0xFFFFFFFFL); b32(bits >>> 32)
+            }
           case bl: Boolean => rec(RecBoolErr) { b16(r); b16(c); b16(0); b8(if (bl) 1 else 0); b8(0) }
           case null => ()
           case other => throw new IllegalArgumentException(s"unsupported cell type: $other")

@@ -61,10 +61,11 @@ object ExcelParser extends RecordParser {
     // failing with "not a zip" the way the reference's calamine Xlsx
     // type does (parser_adapter.rs:49-52). The magic is read, never
     // the extension: a mis-named drop still lands in the right parser.
-    val head = new Array[Byte](8)
+    // readNBytes loops to the full 8 bytes (a bare read() may legally
+    // return fewer even mid-file, mis-routing a valid .xls to the zip path)
     val fin = new FileInputStream(path)
-    val sniffed = try fin.read(head) finally fin.close()
-    if (sniffed >= 8 && BiffXls.looksLikeCfb(head))
+    val head = try fin.readNBytes(8) finally fin.close()
+    if (head.length >= 8 && BiffXls.looksLikeCfb(head))
       return BiffXls.readSheet(path, sheetIndex)
     var shared: Vector[String] = Vector.empty
     val sheets = mutable.SortedMap[String, Array[Byte]]()

@@ -235,4 +235,46 @@ class TextIndexSpec extends SparkSpec {
     val st = TxLog.readAt(spark, base.resolve("ix_stats")).head
     assert(st.getLong(0) == 29L)
   }
+
+  test("binding contracts: meta mismatch refused, legacy index refuses maintain, backfill restores it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix5")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark,
+      corpusDf(0L to 9L).withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body"),
+      corpus, "id", nParts = 1)
+    TextIndex.ensureIndexed(spark, corpus, index, idCol = "id", textCol = "body"): Unit
+    // re-ingesting under a different binding must refuse, not corrupt
+    intercept[IllegalArgumentException] {
+      TextIndex.ensureIndexed(spark, corpus, index) // defaults != (id, body, 8)
+    }
+    // a legacy index (no _meta sidecar) must refuse maintenance outright
+    val metaLog = base.resolve("ix_meta")
+    val legacyMeta = base.resolve("ix_meta_hidden")
+    Files.move(metaLog, legacyMeta)
+    val ex = intercept[IllegalStateException] {
+      TextIndex.maintain(spark, corpus, index)
+    }
+    assert(ex.getMessage.contains("_meta"))
+    // backfill route: one explicit ensureIndexed with the original args
+    Files.move(legacyMeta, metaLog)
+    TxLog.append(spark, corpusDf(10L to 14L)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body"),
+      corpus, "id", nParts = 1)
+    val rep = TextIndex.maintain(spark, corpus, index)
+    assert(rep.docsIndexed == 5L)
+    assert(TextIndex.searchBm25(spark, index, Seq("rareword"), 30)
+      .collect().map(_.getLong(0)).toSet == Set(0L, 7L, 14L))
+  }
+
+  test("empty query-term lists refuse with a clear message in both search modes") {
+    val base = Files.createTempDirectory("graft_tix6")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 4L), corpus, "doc_id", nParts = 1)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    intercept[IllegalArgumentException](TextIndex.searchBm25(spark, index, Nil, 5))
+    intercept[IllegalArgumentException](TextIndex.searchBm25All(spark, index, Nil, 5))
+  }
 }

@@ -64,6 +64,23 @@ class BiffXlsSpec extends SparkSpec {
       Seq(("Alice", "28"), ("Bob", "31")))
   }
 
+  test("ints beyond the signed-30-bit RK payload round-trip via Number records") {
+    val wide = 1 << 29 // first value the RK shift would wrap negative
+    val p = tmpXls(Seq(
+      Seq[Any]("v"),
+      Seq[Any](wide), Seq[Any](-(1 << 29) - 1), Seq[Any](Int.MaxValue),
+      Seq[Any]((1L << 40) + 7L), Seq[Any]((1 << 29) - 1))) // last one still RK
+    val rows = BiffXls.readSheet(p.toString, 0)
+    assert(rows.drop(1).map(_.head) == List(
+      (1 << 29).toString, (-(1 << 29) - 1).toString, Int.MaxValue.toString,
+      ((1L << 40) + 7L).toString, ((1 << 29) - 1).toString))
+    // a Long past 2^53 would be lossy as a double — refused, not rounded
+    intercept[IllegalArgumentException] {
+      BiffXls.writeXls(Files.createTempDirectory("graft_biff").resolve("w.xls"),
+        Seq(Seq[Any]((1L << 53) + 1L)))
+    }
+  }
+
   test("SST strings split across a Continue record re-read the compression flag") {
     // hand-crafted workbook stream: SST holds one 4-char string whose
     // first 2 chars sit in the SST record and last 2 in a Continue
