@@ -44,7 +44,7 @@ private[catalog] object GraftProcedures {
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
       "tag", "cluster_by", "maintain", "clone", "move_where", "merge_audit",
       "set_partitioning", "text_index",
-      "bloom_index")
+      "bloom_index", "ann_index")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -257,6 +257,34 @@ private[catalog] object GraftProcedures {
           InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ixName), n)
         }
       }
+      // PERSISTED ANN (IVF) INDEX from SQL: `CALL <cat>.ann_index('t',
+      // 'vec_id', 'embedding')` materializes/refreshes the sibling
+      // `t_ann_ix` (assignments, one file per inverted list) +
+      // `t_ann_ix_cent` (the trained coarse quantizer) — ordinary
+      // catalog relations, versioned like everything else. First call
+      // trains; later calls assign new corpus files incrementally.
+      case "ann_index" => new GraftProc("ann_index",
+        Array(param("table", StringType), param("id_column", StringType),
+          param("emb_column", StringType)),
+        StructType(Seq(
+          StructField("index_table", StringType, nullable = false),
+          StructField("vecs_indexed", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val idCol = input.getUTF8String(1).toString
+          val embCol = input.getUTF8String(2).toString
+          Seq(idCol, embCol).foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"illegal column name '$c'"))
+          Seq(idCol, embCol).foreach(c =>
+            require(TxLog.tableSchema(dir).exists(_.fieldNames.contains(c)),
+              s"no column '$c' in table ${dir.getFileName}"))
+          val ixName = s"${dir.getFileName}_ann_ix"
+          val ix = dir.getParent.resolve(ixName)
+          val n = graft.ops.AnnIndex.ensureIndexed(spark, dir, ix,
+            idCol = idCol, embCol = embCol)
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ixName), n)
+        }
+      }
       case "bloom_index" => new GraftProc("bloom_index",
         Array(param("table", StringType), param("column", StringType)),
         StructType(Seq(
@@ -440,6 +468,18 @@ private[catalog] object GraftProcedures {
           if (Files.isDirectory(tix.resolve("_graft_log")) &&
               graft.ops.TextIndex.hasMeta(tix))
             graft.ops.TextIndex.maintain(spark, dir, tix,
+              vacuumKeep = math.max(1, input.getInt(3)),
+              vacuumMinAgeMs = input.getLong(4)): Unit
+          // ...and the ANN sibling (<table>_ann_ix, the CALL ann_index
+          // convention) gets the same cure: new corpus files assigned,
+          // assignments re-clustered to one file per inverted list with
+          // DV sidecars folded — without this a long-lived index pays
+          // one file per increment per probed list (AnnIndex.maintain).
+          // Same legacy fence: no _meta binding → skipped, never guessed.
+          val aix = base.resolve(s"${dir.getFileName}_ann_ix")
+          if (Files.isDirectory(aix.resolve("_graft_log")) &&
+              graft.ops.AnnIndex.hasMeta(aix))
+            graft.ops.AnnIndex.maintain(spark, dir, aix,
               vacuumKeep = math.max(1, input.getInt(3)),
               vacuumMinAgeMs = input.getLong(4)): Unit
           InternalRow(UTF8String.fromString(action), before.toLong,

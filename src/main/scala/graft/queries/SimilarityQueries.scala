@@ -951,6 +951,99 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    // ---- knn09: IVFADC LIFECYCLE MAINTENANCE — sim14's cure for the
+    // composed index. knn06's growth transaction appends UNCLUSTERED
+    // (nParts=1) file-sets whose cent_id footers span every list, so
+    // after growth EVERY probe pays the growth files; knn08's delete
+    // transaction leaves DV sidecars on BOTH halves. maintainIvfAdc
+    // re-clusters the assignments to one file per inverted list and the
+    // codes back to their per-subspace layout, folding the DVs, then
+    // vacuums — and the served recall is bit-identical through the
+    // rewrite (knn08's oracle gates it; the layout claims are literals).
+    "knn09_ivfadc_maintain" -> ((spark: SparkSession, dir: String) => {
+      val (centT, assignT, cbT, codeT) = buildLakeIvfPq(spark, dir)
+      val emb = t(spark, dir, "embeddings")
+      // knn08's delete flow, batch-shaped: both halves in ONE txn
+      val dels = emb.filter(col("vec_id") % 9 === 8)
+        .select(col("vec_id").cast("bigint").as("vec_id")).localCheckpoint(true)
+      graft.ops.TxLog.transact(spark, Seq(
+        graft.ops.TxLog.TxnDeleteMor(assignT, dels, "vec_id"),
+        graft.ops.TxLog.TxnDeleteMor(codeT, dels, "vec_id"))): Unit
+      val overlapBefore =
+        graft.ops.AnnIndex.maxFilesPerCent(spark, assignT, centT) > 1
+      val dvsBefore =
+        graft.ops.TxLog.snapshotAt(assignT).files.exists(_.dv.isDefined) &&
+        graft.ops.TxLog.snapshotAt(codeT).files.exists(_.dv.isDefined)
+      graft.ops.AnnIndex.maintainIvfAdc(spark, assignT, codeT): Unit
+      val maxAfter = graft.ops.AnnIndex.maxFilesPerCent(spark, assignT, centT)
+      val dvsAfter =
+        graft.ops.TxLog.snapshotAt(assignT).files.count(_.dv.isDefined) +
+        graft.ops.TxLog.snapshotAt(codeT).files.count(_.dv.isDefined)
+      val approx = serveLakeIvfAdc(spark, dir, centT, assignT, cbT, codeT)
+        .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+      val exact = exactQuantizedTopK(spark, dir, keep = col("vec_id") % 9 =!= 8)
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .withColumn("overlap_before", lit(overlapBefore))
+        .withColumn("max_files_per_cent_after", lit(maxAfter.toLong))
+        .withColumn("dvs_folded", lit(dvsBefore && dvsAfter == 0))
+        .orderBy("q_id")
+    }),
+
+    // ---- dq08: ANN-INDEX CONSISTENCY AUDIT — dq07's monitor applied
+    // to the IVFADC family (round-14 verdict #2): after delete
+    // propagation AND the maintenance rewrite, (a) the assignments' vec
+    // set must equal the live corpus's exactly (anti-joins both ways —
+    // a stranded assignment OR an unassigned vector each breaks its own
+    // zero), (b) the codes must cover the same set with exactly m rows
+    // per vector (a partial encode is as corrupt as a missing one),
+    // (c) every home list must exist in the trained quantizer. All
+    // checks are joins/aggregates over the index tables themselves —
+    // index-sized, never corpus-rescanning — surfaced as 1-row flags.
+    "dq08_ann_consistency" -> ((spark: SparkSession, dir: String) => {
+      val (centT, assignT, _, codeT) = buildLakeIvfPq(spark, dir)
+      val emb = t(spark, dir, "embeddings")
+      val bronze = freshTable()
+      graft.ops.TxLog.append(spark,
+        emb.select(col("vec_id").cast("bigint").as("vec_id"),
+          col("embedding"), col("label")),
+        bronze, "vec_id", nParts = 2)
+      val dels = emb.filter(col("vec_id") % 9 === 8)
+        .select(col("vec_id").cast("bigint").as("vec_id")).localCheckpoint(true)
+      graft.ops.TxLog.deleteMor(spark, bronze, dels, "vec_id"): Unit
+      graft.ops.TxLog.transact(spark, Seq(
+        graft.ops.TxLog.TxnDeleteMor(assignT, dels, "vec_id"),
+        graft.ops.TxLog.TxnDeleteMor(codeT, dels, "vec_id"))): Unit
+      // the invariants must SURVIVE the rewrite, so audit after it
+      graft.ops.AnnIndex.maintainIvfAdc(spark, assignT, codeT): Unit
+      val live = graft.ops.TxLog.readAt(spark, bronze).select("vec_id")
+      val assign = graft.ops.TxLog.readAt(spark, assignT)
+      val codes = graft.ops.TxLog.readAt(spark, codeT)
+      val cents = graft.ops.TxLog.readAt(spark, centT).select("cent_id")
+      val inAssign = assign.select("vec_id").distinct()
+      val inCodes = codes.select("vec_id").distinct()
+      live.agg(count(lit(1)).as("corpus_vecs"))
+        .crossJoin(broadcast(inAssign.agg(count(lit(1)).as("assigned_vecs"))))
+        .select(col("corpus_vecs"), col("assigned_vecs"),
+          lit(inAssign.join(live, Seq("vec_id"), "left_anti").count())
+            .as("assignments_stranded"),
+          lit(live.join(inAssign, Seq("vec_id"), "left_anti").count())
+            .as("vecs_unassigned"),
+          lit(inCodes.join(live, Seq("vec_id"), "left_anti").count())
+            .as("codes_stranded"),
+          lit(live.join(inCodes, Seq("vec_id"), "left_anti").count())
+            .as("vecs_uncoded"),
+          lit(assign.groupBy("vec_id").agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).count()).as("multi_homed"),
+          lit(codes.groupBy("vec_id").agg(count(lit(1)).as("n"))
+            .filter(col("n") =!= 8).count()).as("bad_code_arity"),
+          lit(assign.select("cent_id").distinct()
+            .join(cents, Seq("cent_id"), "left_anti").count()).as("orphan_lists"))
+    }),
+
     // ---- sim13: DELETE PROPAGATION into the persisted ANN index — the
     // tix06 discipline applied to vectors (the GDPR flow a vector lake
     // owes): vectors leave the bronze corpus AFTER the index is built;
@@ -1004,6 +1097,59 @@ object SimilarityQueries {
         .start()
       q.awaitTermination()
       serveLakeAnn(spark, dir, centLake, graft.ops.TxLog.readAt(spark, assignTable))
+    }),
+
+    // ---- sim14: ANN-INDEX LIFECYCLE MAINTENANCE — tix05's cure applied
+    // to vectors (the round-14 verdict's #1): each incremental CALL
+    // ann_index appends its OWN per-list file-set, so after N increments
+    // a probe pays up to N files per inverted list, and the GDPR deletes
+    // (sim13's flow) leave DV sidecars every candidate read must
+    // anti-join. CALL maintain's ANN-sibling pass re-clusters ALL
+    // assignments back to ONE FILE PER LIST with DVs folded (one atomic
+    // commit — readers never block) and folds the watermark; serving
+    // through the rewrite is row-identical: the sim13 oracle (sim07's
+    // chain, deleted class excluded from candidates) gates the ranking,
+    // the layout claims ride as gated literals. Everything runs through
+    // the SQL procedures — create, refresh, delete, maintain.
+    "sim14_ann_index_maintain" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      // 1 build (train corpus — centroids train here, matching sim07's
+      // oracle CTE) + 2 growth increments, each through the procedure
+      Seq(col("vec_id") % 10 =!= 9,
+          col("vec_id") % 10 === 9 && col("vec_id") % 2 === 0,
+          col("vec_id") % 10 === 9 && col("vec_id") % 2 === 1)
+        .foreach { p =>
+          graft.ops.TxLog.append(spark,
+            emb.filter(p).select(col("vec_id").cast("bigint").as("vec_id"),
+              col("embedding"), col("label")),
+            corpus, "vec_id", nParts = 2)
+          spark.sql(s"CALL $cat.ann_index('tbl', 'vec_id', 'embedding')").collect(): Unit
+        }
+      val index = base.resolve("tbl_ann_ix")
+      // GDPR churn: one residue class leaves corpus AND index (MOR DVs)
+      val delKeys = emb.filter(col("vec_id") % 9 === 8)
+        .select(col("vec_id").cast("bigint").as("vec_id"))
+      graft.ops.TxLog.deleteMor(spark, corpus, delKeys, "vec_id"): Unit
+      graft.ops.TxLog.deleteMor(spark, index, delKeys, "vec_id"): Unit
+      val overlapBefore = graft.ops.AnnIndex.maxFilesPerCent(spark, index) > 1
+      val dvsBefore = graft.ops.TxLog.snapshotAt(index).files.count(_.dv.isDefined)
+      spark.sql(s"CALL $cat.maintain('tbl', 4, 4, vacuum_min_age_ms => 0)").collect(): Unit
+      val maxAfter = graft.ops.AnnIndex.maxFilesPerCent(spark, index)
+      val dvsAfter = graft.ops.TxLog.snapshotAt(index).files.count(_.dv.isDefined)
+      val wmFiles = graft.ops.TxLog.snapshotAt(base.resolve("tbl_ann_ix_files")).files.size
+      serveLakeAnn(spark, dir,
+          graft.ops.TxLog.readAt(spark, base.resolve("tbl_ann_ix_cent")),
+          graft.ops.TxLog.readAt(spark, index))
+        .withColumn("overlap_before", lit(overlapBefore))
+        .withColumn("max_files_per_cent_after", lit(maxAfter.toLong))
+        .withColumn("dvs_folded", lit(dvsBefore > 0 && dvsAfter == 0))
+        .withColumn("watermark_folded", lit(wmFiles == 1))
     }),
 
     // ---- sim11: STREAMING maintenance of the persisted PQ index — the
@@ -1567,6 +1713,17 @@ object SimilarityQueries {
        |SELECT '$fixture' AS fixture, ss.*, rs.*, TRUE AS not_worse
        |FROM ss CROSS JOIN rs)""".stripMargin
 
+  /** knn08's oracle: knn06's chain with the deleted residue class
+    * excluded from the served relations and the ground truth (shared
+    * verbatim by knn09 — maintenance must not move the recall). */
+  private lazy val knn08Sql: String = knn06Sql
+    .replaceAll("cid AS code FROM a2_(\\d+)",
+      "cid AS code FROM a2_$1 WHERE vec_id % 9 <> 8")
+    .replace("FROM embeddings e CROSS JOIN cent) WHERE ark = 1)",
+      "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8) WHERE ark = 1)")
+    .replace("FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id)",
+      "FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id AND e.vec_id % 9 <> 8)")
+
   val oracles: Map[String, String] = Map(
     "sim06_pq_ann" -> sim06Sql,
 
@@ -1602,13 +1759,30 @@ object SimilarityQueries {
     // knn08: knn06's chain with the deleted residue class excluded
     // from the SERVED relations (codes, home lists) and the exact
     // ground truth — the trained quantizer CTEs stay untouched
-    "knn08_ivfadc_delete" -> knn06Sql
-      .replaceAll("cid AS code FROM a2_(\\d+)",
-        "cid AS code FROM a2_$1 WHERE vec_id % 9 <> 8")
-      .replace("FROM embeddings e CROSS JOIN cent) WHERE ark = 1)",
-        "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8) WHERE ark = 1)")
-      .replace("FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id)",
-        "FROM ev e CROSS JOIN qfull qf WHERE e.vec_id <> qf.q_id AND e.vec_id % 9 <> 8)"),
+    "knn08_ivfadc_delete" -> knn08Sql,
+
+    // dq08: the two live counts recomputed from the surviving corpus;
+    // every violation counter is the literal zero the audit claims
+    "dq08_ann_consistency" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS corpus_vecs,
+         |  CAST(COUNT(*) AS BIGINT) AS assigned_vecs,
+         |  CAST(0 AS BIGINT) AS assignments_stranded,
+         |  CAST(0 AS BIGINT) AS vecs_unassigned,
+         |  CAST(0 AS BIGINT) AS codes_stranded,
+         |  CAST(0 AS BIGINT) AS vecs_uncoded,
+         |  CAST(0 AS BIGINT) AS multi_homed,
+         |  CAST(0 AS BIGINT) AS bad_code_arity,
+         |  CAST(0 AS BIGINT) AS orphan_lists
+         |FROM embeddings WHERE vec_id % 9 <> 8""".stripMargin,
+
+    // knn09: the recall is knn08's oracle verbatim (maintenance must
+    // change nothing); the layout cure rides as gated literals
+    "knn09_ivfadc_maintain" ->
+      s"""SELECT q_id, k, n_hits, recall,
+         |  TRUE AS overlap_before,
+         |  CAST(1 AS BIGINT) AS max_files_per_cent_after,
+         |  TRUE AS dvs_folded
+         |FROM ($knn08Sql) ORDER BY q_id""".stripMargin,
 
     // The persisted index is semantically sim02 with centroids drawn
     // from the INITIAL corpus only (vec_id % 10 <> 9) and every vector —
@@ -1624,6 +1798,19 @@ object SimilarityQueries {
     "sim13_index_delete_propagation" ->
       sim07Sql.replace("FROM embeddings e CROSS JOIN cent)",
         "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8)"),
+
+    // sim14: the ranking is sim13's oracle verbatim (the rewrite must
+    // change nothing); the layout cure rides as gated literals —
+    // overlapping per-list file-sets before, exactly one file per
+    // probed list after, DVs folded, watermark folded
+    "sim14_ann_index_maintain" ->
+      s"""SELECT q_id, rk, c_id, label, cosine,
+         |  TRUE AS overlap_before,
+         |  CAST(1 AS BIGINT) AS max_files_per_cent_after,
+         |  TRUE AS dvs_folded, TRUE AS watermark_folded
+         |FROM (${sim07Sql.replace("FROM embeddings e CROSS JOIN cent)",
+             "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8)")})
+         |ORDER BY q_id, rk""".stripMargin,
 
     // the streaming PQ tail must converge to sim10's exact rows: ONE
     // oracle cross-gates the batch-increment and streaming maintenance
