@@ -66,6 +66,9 @@ object TextIndex {
   private def statsDir(index: Path): Path = index.resolveSibling(index.getFileName + "_stats")
   private def filesDir(index: Path): Path = index.resolveSibling(index.getFileName + "_files")
   private def metaDir(index: Path): Path = index.resolveSibling(index.getFileName + "_meta")
+  private def tstatsDir(index: Path): Path = index.resolveSibling(index.getFileName + "_tstats")
+  private def tstatsMetaDir(index: Path): Path =
+    index.resolveSibling(index.getFileName + "_tstats_meta")
 
   /** Range-MONOTONE cluster bucket of term_hash. Clustering by the raw
     * column would hash-partition it (repartition's exchange), giving
@@ -139,9 +142,19 @@ object TextIndex {
       .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("len")).head
     val (nNew, lenNew) = (inc.getLong(0), inc.getLong(1))
-    if (nNew > 0)
+    if (nNew > 0) {
       TxLog.appendClustered(spark, mat, index, "term_hash",
         clusterBucket(nClusters), nClusters): Unit
+      // the _tstats dictionary delta (per-term df + the dl-free impact
+      // ceiling max tf/(tf+k1(1-b))): LOG-STRUCTURED — each increment
+      // appends its own range-clustered slice, reads SUM across slices,
+      // maintain folds to the exact single row per term. No vocab-sized
+      // rewrite on the increment path.
+      TxLog.appendClustered(spark, tstatsDelta(mat), tstatsDir(index),
+        "term_hash", clusterBucket(nClusters), nClusters): Unit
+      if (TxLog.versions(tstatsMetaDir(index)).isEmpty)
+        writeTstatsMeta(spark, index, (0L, 0L))
+    }
     // stats: one-row overwrite (versioned like everything else; the
     // first increment is the creating append)
     writeStats(spark, index,
@@ -174,6 +187,14 @@ object TextIndex {
     val st = TxLog.readAt(spark, statsDir(index))
       .select(col("n_docs"),
         (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    bm25Rank(posts, dfRel, st, k)
+  }
+
+  /** The ONE BM25 readout (arithmetic, rounding, tie-break) — shared by
+    * every search mode so a bounds-pruned ranking cannot drift from the
+    * full-scoring one by so much as an ulp. */
+  private def bm25Rank(posts: DataFrame, dfRel: DataFrame, st: DataFrame,
+      k: Int): DataFrame =
     posts.join(broadcast(dfRel), "term")
       .crossJoin(broadcast(st))
       .select(col("doc_id"),
@@ -187,7 +208,6 @@ object TextIndex {
       .agg(round(sum(col("part")), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-  }
 
   /** CONJUNCTIVE (AND) retrieval: only documents containing EVERY query
     * term rank, scored by the same BM25 arithmetic as [[searchBm25]].
@@ -213,20 +233,97 @@ object TextIndex {
     val st = TxLog.readAt(spark, statsDir(index))
       .select(col("n_docs"),
         (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    posts.join(broadcast(all), Seq("doc_id"), "left_semi")
-      .join(broadcast(dfRel), "term")
-      .crossJoin(broadcast(st))
-      .select(col("doc_id"),
-        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          col("tf").cast("double") /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(1.0) - 0.75 +
-              lit(0.75) * col("dl").cast("double") / col("avgdl"))))
-          .as("part"))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("part")), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    bm25Rank(posts.join(broadcast(all), Seq("doc_id"), "left_semi"), dfRel, st, k)
+  }
+
+  /** What a [[searchBm25MaxScore]] call decided: which lists were
+    * scored in full, which were only probed for already-found
+    * candidates, and the dictionary-counted postings behind each —
+    * the gated/spec'd evidence that pruning happened. */
+  final case class MaxScoreReport(essential: Seq[String], skipped: Seq[String],
+      postingsTotal: Long, postingsEssential: Long, fellBack: Boolean)
+
+  /** Disjunctive (OR) BM25 top-k with MAXSCORE bounds (Turtle & Flood
+    * 1995; the block-max refinement is Ding & Suel, SIGIR 2011) —
+    * result EXACTLY equals [[searchBm25]]'s, postings cost tracks the
+    * ESSENTIAL lists only. The _tstats dictionary sidecar carries each
+    * term's (df, max tf/(tf+k1(1-b))): u_t = idf(df) * that bound is a
+    * per-doc score ceiling independent of dl/avgdl (dl > 0 only shrinks
+    * the part), so with θ̂ = the k-th best single-list partial score of
+    * the top-impact list, every term whose suffix-sum of ceilings stays
+    * below θ̂ is NON-ESSENTIAL: a doc absent from all essential lists
+    * scores strictly under θ̂ ≤ the true k-th score and cannot rank.
+    * Non-essential lists are then only PROBED for candidates the
+    * essential lists produced (semi-join on doc_id — footer-pruned
+    * point reads either way), never scored in full. A 1e-6 margin
+    * absorbs the round-6 readout so a pruned doc cannot tie its way
+    * back in (margin 1e-5 in the code — belt over the 5e-7 braces).
+    * SAFETY: the dictionary is exact under pure increments;
+    * [[pruneDeleted]] marks it stale (n_deleted advances past
+    * refreshed_at) and the search FALLS BACK to full scoring until
+    * [[maintain]] rebuilds the dictionary from the live postings —
+    * bounds are never guessed. */
+  def searchBm25MaxScore(spark: SparkSession, index: Path, terms: Seq[String],
+      k: Int): (DataFrame, MaxScoreReport) = {
+    require(terms.nonEmpty, "searchBm25MaxScore needs at least one query term")
+    val distinct = terms.distinct
+    def fallback = (searchBm25(spark, index, terms, k),
+      MaxScoreReport(distinct, Nil, -1L, -1L, fellBack = true))
+    if (TxLog.versions(tstatsDir(index)).isEmpty) return fallback
+    val (nDel, refreshedAt) = readTstatsMeta(spark, index)
+    if (nDel != refreshedAt) return fallback // deletes since last rebuild: df stale-high
+    val stRow = TxLog.readAt(spark, statsDir(index)).head
+    val nDocs = stRow.getLong(stRow.fieldIndex("n_docs"))
+    // dictionary point reads: per term one footer-pruned file, reduced
+    // to (df, bound) — |terms| rows on the driver, never a posting
+    val dict = distinct.map { term =>
+      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      val r = TxLog.readAt(spark, tstatsDir(index), range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(term))
+        .agg(coalesce(sum(col("df")), lit(0L)).as("df"),
+          coalesce(max(col("tf_bound")), lit(0.0)).as("b")).head
+      (term, h, r.getLong(0), r.getDouble(1))
+    }.filter(_._3 > 0) // absent terms contribute nothing in either mode
+    if (dict.isEmpty)
+      return (TxLog.readAt(spark, index).filter(lit(false))
+        .select(col("doc_id"), lit(0.0).as("score")),
+        MaxScoreReport(Nil, distinct, 0L, 0L, fellBack = false))
+    val ceil = dict.map { case (t, h, df, b) =>
+      (t, h, df, math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * b)
+    }.sortBy { case (t, _, _, u) => (-u, t) }
+    def pointRead(t: String, h: Long) =
+      TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(t))
+    val st = TxLog.readAt(spark, statsDir(index))
+      .select(col("n_docs"),
+        (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    import spark.implicits._
+    val dfRel = broadcast(ceil.map(c => (c._1, c._3)).toDF("term", "df"))
+    // θ̂: the k-th best single-list partial of the top-impact list —
+    // every such doc's TRUE score only grows, so θ_true >= θ̂
+    val (t1, h1, _, _) = ceil.head
+    val thetaRow = bm25Rank(pointRead(t1, h1), dfRel, st, k)
+      .agg(count(lit(1)).as("n"), coalesce(min(col("score")), lit(0.0)).as("kth")).head
+    val theta =
+      if (thetaRow.getLong(0) < k) Double.NegativeInfinity else thetaRow.getDouble(1)
+    // essential = minimal prefix whose complement's ceiling-sum cannot
+    // reach θ̂ (strictly, with the rounding margin)
+    val suffix = ceil.map(_._4).scanRight(0.0)(_ + _).tail // suffix(i) = Σ_{j>i} u_j
+    val nEss = (1 to ceil.size).find(j => suffix(j - 1) < theta - 1e-5)
+      .getOrElse(ceil.size)
+    val (ess, rest) = ceil.splitAt(nEss)
+    val essPosts = ess.map(c => pointRead(c._1, c._2)).reduce(_ unionByName _)
+    val posts =
+      if (rest.isEmpty) essPosts
+      else {
+        val cands = essPosts.select("doc_id").distinct()
+        essPosts.unionByName(
+          rest.map(c => pointRead(c._1, c._2)).reduce(_ unionByName _)
+            .join(cands, Seq("doc_id"), "left_semi"))
+      }
+    (bm25Rank(posts, dfRel, st, k),
+      MaxScoreReport(ess.map(_._1), rest.map(_._1),
+        ceil.map(_._3).sum, ess.map(_._3).sum, fellBack = false))
   }
 
   /** The end-user search shape: BM25 rank from the INDEX, then fetch
@@ -371,7 +468,37 @@ object TextIndex {
     val (v, _, _, _) = TxLog.deleteMor(spark, index, keys, "doc_id")
     val r = TxLog.readAt(spark, statsDir(index)).head
     writeStats(spark, index, (r.getLong(0) - nGone, r.getLong(1) - lenGone))
+    // the per-term dictionary is now STALE-HIGH on df: advance the
+    // delete counter so MaxScore falls back to full scoring until the
+    // next maintain rebuilds _tstats from the live postings
+    if (TxLog.versions(tstatsDir(index)).nonEmpty) {
+      val (n, at) = readTstatsMeta(spark, index)
+      writeTstatsMeta(spark, index, (n + nGone, at))
+    }
     v
+  }
+
+  /** The per-term dictionary rows behind [[searchBm25MaxScore]]'s
+    * bounds: document frequency + the dl-independent score ceiling. */
+  private def tstatsDelta(posts: DataFrame): DataFrame =
+    posts.groupBy(col("term_hash"), col("term"))
+      .agg(count(lit(1)).as("df"),
+        max(col("tf").cast("double") /
+          (col("tf").cast("double") + lit(1.2) * (lit(1.0) - 0.75))).as("tf_bound"))
+
+  private def readTstatsMeta(spark: SparkSession, index: Path): (Long, Long) =
+    if (TxLog.versions(tstatsMetaDir(index)).isEmpty) (0L, 0L)
+    else {
+      val r = TxLog.readAt(spark, tstatsMetaDir(index)).head
+      (r.getLong(r.fieldIndex("n_deleted")), r.getLong(r.fieldIndex("refreshed_at")))
+    }
+
+  private def writeTstatsMeta(spark: SparkSession, index: Path, v: (Long, Long)): Unit = {
+    import spark.implicits._
+    val df = Seq(v).toDF("n_deleted", "refreshed_at")
+    if (TxLog.versions(tstatsMetaDir(index)).isEmpty)
+      TxLog.append(spark, df, tstatsMetaDir(index), "n_deleted"): Unit
+    else TxLog.overwrite(spark, df, tstatsMetaDir(index), "n_deleted"): Unit
   }
 
   /** What [[maintain]] did: docs newly indexed, postings files and DV
@@ -415,6 +542,18 @@ object TextIndex {
         clusterBucket(nClusters), nClusters): Unit
     if (TxLog.snapshotAt(filesDir(index)).files.size > 1)
       TxLog.compact(spark, filesDir(index), "file_name", nParts = 1): Unit
+    // the _tstats dictionary: increments appended log-structured slices
+    // and pruneDeleted left its df counts stale-high — rebuild it EXACT
+    // from the live (DV-folded) postings, restore the range clustering,
+    // and reset the staleness counter so MaxScore's fast path reopens
+    if (TxLog.versions(tstatsDir(index)).nonEmpty) {
+      TxLog.overwrite(spark, tstatsDelta(TxLog.readAt(spark, index)),
+        tstatsDir(index), "term_hash", nParts = 1): Unit
+      TxLog.compactClustered(spark, tstatsDir(index), "term_hash",
+        clusterBucket(nClusters), nClusters): Unit
+      val (n, _) = readTstatsMeta(spark, index)
+      writeTstatsMeta(spark, index, (n, n))
+    }
     // the positional sibling (if built) degrades the same two ways —
     // fold its increments and watermark back too
     if (TxLog.versions(posDir(index)).nonEmpty) {
@@ -426,7 +565,7 @@ object TextIndex {
         TxLog.compact(spark, posFilesDir(index), "file_name", nParts = 1): Unit
     }
     val reclaimed = Seq(index, statsDir(index), filesDir(index), metaDir(index),
-        posDir(index), posFilesDir(index))
+        tstatsDir(index), tstatsMetaDir(index), posDir(index), posFilesDir(index))
       .map { t =>
         if (TxLog.versions(t).isEmpty) 0
         else TxLog.vacuum(t, keepVersions = math.max(1, vacuumKeep),

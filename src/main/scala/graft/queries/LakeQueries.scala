@@ -1992,6 +1992,34 @@ object LakeQueries {
       TextIndex.searchBm25All(spark, index, Seq("spark", "join", "filter"), 20)
     }),
 
+    // ---- tix10: DISJUNCTIVE TOP-K WITH MAXSCORE BOUNDS — searchBm25
+    // scores EVERY posting of EVERY query term; for the classic
+    // rare-term + common-terms query that is almost all waste: the
+    // common lists' per-doc score ceiling (idf(df) * max tf/(tf+k1(1-b)),
+    // both from the _tstats dictionary sidecar — |terms| point reads)
+    // cannot reach the k-th best score of the rare list alone, so they
+    // are scored only for candidates the rare list produced, never in
+    // full. SAFE-UP-TO-K: the ranking hash-equals the full-scoring
+    // oracle; the postings arithmetic rides as gated columns — the
+    // oracle RECOMPUTES postings_total (Σ df over the query terms) and
+    // postings_essential (df of 'dup') from the corpus, so the claimed
+    // read reduction (~600 postings skipped of ~630 per 500 docs) is
+    // itself oracle-checked, not self-reported.
+    "tix10_maxscore_topk" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val corpus = freshTable()
+      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
+      val index = corpus.resolveSibling("ix")
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      val (ranked, rep) = TextIndex.searchBm25MaxScore(
+        spark, index, Seq("dup", "join", "filter"), 10)
+      ranked
+        .withColumn("postings_total", lit(rep.postingsTotal))
+        .withColumn("postings_essential", lit(rep.postingsEssential))
+        .withColumn("lists_skipped", lit(rep.skipped.size.toLong))
+        .withColumn("fell_back", lit(rep.fellBack))
+    }),
+
     // ---- cont04: INDEX-ACCELERATED DECONTAMINATION — cont01/cont02
     // screen by scanning the corpus grams per benchmark (broadcast or
     // bloom prefilter); at 100 TB the corpus is huge and STATIC while
@@ -3085,6 +3113,19 @@ object LakeQueries {
         |ORDER BY version, ordinal""".stripMargin,
 
     "tix01_bm25_from_index" -> TextIndexOracle,
+
+    // tix10: the full-scoring ranking over the MaxScore terms, LIMIT 10;
+    // the read-reduction counters recomputed from the corpus itself
+    "tix10_maxscore_topk" ->
+      TextIndexOracle
+        .replace("WHERE w IN ('spark', 'join', 'filter')",
+          "WHERE w IN ('dup', 'join', 'filter')")
+        .replace("SELECT doc_id, score FROM scored\nORDER BY score DESC, doc_id LIMIT 20",
+          """SELECT doc_id, score,
+            |  (SELECT CAST(SUM(df) AS BIGINT) FROM df) AS postings_total,
+            |  (SELECT CAST(df AS BIGINT) FROM df WHERE w = 'dup') AS postings_essential,
+            |  CAST(2 AS BIGINT) AS lists_skipped, FALSE AS fell_back
+            |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
     "tix02_incremental_text_index" -> TextIndexOracle,
     "tix03_streaming_text_index" -> TextIndexOracle,
     "sql24_sql_bm25_over_index" -> TextIndexOracle,

@@ -268,6 +268,47 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(0L, 7L, 14L))
   }
 
+  test("MaxScore: skips the common list, ranking EXACTLY equals full scoring") {
+    val base = Files.createTempDirectory("graft_tix7")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    // two increments so the dictionary is multi-slice (sum-at-read path)
+    TxLog.append(spark, corpusDf(0L to 49L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TxLog.append(spark, corpusDf(50L to 99L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    val terms = Seq("rareword", "alpha") // rare high-impact vs universal low-impact
+    val full = TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq
+    val (pruned, rep) = TextIndex.searchBm25MaxScore(spark, index, terms, 5)
+    assert(!rep.fellBack)
+    assert(rep.essential == Seq("rareword") && rep.skipped == Seq("alpha"),
+      s"expected alpha non-essential, got $rep")
+    assert(rep.postingsEssential < rep.postingsTotal)
+    assert(pruned.collect().toSeq == full)
+    // a term the corpus never saw: both modes agree (and no crash)
+    val (ghost, grep) = TextIndex.searchBm25MaxScore(spark, index, Seq("zzz_unseen"), 5)
+    assert(ghost.collect().isEmpty && !grep.fellBack)
+  }
+
+  test("MaxScore: deletes force the full-scoring fallback until maintain rebuilds the dictionary") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix8")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 99L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TxLog.deleteMor(spark, corpus, Seq(7L, 14L).toDF("doc_id"), "doc_id"): Unit
+    TextIndex.pruneDeleted(spark, index, Seq(7L, 14L).toDF("doc_id")): Unit
+    val terms = Seq("rareword", "alpha")
+    val (r1, rep1) = TextIndex.searchBm25MaxScore(spark, index, terms, 5)
+    assert(rep1.fellBack, "stale-high df must not serve bounds")
+    assert(r1.collect().toSeq == TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
+    TextIndex.maintain(spark, corpus, index): Unit
+    val (r2, rep2) = TextIndex.searchBm25MaxScore(spark, index, terms, 5)
+    assert(!rep2.fellBack && rep2.skipped.nonEmpty)
+    assert(r2.collect().toSeq == TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
+  }
+
   test("empty query-term lists refuse with a clear message in both search modes") {
     val base = Files.createTempDirectory("graft_tix6")
     val corpus = base.resolve("corpus")
