@@ -107,9 +107,61 @@ object TxLog {
     * predicates on partition columns prune on this map alone. */
   final case class AddFile(path: String, rows: Long, minKey: Long, maxKey: Long,
       cols: Map[String, (Long, Long)] = Map.empty,
-      dv: Option[String] = None, part: Map[String, String] = Map.empty)
+      dv: Option[String] = None, part: Map[String, String] = Map.empty,
+      strCols: Map[String, (String, String)] = Map.empty)
 
   private val MaxStatsCols = 16
+
+  // --------------------------------------------------- string footer stats
+
+  /** Truncation budget for string stats (code points) — Delta's rule:
+    * a full min/max of a long text column would bloat every commit, so
+    * the recorded min is a PREFIX (still a valid lower bound) and the
+    * recorded max is the prefix with its last code point incremented
+    * (a strict upper bound for every string sharing the prefix). */
+  private val StrStatsCp = 16
+
+  /** Code-point order — the SAME total order parquet's UTF-8 byte-wise
+    * unsigned min/max comparison induces (UTF-8 byte order = code point
+    * order), used for BOTH truncation and pruning so the two can never
+    * disagree. Java's String.compareTo (UTF-16 units) would misorder
+    * supplementary planes against the footer stats. */
+  private[ops] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
+  }
+
+  private[ops] def truncMin(s: String): String = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StrStatsCp) s
+    else new String(cps, 0, StrStatsCp)
+  }
+
+  /** Upper bound after truncation: drop everything past the budget and
+    * increment the LAST incrementable code point (skipping the
+    * surrogate gap — those code points never occur in valid strings but
+    * must not be produced either). None when every prefix code point is
+    * already U+10FFFF — no safe bound exists and the file simply
+    * records no max (kept-when-absent conservatism). */
+  private[ops] def truncMaxPlus(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StrStatsCp) Some(s)
+    else {
+      val p = cps.take(StrStatsCp)
+      var i = StrStatsCp - 1
+      while (i >= 0 && p(i) >= 0x10FFFF) i -= 1
+      if (i < 0) None
+      else {
+        val bumped = if (p(i) + 1 == 0xD800) 0xE000 else p(i) + 1
+        Some(new String(p.updated(i, bumped), 0, i + 1))
+      }
+    }
+  }
 
   final case class Snapshot(version: Long, files: Vector[AddFile])
 
@@ -140,6 +192,10 @@ object TxLog {
         c -> Map[String, Object]("min" -> java.lang.Long.valueOf(lo),
           "max" -> java.lang.Long.valueOf(hi)).asJava
       }.asJava)
+      ++ (if (a.strCols.isEmpty) Map.empty[String, Object]
+          else Map("scols" -> a.strCols.map { case (c, (lo, hi)) =>
+            c -> Map[String, Object]("min" -> lo, "max" -> hi).asJava
+          }.asJava))
       ++ a.dv.map(d => "dv" -> (d: Object))
       ++ (if (a.part.isEmpty) Map.empty[String, Object]
           else Map("part" -> (a.part.asJava: Object)))).asJava
@@ -153,9 +209,16 @@ object TxLog {
     val part = Option(n.get("part")).map { pn =>
       pn.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }.getOrElse(Map.empty[String, String])
+    // absent in pre-string-stats logs: empty map, every read stays
+    // conservative (kept-when-absent) — old logs remain fully readable
+    val strCols = Option(n.get("scols")).map { sn =>
+      sn.fields().asScala.map { e =>
+        e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
     AddFile(n.get("path").asText, n.get("rows").asLong,
       n.get("min").asLong, n.get("max").asLong, cols,
-      Option(n.get("dv")).map(_.asText), part)
+      Option(n.get("dv")).map(_.asText), part, strCols)
   }
 
   // ------------------------------------------- multi-table txn resolution
@@ -1099,8 +1162,10 @@ object TxLog {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      // one footer pass collects [min,max] for EVERY integer column
+      // one footer pass collects [min,max] for EVERY integer column,
+      // plus TRUNCATED [min,max+1) for every string (UTF-8 binary) one
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
@@ -1116,17 +1181,34 @@ object TxLog {
               val cur = acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
               acc(name) = (math.min(cur._1, lo), math.max(cur._2, hi))
             }
+            (st.genericGetMin, st.genericGetMax) match {
+              case (lo: org.apache.parquet.io.api.Binary, hi: org.apache.parquet.io.api.Binary)
+                  if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                val (los, his) = (lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+                val cur = sacc.get(name)
+                sacc(name) = (
+                  cur.map(_._1).filter(cpCompare(_, los) <= 0).getOrElse(los),
+                  cur.map(_._2).filter(cpCompare(_, his) >= 0).getOrElse(his))
+              case _ => ()
+            }
           }
         }
       }
-      // cap at MaxStatsCols with the DESIGNATED column always ranked
-      // first — evicting it would silently disable all file skipping,
-      // and naively re-adding it would exceed the documented cap
+      // cap at MaxStatsCols TOTAL with the DESIGNATED column always
+      // ranked first — evicting it would silently disable all file
+      // skipping, and naively re-adding it would exceed the documented
+      // cap; string columns fill whatever slots remain
       val cols = (acc.get(statsCol).map(statsCol -> _).toSeq ++
         acc.toSeq.filter(_._1 != statsCol).sortBy(_._1))
         .take(MaxStatsCols).toMap
+      val strCols = sacc.toSeq.sortBy(_._1)
+        .take(math.max(0, MaxStatsCols - cols.size))
+        .flatMap { case (name, (lo, hi)) =>
+          truncMaxPlus(hi).map(hiB => name -> (truncMin(lo), hiB))
+        }.toMap
       val (mn, mx) = cols.getOrElse(statsCol, (Long.MinValue, Long.MaxValue)) // unknown: never prunable
-      AddFile(file.getFileName.toString, rows, mn, mx, cols)
+      AddFile(file.getFileName.toString, rows, mn, mx, cols, strCols = strCols)
     } finally reader.close()
   }
 
@@ -1522,6 +1604,18 @@ object TxLog {
     * pruning must only ever be conservative. */
   def pruneFilesOn(snap: Snapshot, colName: String, lo: Long, hi: Long): Vector[AddFile] =
     snap.files.filter(_.cols.get(colName).forall { case (mn, mx) => mx >= lo && mn <= hi })
+
+  /** String-range skipping against the TRUNCATED footer stats: keep a
+    * file iff [recorded-min, recorded-max-bound] can intersect
+    * [lo, hi] under code-point order (the order the truncation was
+    * computed in). The recorded min is a prefix (≤ every value) and
+    * the recorded max a strict upper bound, so the filter is exactly
+    * as conservative as the numeric one; a file with no stats for the
+    * column (pre-string-stats commit, all-null chunk, evicted by the
+    * 16-column cap) is kept. */
+  def pruneFilesOnStr(snap: Snapshot, colName: String, lo: String, hi: String): Vector[AddFile] =
+    snap.files.filter(_.strCols.get(colName).forall { case (mn, mx) =>
+      cpCompare(mx, lo) >= 0 && cpCompare(mn, hi) <= 0 })
 
   /** Decode a hive partition-directory VALUE: only `%XX` escapes, never
     * `'+'` (Spark's escapePathName leaves `'+'` literal, so URLDecoder —

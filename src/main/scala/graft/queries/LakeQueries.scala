@@ -2318,6 +2318,34 @@ object LakeQueries {
     // batch. Proven through a full REDELIVERY: the stream re-runs with
     // a wiped engine checkpoint and both tables' versions and contents
     // are unchanged. The oracle replays the net state.
+    // ---- tx25: STRING-RANGE FILE SKIPPING from truncated footer stats
+    // — the pruning axis the log lacked (AddFile min/max was Long-only;
+    // the bloom sibling covers equality, not ranges). Every commit now
+    // records per-string-column [prefix-min, prefix-max-plus-one)
+    // (Delta's truncation rule, 16 code points, code-point order =
+    // parquet's UTF-8 byte order), so a range probe over a string-keyed
+    // layout prunes to exactly the covering files FROM DRIVER METADATA
+    // — here 3 of 20 source-clustered files for a 38-char synthetic key,
+    // the exact predicate re-applied as the in-scan residual. The
+    // files-scanned arithmetic rides as gated literals; files_total is
+    // RECOMPUTED by the oracle (one file per source by construction).
+    "tx25_string_stats_prune" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+        .withColumn("skey", concat_ws("_", col("source"), md5(col("text"))))
+      val tbl = freshTable()
+      TxLog.appendClustered(spark, d, tbl, "doc_id",
+        clusterCol = col("source"), nClusters = 8)
+      val snap = TxLog.snapshotAt(tbl)
+      val kept = TxLog.pruneFilesOnStr(snap, "skey", "src14", "src17")
+      TxLog.readFiles(spark, tbl, kept)
+        .filter(col("skey") >= "src14" && col("skey") <= "src17")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .withColumn("files_scanned", lit(kept.size.toLong))
+        .withColumn("files_total", lit(snap.files.size.toLong))
+    }),
+
     "tx24_streaming_reconcile" -> ((spark: SparkSession, dir: String) => {
       val d0 = docs(spark, dir).select(col("doc_id"), col("n_chars"))
       val span = idSpan(d0)
@@ -3364,6 +3392,17 @@ object LakeQueries {
     // the streaming reconciliation nets to tx23's state; cur = seed +
     // two merge commits (v2), audit = create + two tagged appends (v2);
     // the redelivered run changed nothing.
+    // tx25: the surviving rows recomputed from the same synthetic key
+    // predicate; files_total = one file per source by construction,
+    // files_scanned = the three sources the key range can contain
+    "tx25_string_stats_prune" ->
+      """SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(3 AS BIGINT) AS files_scanned,
+        |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS files_total
+        |FROM documents
+        |WHERE concat(source, '_', md5(text)) BETWEEN 'src14' AND 'src17'""".stripMargin,
+
     "tx24_streaming_reconcile" ->
       """WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
         |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars

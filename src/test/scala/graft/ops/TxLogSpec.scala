@@ -905,4 +905,58 @@ class TxLogSpec extends SparkSpec {
     assert(after.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 1L, 2L, 100L))
     assert(v == TxLog.latestVersion(t2))
   }
+
+  test("string footer stats: truncated bounds hold for every row, pruning is exact-conservative") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_sstats").resolve("tbl")
+    // 40-char keys (md5 + prefix) force the 16-code-point truncation
+    val df = (0L until 200L).toDF("id")
+      .withColumn("skey", concat_ws("_",
+        concat(lit("grp"), (col("id") % 4).cast("string")), md5(col("id").cast("string"))))
+    TxLog.appendClustered(spark, df, t, "id",
+      clusterCol = expr("id % 4"), nClusters = 4)
+    val snap = TxLog.snapshotAt(t)
+    assert(snap.files.nonEmpty && snap.files.forall(_.strCols.contains("skey")))
+    // per file: recorded [min, maxBound] brackets every actual value
+    snap.files.foreach { f =>
+      val (mn, mx) = f.strCols("skey")
+      assert(mx.codePointCount(0, mx.length) <= 16, "max must be truncated")
+      val vals = TxLog.readFiles(spark, t, Seq(f))
+        .select("skey").collect().map(_.getString(0))
+      vals.foreach { v =>
+        assert(TxLog.cpCompare(mn, v) <= 0 && TxLog.cpCompare(v, mx) < 0,
+          s"value $v escapes recorded [$mn, $mx)")
+      }
+    }
+    // range prune vs brute force: every file holding a matching row is kept
+    val kept = TxLog.pruneFilesOnStr(snap, "skey", "grp1", "grp2~").map(_.path).toSet
+    snap.files.foreach { f =>
+      val hasMatch = TxLog.readFiles(spark, t, Seq(f))
+        .filter(col("skey") >= "grp1" && col("skey") <= "grp2~").count() > 0
+      if (hasMatch) assert(kept(f.path), s"pruned a file with matches: ${f.path}")
+    }
+    assert(kept.size < snap.files.size, "the probe must actually skip files")
+    // kept-when-absent conservatism: a file with no string stats survives any probe
+    val blind = snap.files.map(f => f.copy(strCols = Map.empty))
+    assert(TxLog.pruneFilesOnStr(TxLog.Snapshot(snap.version, blind),
+      "skey", "zzz", "zzzz").size == blind.size)
+  }
+
+  test("string-stat truncation edges: supplementary-plane order, surrogate gap, unbumpable max") {
+    // code-point order, NOT UTF-16 unit order: U+10000 > U+FFFF
+    assert(TxLog.cpCompare(new String(Character.toChars(0x10000)), "\uFFFF") > 0)
+    // a 20-cp string truncates to 16 with the last cp bumped
+    val s = "a" * 15 + "b" + "cccc"
+    assert(TxLog.truncMin(s) == "a" * 15 + "b")
+    assert(TxLog.truncMaxPlus(s).contains("a" * 15 + "c"))
+    // bump would land in the surrogate gap: jumps over it
+    val gap = "a" * 15 + "\uD7FF" + "tail-beyond-budget"
+    assert(TxLog.truncMaxPlus(gap).contains("a" * 15 + "\uE000"))
+    // every prefix cp already U+10FFFF: no safe bound exists
+    val maxed = new String(Array.fill(17)(0x10FFFF), 0, 17)
+    assert(TxLog.truncMaxPlus(maxed).isEmpty)
+    // short strings pass through exact
+    assert(TxLog.truncMaxPlus("short").contains("short"))
+    assert(TxLog.truncMin("short") == "short")
+  }
 }
