@@ -447,6 +447,115 @@ object TxLog {
 
   def latestVersion(table: Path): Long = versions(table).lastOption.getOrElse(-1L)
 
+  // --------------------------------------------------------------- protocol
+
+  /** The table's feature contract (Delta's protocol action, feature-name
+    * form): a READER feature names log content a scanner must understand
+    * to produce correct rows (a DV-ignorant reader would resurrect
+    * deleted rows; a mapping-ignorant one would read physical columns);
+    * a WRITER feature names an invariant a committer must maintain.
+    * Readers/writers refuse unknown required features BY NAME instead of
+    * silently misreading — the one failure mode a foreign or older
+    * binary must never have. */
+  final case class Protocol(readerFeatures: Set[String], writerFeatures: Set[String]) {
+    def isEmpty: Boolean = readerFeatures.isEmpty && writerFeatures.isEmpty
+  }
+  object Protocol { val Empty: Protocol = Protocol(Set.empty, Set.empty) }
+
+  /** Features THIS engine understands. String footer stats and
+    * partitionValues are deliberately NOT features: both are ignorable
+    * hints (skipping metadata; partition columns are retained in the
+    * data files), harmless to a reader that does not know them. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "changeDataFeed")
+  val SupportedWriterFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "changeDataFeed")
+
+  private def protocolOfNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[Protocol] =
+    Option(n.get("protocol")).map { p =>
+      def names(field: String): Set[String] =
+        Option(p.get(field)).map(_.elements().asScala.map(_.asText).toSet)
+          .getOrElse(Set.empty)
+      Protocol(names("readerFeatures"), names("writerFeatures"))
+    }
+
+  private def protocolToNode(p: Protocol): Object =
+    Map[String, Object](
+      "readerFeatures" -> p.readerFeatures.toSeq.sorted.asJava,
+      "writerFeatures" -> p.writerFeatures.toSeq.sorted.asJava).asJava
+
+  /** Protocol in force AT `version` (latest when None) — per-version,
+    * so time travel to a pre-upgrade snapshot works under the old
+    * contract. Newest checkpoint's fold + the commits after it; a table
+    * with no protocol action (every pre-upgrade log) is Empty and
+    * readable by anything. */
+  def protocolAt(table: Path, version: Option[Long] = None): Protocol = {
+    val vs = versions(table)
+    if (vs.isEmpty) return Protocol.Empty
+    val target = version.getOrElse(vs.last)
+    // per-JVM incremental cache: the writer gate runs on EVERY commit,
+    // and a published commit is immutable, so a cached (version,
+    // protocol) only ever needs the commits SINCE it replayed on top —
+    // the steady-state cost is one commit read, not a checkpoint window
+    val key = table.toAbsolutePath.toString
+    val cached = protocolCache.get(key)
+    if (cached != null && cached._1 <= target) {
+      var p = cached._2
+      vs.filter(v => v > cached._1 && v <= target).foreach { v =>
+        protocolOfNode(commitNode(table, v)).foreach(np => p = np)
+      }
+      if (target == vs.last) protocolCache.put(key, (target, p))
+      return p
+    }
+    val ckpt = vs.filter(_ <= target).reverse
+      .find(v => Files.exists(versionDir(table, v).resolve("checkpoint.json")))
+    var p = ckpt.flatMap { v =>
+      protocolOfNode(mapper.readTree(Files.readAllBytes(
+        versionDir(table, v).resolve("checkpoint.json"))))
+    }.getOrElse(Protocol.Empty)
+    val from = ckpt.map(_ + 1).getOrElse(0L)
+    vs.filter(v => v >= from && v <= target).foreach { v =>
+      protocolOfNode(commitNode(table, v)).foreach(np => p = np) // writers only grow it
+    }
+    if (target == vs.last) protocolCache.put(key, (target, p))
+    p
+  }
+
+  private val protocolCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Protocol)]()
+
+  /** Refuse-by-name reader gate, called on every snapshot replay. */
+  private def requireReadable(table: Path, version: Long, p: Protocol): Unit = {
+    val unknown = p.readerFeatures -- SupportedReaderFeatures
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"table $table (version $version) requires reader feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} this engine does not support; " +
+          "upgrade the engine — reading anyway would silently misread the data")
+  }
+
+  /** Refuse-by-name writer gate, checked before any commit attempt. */
+  private def requireWritable(table: Path): Unit = {
+    val unknown = protocolAt(table).writerFeatures -- SupportedWriterFeatures
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"table $table requires writer feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} this engine does not support; " +
+          "writing anyway could break the invariant those features guard")
+  }
+
+  /** Grow the table's protocol (one metadata commit; shrinking is not a
+    * thing — a feature once required stays required for old snapshots). */
+  def upgradeProtocol(table: Path, readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty): Long = {
+    val cur = protocolAt(table)
+    val grown = Protocol(cur.readerFeatures ++ readerFeatures,
+      cur.writerFeatures ++ writerFeatures)
+    commitRetry(table, "protocol", Nil, Nil,
+      extra = Map("protocol" -> protocolToNode(grown)))(_ => true)
+  }
+
   /** Replay the log up to `version` (latest when None). Starts from the
     * newest checkpoint at or below the target, then applies at most the
     * commits after it — O(checkpoint interval) commit reads. */
@@ -458,11 +567,15 @@ object TxLog {
     val ckpt = vs.filter(_ <= target).reverse
       .find(v => Files.exists(versionDir(table, v).resolve("checkpoint.json")))
     var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // the protocol gate rides the SAME replay — the nodes are already
+    // in hand, so refusing an unsupported table costs no extra IO
+    var proto = Protocol.Empty
     ckpt.foreach { v =>
       val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("checkpoint.json")))
       node.get("files").elements().asScala.foreach { f =>
         val a = nodeToAdd(f); live += (a.path -> a)
       }
+      protocolOfNode(node).foreach(proto = _)
     }
     val from = ckpt.map(_ + 1).getOrElse(0L)
     vs.filter(v => v >= from && v <= target).foreach { v =>
@@ -471,7 +584,9 @@ object TxLog {
       node.get("adds").elements().asScala.foreach { f =>
         val a = nodeToAdd(f); live += (a.path -> a)
       }
+      protocolOfNode(node).foreach(proto = _)
     }
+    requireReadable(table, target, proto)
     Snapshot(target, live.values.toVector)
   }
 
@@ -521,8 +636,23 @@ object TxLog {
       // a multi-table coordinator publishes with checkpoint=false: the
       // checkpoint's snapshotAt would block on its OWN pending marker
       checkpoint: Boolean = true): Boolean = {
+    // AUTO-DECLARATION: a commit that first USES a gated capability
+    // grows the protocol in the SAME commit (no extra version — version
+    // arithmetic downstream stays intact). Once declared, later uses
+    // add nothing.
+    val implied = (if (adds.exists(_.dv.isDefined)) Set("deletionVectors") else Set.empty[String]) ++
+      (if (extra.contains("cdcFile")) Set("changeDataFeed") else Set.empty[String]) ++
+      (if (schema.exists(ColumnMapping.stamped)) Set("columnMapping") else Set.empty[String])
+    val extraP =
+      if (implied.isEmpty || extra.contains("protocol")) extra
+      else {
+        val cur = protocolAt(table)
+        if (implied.subsetOf(cur.readerFeatures) && implied.subsetOf(cur.writerFeatures)) extra
+        else extra + ("protocol" -> protocolToNode(
+          Protocol(cur.readerFeatures ++ implied, cur.writerFeatures ++ implied)))
+      }
     val ok = publishExclusive(vd.resolve("commit.json"),
-      commitBytes(v, op, adds, removes, batchId, schema, extra))
+      commitBytes(v, op, adds, removes, batchId, schema, extraP))
     if (ok && checkpoint && v % CheckpointEvery == 0 && v > 0) {
       val snap = snapshotAt(table, Some(v))
       // the checkpoint also folds the streaming BATCH-ID WATERMARK
@@ -555,7 +685,14 @@ object TxLog {
         ++ (if (txo.isEmpty) Map.empty[String, Object]
             else Map("txnOutcomes" -> (txo.asJava: Object)))
         ++ (if (txp.isEmpty) Map.empty[String, Object]
-            else Map("txnPending" -> (txp.asJava: Object)))).asJava
+            else Map("txnPending" -> (txp.asJava: Object)))
+        // ...and the protocol in force, so feature gates survive
+        // checkpoint-bounded replay (absent = Empty, the pre-upgrade shape)
+        ++ {
+          val p = protocolAt(table, Some(v))
+          if (p.isEmpty) Map.empty[String, Object]
+          else Map("protocol" -> protocolToNode(p))
+        }).asJava
       writeJsonAtomic(vd.resolve("checkpoint.json"), mapper.writeValueAsBytes(ck))
     }
     ok
@@ -699,6 +836,9 @@ object TxLog {
     require(keyed.map(_._1).distinct.size == ops.size,
       "transact: one operation per table per transaction")
     val ordered = keyed.sortBy(_._1.toString).map(_._2)
+    // feature gate every participant BEFORE staging: refusal must come
+    // while nothing is claimed and nothing is staged
+    ordered.foreach(o => if (versions(o.table).nonEmpty) requireWritable(o.table))
 
     // ---- 1. PREPARE: stage append/merge data before holding any claim
     def stageFor(table: Path, df: DataFrame, statsCol: String,
@@ -849,6 +989,9 @@ object TxLog {
     // whole lease window. maxAttempts still floors the live-contention
     // patience when the lease is configured very short.
     val deadline = System.currentTimeMillis() + StaleClaimMs + 60_000L
+    // feature gate BEFORE any claim: an engine that does not understand
+    // a required writer feature must refuse, not commit-and-corrupt
+    requireWritable(table)
     var attempt = 0
     while (attempt < maxAttempts || System.currentTimeMillis() < deadline) {
       val v = latestVersion(table) + 1
@@ -2630,5 +2773,11 @@ object TxLog {
 
   /** Recursive delete for callers cleaning up whole table directories
     * (e.g. temp tables built inside gated queries). */
-  def deleteTree(p: Path): Unit = deleteRecursively(p)
+  def deleteTree(p: Path): Unit = {
+    deleteRecursively(p)
+    // a table recreated at this path is a NEW incarnation: a cached
+    // (version, protocol) from the old one must not seed its replay
+    val prefix = p.toAbsolutePath.toString
+    protocolCache.keySet.removeIf(k => k == prefix || k.startsWith(prefix + "/"))
+  }
 }

@@ -2318,6 +2318,38 @@ object LakeQueries {
     // batch. Proven through a full REDELIVERY: the stream re-runs with
     // a wiped engine checkpoint and both tables' versions and contents
     // are unchanged. The oracle replays the net state.
+    // ---- tx26: COMMIT-PROTOCOL FEATURE GATES — the refusal contract a
+    // foreign or older reader needs (Delta's protocol action, feature-
+    // name form): using a deletion vector AUTO-DECLARES the feature in
+    // the delete's own commit (no extra version), an explicit
+    // upgradeProtocol grows the contract as one metadata commit, and the
+    // protocol is PER VERSION — time travel back across the upgrade
+    // reads under the old contract, which this gate exercises by
+    // replaying v0's aggregates after the table has declared features
+    // v0 never used. Unknown-feature refusal (reader AND writer, by
+    // name) is spec'd in TxLogSpec — it cannot be oracle-gated because
+    // a correct engine must throw, not return rows.
+    "tx26_protocol_upgrade" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val tbl = freshTable()
+      TxLog.append(spark, d, tbl, "doc_id", nParts = 2) // v0: no features
+      TxLog.deleteMor(spark, tbl,
+        d.filter(col("doc_id") % 13 === 5).select("doc_id"), "doc_id"): Unit // v1 + DV feature
+      val vUp = TxLog.upgradeProtocol(tbl,
+        readerFeatures = Set("changeDataFeed"), writerFeatures = Set("changeDataFeed"))
+      val p = TxLog.protocolAt(tbl)
+      val p0 = TxLog.protocolAt(tbl, Some(0L))
+      val v0 = TxLog.readAt(spark, tbl, Some(0L))
+        .agg(count(lit(1)).as("v0_docs"), sum(col("n_chars")).cast("bigint").as("v0_chars"))
+      val live = TxLog.readAt(spark, tbl)
+        .agg(count(lit(1)).as("live_docs"), sum(col("n_chars")).cast("bigint").as("live_chars"))
+      v0.crossJoin(live)
+        .withColumn("dv_declared", lit(p.readerFeatures("deletionVectors")))
+        .withColumn("cdf_declared", lit(p.readerFeatures("changeDataFeed")))
+        .withColumn("v0_protocol_empty", lit(p0 == TxLog.Protocol.Empty))
+        .withColumn("upgrade_version", lit(vUp))
+    }),
+
     // ---- tx25: STRING-RANGE FILE SKIPPING from truncated footer stats
     // — the pruning axis the log lacked (AddFile min/max was Long-only;
     // the bloom sibling covers equality, not ranges). Every commit now
@@ -3392,6 +3424,17 @@ object LakeQueries {
     // the streaming reconciliation nets to tx23's state; cur = seed +
     // two merge commits (v2), audit = create + two tagged appends (v2);
     // the redelivered run changed nothing.
+    // tx26: both snapshots' aggregates recomputed (v0 = everything,
+    // live = the surviving residue classes); the protocol claims are
+    // the gated literals
+    "tx26_protocol_upgrade" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS v0_docs,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS v0_chars,
+        |  COUNT(*) AS live_docs, CAST(SUM(n_chars) AS BIGINT) AS live_chars,
+        |  TRUE AS dv_declared, TRUE AS cdf_declared,
+        |  TRUE AS v0_protocol_empty, CAST(2 AS BIGINT) AS upgrade_version
+        |FROM documents WHERE doc_id % 13 <> 5""".stripMargin,
+
     // tx25: the surviving rows recomputed from the same synthetic key
     // predicate; files_total = one file per source by construction,
     // files_scanned = the three sources the key range can contain

@@ -906,6 +906,70 @@ class TxLogSpec extends SparkSpec {
     assert(v == TxLog.latestVersion(t2))
   }
 
+  test("protocol: pre-feature logs are Empty; DV use auto-declares in the SAME commit") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, idsDf(0L to 9L), t, "doc_id", nParts = 1)
+    assert(TxLog.protocolAt(t) == TxLog.Protocol.Empty)
+    val before = TxLog.versions(t).size
+    TxLog.deleteMor(spark, t, Seq(3L).toDF("doc_id"), "doc_id"): Unit
+    // the declaration rides the delete's own commits — version
+    // arithmetic downstream is untouched by the protocol machinery
+    assert(TxLog.versions(t).size == before + 1)
+    val p = TxLog.protocolAt(t)
+    assert(p.readerFeatures("deletionVectors") && p.writerFeatures("deletionVectors"))
+    assert(TxLog.readAt(spark, t).count() == 9L) // we support it: reads fine
+  }
+
+  test("protocol: unknown READER feature refuses by name; pre-upgrade versions still read") {
+    val t = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), t, "doc_id", nParts = 1)  // v0
+    TxLog.append(spark, idsDf(5L to 9L), t, "doc_id", nParts = 1)  // v1
+    TxLog.upgradeProtocol(t, readerFeatures = Set("futureCompression")) // v2
+    val ex = intercept[IllegalStateException](TxLog.readAt(spark, t).count())
+    assert(ex.getMessage.contains("futureCompression"), ex.getMessage)
+    // protocol is PER VERSION: time travel under the old contract works
+    assert(TxLog.readAt(spark, t, Some(0L)).count() == 5L)
+    assert(TxLog.readAt(spark, t, Some(1L)).count() == 10L)
+    // and writes refuse too (the commit validator replays the snapshot)
+    intercept[IllegalStateException](
+      TxLog.append(spark, idsDf(Seq(99L)), t, "doc_id", nParts = 1))
+  }
+
+  test("protocol: unknown WRITER feature refuses writes instructively, reads keep working") {
+    val t = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), t, "doc_id", nParts = 1)
+    TxLog.upgradeProtocol(t, writerFeatures = Set("futureInvariantKind"))
+    assert(TxLog.readAt(spark, t).count() == 5L)
+    val ex = intercept[IllegalStateException](
+      TxLog.append(spark, idsDf(Seq(9L)), t, "doc_id", nParts = 1))
+    assert(ex.getMessage.contains("futureInvariantKind"), ex.getMessage)
+    // ...and multi-table transactions refuse BEFORE staging anything
+    val other = freshTable()
+    TxLog.append(spark, idsDf(0L to 2L), other, "doc_id", nParts = 1)
+    intercept[IllegalStateException] {
+      TxLog.transact(spark, Seq(
+        TxLog.TxnAppend(other, idsDf(Seq(50L)), "doc_id", nParts = 1),
+        TxLog.TxnAppend(t, idsDf(Seq(51L)), "doc_id", nParts = 1)))
+    }
+    assert(TxLog.readAt(spark, other).count() == 3L, "no participant may land")
+  }
+
+  test("protocol: checkpoints fold the protocol so the gate survives bounded replay") {
+    val t = freshTable()
+    TxLog.append(spark, idsDf(0L to 4L), t, "doc_id", nParts = 1)
+    TxLog.upgradeProtocol(t, readerFeatures = Set("deletionVectors"),
+      writerFeatures = Set("deletionVectors"))
+    (0 until 10).foreach(i =>
+      TxLog.append(spark, idsDf(Seq(100L + i)), t, "doc_id", nParts = 1))
+    val ck = t.resolve("_graft_log").resolve(f"v${10L}%020d").resolve("checkpoint.json")
+    assert(Files.exists(ck))
+    assert(new String(Files.readAllBytes(ck)).contains("\"protocol\""),
+      "checkpoint must fold the protocol")
+    assert(TxLog.protocolAt(t, Some(10L)).readerFeatures("deletionVectors"))
+    assert(TxLog.protocolAt(t).readerFeatures("deletionVectors"))
+  }
+
   test("string footer stats: truncated bounds hold for every row, pruning is exact-conservative") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_sstats").resolve("tbl")
