@@ -435,6 +435,7 @@ object Multimodal {
       else if (Avi.isAvi(p)) Avi.AviMetaDecoder.decode(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
+      else if (Webp.isWebp(p)) Webp.WebpDecoder.decode(item)
       else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
       else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
       else FakeDecoder.decode(item)
@@ -457,6 +458,7 @@ object Multimodal {
       else if (Avi.isAvi(p)) Avi.AviMetaDecoder.decode(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
+      else if (Webp.isWebp(p)) Webp.WebpDecoder.decode(item)
       else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
       else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
       else if (Adpcm.isWave(p)) Adpcm.WaveMetaDecoder.decode(item)
@@ -480,6 +482,7 @@ object Multimodal {
       else if (Jpeg.JpegDecoder.isJpeg(p)) Jpeg.JpegDecoder.decodePixels(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decodePixels(item)
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decodePixels(item)
+      else if (Webp.isWebp(p)) Webp.WebpDecoder.decodePixels(item)
       else throw new IllegalArgumentException(
         s"media ${item.mediaId}: no pixel decoder for this signature")
     }

@@ -1,0 +1,774 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WebP container walk + a REAL VP8L (lossless WebP) pixel decoder —
+  * the modern web-corpus image format and, until this round, the
+  * highest-volume refusal a real crawl hit (round-14 verdict #6).
+  *
+  * Implemented from the public "WebP Lossless Bitstream Specification"
+  * (the VP8L format shipped in every browser): LSB-first bitstream,
+  * canonical prefix codes (simple 1-2-symbol form and the
+  * code-length-code form with 16/17/18 repeats and the max_symbol
+  * shortcut), color cache, LZ77 backward references with the 120-entry
+  * 2D distance mapping, meta prefix-code groups, and all four
+  * transforms (predictor ×14 modes, cross-color, subtract-green,
+  * color-indexing with sub-byte pixel bundling), applied in reverse.
+  *
+  * The 2D distance map is generated from its defining order — offsets
+  * (x, y) with y in 0..7 (x in 1..8 when y=0, else -7..8), sorted by
+  * squared euclidean distance, then larger y first, then larger x
+  * first — rather than pasted as a 120-entry literal; WebpSpec
+  * round-trips encoder-emitted plane codes through it.
+  *
+  * Refusals are NAMED, never faked: lossy "VP8 " frames (DCT +
+  * loop-filter reconstruction — native-codec domain, like MP3/AAC
+  * frames), animations, and truncated/corrupt streams all throw
+  * IllegalArgumentException (PropertySpec fuzz pins the net).
+  *
+  * Reference behavior anchor: the reference repo has no image surface
+  * at all (its parsers stop at CSV/XLSX/JSON/XML/TXT,
+  * /root/reference/src/infrastructure/parsers/); this extends the
+  * mm-family decode matrix the same way FLAC/G.711/BIFF8 did. */
+object Webp {
+
+  import Multimodal.{MediaItem, PixelImage, PixelDecoder, checkDims}
+
+  def isWebp(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P'
+
+  private def u32le(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) | ((p(i + 2) & 0xFF) << 16) |
+      ((p(i + 3) & 0xFF) << 24)
+
+  // ------------------------------------------------------------ bit reader
+
+  private final class BitReader(buf: Array[Byte], var pos: Int, end: Int) {
+    private var bit = 0
+    def read(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        require(pos < end, "truncated VP8L stream")
+        if (((buf(pos) >> bit) & 1) != 0) v |= 1 << i
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+  }
+
+  // -------------------------------------------------------- prefix codes
+
+  /** Prefix decoder from explicit (symbol, code, length) assignments —
+    * canonical (DEFLATE rule) for the code-length form, read-order for
+    * the simple form (symbols[0] -> 0, symbols[1] -> 1, NOT sorted).
+    * A tree with exactly one symbol consumes ZERO bits per read. */
+  private final class Prefix(assignments: Seq[(Int, Int, Int)]) {
+    require(assignments.nonEmpty, "prefix code with no symbols")
+    private val single = if (assignments.size == 1) assignments.head._1 else -1
+    // child arrays: node 0 = root; negative entry = ~symbol (leaf)
+    private val lo = ArrayBuffer(0)
+    private val hi = ArrayBuffer(0)
+    if (single < 0) assignments.foreach { case (sym, c, len) =>
+      require(len >= 1 && len <= 15 && c < (1 << len), "bad prefix assignment")
+      var node = 0
+      var b = len - 1
+      while (b >= 0) { // insert MSB-first
+        val arr = if (((c >> b) & 1) != 0) hi else lo
+        if (b == 0) { require(arr(node) == 0, "prefix code conflict"); arr(node) = ~sym }
+        else {
+          if (arr(node) == 0) { lo += 0; hi += 0; arr(node) = lo.size - 1 }
+          require(arr(node) > 0, "prefix code conflict")
+          node = arr(node)
+        }
+        b -= 1
+      }
+    }
+    def next(br: BitReader): Int = {
+      if (single >= 0) return single
+      var node = 0
+      while (true) {
+        val arr = if (br.read(1) != 0) hi else lo
+        val e = arr(node)
+        require(e != 0, "invalid prefix code in stream")
+        if (e < 0) return ~e
+        node = e
+      }
+      -1 // unreachable
+    }
+  }
+
+  private object Prefix {
+    /** Canonical assignment: codes by increasing length then symbol. */
+    def fromLengths(lengths: Array[Int]): Prefix = {
+      val used = lengths.zipWithIndex.filter(_._1 > 0)
+      require(used.nonEmpty, "prefix code with no symbols")
+      if (used.length == 1) return new Prefix(Seq((used.head._2, 0, 0)))
+      val maxLen = lengths.max
+      require(maxLen <= 15, "prefix code length > 15")
+      val blCount = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) blCount(l) += 1)
+      val nextCode = new Array[Int](maxLen + 1)
+      var code = 0
+      (1 to maxLen).foreach { l => code = (code + blCount(l - 1)) << 1; nextCode(l) = code }
+      new Prefix(lengths.zipWithIndex.collect { case (len, sym) if len > 0 =>
+        val c = nextCode(len); nextCode(len) += 1
+        require(c < (1 << len), "over-subscribed prefix code")
+        (sym, c, len)
+      }.toSeq)
+    }
+    /** Simple form: 1 symbol = 0 bits, 2 symbols = 1 bit in READ order. */
+    def simple(syms: Array[Int]): Prefix =
+      if (syms.length == 1) new Prefix(Seq((syms(0), 0, 0)))
+      else new Prefix(Seq((syms(0), 0, 1), (syms(1), 1, 1)))
+  }
+
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  private def readPrefixCode(br: BitReader, alphabetSize: Int): Prefix = {
+    if (br.read(1) == 1) { // simple code: 1 or 2 symbols, read-order codes
+      val numSymbols = br.read(1) + 1
+      val first = if (br.read(1) == 1) br.read(8) else br.read(1)
+      require(first < alphabetSize, s"simple-code symbol $first out of alphabet")
+      if (numSymbols == 1) return Prefix.simple(Array(first))
+      val second = br.read(8)
+      require(second < alphabetSize && second != first, "bad simple-code symbols")
+      return Prefix.simple(Array(first, second))
+    }
+    val lengths = new Array[Int](alphabetSize)
+    locally {
+      val clLengths = new Array[Int](19)
+      val numCodes = 4 + br.read(4)
+      require(numCodes <= 19, "too many code-length codes")
+      (0 until numCodes).foreach(i => clLengths(ClOrder(i)) = br.read(3))
+      val cl = Prefix.fromLengths(clLengths)
+      var maxSymbol =
+        if (br.read(1) == 1) {
+          val nbits = 2 + 2 * br.read(3)
+          2 + br.read(nbits)
+        } else alphabetSize
+      require(maxSymbol <= alphabetSize, "max_symbol beyond alphabet")
+      var sym = 0
+      var prev = 8
+      while (sym < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cLen = cl.next(br)
+        if (cLen < 16) {
+          lengths(sym) = cLen; sym += 1
+          if (cLen != 0) prev = cLen
+        } else {
+          val (repeat, value) = cLen match {
+            case 16 => (3 + br.read(2), prev)
+            case 17 => (3 + br.read(3), 0)
+            case 18 => (11 + br.read(7), 0)
+            case _ => throw new IllegalArgumentException("bad code-length symbol")
+          }
+          require(sym + repeat <= alphabetSize, "code-length repeat overruns alphabet")
+          (0 until repeat).foreach { _ => lengths(sym) = value; sym += 1 }
+        }
+      }
+    }
+    Prefix.fromLengths(lengths)
+  }
+
+  // ------------------------------------------------ LZ77 distance mapping
+
+  /** The 120 short-distance plane codes, generated from the spec's
+    * ordering (squared distance asc, then y desc, then x desc —
+    * x counts pixels to the LEFT, so dist = x + y * xsize). */
+  private[ops] val DistanceMap: Array[(Int, Int)] = {
+    val all = (for {
+      y <- 0 to 7
+      x <- (if (y == 0) 1 to 8 else -7 to 8)
+    } yield (x, y)).toArray
+    all.sortBy { case (x, y) => (x * x + y * y, -y, -x) }
+  }
+  private[ops] val PlaneCodeOf: Map[(Int, Int), Int] =
+    DistanceMap.zipWithIndex.toMap
+
+  private def planeCodeToDistance(xsize: Int, code: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (x, y) = DistanceMap(code - 1)
+      val d = x + y * xsize
+      if (d < 1) 1 else d
+    }
+
+  /** prefix-coded value (lengths and distances share the scheme). */
+  private def readLz77Value(br: BitReader, sym: Int): Int =
+    if (sym < 4) sym + 1
+    else {
+      val extraBits = (sym - 2) >> 1
+      val offset = (2 + (sym & 1)) << extraBits
+      offset + br.read(extraBits) + 1
+    }
+
+  // ----------------------------------------------------------- transforms
+
+  private sealed trait Transform { def w: Int }
+  private final case class PredictorT(w: Int, bits: Int, data: Array[Int]) extends Transform
+  private final case class ColorT(w: Int, bits: Int, data: Array[Int]) extends Transform
+  private final case class SubtractGreenT(w: Int) extends Transform
+  private final case class PaletteT(w: Int, palette: Array[Int], widthBits: Int) extends Transform
+
+  private def sub(v: Int, bits: Int): Int = (v + (1 << bits) - 1) >> bits
+
+  // ------------------------------------------------------------- decoder
+
+  object WebpDecoder extends PixelDecoder {
+    override def decodePixels(item: MediaItem): PixelImage = {
+      val p = item.payload
+      val id = item.mediaId
+      require(isWebp(p), s"media $id: not a WebP (RIFF/WEBP) container")
+      var off = 12
+      var vp8l = -1
+      var vp8lSize = 0
+      var lossy = false
+      var animated = false
+      while (off + 8 <= p.length && vp8l < 0) {
+        val tag = new String(p, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val size = u32le(p, off + 4)
+        require(size >= 0 && off + 8 + size <= p.length,
+          s"media $id: WebP chunk '$tag' overruns the file")
+        tag match {
+          case "VP8L" => vp8l = off + 8; vp8lSize = size
+          case "VP8 " => lossy = true
+          case "ANIM" | "ANMF" => animated = true
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (animated) throw new IllegalArgumentException(
+        s"media $id: animated WebP frame decode unsupported (still frames only)")
+      if (vp8l < 0 && lossy) throw new IllegalArgumentException(
+        s"media $id: lossy WebP (VP8 key frame: DCT + loop-filter " +
+          "reconstruction) is native-codec domain; only VP8L lossless decodes")
+      require(vp8l >= 0, s"media $id: no VP8L chunk in WebP container")
+      require(vp8lSize >= 5 && p(vp8l) == 0x2F, s"media $id: bad VP8L signature")
+      val br = new BitReader(p, vp8l + 1, vp8l + vp8lSize)
+      val w = br.read(14) + 1
+      val h = br.read(14) + 1
+      br.read(1) // alpha-used hint
+      require(br.read(3) == 0, s"media $id: VP8L version must be 0")
+      checkDims(id, w, h)
+
+      // ---- transforms (top-level only), each sized by the width in
+      // force when it appears; color-indexing also re-bundles the width
+      var curW = w
+      val transforms = ArrayBuffer.empty[Transform]
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (br.read(1) == 1) {
+        val t = br.read(2)
+        require(seen.add(t), s"media $id: transform $t repeated")
+        t match {
+          case 0 =>
+            val bits = br.read(3) + 2
+            val data = decodeImage(br, sub(curW, bits), sub(h, bits), topLevel = false)
+            transforms += PredictorT(curW, bits, data)
+          case 1 =>
+            val bits = br.read(3) + 2
+            val data = decodeImage(br, sub(curW, bits), sub(h, bits), topLevel = false)
+            transforms += ColorT(curW, bits, data)
+          case 2 =>
+            transforms += SubtractGreenT(curW)
+          case 3 =>
+            val n = br.read(8) + 1
+            val raw = decodeImage(br, n, 1, topLevel = false)
+            // palette entries are DELTA-coded against the previous entry
+            val palette = new Array[Int](n)
+            var prev = 0
+            (0 until n).foreach { i =>
+              val d = raw(i)
+              val e = (((prev >>> 24) + (d >>> 24)) & 0xFF) << 24 |
+                ((((prev >> 16) & 0xFF) + ((d >> 16) & 0xFF)) & 0xFF) << 16 |
+                ((((prev >> 8) & 0xFF) + ((d >> 8) & 0xFF)) & 0xFF) << 8 |
+                (((prev & 0xFF) + (d & 0xFF)) & 0xFF)
+              palette(i) = e; prev = e
+            }
+            val widthBits =
+              if (n <= 2) 3 else if (n <= 4) 2 else if (n <= 16) 1 else 0
+            transforms += PaletteT(curW, palette, widthBits)
+            curW = sub(curW, widthBits)
+        }
+      }
+
+      var argb = decodeImage(br, curW, h, topLevel = true)
+
+      // ---- inverse transforms, reverse order of appearance
+      transforms.reverseIterator.foreach {
+        case PaletteT(origW, palette, widthBits) =>
+          val packedW = sub(origW, widthBits)
+          val out = new Array[Int](origW * h)
+          val pixelsPerByte = 1 << widthBits
+          val bitsPer = 8 >> widthBits
+          val mask = (1 << bitsPer) - 1
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < origW) {
+              val packed = argb(y * packedW + x / pixelsPerByte)
+              val g = (packed >> 8) & 0xFF
+              val idx = (g >> (bitsPer * (x % pixelsPerByte))) & mask
+              require(idx < palette.length, s"media $id: palette index $idx out of range")
+              out(y * origW + x) = palette(idx)
+              x += 1
+            }
+            y += 1
+          }
+          argb = out
+          curW = origW
+        case SubtractGreenT(tw) =>
+          var i = 0
+          while (i < argb.length) {
+            val px = argb(i)
+            val g = (px >> 8) & 0xFF
+            val r = (((px >> 16) & 0xFF) + g) & 0xFF
+            val b = ((px & 0xFF) + g) & 0xFF
+            argb(i) = (px & 0xFF000000) | (r << 16) | (px & 0xFF00) | b
+            i += 1
+          }
+          require(tw == curW, s"media $id: transform width drift")
+        case ColorT(tw, bits, data) =>
+          val dw = sub(tw, bits)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < tw) {
+              val cte = data((y >> bits) * dw + (x >> bits))
+              val g2r = (cte & 0xFF).toByte
+              val g2b = ((cte >> 8) & 0xFF).toByte
+              val r2b = ((cte >> 16) & 0xFF).toByte
+              val px = argb(y * tw + x)
+              val g = ((px >> 8) & 0xFF).toByte
+              var r = (px >> 16) & 0xFF
+              r = (r + ((g2r * g) >> 5)) & 0xFF
+              var b = px & 0xFF
+              b = (b + ((g2b * g) >> 5)) & 0xFF
+              b = (b + ((r2b * r.toByte) >> 5)) & 0xFF
+              argb(y * tw + x) = (px & 0xFF00FF00) | (r << 16) | b
+              x += 1
+            }
+            y += 1
+          }
+        case PredictorT(tw, bits, data) =>
+          val dw = sub(tw, bits)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < tw) {
+              val i = y * tw + x
+              val pred =
+                if (x == 0 && y == 0) 0xFF000000
+                else if (y == 0) argb(i - 1) // row 0: left
+                else if (x == 0) argb(i - tw) // col 0: top
+                else {
+                  val mode = (data((y >> bits) * dw + (x >> bits)) >> 8) & 0xFF
+                  val l = argb(i - 1)
+                  val t = argb(i - tw)
+                  val tl = argb(i - tw - 1)
+                  // the format's TR quirk: at the last column the
+                  // "top-right" wraps to the FIRST pixel of the current
+                  // row (already reconstructed — row-major order)
+                  val tr = if (x == tw - 1) argb(y * tw) else argb(i - tw + 1)
+                  predict(mode, l, t, tl, tr)
+                }
+              argb(i) = addPixels(argb(i), pred)
+              x += 1
+            }
+            y += 1
+          }
+      }
+      // ARGB -> RGB byte planes (alpha dropped, the PixelImage contract)
+      val rgb = new Array[Byte](curW * h * 3)
+      var i = 0
+      while (i < argb.length) {
+        rgb(i * 3) = ((argb(i) >> 16) & 0xFF).toByte
+        rgb(i * 3 + 1) = ((argb(i) >> 8) & 0xFF).toByte
+        rgb(i * 3 + 2) = (argb(i) & 0xFF).toByte
+        i += 1
+      }
+      PixelImage(curW, h, rgb)
+    }
+  }
+
+  private def addPixels(a: Int, b: Int): Int =
+    ((((a >>> 24) + (b >>> 24)) & 0xFF) << 24) |
+      (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16) |
+      (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8) |
+      (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+
+  private def avg2(a: Int, b: Int): Int =
+    ((((a >>> 24) + (b >>> 24)) >> 1) << 24) |
+      (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16) |
+      (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8) |
+      (((a & 0xFF) + (b & 0xFF)) >> 1)
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
+    case 0 => 0xFF000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 =>
+      // Select (spec form): Manhattan distance from P = L + T - TL
+      def ch(px: Int, s: Int) = (px >>> s) & 0xFF
+      var pL = 0; var pT = 0
+      Seq(24, 16, 8, 0).foreach { s =>
+        val p = ch(l, s) + ch(t, s) - ch(tl, s)
+        pL += math.abs(p - ch(l, s)); pT += math.abs(p - ch(t, s))
+      }
+      if (pL < pT) l else t
+    case 12 =>
+      def f(s: Int) = clip255(((l >>> s) & 0xFF) + ((t >>> s) & 0xFF) - ((tl >>> s) & 0xFF))
+      (f(24) << 24) | (f(16) << 16) | (f(8) << 8) | f(0)
+    case 13 =>
+      val a = avg2(l, t)
+      def f(s: Int) = {
+        val ac = (a >>> s) & 0xFF
+        clip255(ac + (ac - ((tl >>> s) & 0xFF)) / 2)
+      }
+      (f(24) << 24) | (f(16) << 16) | (f(8) << 8) | f(0)
+    case m => throw new IllegalArgumentException(s"bad predictor mode $m")
+  }
+
+  /** One entropy-coded ARGB image (the main image or any transform /
+    * entropy sub-image): optional meta prefix groups (top level only),
+    * optional color cache, 5 prefix codes per group, LZ77 + cache
+    * readout in scanline order. */
+  private def decodeImage(br: BitReader, w: Int, h: Int, topLevel: Boolean): Array[Int] = {
+    require(w > 0 && h > 0, "empty VP8L sub-image")
+    var metaBits = 0
+    var metaImage: Array[Int] = null
+    if (topLevel && br.read(1) == 1) {
+      metaBits = br.read(3) + 2
+      metaImage = decodeImage(br, sub(w, metaBits), sub(h, metaBits), topLevel = false)
+    }
+    val cacheBits = if (br.read(1) == 1) br.read(4) else 0
+    require(cacheBits <= 11, "color-cache bits > 11")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    val nGroups =
+      if (metaImage == null) 1
+      else metaImage.map(px => (px >> 8) & 0xFFFF).max + 1
+    val greenAlpha = 256 + 24 + cacheSize
+    val groups = Array.fill(nGroups) {
+      Array(readPrefixCode(br, greenAlpha), readPrefixCode(br, 256),
+        readPrefixCode(br, 256), readPrefixCode(br, 256), readPrefixCode(br, 40))
+    }
+    val out = new Array[Int](w * h)
+    var pos = 0
+    val total = w * h
+    def insert(px: Int): Unit =
+      if (cache != null) cache(((0x1e35a7bd * px) >>> (32 - cacheBits))) = px
+    while (pos < total) {
+      val x = pos % w; val y = pos / w
+      val g =
+        if (metaImage == null) groups(0)
+        else groups((metaImage((y >> metaBits) * sub(w, metaBits) + (x >> metaBits)) >> 8) & 0xFFFF)
+      val green = g(0).next(br)
+      if (green < 256) {
+        val red = g(1).next(br)
+        val blue = g(2).next(br)
+        val alpha = g(3).next(br)
+        val px = (alpha << 24) | (red << 16) | (green << 8) | blue
+        out(pos) = px; insert(px); pos += 1
+      } else if (green < 256 + 24) {
+        val length = readLz77Value(br, green - 256)
+        val distSym = g(4).next(br)
+        val distCode = readLz77Value(br, distSym)
+        val dist = planeCodeToDistance(w, distCode)
+        require(dist <= pos, s"backward reference before image start (dist=$dist pos=$pos)")
+        require(pos + length <= total, "backward reference overruns image")
+        var k = 0
+        while (k < length) {
+          out(pos) = out(pos - dist); insert(out(pos)); pos += 1; k += 1
+        }
+      } else {
+        val idx = green - 256 - 24
+        require(cache != null && idx < cacheSize, "color-cache hit with no cache")
+        out(pos) = cache(idx); pos += 1
+      }
+    }
+    out
+  }
+
+  // ------------------------------------------------------ fixture encoder
+
+  /** Deterministic VP8L writer for fixtures (the PngEncoder/BmpEncoder
+    * pattern): full canonical prefix codes via the code-length-code
+    * path, optional subtract-green, optional color cache, optional
+    * palette (with pixel bundling), and explicit LZ77 backward
+    * references — enough surface to round-trip every decoder path the
+    * gates rely on. Literal-only otherwise; never emits meta groups. */
+  object Vp8lEncoder extends Serializable {
+
+    private final class BitWriter {
+      private val bytes = ArrayBuffer.empty[Byte]
+      private var cur = 0
+      private var nBits = 0
+      def write(v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          if (((v >> i) & 1) != 0) cur |= 1 << nBits
+          nBits += 1
+          if (nBits == 8) { bytes += cur.toByte; cur = 0; nBits = 0 }
+          i += 1
+        }
+      }
+      def result(): Array[Byte] = {
+        val out = if (nBits > 0) (bytes :+ cur.toByte) else bytes
+        out.toArray
+      }
+    }
+
+    /** Length-limited canonical Huffman code lengths (package-merge is
+      * overkill for fixture alphabets: plain Huffman + a require). */
+    private def huffLengths(freq: Array[Long], maxLen: Int): Array[Int] = {
+      val n = freq.length
+      val lengths = new Array[Int](n)
+      val used = freq.zipWithIndex.filter(_._1 > 0)
+      if (used.isEmpty) { lengths(0) = 1; return lengths } // placeholder symbol
+      if (used.length == 1) { lengths(used.head._2) = 1; return lengths }
+      // (freq, tie, leaves) min-heap merge
+      case class Node(f: Long, tie: Int, syms: List[Int])
+      implicit val ord: Ordering[Node] = Ordering.by(nd => (nd.f, nd.tie))
+      val pq = scala.collection.mutable.PriorityQueue.empty[Node](ord.reverse)
+      used.foreach { case (f, s) => pq.enqueue(Node(f, s, List(s))) }
+      var tie = n
+      while (pq.size > 1) {
+        val a = pq.dequeue(); val b = pq.dequeue()
+        (a.syms ++ b.syms).foreach(s => lengths(s) += 1)
+        pq.enqueue(Node(a.f + b.f, tie, a.syms ++ b.syms)); tie += 1
+      }
+      require(lengths.max <= maxLen,
+        s"fixture alphabet needs code length ${lengths.max} > $maxLen; rebalance the fixture")
+      lengths
+    }
+
+    private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+      val maxLen = lengths.max
+      val blCount = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) blCount(l) += 1)
+      val nextCode = new Array[Int](maxLen + 1)
+      var code = 0
+      (1 to maxLen).foreach { l => code = (code + blCount(l - 1)) << 1; nextCode(l) = code }
+      lengths.map { l =>
+        if (l == 0) 0 else { val c = nextCode(l); nextCode(l) += 1; c }
+      }
+    }
+
+    /** MSB-first emission of one canonical code into the LSB-first stream. */
+    private def writeCode(bw: BitWriter, code: Int, len: Int): Unit = {
+      var b = len - 1
+      while (b >= 0) { bw.write((code >> b) & 1, 1); b -= 1 }
+    }
+
+    /** Emit one prefix code and return (lengths, codes) as the DECODER
+      * will see them: the simple form for 1-2 low symbols (read-order
+      * codes, 0 bits when single), otherwise the code-length-code path
+      * with every symbol's length spelled out and a max_symbol cut. A
+      * single used symbol above 255 (a lone length/cache code) gets a
+      * dummy 1-bit companion at index 0 — a 0-bit code-length tree
+      * would repeat forever. */
+    private def writePrefixCode(bw: BitWriter, lengths0: Array[Int]): (Array[Int], Array[Int]) = {
+      val lengths = lengths0.clone()
+      val usedIdx = lengths.zipWithIndex.filter(_._1 > 0).map(_._2)
+      if (usedIdx.length <= 2 && usedIdx.forall(_ <= 255)) {
+        bw.write(1, 1) // simple
+        bw.write(usedIdx.length - 1, 1)
+        val first = usedIdx(0)
+        if (first <= 1) { bw.write(0, 1); bw.write(first, 1) }
+        else { bw.write(1, 1); bw.write(first, 8) }
+        val outLens = new Array[Int](lengths.length)
+        val outCodes = new Array[Int](lengths.length)
+        if (usedIdx.length == 2) {
+          bw.write(usedIdx(1), 8)
+          outLens(first) = 1; outCodes(first) = 0
+          outLens(usedIdx(1)) = 1; outCodes(usedIdx(1)) = 1
+        } // single symbol: 0 bits, lens stay 0 so emit() writes nothing
+        return (outLens, outCodes)
+      }
+      if (usedIdx.length == 1) lengths(0) = lengths(usedIdx(0)) // dummy companion
+      bw.write(0, 1) // not simple
+      val lastUsed = lengths.lastIndexWhere(_ > 0)
+      val clFreq = new Array[Long](19)
+      (0 to lastUsed).foreach(i => clFreq(lengths(i)) += 1)
+      val clLengths = huffLengths(clFreq, 7)
+      // num_code_lengths must cover every used CL symbol in ClOrder
+      val lastNeeded = ClOrder.zipWithIndex.collect {
+        case (s, i) if clLengths(s) > 0 => i
+      }.max
+      val numCodes = math.max(4, lastNeeded + 1)
+      bw.write(numCodes - 4, 4)
+      (0 until numCodes).foreach(i => bw.write(clLengths(ClOrder(i)), 3))
+      val clCodes = canonicalCodes(clLengths)
+      // max_symbol shortcut: stop after the last used symbol
+      if (lastUsed + 1 < lengths.length) {
+        bw.write(1, 1)
+        val ms = lastUsed + 1
+        // smallest even nbits that fits (ms - 2)
+        val nbits = math.max(2, ((32 - Integer.numberOfLeadingZeros(math.max(1, ms - 2)) + 1) / 2) * 2)
+        bw.write((nbits - 2) / 2, 3)
+        bw.write(ms - 2, nbits)
+      } else bw.write(0, 1)
+      val clSingle = clLengths.count(_ > 0) == 1
+      (0 to lastUsed).foreach { i =>
+        if (!clSingle) writeCode(bw, clCodes(lengths(i)), clLengths(lengths(i)))
+      }
+      (lengths, canonicalCodes(lengths))
+    }
+
+    /** A pixel stream element: literal ARGB, or an explicit backref. */
+    sealed trait Tok
+    final case class Lit(argb: Int) extends Tok
+    final case class Ref(length: Int, dist: Int) extends Tok
+
+    private def lz77Prefix(v: Int): (Int, Int, Int) = { // (sym, extra, extraBits)
+      require(v >= 1, "lz77 value >= 1")
+      if (v <= 4) (v - 1, 0, 0)
+      else {
+        var sym = 4
+        while (readBase(sym + 1) <= v) sym += 1
+        val extraBits = (sym - 2) >> 1
+        val offset = (2 + (sym & 1)) << extraBits
+        (sym, v - offset - 1, extraBits)
+      }
+    }
+    private def readBase(sym: Int): Int =
+      if (sym < 4) sym + 1
+      else { val eb = (sym - 2) >> 1; ((2 + (sym & 1)) << eb) + 1 }
+
+    /** Encode one entropy image (no transforms, no meta groups).
+      * `xsize` lets backrefs use the 2D plane codes when the distance
+      * maps into the 8x16 neighborhood — round-tripping DistanceMap. */
+    private def writeImage(bw: BitWriter, toks: Seq[Tok], cacheBits: Int,
+        xsize: Int, topLevel: Boolean = true): Unit = {
+      if (topLevel) bw.write(0, 1) // no meta prefix groups (bit exists only at top level)
+      if (cacheBits > 0) { bw.write(1, 1); bw.write(cacheBits, 4) }
+      else bw.write(0, 1)
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+      val cacheSeen = if (cacheBits > 0) new Array[Boolean](cacheSize) else null
+      // plan the symbol stream (cache hits resolved in one forward pass)
+      sealed trait Plan
+      case class PLit(a: Int, r: Int, g: Int, b: Int) extends Plan
+      case class PCache(idx: Int) extends Plan
+      case class PRef(lenSym: Int, lenExtra: Int, lenBits: Int,
+        distSym: Int, distExtra: Int, distBits: Int) extends Plan
+      val emitted = ArrayBuffer.empty[Int] // decoded pixels so far (for refs+cache)
+      def insert(px: Int): Unit = if (cache != null) {
+        val i = ((0x1e35a7bd * px) >>> (32 - cacheBits)); cache(i) = px; cacheSeen(i) = true
+      }
+      val plan = ArrayBuffer.empty[Plan]
+      toks.foreach {
+        case Lit(px) =>
+          val idx = if (cache != null) ((0x1e35a7bd * px) >>> (32 - cacheBits)) else -1
+          if (cache != null && cacheSeen(idx) && cache(idx) == px) {
+            plan += PCache(idx); emitted += px
+          } else {
+            plan += PLit((px >>> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+            emitted += px; insert(px)
+          }
+        case Ref(length, dist) =>
+          val (ls, le, lb) = lz77Prefix(length)
+          val planeCode = (0 to 7).iterator
+            .map(y => (dist - y * xsize, y))
+            .collectFirst { case (x, y) if PlaneCodeOf.contains((x, y)) =>
+              PlaneCodeOf((x, y)) + 1 }
+          val (ds, de, db) = lz77Prefix(planeCode.getOrElse(dist + 120))
+          plan += PRef(ls, le, lb, ds, de, db)
+          (0 until length).foreach { _ =>
+            val px = emitted(emitted.length - dist); emitted += px; insert(px)
+          }
+      }
+      // histograms
+      val greenAlpha = 256 + 24 + cacheSize
+      val fg = new Array[Long](greenAlpha)
+      val fr = new Array[Long](256); val fb = new Array[Long](256)
+      val fa = new Array[Long](256); val fd = new Array[Long](40)
+      plan.foreach {
+        case PLit(a, r, g, b) => fg(g) += 1; fr(r) += 1; fb(b) += 1; fa(a) += 1
+        case PCache(i) => fg(256 + 24 + i) += 1
+        case PRef(ls, _, _, ds, _, _) => fg(256 + ls) += 1; fd(ds) += 1
+      }
+      val Seq(cg, cr, cb, ca, cd) = Seq(fg, fr, fb, fa, fd).map { f =>
+        writePrefixCode(bw, huffLengths(f, 15))
+      }
+      def emit(c: (Array[Int], Array[Int]), sym: Int): Unit = {
+        val (lens, codes) = c
+        if (lens(sym) > 0) writeCode(bw, codes(sym), lens(sym))
+      }
+      plan.foreach {
+        case PLit(a, r, g, b) =>
+          emit(cg, g); emit(cr, r); emit(cb, b); emit(ca, a)
+        case PCache(i) => emit(cg, 256 + 24 + i)
+        case PRef(ls, le, lb, ds, de, db) =>
+          emit(cg, 256 + ls); bw.write(le, lb)
+          emit(cd, ds); bw.write(de, db)
+      }
+    }
+
+    /** Whole-file writer. `pixels` are ARGB in scanline order; `refs`
+      * optionally replaces tails of the stream with explicit backrefs
+      * (the caller guarantees they reproduce the same pixels).
+      * `subtractGreen` exercises transform 2; `palette` exercises
+      * transform 3 with pixel bundling; `cacheBits` the color cache. */
+    def encode(width: Int, height: Int, toks: Seq[Tok],
+        subtractGreen: Boolean = false, cacheBits: Int = 0,
+        palette: Option[Array[Int]] = None): Array[Byte] = {
+      require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
+      val bw = new BitWriter()
+      bw.write(width - 1, 14); bw.write(height - 1, 14)
+      bw.write(0, 1); bw.write(0, 3)
+      if (subtractGreen) { bw.write(1, 1); bw.write(2, 2) }
+      palette.foreach { pal =>
+        bw.write(1, 1); bw.write(3, 2)
+        bw.write(pal.length - 1, 8)
+        // delta-coded palette, literal-only, no cache
+        var prev = 0
+        val deltas = pal.map { e =>
+          val d = ((((e >>> 24) - (prev >>> 24)) & 0xFF) << 24) |
+            ((((e >> 16) - (prev >> 16)) & 0xFF) << 16) |
+            ((((e >> 8) - (prev >> 8)) & 0xFF) << 8) |
+            (((e - prev)) & 0xFF)
+          prev = e; d
+        }
+        writeImage(bw, deltas.toIndexedSeq.map(Lit(_)), cacheBits = 0,
+          xsize = pal.length, topLevel = false)
+      }
+      bw.write(0, 1) // no more transforms
+      // with a palette the main image is the PACKED one: the caller
+      // supplies packed-green tokens, refs measure packed distances
+      val mainW = palette.map { pal =>
+        val wb = if (pal.length <= 2) 3 else if (pal.length <= 4) 2
+          else if (pal.length <= 16) 1 else 0
+        sub(width, wb)
+      }.getOrElse(width)
+      writeImage(bw, toks, cacheBits, mainW)
+      val payload = bw.result()
+      val vp8l = Array[Byte](0x2F) ++ payload
+      val chunkLen = vp8l.length
+      val padded = chunkLen + (chunkLen & 1)
+      val riffLen = 4 + 8 + padded
+      val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes); out.putInt(riffLen)
+      out.put("WEBP".getBytes); out.put("VP8L".getBytes); out.putInt(chunkLen)
+      out.put(vp8l)
+      if ((chunkLen & 1) == 1) out.put(0.toByte)
+      out.array()
+    }
+  }
+}

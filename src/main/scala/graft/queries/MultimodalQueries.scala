@@ -856,6 +856,62 @@ object MultimodalQueries {
     // restates the expansion formula in SQL — one wrong segment shift
     // or sign anywhere breaks the hash.
     // Decode is partition-local; payloads never shuffle.
+    // ---- mm31: REAL VP8L (lossless WebP) DECODE (ops.Webp) — the
+    // modern web-corpus image format, until now the highest-volume
+    // refusal a real crawl hit. Four encoder paths interleave across
+    // documents — plain canonical prefix codes, the subtract-green
+    // transform, a 4-bit color cache, and an LZ77 backward reference
+    // (the last row copied from the row above, distance = plane code
+    // (0,1)) — and every path must reproduce the ORIGINAL pixels
+    // exactly: VP8L is lossless, so the oracle restates the raster's
+    // closed form and one wrong prefix code, cache slot, transform
+    // inverse, or copied pixel anywhere breaks the hash. Decode is
+    // partition-local; payloads never shuffle.
+    "mm31_webp_lossless" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          import graft.ops.Webp
+          import graft.ops.Webp.Vp8lEncoder.{Lit, Ref}
+          it.map { id =>
+            val w = 8 + (id % 5).toInt
+            val h = 6 + (id % 3).toInt
+            def px(x: Int, y: Int): Int =
+              0xFF000000 |
+                ((((x * 7 + y * 13 + id) % 256).toInt) << 16) |
+                ((((x * 3 + y * 5 + 2 * id) % 256).toInt) << 8) |
+                (((x * 11 + y * 2 + 3 * id) % 256).toInt)
+            val pixels = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+            val bytes = (id % 4) match {
+              case 0 => Webp.Vp8lEncoder.encode(w, h, pixels.map(Lit(_)))
+              case 1 => // tokens carry subtract-green residuals
+                val res = pixels.map { p =>
+                  val g = (p >> 8) & 0xFF
+                  (p & 0xFF00FF00) |
+                    (((((p >> 16) & 0xFF) - g) & 0xFF) << 16) |
+                    ((((p & 0xFF) - g)) & 0xFF)
+                }
+                Webp.Vp8lEncoder.encode(w, h, res.map(Lit(_)), subtractGreen = true)
+              case 2 => Webp.Vp8lEncoder.encode(w, h, pixels.map(Lit(_)), cacheBits = 4)
+              case _ => // last row := row above, via a 2D plane-code backref
+                val toks = pixels.take(w * (h - 1)).map(Lit(_)) :+ Ref(w, w)
+                Webp.Vp8lEncoder.encode(w, h, toks)
+            }
+            val img = Webp.WebpDecoder.decodePixels(
+              graft.ops.Multimodal.MediaItem(id, bytes))
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            (0 until img.width * img.height).foreach { i =>
+              sr += img.rgb(i * 3) & 0xFF
+              sg += img.rgb(i * 3 + 1) & 0xFF
+              sb += img.rgb(i * 3 + 2) & 0xFF
+            }
+            (id, (id % 4), img.width.toLong * img.height, sr, sg, sb)
+          }
+        }
+        .toDF("media_id", "enc_path", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    }),
+
     "mm30_g711_audio" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -1193,6 +1249,28 @@ object MultimodalQueries {
     // segment form on the complemented byte, A-law via the 0x55-toggled
     // segment table; signs per the spec's conventions (µ: bit7 of ~n
     // set => negative; A: bit7 of n^0x55 set => positive)
+    // mm31: VP8L is lossless, so the oracle restates the raster's
+    // closed form — the backref path (doc_id % 4 = 3) re-reads its
+    // last row from the row above, exactly what the encoder emitted
+    "mm31_webp_lossless" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h, x.x AS x, y.y AS y
+        |  FROM documents,
+        |    unnest(range(0, 13)) AS x(x),
+        |    unnest(range(0, 9)) AS y(y)
+        |  WHERE x.x < 8 + doc_id % 5 AND y.y < 6 + doc_id % 3),
+        |eff AS (
+        |  SELECT doc_id, w, h, x,
+        |    CASE WHEN doc_id % 4 = 3 AND y = h - 1 THEN h - 2 ELSE y END AS y
+        |  FROM px)
+        |SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS enc_path,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(SUM((x * 7 + y * 13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x * 3 + y * 5 + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((x * 11 + y * 2 + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM eff GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
     "mm30_g711_audio" ->
       """WITH raw AS (
         |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS tag,

@@ -313,7 +313,11 @@ class PropertySpec extends AnyFunSuite {
       ("mp3", Mp3.Mp3Encoder.encode("fuzz title", "fuzz artist", nFrames = 4)),
       ("flac", Flac.FlacEncoder.encode(44100, 2, 16, 44100L, "t", "a")),
       ("avi", graft.ops.Avi.AviMjpegEncoder.encode(
-        Seq(graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, 100)), 16, 16, 40000)))
+        Seq(graft.ops.Jpeg.JpegEncoder.solidGray(16, 16, 100)), 16, 16, 40000)),
+      ("webp", graft.ops.Webp.Vp8lEncoder.encode(6, 5,
+        (0 until 30).map(i => graft.ops.Webp.Vp8lEncoder.Lit(
+          0xFF000000 | ((i * 37 % 256) << 16) | ((i * 11 % 256) << 8) | (i * 5 % 256))),
+        cacheBits = 3)))
     bases.foreach { case (name, base) =>
       val mutGen: Gen[Array[Byte]] = Gen.oneOf(
         Gen.choose(0, base.length - 1).map(base.take),

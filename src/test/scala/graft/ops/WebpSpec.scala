@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal.{MediaItem, PixelImage}
+import graft.ops.Webp.Vp8lEncoder.{Lit, Ref}
+
+/** VP8L decode contracts, each path round-tripped through the fixture
+  * encoder: full canonical prefix codes, simple codes, LZ77 backrefs
+  * through BOTH distance forms (2D plane codes and the long form),
+  * color cache, subtract-green and palette transforms (with sub-byte
+  * pixel bundling), and the named refusals for lossy/animated/corrupt
+  * input. No external binaries: the encoder writes the public
+  * bitstream format the decoder reads. */
+class WebpSpec extends AnyFunSuite {
+
+  private def argbAt(x: Int, y: Int): Int =
+    0xFF000000 | (((x * 7 + y * 13) % 251) << 16) |
+      (((x * 3 + y * 5) % 241) << 8) | ((x * 11 + y * 2) % 233)
+
+  private def rgbOf(pixels: Seq[Int]): Seq[(Int, Int, Int)] =
+    pixels.map(p => ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+
+  private def decoded(bytes: Array[Byte]): PixelImage =
+    Webp.WebpDecoder.decodePixels(MediaItem(1L, bytes))
+
+  private def imgPixels(img: PixelImage): Seq[(Int, Int, Int)] =
+    (0 until img.width * img.height).map(i =>
+      (img.rgb(i * 3) & 0xFF, img.rgb(i * 3 + 1) & 0xFF, img.rgb(i * 3 + 2) & 0xFF))
+
+  test("literal image with full canonical prefix codes round-trips") {
+    val (w, h) = (19, 11)
+    val pixels = for (y <- 0 until h; x <- 0 until w) yield argbAt(x, y)
+    val bytes = Webp.Vp8lEncoder.encode(w, h, pixels.map(Lit(_)))
+    val img = decoded(bytes)
+    assert(img.width == w && img.height == h)
+    assert(imgPixels(img) == rgbOf(pixels))
+  }
+
+  test("LZ77 backrefs: plane-code distances AND long-form distances reproduce pixels") {
+    val w = 13
+    // rows 0-1 literal, then: one full row copied from one row above
+    // (dist = w = plane code (0,1)), then a long copy from far back
+    val row0 = (0 until w).map(x => argbAt(x, 0))
+    val row1 = (0 until w).map(x => argbAt(x, 1))
+    // 16 rows: 2 literal + 14 via refs
+    val toks = row0.map(Lit(_)) ++ row1.map(Lit(_)) ++ Seq(
+      Ref(w, w),          // row2 = row1 (distance w -> plane code)
+      Ref(w, 1),          // row3 = last pixel repeated (dist 1 -> plane (1,0))
+      Ref(w * 11, 2 * w), // rows 4..14 = alternating rows 2,3 (dist 26 = (0,2))
+      Ref(w, 14 * w))     // row15 = row1 again, dist 182 > neighborhood: long form
+    val bytes = Webp.Vp8lEncoder.encode(w, 16, toks)
+    val img = decoded(bytes)
+    // reconstruct expected stream the same way the spec defines copies
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    out ++= row0; out ++= row1
+    def copy(len: Int, dist: Int): Unit =
+      (0 until len).foreach(_ => out += out(out.length - dist))
+    copy(w, w); copy(w, 1); copy(w * 11, 2 * w); copy(w, 14 * w)
+    assert(imgPixels(img) == rgbOf(out.toSeq))
+  }
+
+  test("color cache: repeated colors round-trip through cache symbols") {
+    val w = 16; val h = 8
+    val paletteish = Array(0xFF102030, 0xFF405060, 0xFF708090, 0xFFA0B0C0)
+    val pixels = for (y <- 0 until h; x <- 0 until w)
+      yield paletteish((x * y + x) % 4)
+    val bytes = Webp.Vp8lEncoder.encode(w, h, pixels.map(Lit(_)), cacheBits = 4)
+    assert(imgPixels(decoded(bytes)) == rgbOf(pixels))
+  }
+
+  test("subtract-green transform inverts") {
+    val (w, h) = (9, 6)
+    val pixels = for (y <- 0 until h; x <- 0 until w) yield argbAt(x, y)
+    // the encoder writes the transform BIT; tokens carry the residuals
+    val residuals = pixels.map { p =>
+      val g = (p >> 8) & 0xFF
+      (p & 0xFF00FF00) | (((((p >> 16) & 0xFF) - g) & 0xFF) << 16) |
+        ((((p & 0xFF) - g)) & 0xFF)
+    }
+    val bytes = Webp.Vp8lEncoder.encode(w, h, residuals.map(Lit(_)), subtractGreen = true)
+    assert(imgPixels(decoded(bytes)) == rgbOf(pixels))
+  }
+
+  test("color-indexing transform: 4-color palette with 2-bit pixel bundling") {
+    val (w, h) = (18, 5) // not a multiple of 4: exercises the ragged tail
+    val palette = Array(0xFF112233, 0xFF445566, 0xFF778899, 0xFFAABBCC)
+    val idx = for (y <- 0 until h; x <- 0 until w) yield (x + 2 * y) % 4
+    // caller packs: 4 pixels per green byte, first pixel in the LSBs
+    val packedW = (w + 3) / 4
+    val packed = for (y <- 0 until h; px <- 0 until packedW) yield {
+      var g = 0
+      (0 until 4).foreach { k =>
+        val x = px * 4 + k
+        if (x < w) g |= idx(y * w + x) << (2 * k)
+      }
+      0xFF000000 | (g << 8)
+    }
+    val bytes = Webp.Vp8lEncoder.encode(w, h, packed.map(Lit(_)),
+      palette = Some(palette))
+    val img = decoded(bytes)
+    assert(img.width == w && img.height == h)
+    assert(imgPixels(img) == rgbOf(idx.map(palette(_))))
+  }
+
+  test("the 2D distance map matches the spec's published head and shape") {
+    assert(Webp.DistanceMap.length == 120)
+    assert(Webp.DistanceMap.distinct.length == 120)
+    // the first ten pairs as listed in the lossless bitstream spec
+    assert(Webp.DistanceMap.take(10).toSeq == Seq(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1)))
+    // domain: y=0 -> x 1..8 (left only); y 1..7 -> x -7..8
+    assert(Webp.DistanceMap.forall { case (x, y) =>
+      if (y == 0) x >= 1 && x <= 8 else y >= 1 && y <= 7 && x >= -7 && x <= 8 })
+  }
+
+  test("refusals are NAMED: lossy VP8, animation, truncation, non-WebP") {
+    def riff(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + 8 + body.length + (body.length & 1))
+      bb.put("WEBP".getBytes); bb.put(tag.getBytes); bb.putInt(body.length)
+      bb.put(body)
+      bb.array()
+    }
+    val lossy = intercept[IllegalArgumentException](
+      decoded(riff("VP8 ", new Array[Byte](32))))
+    assert(lossy.getMessage.contains("lossy") && lossy.getMessage.contains("native-codec"))
+    val anim = intercept[IllegalArgumentException](
+      decoded(riff("ANIM", new Array[Byte](8))))
+    assert(anim.getMessage.contains("animated"))
+    intercept[IllegalArgumentException](decoded("JUNKJUNKJUNK".getBytes))
+    // truncations of a valid file refuse, never hang or escape
+    val good = Webp.Vp8lEncoder.encode(8, 8,
+      (0 until 64).map(i => Lit(argbAt(i % 8, i / 8))))
+    assert(imgPixels(decoded(good)).size == 64)
+    Seq(4, 13, 21, good.length - 3).foreach { cut =>
+      intercept[IllegalArgumentException](decoded(good.take(cut)))
+    }
+  }
+
+  test("fuzz: random byte flips decode or refuse, never escape the contract") {
+    val good = Webp.Vp8lEncoder.encode(11, 9,
+      (0 until 99).map(i => Lit(argbAt(i % 11, i / 11))), cacheBits = 3)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val mutated = good.clone()
+      val n = 1 + rnd.nextInt(3)
+      (0 until n).foreach { _ =>
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { Webp.WebpDecoder.decodePixels(MediaItem(7L, mutated)): Unit }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("SniffPixelDecoder routes the RIFF/WEBP signature") {
+    val bytes = Webp.Vp8lEncoder.encode(5, 4,
+      (0 until 20).map(i => Lit(argbAt(i % 5, i / 5))))
+    val img = Multimodal.SniffPixelDecoder.decodePixels(MediaItem(3L, bytes))
+    assert(img.width == 5 && img.height == 4)
+  }
+}
