@@ -179,7 +179,7 @@ object TextIndex {
       k: Int): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one query term")
     val posts = terms.distinct.map { term =>
-      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      val h = termHash(term)
       TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
         .filter(col("term") === lit(term))
     }.reduce(_ unionByName _)
@@ -221,7 +221,7 @@ object TextIndex {
     require(terms.nonEmpty, "searchBm25All needs at least one query term")
     val distinct = terms.distinct
     val posts = distinct.map { term =>
-      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      val h = termHash(term)
       TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
         .filter(col("term") === lit(term))
     }.reduce(_ unionByName _)
@@ -274,16 +274,20 @@ object TextIndex {
     if (nDel != refreshedAt) return fallback // deletes since last rebuild: df stale-high
     val stRow = TxLog.readAt(spark, statsDir(index)).head
     val nDocs = stRow.getLong(stRow.fieldIndex("n_docs"))
-    // dictionary point reads: per term one footer-pruned file, reduced
-    // to (df, bound) — |terms| rows on the driver, never a posting
+    // dictionary point reads: per term one footer-pruned file, all
+    // terms unioned into ONE job, reduced to (df, bound) — |terms| rows
+    // on the driver, never a posting; absent terms simply yield no row
+    // (they contribute nothing in either search mode)
     val dict = distinct.map { term =>
-      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
-      val r = TxLog.readAt(spark, tstatsDir(index), range = Some(("term_hash", h, h)))
+      val h = termHash(term)
+      TxLog.readAt(spark, tstatsDir(index), range = Some(("term_hash", h, h)))
         .filter(col("term") === lit(term))
-        .agg(coalesce(sum(col("df")), lit(0L)).as("df"),
-          coalesce(max(col("tf_bound")), lit(0.0)).as("b")).head
-      (term, h, r.getLong(0), r.getDouble(1))
-    }.filter(_._3 > 0) // absent terms contribute nothing in either mode
+    }.reduce(_ unionByName _)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), max(col("tf_bound")).as("b"))
+      .collect()
+      .map(r => (r.getString(0), termHash(r.getString(0)), r.getLong(1), r.getDouble(2)))
+      .toSeq.filter(_._3 > 0)
     if (dict.isEmpty)
       return (TxLog.readAt(spark, index).filter(lit(false))
         .select(col("doc_id"), lit(0.0).as("score")),
@@ -403,7 +407,7 @@ object TextIndex {
     val terms = phrase.split(" ").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "searchPhrase needs a non-empty phrase")
     val reads = terms.zipWithIndex.map { case (term, i) =>
-      val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+      val h = termHash(term)
       TxLog.readAt(spark, posDir(index), range = Some(("term_hash", h, h)))
         .filter(col("term") === lit(term))
         .select(col("doc_id"), (col("pos") - i).as("p0"))
@@ -576,11 +580,20 @@ object TextIndex {
       dvs0, snap1.files.count(_.dv.isDefined).toLong, reclaimed)
   }
 
+  /** The term's xxhash64 (seed 42, Spark's SQL default) computed ON THE
+    * DRIVER — bit-identical to the `xxhash64(term)` column the postings
+    * carry (TextIndexSpec pins it), without paying one Spark job per
+    * query term just to hash a constant. */
+  private[ops] def termHash(term: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+
   /** Files a single term's index scan must touch — the pruning-power
     * audit, decided from driver metadata alone ([[TxLog.pruneFiles]] on
     * the designated term_hash stats), no data read. */
   def filesForTerm(spark: SparkSession, index: Path, term: String): Int = {
-    val h = spark.range(1).select(xxhash64(lit(term))).head.getLong(0)
+    val h = termHash(term)
     TxLog.pruneFiles(TxLog.snapshotAt(index), h, h).size
   }
 

@@ -101,6 +101,39 @@ object LifecycleBench {
       SimilarityQueries.serveLakeAnn(spark, dir, annState._1, annState._2).count()
     }
 
+    // ---- ann through LIFECYCLE MAINTENANCE (sim14): the same serving
+    // plan after 3 incremental builds + GDPR deletes + AnnIndex.maintain
+    // — the round-15 criterion is that maintenance RESTORES the fresh
+    // index's serving latency (compare to the `ann` lane's serve min)
+    val mCorpus = work.resolve("m_corpus"); val mIx = work.resolve("m_ix")
+    lane("ann_maint") {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("bigint").as("vec_id"),
+          col("embedding"), col("label"))
+      Seq(col("vec_id") % 10 =!= 9,
+          col("vec_id") % 10 === 9 && col("vec_id") % 2 === 0,
+          col("vec_id") % 10 === 9 && col("vec_id") % 2 === 1)
+        .foreach { p =>
+          TxLog.append(spark, emb.filter(p), mCorpus, "vec_id", nParts = 2)
+          graft.ops.AnnIndex.ensureIndexed(spark, mCorpus, mIx): Unit
+        }
+      val dels = emb.filter(col("vec_id") % 9 === 8).select("vec_id")
+      TxLog.deleteMor(spark, mCorpus, dels, "vec_id"): Unit
+      TxLog.deleteMor(spark, mIx, dels, "vec_id"): Unit
+      graft.ops.AnnIndex.maintain(spark, mCorpus, mIx): Unit
+    } {
+      SimilarityQueries.serveLakeAnn(spark, dir,
+        TxLog.readAt(spark, work.resolve("m_ix_cent")),
+        TxLog.readAt(spark, mIx)).count()
+    }
+
+    // ---- text MaxScore (tix10 serving): bounds-pruned disjunctive
+    // top-k — must stay at-or-under the full-scoring text_search lane
+    lane("text_maxscore") { () } {
+      TextIndex.searchBm25MaxScore(spark, tix, Seq("dup", "join", "filter"), 10)
+        ._1.count()
+    }
+
     // ---- phrase (tix08/tix09 serving): positional alignment join
     lane("phrase") {
       TextIndex.ensurePositional(spark, corpus, tix): Unit

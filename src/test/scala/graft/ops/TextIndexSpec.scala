@@ -318,4 +318,12 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextIndex.searchBm25(spark, index, Nil, 5))
     intercept[IllegalArgumentException](TextIndex.searchBm25All(spark, index, Nil, 5))
   }
+
+  test("driver-side termHash is bit-identical to the SQL xxhash64 the postings carry") {
+    import spark.implicits._
+    val terms = Seq("spark", "rareword", "日本語", "", "a b", " x")
+    val sql = terms.toDF("t").selectExpr("t", "xxhash64(t) AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach(t => assert(TextIndex.termHash(t) == sql(t), s"hash mismatch for '$t'"))
+  }
 }
