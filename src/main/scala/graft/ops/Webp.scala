@@ -720,18 +720,85 @@ object Webp {
       }
     }
 
+    /** Forward predictor pass for fixture building: residuals = pixel −
+      * predict(mode) per channel mod 256, with the decoder's exact edge
+      * rules — so encode(predictorResiduals(...), predictor=...) then
+      * decode is the identity WebpSpec pins for every mode. */
+    def predictorResiduals(pixels: IndexedSeq[Int], w: Int, h: Int,
+        bits: Int, modeAt: (Int, Int) => Int): IndexedSeq[Int] = {
+      (0 until w * h).map { i =>
+        val x = i % w; val y = i / w
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) pixels(i - 1)
+          else if (x == 0) pixels(i - w)
+          else {
+            val tr = if (x == w - 1) pixels(y * w) else pixels(i - w + 1)
+            predict(modeAt(x >> bits, y >> bits), pixels(i - 1), pixels(i - w),
+              pixels(i - w - 1), tr)
+          }
+        subPixels(pixels(i), pred)
+      }
+    }
+
+    /** Forward cross-color pass (the decoder ADDS the deltas; the
+      * fixture builder subtracts them in the same order). */
+    def colorResiduals(pixels: IndexedSeq[Int], w: Int, h: Int,
+        bits: Int, cteAt: (Int, Int) => Int): IndexedSeq[Int] = {
+      (0 until w * h).map { i =>
+        val x = i % w; val y = i / w
+        val cte = cteAt(x >> bits, y >> bits)
+        val g2r = (cte & 0xFF).toByte
+        val g2b = ((cte >> 8) & 0xFF).toByte
+        val r2b = ((cte >> 16) & 0xFF).toByte
+        val px = pixels(i)
+        val g = ((px >> 8) & 0xFF).toByte
+        val r0 = (px >> 16) & 0xFF
+        var b = px & 0xFF
+        // inverse of decode: subtract red_to_blue against the FULL red
+        // first (decode adds it last, against the reconstructed red)
+        b = (b - ((r2b * r0.toByte) >> 5)) & 0xFF
+        b = (b - ((g2b * g) >> 5)) & 0xFF
+        val r = (r0 - ((g2r * g) >> 5)) & 0xFF
+        (px & 0xFF00FF00) | (r << 16) | b
+      }
+    }
+
+    private def subPixels(a: Int, b: Int): Int =
+      ((((a >>> 24) - (b >>> 24)) & 0xFF) << 24) |
+        (((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16) |
+        (((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8) |
+        (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+
     /** Whole-file writer. `pixels` are ARGB in scanline order; `refs`
       * optionally replaces tails of the stream with explicit backrefs
       * (the caller guarantees they reproduce the same pixels).
       * `subtractGreen` exercises transform 2; `palette` exercises
-      * transform 3 with pixel bundling; `cacheBits` the color cache. */
+      * transform 3 with pixel bundling; `cacheBits` the color cache;
+      * `predictor`/`colorTransform` carry (sizeBits, sub-image ARGB
+      * rows) — the caller supplies matching residual tokens, built
+      * with [[predictorResiduals]]/[[colorResiduals]]. */
     def encode(width: Int, height: Int, toks: Seq[Tok],
         subtractGreen: Boolean = false, cacheBits: Int = 0,
-        palette: Option[Array[Int]] = None): Array[Byte] = {
+        palette: Option[Array[Int]] = None,
+        predictor: Option[(Int, IndexedSeq[Int])] = None,
+        colorTransform: Option[(Int, IndexedSeq[Int])] = None): Array[Byte] = {
       require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
       val bw = new BitWriter()
       bw.write(width - 1, 14); bw.write(height - 1, 14)
       bw.write(0, 1); bw.write(0, 3)
+      predictor.foreach { case (bits, data) =>
+        require(bits >= 2 && bits <= 9)
+        bw.write(1, 1); bw.write(0, 2); bw.write(bits - 2, 3)
+        writeImage(bw, data.map(Lit(_)), cacheBits = 0,
+          xsize = sub(width, bits), topLevel = false)
+      }
+      colorTransform.foreach { case (bits, data) =>
+        require(bits >= 2 && bits <= 9)
+        bw.write(1, 1); bw.write(1, 2); bw.write(bits - 2, 3)
+        writeImage(bw, data.map(Lit(_)), cacheBits = 0,
+          xsize = sub(width, bits), topLevel = false)
+      }
       if (subtractGreen) { bw.write(1, 1); bw.write(2, 2) }
       palette.foreach { pal =>
         bw.write(1, 1); bw.write(3, 2)

@@ -103,6 +103,51 @@ class WebpSpec extends AnyFunSuite {
     assert(imgPixels(img) == rgbOf(idx.map(palette(_))))
   }
 
+  test("predictor transform: all 14 modes invert (4x4 blocks, one mode each)") {
+    val (w, h) = (16, 16) // 4x4 blocks of 4x4 px: 16 blocks -> modes 0..13 + repeats
+    val pixels = for (y <- 0 until h; x <- 0 until w) yield argbAt(x, y)
+    val bits = 2
+    def modeAt(bx: Int, by: Int): Int = (bx + by * 4) % 14
+    val modeData = for (by <- 0 until 4; bx <- 0 until 4)
+      yield 0xFF000000 | (modeAt(bx, by) << 8)
+    val res = Webp.Vp8lEncoder.predictorResiduals(pixels, w, h, bits, modeAt)
+    val bytes = Webp.Vp8lEncoder.encode(w, h, res.map(Lit(_)),
+      predictor = Some((bits, modeData)))
+    assert(imgPixels(decoded(bytes)) == rgbOf(pixels))
+  }
+
+  test("cross-color transform inverts (signed >>5 deltas, per-block elements)") {
+    val (w, h) = (12, 8)
+    val pixels = for (y <- 0 until h; x <- 0 until w) yield argbAt(x, y)
+    val bits = 2
+    def cteAt(bx: Int, by: Int): Int = {
+      val g2r = (0x10 + bx * 7) & 0xFF
+      val g2b = (0xF0 - by * 9) & 0xFF // negative as int8
+      val r2b = (0x08 + bx + by) & 0xFF
+      0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    }
+    val cteData = for (by <- 0 until 2; bx <- 0 until 3) yield cteAt(bx, by)
+    val res = Webp.Vp8lEncoder.colorResiduals(pixels, w, h, bits, cteAt)
+    val bytes = Webp.Vp8lEncoder.encode(w, h, res.map(Lit(_)),
+      colorTransform = Some((bits, cteData)))
+    assert(imgPixels(decoded(bytes)) == rgbOf(pixels))
+  }
+
+  test("stacked transforms invert in reverse stream order (predictor then cross-color)") {
+    val (w, h) = (8, 8)
+    val pixels = for (y <- 0 until h; x <- 0 until w) yield argbAt(x, y)
+    val bits = 3 // one block
+    def modeAt(bx: Int, by: Int): Int = 7 // Average2(L, T)
+    def cteAt(bx: Int, by: Int): Int = 0xFF000000 | (0x05 << 16) | (0xFA << 8) | 0x13
+    // stream order [P, C] -> decode inverts C then P -> forward is P then C
+    val afterP = Webp.Vp8lEncoder.predictorResiduals(pixels, w, h, bits, modeAt)
+    val afterC = Webp.Vp8lEncoder.colorResiduals(afterP, w, h, bits, cteAt)
+    val bytes = Webp.Vp8lEncoder.encode(w, h, afterC.map(Lit(_)),
+      predictor = Some((bits, IndexedSeq(0xFF000000 | (7 << 8)))),
+      colorTransform = Some((bits, IndexedSeq(cteAt(0, 0)))))
+    assert(imgPixels(decoded(bytes)) == rgbOf(pixels))
+  }
+
   test("the 2D distance map matches the spec's published head and shape") {
     assert(Webp.DistanceMap.length == 120)
     assert(Webp.DistanceMap.distinct.length == 120)
