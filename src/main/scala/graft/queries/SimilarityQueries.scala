@@ -685,11 +685,38 @@ object SimilarityQueries {
     * growth batch (% 10 = 9) is assigned against the PERSISTED
     * centroids and encoded against the PERSISTED codebook, and both
     * appends commit in ONE multi-table transaction. */
+  /** One IVFADC build per (corpus, shape) per JVM — the dq07 "one build
+    * per table" discipline applied across gates (round-14 verdict #8):
+    * knn06/08/09 and dq08 all need the SAME deterministic four-table
+    * build, so the canonical one builds once and every caller receives
+    * fresh ZERO-COPY CLONES (TxLog.cloneTable hardlinks — one inode per
+    * shared file, no bytes move). Clones diverge independently, so the
+    * delete/maintain gates mutate their own logs and can never bleed
+    * into each other; a clone's vacuum only unlinks ITS hardlinks. */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path)]()
+
+  private def cloneFour(spark: SparkSession,
+      src: (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path)):
+      (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    def c(s: java.nio.file.Path): java.nio.file.Path = {
+      val d = freshTable()
+      graft.ops.TxLog.cloneTable(spark, s, d): Unit
+      d
+    }
+    (c(src._1), c(src._2), c(src._3), c(src._4))
+  }
+
+  private[graft] def buildLakeIvfPqBase(spark: SparkSession, dir: String):
+      (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) =
+    cloneFour(spark,
+      ivfPqMemo.computeIfAbsent(s"base:$dir", _ => buildLakeIvfPqBase0(spark, dir)))
+
   /** knn06/knn07's BASE build: the initial corpus (vec_id % 10 != 9)
     * trains both quantizers and all four artifacts commit as lake
     * tables; growth is NOT applied here — knn06 adds it as one batch
     * transaction, knn07 as streaming exactly-once transactions. */
-  private[graft] def buildLakeIvfPqBase(spark: SparkSession, dir: String):
+  private def buildLakeIvfPqBase0(spark: SparkSession, dir: String):
       (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
     reg(spark)
     val emb = t(spark, dir, "embeddings")
@@ -714,22 +741,24 @@ object SimilarityQueries {
   }
 
   private[graft] def buildLakeIvfPq(spark: SparkSession, dir: String):
-      (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
-    val (centT, assignT, cbT, codeT) = buildLakeIvfPqBase(spark, dir)
-    val emb = t(spark, dir, "embeddings")
-    val growth = emb.filter(col("vec_id") % 10 === 9)
-    // GROWTH: one transaction, two participants — the assignments and
-    // codes tables advance atomically (all-or-nothing across crashes)
-    val centLake = graft.ops.TxLog.readAt(spark, centT)
-    val cbLake = graft.ops.TxLog.readAt(spark, cbT)
-    graft.ops.TxLog.transact(spark, Seq(
-      graft.ops.TxLog.TxnAppend(assignT,
-        graft.ops.Ann.assignToCentroids(growth, centLake), "cent_id", nParts = 1),
-      graft.ops.TxLog.TxnAppend(codeT,
-        graft.ops.Pq.encode(growth, cbLake, "vec_id", "embedding", dims = 64, m = 8),
-        "vec_id", nParts = 1))): Unit
-    (centT, assignT, cbT, codeT)
-  }
+      (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) =
+    cloneFour(spark,
+      ivfPqMemo.computeIfAbsent(s"full:$dir", { _ =>
+        val (centT, assignT, cbT, codeT) = buildLakeIvfPqBase(spark, dir)
+        val emb = t(spark, dir, "embeddings")
+        val growth = emb.filter(col("vec_id") % 10 === 9)
+        // GROWTH: one transaction, two participants — the assignments and
+        // codes tables advance atomically (all-or-nothing across crashes)
+        val centLake = graft.ops.TxLog.readAt(spark, centT)
+        val cbLake = graft.ops.TxLog.readAt(spark, cbT)
+        graft.ops.TxLog.transact(spark, Seq(
+          graft.ops.TxLog.TxnAppend(assignT,
+            graft.ops.Ann.assignToCentroids(growth, centLake), "cent_id", nParts = 1),
+          graft.ops.TxLog.TxnAppend(codeT,
+            graft.ops.Pq.encode(growth, cbLake, "vec_id", "embedding", dims = 64, m = 8),
+            "vec_id", nParts = 1))): Unit
+        (centT, assignT, cbT, codeT)
+      }))
 
   /** knn06's SERVING path — reads ONLY committed lake tables (plus the
     * base vector relation for the query rows and the shortlist rerank):

@@ -290,6 +290,36 @@ class TextIndexSpec extends SparkSpec {
     assert(ghost.collect().isEmpty && !grep.fellBack)
   }
 
+  test("maintain rebuilds the _tstats dictionary EXACTLY from the live postings") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix9")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    // increments + deletes leave log-structured slices + stale-high df
+    TxLog.append(spark, corpusDf(0L to 59L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TxLog.append(spark, corpusDf(60L to 99L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TxLog.deleteMor(spark, corpus, Seq(21L, 63L).toDF("doc_id"), "doc_id"): Unit
+    TextIndex.pruneDeleted(spark, index, Seq(21L, 63L).toDF("doc_id")): Unit
+    TextIndex.maintain(spark, corpus, index): Unit
+    // the dictionary must equal an independent recompute over the live
+    // postings — df exact (deletes folded), bound exact, one row per term
+    val recomputed = TxLog.readAt(spark, index)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        max(col("tf").cast("double") / (col("tf").cast("double") + 0.3)).as("b"))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val stored = TxLog.readAt(spark, base.resolve("ix_tstats"))
+      .groupBy("term")
+      .agg(sum(col("df")).as("df"), max(col("tf_bound")).as("b"))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(stored.toSeq == recomputed.toSeq)
+    // ...and post-maintain the table IS one row per term (folded exact)
+    val nRows = TxLog.readAt(spark, base.resolve("ix_tstats")).count()
+    assert(nRows == recomputed.length.toLong)
+  }
+
   test("MaxScore: deletes force the full-scoring fallback until maintain rebuilds the dictionary") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_tix8")
