@@ -89,7 +89,7 @@ object AnnIndex {
     * below Ann.TwoLevelMinCentroids; coarse→fine sqrt(C) decomposition
     * above it (same crossover as graft.ops.Ann, which owns the
     * fixed-schema variant the sim gates pin). */
-  private def assignAll(vecs: DataFrame, cent: DataFrame,
+  private[ops] def assignAll(vecs: DataFrame, cent: DataFrame,
       idCol: String, embCol: String): DataFrame = {
     val keep = vecs.columns.map(col)
     val c = cent.count()

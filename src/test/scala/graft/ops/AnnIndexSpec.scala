@@ -95,6 +95,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.maxFilesPerCent(spark, index) == 1)
   }
 
+  test("assignAll: the two-level path (>256 centroids) equals the flat rank on clustered vectors") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.registerAll(spark)
+    // 300 well-separated centroids (> Ann.TwoLevelMinCentroids = 256
+    // forces the coarse->fine decomposition); each corpus vector is a
+    // small perturbation of its centroid, so the nearest assignment is
+    // unambiguous and the sqrt(C) path must find the same home
+    val cent = (0L until 300L).toDF("cent_id")
+      .withColumn("cent_emb",
+        expr("transform(sequence(0, 15), d -> " +
+          "cast(abs(hash(cent_id, d)) % 1000 as double))"))
+      .localCheckpoint(true)
+    // exact copies of their home centroid (3 each): the nearest
+    // assignment is exact-cosine-1 unambiguous, so flat and two-level
+    // MUST agree — any disagreement is a real decomposition bug
+    val vecs = (0L until 900L).toDF("vec_id")
+      .withColumn("home", col("vec_id") % 300)
+      .withColumn("embedding",
+        expr("transform(sequence(0, 15), d -> " +
+          "cast(abs(hash(home, d)) % 1000 as double))"))
+    val two = AnnIndex.assignAll(vecs, cent, "vec_id", "embedding")
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.size == 900)
+    (0L until 900L).foreach { v =>
+      assert(two(v) == v % 300, s"vec $v assigned to ${two(v)}, expected ${v % 300}")
+    }
+  }
+
   test("maintainIvfAdc: unclustered growth + DVs on both halves fold back to the list layout") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_annix4")
