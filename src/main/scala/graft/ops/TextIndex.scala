@@ -149,8 +149,15 @@ object TextIndex {
       // ceiling max tf/(tf+k1(1-b))): LOG-STRUCTURED — each increment
       // appends its own range-clustered slice, reads SUM across slices,
       // maintain folds to the exact single row per term. No vocab-sized
-      // rewrite on the increment path.
-      TxLog.appendClustered(spark, tstatsDelta(mat), tstatsDir(index),
+      // rewrite on the increment path. The CREATING write derives from
+      // ALL live postings, not just this increment — a pre-dictionary
+      // index upgraded mid-life would otherwise carry a silently
+      // PARTIAL dictionary and misrank every query touching the
+      // uncovered terms.
+      val dictSrc =
+        if (TxLog.versions(tstatsDir(index)).isEmpty) TxLog.readAt(spark, index)
+        else mat
+      TxLog.appendClustered(spark, tstatsDelta(dictSrc), tstatsDir(index),
         "term_hash", clusterBucket(nClusters), nClusters): Unit
       if (TxLog.versions(tstatsMetaDir(index)).isEmpty)
         writeTstatsMeta(spark, index, (0L, 0L))
@@ -241,7 +248,8 @@ object TextIndex {
     * candidates, and the dictionary-counted postings behind each —
     * the gated/spec'd evidence that pruning happened. */
   final case class MaxScoreReport(essential: Seq[String], skipped: Seq[String],
-      postingsTotal: Long, postingsEssential: Long, fellBack: Boolean)
+      postingsTotal: Long, postingsEssential: Long, fellBack: Boolean,
+      dfRecounted: Boolean)
 
   /** Disjunctive (OR) BM25 top-k with MAXSCORE bounds (Turtle & Flood
     * 1995; the block-max refinement is Ding & Suel, SIGIR 2011) —
@@ -258,27 +266,34 @@ object TextIndex {
     * point reads either way), never scored in full. A 1e-6 margin
     * absorbs the round-6 readout so a pruned doc cannot tie its way
     * back in (margin 1e-5 in the code — belt over the 5e-7 braces).
-    * SAFETY: the dictionary is exact under pure increments;
-    * [[pruneDeleted]] marks it stale (n_deleted advances past
-    * refreshed_at) and the search FALLS BACK to full scoring until
-    * [[maintain]] rebuilds the dictionary from the live postings —
-    * bounds are never guessed. */
+    * SAFETY: the dictionary's df is exact under pure increments;
+    * [[pruneDeleted]] marks it stale-HIGH (n_deleted advances past
+    * refreshed_at) and the search then RECOUNTS the query terms' live
+    * dfs in one scan-only pass over their pruned lists (term column
+    * only — no join, no shuffle), restoring exact bounds and exact
+    * scoring without losing the pruning; [[maintain]] folds the
+    * dictionary exact again and reopens the recount-free path. Bounds
+    * are never guessed; with no dictionary at all (pre-upgrade index)
+    * the search falls back to full scoring. */
   def searchBm25MaxScore(spark: SparkSession, index: Path, terms: Seq[String],
       k: Int): (DataFrame, MaxScoreReport) = {
     require(terms.nonEmpty, "searchBm25MaxScore needs at least one query term")
     val distinct = terms.distinct
     def fallback = (searchBm25(spark, index, terms, k),
-      MaxScoreReport(distinct, Nil, -1L, -1L, fellBack = true))
+      MaxScoreReport(distinct, Nil, -1L, -1L, fellBack = true,
+        dfRecounted = false))
     if (TxLog.versions(tstatsDir(index)).isEmpty) return fallback
     val (nDel, refreshedAt) = readTstatsMeta(spark, index)
-    if (nDel != refreshedAt) return fallback // deletes since last rebuild: df stale-high
     val stRow = TxLog.readAt(spark, statsDir(index)).head
     val nDocs = stRow.getLong(stRow.fieldIndex("n_docs"))
+    def pointRead(t: String, h: Long) =
+      TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(t))
     // dictionary point reads: per term one footer-pruned file, all
     // terms unioned into ONE job, reduced to (df, bound) — |terms| rows
     // on the driver, never a posting; absent terms simply yield no row
     // (they contribute nothing in either search mode)
-    val dict = distinct.map { term =>
+    val stored = distinct.map { term =>
       val h = termHash(term)
       TxLog.readAt(spark, tstatsDir(index), range = Some(("term_hash", h, h)))
         .filter(col("term") === lit(term))
@@ -286,18 +301,32 @@ object TextIndex {
       .groupBy(col("term"))
       .agg(sum(col("df")).as("df"), max(col("tf_bound")).as("b"))
       .collect()
-      .map(r => (r.getString(0), termHash(r.getString(0)), r.getLong(1), r.getDouble(2)))
-      .toSeq.filter(_._3 > 0)
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // DELETE STALENESS: pruneDeleted leaves the dictionary's df
+    // stale-HIGH (idf under-bounded — unsafe for selection AND wrong
+    // for scoring). Rather than giving up all pruning until maintain,
+    // recount the query terms' LIVE dfs in one scan-only job over
+    // their pruned lists (reads the term column, no join, no shuffle):
+    // selection bounds and scoring both become exact again. The
+    // tf_bound stays valid under deletes (a max over a superset).
+    val dfRecounted = nDel != refreshedAt
+    val dfExact: Map[String, Long] =
+      if (!dfRecounted) stored.map(s => s._1 -> s._2).toMap
+      else distinct.map(t => pointRead(t, termHash(t)))
+        .reduce(_ unionByName _)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dict = stored.flatMap { case (t, _, b) =>
+      dfExact.get(t).filter(_ > 0).map(df => (t, termHash(t), df, b))
+    }
     if (dict.isEmpty)
       return (TxLog.readAt(spark, index).filter(lit(false))
         .select(col("doc_id"), lit(0.0).as("score")),
-        MaxScoreReport(Nil, distinct, 0L, 0L, fellBack = false))
+        MaxScoreReport(Nil, distinct, 0L, 0L, fellBack = false, dfRecounted))
     val ceil = dict.map { case (t, h, df, b) =>
       (t, h, df, math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * b)
     }.sortBy { case (t, _, _, u) => (-u, t) }
-    def pointRead(t: String, h: Long) =
-      TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
-        .filter(col("term") === lit(t))
     val st = TxLog.readAt(spark, statsDir(index))
       .select(col("n_docs"),
         (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
@@ -327,7 +356,7 @@ object TextIndex {
       }
     (bm25Rank(posts, dfRel, st, k),
       MaxScoreReport(ess.map(_._1), rest.map(_._1),
-        ceil.map(_._3).sum, ess.map(_._3).sum, fellBack = false))
+        ceil.map(_._3).sum, ess.map(_._3).sum, fellBack = false, dfRecounted))
   }
 
   /** The end-user search shape: BM25 rank from the INDEX, then fetch

@@ -320,7 +320,7 @@ class TextIndexSpec extends SparkSpec {
     assert(nRows == recomputed.length.toLong)
   }
 
-  test("MaxScore: deletes force the full-scoring fallback until maintain rebuilds the dictionary") {
+  test("MaxScore: deletes force a live-df recount, ranking still exact, pruning kept") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_tix8")
     val corpus = base.resolve("corpus")
@@ -331,12 +331,41 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.pruneDeleted(spark, index, Seq(7L, 14L).toDF("doc_id")): Unit
     val terms = Seq("rareword", "alpha")
     val (r1, rep1) = TextIndex.searchBm25MaxScore(spark, index, terms, 5)
-    assert(rep1.fellBack, "stale-high df must not serve bounds")
+    assert(!rep1.fellBack && rep1.dfRecounted,
+      "stale-high df must recount live dfs, not serve stored bounds")
+    assert(rep1.skipped.nonEmpty, "pruning survives the stale-dictionary path")
+    // 7 and 14 are rareword docs (%7==0): the recounted df must be the
+    // LIVE one, so the exact ranking over survivors still matches
     assert(r1.collect().toSeq == TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
     TextIndex.maintain(spark, corpus, index): Unit
     val (r2, rep2) = TextIndex.searchBm25MaxScore(spark, index, terms, 5)
-    assert(!rep2.fellBack && rep2.skipped.nonEmpty)
+    assert(!rep2.fellBack && !rep2.dfRecounted && rep2.skipped.nonEmpty)
     assert(r2.collect().toSeq == TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
+  }
+
+  test("a pre-dictionary index upgraded mid-life gets a COMPLETE dictionary") {
+    val base = Files.createTempDirectory("graft_tix10")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 49L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    // simulate an index built by a pre-_tstats binary
+    TxLog.deleteTree(base.resolve("ix_tstats"))
+    TxLog.deleteTree(base.resolve("ix_tstats_meta"))
+    val (legacy, legacyRep) = TextIndex.searchBm25MaxScore(
+      spark, index, Seq("rareword", "alpha"), 5)
+    assert(legacyRep.fellBack) // no dictionary at all: exact full scoring
+    assert(legacy.collect().toSeq ==
+      TextIndex.searchBm25(spark, index, Seq("rareword", "alpha"), 5).collect().toSeq)
+    // the upgrading increment must cover the OLD postings too — a
+    // delta-only dictionary would misrank every query touching them
+    TxLog.append(spark, corpusDf(50L to 79L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    val (pruned, rep) = TextIndex.searchBm25MaxScore(
+      spark, index, Seq("rareword", "alpha"), 5)
+    assert(!rep.fellBack && rep.skipped.nonEmpty)
+    assert(pruned.collect().toSeq ==
+      TextIndex.searchBm25(spark, index, Seq("rareword", "alpha"), 5).collect().toSeq)
   }
 
   test("empty query-term lists refuse with a clear message in both search modes") {
