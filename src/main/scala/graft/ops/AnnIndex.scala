@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * (same rows, new layout) — gate sim14 pins both the equality and the
   * files-per-probe bound; AnnIndexSpec pins the contracts.
   *
-  * The reference (a parser-to-sink shuttle, /root/reference/src/ports.rs)
+  * The reference (a parser-to-sink shuttle, /root/reference/src/domain/ports.rs)
   * has no vector surface; the design here follows the published IVF
   * literature (Jégou et al., TPAMI 2011) re-expressed Spark-first.
   */
