@@ -462,6 +462,41 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"CALL $cat.bloom_index('bt', 'key')").head.getLong(1) == 0L)
   }
 
+  test("catalog: CALL ann_index creates the sibling, refreshes incrementally, " +
+      "validates args, and maintain drives its re-cluster") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.vt (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)")
+    spark.sql(s"INSERT INTO $cat.vt SELECT id, " +
+      "transform(sequence(0, 7), d -> cast((id * (d + 3)) % 17 as float)), " +
+      "cast(id % 5 as int) FROM range(0, 60)")
+    val r1 = spark.sql(s"CALL $cat.ann_index('vt', 'vec_id', 'embedding')").head
+    assert(r1.getString(0) == "vt_ann_ix" && r1.getLong(1) == 60L)
+    // incremental: only the new rows assign; idempotent re-call is 0
+    spark.sql(s"INSERT INTO $cat.vt SELECT id, " +
+      "transform(sequence(0, 7), d -> cast((id * (d + 3)) % 17 as float)), " +
+      "cast(id % 5 as int) FROM range(60, 80)")
+    assert(spark.sql(s"CALL $cat.ann_index('vt', 'vec_id', 'embedding')")
+      .head.getLong(1) == 20L)
+    assert(spark.sql(s"CALL $cat.ann_index('vt', 'vec_id', 'embedding')")
+      .head.getLong(1) == 0L)
+    // arg fences: illegal identifier and unknown column refuse
+    intercept[Exception](
+      spark.sql(s"CALL $cat.ann_index('vt', 'vec_id; drop', 'embedding')").collect())
+    intercept[Exception](
+      spark.sql(s"CALL $cat.ann_index('vt', 'vec_id', 'nope')").collect())
+    // the index is an ordinary queryable catalog table (one home per vector)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.vt_ann_ix").head.getLong(0) == 80L)
+    assert(spark.sql(s"SELECT count(DISTINCT vec_id) FROM $cat.vt_ann_ix")
+      .head.getLong(0) == 80L)
+    // increments left overlapping per-list file-sets; maintain's ANN
+    // sibling pass folds them to the clustered bound
+    val ix = base.resolve("vt_ann_ix")
+    assert(graft.ops.AnnIndex.maxFilesPerCent(spark, ix) > 1)
+    spark.sql(s"CALL $cat.maintain('vt', 4, 4, vacuum_min_age_ms => 0)").collect(): Unit
+    assert(graft.ops.AnnIndex.maxFilesPerCent(spark, ix) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.vt_ann_ix").head.getLong(0) == 80L)
+  }
+
   test("catalog: a point query prunes through the sibling bloom index " +
       "transparently — fewer files scanned, same rows") {
     val (cat, base) = freshCatalog()
