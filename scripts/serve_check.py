@@ -35,9 +35,14 @@ def main():
         os.path.abspath(__file__))), "LIFECYCLE.json")
 
     with open(new_path) as f:
-        line = [l for l in f if '"lifecycle_serve"' in l][-1]
-        # sbt prefixes "[info] "
-        new = json.loads(line[line.index("{"):])
+        lines = [l for l in f if '"lifecycle_serve"' in l]
+    if not lines:
+        print(f"no lifecycle_serve line found in {new_path} "
+              "(did the LifecycleBench run fail before printing its JSON line?)")
+        return 2
+    # sbt prefixes "[info] "
+    line = lines[-1]
+    new = json.loads(line[line.index("{"):])
 
     if not os.path.exists(base_path):
         print(f"no baseline at {base_path}; writing one (first run)")

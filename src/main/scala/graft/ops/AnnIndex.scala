@@ -70,14 +70,29 @@ object AnnIndex {
     * sibling pass before driving [[maintain]]. */
   def hasMeta(index: Path): Boolean = TxLog.versions(metaDir(index)).nonEmpty
 
-  /** Coarse quantizer: C = max(16, ceil(n/125)) lowest-id seeds, one
-    * quantized Lloyd update — the exact rule of the sim07/knn06 builds
-    * (SimilarityQueries.refinedIvfCentroids), parameterized by column. */
-  private def trainCentroids(train: DataFrame, idCol: String, embCol: String): DataFrame = {
+  /** Coarse quantizer: C = max(16, ceil(n/125)) LOWEST-ID seeds BY RANK,
+    * one quantized Lloyd update — the exact rule of the sim07/knn06
+    * builds (SimilarityQueries.refinedIvfCentroids), parameterized by
+    * column. Seeding is by rank, not by the literal value test
+    * `id < C`: `CALL ann_index` runs on arbitrary user tables, and a
+    * corpus whose ids are offset or sparse would yield few or zero
+    * seeds under the value test — an index that silently serves
+    * nothing. On dense 0-based ids (the gate corpora) rank-seeding is
+    * value-identical to `id < C`, so the sim07/knn06 oracles hold. The
+    * C-th-smallest id resolves through TakeOrderedAndProject (a
+    * distributed top-C, never a global sort window), so seeding stays
+    * executor-parallel at corpus scale. */
+  private def trainCentroids(spark: SparkSession, train: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
     val q = Clustering.quantize(train, idCol, embCol)
-    val nc = train.agg(greatest(lit(16L),
-      expr(s"(count(*) + ${TargetListSize - 1}) div $TargetListSize")).as("n_c"))
-    val init = q.crossJoin(broadcast(nc)).filter(col(idCol) < col("n_c"))
+    val cnt = train.count()
+    val nC = math.max(16L, (cnt + TargetListSize - 1) / TargetListSize)
+    // the seed-id cutoff: max of the C smallest ids (inclusive filter
+    // below keeps exactly the C lowest ranks; ids are unique keys)
+    val init = q.join(
+        broadcast(q.select(col(idCol)).orderBy(col(idCol).asc).limit(
+          math.min(nC, Int.MaxValue.toLong).toInt)),
+        Seq(idCol), "left_semi")
       .select(col(idCol).as("cid"),
         expr("transform(q, x -> cast(x as double))").as("m"))
     Clustering.recomputeMeans(Clustering.assign(q, init, idCol))
@@ -161,12 +176,19 @@ object AnnIndex {
         Seq(idCol), "left_anti")
     val cent =
       if (TxLog.versions(centDir(index)).isEmpty) {
-        val c = trainCentroids(vecs, idCol, embCol).localCheckpoint(true)
+        val c = trainCentroids(spark, vecs, idCol, embCol).localCheckpoint(true)
         TxLog.append(spark, c, centDir(index), "cent_id", nParts = 1): Unit
         c
       } else TxLog.readAt(spark, centDir(index))
     val assigned = assignAll(vecs, cent, idCol, embCol).localCheckpoint(true)
     val n = assigned.count()
+    // fail LOUDLY before the watermark advances: a degenerate build
+    // (zero centroids trained, or an assignment that dropped every
+    // vector) must not mark the corpus files indexed — that would leave
+    // an index permanently serving nothing while claiming coverage
+    require(n > 0 || vecs.isEmpty,
+      s"ANN index build at $index assigned 0 of the batch's vectors " +
+        "(zero trained centroids?) — refusing to advance the watermark")
     if (n > 0)
       TxLog.appendClustered(spark, assigned, index,
         "cent_id", clusterCol = col("cent_id"), nClusters = nClusters): Unit

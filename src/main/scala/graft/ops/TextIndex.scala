@@ -310,7 +310,17 @@ object TextIndex {
     // their pruned lists (reads the term column, no join, no shuffle):
     // selection bounds and scoring both become exact again. The
     // tf_bound stays valid under deletes (a max over a superset).
-    val dfRecounted = nDel != refreshedAt
+    // Staleness is derived from the INDEX ITSELF, not only from
+    // pruneDeleted's counter: ANY deletion-vector sidecar on a live
+    // postings file means rows left since the dictionary refresh (a
+    // caller running TxLog.deleteMor on the index directly — the exact
+    // pattern the ANN gates use on their index tables), so the counter
+    // alone would under-detect and break the exact-equality contract.
+    // [[maintain]] is the one supported DV-folding rewrite, and it
+    // rebuilds the dictionary in the same pass — so "no DVs and
+    // counters equal" genuinely implies an exact dictionary.
+    val dvsPresent = TxLog.snapshotAt(index).files.exists(_.dv.isDefined)
+    val dfRecounted = nDel != refreshedAt || dvsPresent
     val dfExact: Map[String, Long] =
       if (!dfRecounted) stored.map(s => s._1 -> s._2).toMap
       else distinct.map(t => pointRead(t, termHash(t)))

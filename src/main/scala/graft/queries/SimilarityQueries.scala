@@ -101,9 +101,18 @@ object SimilarityQueries {
     * shape and the production path is the persisted one. */
   private[graft] def refinedIvfCentroids(train: DataFrame): DataFrame = {
     val q = graft.ops.Clustering.quantize(train, "vec_id", "embedding")
-    val nc = train.agg(greatest(lit(16L),
-      expr(s"(count(*) + ${IvfTargetListSize - 1}) div $IvfTargetListSize")).as("n_c"))
-    val init = q.crossJoin(broadcast(nc)).filter(col("vec_id") < col("n_c"))
+    // seeds = the C LOWEST ids BY RANK (not the value test `id < C`,
+    // which silently under-seeds a sparse or offset id space — the
+    // round-16 ADVICE fix, mirrored in AnnIndex.trainCentroids so the
+    // in-query chain and the persisted index train identically). The
+    // C-th-smallest id resolves through TakeOrderedAndProject — a
+    // distributed top-C, never a global-sort window.
+    val cnt = train.count()
+    val nC = math.max(16L, (cnt + IvfTargetListSize - 1) / IvfTargetListSize)
+    val init = q.join(
+        broadcast(q.select(col("vec_id")).orderBy(col("vec_id").asc)
+          .limit(math.min(nC, Int.MaxValue.toLong).toInt)),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("cid"),
         expr("transform(q, x -> cast(x as double))").as("m"))
     graft.ops.Clustering.recomputeMeans(
@@ -1311,8 +1320,11 @@ object SimilarityQueries {
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qq
        |  FROM $fromRel),
        |lv_seed AS (
-       |  SELECT vec_id AS cid, list_transform(qq, x -> CAST(x AS DOUBLE)) AS m
-       |  FROM lv_q WHERE vec_id < (SELECT GREATEST(16,
+       |  SELECT cid, m FROM (
+       |    SELECT vec_id AS cid, list_transform(qq, x -> CAST(x AS DOUBLE)) AS m,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS lv_rk
+       |    FROM lv_q)
+       |  WHERE lv_rk <= (SELECT GREATEST(16,
        |    (COUNT(*) + ${IvfTargetListSize - 1}) // $IvfTargetListSize) FROM lv_q)),
        |lv_a1 AS (
        |  SELECT vec_id, cid FROM (
