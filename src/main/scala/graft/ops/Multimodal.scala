@@ -43,7 +43,7 @@ object Multimodal {
     def decode(item: MediaItem): MediaMeta
   }
 
-  private def md5Hex(bytes: Array[Byte]): String =
+  private[ops] def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
 
@@ -435,7 +435,10 @@ object Multimodal {
       else if (Avi.isAvi(p)) Avi.AviMetaDecoder.decode(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
-      else if (Webp.isWebp(p)) Webp.WebpDecoder.decode(item)
+      // metadata walk, not pixel decode: covers lossy/extended/animated
+      // WebP (most real web .webp is lossy VP8) — dims from the public
+      // headers, pixel decode stays VP8L-only (SniffPixelDecoder)
+      else if (Webp.isWebp(p)) Webp.WebpMetaDecoder.decode(item)
       else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
       else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
       else FakeDecoder.decode(item)
@@ -458,7 +461,7 @@ object Multimodal {
       else if (Avi.isAvi(p)) Avi.AviMetaDecoder.decode(item)
       else if (Gif.GifDecoder.isGif(p)) Gif.GifDecoder.decode(item)
       else if (Tiff.isTiff(p)) Tiff.TiffDecoder.decode(item)
-      else if (Webp.isWebp(p)) Webp.WebpDecoder.decode(item)
+      else if (Webp.isWebp(p)) Webp.WebpMetaDecoder.decode(item)
       else if (Flac.isFlac(p)) Flac.FlacMetaDecoder.decode(item)
       else if (Mp3.isMp3(p)) Mp3.Mp3MetaDecoder.decode(item)
       else if (Adpcm.isWave(p)) Adpcm.WaveMetaDecoder.decode(item)

@@ -912,6 +912,62 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm32: LOSSY-WebP / VP8X METADATA WALK (round-15 verdict #1)
+    // — most real web-corpus `.webp` is lossy VP8, which the pixel
+    // decoder refuses by name (DCT + loop-filter reconstruction is
+    // native-codec domain). The Mp3/Mp4/Avi precedent applies: the
+    // corpus-scale workload is the METADATA pass, and the lossy
+    // key-frame header is fully public (RFC 6386 §9.1), as are the
+    // VP8X/ANIM/ANMF extended-container chunks. Four container shapes
+    // interleave across documents — a REAL VP8L lossless still, a lossy
+    // VP8 still (header real, DCT filler), an animated VP8X+ANIM file
+    // (canvas dims from VP8X, frame count from the ANMF walk), and a
+    // VP8X-wrapped lossless still with the alpha flag — all routed
+    // through the one signature-sniffing dispatch. The refusal contract
+    // is gated IN THE SAME ROW: pixel decode still succeeds exactly on
+    // the lossless shapes and still throws on lossy/animated ones.
+    "mm32_webp_metadata" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          import graft.ops.{Multimodal, Webp}
+          import graft.ops.Webp.Vp8lEncoder.Lit
+          def lossless(id: Long): Array[Byte] = {
+            val w = 8 + (id % 5).toInt
+            val h = 6 + (id % 3).toInt
+            val px = 0xFF000000 | (((id * 7) % 256).toInt << 16) |
+              (((id * 3) % 256).toInt << 8) | ((id * 11) % 256).toInt
+            Webp.Vp8lEncoder.encode(w, h, Seq.fill(w * h)(Lit(px)))
+          }
+          it.map { id =>
+            val kind = (id % 4).toInt
+            val bytes = kind match {
+              case 0 => lossless(id)
+              case 1 => Webp.WebpFixture.lossyStill(
+                16 + (id % 7).toInt * 3, 12 + (id % 5).toInt * 2,
+                fillerLen = 24 + (id % 11).toInt, seed = id)
+              case 2 => Webp.WebpFixture.animated(
+                32 + (id % 9).toInt, 24 + (id % 6).toInt,
+                frameDims = Seq.fill((2 + id % 3).toInt)((8, 6)), seed = id)
+              case _ =>
+                val inner = lossless(id)
+                Webp.WebpFixture.extendedFrom(inner,
+                  8 + (id % 5).toInt, 6 + (id % 3).toInt, alpha = true)
+            }
+            val item = Multimodal.MediaItem(id, bytes)
+            val m = Multimodal.SniffMetaDecoder.decode(item)
+            val pixelsRefused =
+              try { Multimodal.SniffPixelDecoder.decodePixels(item); false }
+              catch { case _: IllegalArgumentException => true }
+            (id, kind.toLong, m.width.toLong, m.height.toLong,
+              m.frameCount.toLong, pixelsRefused)
+          }
+        }
+        .toDF("media_id", "kind", "width", "height", "frame_count",
+          "pixels_refused")
+        .orderBy("media_id")
+    }),
+
     "mm30_g711_audio" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -1270,6 +1326,24 @@ object MultimodalQueries {
         |  CAST(SUM((x * 3 + y * 5 + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((x * 11 + y * 2 + 3 * doc_id) % 256) AS BIGINT) AS sum_b
         |FROM eff GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // mm32: every gated fact is a closed form of the fixture params —
+    // dims per container shape, ANMF frame count, and the refusal
+    // contract (pixels decode only for the lossless shapes)
+    "mm32_webp_metadata" ->
+      """SELECT doc_id AS media_id, CAST(doc_id % 4 AS BIGINT) AS kind,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 1 THEN 16 + (doc_id % 7) * 3
+        |    WHEN 2 THEN 32 + doc_id % 9
+        |    ELSE 8 + doc_id % 5 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 1 THEN 12 + (doc_id % 5) * 2
+        |    WHEN 2 THEN 24 + doc_id % 6
+        |    ELSE 6 + doc_id % 3 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 + doc_id % 3 ELSE 1 END
+        |    AS BIGINT) AS frame_count,
+        |  (doc_id % 4) IN (1, 2) AS pixels_refused
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm30_g711_audio" ->
       """WITH raw AS (

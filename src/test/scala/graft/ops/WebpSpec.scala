@@ -207,4 +207,81 @@ class WebpSpec extends AnyFunSuite {
     val img = Multimodal.SniffPixelDecoder.decodePixels(MediaItem(3L, bytes))
     assert(img.width == 5 && img.height == 4)
   }
+
+  // ---------------------------------------------- metadata walk (mm32)
+
+  test("metadata walk: lossy VP8 key-frame header yields dims, pixels stay refused") {
+    val bytes = Webp.WebpFixture.lossyStill(321, 123, fillerLen = 40, seed = 9L)
+    val i = Webp.info(MediaItem(1L, bytes))
+    assert(i == Webp.WebpInfo("vp8", 321, 123, 1, animated = false, alphaFlagged = false))
+    val m = Multimodal.SniffMetaDecoder.decode(MediaItem(1L, bytes))
+    assert(m.width == 321 && m.height == 123 && m.frameCount == 1)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.SniffPixelDecoder.decodePixels(MediaItem(1L, bytes)))
+    assert(e.getMessage.contains("lossy"))
+  }
+
+  test("metadata walk: VP8X canvas wins, ANMF frames counted, alpha flag read") {
+    val anim = Webp.WebpFixture.animated(100, 80,
+      frameDims = Seq((10, 8), (10, 8), (10, 8)), seed = 4L)
+    val ai = Webp.info(MediaItem(2L, anim))
+    assert(ai == Webp.WebpInfo("vp8", 100, 80, 3, animated = true, alphaFlagged = false))
+    intercept[IllegalArgumentException](
+      Webp.WebpDecoder.decodePixels(MediaItem(2L, anim))) // animated refusal intact
+    val inner = Webp.Vp8lEncoder.encode(7, 5,
+      (0 until 35).map(i => Lit(argbAt(i % 7, i / 7))))
+    val ext = Webp.WebpFixture.extendedFrom(inner, 7, 5, alpha = true)
+    val xi = Webp.info(MediaItem(3L, ext))
+    assert(xi == Webp.WebpInfo("vp8l", 7, 5, 1, animated = false, alphaFlagged = true))
+    // VP8X wrapping does not break the lossless pixel path
+    assert(Multimodal.SniffPixelDecoder.decodePixels(MediaItem(3L, ext)).width == 7)
+  }
+
+  test("metadata walk: lossless dims come from the VP8L header without pixel decode") {
+    val bytes = Webp.Vp8lEncoder.encode(13, 9,
+      (0 until 117).map(i => Lit(argbAt(i % 13, i / 13))))
+    val i = Webp.info(MediaItem(4L, bytes))
+    assert(i == Webp.WebpInfo("vp8l", 13, 9, 1, animated = false, alphaFlagged = false))
+  }
+
+  test("metadata walk refusals: interframe, missing start code, short/absent chunks") {
+    val good = Webp.WebpFixture.vp8FrameBody(20, 10, fillerLen = 16, seed = 1L)
+    def asRiff(body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + 8 + body.length + (body.length & 1))
+      bb.put("WEBP".getBytes); bb.put("VP8 ".getBytes); bb.putInt(body.length)
+      bb.put(body)
+      bb.array()
+    }
+    val inter = good.clone(); inter(0) = (inter(0) | 1).toByte
+    assert(intercept[IllegalArgumentException](
+      Webp.info(MediaItem(5L, asRiff(inter)))).getMessage.contains("interframe"))
+    val noStart = good.clone(); noStart(3) = 0
+    assert(intercept[IllegalArgumentException](
+      Webp.info(MediaItem(5L, asRiff(noStart)))).getMessage.contains("start code"))
+    intercept[IllegalArgumentException](Webp.info(MediaItem(5L, asRiff(good.take(6)))))
+    // a container with only metadata chunks has no frame to size
+    val bare = Webp.WebpFixture.extendedFrom(
+      Webp.Vp8lEncoder.encode(3, 3, Seq.fill(9)(Lit(0xFF000000))), 3, 3, alpha = false)
+    intercept[IllegalArgumentException](Webp.info(MediaItem(5L, bare.take(12 + 18))))
+  }
+
+  test("metadata fuzz: random byte flips report or refuse, never escape") {
+    val goods = Seq(
+      Webp.WebpFixture.lossyStill(33, 21, fillerLen = 30, seed = 2L),
+      Webp.WebpFixture.animated(40, 30, Seq((8, 6), (8, 6)), seed = 3L))
+    val rnd = new scala.util.Random(1234)
+    goods.foreach { good =>
+      (0 until 200).foreach { _ =>
+        val mutated = good.clone()
+        (0 to rnd.nextInt(3)).foreach { _ =>
+          val i = rnd.nextInt(mutated.length)
+          mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        try { Webp.info(MediaItem(8L, mutated)): Unit }
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
 }
