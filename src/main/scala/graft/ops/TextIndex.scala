@@ -143,22 +143,27 @@ object TextIndex {
         coalesce(sum(col("dl")), lit(0L)).as("len")).head
     val (nNew, lenNew) = (inc.getLong(0), inc.getLong(1))
     if (nNew > 0) {
-      TxLog.appendClustered(spark, mat, index, "term_hash",
-        clusterBucket(nClusters), nClusters): Unit
-      // the _tstats dictionary delta (per-term df + the dl-free impact
-      // ceiling max tf/(tf+k1(1-b))): LOG-STRUCTURED — each increment
-      // appends its own range-clustered slice, reads SUM across slices,
-      // maintain folds to the exact single row per term. No vocab-sized
-      // rewrite on the increment path. The CREATING write derives from
-      // ALL live postings, not just this increment — a pre-dictionary
-      // index upgraded mid-life would otherwise carry a silently
-      // PARTIAL dictionary and misrank every query touching the
-      // uncovered terms.
-      val dictSrc =
-        if (TxLog.versions(tstatsDir(index)).isEmpty) TxLog.readAt(spark, index)
-        else mat
-      TxLog.appendClustered(spark, tstatsDelta(dictSrc), tstatsDir(index),
-        "term_hash", clusterBucket(nClusters), nClusters): Unit
+      val pv = TxLog.appendClustered(spark, mat, index, "term_hash",
+        clusterBucket(nClusters), nClusters)
+      // the _tstats dictionary delta (per-term df, the dl-free impact
+      // ceiling max tf/(tf+k1(1-b)), the slice's top (tf, dl) pairs,
+      // and the postings-commit binding): LOG-STRUCTURED — each
+      // increment appends its own range-clustered slice, reads SUM
+      // across slices, maintain folds to the exact single row per
+      // term. No vocab-sized rewrite on the increment path. The
+      // CREATING write derives from ALL live postings, not just this
+      // increment — a pre-dictionary index upgraded mid-life would
+      // otherwise carry a silently PARTIAL dictionary and misrank
+      // every query touching the uncovered terms; such a write spans
+      // many commits' files, so its slice binding is -1 (unbound:
+      // block-max falls back to hash-range reads for it).
+      val creating = TxLog.versions(tstatsDir(index)).isEmpty
+      upgradeTstatsSchema(spark, index)
+      val dictSrc = if (creating) TxLog.readAt(spark, index) else mat
+      val sliceVer =
+        if (creating && TxLog.versions(index).exists(_ < pv)) -1L else pv
+      TxLog.appendClustered(spark, tstatsDelta(spark, dictSrc, sliceVer),
+        tstatsDir(index), "term_hash", clusterBucket(nClusters), nClusters): Unit
       if (TxLog.versions(tstatsMetaDir(index)).isEmpty)
         writeTstatsMeta(spark, index, (0L, 0L))
     }
@@ -369,6 +374,220 @@ object TextIndex {
         ceil.map(_._3).sum, ess.map(_._3).sum, fellBack = false, dfRecounted))
   }
 
+  /** What a [[searchBm25BlockMax]] call decided: unit (term × slice)
+    * granularity selection, and the files it actually touched vs the
+    * per-term point reads full scoring pays. */
+  final case class BlockMaxReport(unitsTotal: Int, unitsEssential: Int,
+      filesFull: Int, filesRead: Int, filesProbed: Int,
+      fellBack: Boolean, dfRecounted: Boolean, thetaFromDict: Boolean)
+
+  /** BLOCK-MAX disjunctive BM25 top-k (Ding & Suel, SIGIR 2011 — the
+    * per-block refinement of [[searchBm25MaxScore]]'s Turtle & Flood
+    * bounds), re-expressed over the lake layout: a "block" here is a
+    * DICTIONARY SLICE — one incremental [[ensureIndexed]] commit's
+    * postings for one term, bound to its commit's files via
+    * `slice_ver` — so bounds live at (term × file-set) granularity and
+    * whole FILES are skipped, not just whole terms. Result EXACTLY
+    * equals [[searchBm25]] (same bm25Rank readout; tix11 gates the
+    * hash), cost tracks the essential units:
+    *
+    *  1. θ̂ WITHOUT a postings job: each slice stores its top (tf, dl)
+    *     pairs; the k-th best recomputed partial over any ONE term's
+    *     pooled pairs lower-bounds that list's k-th partial (a subset's
+    *     k-th best never exceeds the full list's), which lower-bounds
+    *     the true k-th score — the max over terms is the tightest such
+    *     θ̂. Under delete staleness stored pairs may name dead docs
+    *     (θ̂ would overshoot — unsafe), so θ̂ falls back to one live
+    *     bm25Rank job on the top-ceiling term, and df is recounted
+    *     scan-only, the searchBm25MaxScore discipline.
+    *  2. UNIT SELECTION, greedy peel: units sorted by ceiling
+    *     u = idf·tf_bound descending move into the essential set until
+    *     Σ_t max{u(t,s) : (t,s) non-essential} < θ̂ − margin. Any doc
+    *     absent from every essential unit appears in at most one
+    *     non-essential unit PER TERM, so its score is at most that
+    *     remaining-max sum — it cannot reach the k-th place.
+    *  3. READS in file space: essential units read exactly their
+    *     slice's live files (hash-range fallback when the binding is
+    *     unbound or rewritten); every doc read is a candidate. The
+    *     candidates' remaining postings are PROBED from each term's
+    *     not-yet-read files, doc_id-footer-range pruned against the
+    *     candidate id span — the file skip that makes a long-lived
+    *     multi-increment index serve like a maintained one.
+    *
+    * Safety mirrors searchBm25MaxScore: no dictionary, or a
+    * pre-slice_ver dictionary, falls back to exact full scoring. */
+  def searchBm25BlockMax(spark: SparkSession, index: Path, terms: Seq[String],
+      k: Int): (DataFrame, BlockMaxReport) = {
+    require(terms.nonEmpty, "searchBm25BlockMax needs at least one query term")
+    require(k >= 1, "searchBm25BlockMax needs k >= 1")
+    val distinct = terms.distinct
+    def fallback = (searchBm25(spark, index, terms, k),
+      BlockMaxReport(distinct.size, distinct.size, -1, -1, -1,
+        fellBack = true, dfRecounted = false, thetaFromDict = false))
+    if (TxLog.versions(tstatsDir(index)).isEmpty) return fallback
+    val dictCols = TxLog.tableSchema(tstatsDir(index))
+      .map(_.fieldNames.toSet).getOrElse(Set.empty)
+    if (!dictCols("slice_ver") || !dictCols("top_pairs")) return fallback
+    import spark.implicits._
+    val snap = TxLog.snapshotAt(index)
+    val byPath = snap.files.map(f => f.path -> f).toMap
+    // corpus scalars from driver metadata (scalarsOf): no Spark job
+    val stVals = scalarsOf(spark, statsDir(index), Seq("n_docs", "total_len"))
+    val nDocs = stVals(0)
+    val avgdl = stVals(1).toDouble / nDocs.toDouble
+    // ---- dictionary rows, VERSION-KEYED per-JVM cached (the Lucene
+    // shape: the term dictionary lives in serving memory) — a term's
+    // slices are immutable for a given _tstats version, so steady-state
+    // serving pays ZERO dictionary jobs; any dictionary commit (new
+    // slice, maintain rebuild) changes the version and drops the key
+    val dictVer = TxLog.latestVersion(tstatsDir(index))
+    val dictKeyBase = s"${tstatsDir(index).toAbsolutePath}@$dictVer#"
+    val misses = distinct.filter(t => !dictCache.containsKey(dictKeyBase + t))
+    if (misses.nonEmpty) {
+      val fetched = misses.map { term =>
+        val h = termHash(term)
+        TxLog.readAt(spark, tstatsDir(index), range = Some(("term_hash", h, h)))
+          .filter(col("term") === lit(term))
+          .select(col("term"), col("df"), col("tf_bound"), col("top_pairs"),
+            col("slice_ver"))
+      }.reduce(_ unionByName _).collect().toSeq.map { r =>
+        val pairs =
+          if (r.isNullAt(3)) Seq.empty[(Long, Long)]
+          else r.getSeq[org.apache.spark.sql.Row](3)
+            .map(p => { val id = p.getLong(1); (id & 0xFFFFFL, id >>> 20) })
+        DictRow(r.getString(0), r.getLong(1), r.getDouble(2), pairs,
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+      }.groupBy(_.term)
+      if (dictCache.size > 65536) dictCache.clear() // bounded serving heap
+      misses.foreach(t =>
+        dictCache.put(dictKeyBase + t, fetched.getOrElse(t, Nil)))
+    }
+    final case class U(term: String, h: Long, df: Long, bound: Double,
+        pairs: Seq[(Long, Long)], ver: Long)
+    val units: Seq[U] = distinct
+      .flatMap(t => Option(dictCache.get(dictKeyBase + t)).getOrElse(Nil))
+      .map(d => U(d.term, termHash(d.term), d.df, d.bound, d.pairs, d.ver))
+    def pointRead(t: String, h: Long) =
+      TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
+        .filter(col("term") === lit(t))
+    // ---- staleness (the searchBm25MaxScore rule: counter OR DVs)
+    val (nDel, refreshedAt) = readTstatsMeta(spark, index)
+    val stale = nDel != refreshedAt || snap.files.exists(_.dv.isDefined)
+    val dfExact: Map[String, Long] =
+      if (!stale) units.groupBy(_.term).view.mapValues(_.map(_.df).sum).toMap
+      else distinct.map(t => pointRead(t, termHash(t)))
+        .reduce(_ unionByName _)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = units.filter(u => dfExact.getOrElse(u.term, 0L) > 0)
+    val filesFull = distinct.map(t =>
+      TxLog.pruneFiles(snap, termHash(t), termHash(t)).size).sum
+    if (live.isEmpty)
+      return (TxLog.readAt(spark, index).filter(lit(false))
+        .select(col("doc_id"), lit(0.0).as("score")),
+        BlockMaxReport(units.size, 0, filesFull, 0, 0,
+          fellBack = false, dfRecounted = stale, thetaFromDict = false))
+    val idf: Map[String, Double] = dfExact.collect { case (t, df) if df > 0 =>
+      t -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    val dfRel = broadcast(
+      idf.keys.toSeq.sorted.map(t => (t, dfExact(t))).toDF("term", "df"))
+    val stDf = broadcast(Seq((nDocs, avgdl)).toDF("n_docs", "avgdl"))
+    // ---- θ̂
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def partial(t: String, tf: Long, dl: Long): Double =
+      idf(t) * tf.toDouble /
+        (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * dl.toDouble / avgdl))
+    val thetaFromDict = !stale
+    val theta: Double =
+      if (thetaFromDict)
+        live.groupBy(_.term).map { case (t, us) =>
+          val ps = us.flatMap(_.pairs).map { case (tf, dl) => round6(partial(t, tf, dl)) }
+            .sorted(Ordering[Double].reverse)
+          if (ps.size >= k) ps(k - 1) else Double.NegativeInfinity
+        }.max
+      else {
+        val top = live.minBy(u => (-(idf(u.term) * u.bound), u.term, u.ver))
+        val row = bm25Rank(pointRead(top.term, top.h), dfRel, stDf, k)
+          .agg(count(lit(1)).as("n"), coalesce(min(col("score")), lit(0.0)).as("kth"))
+          .head
+        if (row.getLong(0) < k) Double.NegativeInfinity else row.getDouble(1)
+      }
+    // ---- greedy unit peel (driver-side, |terms × slices| work)
+    val ordered = live.sortBy(u => (-(idf(u.term) * u.bound), u.term, u.ver))
+    val remaining = scala.collection.mutable.Map.empty[String, List[Double]] ++
+      ordered.groupBy(_.term).view.mapValues(
+        _.map(u => idf(u.term) * u.bound).sorted(Ordering[Double].reverse).toList)
+    def totalBound: Double =
+      remaining.valuesIterator.map(l => if (l.isEmpty) 0.0 else l.head).sum
+    var essN = 0
+    while (essN < ordered.size && totalBound >= theta - 1e-5) {
+      remaining(ordered(essN).term) = remaining(ordered(essN).term).tail
+      essN += 1
+    }
+    if (essN == 0) essN = 1 // defensive: θ̂ is witnessed by a real doc
+    val ess = ordered.take(essN)
+    // ---- essential reads: each unit exactly its slice's live files
+    val addsCache = scala.collection.mutable.Map.empty[Long, Vector[TxLog.AddFile]]
+    def unitFiles(u: U): Vector[TxLog.AddFile] = {
+      val bound: Option[Vector[TxLog.AddFile]] =
+        if (u.ver < 0) None
+        else {
+          val adds = addsCache.getOrElseUpdate(u.ver, TxLog.addsAt(index, u.ver))
+          if (!adds.forall(a => byPath.contains(a.path))) None // rewritten since
+          else Some(adds.map(a => byPath(a.path))
+            .filter(f => f.minKey <= u.h && u.h <= f.maxKey))
+        }
+      bound.getOrElse(TxLog.pruneFiles(snap, u.h, u.h))
+    }
+    val essFiles: Seq[(U, Vector[TxLog.AddFile])] = ess.map(u => (u, unitFiles(u)))
+    val essPosts = essFiles.map { case (u, fs) =>
+      TxLog.readFiles(spark, index, fs)
+        .filter(col("term_hash") === u.h && col("term") === lit(u.term))
+    }.reduce(_ unionByName _)
+    val essPathsByTerm: Map[String, Set[String]] =
+      essFiles.groupBy(_._1.term).view
+        .mapValues(us => us.flatMap(_._2.map(_.path): Seq[String]).toSet).toMap
+    val cands = essPosts.select("doc_id").distinct()
+    // candidate doc_id SPAN from the essential files' footer stats —
+    // driver metadata, no job; a file-level superset of the true span,
+    // so pruning on it is conservative and correctness-free
+    val essFilesAll = essFiles.flatMap(_._2)
+    val essDocStats = essFilesAll.flatMap(_.cols.get("doc_id"))
+    val candSpan: Option[(Long, Long)] =
+      if (essFilesAll.isEmpty) Some((Long.MaxValue, Long.MinValue)) // no candidates
+      else if (essDocStats.size == essFilesAll.size)
+        Some((essDocStats.map(_._1).min, essDocStats.map(_._2).max))
+      else None // a file without doc_id stats: span unknown, no span prune
+    // ---- probes: candidates' remaining postings, file-pruned twice
+    // (hash range minus already-read, then the candidate span vs each
+    // file's recorded doc_id footer range)
+    val candsRel =
+      if (essFilesAll.map(_.rows).sum <= (1L << 22)) broadcast(cands) else cands
+    val probes: Seq[(DataFrame, Int)] =
+      if (essFilesAll.isEmpty) Nil
+      else live.map(_.term).distinct.flatMap { t =>
+        val h = termHash(t)
+        val readPaths = essPathsByTerm.getOrElse(t, Set.empty)
+        val rem = TxLog.pruneFiles(snap, h, h)
+          .filterNot(f => readPaths(f.path))
+          .filter(f => candSpan.forall { case (clo, chi) =>
+            f.cols.get("doc_id").forall { case (lo, hi) => hi >= clo && lo <= chi }
+          })
+        if (rem.isEmpty) None
+        else Some((TxLog.readFiles(spark, index, rem)
+          .filter(col("term_hash") === h && col("term") === lit(t))
+          .join(candsRel, Seq("doc_id"), "left_semi"), rem.size))
+      }
+    val filesRead = essFiles.map(_._2.size).sum + probes.map(_._2).sum
+    val posts = (essPosts +: probes.map(_._1)).reduce(_ unionByName _)
+    (bm25Rank(posts, dfRel, stDf, k),
+      BlockMaxReport(units.size, essN, filesFull, filesRead,
+        probes.map(_._2).sum, fellBack = false, dfRecounted = stale,
+        thetaFromDict = thetaFromDict))
+  }
+
   /** The end-user search shape: BM25 rank from the INDEX, then fetch
     * the winners' FULL ROWS from the corpus — the top-k ids (k-sized,
     * driver-held by construction) turn into a stats-pruned corpus read
@@ -521,19 +740,70 @@ object TextIndex {
     v
   }
 
-  /** The per-term dictionary rows behind [[searchBm25MaxScore]]'s
-    * bounds: document frequency + the dl-independent score ceiling. */
-  private def tstatsDelta(posts: DataFrame): DataFrame =
+  /** Stored (tf, dl) pairs per dictionary slice — enough for any
+    * serving k the gates use; more pairs only tighten θ̂, never
+    * correctness (any SUBSET of a list's postings lower-bounds its
+    * k-th best partial). */
+  private val TopPairs = 32
+
+  /** The per-(term, SLICE) dictionary rows behind the bounded search
+    * modes: document frequency, the dl-independent score ceiling, the
+    * slice's top (tf, dl) pairs (packed dl<<20 | min(tf, 2^20-1) — the
+    * tf cap only LOWERS a recomputed partial, so a driver-side θ̂ from
+    * stored pairs stays a safe lower bound), and the postings commit
+    * this slice indexed (`slice_ver`, -1 = unbound). Pairs ride the
+    * bounded [[graft.functions.TopKAgg]] heap — O(TopPairs) memory per
+    * term with map-side combine, never a collect_list of a hot term's
+    * whole posting list. */
+  private def tstatsDelta(spark: SparkSession, posts: DataFrame,
+      sliceVer: Long): DataFrame = {
+    graft.functions.VectorFunctions.registerAll(spark)
     posts.groupBy(col("term_hash"), col("term"))
       .agg(count(lit(1)).as("df"),
         max(col("tf").cast("double") /
-          (col("tf").cast("double") + lit(1.2) * (lit(1.0) - 0.75))).as("tf_bound"))
+          (col("tf").cast("double") + lit(1.2) * (lit(1.0) - 0.75))).as("tf_bound"),
+        expr(("topk_pairs(cast(tf as double) / (cast(tf as double) + 0.3 " +
+          "+ 0.9 * cast(dl as double) / 64.0), " +
+          s"shiftleft(dl, 20) + least(tf, 1048575), $TopPairs)")).as("top_pairs"))
+      .withColumn("slice_ver", lit(sliceVer))
+  }
+
+  /** One-time in-place schema evolution for a pre-round-16 dictionary:
+    * the new columns land as NULLs (unbound slice, no stored pairs), so
+    * block-max serving degrades gracefully (hash-range reads, θ̂ via a
+    * live-postings job) until [[maintain]] rebuilds exact values. */
+  private def upgradeTstatsSchema(spark: SparkSession, index: Path): Unit = {
+    val t = tstatsDir(index)
+    if (TxLog.versions(t).isEmpty) return
+    val have = TxLog.tableSchema(t).map(_.fieldNames.toSet).getOrElse(Set.empty)
+    if (!have("top_pairs"))
+      TxLog.addColumn(t, "top_pairs", graft.functions.TopKAgg.resultType): Unit
+    if (!have("slice_ver"))
+      TxLog.addColumn(t, "slice_ver", org.apache.spark.sql.types.LongType): Unit
+  }
+
+  /** 1-row scalar sidecars (_stats, _tstats_meta) read from DRIVER
+    * metadata alone: the single live 1-row file's per-column footer
+    * [min,max] IS the value (min == max), so the serving hot path pays
+    * zero Spark jobs for them. Any other shape (multi-file, DV'd,
+    * missing column stats) falls back to the Spark read. */
+  private def scalarsOf(spark: SparkSession, table: Path, names: Seq[String]): Seq[Long] = {
+    val snap = TxLog.snapshotAt(table)
+    if (snap.files.size == 1 && snap.files.head.rows == 1 &&
+        snap.files.head.dv.isEmpty) {
+      val c = snap.files.head.cols
+      if (names.forall(n => c.get(n).exists(p => p._1 == p._2)))
+        return names.map(n => c(n)._1)
+    }
+    val r = TxLog.readAt(spark, table).head
+    names.map(n => r.getLong(r.fieldIndex(n)))
+  }
 
   private def readTstatsMeta(spark: SparkSession, index: Path): (Long, Long) =
     if (TxLog.versions(tstatsMetaDir(index)).isEmpty) (0L, 0L)
     else {
-      val r = TxLog.readAt(spark, tstatsMetaDir(index)).head
-      (r.getLong(r.fieldIndex("n_deleted")), r.getLong(r.fieldIndex("refreshed_at")))
+      val s = scalarsOf(spark, tstatsMetaDir(index), Seq("n_deleted", "refreshed_at"))
+      (s(0), s(1))
     }
 
   private def writeTstatsMeta(spark: SparkSession, index: Path, v: (Long, Long)): Unit = {
@@ -590,7 +860,12 @@ object TextIndex {
     // from the live (DV-folded) postings, restore the range clustering,
     // and reset the staleness counter so MaxScore's fast path reopens
     if (TxLog.versions(tstatsDir(index)).nonEmpty) {
-      TxLog.overwrite(spark, tstatsDelta(TxLog.readAt(spark, index)),
+      upgradeTstatsSchema(spark, index)
+      // one slice, bound to the freshly-compacted postings commit —
+      // after this every term's unit resolves to exactly its one
+      // clustered file
+      TxLog.overwrite(spark,
+        tstatsDelta(spark, TxLog.readAt(spark, index), TxLog.latestVersion(index)),
         tstatsDir(index), "term_hash", nParts = 1): Unit
       TxLog.compactClustered(spark, tstatsDir(index), "term_hash",
         clusterBucket(nClusters), nClusters): Unit
@@ -618,6 +893,17 @@ object TextIndex {
     MaintainReport(indexedNew, snap0.files.size.toLong, snap1.files.size.toLong,
       dvs0, snap1.files.count(_.dv.isDefined).toLong, reclaimed)
   }
+
+  /** One dictionary slice's facts for one term (the [[dictCache]]
+    * payload). */
+  private final case class DictRow(term: String, df: Long, bound: Double,
+      pairs: Seq[(Long, Long)], ver: Long)
+
+  /** Per-JVM dictionary cache, keyed "<tstats path>@<version>#<term>" —
+    * entries are immutable by construction (a published commit never
+    * changes), cleared wholesale past 64k terms. */
+  private val dictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DictRow]]()
 
   /** The term's xxhash64 (seed 42, Spark's SQL default) computed ON THE
     * DRIVER — bit-identical to the `xxhash64(term)` column the postings

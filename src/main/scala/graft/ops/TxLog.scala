@@ -433,6 +433,15 @@ object TxLog {
     }
   }
 
+  /** The files ADDED by commit `v` — log metadata only, one commit
+    * read. Block-max retrieval uses this as the slice→file binding
+    * (TextIndex: a dictionary slice written alongside postings commit
+    * `v` covers exactly `v`'s added files while those files live). An
+    * aborted multi-table txn commit resolves to a no-op here like
+    * everywhere else (commitNode applies the outcome). */
+  def addsAt(table: Path, v: Long): Vector[AddFile] =
+    commitNode(table, v).get("adds").elements().asScala.map(nodeToAdd).toVector
+
   /** Committed versions present in the log, ascending. A version counts
     * only once its commit.json is visible (see commit protocol above). */
   def versions(table: Path): Vector[Long] = {

@@ -2020,6 +2020,47 @@ object LakeQueries {
         .withColumn("fell_back", lit(rep.fellBack))
     }),
 
+    // ---- tix11: BLOCK-MAX top-k (Ding & Suel, SIGIR 2011) — tix10's
+    // MaxScore prunes whole TERMS; on a long-lived multi-increment
+    // index the unit of waste is the FILE: every increment appends its
+    // own clustered file-set, so full scoring pays one file per term
+    // per increment. The dictionary now stores per-SLICE rows bound to
+    // their postings commit plus each slice's top (tf, dl) pairs, so
+    // block-max (a) derives θ̂ ON THE DRIVER from stored pairs — no
+    // postings job, (b) selects essential units at (term × slice)
+    // granularity, and (c) probes candidates only in files whose
+    // doc_id footer range can hold them. The corpus arrives as THREE
+    // id-range increments and the rare query term lives only in the
+    // first range, so the candidate span prunes the other increments'
+    // files outright: files_read < files_full is gated, and the
+    // ranking hash-equals full scoring by construction (cross-checked
+    // in-gate AND against the oracle's full-scoring recompute).
+    "tix11_blockmax_topk" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir).withColumn("text",
+        when(col("doc_id") < 40,
+          concat(col("text"), lit(" zq7marker zq7marker zq7marker")))
+          .otherwise(col("text")))
+      val corpus = freshTable()
+      val index = corpus.resolveSibling("ix")
+      Seq(col("doc_id") < 100,
+          col("doc_id") >= 100 && col("doc_id") < 200,
+          col("doc_id") >= 200).foreach { p =>
+        TxLog.append(spark, d.filter(p), corpus, "doc_id", nParts = 2)
+        TextIndex.ensureIndexed(spark, corpus, index): Unit
+      }
+      val terms = Seq("zq7marker", "join", "filter")
+      val (ranked, rep) = TextIndex.searchBm25BlockMax(spark, index, terms, 10)
+      val full = TextIndex.searchBm25(spark, index, terms, 10)
+      val equal = ranked.exceptAll(full).isEmpty && full.exceptAll(ranked).isEmpty
+      ranked
+        .withColumn("units_pruned", lit(rep.unitsEssential < rep.unitsTotal))
+        .withColumn("files_saved", lit(rep.filesRead < rep.filesFull))
+        .withColumn("files_read", lit(rep.filesRead.toLong))
+        .withColumn("equals_full_scoring", lit(equal))
+        .withColumn("theta_from_dict", lit(rep.thetaFromDict))
+        .withColumn("fell_back", lit(rep.fellBack))
+    }),
+
     // ---- cont04: INDEX-ACCELERATED DECONTAMINATION — cont01/cont02
     // screen by scanning the corpus grams per benchmark (broadcast or
     // bloom prefilter); at 100 TB the corpus is huge and STATIC while
@@ -3186,6 +3227,27 @@ object LakeQueries {
             |  (SELECT CAST(df AS BIGINT) FROM df WHERE w = 'dup') AS postings_essential,
             |  CAST(2 AS BIGINT) AS lists_skipped, FALSE AS fell_back
             |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    // tix11: full scoring recomputed over the marker-extended corpus;
+    // the pruning facts ride as literals (files_read stays a live
+    // Spark-side claim — the equals/saved booleans are what the oracle
+    // can restate soundly across scale factors)
+    "tix11_blockmax_topk" ->
+      TextIndexOracle
+        .replace(
+          "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),",
+          "WITH docs AS (SELECT doc_id, string_split(CASE WHEN doc_id < 40 " +
+            "THEN text || ' zq7marker zq7marker zq7marker' ELSE text END, ' ') " +
+            "AS ws FROM documents),")
+        .replace("WHERE w IN ('spark', 'join', 'filter')",
+          "WHERE w IN ('zq7marker', 'join', 'filter')")
+        .replace("SELECT doc_id, score FROM scored\nORDER BY score DESC, doc_id LIMIT 20",
+          """SELECT doc_id, score,
+            |  TRUE AS units_pruned, TRUE AS files_saved,
+            |  CAST(3 AS BIGINT) AS files_read,
+            |  TRUE AS equals_full_scoring, TRUE AS theta_from_dict,
+            |  FALSE AS fell_back
+            |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
     "tix02_incremental_text_index" -> TextIndexOracle,
     "tix03_streaming_text_index" -> TextIndexOracle,
     "sql24_sql_bm25_over_index" -> TextIndexOracle,

@@ -127,10 +127,13 @@ object LifecycleBench {
         TxLog.readAt(spark, mIx)).count()
     }
 
-    // ---- text MaxScore (tix10 serving): bounds-pruned disjunctive
-    // top-k — must stay at-or-under the full-scoring text_search lane
+    // ---- text MaxScore (tix10/tix11 serving): bounds-pruned
+    // disjunctive top-k, now the BLOCK-MAX variant — θ̂ from the
+    // dictionary's stored pairs (no postings job), unit-granular
+    // essential selection, candidate-span file pruning. Must stay
+    // at-or-under the full-scoring text_search lane.
     lane("text_maxscore") { () } {
-      TextIndex.searchBm25MaxScore(spark, tix, Seq("dup", "join", "filter"), 10)
+      TextIndex.searchBm25BlockMax(spark, tix, Seq("dup", "join", "filter"), 10)
         ._1.count()
     }
 

@@ -378,6 +378,75 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextIndex.searchBm25All(spark, index, Nil, 5))
   }
 
+  test("block-max: multi-increment index, unit-level pruning, file reads bounded, ranking exact") {
+    val base = Files.createTempDirectory("graft_tix10")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    // three id-RANGE increments: each slice's files carry disjoint
+    // doc_id footer ranges, the layout the candidate-span prune needs
+    Seq(0L to 39L, 40L to 79L, 80L to 119L).foreach { r =>
+      TxLog.append(spark, corpusDf(r), corpus, "doc_id", nParts = 1)
+      TextIndex.ensureIndexed(spark, corpus, index): Unit
+    }
+    val terms = Seq("rareword", "alpha")
+    val full = TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq
+    val (pruned, rep) = TextIndex.searchBm25BlockMax(spark, index, terms, 5)
+    assert(!rep.fellBack && rep.thetaFromDict && !rep.dfRecounted)
+    assert(rep.unitsEssential < rep.unitsTotal, s"no unit pruned: $rep")
+    assert(rep.filesRead <= rep.filesFull && rep.filesRead > 0, s"file accounting off: $rep")
+    assert(pruned.collect().toSeq == full)
+    // ghost term: agreement and no crash
+    val (ghost, grep2) = TextIndex.searchBm25BlockMax(spark, index, Seq("zzz_unseen"), 5)
+    assert(ghost.collect().isEmpty && !grep2.fellBack)
+  }
+
+  test("block-max: deletes force the safe path (live recount + θ̂ from live postings), still exact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tix11")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 99L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    TxLog.deleteMor(spark, corpus, Seq(7L, 14L).toDF("doc_id"), "doc_id"): Unit
+    TextIndex.pruneDeleted(spark, index, Seq(7L, 14L).toDF("doc_id")): Unit
+    val terms = Seq("rareword", "alpha")
+    val (r1, rep1) = TextIndex.searchBm25BlockMax(spark, index, terms, 5)
+    assert(!rep1.fellBack && rep1.dfRecounted && !rep1.thetaFromDict,
+      "stored pairs may name deleted docs; θ̂ must come from live postings")
+    assert(r1.collect().toSeq == TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
+    // maintain folds DVs + rebuilds the dictionary: fast path reopens,
+    // every unit binds to the one compacted commit
+    TextIndex.maintain(spark, corpus, index): Unit
+    val (r2, rep2) = TextIndex.searchBm25BlockMax(spark, index, terms, 5)
+    assert(!rep2.fellBack && !rep2.dfRecounted && rep2.thetaFromDict)
+    assert(rep2.filesRead <= rep2.filesFull)
+    assert(r2.collect().toSeq == TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
+  }
+
+  test("block-max: a pre-slice_ver dictionary falls back to exact full scoring") {
+    val base = Files.createTempDirectory("graft_tix12")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    TxLog.append(spark, corpusDf(0L to 59L), corpus, "doc_id", nParts = 2)
+    TextIndex.ensureIndexed(spark, corpus, index): Unit
+    // simulate a legacy dictionary: rewrite _tstats with files that
+    // LACK the new columns (what a pre-round-16 build wrote). The log
+    // schema keeps listing them (evolution is append-only), so the
+    // merge-on-read scan serves them as NULLs — exactly the
+    // upgradeTstatsSchema shape — and block-max must degrade safely:
+    // unbound units → hash-range reads, no stored pairs → θ̂ = -inf →
+    // everything essential = exact full scoring, never a wrong answer.
+    val t = base.resolve("ix_tstats")
+    TxLog.overwrite(spark,
+      TxLog.readAt(spark, t).drop("top_pairs", "slice_ver"),
+      t, "term_hash", nParts = 1): Unit
+    val terms = Seq("rareword", "alpha")
+    val (r, rep) = TextIndex.searchBm25BlockMax(spark, index, terms, 5)
+    assert(r.collect().toSeq ==
+      TextIndex.searchBm25(spark, index, terms, 5).collect().toSeq)
+    assert(!rep.fellBack, "null bindings degrade to hash-range reads, not a refusal")
+  }
+
   test("driver-side termHash is bit-identical to the SQL xxhash64 the postings carry") {
     import spark.implicits._
     val terms = Seq("spark", "rareword", "日本語", "", "a b", " x")
