@@ -44,7 +44,7 @@ private[catalog] object GraftProcedures {
     Seq("compact", "vacuum", "restore", "set_constraint", "merge_into", "update_where",
       "tag", "cluster_by", "maintain", "clone", "move_where", "merge_audit",
       "set_partitioning", "text_index",
-      "bloom_index", "ann_index")
+      "bloom_index", "ann_index", "forget")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -265,10 +265,16 @@ private[catalog] object GraftProcedures {
       // trains; later calls assign new corpus files incrementally.
       case "ann_index" => new GraftProc("ann_index",
         Array(param("table", StringType), param("id_column", StringType),
-          param("emb_column", StringType)),
+          param("emb_column", StringType),
+          // pq => true ALSO builds/refreshes the IVFADC codes sibling
+          // (`<t>_ann_ix_codes` + codebook + its own meta/watermark) —
+          // the knn06 four-table layout under the sibling convention,
+          // so CALL maintain and CALL forget reach it automatically
+          paramWithDefault("pq", BooleanType, "false")),
         StructType(Seq(
           StructField("index_table", StringType, nullable = false),
-          StructField("vecs_indexed", LongType, nullable = false)))) {
+          StructField("vecs_indexed", LongType, nullable = false),
+          StructField("vecs_coded", LongType, nullable = false)))) {
         override protected def run(input: InternalRow): InternalRow = {
           val dir = table(input)
           val idCol = input.getUTF8String(1).toString
@@ -282,7 +288,39 @@ private[catalog] object GraftProcedures {
           val ix = dir.getParent.resolve(ixName)
           val n = graft.ops.AnnIndex.ensureIndexed(spark, dir, ix,
             idCol = idCol, embCol = embCol)
-          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ixName), n)
+          val coded =
+            if (!input.getBoolean(3)) 0L
+            else graft.ops.AnnIndex.ensurePq(spark, dir, ix, idCol, embCol)
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(ixName),
+            n, coded)
+        }
+      }
+      // ATOMIC GDPR ERASURE: `CALL <cat>.forget('t', 'id', 'id % 9 = 8')`
+      // merge-on-read-deletes the matching keys from the table AND every
+      // keyed index sibling (text/positional/ANN/PQ-codes) in ONE
+      // multi-table transaction — no reader snapshot can see an index
+      // naming keys the corpus has erased (graft.ops.Forget).
+      case "forget" => new GraftProc("forget",
+        Array(param("table", StringType), param("key_col", StringType),
+          param("predicate", StringType)),
+        StructType(Seq(
+          StructField("keys_forgotten", LongType, nullable = false),
+          StructField("tables_touched", LongType, nullable = false),
+          StructField("corpus_version", LongType, nullable = false)))) {
+        override protected def run(input: InternalRow): InternalRow = {
+          val dir = table(input)
+          val keyCol = input.getUTF8String(1).toString
+          require(keyCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"illegal column name '$keyCol'")
+          require(TxLog.tableSchema(dir).exists(_.fieldNames.contains(keyCol)),
+            s"no column '$keyCol' in table ${dir.getFileName}")
+          val pred = org.apache.spark.sql.functions.expr(
+            input.getUTF8String(2).toString)
+          val keys = TxLog.readAt(spark, dir).filter(pred).select(keyCol)
+          val rep = graft.ops.Forget.forget(spark, base,
+            dir.getFileName.toString, keys, keyCol)
+          InternalRow(rep.keysForgotten, rep.participants.size.toLong + 1L,
+            rep.corpusVersion)
         }
       }
       case "bloom_index" => new GraftProc("bloom_index",

@@ -51,6 +51,23 @@ object AnnIndex {
   private def centDir(index: Path): Path = index.resolveSibling(index.getFileName + "_cent")
   private def filesDir(index: Path): Path = index.resolveSibling(index.getFileName + "_files")
   private def metaDir(index: Path): Path = index.resolveSibling(index.getFileName + "_meta")
+  private def cbDir(index: Path): Path = index.resolveSibling(index.getFileName + "_cb")
+  private def codesDir(index: Path): Path = index.resolveSibling(index.getFileName + "_codes")
+  private def codesMetaDir(index: Path): Path =
+    index.resolveSibling(index.getFileName + "_codes_meta")
+  private def codesFilesDir(index: Path): Path =
+    index.resolveSibling(index.getFileName + "_codes_files")
+
+  /** The PQ sibling's fixed knobs — knn06's contract (64 dims padded,
+    * 8 sub-quantizers, 2 Lloyd iterations; the clustered write lays
+    * codes out one file per SUB-SPACE — 8 files — with 4-way shuffle
+    * parallelism), the codeword count corpus-scaled by the same rule. */
+  private val PqDims = 64
+  private val PqM = 8
+  private val PqIters = 2
+  private val PqSubClusters = 4
+  private def pqKOf(n: Long): Int =
+    math.max(16L, math.min(256L, (n + 31) / 32)).toInt
 
   private def cosExpr(a: String, b: String): String =
     s"round(vector_cosine($a, $b), 6)"
@@ -69,6 +86,11 @@ object AnnIndex {
   /** Whether the index carries its binding — checked by CALL maintain's
     * sibling pass before driving [[maintain]]. */
   def hasMeta(index: Path): Boolean = TxLog.versions(metaDir(index)).nonEmpty
+
+  /** The id column the index is bound to (None for a meta-less legacy
+    * index) — what [[graft.ops.Forget]] keys the atomic erasure on. */
+  def boundIdCol(spark: SparkSession, index: Path): Option[String] =
+    readMeta(spark, index).map(_._1)
 
   /** Coarse quantizer: C = max(16, ceil(n/125)) LOWEST-ID seeds BY RANK,
     * one quantized Lloyd update — the exact rule of the sim07/knn06
@@ -218,6 +240,77 @@ object AnnIndex {
     else cents.map(c => TxLog.pruneFilesOn(snap, "cent_id", c, c).size).max
   }
 
+  /** Whether the index carries the PQ (IVFADC) sibling — what folds
+    * its maintenance into [[maintain]] behind the same no-guessing
+    * fence as the flat index. */
+  def hasPq(index: Path): Boolean = TxLog.versions(codesMetaDir(index)).nonEmpty
+
+  private def readPqMeta(spark: SparkSession, index: Path): Option[(String, String)] =
+    if (TxLog.versions(codesMetaDir(index)).isEmpty) None
+    else {
+      val r = TxLog.readAt(spark, codesMetaDir(index)).head
+      Some((r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("emb_col"))))
+    }
+
+  /** PQ-encode every live corpus file not yet in the codes watermark —
+    * the `pq => true` half of `CALL ann_index` (round-15 verdict #5:
+    * the knn06 four-table layout folded under the sibling convention).
+    * First call TRAINS the codebook on its batch (Pq.model — rank-
+    * seeded k-means per sub-space, knn06's knobs) and IS the build;
+    * later calls encode against the persisted codebook (a trained
+    * artifact never retrains — old codes stay valid). Watermark diff +
+    * id anti-join: idempotent under redelivery and compaction-proof.
+    * The assignments half ([[ensureIndexed]]) and this half advance as
+    * separate idempotent commits: a crash between them re-converges on
+    * the next call (the streaming twin knn07 shows the one-transaction
+    * composition; the dq08 audit proves the converged consistency). */
+  def ensurePq(spark: SparkSession, corpus: Path, index: Path,
+      idCol: String = "vec_id", embCol: String = "embedding"): Long = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.registerAll(spark)
+    readPqMeta(spark, index).foreach { case (i0, e0) =>
+      require(i0 == idCol && e0 == embCol,
+        s"PQ sibling at ${codesDir(index)} is bound to (id=$i0, emb=$e0); " +
+          s"ensurePq called with ($idCol, $embCol)")
+    }
+    if (TxLog.versions(codesMetaDir(index)).isEmpty)
+      TxLog.append(spark, Seq((idCol, embCol, PqDims, PqM)).toDF(
+        "id_col", "emb_col", "dims", "m"), codesMetaDir(index), "dims"): Unit
+    val snap = TxLog.snapshotAt(corpus)
+    val coded: Set[String] =
+      if (TxLog.versions(codesFilesDir(index)).isEmpty) Set.empty
+      else TxLog.readAt(spark, codesFilesDir(index))
+        .select("file_name").collect().map(_.getString(0)).toSet
+    val newFiles = snap.files.filterNot(f => coded(f.path))
+    if (newFiles.isEmpty) return 0L
+    val vecs0 = TxLog.readFiles(spark, corpus, newFiles)
+    val vecs =
+      if (coded.isEmpty) vecs0
+      else vecs0.join(
+        TxLog.readAt(spark, codesDir(index)).select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val n = vecs.count()
+    if (n > 0) {
+      val codes =
+        if (TxLog.versions(cbDir(index)).isEmpty) {
+          val (codes0, cb) = Pq.model(vecs, idCol, embCol,
+            dims = PqDims, m = PqM, k = pqKOf(n), iters = PqIters)
+          val cbMat = cb.localCheckpoint(true)
+          require(cbMat.count() > 0,
+            s"PQ codebook training at ${cbDir(index)} yielded 0 codewords " +
+              "on a nonempty batch — refusing to advance the watermark")
+          TxLog.append(spark, cbMat, cbDir(index), "cid", nParts = 1): Unit
+          codes0
+        } else Pq.encode(vecs, TxLog.readAt(spark, cbDir(index)),
+          idCol, embCol, dims = PqDims, m = PqM)
+      TxLog.appendClustered(spark, codes, codesDir(index), idCol,
+        clusterCol = col("sub"), nClusters = PqSubClusters): Unit
+    }
+    TxLog.append(spark,
+      newFiles.map(_.path).toDF("file_name"), codesFilesDir(index), "file_name"): Unit
+    n
+  }
+
   final case class MaintainReport(vecsIndexed: Long, filesBefore: Long,
       filesAfter: Long, dvsBefore: Long, dvsAfter: Long, reclaimed: Long)
 
@@ -245,7 +338,21 @@ object AnnIndex {
         clusterCol = col("cent_id"), nClusters = nClusters): Unit
     if (TxLog.snapshotAt(filesDir(index)).files.size > 1)
       TxLog.compact(spark, filesDir(index), "file_name", nParts = 1): Unit
-    val reclaimed = Seq(index, centDir(index), filesDir(index), metaDir(index))
+    // the PQ sibling (if built) degrades the same two ways — encode
+    // corpus files that arrived since, re-cluster the codes back to
+    // their per-subspace layout with DVs folded, fold its watermark.
+    // Behind the same no-guessing fence: only a self-describing codes
+    // sibling (its _meta binding) is maintained.
+    readPqMeta(spark, index).foreach { case (pqId, pqEmb) =>
+      ensurePq(spark, corpus, index, pqId, pqEmb): Unit
+      if (TxLog.snapshotAt(codesDir(index)).files.nonEmpty)
+        TxLog.compactClustered(spark, codesDir(index), pqId,
+          clusterCol = col("sub"), nClusters = PqSubClusters): Unit
+      if (TxLog.snapshotAt(codesFilesDir(index)).files.size > 1)
+        TxLog.compact(spark, codesFilesDir(index), "file_name", nParts = 1): Unit
+    }
+    val reclaimed = Seq(index, centDir(index), filesDir(index), metaDir(index),
+        cbDir(index), codesDir(index), codesMetaDir(index), codesFilesDir(index))
       .map { t =>
         if (TxLog.versions(t).isEmpty) 0
         else TxLog.vacuum(t, keepVersions = math.max(1, vacuumKeep),

@@ -82,7 +82,14 @@ object Pq {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q = quantizedSubs(df, idCol, vecCol, dims, m)
       .localCheckpoint(true) // the one corpus scan ends here
-    val init = q.filter(col(idCol) < k)
+    // seeds = the k LOWEST ids BY RANK (not the value test `id < k`,
+    // the round-16 seeding rule shared with AnnIndex/refinedIvfCentroids:
+    // a sparse or offset id space must still train a full codebook);
+    // distributed top-k, never a global-sort window
+    val init = q.join(
+        broadcast(q.select(col(idCol)).distinct()
+          .orderBy(col(idCol).asc).limit(k)),
+        Seq(idCol), "left_semi")
       .select(col("sub"), col(idCol).as("cid"),
         expr("transform(q, x -> cast(x as double))").as("m"))
     def assignAll(means: DataFrame): DataFrame = assignAgainst(q, means, idCol)
@@ -96,6 +103,14 @@ object Pq {
     val finalMeans = (1 until iters).foldLeft(init) { (means, _) =>
       recompute(assignAll(means)).localCheckpoint(true)
     }
+    // fail LOUDLY on sub-space collapse: vectors shorter than `dims`
+    // slice to EMPTY tails, whose recomputed means vanish from the
+    // codebook — every later encode would silently drop those subs and
+    // corrupt ADC distances (the round-16 degenerate-build rule)
+    val nSubs = finalMeans.select("sub").distinct().count()
+    require(nSubs == m,
+      s"PQ training produced codebooks for $nSubs of $m sub-spaces — " +
+        s"are the vectors at least $dims dims?")
     (assignAll(finalMeans).select(col(idCol), col("sub"), col("code")),
       finalMeans.select(col("sub"), col("cid"), col("m")))
   }

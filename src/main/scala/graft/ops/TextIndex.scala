@@ -708,17 +708,44 @@ object TextIndex {
     * read deletes keyed on doc_id (the caller supplies the deleted keys;
     * the right-to-be-forgotten flow has them in hand). Stats shrink by
     * the removed docs' contribution so avgdl stays honest. */
-  def pruneDeleted(spark: SparkSession, index: Path, deletedKeys: DataFrame,
-      idCol: String = "doc_id"): Long = {
-    import spark.implicits._
+  /** The stats contribution (docs, total length) the given keys STILL
+    * hold in the live postings — what [[pruneDeleted]] (and
+    * [[graft.ops.Forget]]'s post-transaction catch-up) must shrink the
+    * 1-row stats table by. Zero for already-deleted keys, so both
+    * callers stay idempotent under redelivery. */
+  def deletedContribution(spark: SparkSession, index: Path,
+      deletedKeys: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
     val keys = deletedKeys.select(col(idCol).cast("long").as("doc_id"))
-    // the removed docs' length contribution, BEFORE the postings go
     val gone = TxLog.readAt(spark, index)
       .join(broadcast(keys), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("len")).head
-    val (nGone, lenGone) = (gone.getLong(0), gone.getLong(1))
+    (gone.getLong(0), gone.getLong(1))
+  }
+
+  /** Settle the derived scalars after `nGone` docs (carrying `lenGone`
+    * total tokens) left the index by an EXTERNAL delete (Forget's
+    * transaction): stats shrink so avgdl stays honest, and the
+    * dictionary's staleness counter advances so the bounded search
+    * modes recount live dfs until maintain folds the dictionary. */
+  def noteDeleted(spark: SparkSession, index: Path, nGone: Long,
+      lenGone: Long): Unit = {
+    if (nGone == 0) return
+    val r = TxLog.readAt(spark, statsDir(index)).head
+    writeStats(spark, index, (r.getLong(0) - nGone, r.getLong(1) - lenGone))
+    if (TxLog.versions(tstatsDir(index)).nonEmpty) {
+      val (n, at) = readTstatsMeta(spark, index)
+      writeTstatsMeta(spark, index, (n + nGone, at))
+    }
+  }
+
+  def pruneDeleted(spark: SparkSession, index: Path, deletedKeys: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    import spark.implicits._
+    val keys = deletedKeys.select(col(idCol).cast("long").as("doc_id"))
+    // the removed docs' length contribution, BEFORE the postings go
+    val (nGone, lenGone) = deletedContribution(spark, index, deletedKeys, idCol)
     // the positional sibling (if built) carries the same documents'
     // occurrence rows — a phrase query must not resurrect deleted docs.
     // Pruned BEFORE the empty-freq early return: a crash between the two
@@ -728,15 +755,9 @@ object TextIndex {
       TxLog.deleteMor(spark, posDir(index), keys, "doc_id"): Unit
     if (nGone == 0) return 0L
     val (v, _, _, _) = TxLog.deleteMor(spark, index, keys, "doc_id")
-    val r = TxLog.readAt(spark, statsDir(index)).head
-    writeStats(spark, index, (r.getLong(0) - nGone, r.getLong(1) - lenGone))
-    // the per-term dictionary is now STALE-HIGH on df: advance the
-    // delete counter so MaxScore falls back to full scoring until the
-    // next maintain rebuilds _tstats from the live postings
-    if (TxLog.versions(tstatsDir(index)).nonEmpty) {
-      val (n, at) = readTstatsMeta(spark, index)
-      writeTstatsMeta(spark, index, (n + nGone, at))
-    }
+    // stats shrink + dictionary stale-HIGH marker (the bounded search
+    // modes recount live dfs until maintain folds the dictionary)
+    noteDeleted(spark, index, nGone, lenGone)
     v
   }
 

@@ -166,6 +166,25 @@ object TxLog {
   final case class Snapshot(version: Long, files: Vector[AddFile])
 
   private val CheckpointEvery = 10
+
+  /** Live-set size above which a checkpoint SHARDS its file list:
+    * `checkpoint.json` keeps every scalar fold (protocol, batchMax,
+    * tags, constraints, txn outcomes) but carries `filesRef` — a list
+    * of `checkpoint.d/part-NNNNN.jsonl` shards, one AddFile JSON per
+    * line — instead of the inline `files` array. At 100 TB (~10^6
+    * AddFiles) a single-document checkpoint is a driver-memory and
+    * single-threaded-parse bottleneck on BOTH ends; shards stream out
+    * bounded and parse back in parallel. The first sharded checkpoint
+    * grows the table protocol with the `shardedCheckpoint`
+    * reader+writer feature IN THE SAME COMMIT (tx26's gate machinery),
+    * so a pre-upgrade engine refuses the table by name instead of
+    * misreading it. Inline checkpoints remain the format for small
+    * tables and every pre-upgrade log stays readable forever.
+    * `private[graft] var`: a test seam (specs and the tx27 gate lower it
+    * to exercise the boundary without 10^5-file fixtures). */
+  private[graft] var CheckpointInlineMax: Int = 512
+  private val CheckpointShardLines = 4096
+
   private val mapper = new ObjectMapper()
 
   private def listDir(p: Path): Vector[Path] = {
@@ -442,6 +461,17 @@ object TxLog {
   def addsAt(table: Path, v: Long): Vector[AddFile] =
     commitNode(table, v).get("adds").elements().asScala.map(nodeToAdd).toVector
 
+  /** BENCH/TEST seam: commit fabricated `adds` without any data file
+    * existing. Snapshot RESOLUTION is pure log metadata, so the
+    * checkpoint-format bench (graft.tools.CheckpointBench) measures it
+    * against 10^5-entry logs without paying minutes of irrelevant tiny
+    * parquet writes. Never use on a table a reader will scan. */
+  private[graft] def commitSynthetic(table: Path, adds: Seq[AddFile],
+      removes: Seq[String] = Nil): Long = {
+    Files.createDirectories(logDir(table))
+    commitRetry(table, "append", adds, removes)(_ => true)
+  }
+
   /** Committed versions present in the log, ascending. A version counts
     * only once its commit.json is visible (see commit protocol above). */
   def versions(table: Path): Vector[Long] = {
@@ -476,9 +506,9 @@ object TxLog {
     * hints (skipping metadata; partition columns are retained in the
     * data files), harmless to a reader that does not know them. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "changeDataFeed")
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "shardedCheckpoint")
   val SupportedWriterFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "changeDataFeed")
+    Set("deletionVectors", "columnMapping", "changeDataFeed", "shardedCheckpoint")
 
   private def protocolOfNode(
       n: com.fasterxml.jackson.databind.JsonNode): Option[Protocol] =
@@ -565,6 +595,34 @@ object TxLog {
       extra = Map("protocol" -> protocolToNode(grown)))(_ => true)
   }
 
+  /** A checkpoint's live file list: the inline `files` array, or the
+    * sharded `filesRef` JSONL parts parsed in PARALLEL (one line = one
+    * AddFile; ObjectMapper is thread-safe for reads) — snapshot
+    * resolution stays wall-clock-bounded by shards/cores instead of a
+    * single-threaded million-entry JSON tree. Shard names are validated
+    * against traversal (they come from our own manifest, but a log is
+    * just files on disk). */
+  private def checkpointFiles(table: Path, v: Long,
+      node: com.fasterxml.jackson.databind.JsonNode): Vector[AddFile] =
+    Option(node.get("files")) match {
+      case Some(f) => f.elements().asScala.map(nodeToAdd).toVector
+      case None =>
+        val refsNode = Option(node.get("filesRef")).getOrElse(
+          throw new IllegalStateException(
+            s"checkpoint v$v of $table has neither files nor filesRef"))
+        val vd = versionDir(table, v)
+        val refs = refsNode.elements().asScala.map(_.asText).toVector
+        refs.foreach(r => require(!r.contains("..") && !r.startsWith("/"),
+          s"checkpoint v$v of $table names an out-of-log shard '$r'"))
+        val out = new Array[Vector[AddFile]](refs.size)
+        refs.indices.toVector.asJava.parallelStream().forEach { i =>
+          out(i) = Files.readAllLines(vd.resolve(refs(i))).asScala.iterator
+            .filter(_.nonEmpty)
+            .map(l => nodeToAdd(mapper.readTree(l))).toVector
+        }
+        out.toVector.flatten
+    }
+
   /** Replay the log up to `version` (latest when None). Starts from the
     * newest checkpoint at or below the target, then applies at most the
     * commits after it — O(checkpoint interval) commit reads. */
@@ -581,9 +639,7 @@ object TxLog {
     var proto = Protocol.Empty
     ckpt.foreach { v =>
       val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("checkpoint.json")))
-      node.get("files").elements().asScala.foreach { f =>
-        val a = nodeToAdd(f); live += (a.path -> a)
-      }
+      checkpointFiles(table, v, node).foreach(a => live += (a.path -> a))
       protocolOfNode(node).foreach(proto = _)
     }
     val from = ckpt.map(_ + 1).getOrElse(0L)
@@ -649,9 +705,21 @@ object TxLog {
     // grows the protocol in the SAME commit (no extra version — version
     // arithmetic downstream stays intact). Once declared, later uses
     // add nothing.
+    // sharding decision made BEFORE publish so the protocol feature
+    // lands in the same commit the sharded checkpoint belongs to; the
+    // projected live count replays the prior snapshot (checkpoint
+    // commits only — every 10th — so the extra replay amortizes)
+    val willCheckpoint = checkpoint && v % CheckpointEvery == 0 && v > 0
+    val willShard = willCheckpoint && {
+      val prior = versions(table).filter(_ < v).lastOption
+        .map(pv => snapshotAt(table, Some(pv)).files.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      (prior -- removes ++ adds.map(_.path)).size > CheckpointInlineMax
+    }
     val implied = (if (adds.exists(_.dv.isDefined)) Set("deletionVectors") else Set.empty[String]) ++
       (if (extra.contains("cdcFile")) Set("changeDataFeed") else Set.empty[String]) ++
-      (if (schema.exists(ColumnMapping.stamped)) Set("columnMapping") else Set.empty[String])
+      (if (schema.exists(ColumnMapping.stamped)) Set("columnMapping") else Set.empty[String]) ++
+      (if (willShard) Set("shardedCheckpoint") else Set.empty[String])
     val extraP =
       if (implied.isEmpty || extra.contains("protocol")) extra
       else {
@@ -662,8 +730,29 @@ object TxLog {
       }
     val ok = publishExclusive(vd.resolve("commit.json"),
       commitBytes(v, op, adds, removes, batchId, schema, extraP))
-    if (ok && checkpoint && v % CheckpointEvery == 0 && v > 0) {
+    if (ok && willCheckpoint) {
       val snap = snapshotAt(table, Some(v))
+      // file list: inline for small tables, sharded JSONL above the
+      // threshold (shards written BEFORE the manifest — a crash in
+      // between leaves no checkpoint, and replay-from-commits is
+      // always correct). The decision follows `willShard`, which is
+      // what the protocol declaration above gated.
+      val fileEntries: Map[String, Object] =
+        if (!willShard) Map("files" -> (snap.files.map(addToNode).asJava: Object))
+        else {
+          val shardDir = vd.resolve("checkpoint.d")
+          Files.createDirectories(shardDir)
+          val refs = snap.files.grouped(CheckpointShardLines).zipWithIndex.map {
+            case (group, i) =>
+              val name = f"part-$i%05d.jsonl"
+              writeJsonAtomic(shardDir.resolve(name),
+                group.map(a => mapper.writeValueAsString(addToNode(a)))
+                  .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              s"checkpoint.d/$name"
+          }.toVector
+          Map("filesRef" -> (refs.asJava: Object),
+            "filesCount" -> (java.lang.Long.valueOf(snap.files.size): Object))
+        }
       // the checkpoint also folds the streaming BATCH-ID WATERMARK
       // (Delta's txn appId/version pattern): batch ids are monotone per
       // query, so the max at checkpoint time lets restart dedup read
@@ -680,8 +769,8 @@ object TxLog {
       // pending markers carried forward for the next checkpoint to
       // retry), making pre-checkpoint `_txnout` replicas vacuumable
       val (txo, txp) = txnOutcomesUpTo(table, v)
-      val ck = (Map[String, Object]("version" -> java.lang.Long.valueOf(v),
-        "files" -> snap.files.map(addToNode).asJava,
+      val ck = (fileEntries
+        ++ Map[String, Object]("version" -> java.lang.Long.valueOf(v),
         "batchMax" -> java.lang.Long.valueOf(maxBatchIdUpTo(table, v).getOrElse(-1L)),
         // ...and the partitioning in force (partition evolution replay
         // bound; ALWAYS written — absent = pre-upgrade checkpoint)

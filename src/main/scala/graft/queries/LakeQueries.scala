@@ -2370,6 +2370,45 @@ object LakeQueries {
     // v0 never used. Unknown-feature refusal (reader AND writer, by
     // name) is spec'd in TxLogSpec — it cannot be oracle-gated because
     // a correct engine must throw, not return rows.
+    // ---- tx27: SHARDED CHECKPOINTS — at 100 TB (~10^6 AddFiles) a
+    // single-document checkpoint.json is a driver-memory and
+    // single-threaded-parse bottleneck on both ends (the round-15
+    // verdict's design flag). Above a live-set threshold the
+    // checkpoint now writes `checkpoint.d/part-NNNNN.jsonl` shards
+    // (one AddFile per line, parsed back in parallel) and the manifest
+    // carries filesRef; the first sharded checkpoint declares the
+    // `shardedCheckpoint` reader+writer feature IN ITS OWN COMMIT
+    // (tx26's protocol machinery), so a pre-upgrade engine refuses by
+    // name. This gate lowers the threshold, builds 12 increments, and
+    // TIME-TRAVELS ACROSS THE FORMAT BOUNDARY: v5 replays from plain
+    // commits, v11 from the sharded checkpoint + one commit — the
+    // aggregates are the oracle's, the layout facts ride as literals.
+    "tx27_sharded_checkpoint" -> ((spark: SparkSession, dir: String) => {
+      val d = docs(spark, dir)
+      val tbl = freshTable()
+      val oldMax = TxLog.CheckpointInlineMax
+      TxLog.CheckpointInlineMax = 8
+      try {
+        (0 until 12).foreach { i => // v0..v11; ckpt at v10: 22 files > 8
+          TxLog.append(spark, d.filter(col("doc_id") % 12 === i),
+            tbl, "doc_id", nParts = 2): Unit
+        }
+        val vd10 = tbl.resolve("_graft_log").resolve(f"v${10L}%020d")
+        val sharded = java.nio.file.Files.isDirectory(vd10.resolve("checkpoint.d"))
+        val declared = TxLog.protocolAt(tbl).readerFeatures("shardedCheckpoint") &&
+          TxLog.protocolAt(tbl, Some(9L)) == TxLog.Protocol.Empty
+        val v5 = TxLog.readAt(spark, tbl, Some(5L))
+          .agg(count(lit(1)).as("v5_docs"),
+            sum(col("n_chars")).cast("bigint").as("v5_chars"))
+        val live = TxLog.readAt(spark, tbl)
+          .agg(count(lit(1)).as("live_docs"),
+            sum(col("n_chars")).cast("bigint").as("live_chars"))
+        v5.crossJoin(live)
+          .withColumn("sharded", lit(sharded))
+          .withColumn("feature_declared", lit(declared))
+      } finally TxLog.CheckpointInlineMax = oldMax
+    }),
+
     "tx26_protocol_upgrade" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
       val tbl = freshTable()
@@ -3489,6 +3528,17 @@ object LakeQueries {
     // tx26: both snapshots' aggregates recomputed (v0 = everything,
     // live = the surviving residue classes); the protocol claims are
     // the gated literals
+    // tx27: both snapshots' aggregates recomputed from the residue
+    // classes each version had ingested; the format facts are literals
+    "tx27_sharded_checkpoint" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 12 <= 5) AS v5_docs,
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |   WHERE doc_id % 12 <= 5) AS v5_chars,
+        |  COUNT(*) AS live_docs, CAST(SUM(n_chars) AS BIGINT) AS live_chars,
+        |  TRUE AS sharded, TRUE AS feature_declared
+        |FROM documents""".stripMargin,
+
     "tx26_protocol_upgrade" ->
       """SELECT (SELECT COUNT(*) FROM documents) AS v0_docs,
         |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS v0_chars,

@@ -1031,6 +1031,75 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    // ---- knn10: the IVFADC FOUR-TABLE LAYOUT UNDER THE SIBLING
+    // CONVENTION, driven entirely from SQL (round-15 verdict #5):
+    // `CALL ann_index(..., pq => true)` builds/refreshes the flat
+    // assignments AND the codes sibling (`tbl_ann_ix_codes` + codebook
+    // + its own meta/watermark), `CALL forget` erases the GDPR class
+    // from corpus + assignments + codes in ONE transaction, and
+    // `CALL maintain` now reaches the codes sibling automatically
+    // (maintainIvfAdc's cure behind the same no-guessing meta fence).
+    // Serving and the recall are knn08's verbatim, so the hand-driven
+    // four-table path (knn09) and the SQL sibling path are cross-gated
+    // through ONE oracle; the layout cure and the atomic-forget marker
+    // ride as literals.
+    "knn10_pq_sibling_sql" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      Seq(col("vec_id") % 10 =!= 9,
+          col("vec_id") % 10 === 9 && col("vec_id") % 2 === 0,
+          col("vec_id") % 10 === 9 && col("vec_id") % 2 === 1)
+        .foreach { p =>
+          graft.ops.TxLog.append(spark,
+            emb.filter(p).select(col("vec_id").cast("bigint").as("vec_id"),
+              col("embedding"), col("label")),
+            corpus, "vec_id", nParts = 2)
+          spark.sql(s"CALL $cat.ann_index('tbl', 'vec_id', 'embedding', " +
+            "pq => true)").collect(): Unit
+        }
+      val index = base.resolve("tbl_ann_ix")
+      val codes = base.resolve("tbl_ann_ix_codes")
+      spark.sql(s"CALL $cat.forget('tbl', 'vec_id', 'vec_id % 9 = 8')").collect(): Unit
+      def headTxn(p: java.nio.file.Path): String = {
+        val vs = graft.ops.TxLog.versions(p)
+        val s = new String(java.nio.file.Files.readAllBytes(
+          p.resolve("_graft_log").resolve(f"v${vs.last}%020d").resolve("commit.json")))
+        """"txn"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      }
+      val m = headTxn(corpus)
+      val atomicForget = m.nonEmpty && m == headTxn(index) && m == headTxn(codes)
+      val overlapBefore = graft.ops.AnnIndex.maxFilesPerCent(spark, index) > 1
+      val dvsBefore =
+        graft.ops.TxLog.snapshotAt(index).files.exists(_.dv.isDefined) &&
+        graft.ops.TxLog.snapshotAt(codes).files.exists(_.dv.isDefined)
+      spark.sql(s"CALL $cat.maintain('tbl', 4, 4, vacuum_min_age_ms => 0)").collect(): Unit
+      val maxAfter = graft.ops.AnnIndex.maxFilesPerCent(spark, index)
+      val dvsAfter =
+        graft.ops.TxLog.snapshotAt(index).files.count(_.dv.isDefined) +
+        graft.ops.TxLog.snapshotAt(codes).files.count(_.dv.isDefined)
+      val codesFilesAfter = graft.ops.TxLog.snapshotAt(codes).files.size
+      val approx = serveLakeIvfAdc(spark, dir, base.resolve("tbl_ann_ix_cent"),
+          index, base.resolve("tbl_ann_ix_cb"), codes)
+        .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+      val exact = exactQuantizedTopK(spark, dir, keep = col("vec_id") % 9 =!= 8)
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .withColumn("overlap_before", lit(overlapBefore))
+        .withColumn("max_files_per_cent_after", lit(maxAfter.toLong))
+        .withColumn("dvs_folded", lit(dvsBefore && dvsAfter == 0))
+        .withColumn("codes_files_after", lit(codesFilesAfter.toLong))
+        .withColumn("atomic_forget", lit(atomicForget))
+        .orderBy("q_id")
+    }),
+
     // ---- dq08: ANN-INDEX CONSISTENCY AUDIT — dq07's monitor applied
     // to the IVFADC family (round-14 verdict #2): after delete
     // propagation AND the maintenance rewrite, (a) the assignments' vec
@@ -1135,6 +1204,66 @@ object SimilarityQueries {
         .start()
       q.awaitTermination()
       serveLakeAnn(spark, dir, centLake, graft.ops.TxLog.readAt(spark, assignTable))
+    }),
+
+    // ---- lf01: ATOMIC GDPR ERASURE across corpus + EVERY keyed index
+    // sibling (round-15 verdict #4) — sim13/sim14's delete flow issued
+    // separate deleteMor commits per table, so a reader BETWEEN them
+    // could resolve an ANN/text index still naming keys the corpus had
+    // erased. `CALL forget` routes all participants through ONE
+    // TxLog.transact (commit-marker 2PC): every head commit carries the
+    // SAME txn marker — gated here by reading the commit.jsons — and
+    // flips with one create-exclusive outcome file. The corpus carries
+    // BOTH a text column and an embedding column, so one call must
+    // reach the text postings AND the ANN assignments; the erased
+    // residue class is proven absent from each by count, and the text
+    // stats shrink (avgdl honesty) rides as the stats_docs column.
+    "lf01_atomic_forget" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val docsT = t(spark, dir, "documents")
+      val d = docsT.select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").cast("bigint").as("doc_id"),
+          col("embedding"), col("label")), "doc_id")
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      graft.ops.TxLog.append(spark, d, corpus, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
+      spark.sql(s"CALL $cat.ann_index('tbl', 'doc_id', 'embedding')").collect(): Unit
+      spark.sql(s"CALL $cat.forget('tbl', 'doc_id', 'doc_id % 9 = 8')").collect(): Unit
+      val tix = base.resolve("tbl_text_ix")
+      val aix = base.resolve("tbl_ann_ix")
+      def headTxn(p: java.nio.file.Path): String = {
+        val vs = graft.ops.TxLog.versions(p)
+        val s = new String(java.nio.file.Files.readAllBytes(
+          p.resolve("_graft_log").resolve(f"v${vs.last}%020d").resolve("commit.json")))
+        """"txn"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      }
+      val m = headTxn(corpus)
+      val atomic = m.nonEmpty && m == headTxn(tix) && m == headTxn(aix)
+      val statsRow = graft.ops.TxLog.readAt(spark,
+        base.resolve("tbl_text_ix_stats")).head
+      import org.apache.spark.sql.functions.{count => cnt}
+      graft.ops.TxLog.readAt(spark, corpus)
+        .agg(cnt(lit(1)).as("corpus_docs"),
+          sum(when(col("doc_id") % 9 === 8, 1).otherwise(0))
+            .cast("bigint").as("erased_in_corpus"))
+        .withColumn("stats_docs", lit(statsRow.getLong(0)))
+        .crossJoin(broadcast(
+          graft.ops.TxLog.readAt(spark, tix)
+            .select(col("doc_id")).distinct()
+            .agg(cnt(lit(1)).as("text_docs"),
+              sum(when(col("doc_id") % 9 === 8, 1).otherwise(0))
+                .cast("bigint").as("erased_in_text_index"))))
+        .crossJoin(broadcast(
+          graft.ops.TxLog.readAt(spark, aix)
+            .agg(cnt(lit(1)).as("ann_rows"),
+              sum(when(col("doc_id") % 9 === 8, 1).otherwise(0))
+                .cast("bigint").as("erased_in_ann_index"))))
+        .withColumn("atomic_commit", lit(atomic))
     }),
 
     // ---- sim14: ANN-INDEX LIFECYCLE MAINTENANCE — tix05's cure applied
@@ -1452,8 +1581,11 @@ object SimilarityQueries {
        |tr_$s AS (
        |  SELECT * FROM q_$s WHERE $trainCond),
        |c0_$s AS (
-       |  SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS m
-       |  FROM tr_$s WHERE vec_id < $kSql),
+       |  SELECT cid, m FROM (
+       |    SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS m,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS pq_rk
+       |    FROM tr_$s)
+       |  WHERE pq_rk <= $kSql),
        |d1_$s AS (
        |  ${dist(s"tr_$s", s"c0_$s")}),
        |a1_$s AS (
@@ -1816,6 +1948,18 @@ object SimilarityQueries {
          |  CAST(0 AS BIGINT) AS orphan_lists
          |FROM embeddings WHERE vec_id % 9 <> 8""".stripMargin,
 
+    // knn10: knn08's recall verbatim again — the SQL sibling path must
+    // serve exactly what the hand-driven four-table path serves; the
+    // layout cure and the one-transaction forget marker are literals
+    "knn10_pq_sibling_sql" ->
+      s"""SELECT q_id, k, n_hits, recall,
+         |  TRUE AS overlap_before,
+         |  CAST(1 AS BIGINT) AS max_files_per_cent_after,
+         |  TRUE AS dvs_folded,
+         |  CAST(8 AS BIGINT) AS codes_files_after,
+         |  TRUE AS atomic_forget
+         |FROM ($knn08Sql) ORDER BY q_id""".stripMargin,
+
     // knn09: the recall is knn08's oracle verbatim (maintenance must
     // change nothing); the layout cure rides as gated literals
     "knn09_ivfadc_maintain" ->
@@ -1839,6 +1983,22 @@ object SimilarityQueries {
     "sim13_index_delete_propagation" ->
       sim07Sql.replace("FROM embeddings e CROSS JOIN cent)",
         "FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 9 <> 8)"),
+
+    // lf01: every count recomputed from the surviving residue classes
+    // of the documents⋈embeddings corpus; the atomicity and zero-leak
+    // claims are the gated literals
+    "lf01_atomic_forget" ->
+      """WITH surv AS (
+        |  SELECT d.doc_id FROM documents d JOIN embeddings e
+        |  ON d.doc_id = e.vec_id WHERE d.doc_id % 9 <> 8)
+        |SELECT (SELECT COUNT(*) FROM surv) AS corpus_docs,
+        |  CAST(0 AS BIGINT) AS erased_in_corpus,
+        |  (SELECT COUNT(*) FROM surv) AS stats_docs,
+        |  (SELECT COUNT(*) FROM surv) AS text_docs,
+        |  CAST(0 AS BIGINT) AS erased_in_text_index,
+        |  (SELECT COUNT(*) FROM surv) AS ann_rows,
+        |  CAST(0 AS BIGINT) AS erased_in_ann_index,
+        |  TRUE AS atomic_commit""".stripMargin,
 
     // sim14: the ranking is sim13's oracle verbatim (the rewrite must
     // change nothing); the layout cure rides as gated literals —

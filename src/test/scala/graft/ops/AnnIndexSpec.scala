@@ -168,4 +168,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(TxLog.readAt(spark, codeT)
       .select("vec_id", "sub", "code").orderBy("vec_id", "sub").collect().toSeq == beforeC)
   }
+
+  test("PQ sibling: trains once, increments encode against the stored codebook, " +
+      "maintain reaches it, bindings refuse mismatch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_annpq")
+    val corpus = base.resolve("corpus")
+    val index = base.resolve("ix")
+    // the PQ contract slices dims=64 into 8 sub-spaces — the fixture
+    // must carry full-width vectors or the padded subs would vanish
+    def vecs64(ids: Seq[Long]) = ids.toDF("vec_id")
+      .withColumn("embedding",
+        expr("transform(sequence(0, 63), d -> cast((vec_id * (d + 3)) % 17 as float))"))
+      .withColumn("label", (col("vec_id") % 5).cast("int"))
+    def vecs(ids: Seq[Long]) = vecs64(ids)
+    TxLog.append(spark, vecs(0L to 59L), corpus, "vec_id", nParts = 2)
+    AnnIndex.ensureIndexed(spark, corpus, index): Unit
+    assert(AnnIndex.ensurePq(spark, corpus, index) == 60L)
+    assert(AnnIndex.hasPq(index))
+    val cbT = base.resolve("ix_cb")
+    val codesT = base.resolve("ix_codes")
+    val cbV0 = TxLog.latestVersion(cbT)
+    // every vector carries exactly m=8 code rows
+    val arity = TxLog.readAt(spark, codesT).groupBy("vec_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= 8).count()
+    assert(arity == 0L)
+    // increment: encodes against the PERSISTED codebook (no retrain —
+    // the codebook table must not advance), idempotent under replay
+    TxLog.append(spark, vecs(60L to 99L), corpus, "vec_id", nParts = 2)
+    AnnIndex.ensureIndexed(spark, corpus, index): Unit
+    assert(AnnIndex.ensurePq(spark, corpus, index) == 40L)
+    assert(AnnIndex.ensurePq(spark, corpus, index) == 0L)
+    assert(TxLog.latestVersion(cbT) == cbV0, "increment retrained the codebook")
+    assert(TxLog.readAt(spark, codesT).select("vec_id").distinct().count() == 100L)
+    // binding contract: a different column binding refuses
+    intercept[IllegalArgumentException](
+      AnnIndex.ensurePq(spark, corpus, index, idCol = "label"))
+    // deletes leave DVs on the codes; maintain folds them and the
+    // serving rows are identical through the rewrite
+    TxLog.deleteMor(spark, index, Seq(7L, 21L).toDF("vec_id"), "vec_id"): Unit
+    TxLog.deleteMor(spark, codesT, Seq(7L, 21L).toDF("vec_id"), "vec_id"): Unit
+    val before = TxLog.readAt(spark, codesT)
+      .select("vec_id", "sub", "code").orderBy("vec_id", "sub").collect().toSeq
+    AnnIndex.maintain(spark, corpus, index): Unit
+    assert(TxLog.snapshotAt(codesT).files.forall(_.dv.isEmpty), "codes DVs not folded")
+    assert(TxLog.readAt(spark, codesT)
+      .select("vec_id", "sub", "code").orderBy("vec_id", "sub").collect().toSeq == before)
+    assert(TxLog.snapshotAt(base.resolve("ix_codes_files")).files.size == 1)
+  }
 }

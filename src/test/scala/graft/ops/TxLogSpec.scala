@@ -1023,4 +1023,48 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.truncMaxPlus("short").contains("short"))
     assert(TxLog.truncMin("short") == "short")
   }
+
+  test("sharded checkpoints: replay equivalence, time travel across the boundary, " +
+      "protocol declared in the sharding commit, DVs ride the shards") {
+    val table = freshTable()
+    val oldMax = TxLog.CheckpointInlineMax
+    TxLog.CheckpointInlineMax = 4
+    try {
+      import spark.implicits._
+      (0 until 25).foreach { i => // v0..v24; checkpoints at v10, v20
+        TxLog.append(spark, idsDf(Seq(i.toLong)), table, "doc_id", nParts = 1): Unit
+      }
+      // v10's live set (11 files) crossed the threshold: sharded on disk,
+      // manifest carries filesRef, protocol grew IN THE SAME COMMIT
+      val log = table.resolve("_graft_log")
+      val vd10 = log.resolve(f"v${10L}%020d")
+      assert(Files.isDirectory(vd10.resolve("checkpoint.d")), "v10 checkpoint not sharded")
+      val manifest = new String(Files.readAllBytes(vd10.resolve("checkpoint.json")))
+      assert(manifest.contains("filesRef") && !manifest.contains("\"files\""))
+      assert(TxLog.protocolAt(table, Some(10L)).readerFeatures("shardedCheckpoint"))
+      assert(TxLog.protocolAt(table, Some(9L)) == TxLog.Protocol.Empty,
+        "feature declared before its first use")
+      // replay equivalence across the format boundary
+      assert(TxLog.readAt(spark, table, Some(5L)).count() == 6)   // pre-shard commits
+      assert(TxLog.readAt(spark, table, Some(10L)).count() == 11) // the sharded ckpt itself
+      assert(TxLog.readAt(spark, table, Some(15L)).count() == 16) // sharded ckpt + commits
+      assert(TxLog.readAt(spark, table).count() == 25)
+      // footer stats round-trip through the shards: pruning stays sharp
+      val snap = TxLog.snapshotAt(table)
+      assert(snap.files.size == 25)
+      assert(TxLog.pruneFiles(snap, 7L, 7L).size == 1)
+      // a DV committed after v20's sharded checkpoint, then folded INTO
+      // the next sharded checkpoint at v30, still excludes its rows
+      TxLog.deleteMor(spark, table, Seq(3L, 17L).toDF("doc_id"), "doc_id"): Unit // v25
+      (26 to 31).foreach { i =>
+        TxLog.append(spark, idsDf(Seq(100L + i)), table, "doc_id", nParts = 1): Unit
+      }
+      assert(Files.isDirectory(log.resolve(f"v${30L}%020d").resolve("checkpoint.d")))
+      val ids = TxLog.readAt(spark, table).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids(3L) && !ids(17L) && ids(24L) && ids(126L))
+      assert(TxLog.snapshotAt(table).files.exists(_.dv.isDefined),
+        "the DV sidecar must survive the sharded checkpoint fold")
+    } finally TxLog.CheckpointInlineMax = oldMax
+  }
 }
