@@ -779,6 +779,14 @@ object TextIndex {
   private def tstatsDelta(spark: SparkSession, posts: DataFrame,
       sliceVer: Long): DataFrame = {
     graft.functions.VectorFunctions.registerAll(spark)
+    // TopKAgg is a TypedImperativeAggregate, so this plan runs as
+    // ObjectHashAggregate — whose default sort-based fallback triggers
+    // at 128 in-memory groups, far under any real vocabulary, turning
+    // the dictionary build into a full sort of the increment's
+    // postings. Each group buffer is a k-bounded heap (~0.5 KB), so a
+    // 128k-group hash map is ~64 MB per task — cheap against the sort
+    // it avoids (the tix02/03 build-cost fix, round-15 verdict #6).
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     posts.groupBy(col("term_hash"), col("term"))
       .agg(count(lit(1)).as("df"),
         max(col("tf").cast("double") /
