@@ -169,6 +169,26 @@ object Exif {
     seg.toByteArray
   }
 
+  /** EXIF parsed from a RAW TIFF payload — the WebP/PNG container
+    * shape: the chunk body IS the TIFF stream (an optional "Exif\0\0"
+    * prefix from some writers is tolerated). Throws on corrupt bytes —
+    * the quarantine dispatches surface that as an ok=false row rather
+    * than fabricating metadata. */
+  def parsePayload(bytes: Array[Byte]): ExifMeta = {
+    val base =
+      if (bytes.length >= ExifPrefix.length &&
+          bytes.take(ExifPrefix.length).sameElements(ExifPrefix)) ExifPrefix.length
+      else 0
+    parseTiff(bytes, base, bytes.length)
+  }
+
+  /** The raw TIFF block of [[app1Segment]]'s fixture fields — what a
+    * WebP EXIF chunk carries (the APP1 wrapper stripped). */
+  def tiffPayload(orientation: Int, make: String, dateTime: String,
+      pixelX: Long, pixelY: Long, littleEndian: Boolean = true): Array[Byte] =
+    app1Segment(orientation, make, dateTime, pixelX, pixelY, littleEndian)
+      .drop(4 + ExifPrefix.length)
+
   /** Insert an APP1 right after SOI — the canonical EXIF position. */
   def insertApp1(jpeg: Array[Byte], seg: Array[Byte]): Array[Byte] = {
     require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8,

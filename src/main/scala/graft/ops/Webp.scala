@@ -854,7 +854,8 @@ object Webp {
     * fully public key-frame header (RFC 6386 §9.1), the same
     * metadata-over-decode precedent as Mp3/Mp4/Avi. */
   final case class WebpInfo(codec: String, width: Int, height: Int,
-      frameCount: Int, animated: Boolean, alphaFlagged: Boolean)
+      frameCount: Int, animated: Boolean, alphaFlagged: Boolean,
+      exif: Option[Exif.ExifMeta] = None)
 
   private def u24le(p: Array[Byte], i: Int): Int =
     (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) | ((p(i + 2) & 0xFF) << 16)
@@ -898,6 +899,7 @@ object Webp {
     var canvas: Option[(Int, Int)] = None
     var alpha = false
     var animFlag = false
+    var exif: Option[Exif.ExifMeta] = None
     var frames = 0
     var codec: String = null
     var frameDims: Option[(Int, Int)] = None
@@ -921,6 +923,11 @@ object Webp {
           animFlag = (flags & 0x02) != 0
           canvas = Some((u24le(p, off + 12) + 1, u24le(p, off + 15) + 1))
         case "ANIM" => animFlag = true
+        case "EXIF" =>
+          // the chunk body IS the TIFF stream (container spec); a
+          // corrupt one throws — quarantine-visible, never fabricated
+          exif = Some(Exif.parsePayload(
+            java.util.Arrays.copyOfRange(p, off + 8, off + 8 + size)))
         case "ANMF" =>
           frames += 1
           // the frame's image data: 16-byte ANMF header, then subchunks
@@ -945,7 +952,7 @@ object Webp {
       throw new IllegalArgumentException(s"media $id: WebP carries no dimensions"))
     checkDims(id, w, h)
     WebpInfo(codec, w, h, if (frames > 0) frames else 1,
-      animated = animFlag || frames > 0, alphaFlagged = alpha)
+      animated = animFlag || frames > 0, alphaFlagged = alpha, exif = exif)
   }
 
   /** Metadata twin for the sniffing dispatch (the Mp3/Mp4/Avi shape):
@@ -1004,9 +1011,10 @@ object Webp {
       riff(chunk("VP8 ", vp8FrameBody(w, h, fillerLen, seed)))
 
     private def vp8x(canvasW: Int, canvasH: Int, alpha: Boolean,
-        animated: Boolean): Array[Byte] = {
+        animated: Boolean, exif: Boolean = false): Array[Byte] = {
       val b = new Array[Byte](10)
-      b(0) = (((if (alpha) 0x10 else 0) | (if (animated) 0x02 else 0)).toByte)
+      b(0) = (((if (alpha) 0x10 else 0) | (if (animated) 0x02 else 0) |
+        (if (exif) 0x08 else 0)).toByte)
       val w1 = canvasW - 1; val h1 = canvasH - 1
       b(4) = w1.toByte; b(5) = (w1 >> 8).toByte; b(6) = (w1 >> 16).toByte
       b(7) = h1.toByte; b(8) = (h1 >> 8).toByte; b(9) = (h1 >> 16).toByte
@@ -1038,12 +1046,16 @@ object Webp {
     }
 
     /** Extended still wrapping an existing simple file's frame chunk
-      * (e.g. a real VP8L encode) under a VP8X header with flags. */
+      * (e.g. a real VP8L encode) under a VP8X header with flags; an
+      * optional EXIF chunk (raw TIFF payload) rides after the frame,
+      * the container spec's chunk order. */
     def extendedFrom(simple: Array[Byte], canvasW: Int, canvasH: Int,
-        alpha: Boolean): Array[Byte] = {
+        alpha: Boolean, exifTiff: Option[Array[Byte]] = None): Array[Byte] = {
       require(isWebp(simple), "extendedFrom needs a simple WebP file")
-      riff(vp8x(canvasW, canvasH, alpha, animated = false),
+      riff((Seq(vp8x(canvasW, canvasH, alpha, animated = false,
+          exif = exifTiff.isDefined),
         java.util.Arrays.copyOfRange(simple, 12, simple.length))
+        ++ exifTiff.map(t => chunk("EXIF", t)).toSeq): _*)
     }
   }
 }

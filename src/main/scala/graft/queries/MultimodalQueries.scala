@@ -968,6 +968,44 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- mm33: EXIF INSIDE WebP — the provenance/orientation pass for
+    // the extended container (the VP8X EXIF chunk carries a raw TIFF
+    // stream, unlike JPEG's APP1 wrapper). A real VP8L still rides
+    // under VP8X with the EXIF flag + chunk; the one metadata walk
+    // surfaces dims AND the parsed EXIF, and the orientation-normalized
+    // dimensions (the resize-pipeline input) are gated per document —
+    // both endiannesses exercised, same fixture fields as mm16 so the
+    // JPEG/APP1 and WebP/chunk carriers cross-check one TIFF parser.
+    "mm33_webp_exif" -> ((spark: SparkSession, dir: String) => {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          import graft.ops.{Exif, Multimodal, Webp}
+          import graft.ops.Webp.Vp8lEncoder.Lit
+          it.map { id =>
+            val w = 8 + (id % 5).toInt
+            val h = 6 + (id % 3).toInt
+            val px = 0xFF000000 | (((id * 7) % 256).toInt << 16)
+            val inner = Webp.Vp8lEncoder.encode(w, h, Seq.fill(w * h)(Lit(px)))
+            val ori = (id % 8 + 1).toInt
+            val tiff = Exif.tiffPayload(ori, s"cam${id % 5}",
+              f"2024:01:${id % 27 + 1}%02d 03:04:05",
+              pixelX = w.toLong, pixelY = h.toLong,
+              littleEndian = id % 2 == 0)
+            val bytes = Webp.WebpFixture.extendedFrom(inner, w, h,
+              alpha = false, exifTiff = Some(tiff))
+            val i = Webp.info(Multimodal.MediaItem(id, bytes))
+            val m = i.exif.get
+            val (nw, nh) = m.normalizedDims(i.width, i.height)
+            (id, i.width.toLong, i.height.toLong, m.orientation.toLong,
+              m.make.get, nw.toLong, nh.toLong)
+          }
+        }
+        .toDF("media_id", "width", "height", "orientation", "make",
+          "norm_w", "norm_h")
+        .orderBy("media_id")
+    }),
+
     "mm30_g711_audio" -> ((spark: SparkSession, dir: String) => {
       import spark.implicits._
       t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -1326,6 +1364,20 @@ object MultimodalQueries {
         |  CAST(SUM((x * 3 + y * 5 + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((x * 11 + y * 2 + 3 * doc_id) % 256) AS BIGINT) AS sum_b
         |FROM eff GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // mm33: dims, orientation, make and the orientation-normalized
+    // dims restated in closed form (orientations 5-8 transpose)
+    "mm33_webp_exif" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        |  CAST(6 + doc_id % 3 AS BIGINT) AS height,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+        |  'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 6 + doc_id % 3
+        |    ELSE 8 + doc_id % 5 END AS BIGINT) AS norm_w,
+        |  CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 8 + doc_id % 5
+        |    ELSE 6 + doc_id % 3 END AS BIGINT) AS norm_h
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // mm32: every gated fact is a closed form of the fixture params —
     // dims per container shape, ANMF frame count, and the refusal

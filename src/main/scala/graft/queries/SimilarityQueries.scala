@@ -1100,6 +1100,76 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    // ---- knn11: STREAMING maintenance of the PQ SIBLING — the tix03/
+    // sim08 discipline applied to the round-16 codes sibling, closing
+    // the "every persisted index has a streaming twin" invariant for
+    // the `pq => true` artifact. The creating batch trains BOTH
+    // quantizers through `CALL ann_index(..., pq => true)`; growth
+    // lands as corpus commits and the graft-lake tail re-issues the
+    // SAME procedure per micro-batch (watermark diff + id anti-join =
+    // exactly-once by idempotence). The streamed sibling must serve
+    // EXACTLY what the batch path serves — knn06's oracle, verbatim —
+    // and a full REDELIVERY (second stream, wiped engine checkpoint)
+    // must be swallowed whole: both index tables' versions unchanged,
+    // gated as a literal.
+    "knn11_streaming_pq_sibling" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      def sel(p: org.apache.spark.sql.Column) =
+        emb.filter(p).select(col("vec_id").cast("bigint").as("vec_id"),
+          col("embedding"), col("label"))
+      graft.ops.TxLog.append(spark, sel(col("vec_id") % 10 =!= 9),
+        corpus, "vec_id", nParts = 2)
+      spark.sql(s"CALL $cat.ann_index('tbl', 'vec_id', 'embedding', pq => true)")
+        .collect(): Unit
+      graft.ops.TxLog.append(spark,
+        sel(col("vec_id") % 10 === 9 && col("vec_id") % 2 === 0),
+        corpus, "vec_id", nParts = 2)
+      graft.ops.TxLog.append(spark,
+        sel(col("vec_id") % 10 === 9 && col("vec_id") % 2 === 1),
+        corpus, "vec_id", nParts = 2)
+      def drain(): Unit = {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_knn11_ckpt")
+        tmpDirs.add(ckpt)
+        val q = spark.readStream.format("graft-lake")
+          .option("maxVersionsPerBatch", "1")
+          .load(corpus.toString)
+          .writeStream
+          .foreachBatch { (_: DataFrame, _: Long) =>
+            spark.sql(s"CALL $cat.ann_index('tbl', 'vec_id', 'embedding', " +
+              "pq => true)").collect(): Unit
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val index = base.resolve("tbl_ann_ix")
+      val codes = base.resolve("tbl_ann_ix_codes")
+      val vA = (graft.ops.TxLog.latestVersion(index),
+        graft.ops.TxLog.latestVersion(codes))
+      drain() // full redelivery: fresh engine checkpoint, same tail
+      val vB = (graft.ops.TxLog.latestVersion(index),
+        graft.ops.TxLog.latestVersion(codes))
+      val approx = serveLakeIvfAdc(spark, dir, base.resolve("tbl_ann_ix_cent"),
+          index, base.resolve("tbl_ann_ix_cb"), codes)
+        .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+      val exact = exactQuantizedTopK(spark, dir)
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("k").cast("double"))
+        .withColumn("redelivery_noop", lit(vA == vB))
+        .orderBy("q_id")
+    }),
+
     // ---- dq08: ANN-INDEX CONSISTENCY AUDIT — dq07's monitor applied
     // to the IVFADC family (round-14 verdict #2): after delete
     // propagation AND the maintenance rewrite, (a) the assignments' vec
@@ -1947,6 +2017,12 @@ object SimilarityQueries {
          |  CAST(0 AS BIGINT) AS bad_code_arity,
          |  CAST(0 AS BIGINT) AS orphan_lists
          |FROM embeddings WHERE vec_id % 9 <> 8""".stripMargin,
+
+    // knn11: the streamed sibling must converge to the batch build —
+    // knn06's oracle verbatim; the redelivery no-op is the literal
+    "knn11_streaming_pq_sibling" ->
+      s"""SELECT q_id, k, n_hits, recall, TRUE AS redelivery_noop
+         |FROM ($knn06Sql) ORDER BY q_id""".stripMargin,
 
     // knn10: knn08's recall verbatim again — the SQL sibling path must
     // serve exactly what the hand-driven four-table path serves; the

@@ -267,6 +267,29 @@ class WebpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Webp.info(MediaItem(5L, bare.take(12 + 18))))
   }
 
+  test("metadata walk: EXIF chunk parses as a raw TIFF stream, both endiannesses") {
+    val inner = Webp.Vp8lEncoder.encode(6, 4,
+      (0 until 24).map(i => Lit(argbAt(i % 6, i / 6))))
+    Seq(true, false).foreach { le =>
+      val tiff = Exif.tiffPayload(6, "camX", "2024:02:03 04:05:06",
+        pixelX = 6L, pixelY = 4L, littleEndian = le)
+      val bytes = Webp.WebpFixture.extendedFrom(inner, 6, 4,
+        alpha = false, exifTiff = Some(tiff))
+      val i = Webp.info(MediaItem(11L, bytes))
+      assert(i.codec == "vp8l" && i.width == 6 && i.height == 4)
+      val m = i.exif.get
+      assert(m.orientation == 6 && m.make.contains("camX") &&
+        m.pixelX.contains(6L) && m.pixelY.contains(4L))
+      assert(m.normalizedDims(6, 4) == (4, 6)) // orientation 6 transposes
+      // the pixel path is untouched by the metadata chunk
+      assert(Multimodal.SniffPixelDecoder.decodePixels(MediaItem(11L, bytes)).width == 6)
+    }
+    // a corrupt EXIF chunk refuses (quarantine-visible), never fabricates
+    val bad = Webp.WebpFixture.extendedFrom(inner, 6, 4,
+      alpha = false, exifTiff = Some(Array[Byte](1, 2, 3)))
+    intercept[Exception](Webp.info(MediaItem(12L, bad)))
+  }
+
   test("metadata fuzz: random byte flips report or refuse, never escape") {
     val goods = Seq(
       Webp.WebpFixture.lossyStill(33, 21, fillerLen = 30, seed = 2L),
