@@ -1336,6 +1336,58 @@ object SimilarityQueries {
         .withColumn("atomic_commit", lit(atomic))
     }),
 
+    // ---- dq09: FORGET-CONSISTENCY AUDIT — dq07/dq08's monitor
+    // generalized across EVERY keyed sibling lf01's transaction
+    // touches: after CALL forget, (a) the text postings' doc set, (b)
+    // the ANN assignments' id set and (c) the PQ codes' id set must
+    // each equal the live corpus EXACTLY (anti-joins both ways — a
+    // stranded index row and an unindexed survivor each break their
+    // own zero), and every surviving vector must carry exactly m=8
+    // code rows (a partial encode is as corrupt as a missing one).
+    // This is the audit that would have CAUGHT the pre-round-16
+    // two-commit erasure window had a reader raced it.
+    "dq09_forget_consistency" -> ((spark: SparkSession, dir: String) => {
+      reg(spark)
+      val emb = t(spark, dir, "embeddings")
+      val docsT = t(spark, dir, "documents")
+      val d = docsT.select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").cast("bigint").as("doc_id"),
+          col("embedding"), col("label")), "doc_id")
+      val corpus = freshTable()
+      val base = corpus.getParent
+      val cat = s"lake${math.abs(base.hashCode().toLong)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      graft.ops.TxLog.append(spark, d, corpus, "doc_id", nParts = 2)
+      spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
+      spark.sql(s"CALL $cat.ann_index('tbl', 'doc_id', 'embedding', pq => true)")
+        .collect(): Unit
+      spark.sql(s"CALL $cat.forget('tbl', 'doc_id', 'doc_id % 9 = 8')").collect(): Unit
+      val live = graft.ops.TxLog.readAt(spark, corpus).select("doc_id")
+      val inText = graft.ops.TxLog.readAt(spark, base.resolve("tbl_text_ix"))
+        .select("doc_id").distinct()
+      val inAnn = graft.ops.TxLog.readAt(spark, base.resolve("tbl_ann_ix"))
+        .select("doc_id").distinct()
+      val codesRel = graft.ops.TxLog.readAt(spark, base.resolve("tbl_ann_ix_codes"))
+      val inCodes = codesRel.select("doc_id").distinct()
+      live.agg(count(lit(1)).as("corpus_docs"))
+        .select(col("corpus_docs"),
+          lit(inText.join(live, Seq("doc_id"), "left_anti").count())
+            .as("text_stranded"),
+          lit(live.join(inText, Seq("doc_id"), "left_anti").count())
+            .as("docs_unindexed"),
+          lit(inAnn.join(live, Seq("doc_id"), "left_anti").count())
+            .as("ann_stranded"),
+          lit(live.join(inAnn, Seq("doc_id"), "left_anti").count())
+            .as("docs_unassigned"),
+          lit(inCodes.join(live, Seq("doc_id"), "left_anti").count())
+            .as("codes_stranded"),
+          lit(live.join(inCodes, Seq("doc_id"), "left_anti").count())
+            .as("docs_uncoded"),
+          lit(codesRel.groupBy("doc_id").agg(count(lit(1)).as("n"))
+            .filter(col("n") =!= 8).count()).as("bad_code_arity"))
+    }),
+
     // ---- sim14: ANN-INDEX LIFECYCLE MAINTENANCE — tix05's cure applied
     // to vectors (the round-14 verdict's #1): each incremental CALL
     // ann_index appends its OWN per-list file-set, so after N increments
@@ -2075,6 +2127,20 @@ object SimilarityQueries {
         |  (SELECT COUNT(*) FROM surv) AS ann_rows,
         |  CAST(0 AS BIGINT) AS erased_in_ann_index,
         |  TRUE AS atomic_commit""".stripMargin,
+
+    // dq09: the live count recomputed from the surviving join; every
+    // violation counter is the literal zero the atomic flip guarantees
+    "dq09_forget_consistency" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents d JOIN embeddings e
+        |   ON d.doc_id = e.vec_id WHERE d.doc_id % 9 <> 8) AS corpus_docs,
+        |  CAST(0 AS BIGINT) AS text_stranded,
+        |  CAST(0 AS BIGINT) AS docs_unindexed,
+        |  CAST(0 AS BIGINT) AS ann_stranded,
+        |  CAST(0 AS BIGINT) AS docs_unassigned,
+        |  CAST(0 AS BIGINT) AS codes_stranded,
+        |  CAST(0 AS BIGINT) AS docs_uncoded,
+        |  CAST(0 AS BIGINT) AS bad_code_arity""".stripMargin,
 
     // sim14: the ranking is sim13's oracle verbatim (the rewrite must
     // change nothing); the layout cure rides as gated literals —
