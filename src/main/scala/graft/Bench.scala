@@ -41,7 +41,12 @@ object Bench {
     // Hadoop-FS + codegen warmup so the first measured query doesn't
     // absorb one-time JVM initialization.
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    // dev-only subset filter (the driver never sets it): same passes/min
+    // methodology on a restricted name set for optimization A/B runs
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }

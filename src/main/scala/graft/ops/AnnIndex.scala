@@ -105,7 +105,8 @@ object AnnIndex {
     * distributed top-C, never a global sort window), so seeding stays
     * executor-parallel at corpus scale. */
   private def trainCentroids(spark: SparkSession, train: DataFrame,
-      idCol: String, embCol: String): DataFrame = {
+      idCol: String, embCol: String): DataFrame =
+      Jobs.labeled(spark, "ann trainCentroids") {
     val q = Clustering.quantize(train, idCol, embCol)
     val cnt = train.count()
     val nC = math.max(16L, (cnt + TargetListSize - 1) / TargetListSize)
@@ -171,7 +172,7 @@ object AnnIndex {
     * anti-join). Returns newly indexed vector count. */
   def ensureIndexed(spark: SparkSession, corpus: Path, index: Path,
       idCol: String = "vec_id", embCol: String = "embedding",
-      nClusters: Int = 8): Long = {
+      nClusters: Int = 8): Long = Jobs.labeled(spark, "ann ensureIndexed") {
     import spark.implicits._
     graft.functions.VectorFunctions.registerAll(spark)
     readMeta(spark, index).foreach { case (i0, e0, n0) =>
@@ -265,7 +266,8 @@ object AnnIndex {
     * the next call (the streaming twin knn07 shows the one-transaction
     * composition; the dq08 audit proves the converged consistency). */
   def ensurePq(spark: SparkSession, corpus: Path, index: Path,
-      idCol: String = "vec_id", embCol: String = "embedding"): Long = {
+      idCol: String = "vec_id", embCol: String = "embedding"): Long =
+      Jobs.labeled(spark, "ann ensurePq") {
     import spark.implicits._
     graft.functions.VectorFunctions.registerAll(spark)
     readPqMeta(spark, index).foreach { case (i0, e0) =>

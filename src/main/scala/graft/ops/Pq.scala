@@ -78,7 +78,8 @@ object Pq {
       .select(col(idCol), col("sub"), col("code"))
 
   def model(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-      m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
+      m: Int, k: Int, iters: Int): (DataFrame, DataFrame) =
+      Jobs.labeled(df.sparkSession, "pq model") {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q = quantizedSubs(df, idCol, vecCol, dims, m)
       .localCheckpoint(true) // the one corpus scan ends here

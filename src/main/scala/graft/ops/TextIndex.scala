@@ -104,7 +104,7 @@ object TextIndex {
     * First call on an empty index IS the build. */
   def ensureIndexed(spark: SparkSession, corpus: Path, index: Path,
       idCol: String = "doc_id", textCol: String = "text",
-      nClusters: Int = 8): Long = {
+      nClusters: Int = 8): Long = Jobs.labeled(spark, "text ensureIndexed") {
     import spark.implicits._
     // args-vs-binding consistency: an index already bound to one
     // (id, text, clusters) triple must not ingest under another
@@ -741,7 +741,7 @@ object TextIndex {
   }
 
   def pruneDeleted(spark: SparkSession, index: Path, deletedKeys: DataFrame,
-      idCol: String = "doc_id"): Long = {
+      idCol: String = "doc_id"): Long = Jobs.labeled(spark, "text pruneDeleted") {
     import spark.implicits._
     val keys = deletedKeys.select(col(idCol).cast("long").as("doc_id"))
     // the removed docs' length contribution, BEFORE the postings go

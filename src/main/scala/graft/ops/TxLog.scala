@@ -1498,7 +1498,8 @@ object TxLog {
     * directory, stats-read from their footers, then moved into the table
     * root under fresh UUID names before the commit makes them visible. */
   def append(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
-      nParts: Int = 0, allowEvolution: Boolean = false): Long = {
+      nParts: Int = 0, allowEvolution: Boolean = false): Long =
+      Jobs.labeled(spark, s"txlog append ${table.getFileName}") {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution): Unit // fail fast pre-stage
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
@@ -1706,7 +1707,8 @@ object TxLog {
     * like a sidecar-less COW commit: not row-replayable, fail fast or
     * skip — the Delta CDF position for replaced-table commits. */
   def overwrite(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
-      nParts: Int = 0): Long = {
+      nParts: Int = 0): Long =
+      Jobs.labeled(spark, s"txlog overwrite ${table.getFileName}") {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
@@ -1732,7 +1734,8 @@ object TxLog {
     * The cluster column is layout metadata (derivable from the data) and
     * is not stored in the files. */
   def appendClustered(spark: SparkSession, df: DataFrame, table: Path, statsCol: String,
-      clusterCol: Column, nClusters: Int): Long = {
+      clusterCol: Column, nClusters: Int): Long =
+      Jobs.labeled(spark, s"txlog appendClustered ${table.getFileName}") {
     Files.createDirectories(table)
     validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit // fail fast
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
@@ -2012,7 +2015,8 @@ object TxLog {
     * commit time that every file it replaces is still live WITH the same
     * DV it read — a concurrent merge-on-read delete must not be silently
     * resurrected by the rewrite. */
-  def compact(spark: SparkSession, table: Path, statsCol: String, nParts: Int = 1): Long = {
+  def compact(spark: SparkSession, table: Path, statsCol: String, nParts: Int = 1): Long =
+      Jobs.labeled(spark, s"txlog compact ${table.getFileName}") {
     val snap = snapshotAt(table)
     val removes = snap.files.map(_.path)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
@@ -2038,7 +2042,8 @@ object TxLog {
     * [[pruneFiles]] sharp, without blocking readers (old versions stay
     * pinned until vacuum). Same dv-identity validation as [[compact]]. */
   def compactClustered(spark: SparkSession, table: Path, statsCol: String,
-      clusterCol: Column, nClusters: Int): Long = {
+      clusterCol: Column, nClusters: Int): Long =
+      Jobs.labeled(spark, s"txlog compactClustered ${table.getFileName}") {
     val snap = snapshotAt(table)
     val removes = snap.files.map(_.path)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
@@ -2481,7 +2486,7 @@ object TxLog {
     * must be integral (same domain as the footer stats). Returns
     * (version, filesRewritten = 0, dvFilesTouched, filesTotal). */
   def deleteMor(spark: SparkSession, table: Path, keys: DataFrame, keyCol: String):
-      (Long, Int, Int, Int) = {
+      (Long, Int, Int, Int) = Jobs.labeled(spark, s"txlog deleteMor ${table.getFileName}") {
     val snap = snapshotAt(table)
     val matches = morMatches(spark, table, snap, keys.select(col(keyCol)), keyCol)
     if (matches.isEmpty) return (snap.version, 0, 0, snap.files.size)
@@ -2673,7 +2678,8 @@ object TxLog {
     * (returns None). Use from foreachBatch:
     * {{{ q.foreachBatch((df, id) => TxLog.streamingAppend(spark, df, id, table, "k")) }}} */
   def streamingAppend(spark: SparkSession, batch: DataFrame, batchId: Long,
-      table: Path, statsCol: String, nParts: Int = 1): Option[Long] = {
+      table: Path, statsCol: String, nParts: Int = 1): Option[Long] =
+      Jobs.labeled(spark, s"txlog streamingAppend ${table.getFileName}") {
     if (isBatchCommitted(table, batchId)) return None
     Files.createDirectories(table)
     validateSchema(tableSchema(table), batch.schema, allowEvolution = false): Unit // fail fast
