@@ -503,8 +503,7 @@ object DedupQueries {
       // without it the full scoring pass runs twice (persisted is
       // already parquet-backed, it re-reads cheaply)
       val full = erScore(dtAll, ctAll, stop).localCheckpoint(true)
-      val incrOk = persisted.exceptAll(full).count() == 0L &&
-        full.exceptAll(persisted).count() == 0L
+      val incrOk = SharedBases.multisetEqual(persisted, full)
       persisted.agg(
           count(lit(1)).as("n_pairs"),
           sum(when(col("dirty_id") === col("clean_id"), 1L).otherwise(0L))
@@ -585,8 +584,7 @@ object DedupQueries {
       q.awaitTermination()
       val persisted = TxLog.readAt(spark, links)
       val full = erScore(dtOf(named), ctOf(named), stop).localCheckpoint(true)
-      val streamOk = persisted.exceptAll(full).count() == 0L &&
-        full.exceptAll(persisted).count() == 0L &&
+      val streamOk = SharedBases.multisetEqual(persisted, full) &&
         TxLog.committedBatchIds(links) == Set(0L, 1L)
       persisted.agg(
           count(lit(1)).as("n_pairs"),
@@ -735,6 +733,42 @@ object DedupQueries {
     val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
     val dtAll = erTris(dirty, "dirty_id", "dname")
     erScore(dtAll, ctAll, erStop(ctAll, base.agg(count(lit(1)).as("n_clean"))))
+  }
+
+  // ---- shared er05/er06 reference artifacts (optimization r16): the
+  // two lifecycle gates pin the SAME fixed sub-corpus (doc_id % 3 = 0),
+  // the same build-time stop set and the same full-rebuild reference
+  // relation — trained/derived once per JVM and shared read-only
+  // (localCheckpointed); each gate still proves ITS maintained table
+  // multiset-equal to this reference in-engine.
+  private val erRefMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The pinned stop set over the er05/er06 base registry (clean docs
+    * with doc_id % 10 != 7 of the % 3 = 0 sub-corpus). */
+  private def erStopPinned(spark: SparkSession, dir: String): DataFrame =
+    erRefMemo.computeIfAbsent(s"erstop:$dir", { _ =>
+      val base = erBase(spark, dir).filter(col("doc_id") % 3 === 0)
+      val cleanOld = base.filter(col("doc_id") % 10 =!= 7)
+      val ctOld = erTris(cleanOld.withColumnRenamed("doc_id", "clean_id"),
+        "clean_id", "name")
+      erStop(ctOld, cleanOld.agg(count(lit(1)).as("n_clean")))
+    })
+
+  /** The full-rebuild reference links over the % 3 = 0 sub-corpus with
+    * the pinned stop set — er05's `full` and er06's `full` verbatim. */
+  private def erFullLinksRef(spark: SparkSession, dir: String): DataFrame = {
+    // resolved OUTSIDE the computeIfAbsent below: a mapping function
+    // must not re-enter the map (ConcurrentHashMap contract)
+    val stop = erStopPinned(spark, dir)
+    erRefMemo.computeIfAbsent(s"erfull:$dir", { _ =>
+      val base = erBase(spark, dir).filter(col("doc_id") % 3 === 0)
+      val dirty = erDirty(base)
+      val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"),
+        "clean_id", "name")
+      val dtAll = erTris(dirty, "dirty_id", "dname")
+      erScore(dtAll, ctAll, stop).localCheckpoint(true)
+    })
   }
 
   // one persisted links table per corpus dir, built on first use and

@@ -70,6 +70,55 @@ object LakeQueries {
   private def idSpan(d: DataFrame): Long =
     d.agg(max(col("doc_id"))).head.getLong(0) + 1L
 
+  // ---- SHARED text-index build families (SharedBases, optimization
+  // r16): the identical deterministic builds several gates open with,
+  // built once per JVM and cloned (zero-copy) for mutating consumers.
+  // Family layout is the catalog-sibling convention (`tbl`,
+  // `tbl_text_ix`, + stats/files/meta/tstats[/pos] siblings), so both
+  // CALL-driven and direct-ops gates resolve the same names.
+
+  /** text1: two-append corpus + ONE-SHOT frequency index — the opening
+    * build of tix01, tix04, tix06 and sql24. */
+  private def textFam1(spark: SparkSession, dir: String): Path =
+    SharedBases.base(spark, s"text1:$dir") { b =>
+      val d = docs(spark, dir)
+      val corpus = b.resolve("tbl")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, b.resolve("tbl_text_ix")): Unit
+    }
+
+  /** text0: first-half corpus + frequency index — the starting state of
+    * the incremental (tix02) and streaming (tix03) maintenance gates. */
+  private def textFam0(spark: SparkSession, dir: String): Path =
+    SharedBases.base(spark, s"text0:$dir") { b =>
+      val d = docs(spark, dir)
+      val corpus = b.resolve("tbl")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensureIndexed(spark, corpus, b.resolve("tbl_text_ix")): Unit
+    }
+
+  /** pos0: first-half corpus + POSITIONAL index — the starting state of
+    * the positional maintenance gates (tix08, tix09). */
+  private def posFam0(spark: SparkSession, dir: String): Path =
+    SharedBases.base(spark, s"pos0:$dir") { b =>
+      val d = docs(spark, dir)
+      val corpus = b.resolve("tbl")
+      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
+      TextIndex.ensurePositional(spark, corpus, b.resolve("tbl_text_ix")): Unit
+    }
+
+  /** text2: FULL corpus + frequency AND positional index — the opening
+    * build of tix07, tix10 and dq07. */
+  private def textFam2(spark: SparkSession, dir: String): Path =
+    SharedBases.base(spark, s"text2:$dir") { b =>
+      val d = docs(spark, dir)
+      val corpus = b.resolve("tbl")
+      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
+      TextIndex.ensureIndexed(spark, corpus, b.resolve("tbl_text_ix")): Unit
+      TextIndex.ensurePositional(spark, corpus, b.resolve("tbl_text_ix")): Unit
+    }
+
   /** Driver-side Morton interleave — the Scala twin of
     * [[graft.ops.Layout.zkeySql]], used only to turn the query box's
     * corner CONSTANTS into the covering z-interval for the metadata
@@ -1371,14 +1420,10 @@ object LakeQueries {
     // artifact but queryable lake state, the sql17/sql18 discipline
     // applied to retrieval.
     "sql24_sql_bm25_over_index" -> ((spark: SparkSession, dir: String) => {
-      val d = docs(spark, dir)
-      val table = freshTable()
-      val base = table.getParent
-      val cat = s"lake${math.abs(base.hashCode().toLong)}"
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), table, "doc_id", nParts = 2)
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), table, "doc_id", nParts = 2)
+      // shared text1 family (the CALL below is the idempotent refresh —
+      // watermark-current, so it indexes nothing and mutates nothing)
+      val fam = textFam1(spark, dir)
+      val cat = SharedBases.catalogFor(spark, fam)
       spark.sql(s"CALL $cat.text_index('tbl', 'text')").collect(): Unit
       spark.sql(
         s"""WITH p AS (
@@ -1678,10 +1723,10 @@ object LakeQueries {
     // incremental build, and now the streamed build.
     "tix03_streaming_text_index" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
-      val corpus = freshTable()
-      val index = freshTable()
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      // shared text0 starting state, cloned (this gate mutates it)
+      val fam = SharedBases.cloned(spark, textFam0(spark, dir))
+      val corpus = fam.resolve("tbl")
+      val index = fam.resolve("tbl_text_ix")
       // two arrival commits, one micro-batch each
       TxLog.append(spark, d.filter(col("doc_id") % 4 === 1), corpus, "doc_id", nParts = 2)
       TxLog.append(spark, d.filter(col("doc_id") % 4 === 3), corpus, "doc_id", nParts = 2)
@@ -1789,13 +1834,10 @@ object LakeQueries {
     // tracks the query terms' posting lists, not the corpus: the
     // retrieval shape that holds at 100 TB.
     "tix01_bm25_from_index" -> ((spark: SparkSession, dir: String) => {
-      val d = docs(spark, dir)
-      val corpus = freshTable()
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
-      val index = freshTable()
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
-      TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
+      // shared text1 family (read-only serve — no clone needed)
+      val fam = textFam1(spark, dir)
+      TextIndex.searchBm25(spark, fam.resolve("tbl_text_ix"),
+        Seq("spark", "join", "filter"), 20)
     }),
 
     // ---- tix02: INCREMENTAL text-index maintenance — the second half
@@ -1807,10 +1849,10 @@ object LakeQueries {
     // both gates.
     "tix02_incremental_text_index" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
-      val corpus = freshTable()
-      val index = freshTable()
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      // shared text0 starting state, cloned (this gate mutates it)
+      val fam = SharedBases.cloned(spark, textFam0(spark, dir))
+      val corpus = fam.resolve("tbl")
+      val index = fam.resolve("tbl_text_ix")
       TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
       TextIndex.ensureIndexed(spark, corpus, index): Unit
       TextIndex.searchBm25(spark, index, Seq("spark", "join", "filter"), 20)
@@ -1823,13 +1865,9 @@ object LakeQueries {
     // corpus pays a k-row point-fetch; the oracle joins DuckDB's t14
     // top-5 back to documents.
     "tix04_search_fetch_docs" -> ((spark: SparkSession, dir: String) => {
-      val d = docs(spark, dir)
-      val corpus = freshTable()
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
-      val index = freshTable()
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
-      TextIndex.fetchTopDocs(spark, corpus, index,
+      // shared text1 family (read-only: rank + point-fetch, no mutation)
+      val fam = textFam1(spark, dir)
+      TextIndex.fetchTopDocs(spark, fam.resolve("tbl"), fam.resolve("tbl_text_ix"),
           Seq("spark", "join", "filter"), 5)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("score"))
     }),
@@ -1932,11 +1970,10 @@ object LakeQueries {
     // independent full rebuild must rank identically (literal flag).
     "tix06_cdf_delete_propagation" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
-      val corpus = freshTable()
-      val index = corpus.resolveSibling("ix")
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      // shared text1 family, cloned (this gate deletes + prunes)
+      val fam = SharedBases.cloned(spark, textFam1(spark, dir))
+      val corpus = fam.resolve("tbl")
+      val index = fam.resolve("tbl_text_ix")
       // GDPR churn lands on the corpus AFTER the index is built: two
       // merge-on-read delete commits (metadata-sized, the sql05 shape)
       TxLog.deleteMor(spark, corpus,
@@ -1966,9 +2003,8 @@ object LakeQueries {
       val terms = Seq("spark", "join", "filter")
       val served = TextIndex.searchBm25(spark, index, terms, 20)
       val reference = TextIndex.searchBm25(spark, rebuilt, terms, 20)
-      val same = served.exceptAll(reference).isEmpty &&
-        reference.exceptAll(served).isEmpty
-      val nLive = TxLog.readAt(spark, corpus.resolveSibling("ix_stats"))
+      val same = SharedBases.multisetEqual(served, reference)
+      val nLive = TxLog.readAt(spark, fam.resolve("tbl_text_ix_stats"))
         .head.getLong(0)
       served.select(col("doc_id"), col("score"),
         lit(nLive).as("n_docs_live"),
@@ -1984,12 +2020,10 @@ object LakeQueries {
     // with the conjunctive HAVING — one shared scoring definition
     // cross-gates both retrieval modes.
     "tix07_conjunctive_search" -> ((spark: SparkSession, dir: String) => {
-      val d = docs(spark, dir)
-      val corpus = freshTable()
-      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
-      val index = corpus.resolveSibling("ix")
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
-      TextIndex.searchBm25All(spark, index, Seq("spark", "join", "filter"), 20)
+      // shared text2 family (read-only serve — no clone needed)
+      val fam = textFam2(spark, dir)
+      TextIndex.searchBm25All(spark, fam.resolve("tbl_text_ix"),
+        Seq("spark", "join", "filter"), 20)
     }),
 
     // ---- tix10: DISJUNCTIVE TOP-K WITH MAXSCORE BOUNDS — searchBm25
@@ -2006,11 +2040,8 @@ object LakeQueries {
     // read reduction (~600 postings skipped of ~630 per 500 docs) is
     // itself oracle-checked, not self-reported.
     "tix10_maxscore_topk" -> ((spark: SparkSession, dir: String) => {
-      val d = docs(spark, dir)
-      val corpus = freshTable()
-      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
-      val index = corpus.resolveSibling("ix")
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
+      // shared text2 family (read-only serve — no clone needed)
+      val index = textFam2(spark, dir).resolve("tbl_text_ix")
       val (ranked, rep) = TextIndex.searchBm25MaxScore(
         spark, index, Seq("dup", "join", "filter"), 10)
       ranked
@@ -2105,10 +2136,10 @@ object LakeQueries {
     // watermark discipline is in-gate.
     "tix08_phrase_search" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
-      val corpus = freshTable()
-      val index = corpus.resolveSibling("ix")
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TextIndex.ensurePositional(spark, corpus, index): Unit
+      // shared pos0 starting state, cloned (this gate mutates it)
+      val fam = SharedBases.cloned(spark, posFam0(spark, dir))
+      val corpus = fam.resolve("tbl")
+      val index = fam.resolve("tbl_text_ix")
       TxLog.append(spark, d.filter(col("doc_id") % 2 === 1), corpus, "doc_id", nParts = 2)
       TextIndex.ensurePositional(spark, corpus, index): Unit
       TextIndex.searchPhrase(spark, index, "stream table hash")
@@ -2123,10 +2154,10 @@ object LakeQueries {
     // serves — one oracle cross-gates both maintenance paths.
     "tix09_streaming_positional" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
-      val corpus = freshTable()
-      val index = corpus.resolveSibling("ix")
-      TxLog.append(spark, d.filter(col("doc_id") % 2 === 0), corpus, "doc_id", nParts = 2)
-      TextIndex.ensurePositional(spark, corpus, index): Unit
+      // shared pos0 starting state, cloned (this gate mutates it)
+      val fam = SharedBases.cloned(spark, posFam0(spark, dir))
+      val corpus = fam.resolve("tbl")
+      val index = fam.resolve("tbl_text_ix")
       TxLog.append(spark, d.filter(col("doc_id") % 4 === 1), corpus, "doc_id", nParts = 2)
       TxLog.append(spark, d.filter(col("doc_id") % 4 === 3), corpus, "doc_id", nParts = 2)
       val ckpt = Files.createTempDirectory("graft_tix9_ckpt")
@@ -2216,33 +2247,42 @@ object LakeQueries {
     // posting-list-sized except the corpus count.
     "dq07_index_consistency" -> ((spark: SparkSession, dir: String) => {
       val d = docs(spark, dir)
-      val corpus = freshTable()
-      val index = corpus.resolveSibling("ix")
-      // one build each — incrementality is tix02/tix08's contract; this
-      // gate audits the post-churn CONSISTENCY invariants
-      TxLog.append(spark, d, corpus, "doc_id", nParts = 4)
-      TextIndex.ensureIndexed(spark, corpus, index): Unit
-      TextIndex.ensurePositional(spark, corpus, index): Unit
+      // shared text2 family (the same one-build-each state), cloned —
+      // this gate deletes + prunes before auditing
+      val fam = SharedBases.cloned(spark, textFam2(spark, dir))
+      val corpus = fam.resolve("tbl")
+      val index = fam.resolve("tbl_text_ix")
       val delKeys = d.filter(col("doc_id") % 13 === 5).select("doc_id")
       TxLog.deleteMor(spark, corpus, delKeys, "doc_id"): Unit
       TextIndex.pruneDeleted(spark, index, delKeys): Unit
       val live = TxLog.readAt(spark, corpus).select("doc_id")
       val inIx = TxLog.readAt(spark, index).select("doc_id").distinct()
-      val inPos = TxLog.readAt(spark, corpus.resolveSibling("ix_pos"))
+      val inPos = TxLog.readAt(spark, fam.resolve("tbl_text_ix_pos"))
         .select("doc_id").distinct()
-      val stats = TxLog.readAt(spark, corpus.resolveSibling("ix_stats"))
+      val stats = TxLog.readAt(spark, fam.resolve("tbl_text_ix_stats"))
         .select(col("n_docs"))
-      live.agg(count(lit(1)).as("corpus_docs"))
+      // ONE doc_id-keyed pass computes every anti-join zero (full-outer
+      // membership join + conditional counts): the four separate
+      // count() actions each re-shuffled live/index/positional — at
+      // corpus scale that is 4 extra passes for numbers one pass holds
+      // (guide §2.4: share the exchange, don't repeat it)
+      val m = live.withColumn("__l", lit(1))
+        .join(inIx.withColumn("__i", lit(1)), Seq("doc_id"), "full_outer")
+        .join(inPos.withColumn("__p", lit(1)), Seq("doc_id"), "full_outer")
+      m.agg(
+          count(col("__l")).as("corpus_docs"),
+          count(when(col("__i").isNotNull && col("__l").isNull, 1))
+            .as("postings_stranded"),
+          count(when(col("__l").isNotNull && col("__i").isNull, 1))
+            .as("docs_unindexed"),
+          count(when(col("__p").isNotNull && col("__l").isNull, 1))
+            .as("positional_stranded"),
+          count(when(col("__l").isNotNull && col("__p").isNull, 1))
+            .as("docs_unpositioned"))
         .crossJoin(broadcast(stats))
         .select(col("corpus_docs"), col("n_docs").as("stats_docs"),
-          lit(inIx.join(live, Seq("doc_id"), "left_anti").count())
-            .as("postings_stranded"),
-          lit(live.join(inIx, Seq("doc_id"), "left_anti").count())
-            .as("docs_unindexed"),
-          lit(inPos.join(live, Seq("doc_id"), "left_anti").count())
-            .as("positional_stranded"),
-          lit(live.join(inPos, Seq("doc_id"), "left_anti").count())
-            .as("docs_unpositioned"))
+          col("postings_stranded"), col("docs_unindexed"),
+          col("positional_stranded"), col("docs_unpositioned"))
     }),
 
     // ---- tx22: ATOMIC MULTI-TABLE TRANSACTION — the transfer shape no
