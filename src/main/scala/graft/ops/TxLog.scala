@@ -420,8 +420,39 @@ object TxLog {
     * `_txnout` replica, (3) the marker directory — and a marker-resolved
     * outcome is replicated into (2) so the sibling-table dependency is
     * paid at most once per table per transaction. */
+  // ---- per-JVM resolved-commit cache (optimization r16, guide §5 "the
+  // driver should do almost no data work"): every snapshot replay,
+  // schema resolution and protocol gate re-reads + re-parses the same
+  // commit.json trees — on a lifecycle gate that is hundreds of driver-
+  // side parses per query. A PUBLISHED commit is immutable
+  // (create-exclusive hard link) and a resolved txn outcome is durable,
+  // so the RESOLVED node is cacheable; the (size, mtime) stamp guards
+  // the one hole — a table deleted and re-created at the same path
+  // (spec fixtures) — at the cost of one stat() instead of read+parse.
+  private val nodeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, com.fasterxml.jackson.databind.JsonNode)]()
+
+  private def commitStamp(f: Path): (Long, Long) = {
+    val a = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+    (a.size(), a.lastModifiedTime().toMillis)
+  }
+
   private def commitNode(table: Path, v: Long): com.fasterxml.jackson.databind.JsonNode = {
-    val node = mapper.readTree(Files.readAllBytes(versionDir(table, v).resolve("commit.json")))
+    val f = versionDir(table, v).resolve("commit.json")
+    val key = table.toAbsolutePath.toString + "#" + v
+    val stamp = commitStamp(f)
+    val hit = nodeCache.get(key)
+    if (hit != null && (hit._1, hit._2) == stamp) return hit._3
+    val resolved = commitNode0(f)
+    if (nodeCache.size > 200000) nodeCache.clear() // runaway backstop
+    nodeCache.put(key, (stamp._1, stamp._2, resolved))
+    resolved
+  }
+
+  private def commitNode0(f: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val table = f.getParent.getParent.getParent
+    val v = f.getParent.getFileName.toString.drop(1).toLong
+    val node = mapper.readTree(Files.readAllBytes(f))
     Option(node.get("txn")) match {
       case None => node
       case Some(m) =>
@@ -626,11 +657,29 @@ object TxLog {
   /** Replay the log up to `version` (latest when None). Starts from the
     * newest checkpoint at or below the target, then applies at most the
     * commits after it — O(checkpoint interval) commit reads. */
+  // one snapshot per table path (optimization r16): replay is pure
+  // metadata over immutable published commits, so the last-resolved
+  // (version, Snapshot) per table is reusable until the table advances;
+  // the target commit's (size, mtime) stamp guards same-path
+  // re-creation exactly like the node cache above.
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Long, Long), Snapshot)]()
+
   def snapshotAt(table: Path, version: Option[Long] = None): Snapshot = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions in $table")
     val target = version.getOrElse(vs.last)
     require(vs.contains(target), s"version $target not in log (have ${vs.mkString(",")})")
+    val key = table.toAbsolutePath.toString
+    val stamp = commitStamp(versionDir(table, target).resolve("commit.json"))
+    val hit = snapCache.get(key)
+    if (hit != null && hit._1 == target && hit._2 == stamp) return hit._3
+    val snap = snapshotAt0(table, vs, target)
+    snapCache.put(key, (target, stamp, snap))
+    snap
+  }
+
+  private def snapshotAt0(table: Path, vs: Vector[Long], target: Long): Snapshot = {
     val ckpt = vs.filter(_ <= target).reverse
       .find(v => Files.exists(versionDir(table, v).resolve("checkpoint.json")))
     var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]

@@ -33,7 +33,7 @@ class PlanSpec extends SparkSpec {
     // tix08's phrase serve reads ONLY the positional sibling
     val p = SparkEntry.queries("tix08_phrase_search")(spark, sf0001)
     val pf = p.inputFiles.toSeq
-    assert(pf.nonEmpty && pf.forall(_.contains("/ix_pos/")),
+    assert(pf.nonEmpty && pf.forall(_.contains("_pos/")),
       s"tix08 must serve from the positional postings alone: $pf")
   }
 
