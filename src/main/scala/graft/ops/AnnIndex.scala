@@ -78,7 +78,7 @@ object AnnIndex {
   private def readMeta(spark: SparkSession, index: Path): Option[(String, String, Int)] =
     if (TxLog.versions(metaDir(index)).isEmpty) None
     else {
-      val r = TxLog.readAt(spark, metaDir(index)).head
+      val r = TxLog.cachedHeadRow(spark, metaDir(index))
       Some((r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("emb_col")),
         r.getInt(r.fieldIndex("n_clusters"))))
     }
@@ -186,9 +186,7 @@ object AnnIndex {
         metaDir(index), "n_clusters"): Unit
     val snap = TxLog.snapshotAt(corpus)
     val indexed: Set[String] =
-      if (TxLog.versions(filesDir(index)).isEmpty) Set.empty
-      else TxLog.readAt(spark, filesDir(index))
-        .select("file_name").collect().map(_.getString(0)).toSet
+      TxLog.cachedStringSet(spark, filesDir(index), "file_name")
     val newFiles = snap.files.filterNot(f => indexed(f.path))
     if (newFiles.isEmpty) return 0L
     val vecs0 = TxLog.readFiles(spark, corpus, newFiles)
@@ -249,7 +247,7 @@ object AnnIndex {
   private def readPqMeta(spark: SparkSession, index: Path): Option[(String, String)] =
     if (TxLog.versions(codesMetaDir(index)).isEmpty) None
     else {
-      val r = TxLog.readAt(spark, codesMetaDir(index)).head
+      val r = TxLog.cachedHeadRow(spark, codesMetaDir(index))
       Some((r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("emb_col"))))
     }
 
@@ -280,9 +278,7 @@ object AnnIndex {
         "id_col", "emb_col", "dims", "m"), codesMetaDir(index), "dims"): Unit
     val snap = TxLog.snapshotAt(corpus)
     val coded: Set[String] =
-      if (TxLog.versions(codesFilesDir(index)).isEmpty) Set.empty
-      else TxLog.readAt(spark, codesFilesDir(index))
-        .select("file_name").collect().map(_.getString(0)).toSet
+      TxLog.cachedStringSet(spark, codesFilesDir(index), "file_name")
     val newFiles = snap.files.filterNot(f => coded(f.path))
     if (newFiles.isEmpty) return 0L
     val vecs0 = TxLog.readFiles(spark, corpus, newFiles)

@@ -138,10 +138,8 @@ object BloomIndex {
       valueCol: String, bitsPerKey: Int = 16, k: Int = 7,
       capBits: Int = DefaultCapBits): Int = {
     val live = TxLog.snapshotAt(table).files
-    val indexed: Set[String] =
-      if (TxLog.versions(index).isEmpty) Set.empty
-      else TxLog.readAt(spark, index).select("data_file")
-        .collect().map(_.getString(0)).toSet // file-count-sized metadata
+    val indexed: Set[String] = // file-count-sized metadata, version-cached
+      TxLog.cachedStringSet(spark, index, "data_file")
     val fresh = live.filterNot(f => indexed.contains(f.path))
     if (fresh.isEmpty) return 0
     TxLog.append(spark, bloomRows(spark, table, fresh, valueCol, bitsPerKey, k, capBits),

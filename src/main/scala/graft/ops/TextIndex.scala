@@ -89,7 +89,7 @@ object TextIndex {
   private def readMeta(spark: SparkSession, index: Path): Option[(String, String, Int)] =
     if (TxLog.versions(metaDir(index)).isEmpty) None
     else {
-      val r = TxLog.readAt(spark, metaDir(index)).head
+      val r = TxLog.cachedHeadRow(spark, metaDir(index))
       Some((r.getString(r.fieldIndex("id_col")), r.getString(r.fieldIndex("text_col")),
         r.getInt(r.fieldIndex("n_clusters"))))
     }
@@ -122,9 +122,7 @@ object TextIndex {
         metaDir(index), "n_clusters"): Unit
     val snap = TxLog.snapshotAt(corpus)
     val indexed: Set[String] =
-      if (TxLog.versions(filesDir(index)).isEmpty) Set.empty
-      else TxLog.readAt(spark, filesDir(index))
-        .select("file_name").collect().map(_.getString(0)).toSet
+      TxLog.cachedStringSet(spark, filesDir(index), "file_name")
     val newFiles = snap.files.filterNot(f => indexed(f.path))
     if (newFiles.isEmpty) return 0L
     val docs = TxLog.readFiles(spark, corpus, newFiles)
@@ -626,10 +624,7 @@ object TextIndex {
     val pd = posDir(index)
     val wm = posFilesDir(index)
     val snap = TxLog.snapshotAt(corpus)
-    val indexed: Set[String] =
-      if (TxLog.versions(wm).isEmpty) Set.empty
-      else TxLog.readAt(spark, wm)
-        .select("file_name").collect().map(_.getString(0)).toSet
+    val indexed: Set[String] = TxLog.cachedStringSet(spark, wm, "file_name")
     val newFiles = snap.files.filterNot(f => indexed(f.path))
     if (newFiles.isEmpty) return 0L
     val docs = TxLog.readFiles(spark, corpus, newFiles)

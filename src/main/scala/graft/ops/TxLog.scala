@@ -665,6 +665,42 @@ object TxLog {
   private val snapCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, (Long, Long), Snapshot)]()
 
+  // ---- cached tiny-metadata reads (optimization r16): index bindings
+  // (1-row _meta tables) and watermarks (file-name lists) are read at
+  // the top of EVERY lifecycle call — each read is a full Spark job
+  // over a table of a few rows. Both are version-keyed: a cached value
+  // is valid exactly while the table's latest version is unchanged, so
+  // only the no-op/refresh calls (the common case: streaming drains,
+  // idempotent CALL re-issues, maintain passes) skip the job.
+  private val headRowCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.Row)]()
+  private val strSetCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Set[String])]()
+
+  /** The single row of a 1-row metadata table, cached per version. */
+  def cachedHeadRow(spark: SparkSession, table: Path): org.apache.spark.sql.Row = {
+    val v = latestVersion(table)
+    val key = table.toAbsolutePath.toString
+    val hit = headRowCache.get(key)
+    if (hit != null && hit._1 == v) return hit._2
+    val r = readAt(spark, table).head
+    headRowCache.put(key, (v, r))
+    r
+  }
+
+  /** One string column of a small metadata table as a Set, cached per
+    * version (the index-watermark read shape). */
+  def cachedStringSet(spark: SparkSession, table: Path, colName: String): Set[String] = {
+    val v = latestVersion(table)
+    if (v < 0) return Set.empty
+    val key = table.toAbsolutePath.toString + "#" + colName
+    val hit = strSetCache.get(key)
+    if (hit != null && hit._1 == v) return hit._2
+    val s = readAt(spark, table).select(colName).collect().map(_.getString(0)).toSet
+    strSetCache.put(key, (v, s))
+    s
+  }
+
   def snapshotAt(table: Path, version: Option[Long] = None): Snapshot = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions in $table")

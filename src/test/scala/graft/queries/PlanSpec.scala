@@ -431,7 +431,9 @@ class PlanSpec extends SparkSpec {
     // nested-loop allowed is the broadcast 16-row centroid attach
     // inside the assignment pass — and that pass runs once (eagerly
     // checkpointed), so the final plan joins two leaf scans.
-    val df = SparkEntry.queries("knn01_graph")(spark, sf0001)
+    // Pinned on the DERIVATION (knnGraph0): the gate serves the
+    // per-JVM checkpointed artifact, whose plan is a leaf scan.
+    val df = SimilarityQueries.knnGraph0(spark, sf0001, 3)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
