@@ -2530,9 +2530,14 @@ object TxLog {
     * DV-aware live rows — the probe both MOR writes share. Churn-sized
     * driver collect (the delta is small by contract). */
   private def morMatches(spark: SparkSession, table: Path, snap: Snapshot,
-      changeKeys: DataFrame, keyCol: String): Map[String, Vector[Long]] = {
-    val bounds = changeKeys.agg(min(col(keyCol)).cast("long"),
-      max(col(keyCol)).cast("long")).head
+      changeKeys: DataFrame, keyCol: String,
+      knownBounds: Option[org.apache.spark.sql.Row] = None): Map[String, Vector[Long]] = {
+    // bounds arrive precomputed from callers that already ran the
+    // delta's min/max (deleteMor/mergeMor) — re-running it here was one
+    // redundant job over the delta plan per MOR write
+    val bounds = knownBounds.getOrElse(
+      changeKeys.agg(min(col(keyCol)).cast("long"),
+        max(col(keyCol)).cast("long")).head)
     if (bounds.isNullAt(0)) return Map.empty
     val candidates = pruneFilesOn(snap, physName(table, keyCol),
       bounds.getLong(0), bounds.getLong(1))
@@ -2573,9 +2578,11 @@ object TxLog {
   def deleteMor(spark: SparkSession, table: Path, keys: DataFrame, keyCol: String):
       (Long, Int, Int, Int) = Jobs.labeled(spark, s"txlog deleteMor ${table.getFileName}") {
     val snap = snapshotAt(table)
-    val matches = morMatches(spark, table, snap, keys.select(col(keyCol)), keyCol)
-    if (matches.isEmpty) return (snap.version, 0, 0, snap.files.size)
     val bounds = keys.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
+    if (bounds.isNullAt(0)) return (snap.version, 0, 0, snap.files.size)
+    val matches = morMatches(spark, table, snap, keys.select(col(keyCol)), keyCol,
+      knownBounds = Some(bounds))
+    if (matches.isEmpty) return (snap.version, 0, 0, snap.files.size)
     val dvAdds = extendDvs(table, snap, matches, keyCol)
     val v = commitRetry(table, "delete-mor", dvAdds, Nil)(
       morValidator(snap, matches.keySet, physName(table, keyCol),
@@ -2596,7 +2603,8 @@ object TxLog {
     enforceConstraints(table, updates)
     val bounds = updates.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long")).head
     if (bounds.isNullAt(0)) return (snap.version, 0, 0, snap.files.size) // empty delta
-    val matches = morMatches(spark, table, snap, updates.select(col(keyCol)), keyCol)
+    val matches = morMatches(spark, table, snap, updates.select(col(keyCol)), keyCol,
+      knownBounds = Some(bounds))
     val dvAdds = extendDvs(table, snap, matches, keyCol)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     phys(updates, table).repartition(nParts).write.mode("overwrite").parquet(stage.toString)
@@ -2808,7 +2816,8 @@ object TxLog {
       max(col(keyCol)).cast("long")).head
     val matches =
       if (bounds.isNullAt(0) || baseSnap.files.isEmpty) Map.empty[String, Vector[Long]]
-      else morMatches(spark, table, baseSnap, changeKeys, keyCol)
+      else morMatches(spark, table, baseSnap, changeKeys, keyCol,
+        knownBounds = Some(bounds))
     val dvAdds = extendDvs(table, baseSnap, matches, keyCol)
     val stage = table.resolve(s".stage-${UUID.randomUUID()}")
     phys(upserts, table).repartition(math.max(nParts, 1))
