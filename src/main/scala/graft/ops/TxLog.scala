@@ -1809,6 +1809,35 @@ object TxLog {
     }
   }
 
+  /** Clustered OVERWRITE: [[appendClustered]]'s one-job clustered
+    * staging committed as ONE `overwrite` replacing the live set — the
+    * maintenance rebuild shape (e.g. the text dictionary fold), which
+    * previously paid a plain overwrite AND a compactClustered rewrite:
+    * two full passes over the same rows for one final layout
+    * (optimization r16, guide §1.2 "remove unnecessary passes"). */
+  def overwriteClustered(spark: SparkSession, df: DataFrame, table: Path,
+      statsCol: String, clusterCol: Column, nClusters: Int): Long =
+      Jobs.labeled(spark, s"txlog overwriteClustered ${table.getFileName}") {
+    Files.createDirectories(table)
+    validateSchema(tableSchema(table), df.schema, allowEvolution = false): Unit
+    val stage = table.resolve(s".stage-${UUID.randomUUID()}")
+    phys(df.withColumn("__cluster", clusterCol), table)
+      .repartition(nClusters, col("__cluster"))
+      .write.partitionBy("__cluster").mode("overwrite").parquet(stage.toString)
+    enforceConstraintsStaged(spark, table, stage)
+    val parts = listDir(stage).filter(p => p.getFileName.toString.startsWith("__cluster="))
+      .sortBy(_.getFileName.toString)
+      .flatMap(d => listDir(d).filter(_.getFileName.toString.endsWith(".parquet")))
+    val adds = promoteParts(spark, parts, table, statsCol)
+    deleteRecursively(stage)
+    val base = snapshotAt(table)
+    commitRetry(table, "overwrite", adds, base.files.map(_.path),
+      schema = Some(validateSchema(tableSchema(table), df.schema, allowEvolution = false))) {
+      case Some(s) => s.version == base.version
+      case None => base.version == -1L
+    }
+  }
+
   /** Clustered append: ONE distributed write producing one data file per
     * cluster of `clusterCol` (repartition on the cluster key + a
     * partitionBy split keeps co-hashed clusters in separate files), all
