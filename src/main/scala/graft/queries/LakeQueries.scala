@@ -1010,7 +1010,9 @@ object LakeQueries {
       TxLog.deleteWhere(spark, tableB, expr("doc_id % 13 = 3"), "doc_id"): Unit
       val a = spark.sql(s"SELECT * FROM $cat.tbl")
       val b = spark.sql(s"SELECT * FROM $cat.tblb")
-      val identical = a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L
+      // one keyed pass, one action (the er05/tix06 multiset idiom) —
+      // the exceptAll pair shuffled both tables twice across two actions
+      val identical = SharedBases.multisetEqual(a, b)
       val ops = TxLog.history(tableA).map(_._2)
       val cdcOk = (1L to 3L).forall(v => TxLog.commitCdcFile(tableA, v).isDefined)
       a.agg(count(lit(1)).as("n_docs"),
@@ -2082,7 +2084,9 @@ object LakeQueries {
       val terms = Seq("zq7marker", "join", "filter")
       val (ranked, rep) = TextIndex.searchBm25BlockMax(spark, index, terms, 10)
       val full = TextIndex.searchBm25(spark, index, terms, 10)
-      val equal = ranked.exceptAll(full).isEmpty && full.exceptAll(ranked).isEmpty
+      // one keyed pass, one action (the er05/tix06 multiset idiom) —
+      // the exceptAll pair ran each search pipeline twice
+      val equal = SharedBases.multisetEqual(ranked, full)
       ranked
         .withColumn("units_pruned", lit(rep.unitsEssential < rep.unitsTotal))
         .withColumn("files_saved", lit(rep.filesRead < rep.filesFull))

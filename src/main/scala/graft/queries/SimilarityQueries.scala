@@ -895,7 +895,10 @@ object SimilarityQueries {
       cbT: java.nio.file.Path, codeT: java.nio.file.Path): DataFrame = {
     reg(spark)
     val emb = t(spark, dir, "embeddings")
-    val n0 = emb.filter(col("vec_id") % 10 =!= 9).count() // knob only
+    // knob only — deterministic per corpus dir, memoized so each serve
+    // doesn't pay a corpus-count job to size the shortlist
+    val n0 = trainCountMemo.computeIfAbsent(dir,
+      _ => emb.filter(col("vec_id") % 10 =!= 9).count())
     val centLake = graft.ops.TxLog.readAt(spark, centT)
     val assignLake = graft.ops.TxLog.readAt(spark, assignT)
     val cbLake = graft.ops.TxLog.readAt(spark, cbT)
@@ -922,9 +925,27 @@ object SimilarityQueries {
 
   /** The exact ground truth in the SAME metric the ADC rerank ranks by
     * (quantized squared L2), full-corpus, per query 0..3 — so knn06's
-    * recall isolates exactly the IVF-pruning + shortlist loss. */
+    * recall isolates exactly the IVF-pruning + shortlist loss.
+    *
+    * MEMOIZED per (dir, candidate filter) per JVM (the knnGraph/
+    * erFullLinksRef discipline): the relation is deterministic — six
+    * gates (knn06/08/09/10/11, dq08) re-deriving the same brute-force
+    * pass measured the corpus scan six times, not the operator under
+    * test. `surviving = true` restricts candidates to knn08's
+    * post-GDPR corpus (vec_id % 9 != 8); queries always rank. */
+  private val exactTopKMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val trainCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def exactQuantizedTopK(spark: SparkSession, dir: String,
-      keep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      surviving: Boolean = false): DataFrame =
+    exactTopKMemo.computeIfAbsent(s"$dir#$surviving", { _ =>
+      val keep = if (surviving) col("vec_id") % 9 =!= 8 else lit(true)
+      exactQuantizedTopK0(spark, dir, keep).localCheckpoint(true)
+    })
+
+  private def exactQuantizedTopK0(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val qz = graft.ops.Clustering.quantize(emb, "vec_id", "embedding")
     val q = qz.filter(col("vec_id") < 4)
@@ -1075,7 +1096,7 @@ object SimilarityQueries {
       q.awaitTermination()
       val approx = serveLakeIvfAdc(spark, dir, centT, assignT, cbT, codeT)
         .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
-      val exact = exactQuantizedTopK(spark, dir, keep = col("vec_id") % 9 =!= 8)
+      val exact = exactQuantizedTopK(spark, dir, surviving = true)
       exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
@@ -1114,7 +1135,7 @@ object SimilarityQueries {
         graft.ops.TxLog.snapshotAt(codeT).files.count(_.dv.isDefined)
       val approx = serveLakeIvfAdc(spark, dir, centT, assignT, cbT, codeT)
         .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
-      val exact = exactQuantizedTopK(spark, dir, keep = col("vec_id") % 9 =!= 8)
+      val exact = exactQuantizedTopK(spark, dir, surviving = true)
       exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
@@ -1181,7 +1202,7 @@ object SimilarityQueries {
       val approx = serveLakeIvfAdc(spark, dir, base.resolve("tbl_ann_ix_cent"),
           index, base.resolve("tbl_ann_ix_cb"), codes)
         .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
-      val exact = exactQuantizedTopK(spark, dir, keep = col("vec_id") % 9 =!= 8)
+      val exact = exactQuantizedTopK(spark, dir, surviving = true)
       exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hits"))
